@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Table loaders + exact-arithmetic helpers shared by every operator.
+  *
+  * Design notes for scale (local[32] here, 1000-executor cluster in spirit):
+  *  - All loaders are plain parquet scans so Catalyst pushes filters and
+  *    prunes columns into the file source (`PushedFilters`/`ReadSchema`).
+  *  - Money/metric aggregations go through DECIMAL(18,2) before SUM so the
+  *    result is independent of partitioning / accumulation order — the same
+  *    query yields bit-identical results on 1 partition or 10,000. That is
+  *    both a correctness-gate requirement (DuckDB oracle hash-match) and a
+  *    reproducibility property a production pipeline wants anyway.
+  */
+object Tables {
+  val All: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") {
+      // events.parquet carries TIMESTAMP(NANOS) which the Spark reader
+      // rejects; read nanos as long and truncate to the microsecond — the
+      // same ns→µs truncation DuckDB applies, so both engines see identical
+      // instants.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else spark.read.parquet(s"$dir/$name.parquet")
+}
+
+object Exact {
+  /** Exact 2-dp decimal view of a double column (money, quantities). */
+  def dec(c: Column): Column = c.cast("decimal(18,2)")
+
+  /** Order-independent SUM: decimal-exact accumulation, surfaced as double. */
+  def dsum(c: Column): Column = sum(dec(c)).cast("double")
+
+  /** 32-bit deterministic hash of a string, as a non-negative long.
+    * Same value is reproducible in ANSI SQL as
+    * `('0x' || substr(md5(s), 1, 8))::UBIGINT` — used so LSH/minhash
+    * pipelines are oracle-checkable across engines. */
+  def hash32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** SQL-side rendering of [[hash32]] for the DuckDB oracle. */
+  def hash32Sql(expr: String): String =
+    s"CAST(('0x' || substr(md5($expr), 1, 8)) AS UBIGINT)::BIGINT"
+}

@@ -1,0 +1,85 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate.
+
+Usage: python3 tools/check_oracle.py <verify_out_dir> [sf_dir]
+
+Reads each <name>/ parquet written by `graft.Verify`, runs the matching
+oracle SQL from oracle_sql.json in DuckDB over the raw sf tables, and
+compares: schema (column names sorted), row count, and exact values both
+in emitted row order and under a canonical sort. Exits nonzero on any
+mismatch so it can gate commits.
+"""
+import glob
+import json
+import math
+import sys
+
+import duckdb
+import pyarrow.parquet as pq
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)  # full precision
+    if isinstance(v, bool):
+        return "b:" + str(v)
+    return str(v)
+
+
+def main():
+    out_dir = sys.argv[1]
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    failures = []
+    for name, sql in sorted(oracle.items()):
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            failures.append((name, "no spark output"))
+            continue
+        got = pq.read_table(sorted(files)[0])
+        try:
+            exp = con.execute(sql).fetch_arrow_table()
+        except Exception as e:
+            failures.append((name, f"oracle SQL failed: {str(e)[:200]}"))
+            continue
+        g_cols, e_cols = sorted(got.column_names), sorted(exp.column_names)
+        if g_cols != e_cols:
+            failures.append((name, f"schema: spark={g_cols} duck={e_cols}"))
+            continue
+        if got.num_rows != exp.num_rows:
+            failures.append(
+                (name, f"rows: spark={got.num_rows} duck={exp.num_rows}"))
+            continue
+        g_rows = [tuple(canon(got.column(c)[i].as_py()) for c in g_cols)
+                  for i in range(got.num_rows)]
+        e_rows = [tuple(canon(exp.column(c)[i].as_py()) for c in e_cols)
+                  for i in range(exp.num_rows)]
+        if g_rows == e_rows:
+            print(f"  OK  {name} ({got.num_rows} rows)")
+        elif sorted(g_rows) == sorted(e_rows):
+            failures.append((name, "values match but ROW ORDER differs"))
+        else:
+            diffs = [(i, a, b) for i, (a, b) in
+                     enumerate(zip(g_rows, e_rows)) if a != b][:3]
+            failures.append((name, f"VALUE mismatch, first diffs: {diffs}"))
+    print()
+    if failures:
+        for n, msg in failures:
+            print(f"FAIL {n}: {msg}")
+        sys.exit(1)
+    print(f"all {len(oracle)} oracle queries match")
+
+
+if __name__ == "__main__":
+    main()
