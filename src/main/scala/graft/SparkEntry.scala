@@ -18,11 +18,17 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++
-      operators.ScalarFns.queries
+      operators.ScalarFns.queries ++
+      operators.TextAnalysis.queries ++
+      operators.Dedup.queries ++
+      operators.Similarity.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
   def oracleSql: Map[String, String] =
     operators.Relational.oracle ++
-      operators.ScalarFns.oracle
+      operators.ScalarFns.oracle ++
+      operators.TextAnalysis.oracle ++
+      operators.Dedup.oracle ++
+      operators.Similarity.oracle
 }

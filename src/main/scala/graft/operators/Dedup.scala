@@ -1,0 +1,197 @@
+package graft.operators
+
+import graft.Exact.{hash32, hash32Sql}
+import graft.Tables.load
+import graft.functions.VectorFns
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication suite for a large-scale training-data pipeline:
+  * exact, MinHash+LSH, SimHash, n-gram Jaccard, and embedding-cosine
+  * near-dup — each oracle-checked against DuckDB.
+  *
+  * Scale design (the point of each algorithm):
+  *  - exact: one hash-shuffle on the content hash; linear.
+  *  - MinHash+LSH: signature is a single groupBy over shingles; candidate
+  *    generation shuffles on (band, bucket) — never the O(n²) cross join.
+  *    Bands/rows tuned so P(candidate) ≈ 1 at J≥0.9, ≈ 0 at J≤0.3.
+  *  - SimHash: pure map-side signature (one groupBy over tokens); near-dup
+  *    lookup is a bucket join on the signature (or rotations at scale).
+  *  - n-gram Jaccard: exact verification, joined on shared shingles so the
+  *    blowup is Σ bucket² over shingle buckets, not n² (shingle diversity
+  *    keeps buckets tiny) — run it on LSH candidates at real scale.
+  *  - embedding cosine: exact O(n²) verifier at small n; the LSH-bucketed
+  *    scale path is `ann_lsh` in [[Similarity]].
+  *
+  * All hash functions are md5-derived ([[graft.Exact.hash32]]) so DuckDB
+  * reproduces identical signatures — no engine-private hash in the results.
+  */
+object Dedup {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** MinHash parameters: 12 hash functions, 4 bands × 3 rows. */
+  private val NumHashes = 12
+  private val Bands = 4
+  private val RowsPerBand = NumHashes / Bands
+  /** n-gram Jaccard near-dup threshold. */
+  private val JaccardTau = 0.8
+  /** embedding cosine near-dup threshold. */
+  private val CosTau = 0.4
+  /** SimHash signature width (bits of the 32-bit token hash used). */
+  private val SimBits = 16
+
+  private def toks(c: Column): Column = split(lower(c), " ")
+
+  /** Distinct (doc_id, shingle) pairs — the unit set for Jaccard/MinHash. */
+  private def shingleSet(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(array_distinct(VectorFns.shingles3(toks(col("text"))))).as("sh"))
+
+  private val shingleSetSql: String =
+    """SELECT DISTINCT doc_id, sh FROM (
+      |  SELECT doc_id, unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+      |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+      |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents))""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    // Exact dedup: group by content hash of the normalized text; keep the
+    // lowest doc_id. One shuffle on a 128-bit key — scales linearly.
+    "dd_exact" -> ((s, dir) =>
+      load(s, dir, "documents")
+        .groupBy(md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("content_hash"))
+        .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_id"))
+        .orderBy("content_hash")),
+
+    // n-gram (3-shingle) Jaccard near-dup pairs above JaccardTau.
+    "dd_ngram_jaccard" -> ((s, dir) => {
+      val tok = shingleSet(s, dir)
+      val cnt = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = tok.as("a")
+        .join(tok.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(cnt.as("ca"), col("doc_a") === col("ca.doc_id"))
+        .join(cnt.as("cb"), col("doc_b") === col("cb.doc_id"))
+        .select(col("doc_a"), col("doc_b"),
+          (col("inter").cast("double") / (col("ca.n") + col("cb.n") - col("inter"))).as("jaccard"))
+        .where(col("jaccard") >= JaccardTau)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // MinHash + LSH banding: md5-derived minhash signature per doc, banded
+    // into Bands buckets; docs sharing any band bucket are candidate dups.
+    "dd_minhash_lsh" -> ((s, dir) => {
+      val tok = shingleSet(s, dir)
+      val sig = tok.groupBy("doc_id").agg(
+        min(hash32(concat_ws(":", lit(0), col("sh")))).as("h0"),
+        (1 until NumHashes).map(i =>
+          min(hash32(concat_ws(":", lit(i), col("sh")))).as(s"h$i")): _*)
+      val bandCols = (0 until Bands).map { b =>
+        val hs = (0 until RowsPerBand).map(r => col(s"h${b * RowsPerBand + r}"))
+        struct(lit(b).as("band"), md5(concat_ws("|", lit(b) +: hs: _*)).as("bkt"))
+      }
+      val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+        .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkt").as("bkt"))
+      bands.as("x")
+        .join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bkt") === col("y.bkt") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .agg(countDistinct(col("x.band")).as("n_bands"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // SimHash: per-token md5 hash; signature bit j is the sign of the sum of
+    // (±1) votes from bit j of each token hash. Map-side except one groupBy.
+    "dd_simhash" -> ((s, dir) => {
+      val tok = load(s, dir, "documents")
+        .select(col("doc_id"), explode(toks(col("text"))).as("token"))
+        .withColumn("h", hash32(col("token")))
+      val votes = (0 until SimBits).map(j =>
+        sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+          .as(s"v$j"))
+      val sig = tok.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+      val simhash = (0 until SimBits).map(j =>
+        when(col(s"v$j") > 0, lit(1L << j)).otherwise(0L)).reduce(_ + _)
+      sig.select(col("doc_id"), simhash.as("simhash")).orderBy("doc_id")
+    }),
+
+    // Embedding-cosine near-dup: exact pairwise verifier above CosTau.
+    "dd_embed_cos" -> ((s, dir) => {
+      val e = load(s, dir, "embeddings")
+        .select(col("vec_id"), VectorFns.asDouble(col("embedding")).as("v"))
+      e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          VectorFns.cosine(col("a.v"), col("b.v")).as("cos"))
+        .where(col("cos") >= CosTau)
+        .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("score"))
+        .orderBy("vec_a", "vec_b")
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "dd_exact" ->
+      """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_hash,
+        |  count(*) AS n_copies, min(doc_id) AS keep_id
+        |FROM documents GROUP BY content_hash ORDER BY content_hash""".stripMargin,
+
+    "dd_ngram_jaccard" ->
+      s"""WITH tok AS ($shingleSetSql),
+         |cnt AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+         |  FROM tok a JOIN tok b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY doc_a, doc_b)
+         |SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (ca.n + cb.n - i) AS jaccard
+         |FROM inter
+         |JOIN cnt ca ON doc_a = ca.doc_id
+         |JOIN cnt cb ON doc_b = cb.doc_id
+         |WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= $JaccardTau
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dd_minhash_lsh" -> {
+      val sigCols = (0 until NumHashes)
+        .map(i => s"min(${hash32Sql(s"concat_ws(':', $i, sh)")}) AS h$i").mkString(",\n    ")
+      val bandSelects = (0 until Bands).map { b =>
+        val hs = (0 until RowsPerBand).map(r => s"h${b * RowsPerBand + r}").mkString(", ")
+        s"SELECT doc_id, $b AS band, md5(concat_ws('|', $b, $hs)) AS bkt FROM sig"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH tok AS ($shingleSetSql),
+         |sig AS (
+         |  SELECT doc_id,
+         |    $sigCols
+         |  FROM tok GROUP BY doc_id),
+         |bands AS (
+         |  $bandSelects)
+         |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(DISTINCT x.band) AS n_bands
+         |FROM bands x JOIN bands y
+         |  ON x.band = y.band AND x.bkt = y.bkt AND x.doc_id < y.doc_id
+         |GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b""".stripMargin
+    },
+
+    "dd_simhash" -> {
+      val votes = (0 until SimBits)
+        .map(j => s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS v$j")
+        .mkString(",\n    ")
+      val bits = (0 until SimBits)
+        .map(j => s"CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+      s"""WITH tok AS (
+         |  SELECT doc_id, ${hash32Sql("token")} AS h FROM (
+         |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents)),
+         |sig AS (
+         |  SELECT doc_id,
+         |    $votes
+         |  FROM tok GROUP BY doc_id)
+         |SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM sig ORDER BY doc_id""".stripMargin
+    },
+
+    "dd_embed_cos" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |  round(list_cosine_similarity(a.v, b.v), 6) AS score
+         |FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |WHERE list_cosine_similarity(a.v, b.v) >= $CosTau
+         |ORDER BY vec_a, vec_b""".stripMargin)
+}

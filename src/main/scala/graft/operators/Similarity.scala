@@ -1,0 +1,107 @@
+package graft.operators
+
+import graft.Exact.hash32Sql
+import graft.Tables.load
+import graft.functions.VectorFns._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over the embeddings table.
+  *
+  * Two paths, both oracle-checked:
+  *  - `ann_topk`: brute-force cosine top-k — the exact baseline. The query
+  *    side is tiny and broadcast; the candidate side streams partition-
+  *    parallel, so the plan is a broadcast nested-loop + per-group top-k
+  *    (no global sort). Cost O(|Q|·n) — fine for small |Q|, the yardstick
+  *    for recall at any scale.
+  *  - `ann_lsh`: random-hyperplane LSH. Each vector hashes to a bucket id
+  *    from the sign pattern of 8 hyperplane dot products; only same-bucket
+  *    pairs are scored. The shuffle is on bucket id — at 100 TB this is the
+  *    difference between n² and Σ bucket². Hyperplanes are md5-derived
+  *    pseudo-random constants, so DuckDB reproduces them exactly; the dot
+  *    products are sequential folds, bit-identical across engines.
+  */
+object Similarity {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val Planes = 8
+  private val Dims = 64
+  private val TopK = 5
+  private val NumQueries = 10
+
+  /** Hyperplane p (0-based) as a 64-dim double[] with entries in [-1, 1):
+    * w(p,d) = hash32(p + "_" + d) / 2^31 - 1, d = 1..Dims. Constant-folded
+    * by Catalyst into a literal array — no per-row hashing. */
+  private def plane(p: Int): Column =
+    transform(sequence(lit(1), lit(Dims)),
+      d => graft.Exact.hash32(concat_ws("_", lit(p), d)) / lit(2147483648.0) - 1)
+
+  private def planeSql(p: Int): String =
+    s"list_transform(range(1, ${Dims + 1}), d -> ${hash32Sql(s"concat_ws('_', $p, d)")} / 2147483648.0 - 1)"
+
+  /** LSH bucket id: bit p set iff dot(v, plane_p) > 0. */
+  private def bucket(v: Column): Column =
+    (0 until Planes).map(p => when(dot(v, plane(p)) > 0, lit(1L << p)).otherwise(0L))
+      .reduce(_ + _)
+
+  private def bucketSql(v: String): String =
+    (0 until Planes)
+      .map(p => s"CASE WHEN list_sum(list_transform(range(1, ${Dims + 1}), d -> $v[d] * (${hash32Sql(s"concat_ws('_', $p, d)")} / 2147483648.0 - 1))) > 0 THEN ${1L << p} ELSE 0 END")
+      .mkString("(", " + ", ")")
+
+  val queries: Map[String, Q] = Map(
+    // Brute-force cosine top-k: exact ANN baseline.
+    "ann_topk" -> ((s, dir) => {
+      val e = load(s, dir, "embeddings")
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      val q = e.where(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("n_id"))
+      e.crossJoin(broadcast(q))
+        .where(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("n_id"),
+          round(cosine(col("qv"), col("v")), 6).as("score"))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= TopK)
+        .select("q_id", "rank", "n_id", "score")
+        .orderBy("q_id", "rank")
+    }),
+
+    // LSH-bucketed near-neighbor pairs: hyperplane bucket per vector, score
+    // only within-bucket pairs.
+    "ann_lsh" -> ((s, dir) => {
+      val e = load(s, dir, "embeddings")
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        .withColumn("bucket", bucket(col("v")))
+      e.as("a").join(e.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.bucket").as("bucket"),
+          col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          round(cosine(col("a.v"), col("b.v")), 6).as("score"))
+        .orderBy("bucket", "vec_a", "vec_b")
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "ann_topk" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < $NumQueries),
+         |sc AS (
+         |  SELECT q_id, e.vec_id AS n_id,
+         |         round(list_cosine_similarity(qv, v), 6) AS score
+         |  FROM q, e WHERE e.vec_id <> q_id),
+         |r AS (SELECT q_id, n_id, score,
+         |             row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rank
+         |      FROM sc)
+         |SELECT q_id, rank, n_id, score FROM r WHERE rank <= $TopK
+         |ORDER BY q_id, rank""".stripMargin,
+
+    "ann_lsh" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |h AS (SELECT vec_id, v, ${bucketSql("v")} AS bucket FROM e)
+         |SELECT a.bucket AS bucket, a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |  round(list_cosine_similarity(a.v, b.v), 6) AS score
+         |FROM h a JOIN h b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |ORDER BY bucket, vec_a, vec_b""".stripMargin)
+}

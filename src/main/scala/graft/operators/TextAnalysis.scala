@@ -1,0 +1,137 @@
+package graft.operators
+
+import graft.Tables.load
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline: token counting,
+  * quality scoring, language ID, and document fingerprinting — all pure
+  * column expressions (whole-stage codegen, no UDFs), each oracle-checked.
+  *
+  * At 100 TB these are embarrassingly parallel map-side transforms: no
+  * shuffle at all until the (optional) final ORDER BY, which exists only for
+  * the deterministic oracle comparison and would be dropped in production.
+  */
+object TextAnalysis {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val PunctClass = "[!\"#$%&'()*+,\\-./:;<=>?@\\[\\\\\\]^_`{|}~]"
+  // BPE-ish pre-tokenizer: letter runs, digit runs, single non-space symbols.
+  private val BpeRe = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+  private val Stopwords = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  // Tiny per-language stopword profiles for the n-gram/stopword language-ID
+  // heuristic. Real deployments swap in bigger profiles; the operator shape
+  // (hits per profile → argmax) is what's exercised here.
+  private val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "or", "and", "of"),
+    "es" -> Seq("el", "la", "y", "de", "los"),
+    "de" -> Seq("der", "die", "und", "das", "ein"),
+    "fr" -> Seq("le", "les", "et", "des", "dans"))
+
+  private def toks(c: Column): Column = split(lower(c), " ")
+
+  private def hitCount(tokens: Column, words: Seq[String]): Column =
+    size(filter(tokens, t => t.isin(words: _*))).cast("long")
+
+  val queries: Map[String, Q] = Map(
+    // Token counting: whitespace tokens + BPE-ish regex tokens.
+    "ta_token_count" -> ((s, dir) =>
+      load(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+          size(regexp_extract_all(col("text"), lit(BpeRe), lit(0))).cast("long").as("bpe_tokens"))
+        .orderBy("doc_id")),
+
+    // Quality scoring: length, punctuation ratio, stopword ratio, mean token
+    // length, composite keep/drop score. Ratios are int/int divisions —
+    // bit-exact across engines.
+    "ta_quality" -> ((s, dir) => {
+      val t = toks(col("text"))
+      val lenChars = length(col("text")).cast("long")
+      val nToks = size(t).cast("long")
+      val nPunct = size(regexp_extract_all(col("text"), lit(PunctClass), lit(0))).cast("long")
+      val nStop = hitCount(t, Stopwords)
+      val sumTokLen = aggregate(transform(t, tk => length(tk)), lit(0), (acc, x) => acc + x).cast("long")
+      load(s, dir, "documents")
+        .select(col("doc_id"), lenChars.as("len_chars"), nToks.as("n_tokens"),
+          (nPunct.cast("double") / lenChars).as("punct_ratio"),
+          (nStop.cast("double") / nToks).as("stop_ratio"),
+          (sumTokLen.cast("double") / nToks).as("mean_tok_len"),
+          when(lenChars >= 100 && lenChars <= 2000 && nStop > 0, 1.0).otherwise(0.0)
+            .as("quality_score"))
+        .orderBy("doc_id")
+    }),
+
+    // Language ID: stopword-profile hit counts → argmax with a fixed
+    // priority order (en > es > de > fr > und).
+    "ta_langid" -> ((s, dir) => {
+      val t = toks(col("text"))
+      val hits = LangProfiles.map { case (l, ws) => l -> hitCount(t, ws) }.toMap
+      val predicted =
+        when(hits("en") > 0 && hits("en") >= hits("es") && hits("en") >= hits("de") && hits("en") >= hits("fr"), "en")
+          .when(hits("es") > 0 && hits("es") >= hits("de") && hits("es") >= hits("fr"), "es")
+          .when(hits("de") > 0 && hits("de") >= hits("fr"), "de")
+          .when(hits("fr") > 0, "fr")
+          .otherwise("und")
+      load(s, dir, "documents")
+        .select(col("doc_id") +: col("lang").as("actual") +:
+          LangProfiles.map { case (l, _) => hits(l).as(s"hits_$l") } :+
+          predicted.as("predicted"): _*)
+        .orderBy("doc_id")
+    }),
+
+    // Document fingerprint (OpenRefine-style key collision): md5 of the
+    // sorted distinct token set — robust to word order and duplication.
+    "ta_fingerprint" -> ((s, dir) =>
+      load(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(array_join(array_sort(array_distinct(toks(col("text")))), " "))
+            .as("fingerprint"))
+        .orderBy("doc_id")))
+
+  private def sqlHits(words: Seq[String]): String =
+    s"CAST(len(list_filter(string_split(lower(text), ' '), t -> t IN (${words.map(w => s"'$w'").mkString(", ")}))) AS BIGINT)"
+
+  val oracle: Map[String, String] = Map(
+    "ta_token_count" ->
+      s"""SELECT doc_id,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+         |  CAST(len(regexp_extract_all(text, '$BpeRe')) AS BIGINT) AS bpe_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "ta_quality" -> {
+      val punctSql = PunctClass.replace("'", "''")
+      s"""SELECT doc_id,
+         |  CAST(length(text) AS BIGINT) AS len_chars,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |  CAST(len(regexp_extract_all(text, '$punctSql')) AS DOUBLE) / length(text) AS punct_ratio,
+         |  CAST(${sqlHits(Stopwords)} AS DOUBLE) / len(string_split(text, ' ')) AS stop_ratio,
+         |  CAST(CAST(list_sum(list_transform(string_split(lower(text), ' '), t -> length(t))) AS BIGINT) AS DOUBLE)
+         |    / len(string_split(text, ' ')) AS mean_tok_len,
+         |  CASE WHEN length(text) BETWEEN 100 AND 2000 AND ${sqlHits(Stopwords)} > 0
+         |       THEN 1.0 ELSE 0.0 END AS quality_score
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    "ta_langid" -> {
+      val h = LangProfiles.map { case (l, ws) => l -> sqlHits(ws) }.toMap
+      s"""SELECT doc_id, lang AS actual,
+         |  ${LangProfiles.map { case (l, _) => s"${h(l)} AS hits_$l" }.mkString(",\n  ")},
+         |  CASE
+         |    WHEN ${h("en")} > 0 AND ${h("en")} >= ${h("es")} AND ${h("en")} >= ${h("de")} AND ${h("en")} >= ${h("fr")} THEN 'en'
+         |    WHEN ${h("es")} > 0 AND ${h("es")} >= ${h("de")} AND ${h("es")} >= ${h("fr")} THEN 'es'
+         |    WHEN ${h("de")} > 0 AND ${h("de")} >= ${h("fr")} THEN 'de'
+         |    WHEN ${h("fr")} > 0 THEN 'fr'
+         |    ELSE 'und' END AS predicted
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    "ta_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' '))
+        |    AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}
