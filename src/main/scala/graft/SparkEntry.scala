@@ -11,9 +11,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The §3.3 analytics pipeline: clean → VADER → TF-IDF → LDA → analysis. */
   def entry(spark: SparkSession): DataFrame =
-    queries("q1_agg")(spark, "/root/testdata/sf0.001")
+    queries("nlp_analysis")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -21,7 +22,8 @@ object SparkEntry {
       operators.ScalarFns.queries ++
       operators.TextAnalysis.queries ++
       operators.Dedup.queries ++
-      operators.Similarity.queries
+      operators.Similarity.queries ++
+      operators.Analytics.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */

@@ -1,0 +1,169 @@
+package graft.functions
+
+/** VADER-style rule-based sentiment scorer (SURVEY.md §2.9 D1; reference
+  * applies vaderSentiment row-wise at redditProcessor.py:23-33 with label
+  * thresholds ±0.05 at :28-33).
+  *
+  * This is an independent Scala implementation of the published algorithm
+  * (Hutto & Gilbert, "VADER: A Parsimonious Rule-based Model for Sentiment
+  * Analysis of Social Media Text", ICWSM 2014): lexicon valences modulated
+  * by booster/dampener words, negation flips, ALL-CAPS emphasis, a
+  * "but"-clause pivot, and punctuation amplification, normalized to
+  * [-1, 1] via s/sqrt(s²+15). The lexicon here is a compact embedded
+  * subset — enough for the pipeline semantics and golden tests; swap in a
+  * fuller resource file for production parity.
+  *
+  * The scorer is a pure static function: loaded once per JVM (executor),
+  * fixing the reference's analyzer-per-row re-instantiation bug
+  * (redditProcessor.py:24). Called from the codegen'd Catalyst expression
+  * [[VaderExpressions]].
+  */
+object VaderSentiment {
+
+  private val BoostIncr = 0.293
+  private val BoostDecr = -0.293
+  private val CapsIncr = 0.733
+  private val NegScalar = -0.74
+  private val Alpha = 15.0 // normalization constant
+
+  private[functions] val Lexicon: Map[String, Double] = Map(
+    // positive
+    "good" -> 1.9, "great" -> 3.1, "excellent" -> 2.7, "best" -> 3.2,
+    "better" -> 1.9, "amazing" -> 2.8, "awesome" -> 3.1, "fantastic" -> 2.6,
+    "wonderful" -> 2.7, "love" -> 3.2, "loved" -> 2.9, "loves" -> 2.7,
+    "lovely" -> 2.8, "like" -> 1.5, "liked" -> 1.8, "likes" -> 1.6,
+    "happy" -> 2.7, "happiness" -> 2.6, "glad" -> 2.0, "joy" -> 2.8,
+    "nice" -> 1.8, "perfect" -> 2.7, "pleasant" -> 2.3, "delicious" -> 2.5,
+    "tasty" -> 1.9, "enjoy" -> 2.2, "enjoyed" -> 2.3, "fun" -> 2.3,
+    "funny" -> 1.9, "beautiful" -> 2.9, "brilliant" -> 2.8, "cool" -> 1.3,
+    "win" -> 2.8, "winner" -> 2.8, "winning" -> 2.4, "wow" -> 2.8,
+    "superb" -> 3.0, "super" -> 2.9, "favorite" -> 2.0, "favourite" -> 2.0,
+    "recommend" -> 1.5, "recommended" -> 1.6, "thanks" -> 1.9,
+    "thank" -> 1.5, "grateful" -> 2.3, "impressive" -> 2.3, "smooth" -> 1.3,
+    "fresh" -> 1.3, "rich" -> 1.6, "strong" -> 1.1, "worth" -> 0.9,
+    "yes" -> 1.7, "yeah" -> 1.2, "yay" -> 2.4, "ok" -> 0.9, "okay" -> 0.9,
+    "fine" -> 0.8, "decent" -> 1.4, "solid" -> 1.2, "smile" -> 2.0,
+    "kind" -> 2.4, "kindness" -> 2.5, "care" -> 2.0, "cared" -> 1.9,
+    "hope" -> 1.9, "hopeful" -> 2.1, "excited" -> 2.4, "exciting" -> 2.2,
+    "success" -> 2.7, "successful" -> 2.6, "positive" -> 2.1,
+    // negative
+    "bad" -> -2.5, "worse" -> -2.1, "worst" -> -3.1, "terrible" -> -2.1,
+    "awful" -> -2.0, "horrible" -> -2.5, "hate" -> -2.7, "hated" -> -2.8,
+    "hates" -> -1.9, "dislike" -> -1.6, "disliked" -> -1.8, "sad" -> -2.1,
+    "unhappy" -> -1.8, "angry" -> -2.3, "anger" -> -2.7, "mad" -> -2.2,
+    "furious" -> -2.7, "annoying" -> -1.8, "annoyed" -> -1.8,
+    "disappointing" -> -2.2, "disappointed" -> -2.3, "disgusting" -> -2.4,
+    "gross" -> -1.7, "nasty" -> -2.6, "poor" -> -1.9, "fail" -> -2.5,
+    "failed" -> -2.3, "failure" -> -2.4, "broken" -> -1.8, "broke" -> -1.4,
+    "bug" -> -1.4, "bugs" -> -1.4, "problem" -> -1.7, "problems" -> -1.7,
+    "issue" -> -1.1, "issues" -> -1.3, "wrong" -> -2.1, "error" -> -1.7,
+    "errors" -> -1.6, "crash" -> -1.9, "crashed" -> -1.8, "slow" -> -1.1,
+    "expensive" -> -0.9, "overpriced" -> -1.8, "waste" -> -1.8,
+    "wasted" -> -2.0, "useless" -> -1.8, "pain" -> -2.0, "painful" -> -2.0,
+    "hurt" -> -2.0, "hurts" -> -1.9, "cry" -> -2.0, "crying" -> -2.1,
+    "fear" -> -2.2, "afraid" -> -2.0, "scary" -> -2.2, "scared" -> -2.1,
+    "weird" -> -0.7, "boring" -> -1.3, "bored" -> -1.3, "bitter" -> -1.6,
+    "burnt" -> -1.2, "stale" -> -1.3, "bland" -> -1.1, "meh" -> -0.9,
+    "no" -> -1.2, "nope" -> -1.3, "negative" -> -2.1, "lose" -> -1.7,
+    "lost" -> -1.3, "losing" -> -1.8, "damn" -> -1.5, "sucks" -> -2.3,
+    "suck" -> -2.2, "stupid" -> -2.4, "dumb" -> -2.3, "idiot" -> -2.3,
+    "ridiculous" -> -1.5, "avoid" -> -1.2, "avoided" -> -1.3)
+
+  private[functions] val Boosters: Map[String, Double] = Map(
+    "absolutely" -> BoostIncr, "amazingly" -> BoostIncr, "awfully" -> BoostIncr,
+    "completely" -> BoostIncr, "considerably" -> BoostIncr, "decidedly" -> BoostIncr,
+    "deeply" -> BoostIncr, "enormously" -> BoostIncr, "entirely" -> BoostIncr,
+    "especially" -> BoostIncr, "exceptionally" -> BoostIncr, "extremely" -> BoostIncr,
+    "fabulously" -> BoostIncr, "fully" -> BoostIncr, "greatly" -> BoostIncr,
+    "highly" -> BoostIncr, "hugely" -> BoostIncr, "incredibly" -> BoostIncr,
+    "intensely" -> BoostIncr, "majorly" -> BoostIncr, "more" -> BoostIncr,
+    "most" -> BoostIncr, "particularly" -> BoostIncr, "purely" -> BoostIncr,
+    "quite" -> BoostIncr, "really" -> BoostIncr, "remarkably" -> BoostIncr,
+    "so" -> BoostIncr, "substantially" -> BoostIncr, "thoroughly" -> BoostIncr,
+    "totally" -> BoostIncr, "tremendously" -> BoostIncr, "unbelievably" -> BoostIncr,
+    "unusually" -> BoostIncr, "utterly" -> BoostIncr, "very" -> BoostIncr,
+    "almost" -> BoostDecr, "barely" -> BoostDecr, "hardly" -> BoostDecr,
+    "kinda" -> BoostDecr, "less" -> BoostDecr, "little" -> BoostDecr,
+    "marginally" -> BoostDecr, "occasionally" -> BoostDecr, "partly" -> BoostDecr,
+    "scarcely" -> BoostDecr, "slightly" -> BoostDecr, "somewhat" -> BoostDecr)
+
+  private[functions] val Negations: Set[String] = Set(
+    "aint", "arent", "cannot", "cant", "couldnt", "darent", "didnt", "doesnt",
+    "ain't", "aren't", "can't", "couldn't", "daren't", "didn't", "doesn't",
+    "dont", "don't", "hadnt", "hadn't", "hasnt", "hasn't", "havent", "haven't",
+    "isnt", "isn't", "mightnt", "mightn't", "mustnt", "mustn't", "neither",
+    "neednt", "needn't", "never", "none", "nope", "nor", "not", "nothing",
+    "nowhere", "oughtnt", "oughtn't", "shant", "shan't", "shouldnt",
+    "shouldn't", "wasnt", "wasn't", "werent", "weren't", "without", "wont",
+    "won't", "wouldnt", "wouldn't", "rarely", "seldom", "despite", "no")
+
+  private def stripPunct(w: String): String =
+    w.dropWhile(c => !c.isLetterOrDigit && c != '\'')
+      .reverse.dropWhile(c => !c.isLetterOrDigit && c != '\'').reverse
+
+  private def isAllCaps(w: String): Boolean =
+    w.exists(_.isLetter) && w.filter(_.isLetter).forall(_.isUpper)
+
+  /** VADER compound score in [-1, 1]; 0.0 for empty/neutral text. */
+  def compound(text: String): Double = {
+    if (text == null || text.isEmpty) return 0.0
+    val raw = text.split("\\s+").filter(_.nonEmpty)
+    val words = raw.map(stripPunct)
+    val lower = words.map(_.toLowerCase)
+    // CAPS emphasis only applies in mixed-case text (some caps, not all).
+    val capsMatter = {
+      val capFlags = raw.filter(_.exists(_.isLetter)).map(isAllCaps)
+      capFlags.contains(true) && capFlags.contains(false)
+    }
+    val butIdx = lower.indexOf("but")
+    val sentiments = new Array[Double](words.length)
+    var i = 0
+    while (i < words.length) {
+      val w = lower(i)
+      if (Lexicon.contains(w) && !Boosters.contains(w)) {
+        var valence = Lexicon(w)
+        val sign = if (valence >= 0) 1.0 else -1.0
+        if (capsMatter && isAllCaps(raw(i))) valence += sign * CapsIncr
+        var j = 1
+        while (j <= 3 && i - j >= 0) {
+          val prev = lower(i - j)
+          if (!Lexicon.contains(prev)) {
+            Boosters.get(prev).foreach { b =>
+              val damp = if (j == 2) 0.95 else if (j == 3) 0.9 else 1.0
+              var s = b * damp
+              if (capsMatter && isAllCaps(raw(i - j))) s += (if (b > 0) CapsIncr else -CapsIncr) * 0.0 // caps on booster folded into word emphasis
+              valence += sign * s
+            }
+            if (Negations.contains(prev)) valence *= NegScalar
+          }
+          j += 1
+        }
+        sentiments(i) = valence
+      }
+      i += 1
+    }
+    // "but" pivots the clause weights (pre-but * 0.5, post-but * 1.5).
+    if (butIdx >= 0) {
+      var k = 0
+      while (k < sentiments.length) {
+        if (k < butIdx) sentiments(k) *= 0.5
+        else if (k > butIdx) sentiments(k) *= 1.5
+        k += 1
+      }
+    }
+    var total = sentiments.sum
+    if (total == 0.0) return 0.0
+    // punctuation emphasis
+    val nBang = math.min(text.count(_ == '!'), 4)
+    val nQ = text.count(_ == '?')
+    var emphasis = nBang * 0.292
+    emphasis += (if (nQ >= 2 && nQ <= 3) nQ * 0.18 else if (nQ > 3) 0.96 else 0.0)
+    total += (if (total > 0) emphasis else -emphasis)
+    val c = total / math.sqrt(total * total + Alpha)
+    math.max(-1.0, math.min(1.0, c))
+  }
+
+  /** Reference label thresholds (redditProcessor.py:28-33). */
+  def label(c: Double): String =
+    if (c > 0.05) "positive" else if (c < -0.05) "negative" else "neutral"
+}
