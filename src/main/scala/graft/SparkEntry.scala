@@ -23,7 +23,8 @@ object SparkEntry {
       operators.TextAnalysis.queries ++
       operators.Dedup.queries ++
       operators.Similarity.queries ++
-      operators.Analytics.queries
+      operators.Analytics.queries ++
+      operators.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
@@ -32,5 +33,6 @@ object SparkEntry {
       operators.ScalarFns.oracle ++
       operators.TextAnalysis.oracle ++
       operators.Dedup.oracle ++
-      operators.Similarity.oracle
+      operators.Similarity.oracle ++
+      operators.Multimodal.oracle
 }
