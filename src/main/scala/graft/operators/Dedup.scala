@@ -34,6 +34,14 @@ object Dedup {
   private val NumHashes = 12
   private val Bands = 4
   private val RowsPerBand = NumHashes / Bands
+
+  /** One md5 per shingle + NumHashes universal-hash mixes
+    * h_i = (a_i·h + b_i) mod P — 12× fewer md5 evaluations than hashing
+    * (i, shingle) pairs, identical SQL on the oracle side. P = 2^31−1 keeps
+    * a_i·h < 2^63 (no overflow in either engine). */
+  private val MersenneP = 2147483647L
+  private def mixA(i: Int): Long = ((i + 1) * 2654435761L) % MersenneP | 1L
+  private def mixB(i: Int): Long = ((i + 1) * 40503L * 65537L + 17L) % MersenneP
   /** n-gram Jaccard near-dup threshold. */
   private val JaccardTau = 0.8
   /** embedding cosine near-dup threshold. */
@@ -65,8 +73,15 @@ object Dedup {
         .orderBy("content_hash")),
 
     // n-gram (3-shingle) Jaccard near-dup pairs above JaccardTau.
+    // The self-join key is a 60-bit md5-derived hash of the shingle, not the
+    // string: cheaper shuffle + comparisons, collision odds ~1e-10 at this
+    // vocabulary. The shingle set is persisted — it feeds three plan
+    // branches (two join sides + per-doc counts).
     "dd_ngram_jaccard" -> ((s, dir) => {
       val tok = shingleSet(s, dir)
+        .select(col("doc_id"),
+          conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long").as("sh"))
+        .persist()
       val cnt = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val inter = tok.as("a")
         .join(tok.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -85,10 +100,9 @@ object Dedup {
     // into Bands buckets; docs sharing any band bucket are candidate dups.
     "dd_minhash_lsh" -> ((s, dir) => {
       val tok = shingleSet(s, dir)
-      val sig = tok.groupBy("doc_id").agg(
-        min(hash32(concat_ws(":", lit(0), col("sh")))).as("h0"),
-        (1 until NumHashes).map(i =>
-          min(hash32(concat_ws(":", lit(i), col("sh")))).as(s"h$i")): _*)
+        .select(col("doc_id"), (hash32(col("sh")) % MersenneP).as("h"))
+      def mh(i: Int) = min((lit(mixA(i)) * col("h") + lit(mixB(i))) % MersenneP).as(s"h$i")
+      val sig = tok.groupBy("doc_id").agg(mh(0), (1 until NumHashes).map(mh): _*)
       val bandCols = (0 until Bands).map { b =>
         val hs = (0 until RowsPerBand).map(r => col(s"h${b * RowsPerBand + r}"))
         struct(lit(b).as("band"), md5(concat_ws("|", lit(b) +: hs: _*)).as("bkt"))
@@ -120,12 +134,18 @@ object Dedup {
     }),
 
     // Embedding-cosine near-dup: exact pairwise verifier above CosTau.
+    // Norms are precomputed per vector (not per pair), and the pair loop
+    // runs the codegen'd DotProduct expression — the fold order matches the
+    // HOF/DuckDB formulation bit-for-bit, only faster.
     "dd_embed_cos" -> ((s, dir) => {
+      graft.plans.ArrayExprs.register(s)
+      import graft.plans.ArrayExprs.dotProduct
       val e = load(s, dir, "embeddings")
-        .select(col("vec_id"), VectorFns.asDouble(col("embedding")).as("v"))
+        .select(col("vec_id"), col("embedding").as("v"))
+        .withColumn("nrm", sqrt(dotProduct(col("v"), col("v"))))
       e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-          VectorFns.cosine(col("a.v"), col("b.v")).as("cos"))
+          (dotProduct(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("cos"))
         .where(col("cos") >= CosTau)
         .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("score"))
         .orderBy("vec_a", "vec_b")
@@ -153,12 +173,14 @@ object Dedup {
 
     "dd_minhash_lsh" -> {
       val sigCols = (0 until NumHashes)
-        .map(i => s"min(${hash32Sql(s"concat_ws(':', $i, sh)")}) AS h$i").mkString(",\n    ")
+        .map(i => s"min((${mixA(i)} * h + ${mixB(i)}) % $MersenneP) AS h$i").mkString(",\n    ")
       val bandSelects = (0 until Bands).map { b =>
         val hs = (0 until RowsPerBand).map(r => s"h${b * RowsPerBand + r}").mkString(", ")
         s"SELECT doc_id, $b AS band, md5(concat_ws('|', $b, $hs)) AS bkt FROM sig"
       }.mkString("\n  UNION ALL ")
-      s"""WITH tok AS ($shingleSetSql),
+      s"""WITH tok AS (
+         |  SELECT doc_id, ${hash32Sql("sh")} % $MersenneP AS h
+         |  FROM ($shingleSetSql)),
          |sig AS (
          |  SELECT doc_id,
          |    $sigCols

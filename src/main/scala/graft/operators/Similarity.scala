@@ -41,9 +41,11 @@ object Similarity {
   private def planeSql(p: Int): String =
     s"list_transform(range(1, ${Dims + 1}), d -> ${hash32Sql(s"concat_ws('_', $p, d)")} / 2147483648.0 - 1)"
 
-  /** LSH bucket id: bit p set iff dot(v, plane_p) > 0. */
+  /** LSH bucket id: bit p set iff dot(v, plane_p) > 0. Uses the codegen'd
+    * DotProduct expression (same fold order as the HOF/SQL formulations). */
   private def bucket(v: Column): Column =
-    (0 until Planes).map(p => when(dot(v, plane(p)) > 0, lit(1L << p)).otherwise(0L))
+    (0 until Planes).map(p =>
+      when(graft.plans.ArrayExprs.dotProduct(v, plane(p)) > 0, lit(1L << p)).otherwise(0L))
       .reduce(_ + _)
 
   private def bucketSql(v: String): String =
@@ -52,17 +54,21 @@ object Similarity {
       .mkString("(", " + ", ")")
 
   val queries: Map[String, Q] = Map(
-    // Brute-force cosine top-k: exact ANN baseline.
+    // Brute-force cosine top-k: exact ANN baseline. Norms precomputed per
+    // vector; the pair loop is one codegen'd dot product.
     "ann_topk" -> ((s, dir) => {
+      graft.plans.ArrayExprs.register(s)
+      import graft.plans.ArrayExprs.dotProduct
       val e = load(s, dir, "embeddings")
-        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        .select(col("vec_id"), col("embedding").as("v"))
+        .withColumn("nrm", sqrt(dotProduct(col("v"), col("v"))))
       val q = e.where(col("vec_id") < NumQueries)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"))
       val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("n_id"))
       e.crossJoin(broadcast(q))
         .where(col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id").as("n_id"),
-          round(cosine(col("qv"), col("v")), 6).as("score"))
+          round(dotProduct(col("qv"), col("v")) / (col("qnrm") * col("nrm")), 6).as("score"))
         .withColumn("rank", row_number().over(w))
         .where(col("rank") <= TopK)
         .select("q_id", "rank", "n_id", "score")
@@ -72,14 +78,17 @@ object Similarity {
     // LSH-bucketed near-neighbor pairs: hyperplane bucket per vector, score
     // only within-bucket pairs.
     "ann_lsh" -> ((s, dir) => {
+      graft.plans.ArrayExprs.register(s)
+      import graft.plans.ArrayExprs.dotProduct
       val e = load(s, dir, "embeddings")
-        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        .select(col("vec_id"), col("embedding").as("v"))
+        .withColumn("nrm", sqrt(dotProduct(col("v"), col("v"))))
         .withColumn("bucket", bucket(col("v")))
       e.as("a").join(e.as("b"),
           col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
         .select(col("a.bucket").as("bucket"),
           col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-          round(cosine(col("a.v"), col("b.v")), 6).as("score"))
+          round(dotProduct(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 6).as("score"))
         .orderBy("bucket", "vec_a", "vec_b")
     }))
 
