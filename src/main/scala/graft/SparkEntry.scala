@@ -19,6 +19,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++
+      operators.Relational2.queries ++
       operators.ScalarFns.queries ++
       operators.TextAnalysis.queries ++
       operators.Dedup.queries ++
@@ -30,6 +31,7 @@ object SparkEntry {
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
   def oracleSql: Map[String, String] =
     operators.Relational.oracle ++
+      operators.Relational2.oracle ++
       operators.ScalarFns.oracle ++
       operators.TextAnalysis.oracle ++
       operators.Dedup.oracle ++

@@ -1,0 +1,385 @@
+package graft.operators
+
+import graft.Exact.{dec, dsum, hash32, hash32Sql}
+import graft.Tables.load
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Coverage wave 2: multi-level aggregation (rollup / grouping sets), set
+  * operations, outer joins, analytic windows (lead/lag/ntile/rank),
+  * exact order-independent variance, conditional pivot, sessionization,
+  * as-of composition, deterministic hash sampling / dataset splits, and
+  * string/date function batteries.
+  *
+  * Parity rules carried over from wave 1 (total ORDER BY, decimal-exact
+  * sums) plus new ones:
+  *  - rollup/grouping-set NULL markers are coalesced to '' and paired with
+  *    explicit grouping() flags — sort order of engine-generated NULLs never
+  *    enters the comparison.
+  *  - variance/stddev are computed from decimal-exact Σx and Σx² via the
+  *    textbook formula in double — order-independent, unlike the engines'
+  *    native one-pass implementations.
+  *  - day-of-week differs across engines (Spark Sunday=1, DuckDB Sunday=0);
+  *    Spark's weekday() (Monday=0) is matched with DuckDB's isodow()-1.
+  */
+object Relational2 {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // ROLLUP over the region/nation hierarchy with explicit grouping flags.
+    "g1_rollup" -> ((s, dir) => {
+      val o = load(s, dir, "orders")
+      val c = load(s, dir, "customer")
+      val n = load(s, dir, "nation")
+      val r = load(s, dir, "region")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_orders"),
+          grouping(col("r_name")).cast("int").as("g_r"),
+          grouping(col("n_name")).cast("int").as("g_n"))
+        .select(coalesce(col("r_name"), lit("")).as("region"),
+          coalesce(col("n_name"), lit("")).as("nation"),
+          col("g_r"), col("g_n"), col("n_orders"))
+        .orderBy("g_r", "g_n", "region", "nation")
+    }),
+
+    // GROUPING SETS ((rf, ls), (rf), ()) — via Spark SQL on a temp view.
+    "g2_grouping_sets" -> ((s, dir) => {
+      load(s, dir, "lineitem").createOrReplaceTempView("li_gs")
+      s.sql(
+        """SELECT coalesce(l_returnflag, '') AS rf, coalesce(l_linestatus, '') AS ls,
+          |  CAST(grouping(l_returnflag) AS INT) AS g_rf,
+          |  CAST(grouping(l_linestatus) AS INT) AS g_ls,
+          |  count(*) AS n,
+          |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+          |FROM li_gs
+          |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+          |ORDER BY g_rf, g_ls, rf, ls""".stripMargin)
+    }),
+
+    // INTERSECT / EXCEPT (distinct semantics in both engines).
+    "s1_intersect" -> ((s, dir) => {
+      val ev = load(s, dir, "events")
+      ev.where(col("event_type") === "click").select("user_id")
+        .intersect(ev.where(col("event_type") === "purchase").select("user_id"))
+        .orderBy("user_id")
+    }),
+    "s2_except" -> ((s, dir) => {
+      val ev = load(s, dir, "events")
+      ev.where(col("event_type") === "click").select("user_id")
+        .except(ev.where(col("event_type") === "purchase").select("user_id"))
+        .orderBy("user_id")
+    }),
+
+    // FULL OUTER join: low-key customers vs event users; coalesced key.
+    "j6_full_outer" -> ((s, dir) => {
+      val c = load(s, dir, "customer").where(col("c_custkey") < 200)
+        .select(col("c_custkey"))
+      val u = load(s, dir, "events").groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"))
+      c.join(u, c("c_custkey") === u("user_id"), "full_outer")
+        .select(coalesce(col("c_custkey"), col("user_id")).as("id"),
+          when(col("c_custkey").isNull, 0).otherwise(1).as("has_customer"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"))
+        .orderBy("id")
+    }),
+
+    // LEAD/LAG analytics per user over event time.
+    "w2_lead_lag" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      load(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("value"),
+          lag(col("value"), 1).over(w).as("prev_value"),
+          lead(col("event_type"), 1).over(w).as("next_type"),
+          (col("value") - lag(col("value"), 1).over(w)).as("delta"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // NTILE / RANK / DENSE_RANK / PERCENT_RANK over a total order.
+    "w3_ntile_rank" -> ((s, dir) => {
+      val w = Window.orderBy(col("c_acctbal").desc, col("c_custkey"))
+      load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_acctbal"),
+          ntile(4).over(w).as("bucket"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          percent_rank().over(w).as("prank"))
+        .orderBy("c_custkey")
+    }),
+
+    // Exact interpolated median / quartiles per group.
+    "a5_median_pct" -> ((s, dir) =>
+      load(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(median(col("l_quantity")).as("med_qty"),
+          percentile(col("l_quantity"), lit(0.25)).as("q1_qty"),
+          percentile(col("l_quantity"), lit(0.75)).as("q3_qty"))
+        .orderBy("l_returnflag")),
+
+    // Order-independent variance/stddev: decimal-exact Σx, Σx², then the
+    // textbook formula in double — reproducible under any partitioning
+    // (native one-pass variance is accumulation-order-dependent).
+    "a6_var_exact" -> ((s, dir) =>
+      load(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("l_quantity"))).cast("double").as("sx"),
+          sum(dec(col("l_quantity")) * dec(col("l_quantity"))).cast("double").as("sxx"))
+        .select(col("l_returnflag"), col("n"),
+          ((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)).as("var_qty"),
+          sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)).as("std_qty"))
+        .orderBy("l_returnflag")),
+
+    // Conditional pivot: one wide row per user (counts + spend by type).
+    "a7_conditional_pivot" -> ((s, dir) => {
+      def cnt(t: String) =
+        sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"n_$t")
+      load(s, dir, "events")
+        .groupBy("user_id")
+        .agg(cnt("click"), cnt("view"), cnt("purchase"), cnt("signup"), cnt("error"),
+          sum(when(col("event_type") === "purchase", dec(col("value")))
+            .otherwise(lit(0).cast("decimal(18,2)"))).cast("double").as("spend"))
+        .orderBy("user_id")
+    }),
+
+    // Sessionization (gaps-and-islands): 30-min inactivity gap per user.
+    "sess_gaps" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      load(s, dir, "events")
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("new_sess",
+          when(col("us") - lag(col("us"), 1).over(w) > 1800L * 1000000L || lag(col("us"), 1).over(w).isNull, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum(col("new_sess")).over(wRun))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"))
+        .orderBy("user_id", "session_id")
+    }),
+
+    // As-of composition: each error event joined to the user's most recent
+    // signup at-or-before it — the union+running-max formulation (one
+    // shuffle on user_id, no range join blowup).
+    "asof_last_signup" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      load(s, dir, "events")
+        .where(col("event_type").isin("signup", "error"))
+        .withColumn("last_signup",
+          max(when(col("event_type") === "signup", col("ts"))).over(w))
+        .where(col("event_type") === "error")
+        .select("user_id", "event_id", "ts", "last_signup")
+        .orderBy("user_id", "event_id")
+    }),
+
+    // Deterministic hash sampling: ~10% of events, reproducible anywhere.
+    "samp_hash" -> ((s, dir) =>
+      load(s, dir, "events")
+        .where(hash32(col("event_id").cast("string")) % 100 < 10)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .orderBy("event_type")),
+
+    // Deterministic train/val/test split (80/10/10 by content-stable hash).
+    "split_assign" -> ((s, dir) => {
+      val h = hash32(col("doc_id").cast("string")) % 100
+      load(s, dir, "documents")
+        .select(when(h < 80, "train").when(h < 90, "val").otherwise("test").as("split"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("split")
+    }),
+
+    // String-function battery over part.
+    "str_funcs" -> ((s, dir) =>
+      load(s, dir, "part")
+        .select(col("p_partkey"),
+          upper(col("p_brand")).as("brand_u"),
+          substring(col("p_type"), 1, 8).as("type_pfx"),
+          expr("split_part(p_type, ' ', 1)").as("type_head"),
+          lpad(col("p_size").cast("string"), 4, "0").as("size_pad"),
+          translate(col("p_type"), "ae", "AE").as("type_tr"),
+          reverse(col("p_brand")).as("brand_rev"),
+          levenshtein(col("p_brand"), lit("Brand#13")).as("lev_13"),
+          instr(col("p_type"), "a").cast("long").as("pos_a"),
+          length(col("p_type")).cast("long").as("type_len"))
+        .orderBy("p_partkey")),
+
+    // Date-function battery over orders.
+    "date_funcs" -> ((s, dir) =>
+      load(s, dir, "orders")
+        .select(col("o_orderkey"),
+          datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).cast("long").as("days_since"),
+          add_months(col("o_orderdate"), 1).cast("date").as("next_month"),
+          last_day(col("o_orderdate")).as("month_end"),
+          year(col("o_orderdate")).cast("int").as("y"),
+          month(col("o_orderdate")).cast("int").as("m"),
+          dayofmonth(col("o_orderdate")).cast("int").as("d"),
+          weekday(col("o_orderdate")).cast("int").as("dow_mon0"),
+          date_trunc("quarter", col("o_orderdate")).cast("date").as("quarter_start"))
+        .orderBy("o_orderkey")))
+
+  val oracle: Map[String, String] = Map(
+    "g1_rollup" ->
+      """SELECT coalesce(r_name, '') AS region, coalesce(n_name, '') AS nation,
+        |  CAST(GROUPING(r_name) AS INT) AS g_r, CAST(GROUPING(n_name) AS INT) AS g_n,
+        |  count(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY g_r, g_n, region, nation""".stripMargin,
+
+    "g2_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, '') AS rf, coalesce(l_linestatus, '') AS ls,
+        |  CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+        |  CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY g_rf, g_ls, rf, ls""".stripMargin,
+
+    "s1_intersect" ->
+      """SELECT user_id FROM events WHERE event_type = 'click'
+        |INTERSECT
+        |SELECT user_id FROM events WHERE event_type = 'purchase'
+        |ORDER BY user_id""".stripMargin,
+
+    "s2_except" ->
+      """SELECT user_id FROM events WHERE event_type = 'click'
+        |EXCEPT
+        |SELECT user_id FROM events WHERE event_type = 'purchase'
+        |ORDER BY user_id""".stripMargin,
+
+    "j6_full_outer" ->
+      """SELECT coalesce(c_custkey, user_id) AS id,
+        |  CASE WHEN c_custkey IS NULL THEN 0 ELSE 1 END AS has_customer,
+        |  coalesce(n_events, 0) AS n_events
+        |FROM (SELECT c_custkey FROM customer WHERE c_custkey < 200) c
+        |FULL OUTER JOIN (SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id) u
+        |  ON c_custkey = user_id
+        |ORDER BY id""".stripMargin,
+
+    "w2_lead_lag" ->
+      """SELECT user_id, event_id, value,
+        |  lag(value, 1) OVER w AS prev_value,
+        |  lead(event_type, 1) OVER w AS next_type,
+        |  value - lag(value, 1) OVER w AS delta
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "w3_ntile_rank" ->
+      """SELECT c_custkey, c_acctbal,
+        |  ntile(4) OVER w AS bucket,
+        |  rank() OVER w AS rnk,
+        |  dense_rank() OVER w AS drnk,
+        |  percent_rank() OVER w AS prank
+        |FROM customer
+        |WINDOW w AS (ORDER BY c_acctbal DESC, c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "a5_median_pct" ->
+      """SELECT l_returnflag, median(l_quantity) AS med_qty,
+        |  quantile_cont(l_quantity, 0.25) AS q1_qty,
+        |  quantile_cont(l_quantity, 0.75) AS q3_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "a6_var_exact" ->
+      """WITH s AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  (sxx - sx * sx / n) / (n - 1) AS var_qty,
+        |  sqrt((sxx - sx * sx / n) / (n - 1)) AS std_qty
+        |FROM s ORDER BY l_returnflag""".stripMargin,
+
+    "a7_conditional_pivot" ->
+      """SELECT user_id,
+        |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+        |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
+        |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+        |  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
+        |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
+        |  CAST(sum(CASE WHEN event_type = 'purchase'
+        |                THEN CAST(value AS DECIMAL(18,2))
+        |                ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS spend
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "sess_gaps" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+        |         OR lag(epoch_us(ts), 1)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |    THEN 1 ELSE 0 END AS new_sess
+        |  FROM events),
+        |sid AS (
+        |  SELECT user_id, ts, event_id,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM g)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(ts) AS session_start, max(ts) AS session_end
+        |FROM sid GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+
+    "asof_last_signup" ->
+      """SELECT user_id, event_id, ts, last_signup FROM (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    max(CASE WHEN event_type = 'signup' THEN ts END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup
+        |  FROM events WHERE event_type IN ('signup', 'error'))
+        |WHERE event_type = 'error'
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "samp_hash" ->
+      s"""SELECT event_type, count(*) AS n,
+         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         |FROM events
+         |WHERE ${hash32Sql("CAST(event_id AS VARCHAR)")} % 100 < 10
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "split_assign" ->
+      s"""SELECT split, count(*) AS n FROM (
+         |  SELECT CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' ELSE 'test' END AS split
+         |  FROM (SELECT ${hash32Sql("CAST(doc_id AS VARCHAR)")} % 100 AS h FROM documents))
+         |GROUP BY split ORDER BY split""".stripMargin,
+
+    "str_funcs" ->
+      """SELECT p_partkey,
+        |  upper(p_brand) AS brand_u,
+        |  substring(p_type, 1, 8) AS type_pfx,
+        |  split_part(p_type, ' ', 1) AS type_head,
+        |  lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+        |  translate(p_type, 'ae', 'AE') AS type_tr,
+        |  reverse(p_brand) AS brand_rev,
+        |  levenshtein(p_brand, 'Brand#13') AS lev_13,
+        |  CAST(strpos(p_type, 'a') AS BIGINT) AS pos_a,
+        |  CAST(length(p_type) AS BIGINT) AS type_len
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "date_funcs" ->
+      """SELECT o_orderkey,
+        |  datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since,
+        |  CAST(o_orderdate + INTERVAL 1 MONTH AS DATE) AS next_month,
+        |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        |  CAST(year(o_orderdate) AS INT) AS y,
+        |  CAST(month(o_orderdate) AS INT) AS m,
+        |  CAST(day(o_orderdate) AS INT) AS d,
+        |  CAST(isodow(o_orderdate) - 1 AS INT) AS dow_mon0,
+        |  CAST(date_trunc('quarter', o_orderdate) AS DATE) AS quarter_start
+        |FROM orders ORDER BY o_orderkey""".stripMargin)
+}
