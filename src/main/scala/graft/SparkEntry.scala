@@ -20,6 +20,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++
       operators.Relational2.queries ++
+      operators.EventWindows.queries ++
       operators.ScalarFns.queries ++
       operators.TextAnalysis.queries ++
       operators.Dedup.queries ++
@@ -32,6 +33,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     operators.Relational.oracle ++
       operators.Relational2.oracle ++
+      operators.EventWindows.oracle ++
       operators.ScalarFns.oracle ++
       operators.TextAnalysis.oracle ++
       operators.Dedup.oracle ++

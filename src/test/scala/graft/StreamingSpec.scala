@@ -87,6 +87,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(capped.count() == 3)
   }
 
+  test("topic routing: one stream partitioned by topic lands in per-topic sinks (T6)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_topics").toString + "/queue"
+    val batch = Seq(
+      ("rharvest", s"[${post("p1")}]"),
+      ("rharvest", s"[${post("p2")}]"),
+      ("rharvestcomment", """[{"c_id":"c1","p_id":"p1","body":"b","score":1}]"""))
+      .toDF("topic", "value")
+    batch.write.partitionBy("topic").parquet(dir)
+    val posts = decodePosts(spark.read.parquet(dir).where(col("topic") === "rharvest"))
+    val comments = decodeComments(spark.read.parquet(dir).where(col("topic") === "rharvestcomment"))
+    assert(posts.count() == 2 && comments.count() == 1)
+    // partition pruning: reading one topic only touches its directory
+    val pruned = spark.read.parquet(dir).where(col("topic") === "rharvestcomment")
+    assert(pruned.count() == 1)
+  }
+
   test("windowed event-time aggregation with watermark (T5 streaming variant)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
