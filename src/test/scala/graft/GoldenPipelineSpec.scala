@@ -1,0 +1,73 @@
+package graft
+
+import graft.functions.{TextClean, VaderSentiment}
+import graft.plans.VaderExpr
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden end-to-end test (SURVEY.md §5.3): a frozen corpus through the full
+  * §3.3 pipeline prefix — clean → sentiment — with exact pinned outputs, plus
+  * consistency between the codegen'd Catalyst expression and the static
+  * scorer, and structural checks on the ML stage contract.
+  */
+class GoldenPipelineSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+
+  // Frozen corpus exercising SURVEY §7.4 edge list: URLs, punctuation, stop
+  // tokens, mixed case, but-clause, negation, caps+bang emphasis, neutral.
+  private val corpus = Seq(
+    (0L, "The Coffee was really GREAT but the service was terrible!!"),
+    (1L, "I love this NEW espresso machine!"),
+    (2L, "not a good experience, very disappointing"),
+    (3L, "the table has four legs and a flat top"),
+    (4L, "Check http://deals.example.com/sale?q=1 THIS just great stuff"))
+
+  test("golden: exact pinned VADER compounds and labels") {
+    assert(VaderSentiment.compound(
+      "the coffee was really great but the service was terrible!!") == -0.4655831807469922)
+    assert(VaderSentiment.compound(
+      "I love this NEW espresso machine!") == 0.6696335080835328)
+    assert(VaderSentiment.compound(
+      "not a good experience, very disappointing") == -0.7094698405924929)
+    assert(VaderSentiment.compound(
+      "the table has four legs and a flat top") == 0.0)
+  }
+
+  test("golden: clean -> sentiment through the Spark plan equals the static scorer") {
+    import spark.implicits._
+    VaderExpr.register(spark)
+    val out = corpus.toDF("doc_id", "text")
+      .withColumn("cleaned", TextClean.clean(col("text")))
+      .withColumn("score", VaderExpr.vaderCompound(col("cleaned")))
+      .withColumn("label",
+        when(col("score") > 0.05, "positive")
+          .when(col("score") < -0.05, "negative").otherwise("neutral"))
+      .orderBy("doc_id")
+      .collect()
+
+    // cleaning: URL gone, punctuation gone, stop tokens gone, lowercased
+    assert(out(4).getAs[String]("cleaned") == "check great stuff")
+    // pipeline score == static scorer on the cleaned text (codegen parity)
+    corpus.indices.foreach { i =>
+      val cleaned = out(i).getAs[String]("cleaned")
+      assert(out(i).getAs[Double]("score") == VaderSentiment.compound(cleaned),
+        s"row $i: expression vs static scorer diverge")
+    }
+    // cleaning strips the '!!' emphasis and the but-clause survives:
+    // row 0 stays negative, row 1 positive, row 3 neutral
+    assert(out.map(_.getAs[String]("label")).toSeq ==
+      Seq("negative", "positive", "negative", "neutral", "positive"))
+  }
+
+  test("structural: analysis output contract on the sf0.001 pipeline") {
+    val df = operators.Analytics.queries("nlp_analysis")(spark, "/root/testdata/sf0.001")
+    val cols = df.columns.toSeq
+    assert(cols.take(4) == Seq("doc_id", "text", "sentiment_score", "sentiment"))
+    assert((1 to 20).forall(i => cols.contains(s"topic_$i")) && cols.contains("batch_id"))
+    val row = df.selectExpr(
+      "doc_id", (1 to 20).map(i => s"topic_$i").mkString("", " + ", " as tsum")
+    ).orderBy("doc_id").limit(5).collect()
+    row.foreach(r => assert(math.abs(r.getAs[Double]("tsum") - 1.0) < 1e-9))
+  }
+}
