@@ -1,0 +1,106 @@
+package graft.operators
+
+import graft.functions.TextClean
+import graft.plans.VaderExpr
+import org.apache.spark.ml.Pipeline
+import org.apache.spark.ml.clustering.LDA
+import org.apache.spark.ml.feature.{CountVectorizer, CountVectorizerModel, IDF, StopWordsRemover, Tokenizer}
+import org.apache.spark.ml.functions.vector_to_array
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's batch analytics entry point on reddit-shaped frames —
+  * SURVEY.md §3.3 (redditProcessor.py:56-156) end to end:
+  *
+  *   coffee filter (F1) → projections (P1/P2) → text concat/rename (X6/X7) →
+  *   union (U1) → chronological sort (O1) → clean (D2) → VADER (D1) →
+  *   TF-IDF (A1) → LDA k=20 seed=42 (A2/D4) → top-10 topic words (O4) →
+  *   batch-id stamp (X9) and composite row ids (X12).
+  *
+  * Input schemas are the declared §1.2 shapes
+  * ([[graft.streaming.QueuePipeline.postSchema]] / commentSchema). Returns
+  * (analysis, topics) — the two ES-index-shaped outputs.
+  *
+  * Design deltas from the reference, all deliberate (SURVEY §7.4):
+  * `topicDistribution` stays attached through `transform` (the pandas
+  * positional zip-join J1 has no distributed analog and is not needed);
+  * `concat_ws` + coalesce reproduces pandas' NaN-propagation observable
+  * behavior; row ids come from `row_number` over the explicit (created_utc,
+  * id) total order rather than an implicit frame index.
+  */
+object RedditProcessor {
+
+  private val K = 20
+  private val Seed = 42L
+
+  /** F1 — the ES multi_match "coffee" semantics: the ES standard analyzer
+    * lowercases AND strips punctuation before tokenizing, so "Coffee," must
+    * match — punctuation becomes a token break before the split. */
+  private def coffeeMatch(cols: Seq[org.apache.spark.sql.Column]) =
+    array_contains(
+      split(regexp_replace(
+        lower(concat_ws(" ", cols.map(c => coalesce(c, lit(""))): _*)),
+        TextClean.PunctRe, " "), "\\s+"),
+      "coffee")
+
+  /** The §3.3 pipeline. Returns (analysis, topics). */
+  def analyze(spark: SparkSession, posts: DataFrame, comments: DataFrame,
+              batchId: String): (DataFrame, DataFrame) = {
+    VaderExpr.register(spark)
+
+    val p = posts
+      .where(coffeeMatch(Seq(col("title"), col("selftext"))))
+      .select(col("id"), col("created_utc"), col("subreddit"), col("score"),
+        concat_ws(" ", coalesce(col("title"), lit("")), coalesce(col("selftext"), lit("")))
+          .as("text"))
+    val c = comments
+      .where(coffeeMatch(Seq(col("body"))))
+      .select(col("p_id").as("id"), col("created_utc"), col("subreddit"),
+        col("score"), col("body").as("text"))
+
+    val corpus = p.unionByName(c)
+      .orderBy(col("created_utc"), col("id"))
+      .withColumn("text", TextClean.clean(col("text")))
+      .withColumn("sentiment_score", VaderExpr.vaderCompound(col("text")))
+      .withColumn("sentiment",
+        when(col("sentiment_score") > 0.05, "positive")
+          .when(col("sentiment_score") < -0.05, "negative")
+          .otherwise("neutral"))
+
+    val pipeline = new Pipeline().setStages(Array(
+      new Tokenizer().setInputCol("text").setOutputCol("raw_tokens"),
+      new StopWordsRemover().setInputCol("raw_tokens").setOutputCol("tokens"),
+      new CountVectorizer().setInputCol("tokens").setOutputCol("tf")
+        .setMinDF(2.0).setMaxDF(math.max(2.0, 0.95 * corpus.count())),
+      new IDF().setInputCol("tf").setOutputCol("features")))
+    val fm = pipeline.fit(corpus)
+    val lda = new LDA().setK(K).setSeed(Seed).setOptimizer("em").setMaxIter(10)
+      .setFeaturesCol("features")
+    val model = lda.fit(fm.transform(corpus))
+
+    val withTopics = model.transform(fm.transform(corpus))
+      .withColumn("t", vector_to_array(col("topicDistribution")))
+    val topicCols = (0 until K).map(i => col("t")(i).as(s"topic_${i + 1}"))
+    val rowIdW = Window.orderBy(col("created_utc"), col("id"))
+    val analysis = withTopics.select(
+      col("id") +: col("created_utc") +: col("subreddit") +: col("score") +:
+        col("text") +: col("sentiment_score") +: col("sentiment") +: topicCols: _*)
+      .withColumn("row_id",
+        concat_ws("_", row_number().over(rowIdW) - 1, lit(batchId)))
+      .withColumn("batch_id", lit(batchId))
+
+    val vocab = fm.stages(2).asInstanceOf[CountVectorizerModel].vocabulary
+    val vocabCol = array(vocab.map(lit).toSeq: _*)
+    val topics = model.describeTopics(10)
+      .withColumn("words",
+        concat_ws(" ", transform(col("termIndices"), i => element_at(vocabCol, i + 1))))
+      .select(
+        concat_ws(": ", concat(lit("topic_"), col("topic") + 1), col("words")).as("topic_name"),
+        (col("topic") + 1).as("topic"),
+        lit(batchId).as("batch_id"))
+      .orderBy("topic")
+
+    (analysis, topics)
+  }
+}

@@ -25,7 +25,8 @@ object StreamDemo {
 
     def post(id: String, sub: String) =
       s"""{"author":"u","created_utc":"2024-01-01T10:00:00Z","id":"$id",""" +
-        s""""num_comments":1,"score":7,"selftext":"","subreddit":"$sub","title":"coffee","url":"u"}"""
+        s""""num_comments":1,"score":7,"selftext":"fresh beans espresso roast brew",""" +
+        s""""subreddit":"$sub","title":"great coffee beans and espresso","url":"u"}"""
 
     val sink = java.nio.file.Files.createTempDirectory("graft_demo").toString + "/posts"
     val mem = MemoryStream[String]
@@ -51,6 +52,21 @@ object StreamDemo {
     val ids = out.select("id").as[String].collect().sorted.toSeq
     val ok = ids == Seq("p1", "p2", "p3")
     println(s"[stream-demo] sink_rows=${out.count()} ids=${ids.mkString(",")} exactly_once=$ok")
+
+    // §3.3 batch analytics over what the streaming load landed — the full
+    // reference loop (harvest → queue → load → process) in one run.
+    val comments = decodeComments(Seq(
+      """[{"created_utc":"2024-01-01T10:05:00Z","p_id":"p1","c_id":"c1",
+        |"body":"this coffee is really great","subreddit":"sydney",
+        |"title":"coffee","score":4},
+        |{"created_utc":"2024-01-01T10:06:00Z","p_id":"p1","c_id":"c2",
+        |"body":"horrible coffee, never again!","subreddit":"sydney",
+        |"title":"coffee","score":-1}]""".stripMargin.replaceAll("\n", "")).toDF("value"))
+    val (analysis, topics) = graft.operators.RedditProcessor
+      .analyze(spark, out, comments, "demo_batch")
+    val labels = analysis.groupBy("sentiment").count()
+      .collect().map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(",")
+    println(s"[stream-demo] analysis_rows=${analysis.count()} topics=${topics.count()} sentiments=$labels")
     spark.stop()
     if (!ok) sys.exit(1)
   }
