@@ -25,6 +25,7 @@ object SparkEntry {
       operators.TextAnalysis.queries ++
       operators.Dedup.queries ++
       operators.Similarity.queries ++
+      operators.Embeddings.queries ++
       operators.Analytics.queries ++
       operators.Multimodal.queries
 
@@ -38,5 +39,6 @@ object SparkEntry {
       operators.TextAnalysis.oracle ++
       operators.Dedup.oracle ++
       operators.Similarity.oracle ++
+      operators.Embeddings.oracle ++
       operators.Multimodal.oracle
 }

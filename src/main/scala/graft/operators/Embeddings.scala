@@ -1,0 +1,132 @@
+package graft.operators
+
+import graft.Exact.dec
+import graft.Tables.load
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding-table operators beyond pairwise similarity: exact per-class
+  * centroids and IVF-style ANN (coarse quantizer + probed-cell search).
+  *
+  * IVF here uses a deterministic one-pass quantizer — the first `Cells`
+  * vectors act as cell seeds (a production system would k-means them; the
+  * partition/probe/search dataflow is identical and that is what scales:
+  * assignment is map-side against broadcast seeds, search shuffles on cell
+  * id, so the pair space is Σ cell² instead of n²).
+  *
+  * Centroids are order-independent: per-dimension sums go through
+  * DECIMAL(25,10) (exact, associative) before the final double division —
+  * same bit pattern on any partitioning and in the DuckDB oracle.
+  */
+object Embeddings {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val Cells = 8
+  private val NProbe = 2
+  private val TopK = 3
+  private val NumQueries = 5
+
+  val queries: Map[String, Q] = Map(
+    // Exact per-label centroid, long form (label, dim, mean). Double sums
+    // are made order-independent by folding the group's values in sorted
+    // order (decimal quantization of floats is NOT portable: Spark converts
+    // via exact BigDecimal, DuckDB via scaled-double arithmetic, and they
+    // disagree in the last ulp). Sorted-fold is reproducible everywhere.
+    "emb_centroid" -> ((s, dir) =>
+      load(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy(col("label"), (col("dim") + 1).as("dim"))
+        .agg(
+          aggregate(array_sort(collect_list(col("x").cast("double"))),
+            lit(0.0), (acc, v) => acc + v).as("sx"),
+          count(lit(1)).as("n"))
+        .select(col("label"), col("dim"), (col("sx") / col("n")).as("mean"))
+        .orderBy("label", "dim")),
+
+    // IVF ANN: assign all vectors to nearest seed cell (cosine), then for
+    // each query probe the NProbe nearest cells and take cosine top-k among
+    // their members.
+    "ann_ivf" -> ((s, dir) => {
+      graft.plans.ArrayExprs.register(s)
+      import graft.plans.ArrayExprs.dotProduct
+      val e = load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").as("v"))
+        .withColumn("nrm", sqrt(dotProduct(col("v"), col("v"))))
+      val seeds = e.where(col("vec_id") < Cells)
+        .select(col("vec_id").as("cell"), col("v").as("cv"), col("nrm").as("cnrm"))
+
+      def cos(a: String, an: String, b: String, bn: String) =
+        round(dotProduct(col(a), col(b)) / (col(an) * col(bn)), 6)
+
+      // cell assignment: best cosine to any seed (map-side vs broadcast seeds)
+      val wAssign = Window.partitionBy("vec_id").orderBy(col("c").desc, col("cell"))
+      val assigned = e.crossJoin(broadcast(seeds))
+        .select(col("vec_id"), col("v"), col("nrm"), col("cell"),
+          cos("v", "nrm", "cv", "cnrm").as("c"))
+        .withColumn("rn", row_number().over(wAssign))
+        .where(col("rn") === 1)
+        .select("vec_id", "v", "nrm", "cell")
+
+      // probe list: NProbe best cells per query
+      val q = e.where(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+      val wProbe = Window.partitionBy("q_id").orderBy(col("c").desc, col("cell"))
+      val probes = q.crossJoin(broadcast(seeds))
+        .select(col("q_id"), col("qv"), col("qnrm"), col("cell"),
+          cos("qv", "qnrm", "cv", "cnrm").as("c"))
+        .withColumn("rn", row_number().over(wProbe))
+        .where(col("rn") <= NProbe)
+        .select("q_id", "qv", "qnrm", "cell")
+
+      // search only within probed cells
+      val wRank = Window.partitionBy("q_id").orderBy(col("score").desc, col("n_id"))
+      probes.join(assigned, "cell")
+        .where(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("n_id"),
+          cos("qv", "qnrm", "v", "nrm").as("score"))
+        .groupBy("q_id", "n_id").agg(max(col("score")).as("score")) // dedup multi-probe hits
+        .withColumn("rank", row_number().over(wRank))
+        .where(col("rank") <= TopK)
+        .select("q_id", "rank", "n_id", "score")
+        .orderBy("q_id", "rank")
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "emb_centroid" ->
+      """SELECT label, dim,
+        |  list_sum(list(CAST(x AS DOUBLE) ORDER BY CAST(x AS DOUBLE))) / count(*) AS mean
+        |FROM (SELECT label, generate_subscripts(embedding, 1) AS dim, unnest(embedding) AS x
+        |      FROM embeddings)
+        |GROUP BY label, dim ORDER BY label, dim""".stripMargin,
+
+    "ann_ivf" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |seeds AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < $Cells),
+         |ac AS (
+         |  SELECT e.vec_id, e.v, cell,
+         |    round(list_cosine_similarity(e.v, cv), 6) AS c,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |                       ORDER BY round(list_cosine_similarity(e.v, cv), 6) DESC, cell) AS rn
+         |  FROM e, seeds),
+         |assigned AS (SELECT vec_id, v, cell FROM ac WHERE rn = 1),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < $NumQueries),
+         |pc AS (
+         |  SELECT q_id, qv, cell,
+         |    row_number() OVER (PARTITION BY q_id
+         |                       ORDER BY round(list_cosine_similarity(qv, cv), 6) DESC, cell) AS rn
+         |  FROM q, seeds),
+         |probes AS (SELECT q_id, qv, cell FROM pc WHERE rn <= $NProbe),
+         |cand AS (
+         |  SELECT q_id, a.vec_id AS n_id,
+         |    max(round(list_cosine_similarity(qv, a.v), 6)) AS score
+         |  FROM probes p JOIN assigned a ON p.cell = a.cell
+         |  WHERE a.vec_id <> p.q_id
+         |  GROUP BY q_id, n_id),
+         |r AS (SELECT q_id, n_id, score,
+         |        row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rank
+         |      FROM cand)
+         |SELECT q_id, rank, n_id, score FROM r WHERE rank <= $TopK
+         |ORDER BY q_id, rank""".stripMargin)
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale-design properties that local row counts can't show: bucketed
+  * co-located joins (no shuffle), partition-pruned layouts, approximate
+  * distinct-count sketches, and AQE-resilient plans.
+  */
+class ScaleDesignSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+
+  test("bucketed tables join without a shuffle exchange") {
+    // default warehouse dir (./spark-warehouse, gitignored) — the conf is
+    // static and cannot be redirected per-test
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val li = graft.Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+      val o = graft.Tables.load(spark, "/root/testdata/sf0.001", "orders")
+      li.write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("li_bucketed")
+      o.write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("ord_bucketed")
+      val j = spark.table("li_bucketed")
+        .join(spark.table("ord_bucketed"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+      val plan = j.queryExecution.executedPlan.toString
+      // co-located: the join itself needs no Exchange; the only exchange is
+      // the final small aggregation
+      val joinSection = plan.split("HashAggregate").last
+      assert(!joinSection.contains("Exchange hashpartitioning(l_orderkey"),
+        s"bucketed join still shuffles:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"))
+      assert(j.collect().map(_.getLong(1)).sum == li.count())
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("approx_count_distinct sketch lands within 5% of exact") {
+    val li = graft.Tables.load(spark, "/root/testdata/sf0.01", "lineitem")
+    val row = li.agg(
+      countDistinct(col("l_partkey")).as("exact"),
+      approx_count_distinct(col("l_partkey"), 0.02).as("approx")).collect().head
+    val (exact, approx) = (row.getLong(0).toDouble, row.getLong(1).toDouble)
+    assert(math.abs(approx - exact) / exact < 0.05,
+      s"HLL off by ${math.abs(approx - exact) / exact}")
+  }
+
+  test("partitionBy layout prunes non-matching partitions at the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString + "/ev"
+    val ev = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
+    ev.withColumn("etype", col("event_type"))
+      .write.partitionBy("etype").parquet(dir)
+    val pruned = spark.read.parquet(dir).where(col("etype") === "click")
+    val scan = pruned.queryExecution.executedPlan.toString
+    // partition filter applied at the file index, not as a post-scan filter
+    assert(scan.contains("PartitionFilters") && scan.contains("etype"))
+    assert(pruned.count() == ev.where(col("event_type") === "click").count())
+  }
+}
