@@ -196,6 +196,22 @@ object Relational2 {
         .orderBy("split")
     }),
 
+    // Grouped top-k via the heap-based TypedImperativeAggregate: identical
+    // results to the row_number window (same oracle SQL), but the plan keeps
+    // a k-bounded heap per group with map-side partial aggregation — at most
+    // k pairs per group per partition cross the shuffle, and nothing is
+    // sorted per-partition. The scale path for top-k at 100 TB.
+    "o4_topk_heap" -> ((s, dir) => {
+      graft.plans.TopKAgg.register(s)
+      load(s, dir, "part")
+        .groupBy("p_brand")
+        .agg(graft.plans.TopKAgg.topkPairs(col("p_retailprice"), col("p_partkey"), 10).as("top"))
+        .select(col("p_brand"), posexplode(col("top")).as(Seq("pos", "pair")))
+        .select(col("p_brand"), (col("pos") + 1).cast("int").as("rn"),
+          col("pair.id").as("p_partkey"), col("pair.score").as("p_retailprice"))
+        .orderBy("p_brand", "rn")
+    }),
+
     // String-function battery over part.
     "str_funcs" -> ((s, dir) =>
       load(s, dir, "part")
@@ -357,6 +373,13 @@ object Relational2 {
          |  SELECT CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' ELSE 'test' END AS split
          |  FROM (SELECT ${hash32Sql("CAST(doc_id AS VARCHAR)")} % 100 AS h FROM documents))
          |GROUP BY split ORDER BY split""".stripMargin,
+
+    "o4_topk_heap" ->
+      """SELECT p_brand, rn, p_partkey, p_retailprice FROM (
+        |  SELECT p_brand, p_partkey, p_retailprice,
+        |         row_number() OVER (PARTITION BY p_brand
+        |                            ORDER BY p_retailprice DESC, p_partkey) AS rn
+        |  FROM part) WHERE rn <= 10 ORDER BY p_brand, rn""".stripMargin,
 
     "str_funcs" ->
       """SELECT p_partkey,
