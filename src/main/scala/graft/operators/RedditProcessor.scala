@@ -75,6 +75,14 @@ object RedditProcessor {
         .setMinDF(2.0).setMaxDF(math.max(2.0, 0.95 * corpus.count())),
       new IDF().setInputCol("tf").setOutputCol("features")))
     val fm = pipeline.fit(corpus)
+    // Degenerate-corpus guard: an empty vocabulary (every term pruned by
+    // minDF/maxDF — e.g. one shared word across all docs falls to maxDF)
+    // aborts deep inside the ML stage with an opaque "requirement failed".
+    // Diagnose it here; the reference crashes identically (sklearn raises
+    // on an empty vocabulary).
+    val vocabSize = fm.stages(2).asInstanceOf[CountVectorizerModel].vocabulary.length
+    require(vocabSize >= 1,
+      s"corpus too small for topic modeling: vocabulary=$vocabSize after minDF/maxDF pruning")
     val lda = new LDA().setK(K).setSeed(Seed).setOptimizer("em").setMaxIter(10)
       .setFeaturesCol("features")
     val model = lda.fit(fm.transform(corpus))

@@ -1,0 +1,69 @@
+package graft
+
+import graft.streaming.QueuePipeline
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Source/sink format coverage beyond parquet: CSV and JSON (and JSONL
+  * queue dumps) read against DECLARED schemas — the engine never relies on
+  * schema inference in production paths (SURVEY §1.3), so a malformed row
+  * degrades predictably instead of silently retyping a column.
+  */
+class SourceFormatsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+
+  private def tmp(prefix: String) =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("CSV roundtrip with declared schema; malformed rows go to the corrupt column") {
+    val dir = tmp("graft_csv") + "/c"
+    val li = graft.Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    li.write.option("header", "true").csv(dir)
+    val schema = StructType(Seq(
+      StructField("l_orderkey", LongType), StructField("l_linenumber", IntegerType),
+      StructField("l_quantity", DoubleType), StructField("l_returnflag", StringType)))
+    val back = spark.read.option("header", "true").schema(schema).csv(dir)
+    assert(back.count() == li.count())
+    assert(back.schema == schema)
+    val s = back.agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double")).first().getDouble(0)
+    val s0 = li.agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double")).first().getDouble(0)
+    assert(s == s0)
+  }
+
+  test("JSONL roundtrip with declared schema + corrupt-record branch") {
+    import spark.implicits._
+    val dir = tmp("graft_json") + "/j"
+    val ev = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select("event_id", "user_id", "event_type", "value")
+    ev.write.json(dir)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("value", DoubleType),
+      StructField("_corrupt", StringType)))
+    // splice a malformed line alongside the real files
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "bad.json"), "{definitely not json\n")
+    // corrupt-column-only queries on raw JSON are disallowed — cache first
+    val back = spark.read.schema(schema)
+      .option("columnNameOfCorruptRecord", "_corrupt").json(dir).cache()
+    try {
+      assert(back.where(col("_corrupt").isNotNull).count() == 1)
+      assert(back.where(col("_corrupt").isNull).count() == ev.count())
+    } finally back.unpersist()
+  }
+
+  test("JSONL queue-dump file decodes through the streaming payload path") {
+    import spark.implicits._
+    val dir = tmp("graft_queue") + "/q"
+    def post(id: String) =
+      s"""{"author":"u","created_utc":"2024-01-01T10:00:00Z","id":"$id","num_comments":1,"score":7,"selftext":"s","subreddit":"sydney","title":"t","url":"u"}"""
+    // one JSON-array payload per line — the Redis-list dump shape (FIXTURES §3)
+    Seq(s"""[${post("a")},${post("b")}]""", "[]", s"""[${post("c")}]""")
+      .toDF("value").write.text(dir)
+    val decoded = QueuePipeline.decodePosts(spark.read.text(dir))
+    assert(decoded.select("id").as[String].collect().sorted.toSeq == Seq("a", "b", "c"))
+  }
+}
