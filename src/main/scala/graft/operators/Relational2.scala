@@ -130,8 +130,9 @@ object Relational2 {
           sum(dec(col("l_quantity"))).cast("double").as("sx"),
           sum(dec(col("l_quantity")) * dec(col("l_quantity"))).cast("double").as("sxx"))
         .select(col("l_returnflag"), col("n"),
-          ((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)).as("var_qty"),
-          sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)).as("std_qty"))
+          // rounded for the same decimal→double 1-ulp reason as a8_corr_exact
+          round((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1), 8).as("var_qty"),
+          round(sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)), 8).as("std_qty"))
         .orderBy("l_returnflag")),
 
     // Conditional pivot: one wide row per user (counts + spend by type).
@@ -211,6 +212,63 @@ object Relational2 {
           col("pair.id").as("p_partkey"), col("pair.score").as("p_retailprice"))
         .orderBy("p_brand", "rn")
     }),
+
+    // Array aggregation: sorted distinct collection per group.
+    "arr_collect" -> ((s, dir) =>
+      load(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(array_sort(collect_set(col("l_linestatus"))).as("statuses"),
+          size(collect_set(col("l_suppkey"))).cast("long").as("n_supp"))
+        .orderBy("l_returnflag")),
+
+    // Regex capture groups (group 1 / group 2 + no-match → empty string).
+    "regexp_groups" -> ((s, dir) =>
+      load(s, dir, "part")
+        .select(col("p_partkey"),
+          regexp_extract(col("p_type"), "^([a-z]+) ?([a-z]*)", 1).as("g1"),
+          regexp_extract(col("p_type"), "^([a-z]+) ?([a-z]*)", 2).as("g2"),
+          regexp_extract(col("p_type"), "(zzz)", 1).as("no_match"))
+        .orderBy("p_partkey")),
+
+    // Exact order-independent Pearson correlation from decimal-exact
+    // moments (native one-pass corr is accumulation-order-dependent).
+    "a8_corr_exact" -> ((s, dir) =>
+      load(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("l_quantity"))).cast("double").as("sx"),
+          sum(dec(col("l_extendedprice"))).cast("double").as("sy"),
+          sum(dec(col("l_quantity")) * dec(col("l_quantity"))).cast("double").as("sxx"),
+          sum(dec(col("l_extendedprice")) * dec(col("l_extendedprice"))).cast("double").as("syy"),
+          sum(dec(col("l_quantity")) * dec(col("l_extendedprice"))).cast("double").as("sxy"))
+        .select(col("l_returnflag"), col("n"),
+          // rounded: decimal→double conversion of very large unscaled sums
+          // (> 2^53) differs by 1 ulp between engines (single- vs
+          // double-rounding); 10 dp is far above that noise floor
+          round((col("sxy") - col("sx") * col("sy") / col("n"))
+            / (sqrt(col("sxx") - col("sx") * col("sx") / col("n"))
+              * sqrt(col("syy") - col("sy") * col("sy") / col("n"))), 10).as("corr_qty_price"))
+        .orderBy("l_returnflag")),
+
+    // RANGE-frame window: per-user trailing 5-minute event-value sum
+    // (value-based frame over event time — peers included, unlike ROWS).
+    "w4_range_frame" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("us"))
+        .rangeBetween(-300L * 1000000L, 0)
+      load(s, dir, "events")
+        .withColumn("us", unix_micros(col("ts")))
+        .select(col("user_id"), col("event_id"),
+          sum(dec(col("value"))).over(w).cast("double").as("trailing_5m"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // arg-max per group over a deterministic composite order value.
+    "mb_maxby" -> ((s, dir) =>
+      load(s, dir, "events")
+        .groupBy("user_id")
+        .agg(max_by(col("event_id"), col("value") * 100000 + col("event_id")).as("top_event"),
+          max(col("value")).as("max_value"))
+        .orderBy("user_id")),
 
     // String-function battery over part.
     "str_funcs" -> ((s, dir) =>
@@ -316,8 +374,8 @@ object Relational2 {
         |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx
         |  FROM lineitem GROUP BY l_returnflag)
         |SELECT l_returnflag, n,
-        |  (sxx - sx * sx / n) / (n - 1) AS var_qty,
-        |  sqrt((sxx - sx * sx / n) / (n - 1)) AS std_qty
+        |  round((sxx - sx * sx / n) / (n - 1), 8) AS var_qty,
+        |  round(sqrt((sxx - sx * sx / n) / (n - 1)), 8) AS std_qty
         |FROM s ORDER BY l_returnflag""".stripMargin,
 
     "a7_conditional_pivot" ->
@@ -373,6 +431,46 @@ object Relational2 {
          |  SELECT CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' ELSE 'test' END AS split
          |  FROM (SELECT ${hash32Sql("CAST(doc_id AS VARCHAR)")} % 100 AS h FROM documents))
          |GROUP BY split ORDER BY split""".stripMargin,
+
+    "arr_collect" ->
+      """SELECT l_returnflag, list_sort(list(DISTINCT l_linestatus)) AS statuses,
+        |  count(DISTINCT l_suppkey) AS n_supp
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "regexp_groups" ->
+      """SELECT p_partkey,
+        |  regexp_extract(p_type, '^([a-z]+) ?([a-z]*)', 1) AS g1,
+        |  regexp_extract(p_type, '^([a-z]+) ?([a-z]*)', 2) AS g2,
+        |  regexp_extract(p_type, '(zzz)', 1) AS no_match
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "a8_corr_exact" ->
+      """WITH s AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  round((sxy - sx * sy / n)
+        |    / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)), 10) AS corr_qty_price
+        |FROM s ORDER BY l_returnflag""".stripMargin,
+
+    "w4_range_frame" ->
+      """SELECT user_id, event_id,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2)))
+        |       OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |             RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS trailing_5m
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+
+    "mb_maxby" ->
+      """SELECT user_id,
+        |  arg_max(event_id, value * 100000 + event_id) AS top_event,
+        |  max(value) AS max_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "o4_topk_heap" ->
       """SELECT p_brand, rn, p_partkey, p_retailprice FROM (
