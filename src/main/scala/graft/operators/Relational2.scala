@@ -270,6 +270,41 @@ object Relational2 {
           max(col("value")).as("max_value"))
         .orderBy("user_id")),
 
+    // Relational pivot through the DataFrame pivot API (explicit value list
+    // so the plan is single-pass, no distinct-values pre-query).
+    "a9_pivot_api" -> ((s, dir) =>
+      load(s, dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(coalesce(count(lit(1)), lit(0L)))
+        .na.fill(0L)
+        .orderBy("user_id")),
+
+    // Unpivot (melt): wide per-flag stats back to long (stat, value) rows.
+    "a10_unpivot" -> ((s, dir) =>
+      load(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(dsum(col("l_quantity")).as("qty"),
+          dsum(col("l_tax")).as("tax"),
+          dsum(col("l_discount")).as("disc"))
+        .unpivot(Array(col("l_returnflag")), Array(col("qty"), col("tax"), col("disc")),
+          "stat", "value")
+        .orderBy("l_returnflag", "stat")),
+
+    // Higher-order-function battery over token arrays.
+    "hof_funcs" -> ((s, dir) => {
+      val t = split(lower(col("text")), " ")
+      load(s, dir, "documents")
+        .select(col("doc_id"),
+          exists(t, tk => tk === "join").as("has_join"),
+          forall(t, tk => length(tk) > 1).as("all_multichar"),
+          size(filter(t, tk => length(tk) === 4)).cast("long").as("n_len4"),
+          aggregate(transform(t, tk => length(tk)), lit(0), (a, x) => a + x)
+            .cast("long").as("total_chars"),
+          array_join(slice(array_sort(array_distinct(t)), 1, 3), " ").as("first3_sorted"))
+        .orderBy("doc_id")
+    }),
+
     // String-function battery over part.
     "str_funcs" -> ((s, dir) =>
       load(s, dir, "part")
@@ -431,6 +466,37 @@ object Relational2 {
          |  SELECT CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' ELSE 'test' END AS split
          |  FROM (SELECT ${hash32Sql("CAST(doc_id AS VARCHAR)")} % 100 AS h FROM documents))
          |GROUP BY split ORDER BY split""".stripMargin,
+
+    "a9_pivot_api" ->
+      """SELECT user_id,
+        |  count(*) FILTER (WHERE event_type = 'click') AS click,
+        |  count(*) FILTER (WHERE event_type = 'view') AS view,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |  count(*) FILTER (WHERE event_type = 'error') AS error
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "a10_unpivot" ->
+      """WITH s AS (
+        |  SELECT l_returnflag,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+        |    CAST(sum(CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS tax,
+        |    CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS disc
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT * FROM (
+        |  SELECT l_returnflag, 'qty' AS stat, qty AS value FROM s
+        |  UNION ALL SELECT l_returnflag, 'tax', tax FROM s
+        |  UNION ALL SELECT l_returnflag, 'disc', disc FROM s)
+        |ORDER BY l_returnflag, stat""".stripMargin,
+
+    "hof_funcs" ->
+      """SELECT doc_id,
+        |  list_contains(string_split(lower(text), ' '), 'join') AS has_join,
+        |  len(list_filter(string_split(lower(text), ' '), tk -> length(tk) <= 1)) = 0 AS all_multichar,
+        |  CAST(len(list_filter(string_split(lower(text), ' '), tk -> length(tk) = 4)) AS BIGINT) AS n_len4,
+        |  CAST(coalesce(list_sum(list_transform(string_split(lower(text), ' '), tk -> length(tk))), 0) AS BIGINT) AS total_chars,
+        |  array_to_string(list_sort(list_distinct(string_split(lower(text), ' ')))[1:3], ' ') AS first3_sorted
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "arr_collect" ->
       """SELECT l_returnflag, list_sort(list(DISTINCT l_linestatus)) AS statuses,
