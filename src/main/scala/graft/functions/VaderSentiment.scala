@@ -130,9 +130,7 @@ object VaderSentiment {
           if (!Lexicon.contains(prev)) {
             Boosters.get(prev).foreach { b =>
               val damp = if (j == 2) 0.95 else if (j == 3) 0.9 else 1.0
-              var s = b * damp
-              if (capsMatter && isAllCaps(raw(i - j))) s += (if (b > 0) CapsIncr else -CapsIncr) * 0.0 // caps on booster folded into word emphasis
-              valence += sign * s
+              valence += sign * b * damp
             }
             if (Negations.contains(prev)) valence *= NegScalar
           }

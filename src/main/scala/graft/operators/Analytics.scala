@@ -53,13 +53,16 @@ object Analytics {
           .otherwise("neutral"))
   }
 
-  /** nlp_analysis and nlp_topics share one fit per sf dir — the model is
-    * deterministic (seed 42), so refitting would only burn the benchmark. */
+  /** nlp_analysis and nlp_topics share one fit per (session, sf dir) — the
+    * model is deterministic (seed 42), so refitting would only burn the
+    * benchmark. Keyed by session identity too: the fitted model and cached
+    * frame are bound to the session that built them, and a fresh session in
+    * the same JVM must not receive a handle into a stopped one. */
   private val ldaCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (org.apache.spark.ml.clustering.DistributedLDAModel, DataFrame, Array[String])]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (org.apache.spark.ml.clustering.DistributedLDAModel, DataFrame, Array[String])]()
 
   private def fitLda(s: SparkSession, dir: String): (org.apache.spark.ml.clustering.DistributedLDAModel, DataFrame, Array[String]) =
-    ldaCache.computeIfAbsent(dir, _ => fitLdaUncached(s, dir))
+    ldaCache.computeIfAbsent((s, dir), _ => fitLdaUncached(s, dir))
 
   private def fitLdaUncached(s: SparkSession, dir: String) = {
     val c = corpus(s, dir)

@@ -75,13 +75,14 @@ object Dedup {
     // n-gram (3-shingle) Jaccard near-dup pairs above JaccardTau.
     // The self-join key is a 60-bit md5-derived hash of the shingle, not the
     // string: cheaper shuffle + comparisons, collision odds ~1e-10 at this
-    // vocabulary. The shingle set is persisted — it feeds three plan
-    // branches (two join sides + per-doc counts).
+    // vocabulary. The shingle set feeds three plan branches (two join sides
+    // + per-doc counts) and is recomputed per branch — persisting here would
+    // leak cached blocks past this query's lifetime (the caller materializes
+    // the frame later, so there is no safe unpersist point inside it).
     "dd_ngram_jaccard" -> ((s, dir) => {
       val tok = shingleSet(s, dir)
         .select(col("doc_id"),
           conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long").as("sh"))
-        .persist()
       val cnt = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val inter = tok.as("a")
         .join(tok.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))

@@ -45,7 +45,7 @@ object EventWindows {
   val oracle: Map[String, String] = Map(
     "t6_session_window" ->
       s"""WITH g AS (
-         |  SELECT user_id, ts, value,
+         |  SELECT user_id, ts, event_id, value,
          |    CASE WHEN lag(epoch_us(ts), 1)
          |           OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
          |         OR epoch_us(ts) - lag(epoch_us(ts), 1)
@@ -54,7 +54,7 @@ object EventWindows {
          |  FROM events),
          |sid AS (
          |  SELECT user_id, ts, value,
-         |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+         |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
          |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
          |  FROM g)
          |SELECT user_id, min(ts) AS sess_start,

@@ -90,7 +90,12 @@ object RedditProcessor {
     val withTopics = model.transform(fm.transform(corpus))
       .withColumn("t", vector_to_array(col("topicDistribution")))
     val topicCols = (0 until K).map(i => col("t")(i).as(s"topic_${i + 1}"))
-    val rowIdW = Window.orderBy(col("created_utc"), col("id"))
+    // (created_utc, id) is NOT total for comments — they inherit the parent
+    // post's id, so two comments on one post in the same second tie. Extend
+    // the order with the payload columns; remaining ties are fully identical
+    // rows, for which any row_id assignment yields the same output set.
+    val rowIdW = Window.orderBy(col("created_utc"), col("id"), col("text"),
+      col("score"), col("subreddit"))
     val analysis = withTopics.select(
       col("id") +: col("created_utc") +: col("subreddit") +: col("score") +:
         col("text") +: col("sentiment_score") +: col("sentiment") +: topicCols: _*)

@@ -16,7 +16,7 @@ object TextAnalysis {
 
   type Q = (SparkSession, String) => DataFrame
 
-  private val PunctClass = "[!\"#$%&'()*+,\\-./:;<=>?@\\[\\\\\\]^_`{|}~]"
+  private val PunctClass = graft.functions.TextClean.PunctRe
   // BPE-ish pre-tokenizer: letter runs, digit runs, single non-space symbols.
   private val BpeRe = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
 

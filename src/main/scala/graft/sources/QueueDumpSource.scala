@@ -76,12 +76,14 @@ private class QueueDumpScan(path: String, required: StructType) extends Scan wit
   override def planInputPartitions(): Array[InputPartition] = {
     val p = Paths.get(path)
     val files =
-      if (Files.isDirectory(p))
-        Files.list(p).iterator().asScala
+      if (Files.isDirectory(p)) {
+        val listing = Files.list(p)
+        try listing.iterator().asScala
           .filter(f => Files.isRegularFile(f) && !f.getFileName.toString.startsWith("_")
             && !f.getFileName.toString.startsWith("."))
           .map(_.toString).toArray.sorted
-      else Array(path)
+        finally listing.close()
+      } else Array(path)
     files.map(f => QueueDumpPartition(f): InputPartition)
   }
 
@@ -105,7 +107,10 @@ private class QueueDumpReader(file: String, required: StructType)
   extends PartitionReader[InternalRow] {
 
   private val mapper = new ObjectMapper
-  private val lines = Files.lines(Paths.get(file), StandardCharsets.UTF_8).iterator()
+  // held so close() can release the underlying file descriptor — Spark calls
+  // close() per partition; relying on GC leaks fds across thousands of files
+  private val lineStream = Files.lines(Paths.get(file), StandardCharsets.UTF_8)
+  private val lines = lineStream.iterator()
   private var docs: Iterator[JsonNode] = Iterator.empty
   private var current: InternalRow = _
 
@@ -139,5 +144,5 @@ private class QueueDumpReader(file: String, required: StructType)
   }
 
   override def get(): InternalRow = current
-  override def close(): Unit = ()
+  override def close(): Unit = lineStream.close()
 }

@@ -95,13 +95,17 @@ object QueuePipeline {
     * all-success LREM fold (addReddit.py:46-82). */
   def idempotentAppend(batch: DataFrame, key: String, path: String): Unit = {
     val spark = batch.sparkSession
+    // Probe sink existence explicitly rather than catching AnalysisException:
+    // a catch-all would also swallow real errors (missing key column, schema
+    // mismatch) and silently disable dedup — the exactly-once contract must
+    // fail CLOSED, not open.
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val fresh =
-      try {
+      if (fs.exists(hPath)) {
         val existing = spark.read.parquet(path).select(key)
         batch.join(existing, Seq(key), "left_anti")
-      } catch {
-        case _: org.apache.spark.sql.AnalysisException => batch // first write
-      }
+      } else batch // first write
     fresh.write.mode("append").parquet(path)
   }
 
