@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Custom streaming state (SURVEY.md §2.10 T4 alternative realization):
+  * where `dropDuplicates` + watermark bounds state by event time,
+  * `flatMapGroupsWithState` gives explicit control — the Spark-native
+  * replacement for the reference's Redis seen-sets WITH the TTL the
+  * reference forgot (reddit_harvester_aus.py:19,41,80 grow forever).
+  *
+  * State partitions by key across executors; each key's state lives on one
+  * partition and expires via processing-time timeout, so memory is bounded
+  * by (live keys × TTL window) regardless of stream length.
+  */
+object StatefulOps {
+
+  /** Keyed record for stateful dedup. */
+  case class Keyed(key: String, payload: String)
+
+  /** Per-key running aggregate output. */
+  case class RunningTotal(key: String, n: Long, total: Double)
+
+  /** TTL'd stateful dedup: first occurrence of a key passes, repeats are
+    * dropped while the key's state is alive; after `ttlMs` of processing
+    * time without the key re-arriving, the state expires and the dedup
+    * window re-opens (the reference's SISMEMBER/SADD with the expiry it
+    * forgot). `ttlMs = 0` disables expiry (NoTimeout — the reference's
+    * literal unbounded semantics).
+    *
+    * Caveat: with ProcessingTimeTimeout registered, the engine fires
+    * empty micro-batches continuously to evaluate timeouts, so
+    * `processAllAvailable` never settles — drive TTL'd queries with a real
+    * `Trigger.ProcessingTime`, and use `ttlMs = 0` in synchronous tests. */
+  def dedupWithTtl(ds: Dataset[Keyed], ttlMs: Long): Dataset[Keyed] = {
+    implicit val enc: Encoder[Keyed] = Encoders.product[Keyed]
+    implicit val boolEnc: Encoder[Boolean] = Encoders.scalaBoolean
+    val timeout =
+      if (ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    ds.groupByKey(_.key)(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(
+        (key: String, rows: Iterator[Keyed], state: GroupState[Boolean]) => {
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else if (state.exists) {
+            // already seen within TTL: swallow repeats, keep the clock fresh
+            if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
+            Iterator.empty
+          } else {
+            state.update(true)
+            if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
+            rows.take(1)
+          }
+        })
+  }
+
+  /** Per-key running count/sum maintained as explicit state, emitted once
+    * per micro-batch the key appears in (update-mode friendly). */
+  def runningTotals(ds: Dataset[(String, Double)]): Dataset[RunningTotal] = {
+    implicit val enc: Encoder[RunningTotal] = Encoders.product[RunningTotal]
+    implicit val stEnc: Encoder[(Long, Double)] = Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble)
+    ds.groupByKey(_._1)(Encoders.STRING)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (key: String, rows: Iterator[(String, Double)], state: GroupState[(Long, Double)]) => {
+          val (n0, s0) = state.getOption.getOrElse((0L, 0.0))
+          var n = n0
+          var s = s0
+          rows.foreach { r => n += 1; s += r._2 }
+          state.update((n, s))
+          RunningTotal(key, n, s)
+        })
+  }
+}
