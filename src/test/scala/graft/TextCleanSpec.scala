@@ -38,14 +38,24 @@ class TextCleanSpec extends AnyFunSuite {
     assert(clean("st street") == Seq("street"))
   }
 
-  test("property: clean is idempotent") {
+  test("property: clean converges after one pass on punct-free input, two passes otherwise") {
+    // clean is NOT strictly idempotent: punctuation removal can synthesize
+    // URL prefixes ("ht.tpx" -> "httpx", which the NEXT pass strips as a
+    // URL). The reference applies the chain once, so this is its semantics,
+    // not a bug. After one pass the output is punctuation-free, and on
+    // punct-free input a clean pass only deletes whole URL spans and
+    // word-bounded stop tokens — so the second application is a fixed point.
     val wordChars = Gen.listOf(Gen.frequency(
       8 -> Gen.alphaNumChar, 2 -> Gen.oneOf(' ', '.', '!', '?', ',', '\t'),
       1 -> Gen.oneOf('#', '@', '[', ']', '{', '}'))).map(_.mkString)
     val samples = Iterator.continually(wordChars.sample).flatten.take(40).toSeq
-    val once = clean(samples: _*)
-    val twice = clean(once: _*)
-    assert(twice == once)
+    val twice = clean(clean(samples: _*): _*)
+    val thrice = clean(twice: _*)
+    assert(thrice == twice)
+    // and strict idempotence DOES hold for inputs with no punctuation
+    val punctFree = samples.map(_.filterNot(c => "!?.,#@[]{}".contains(c)))
+    val once = clean(punctFree: _*)
+    assert(clean(once: _*) == once)
   }
 
   test("property: output never contains punctuation or uppercase") {
