@@ -83,6 +83,23 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // Corpus n-gram statistics: top-20 bigrams by occurrence count — the
+    // standard vocabulary diagnostic before training. One explode + one
+    // hash-shuffle on the bigram; top-k is TakeOrdered, no global sort.
+    "ta_ngram_topk" -> ((s, dir) => {
+      val t = toks(col("text"))
+      val bigrams = when(size(t) >= 2,
+        transform(sequence(lit(0), size(t) - 2),
+          i => concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2))))
+        .otherwise(array().cast("array<string>"))
+      load(s, dir, "documents")
+        .select(explode(bigrams).as("ngram"))
+        .groupBy("ngram")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("ngram"))
+        .limit(20)
+    }),
+
     // Document fingerprint (OpenRefine-style key collision): md5 of the
     // sorted distinct token set — robust to word order and duplication.
     "ta_fingerprint" -> ((s, dir) =>
@@ -128,6 +145,13 @@ object TextAnalysis {
          |    ELSE 'und' END AS predicted
          |FROM documents ORDER BY doc_id""".stripMargin
     },
+
+    "ta_ngram_topk" ->
+      """SELECT ngram, count(*) AS n FROM (
+        |  SELECT unnest(list_transform(range(1, greatest(len(t), 1)),
+        |         i -> t[i] || ' ' || t[i+1])) AS ngram
+        |  FROM (SELECT string_split(lower(text), ' ') AS t FROM documents))
+        |GROUP BY ngram ORDER BY n DESC, ngram LIMIT 20""".stripMargin,
 
     "ta_fingerprint" ->
       """SELECT doc_id,
