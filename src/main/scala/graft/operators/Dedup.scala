@@ -17,9 +17,10 @@ import org.apache.spark.sql.functions._
   *    Bands/rows tuned so P(candidate) ≈ 1 at J≥0.9, ≈ 0 at J≤0.3.
   *  - SimHash: pure map-side signature (one groupBy over tokens); near-dup
   *    lookup is a bucket join on the signature (or rotations at scale).
-  *  - n-gram Jaccard: exact verification, joined on shared shingles so the
-  *    blowup is Σ bucket² over shingle buckets, not n² (shingle diversity
-  *    keeps buckets tiny) — run it on LSH candidates at real scale.
+  *  - n-gram Jaccard: exact verification restricted to MinHash-band
+  *    candidates — candidate generation is Σ bucket² over band buckets,
+  *    and the verify is an array_intersect per candidate pair, so total
+  *    cost is linear in docs + candidates, never n².
   *  - embedding cosine: exact O(n²) verifier at small n; the LSH-bucketed
   *    scale path is `ann_lsh` in [[Similarity]].
   *
@@ -34,6 +35,14 @@ object Dedup {
   private val NumHashes = 12
   private val Bands = 4
   private val RowsPerBand = NumHashes / Bands
+
+  /** Candidate-generation parameters for the Jaccard verifier: 8 bands ×
+    * 3 rows (24 hash functions). P(pair becomes a candidate) at the τ=0.8
+    * threshold is 1−(1−0.8³)⁸ ≈ 0.997, and ≈ 0 below J≈0.3 — wider than the
+    * 4-band signature because this query's OUTPUT depends on candidate
+    * recall, not just its candidate list. */
+  private val JBands = 8
+  private val JRows = 3
 
   /** One md5 per shingle + NumHashes universal-hash mixes
     * h_i = (a_i·h + b_i) mod P — 12× fewer md5 evaluations than hashing
@@ -72,27 +81,44 @@ object Dedup {
         .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_id"))
         .orderBy("content_hash")),
 
-    // n-gram (3-shingle) Jaccard near-dup pairs above JaccardTau.
-    // The self-join key is a 60-bit md5-derived hash of the shingle, not the
-    // string: cheaper shuffle + comparisons, collision odds ~1e-10 at this
-    // vocabulary. The shingle set feeds three plan branches (two join sides
-    // + per-doc counts) and is recomputed per branch — persisting here would
-    // leak cached blocks past this query's lifetime (the caller materializes
-    // the frame later, so there is no safe unpersist point inside it).
+    // n-gram (3-shingle) Jaccard near-dups above JaccardTau — the LSH-
+    // candidate-verified form. ONE groupBy turns the shingle explode into a
+    // per-doc array of 60-bit md5-derived shingle hashes; MinHash bands are
+    // then pure map-side array math over that array, candidates come from a
+    // self-join on (band, bucket) — Σ bucket², never n² — and the exact
+    // Jaccard is computed ONLY for candidate pairs via array_intersect on
+    // the two docs' shingle arrays. Every branch (bands, both candidate
+    // sides) reads the SAME groupBy exchange, so Catalyst's ReuseExchange
+    // runs the scan+explode+md5 once — no persist, no recompute.
     "dd_ngram_jaccard" -> ((s, dir) => {
       val tok = shingleSet(s, dir)
         .select(col("doc_id"),
-          conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long").as("sh"))
-      val cnt = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val inter = tok.as("a")
-        .join(tok.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("inter"))
-      inter
-        .join(cnt.as("ca"), col("doc_a") === col("ca.doc_id"))
-        .join(cnt.as("cb"), col("doc_b") === col("cb.doc_id"))
+          conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long").as("h"))
+      val docsh = tok.groupBy("doc_id").agg(collect_set(col("h")).as("shs"))
+      // minhash_i over the array: map-side, no extra shuffle. h is 60-bit so
+      // reduce mod P before the a·h mix to stay under 2^63 in both engines.
+      def mh(i: Int): Column = array_min(transform(col("shs"),
+        h => (lit(mixA(i)) * (h % MersenneP) + lit(mixB(i))) % MersenneP))
+      val bandCols = (0 until JBands).map { b =>
+        val hs = (0 until JRows).map(r => mh(b * JRows + r))
+        struct(lit(b).as("band"), md5(concat_ws("|", lit(b) +: hs: _*)).as("bkt"))
+      }
+      val bands = docsh.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+        .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkt").as("bkt"))
+      val cand = bands.as("x")
+        .join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bkt") === col("y.bkt") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      cand
+        .join(docsh.as("da"), col("doc_a") === col("da.doc_id"))
+        .join(docsh.as("db"), col("doc_b") === col("db.doc_id"))
         .select(col("doc_a"), col("doc_b"),
-          (col("inter").cast("double") / (col("ca.n") + col("cb.n") - col("inter"))).as("jaccard"))
+          size(array_intersect(col("da.shs"), col("db.shs"))).cast("double").as("inter"),
+          size(col("da.shs")).cast("double").as("na"), size(col("db.shs")).cast("double").as("nb"))
+        .select(col("doc_a"), col("doc_b"),
+          (col("inter") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
         .where(col("jaccard") >= JaccardTau)
         .orderBy("doc_a", "doc_b")
     }),
@@ -158,19 +184,36 @@ object Dedup {
         |  count(*) AS n_copies, min(doc_id) AS keep_id
         |FROM documents GROUP BY content_hash ORDER BY content_hash""".stripMargin,
 
-    "dd_ngram_jaccard" ->
-      s"""WITH tok AS ($shingleSetSql),
-         |cnt AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
-         |inter AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-         |  FROM tok a JOIN tok b ON a.sh = b.sh AND a.doc_id < b.doc_id
-         |  GROUP BY doc_a, doc_b)
-         |SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (ca.n + cb.n - i) AS jaccard
-         |FROM inter
-         |JOIN cnt ca ON doc_a = ca.doc_id
-         |JOIN cnt cb ON doc_b = cb.doc_id
-         |WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= $JaccardTau
-         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dd_ngram_jaccard" -> {
+      val bandSelects = (0 until JBands).map { b =>
+        val hs = (0 until JRows).map { r =>
+          val i = b * JRows + r
+          s"list_min(list_transform(shs, hh -> (${mixA(i)} * (hh % $MersenneP) + ${mixB(i)}) % $MersenneP))"
+        }.mkString(", ")
+        s"SELECT doc_id, $b AS band, md5(concat_ws('|', $b, $hs)) AS bkt FROM docsh"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH tok AS (
+         |  SELECT doc_id, CAST(('0x' || substr(md5(sh), 1, 15)) AS UBIGINT)::BIGINT AS h
+         |  FROM ($shingleSetSql)),
+         |docsh AS MATERIALIZED (
+         |  SELECT doc_id, list(DISTINCT h) AS shs FROM tok GROUP BY doc_id),
+         |bands AS (
+         |  $bandSelects),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bkt = y.bkt AND x.doc_id < y.doc_id),
+         |j AS (
+         |  SELECT doc_a, doc_b,
+         |    CAST(len(list_intersect(da.shs, db.shs)) AS DOUBLE) AS i,
+         |    CAST(len(da.shs) AS DOUBLE) AS na, CAST(len(db.shs) AS DOUBLE) AS nb
+         |  FROM cand
+         |  JOIN docsh da ON doc_a = da.doc_id
+         |  JOIN docsh db ON doc_b = db.doc_id)
+         |SELECT doc_a, doc_b, i / (na + nb - i) AS jaccard
+         |FROM j WHERE i / (na + nb - i) >= $JaccardTau
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
 
     "dd_minhash_lsh" -> {
       val sigCols = (0 until NumHashes)

@@ -213,11 +213,13 @@ object Relational2 {
         .orderBy("p_brand", "rn")
     }),
 
-    // Array aggregation: sorted distinct collection per group.
+    // Array aggregation: sorted distinct collection per group. The sorted set
+    // is emitted as a joined string so the driver's pandas-side hash (which
+    // can't factorize list cells) can compare it value-for-value.
     "arr_collect" -> ((s, dir) =>
       load(s, dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(array_sort(collect_set(col("l_linestatus"))).as("statuses"),
+        .agg(array_join(array_sort(collect_set(col("l_linestatus"))), ",").as("statuses"),
           size(collect_set(col("l_suppkey"))).cast("long").as("n_supp"))
         .orderBy("l_returnflag")),
 
@@ -415,11 +417,11 @@ object Relational2 {
 
     "a7_conditional_pivot" ->
       """SELECT user_id,
-        |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
-        |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
-        |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-        |  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
-        |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+        |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
         |  CAST(sum(CASE WHEN event_type = 'purchase'
         |                THEN CAST(value AS DECIMAL(18,2))
         |                ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS spend
@@ -436,8 +438,8 @@ object Relational2 {
         |  FROM events),
         |sid AS (
         |  SELECT user_id, ts, event_id,
-        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |  FROM g)
         |SELECT user_id, session_id, count(*) AS n_events,
         |  min(ts) AS session_start, max(ts) AS session_end
@@ -499,7 +501,8 @@ object Relational2 {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "arr_collect" ->
-      """SELECT l_returnflag, list_sort(list(DISTINCT l_linestatus)) AS statuses,
+      """SELECT l_returnflag,
+        |  array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses,
         |  count(DISTINCT l_suppkey) AS n_supp
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
