@@ -7,7 +7,6 @@ import org.apache.spark.ml.clustering.LDA
 import org.apache.spark.ml.feature.{CountVectorizer, CountVectorizerModel, IDF, StopWordsRemover, Tokenizer}
 import org.apache.spark.ml.functions.vector_to_array
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The reference's batch analytics entry point on reddit-shaped frames —
@@ -94,14 +93,18 @@ object RedditProcessor {
     // post's id, so two comments on one post in the same second tie. Extend
     // the order with the payload columns; remaining ties are fully identical
     // rows, for which any row_id assignment yields the same output set.
-    val rowIdW = Window.orderBy(col("created_utc"), col("id"), col("text"),
-      col("score"), col("subreddit"))
-    val analysis = withTopics.select(
-      col("id") +: col("created_utc") +: col("subreddit") +: col("score") +:
-        col("text") +: col("sentiment_score") +: col("sentiment") +: topicCols: _*)
-      .withColumn("row_id",
-        concat_ws("_", row_number().over(rowIdW) - 1, lit(batchId)))
+    // The index itself comes from GlobalIndex (per-partition row_number +
+    // range-partition offsets) so no stage funnels the corpus through a
+    // single task — the round-1 plan audit's only non-distributed stage.
+    val analysis = graft.plans.GlobalIndex.withRowIndex(
+      withTopics.select(
+        col("id") +: col("created_utc") +: col("subreddit") +: col("score") +:
+          col("text") +: col("sentiment_score") +: col("sentiment") +: topicCols: _*),
+      Seq(col("created_utc"), col("id"), col("text"), col("score"), col("subreddit")),
+      "__idx")
+      .withColumn("row_id", concat_ws("_", col("__idx"), lit(batchId)))
       .withColumn("batch_id", lit(batchId))
+      .drop("__idx")
 
     val vocab = fm.stages(2).asInstanceOf[CountVectorizerModel].vocabulary
     val vocabCol = array(vocab.map(lit).toSeq: _*)

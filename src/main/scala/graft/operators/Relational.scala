@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Exact._
 import graft.Tables.load
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -118,16 +118,18 @@ object Relational {
     }),
 
     // §2.4 J1 positional zip-join (pandas index join, redditProcessor.py:123):
-    // row_number over an explicit total order on both sides, equi-join on it.
-    // The global window is fine for dim-sized inputs; at fact scale the same
-    // pattern runs per-partition with a partition offset (see plans/ notes).
+    // a dense global row number on both sides, equi-join on it. The row
+    // number comes from [[graft.plans.GlobalIndex]] (per-partition
+    // row_number + range-partition offsets), NOT a partition-less Window —
+    // every stage stays distributed at fact scale.
     "j1_zip_join" -> ((s, dir) => {
-      val c = load(s, dir, "customer")
-        .withColumn("rn", row_number().over(Window.orderBy(col("c_acctbal").desc, col("c_custkey"))))
-        .select(col("rn"), col("c_custkey"), col("c_acctbal"))
-      val sup = load(s, dir, "supplier")
-        .withColumn("rn", row_number().over(Window.orderBy(col("s_acctbal").desc, col("s_suppkey"))))
-        .select(col("rn"), col("s_suppkey"), col("s_acctbal"))
+      def indexed(df: DataFrame, order: Seq[Column]): DataFrame =
+        graft.plans.GlobalIndex.withRowIndex(df, order, "idx")
+          .withColumn("rn", col("idx") + 1L).drop("idx")
+      val c = indexed(load(s, dir, "customer").select("c_custkey", "c_acctbal"),
+        Seq(col("c_acctbal").desc, col("c_custkey")))
+      val sup = indexed(load(s, dir, "supplier").select("s_suppkey", "s_acctbal"),
+        Seq(col("s_acctbal").desc, col("s_suppkey")))
       c.join(sup, "rn")
         .select("rn", "c_custkey", "c_acctbal", "s_suppkey", "s_acctbal")
         .orderBy("rn")

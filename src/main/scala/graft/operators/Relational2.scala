@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Exact.{dec, dsum, hash32, hash32Sql}
 import graft.Tables.load
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -99,15 +99,33 @@ object Relational2 {
         .orderBy("user_id", "event_id")
     }),
 
-    // NTILE / RANK / DENSE_RANK / PERCENT_RANK over a total order.
+    // NTILE / RANK / DENSE_RANK / PERCENT_RANK over a TOTAL order
+    // (c_custkey breaks every tie), so the whole rank family reduces to
+    // arithmetic on the distributed global row index — no partition-less
+    // Window funneling all rows through one task. Were the order not total,
+    // rank/dense_rank would need a per-key min adjustment on top.
     "w3_ntile_rank" -> ((s, dir) => {
-      val w = Window.orderBy(col("c_acctbal").desc, col("c_custkey"))
-      load(s, dir, "customer")
-        .select(col("c_custkey"), col("c_acctbal"),
-          ntile(4).over(w).as("bucket"),
-          rank().over(w).as("rnk"),
-          dense_rank().over(w).as("drnk"),
-          percent_rank().over(w).as("prank"))
+      val base = graft.plans.GlobalIndex.withTotalCount(
+        load(s, dir, "customer").select("c_custkey", "c_acctbal"), "n")
+      val idx = graft.plans.GlobalIndex.withRowIndex(base,
+        Seq(col("c_acctbal").desc, col("c_custkey")), "idx")
+      // Exact long division for positive operands (values ≪ 2^53).
+      def ldiv(a: Column, b: Column): Column =
+        floor(a.cast("double") / b.cast("double")).cast("long")
+      // ANSI NTILE(k): first n%k buckets hold ⌈n/k⌉ rows, the rest ⌊n/k⌋.
+      val k = lit(4L)
+      val small = ldiv(col("n"), k)
+      val r = col("n") % k
+      val bucket = when(col("idx") < r * (small + 1L),
+        ldiv(col("idx"), small + 1L) + 1L)
+        .otherwise(r + ldiv(col("idx") - r * (small + 1L), small) + 1L)
+      idx.select(col("c_custkey"), col("c_acctbal"),
+        bucket.as("bucket"),
+        (col("idx") + 1L).as("rnk"),
+        (col("idx") + 1L).as("drnk"),
+        when(col("n") === 1L, 0.0)
+          .otherwise(col("idx").cast("double") / (col("n") - 1L).cast("double"))
+          .as("prank"))
         .orderBy("c_custkey")
     }),
 

@@ -54,6 +54,43 @@ class ScaleDesignSpec extends AnyFunSuite {
       s"HLL off by ${math.abs(approx - exact) / exact}")
   }
 
+  test("GlobalIndex matches the single-task window row_number exactly") {
+    import org.apache.spark.sql.expressions.Window
+    val df = graft.Tables.load(spark, "/root/testdata/sf0.001", "customer")
+      .select("c_custkey", "c_acctbal")
+    val order = Seq(col("c_acctbal").desc, col("c_custkey"))
+    val got = graft.plans.GlobalIndex.withRowIndex(df, order, "idx")
+      .select("c_custkey", "idx").orderBy("c_custkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val want = df
+      .withColumn("idx", row_number().over(Window.orderBy(order: _*)).cast("long") - 1L)
+      .select("c_custkey", "idx").orderBy("c_custkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.sameElements(want))
+  }
+
+  test("GlobalIndex plans: every Window over row-level data is partitioned") {
+    // A Window with no PARTITION BY compiles to Exchange SinglePartition —
+    // all rows through one task. GlobalIndex's only unpartitioned window is
+    // the cumulative offset sum over per-partition COUNTS (one row per
+    // partition, i.e. above an Aggregate — metadata-scale, not data-scale).
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      for (q <- Seq("j1_zip_join", "w3_ntile_rank")) {
+        val df = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+        val dataScaleGlobalWindows = df.queryExecution.executedPlan.collect {
+          case w: WindowExec if w.partitionSpec.isEmpty => w
+        }.filterNot(_.child.collect { case a: BaseAggregateExec => a }.nonEmpty)
+        assert(dataScaleGlobalWindows.isEmpty,
+          s"$q funnels row-level data through a single-task window:\n" +
+            dataScaleGlobalWindows.mkString("\n"))
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
   test("partitionBy layout prunes non-matching partitions at the scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString + "/ev"
     val ev = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
