@@ -64,4 +64,25 @@ class VaderSpec extends AnyFunSuite {
     val t = "really not a very good day, but GREAT coffee!!"
     assert(compound(t) == compound(t))
   }
+
+  test("negators that are themselves lexicon entries still flip ('no good')") {
+    // 'no' carries its own negative valence AND acts as a negator: "no good"
+    // must come out negative (1.9·(−0.74) − 1.2), not positive (1.9 − 1.2).
+    assert(compound("no good") < 0)
+    assert(label(compound("there is no good reason")) == "negative")
+    assert(compound("nope bad") > compound("bad")) // flip weakens the negative
+  }
+
+  test("resource lexicon loads and preserves the embedded subset verbatim") {
+    import graft.functions.VaderSentiment.{EmbeddedLexicon, Lexicon}
+    assert(Lexicon.size > 800, s"expected bundled lexicon, got ${Lexicon.size} entries")
+    EmbeddedLexicon.foreach { case (w, v) =>
+      assert(Lexicon.get(w).contains(v), s"resource diverges from embedded at '$w'")
+    }
+    // spot-check extended coverage outside the embedded subset
+    assert(label(compound("what a magnificent view")) == "positive")
+    assert(label(compound("the weather was dreadful")) == "negative")
+    assert(compound("an outstanding achievement") > 0.05)
+    assert(compound("a devastating tragedy") < -0.05)
+  }
 }
