@@ -39,4 +39,41 @@ class QueueDumpSourceSpec extends AnyFunSuite {
     val df = spark.read.format("graft.sources.QueueDumpSource").load(writeDump())
     assert(df.rdd.getNumPartitions == 2)
   }
+
+  test("equality and created_utc range predicates are pushed into the scan") {
+    import spark.implicits._
+    val dir = writeDump()
+    val df = spark.read.format("graft.sources.QueueDumpSource").load(dir)
+      .where(col("subreddit") === "sydney" && col("created_utc") >= "2024-01-01T00:00:00Z")
+      .select("id")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("pushedFilters=[") && plan.contains("EqualTo(subreddit,sydney)")
+      && plan.contains("GreaterThanOrEqual(created_utc,2024-01-01T00:00:00Z)"),
+      s"predicates not pushed into the scan:\n$plan")
+    assert(df.as[String].collect().sorted.toSeq == Seq("a", "b", "c"))
+    // a pushed filter that eliminates everything
+    val none = spark.read.format("graft.sources.QueueDumpSource").load(dir)
+      .where(col("created_utc") < "2020-01-01T00:00:00Z")
+    assert(none.count() == 0)
+    // pushed + residual mix: score range is NOT pushable (int), still applies
+    val mixed = spark.read.format("graft.sources.QueueDumpSource").load(dir)
+      .where(col("subreddit") === "sydney" && col("score") >= 2)
+    assert(mixed.select("id").as[String].collect().sorted.toSeq == Seq("b", "c"))
+  }
+
+  test("user-specified schema must match the declared post schema") {
+    import org.apache.spark.sql.types._
+    val dir = writeDump()
+    // the exact declared schema is accepted
+    val ok = spark.read.format("graft.sources.QueueDumpSource")
+      .schema(graft.streaming.QueuePipeline.postSchema).load(dir)
+    assert(ok.count() == 3)
+    // a divergent schema fails loudly instead of silently mis-mapping
+    val bad = intercept[Exception] {
+      spark.read.format("graft.sources.QueueDumpSource")
+        .schema(StructType(Seq(StructField("wrong", StringType)))).load(dir)
+        .collect()
+    }
+    assert(bad.getMessage.contains("fixed schema"), s"unexpected: ${bad.getMessage}")
+  }
 }
