@@ -135,6 +135,39 @@ object Relational {
         .orderBy("rn")
     }),
 
+    // §2.1 S2 / §2.9 D3 recursive comment-tree flatten
+    // (reddit_harvester_aus.py:60-63 replace_more + .list()). The fixture is
+    // a deterministic 4-level chain forest over documents (thread t owns
+    // doc_ids 4t..4t+3, parent = id−1), assembled bottom-up into the JSON
+    // wire shape with three joins, then flattened by the custom recursive
+    // Generator [[graft.plans.CommentTreeExplode]] — arbitrary depth via an
+    // explicit stack, one tree per row, no driver involvement. The oracle is
+    // DuckDB's WITH RECURSIVE flatten of the same parent-pointer relation.
+    "s2_tree_flatten" -> ((s, dir) => {
+      graft.plans.CommentTreeExplode.register(s)
+      val docs = load(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("id"),
+          (col("doc_id") % 4).cast("int").as("lvl"),
+          col("n_chars").cast("long").as("score"))
+      def nodeJson(id: Column, score: Column, replies: Column): Column =
+        concat(lit("{\"id\":"), id.cast("string"), lit(",\"score\":"),
+          score.cast("string"), lit(",\"replies\":["), replies, lit("]}"))
+      val l3 = docs.where(col("lvl") === 3).select(col("id").as("cid"),
+        nodeJson(col("id"), col("score"), lit("")).as("cjson"))
+      def up(l: Int, child: DataFrame): DataFrame =
+        docs.where(col("lvl") === l)
+          .join(child, col("id") + 1L === child("cid"), "left")
+          .select(col("id").as("cid"),
+            nodeJson(col("id"), col("score"),
+              coalesce(child("cjson"), lit(""))).as("cjson"))
+      val trees = up(0, up(1, up(2, l3)))
+      trees.select(graft.plans.CommentTreeExplode.commentTreeExplode(col("cjson"))
+          .as(Seq("id", "parent_id", "depth", "score")))
+        .select(col("id"), col("parent_id"), col("depth").cast("long").as("depth"),
+          col("score"))
+        .orderBy("id")
+    }),
+
     // §2.5 U1 by-name union after aligning to a common schema
     // (posts ∪ comments analog, redditProcessor.py:88-94).
     "u1_union" -> ((s, dir) => {
@@ -324,6 +357,21 @@ object Relational {
         |                  s_suppkey, s_acctbal FROM supplier)
         |SELECT c.rn AS rn, c_custkey, c_acctbal, s_suppkey, s_acctbal
         |FROM c JOIN s ON c.rn = s.rn ORDER BY rn""".stripMargin,
+
+    "s2_tree_flatten" ->
+      """WITH RECURSIVE nodes AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS id,
+        |    CASE WHEN doc_id % 4 = 0 THEN NULL
+        |         ELSE CAST(doc_id - 1 AS BIGINT) END AS parent_id,
+        |    CAST(n_chars AS BIGINT) AS score
+        |  FROM documents),
+        |flat AS (
+        |  SELECT id, parent_id, 0 AS depth, score FROM nodes WHERE parent_id IS NULL
+        |  UNION ALL
+        |  SELECT n.id, n.parent_id, f.depth + 1, n.score
+        |  FROM nodes n JOIN flat f ON n.parent_id = f.id)
+        |SELECT id, parent_id, CAST(depth AS BIGINT) AS depth, score
+        |FROM flat ORDER BY id""".stripMargin,
 
     "u1_union" ->
       """SELECT * FROM (
