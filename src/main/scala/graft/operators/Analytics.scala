@@ -61,8 +61,35 @@ object Analytics {
   private val ldaCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (org.apache.spark.ml.clustering.DistributedLDAModel, DataFrame, Array[String])]()
 
-  private def fitLda(s: SparkSession, dir: String): (org.apache.spark.ml.clustering.DistributedLDAModel, DataFrame, Array[String]) =
-    ldaCache.computeIfAbsent((s, dir), _ => fitLdaUncached(s, dir))
+  /** Entries beyond this many (session, dir) bins are evicted (and their
+    * cached frames unpersisted) — the cache cannot grow with the number of
+    * sf dirs a long-lived session touches. */
+  private val MaxCached = 4
+
+  private def fitLda(s: SparkSession, dir: String): (org.apache.spark.ml.clustering.DistributedLDAModel, DataFrame, Array[String]) = {
+    // Drop bins whose session has been stopped — their cached blocks died
+    // with the context; holding the handles would just pin dead objects.
+    ldaCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    val key = (s, dir)
+    val hit = ldaCache.get(key)
+    if (hit != null) return hit
+    // Fit OUTSIDE the map lock (computeIfAbsent would block every other
+    // access on this bin for the multi-second fit); on a lost race, release
+    // our copy and adopt the winner's.
+    val computed = fitLdaUncached(s, dir)
+    val prev = ldaCache.putIfAbsent(key, computed)
+    if (prev != null) { computed._2.unpersist(); prev }
+    else {
+      if (ldaCache.size > MaxCached) {
+        val it = ldaCache.entrySet().iterator()
+        while (ldaCache.size > MaxCached && it.hasNext) {
+          val e = it.next()
+          if (e.getKey != key) { e.getValue._2.unpersist(); it.remove() }
+        }
+      }
+      computed
+    }
+  }
 
   private def fitLdaUncached(s: SparkSession, dir: String) = {
     val c = corpus(s, dir)

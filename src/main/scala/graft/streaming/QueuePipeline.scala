@@ -79,13 +79,17 @@ object QueuePipeline {
       .select(col("doc.*"))
       .withColumn("created_utc", to_timestamp(col("created_utc"), "yyyy-MM-dd'T'HH:mm:ss'Z'"))
 
-  /** T4 — streaming dedup with bounded state: watermark + dropDuplicates on
-    * the natural key. On a batch DataFrame this degrades gracefully to a
-    * plain keyed dedup. */
+  /** T4 — streaming dedup with bounded state: watermark +
+    * dropDuplicatesWithinWatermark on the natural key ALONE. Identity is the
+    * key, not (key, event time) — a harvester re-emit of the same post id
+    * with a refreshed created_utc must still be dropped, matching the
+    * reference's seen-set membership semantics (SISMEMBER/SADD on the id,
+    * addReddit.py:46-52) and the batch branch. State is evicted once an
+    * entry's first-seen event time falls behind the watermark horizon. */
   def dedupByKey(df: DataFrame, key: String, eventTimeCol: String,
                  horizon: String = "7 days"): DataFrame =
     if (df.isStreaming)
-      df.withWatermark(eventTimeCol, horizon).dropDuplicates(key, eventTimeCol)
+      df.withWatermark(eventTimeCol, horizon).dropDuplicatesWithinWatermark(key)
     else df.dropDuplicates(Seq(key))
 
   /** K3/K5 — idempotent keyed append: the exactly-once sink half. Replaying

@@ -58,6 +58,10 @@ class StreamingSpec extends AnyFunSuite {
       q.processAllAvailable()
       mem.addData(s"[${post("b")},${post("c")}]") // b replays across batches
       q.processAllAvailable()
+      // identity is the KEY, not (key, event time): a harvester re-emit of
+      // the same id with a refreshed timestamp must also be dropped
+      mem.addData(s"[${post("a", ts = "2024-01-01T11:30:00Z")}]")
+      q.processAllAvailable()
       val ids = spark.table("dedup_out").select("id").as[String].collect().sorted
       assert(ids.toSeq == Seq("a", "b", "c"))
     } finally q.stop()
