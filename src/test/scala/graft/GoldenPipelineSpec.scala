@@ -60,6 +60,22 @@ class GoldenPipelineSpec extends AnyFunSuite {
       Seq("negative", "positive", "negative", "neutral", "positive"))
   }
 
+  test("golden: the full sf0.001 VADER battery is pinned, not trusted") {
+    // The nlp_* queries have no SQL oracle (VADER is not SQL-expressible);
+    // this pins the ENTIRE corpus' (doc_id, score, label) rows via an
+    // order-independent hash. Any change to the lexicon, cleaner, or scorer
+    // must consciously update the pin.
+    val sent = operators.Analytics.queries("nlp_sentiment")(spark, "/root/testdata/sf0.001")
+    val h = sent.select(md5(concat_ws("|", col("doc_id"),
+        format_number(col("sentiment_score"), 10), col("sentiment"))).as("h"))
+      .agg(md5(concat_ws(",", sort_array(collect_list(col("h"))))).as("corpus_hash"))
+      .collect().head.getString(0)
+    assert(h == "cf65dcf4f25338ab6be39e5c7fd2b31b", s"corpus sentiment hash drifted: $h")
+    val counts = operators.Analytics.queries("nlp_sentiment_counts")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => s"${r.getString(0)}:${r.getLong(1)}").mkString(",")
+    assert(counts == "negative:387,neutral:113", s"label distribution drifted: $counts")
+  }
+
   test("structural: analysis output contract on the sf0.001 pipeline") {
     val df = operators.Analytics.queries("nlp_analysis")(spark, "/root/testdata/sf0.001")
     val cols = df.columns.toSeq
