@@ -67,11 +67,17 @@ object RedditProcessor {
           .when(col("sentiment_score") < -0.05, "negative")
           .otherwise("neutral"))
 
+    // The corpus (scan → filter → union → sort → clean → VADER) is consumed
+    // by CountVectorizer.fit, IDF.fit, the LDA fit and the final transform;
+    // without a persist each pass re-runs the regex chain and VADER scorer
+    // over every row. maxDF is passed in fraction form (< 1.0 means a
+    // fraction of the doc count) so no eager count() is needed to size it.
+    corpus.persist()
     val pipeline = new Pipeline().setStages(Array(
       new Tokenizer().setInputCol("text").setOutputCol("raw_tokens"),
       new StopWordsRemover().setInputCol("raw_tokens").setOutputCol("tokens"),
       new CountVectorizer().setInputCol("tokens").setOutputCol("tf")
-        .setMinDF(2.0).setMaxDF(math.max(2.0, 0.95 * corpus.count())),
+        .setMinDF(2.0).setMaxDF(0.95),
       new IDF().setInputCol("tf").setOutputCol("features")))
     val fm = pipeline.fit(corpus)
     // Degenerate-corpus guard: an empty vocabulary (every term pruned by
@@ -84,9 +90,10 @@ object RedditProcessor {
       s"corpus too small for topic modeling: vocabulary=$vocabSize after minDF/maxDF pruning")
     val lda = new LDA().setK(K).setSeed(Seed).setOptimizer("em").setMaxIter(10)
       .setFeaturesCol("features")
-    val model = lda.fit(fm.transform(corpus))
+    val vecs = fm.transform(corpus)
+    val model = lda.fit(vecs)
 
-    val withTopics = model.transform(fm.transform(corpus))
+    val withTopics = model.transform(vecs)
       .withColumn("t", vector_to_array(col("topicDistribution")))
     val topicCols = (0 until K).map(i => col("t")(i).as(s"topic_${i + 1}"))
     // (created_utc, id) is NOT total for comments — they inherit the parent
@@ -117,6 +124,10 @@ object RedditProcessor {
         lit(batchId).as("batch_id"))
       .orderBy("topic")
 
+    // The eager multi-pass phase (the two fits) is over; the returned frames
+    // are evaluated once by the caller, so a single recompute of the corpus
+    // chain beats pinning its blocks for an unbounded caller lifetime.
+    corpus.unpersist()
     (analysis, topics)
   }
 }
