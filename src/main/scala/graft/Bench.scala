@@ -13,6 +13,10 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // Optional 1st arg: comma-separated query names (dev iteration only;
+    // the driver passes no args and times the full battery).
+    val only: Option[Set[String]] =
+      if (args.nonEmpty) Some(args(0).split(',').toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -29,7 +33,9 @@ object Bench {
     Tables.All.foreach(t => Tables.load(spark, sfDir, t).count())
     // Stable ordering: cheap scans first is irrelevant to totals, but a
     // deterministic run order makes cross-round comparisons meaningful.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }

@@ -92,21 +92,32 @@ object Analytics {
   }
 
   private def fitLdaUncached(s: SparkSession, dir: String) = {
-    val c = corpus(s, dir)
-    val pipeline = new Pipeline().setStages(Array(
-      new Tokenizer().setInputCol("text").setOutputCol("raw_tokens"),
-      new StopWordsRemover().setInputCol("raw_tokens").setOutputCol("tokens"),
-      new CountVectorizer().setInputCol("tokens").setOutputCol("tf")
-        .setMinDF(2.0).setMaxDF(0.95 * c.count()),
-      new IDF().setInputCol("tf").setOutputCol("features")))
-    val fm = pipeline.fit(c)
-    val vecs = fm.transform(c)
-    val lda = new LDA().setK(K).setSeed(Seed).setOptimizer("em").setMaxIter(10)
-      .setFeaturesCol("features")
-    val model = lda.fit(vecs)
-      .asInstanceOf[org.apache.spark.ml.clustering.DistributedLDAModel]
-    val vocab = fm.stages(2).asInstanceOf[org.apache.spark.ml.feature.CountVectorizerModel].vocabulary
-    (model, vecs.cache(), vocab)
+    // Same shape as RedditProcessor.analyze: the corpus (clean + VADER) is
+    // consumed by the CountVectorizer fit, the IDF fit, the transform and
+    // the LDA fit — persist it across those passes, and pass maxDF in
+    // fraction form (< 1.0 = fraction of the doc count, identical pruning)
+    // so no eager driver-blocking count() re-runs the chain to size it.
+    val c = corpus(s, dir).persist()
+    try {
+      val pipeline = new Pipeline().setStages(Array(
+        new Tokenizer().setInputCol("text").setOutputCol("raw_tokens"),
+        new StopWordsRemover().setInputCol("raw_tokens").setOutputCol("tokens"),
+        new CountVectorizer().setInputCol("tokens").setOutputCol("tf")
+          .setMinDF(2.0).setMaxDF(0.95),
+        new IDF().setInputCol("tf").setOutputCol("features")))
+      val fm = pipeline.fit(c)
+      // Cache vecs BEFORE the LDA fit: the fit's iterations populate the
+      // cache while the corpus cache is still hot, so after the finally
+      // unpersist(c) the returned frame reads its own cached blocks — no
+      // post-release recompute of the clean+VADER chain.
+      val vecs = fm.transform(c).cache()
+      val lda = new LDA().setK(K).setSeed(Seed).setOptimizer("em").setMaxIter(10)
+        .setFeaturesCol("features")
+      val model = lda.fit(vecs)
+        .asInstanceOf[org.apache.spark.ml.clustering.DistributedLDAModel]
+      val vocab = fm.stages(2).asInstanceOf[org.apache.spark.ml.feature.CountVectorizerModel].vocabulary
+      (model, vecs, vocab)
+    } finally c.unpersist()
   }
 
   val queries: Map[String, Q] = Map(

@@ -125,16 +125,25 @@ object Dedup {
 
     // MinHash + LSH banding: md5-derived minhash signature per doc, banded
     // into Bands buckets; docs sharing any band bucket are candidate dups.
+    // Signature uses the same shape as dd_ngram_jaccard above: ONE
+    // collect_set groupBy turns the shingle explode into a per-doc hash
+    // array, then each minhash_i is map-side array_min(transform(...)) over
+    // that array. The shuffle moves one row per doc, not every exploded
+    // (doc, shingle) row through a 12-aggregate hash agg — at 100× the
+    // exploded-row shuffle is the bottleneck; this one is linear in docs.
     "dd_minhash_lsh" -> ((s, dir) => {
       val tok = shingleSet(s, dir)
         .select(col("doc_id"), (hash32(col("sh")) % MersenneP).as("h"))
-      def mh(i: Int) = min((lit(mixA(i)) * col("h") + lit(mixB(i))) % MersenneP).as(s"h$i")
-      val sig = tok.groupBy("doc_id").agg(mh(0), (1 until NumHashes).map(mh): _*)
+      val docsh = tok.groupBy("doc_id").agg(collect_set(col("h")).as("hs"))
+      // h is already reduced mod P, so a_i·h + b_i < 2^62 — no overflow in
+      // either engine.
+      def mh(i: Int): Column = array_min(transform(col("hs"),
+        h => (lit(mixA(i)) * h + lit(mixB(i))) % MersenneP))
       val bandCols = (0 until Bands).map { b =>
-        val hs = (0 until RowsPerBand).map(r => col(s"h${b * RowsPerBand + r}"))
+        val hs = (0 until RowsPerBand).map(r => mh(b * RowsPerBand + r))
         struct(lit(b).as("band"), md5(concat_ws("|", lit(b) +: hs: _*)).as("bkt"))
       }
-      val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      val bands = docsh.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
         .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkt").as("bkt"))
       bands.as("x")
         .join(bands.as("y"),
@@ -216,19 +225,18 @@ object Dedup {
     },
 
     "dd_minhash_lsh" -> {
-      val sigCols = (0 until NumHashes)
-        .map(i => s"min((${mixA(i)} * h + ${mixB(i)}) % $MersenneP) AS h$i").mkString(",\n    ")
       val bandSelects = (0 until Bands).map { b =>
-        val hs = (0 until RowsPerBand).map(r => s"h${b * RowsPerBand + r}").mkString(", ")
-        s"SELECT doc_id, $b AS band, md5(concat_ws('|', $b, $hs)) AS bkt FROM sig"
+        val hs = (0 until RowsPerBand).map { r =>
+          val i = b * RowsPerBand + r
+          s"list_min(list_transform(hs, hh -> (${mixA(i)} * hh + ${mixB(i)}) % $MersenneP))"
+        }.mkString(", ")
+        s"SELECT doc_id, $b AS band, md5(concat_ws('|', $b, $hs)) AS bkt FROM docsh"
       }.mkString("\n  UNION ALL ")
       s"""WITH tok AS (
          |  SELECT doc_id, ${hash32Sql("sh")} % $MersenneP AS h
          |  FROM ($shingleSetSql)),
-         |sig AS (
-         |  SELECT doc_id,
-         |    $sigCols
-         |  FROM tok GROUP BY doc_id),
+         |docsh AS MATERIALIZED (
+         |  SELECT doc_id, list(DISTINCT h) AS hs FROM tok GROUP BY doc_id),
          |bands AS (
          |  $bandSelects)
          |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(DISTINCT x.band) AS n_bands

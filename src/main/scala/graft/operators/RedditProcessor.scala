@@ -73,61 +73,67 @@ object RedditProcessor {
     // over every row. maxDF is passed in fraction form (< 1.0 means a
     // fraction of the doc count) so no eager count() is needed to size it.
     corpus.persist()
-    val pipeline = new Pipeline().setStages(Array(
-      new Tokenizer().setInputCol("text").setOutputCol("raw_tokens"),
-      new StopWordsRemover().setInputCol("raw_tokens").setOutputCol("tokens"),
-      new CountVectorizer().setInputCol("tokens").setOutputCol("tf")
-        .setMinDF(2.0).setMaxDF(0.95),
-      new IDF().setInputCol("tf").setOutputCol("features")))
-    val fm = pipeline.fit(corpus)
-    // Degenerate-corpus guard: an empty vocabulary (every term pruned by
-    // minDF/maxDF — e.g. one shared word across all docs falls to maxDF)
-    // aborts deep inside the ML stage with an opaque "requirement failed".
-    // Diagnose it here; the reference crashes identically (sklearn raises
-    // on an empty vocabulary).
-    val vocabSize = fm.stages(2).asInstanceOf[CountVectorizerModel].vocabulary.length
-    require(vocabSize >= 1,
-      s"corpus too small for topic modeling: vocabulary=$vocabSize after minDF/maxDF pruning")
-    val lda = new LDA().setK(K).setSeed(Seed).setOptimizer("em").setMaxIter(10)
-      .setFeaturesCol("features")
-    val vecs = fm.transform(corpus)
-    val model = lda.fit(vecs)
+    try {
+      val pipeline = new Pipeline().setStages(Array(
+        new Tokenizer().setInputCol("text").setOutputCol("raw_tokens"),
+        new StopWordsRemover().setInputCol("raw_tokens").setOutputCol("tokens"),
+        new CountVectorizer().setInputCol("tokens").setOutputCol("tf")
+          .setMinDF(2.0).setMaxDF(0.95),
+        new IDF().setInputCol("tf").setOutputCol("features")))
+      val fm = pipeline.fit(corpus)
+      // Degenerate-corpus guard: an empty vocabulary (every term pruned by
+      // minDF/maxDF — e.g. one shared word across all docs falls to maxDF)
+      // aborts deep inside the ML stage with an opaque "requirement failed".
+      // Diagnose it here; the reference crashes identically (sklearn raises
+      // on an empty vocabulary).
+      val vocabSize = fm.stages(2).asInstanceOf[CountVectorizerModel].vocabulary.length
+      require(vocabSize >= 1,
+        s"corpus too small for topic modeling: vocabulary=$vocabSize after minDF/maxDF pruning")
+      val lda = new LDA().setK(K).setSeed(Seed).setOptimizer("em").setMaxIter(10)
+        .setFeaturesCol("features")
+      val vecs = fm.transform(corpus)
+      val model = lda.fit(vecs)
 
-    val withTopics = model.transform(vecs)
-      .withColumn("t", vector_to_array(col("topicDistribution")))
-    val topicCols = (0 until K).map(i => col("t")(i).as(s"topic_${i + 1}"))
-    // (created_utc, id) is NOT total for comments — they inherit the parent
-    // post's id, so two comments on one post in the same second tie. Extend
-    // the order with the payload columns; remaining ties are fully identical
-    // rows, for which any row_id assignment yields the same output set.
-    // The index itself comes from GlobalIndex (per-partition row_number +
-    // range-partition offsets) so no stage funnels the corpus through a
-    // single task — the round-1 plan audit's only non-distributed stage.
-    val analysis = graft.plans.GlobalIndex.withRowIndex(
-      withTopics.select(
-        col("id") +: col("created_utc") +: col("subreddit") +: col("score") +:
-          col("text") +: col("sentiment_score") +: col("sentiment") +: topicCols: _*),
-      Seq(col("created_utc"), col("id"), col("text"), col("score"), col("subreddit")),
-      "__idx")
-      .withColumn("row_id", concat_ws("_", col("__idx"), lit(batchId)))
-      .withColumn("batch_id", lit(batchId))
-      .drop("__idx")
+      val withTopics = model.transform(vecs)
+        .withColumn("t", vector_to_array(col("topicDistribution")))
+      val topicCols = (0 until K).map(i => col("t")(i).as(s"topic_${i + 1}"))
+      // (created_utc, id) is NOT total for comments — they inherit the parent
+      // post's id, so two comments on one post in the same second tie. Extend
+      // the order with the payload columns; remaining ties are fully identical
+      // rows, for which any row_id assignment yields the same output set.
+      // The index itself comes from GlobalIndex (per-partition row_number +
+      // range-partition offsets) so no stage funnels the corpus through a
+      // single task — the round-1 plan audit's only non-distributed stage.
+      val analysis = graft.plans.GlobalIndex.withRowIndex(
+        withTopics.select(
+          col("id") +: col("created_utc") +: col("subreddit") +: col("score") +:
+            col("text") +: col("sentiment_score") +: col("sentiment") +: topicCols: _*),
+        Seq(col("created_utc"), col("id"), col("text"), col("score"), col("subreddit")),
+        "__idx")
+        .withColumn("row_id", concat_ws("_", col("__idx"), lit(batchId)))
+        .withColumn("batch_id", lit(batchId))
+        .drop("__idx")
 
-    val vocab = fm.stages(2).asInstanceOf[CountVectorizerModel].vocabulary
-    val vocabCol = array(vocab.map(lit).toSeq: _*)
-    val topics = model.describeTopics(10)
-      .withColumn("words",
-        concat_ws(" ", transform(col("termIndices"), i => element_at(vocabCol, i + 1))))
-      .select(
-        concat_ws(": ", concat(lit("topic_"), col("topic") + 1), col("words")).as("topic_name"),
-        (col("topic") + 1).as("topic"),
-        lit(batchId).as("batch_id"))
-      .orderBy("topic")
+      val vocab = fm.stages(2).asInstanceOf[CountVectorizerModel].vocabulary
+      val vocabCol = array(vocab.map(lit).toSeq: _*)
+      val topics = model.describeTopics(10)
+        .withColumn("words",
+          concat_ws(" ", transform(col("termIndices"), i => element_at(vocabCol, i + 1))))
+        .select(
+          concat_ws(": ", concat(lit("topic_"), col("topic") + 1), col("words")).as("topic_name"),
+          (col("topic") + 1).as("topic"),
+          lit(batchId).as("batch_id"))
+        .orderBy("topic")
 
-    // The eager multi-pass phase (the two fits) is over; the returned frames
-    // are evaluated once by the caller, so a single recompute of the corpus
-    // chain beats pinning its blocks for an unbounded caller lifetime.
-    corpus.unpersist()
-    (analysis, topics)
+      (analysis, topics)
+    // The eager multi-pass phase (the two fits) is over. The returned frames
+    // are lazy: each ACTION a caller takes on them recomputes the corpus
+    // chain (clean + VADER + transform) once — a caller that runs several
+    // actions (as StreamDemo does) should persist the frames around its own
+    // consumption. We release here anyway: pinning the blocks for an
+    // unbounded caller lifetime is the worse default, and the finally also
+    // covers the failure paths (a fit throwing, the empty-vocabulary
+    // require) that would otherwise leak the cache for the session.
+    } finally corpus.unpersist()
   }
 }
