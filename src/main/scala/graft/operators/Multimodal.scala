@@ -1,8 +1,13 @@
 package graft.operators
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
 import graft.Tables.load
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.util.LongAccumulator
 
 /** A raw media row: opaque binary payload + typed metadata. */
 case class MediaRecord(media_id: Long, format: String, media: Array[Byte])
@@ -14,25 +19,41 @@ case class DecodedMedia(media_id: Long, format: String, n_bytes: Long,
 /** Multimodal-column operators: image/audio/video as opaque `binary` columns
   * with typed metadata, decoded via partition-wise typed transforms.
   *
-  * The DECODE STEP IS A STUB — this container ships no image/audio codecs,
-  * so `decode` derives deterministic fake dimensions from the payload bytes
-  * (clearly marked below). Everything around it is the real Spark plumbing a
-  * production pipeline needs and is what's tested: binary columns in
+  * Image decode is REAL: `synthesize` renders deterministic W×H images with
+  * `java.awt.image.BufferedImage` and encodes them to actual PNG/JPEG bytes
+  * with `javax.imageio` (JDK-bundled, zero external deps); `decode` parses
+  * those bytes back with per-partition `ImageReader`s and surfaces the
+  * header dimensions. The target dimensions are a pure function of the
+  * source text's byte length, so the DuckDB oracle recomputes them from the
+  * documents table — a hash match proves the encode→decode round trip
+  * recovered the real header values, not stub arithmetic. Only the mp4 leg
+  * remains a stub (the JDK ships no video codec): its payload stays the raw
+  * UTF-8 text bytes and its metadata is documented fake arithmetic.
+  *
+  * The plumbing is the shape a production pipeline needs: binary columns in
   * parquet-friendly schemas, `Dataset[MediaRecord]` typed rows,
   * `mapPartitions` batch iteration (one codec init per partition, NOT per
   * row — the same per-row-init bug the reference has with its sentiment
   * analyzer, redditProcessor.py:24), and frame-level explode downstream.
   *
-  * Scale: decode is embarrassingly parallel; partition count (not row count)
-  * bounds codec initializations. Frame sampling explodes 1→n_frames/stride
-  * rows map-side with no shuffle.
+  * Scale: encode/decode are embarrassingly parallel; partition count (not
+  * row count) bounds codec initializations. Frame sampling explodes
+  * 1→n_frames/stride rows map-side with no shuffle.
   */
 object Multimodal {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** Synthesize a media table from documents: payload = UTF-8 bytes of the
-    * text (stands in for real image/audio bytes), format from the source id. */
+  /** Deterministic image dimensions from the source text's UTF-8 byte
+    * length. Mirrored by the SQL oracle — keep both in sync. Small caps
+    * (≤112×68) keep per-row encode cost trivial. */
+  private def imgWidth(textBytes: Long): Int = 16 + (textBytes % 97).toInt
+  private def imgHeight(textBytes: Long): Int = 16 + ((textBytes * 31) % 53).toInt
+
+  /** Synthesize a media table from documents. png/jpeg rows carry REAL
+    * encoded image bytes (dimensions a pure function of the text length);
+    * mp4 rows carry the raw UTF-8 text bytes (video stays a stub). One
+    * `ImageWriter` per format per partition, reused across rows. */
   def synthesize(s: SparkSession, dir: String): Dataset[MediaRecord] = {
     import s.implicits._
     load(s, dir, "documents")
@@ -42,30 +63,64 @@ object Multimodal {
           .otherwise("mp4").as("format"),
         encode(col("text"), "UTF-8").as("media"))
       .as[MediaRecord]
+      .mapPartitions { it =>
+        // one encoder per format per PARTITION, reused across rows
+        val writers = Map(
+          "png" -> ImageIO.getImageWritersByFormatName("png").next(),
+          "jpeg" -> ImageIO.getImageWritersByFormatName("jpeg").next())
+        it.map { r =>
+          if (r.format == "mp4") r
+          else {
+            val textLen = r.media.length.toLong
+            val img = new BufferedImage(
+              imgWidth(textLen), imgHeight(textLen), BufferedImage.TYPE_INT_RGB)
+            val buf = new ByteArrayOutputStream()
+            val ios = ImageIO.createImageOutputStream(buf)
+            val w = writers(r.format)
+            w.setOutput(ios)
+            w.write(img)
+            ios.close()
+            r.copy(media = buf.toByteArray)
+          }
+        }
+      }
   }
 
-  /** Decode media → metadata. One "codec" init per PARTITION, then batch
-    * iteration — the shape a real decoder needs.
-    *
-    * STUB: dimensions are a deterministic function of payload length; a real
-    * deployment replaces the body of `decodeOne` with an actual codec call
-    * (e.g. TwelveMonkeys/ImageIO for images, JCodec for video). */
-  def decode(media: Dataset[MediaRecord]): Dataset[DecodedMedia] = {
+  /** Decode media → metadata. One `ImageReader` per format per PARTITION
+    * (`codecInits` counts the per-partition setups so a test can pin the
+    * invariant), then batch iteration with `setInput` per row — the reuse
+    * shape a real decoder needs. Width/height for png/jpeg come from the
+    * actual image header (`reader.getWidth(0)` parses the header without
+    * decoding pixel data — the cheap path for metadata extraction); mp4
+    * metadata is the documented stub arithmetic. */
+  def decode(media: Dataset[MediaRecord],
+             codecInits: Option[LongAccumulator] = None): Dataset[DecodedMedia] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      // real codec handle would be created HERE, once per partition
-      val codec = new Object
-      it.map { r => decodeOne(codec, r) }
+      // real codec handles created HERE, once per partition
+      val readers = Map(
+        "png" -> ImageIO.getImageReadersByFormatName("png").next(),
+        "jpeg" -> ImageIO.getImageReadersByFormatName("jpeg").next())
+      codecInits.foreach(_.add(1))
+      it.map { r =>
+        r.format match {
+          case "png" | "jpeg" =>
+            val reader = readers(r.format)
+            val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(r.media))
+            reader.setInput(iis)
+            val (w, h) = (reader.getWidth(0), reader.getHeight(0))
+            iis.close()
+            DecodedMedia(r.media_id, r.format, r.media.length.toLong, w, h, 1)
+          case _ =>
+            // mp4 STUB (no JDK video codec): fake metadata from byte length,
+            // mirrored by the SQL oracle
+            val n = r.media.length.toLong
+            DecodedMedia(r.media_id, r.format, n,
+              64 + (n % 577).toInt, 64 + ((n * 31) % 317).toInt,
+              1 + (n % 7).toInt)
+        }
+      }
     }
-  }
-
-  private def decodeOne(codec: AnyRef, r: MediaRecord): DecodedMedia = {
-    val n = r.media.length.toLong
-    // STUB arithmetic (mirrored by the SQL oracle); replace with codec output
-    val width = 64 + (n % 577).toInt
-    val height = 64 + ((n * 31) % 317).toInt
-    val frames = if (r.format == "mp4") 1 + (n % 7).toInt else 1
-    DecodedMedia(r.media_id, r.format, n, width, height, frames)
   }
 
   /** Metadata-level resize: halve dimensions (min 1). A real impl would
@@ -83,9 +138,14 @@ object Multimodal {
         explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_idx"))
 
   val queries: Map[String, Q] = Map(
-    // binary ingest → typed mapPartitions decode → metadata columns
+    // binary ingest → real ImageIO encode → typed mapPartitions decode →
+    // header-derived metadata columns. n_bytes is projected out: for
+    // png/jpeg it is the real encoded-image size, which DuckDB cannot
+    // recompute (it has no PNG encoder) — the oracle checks the columns
+    // whose values it can independently derive.
     "mm_decode" -> ((s, dir) =>
       decode(synthesize(s, dir)).toDF()
+        .select("media_id", "format", "width", "height", "n_frames")
         .orderBy("media_id")),
 
     // decode → frame sampling explode (video rows fan out, stills stay 1)
@@ -93,16 +153,18 @@ object Multimodal {
       frameSample(decode(synthesize(s, dir)), stride = 2)
         .orderBy("media_id", "frame_idx")))
 
-  /** The stub arithmetic is deliberately SQL-expressible so even the
-    * mapPartitions path gets a full value-level oracle check. */
+  /** png/jpeg width/height recompute the `synthesize` dimension spec from
+    * the raw text — a match proves the real encode→decode round trip.
+    * mp4 rows recompute the documented stub arithmetic. */
   val oracle: Map[String, String] = Map(
     "mm_decode" ->
       """SELECT doc_id AS media_id,
         |  CASE WHEN doc_id % 3 = 0 THEN 'png'
         |       WHEN doc_id % 3 = 1 THEN 'jpeg' ELSE 'mp4' END AS format,
-        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        |  CAST(64 + octet_length(encode(text)) % 577 AS INT) AS width,
-        |  CAST(64 + (octet_length(encode(text)) * 31) % 317 AS INT) AS height,
+        |  CAST(CASE WHEN doc_id % 3 = 2 THEN 64 + octet_length(encode(text)) % 577
+        |            ELSE 16 + octet_length(encode(text)) % 97 END AS INT) AS width,
+        |  CAST(CASE WHEN doc_id % 3 = 2 THEN 64 + (octet_length(encode(text)) * 31) % 317
+        |            ELSE 16 + (octet_length(encode(text)) * 31) % 53 END AS INT) AS height,
         |  CAST(CASE WHEN doc_id % 3 = 2
         |            THEN 1 + octet_length(encode(text)) % 7 ELSE 1 END AS INT) AS n_frames
         |FROM documents ORDER BY media_id""".stripMargin,
