@@ -8,8 +8,11 @@ package graft.functions
   * (Hutto & Gilbert, "VADER: A Parsimonious Rule-based Model for Sentiment
   * Analysis of Social Media Text", ICWSM 2014): lexicon valences modulated
   * by booster/dampener words, negation flips, ALL-CAPS emphasis, a
-  * "but"-clause pivot, and punctuation amplification, normalized to
-  * [-1, 1] via s/sqrt(s²+15). The lexicon loads from the bundled
+  * "but"-clause pivot, special-case idioms ("the bomb", "broken heart"),
+  * multi-word dampeners ("kind of", "sort of"), negation exceptions
+  * ("never so/this X" intensifies, "without doubt" affirms), a "least"
+  * de-intensifier ("least interesting", but not "at least"), and
+  * punctuation amplification, normalized to [-1, 1] via s/sqrt(s²+15). The lexicon loads from the bundled
   * `graft/vader_lexicon.tsv` classpath resource (829 entries); the
   * published 7.5k-entry MIT lexicon is a drop-in replacement for that
   * file when full production parity is needed.
@@ -105,7 +108,21 @@ object VaderSentiment {
     "almost" -> BoostDecr, "barely" -> BoostDecr, "hardly" -> BoostDecr,
     "kinda" -> BoostDecr, "less" -> BoostDecr, "little" -> BoostDecr,
     "marginally" -> BoostDecr, "occasionally" -> BoostDecr, "partly" -> BoostDecr,
-    "scarcely" -> BoostDecr, "slightly" -> BoostDecr, "somewhat" -> BoostDecr)
+    "scarcely" -> BoostDecr, "slightly" -> BoostDecr, "somewhat" -> BoostDecr,
+    "sorta" -> BoostDecr, "sortof" -> BoostDecr, "sort-of" -> BoostDecr,
+    "kindof" -> BoostDecr, "kind-of" -> BoostDecr)
+
+  /** Fixed-valence multi-word idioms (published special cases): when one of
+    * these n-grams surrounds a lexicon hit, the idiom valence REPLACES the
+    * word's own — "the bomb" is praise despite "bomb" being −2.2 alone. */
+  private[functions] val SpecialCaseIdioms: Map[String, Double] = Map(
+    "the shit" -> 3.0, "the bomb" -> 3.0, "bad ass" -> 1.5, "badass" -> 1.5,
+    "bus stop" -> 0.0, "yeah right" -> -2.0, "kiss of death" -> -1.5,
+    "to die for" -> 3.0, "beating heart" -> 3.1, "broken heart" -> -2.9)
+
+  /** Multi-word dampeners checked as n-grams BEFORE the lexicon hit:
+    * "kind of good" reads as hedged, not as kindness. */
+  private[functions] val DampenerNgrams: Set[String] = Set("kind of", "sort of")
 
   private[functions] val Negations: Set[String] = Set(
     "aint", "arent", "cannot", "cant", "couldnt", "darent", "didnt", "doesnt",
@@ -116,6 +133,35 @@ object VaderSentiment {
     "nowhere", "oughtnt", "oughtn't", "shant", "shan't", "shouldnt",
     "shouldn't", "wasnt", "wasn't", "werent", "weren't", "without", "wont",
     "won't", "wouldnt", "wouldn't", "rarely", "seldom", "despite", "no")
+
+  /** Special-idiom pass around the lexicon hit at `i`: any matching window
+    * REPLACES the word's valence (right-side windows win, as in the
+    * published scorer), then a dampener n-gram left of the hit shrinks the
+    * result toward zero by the booster decrement. Two deliberate
+    * divergences from the published code, both documented judgment calls:
+    * it runs for every lexicon hit (the published scorer gates the pass on
+    * i>2 with a non-lexicon word at i−3, so "a broken heart" at sentence
+    * start would miss), and the dampener is sign-aware (the published raw
+    * `+ B_DECR` makes negative words MORE negative — "sort of bad" should
+    * hedge toward zero, not intensify). */
+  private def idiomAdjust(valence0: Double, lower: Array[String], i: Int): Double = {
+    def gram(from: Int, to: Int): Option[String] =
+      if (from >= 0 && to < lower.length) Some(lower.slice(from, to + 1).mkString(" "))
+      else None
+    var v = valence0
+    Seq(gram(i - 1, i), gram(i - 2, i), gram(i - 2, i - 1),
+        gram(i - 3, i - 1), gram(i - 3, i - 2)).flatten
+      .collectFirst { case g if SpecialCaseIdioms.contains(g) => SpecialCaseIdioms(g) }
+      .foreach(v = _)
+    gram(i, i + 1).flatMap(SpecialCaseIdioms.get).foreach(v = _)
+    gram(i, i + 2).flatMap(SpecialCaseIdioms.get).foreach(v = _)
+    if (v != 0.0) {
+      val sign = if (v >= 0) 1.0 else -1.0
+      Seq(gram(i - 3, i - 1), gram(i - 3, i - 2), gram(i - 2, i - 1)).flatten
+        .foreach(g => if (DampenerNgrams.contains(g)) v += sign * BoostDecr)
+    }
+    v
+  }
 
   private def stripPunct(w: String): String =
     w.dropWhile(c => !c.isLetterOrDigit && c != '\'')
@@ -140,7 +186,11 @@ object VaderSentiment {
     var i = 0
     while (i < words.length) {
       val w = lower(i)
-      if (Lexicon.contains(w) && !Boosters.contains(w)) {
+      // "kind of" is a dampener bigram, not kindness — the lexicon entry
+      // for "kind" must not fire when "of" follows (published scorer skips
+      // it the same way).
+      val kindOf = w == "kind" && i + 1 < words.length && lower(i + 1) == "of"
+      if (Lexicon.contains(w) && !Boosters.contains(w) && !kindOf) {
         var valence = Lexicon(w)
         val sign = if (valence >= 0) 1.0 else -1.0
         if (capsMatter && isAllCaps(raw(i))) valence += sign * CapsIncr
@@ -157,9 +207,27 @@ object VaderSentiment {
           // lexicon entry ("no", "nope") — otherwise "no good" would score
           // positive (1.9 − 1.2) instead of flipping, diverging from the
           // published scorer's labels on these common phrasings.
-          if (Negations.contains(prev)) valence *= NegScalar
+          if (Negations.contains(prev)) {
+            // Published exceptions: "never so/this X" reads as emphasis
+            // ("never so happy" → ×1.25, not a flip); "without doubt X" is
+            // an affirmation, not a negation.
+            def soThis(k: Int) = k >= 0 && (lower(k) == "so" || lower(k) == "this")
+            def doubt(k: Int) = k >= 0 && lower(k) == "doubt"
+            val neverIntens = prev == "never" &&
+              ((j == 2 && soThis(i - 1)) || (j == 3 && (soThis(i - 2) || soThis(i - 1))))
+            val withoutDoubt = prev == "without" &&
+              ((j == 2 && doubt(i - 1)) || (j == 3 && (doubt(i - 2) || doubt(i - 1))))
+            if (neverIntens) valence *= 1.25
+            else if (!withoutDoubt) valence *= NegScalar
+          }
           j += 1
         }
+        valence = idiomAdjust(valence, lower, i)
+        // "least X" de-intensifies ("the least interesting talk") unless it
+        // is part of "at least" / "very least".
+        if (i >= 1 && lower(i - 1) == "least" &&
+            (i < 2 || (lower(i - 2) != "at" && lower(i - 2) != "very")))
+          valence *= NegScalar
         sentiments(i) = valence
       }
       i += 1

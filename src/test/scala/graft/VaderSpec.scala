@@ -73,6 +73,42 @@ class VaderSpec extends AnyFunSuite {
     assert(compound("nope bad") > compound("bad")) // flip weakens the negative
   }
 
+  test("special-case idioms override the anchor word's valence") {
+    // "bomb" is −2.2 alone, but "the bomb" is praise (+3.0)
+    assert(compound("this party is the bomb") > 0.05)
+    assert(compound("a bomb went off") < -0.05)
+    // "broken heart" (−2.9) fires via the right-side window of "broken"
+    assert(compound("she has a broken heart") < compound("she has a broken phone"))
+    // "kiss of death" (−1.5) fires via the 3-gram ending at "death"
+    assert(label(compound("that decision was the kiss of death")) == "negative")
+    // "yeah right" (−2.0) is sarcasm, not agreement
+    assert(compound("yeah right") < 0 && compound("yeah") > 0)
+  }
+
+  test("multi-word dampeners hedge toward zero") {
+    assert(compound("kind of good") < compound("good"))
+    assert(compound("kind of good") > 0)
+    // sign-aware: "sort of bad" hedges toward zero, never intensifies
+    assert(compound("sort of bad") > compound("bad"))
+    assert(compound("sort of bad") < 0)
+    // "kind of" must not fire the kindness lexicon entry for "kind"
+    assert(compound("kind of ok") < compound("kind ok"))
+  }
+
+  test("negation exceptions: 'never so/this' intensifies, 'without doubt' affirms") {
+    assert(compound("never so happy") > compound("happy"))
+    assert(compound("never this excited") > compound("excited"))
+    assert(compound("never happy") < 0) // plain negation still flips
+    assert(compound("without doubt excellent") > 0.05)
+    assert(compound("without merit excellent") < compound("excellent")) // other 'without' still negates
+  }
+
+  test("'least' de-intensifies except in 'at least' / 'very least'") {
+    assert(compound("the least interesting talk") < compound("an interesting talk"))
+    assert(compound("at least good") > 0)
+    assert(compound("least good") < 0)
+  }
+
   test("resource lexicon loads and preserves the embedded subset verbatim") {
     import graft.functions.VaderSentiment.{EmbeddedLexicon, Lexicon}
     assert(Lexicon.size > 800, s"expected bundled lexicon, got ${Lexicon.size} entries")
