@@ -76,6 +76,20 @@ class GoldenPipelineSpec extends AnyFunSuite {
     assert(counts == "negative:387,neutral:113", s"label distribution drifted: $counts")
   }
 
+  test("golden: nlp_topics top-10 word sets are pinned on the frozen corpus") {
+    // Last of the 4 no_oracle rows to get a pinned check: the seed-42 EM
+    // LDA is deterministic, so the per-topic top-10 word SETS (order
+    // independent within a topic and across topics) are frozen. Any change
+    // to the cleaner, lexicon, vectorizer pruning, or LDA config must
+    // consciously update this pin.
+    val topics = operators.Analytics.queries("nlp_topics")(spark, "/root/testdata/sf0.001")
+    val h = topics.select(md5(concat_ws("|", col("topic"),
+        concat_ws(" ", sort_array(split(col("words"), " "))))).as("h"))
+      .agg(md5(concat_ws(",", sort_array(collect_list(col("h"))))).as("topics_hash"))
+      .collect().head.getString(0)
+    assert(h == "3ec65ce63c11def52a1273ad94ec99c7", s"topic word sets drifted: $h")
+  }
+
   test("structural: analysis output contract on the sf0.001 pipeline") {
     val df = operators.Analytics.queries("nlp_analysis")(spark, "/root/testdata/sf0.001")
     val cols = df.columns.toSeq

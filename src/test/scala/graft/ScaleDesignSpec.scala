@@ -79,7 +79,9 @@ class ScaleDesignSpec extends AnyFunSuite {
     val aqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      for (q <- Seq("j1_zip_join", "w3_ntile_rank")) {
+      // nlp_analysis is the flagship: its row_id assignment must stay on
+      // GlobalIndex, not regress to a partition-less row_number window.
+      for (q <- Seq("j1_zip_join", "w3_ntile_rank", "nlp_analysis")) {
         val df = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
         val dataScaleGlobalWindows = df.queryExecution.executedPlan.collect {
           case w: WindowExec if w.partitionSpec.isEmpty => w
