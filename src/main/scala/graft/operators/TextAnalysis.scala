@@ -86,11 +86,20 @@ object TextAnalysis {
     // Corpus n-gram statistics: top-20 bigrams by occurrence count — the
     // standard vocabulary diagnostic before training. One explode + one
     // hash-shuffle on the bigram; top-k is TakeOrdered, no global sort.
+    //
+    // Bigrams come from zip_with over two shifted slices, not
+    // transform(sequence)+element_at — inside a lambda the token array is
+    // an outer expression that re-evaluates per ELEMENT (O(n²) per doc;
+    // see VectorFns.shingles3 for the measured 8× gap). Bench history for
+    // this query (3.6s r1 → 5.7s r2 → 4.6s r3 → 3.7s r4-pre, identical
+    // code each round) was machine/JIT variance: solo runs measured 5.8–6.0s
+    // vs 3.7s in-battery on the same binary the same day.
     "ta_ngram_topk" -> ((s, dir) => {
       val t = toks(col("text"))
-      val bigrams = when(size(t) >= 2,
-        transform(sequence(lit(0), size(t) - 2),
-          i => concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2))))
+      val n = size(t)
+      val bigrams = when(n >= 2,
+        zip_with(slice(t, lit(1), n - 1), slice(t, lit(2), n - 1),
+          (a, b) => concat_ws(" ", a, b)))
         .otherwise(array().cast("array<string>"))
       load(s, dir, "documents")
         .select(explode(bigrams).as("ngram"))

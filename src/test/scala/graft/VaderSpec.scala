@@ -121,4 +121,22 @@ class VaderSpec extends AnyFunSuite {
     assert(compound("an outstanding achievement") > 0.05)
     assert(compound("a devastating tragedy") < -0.05)
   }
+
+  test("round-4 lexicon batch (940 entries): curated coverage goldens") {
+    import graft.functions.VaderSentiment.Lexicon
+    assert(Lexicon.size == 940, s"lexicon entry count drifted: ${Lexicon.size}")
+    // exact pinned values for the batch's anchors
+    assert(Lexicon("shit") == -2.6 && Lexicon("scam") == -2.2)
+    assert(Lexicon("stellar") == 2.7 && Lexicon("blissful") == 2.9)
+    // label-level goldens across the batch
+    assert(label(compound("that deal was a total scam")) == "negative")
+    assert(label(compound("an absolutely stellar performance")) == "positive")
+    assert(label(compound("the meeting was tedious and monotonous")) == "negative")
+    assert(label(compound("a cozy and serene cabin")) == "positive")
+    assert(label(compound("his excruciating and unbearable commute")) == "negative")
+    assert(label(compound("she is a gifted and dependable friend")) == "positive")
+    // the new "shit" anchor lets the "the shit" idiom fire (praise)
+    assert(compound("this mixtape is the shit") > 0.05)
+    assert(compound("this mixtape is shit") < -0.05)
+  }
 }
