@@ -105,18 +105,33 @@ object Dedup {
       }
       val bands = docsh.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
         .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkt").as("bkt"))
-      val cand = bands.as("x")
-        .join(bands.as("y"),
-          col("x.band") === col("y.band") && col("x.bkt") === col("y.bkt") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      // Bucket-grouped candidate pairs (see dd_minhash_lsh for why this
+      // beats a bands self-join: the shingle chain is NOT exchange-reused
+      // across self-join sides).
+      val cand = bands.groupBy("band", "bkt")
+        .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+        .where(size(col("ids")) > 1)
+        .select(explode(flatten(transform(col("ids"), (x, i) =>
+          transform(slice(col("ids"), i + 2, size(col("ids"))),
+            y => struct(x.as("a"), y.as("b")))))).as("p"))
+        .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
         .distinct()
-      cand
-        .join(docsh.as("da"), col("doc_a") === col("da.doc_id"))
-        .join(docsh.as("db"), col("doc_b") === col("db.doc_id"))
+      // Verify on candidates only, touching docsh ONCE: explode each pair
+      // into its two sides, join the shingle arrays in one pass, then fold
+      // the pair back together. The per-side rows are 2× the (small)
+      // candidate count, so the extra groupBy shuffles candidate-scale
+      // data, while the doc-scale chain runs a single time.
+      val sides = cand
         .select(col("doc_a"), col("doc_b"),
-          size(array_intersect(col("da.shs"), col("db.shs"))).cast("double").as("inter"),
-          size(col("da.shs")).cast("double").as("na"), size(col("db.shs")).cast("double").as("nb"))
+          explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+        .join(docsh, "doc_id")
+      sides.groupBy("doc_a", "doc_b")
+        .agg(
+          first(when(col("doc_id") === col("doc_a"), col("shs")), ignoreNulls = true).as("sa"),
+          first(when(col("doc_id") === col("doc_b"), col("shs")), ignoreNulls = true).as("sb"))
+        .select(col("doc_a"), col("doc_b"),
+          size(array_intersect(col("sa"), col("sb"))).cast("double").as("inter"),
+          size(col("sa")).cast("double").as("na"), size(col("sb")).cast("double").as("nb"))
         .select(col("doc_a"), col("doc_b"),
           (col("inter") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
         .where(col("jaccard") >= JaccardTau)
@@ -125,12 +140,17 @@ object Dedup {
 
     // MinHash + LSH banding: md5-derived minhash signature per doc, banded
     // into Bands buckets; docs sharing any band bucket are candidate dups.
-    // Signature uses the same shape as dd_ngram_jaccard above: ONE
-    // collect_set groupBy turns the shingle explode into a per-doc hash
-    // array, then each minhash_i is map-side array_min(transform(...)) over
-    // that array. The shuffle moves one row per doc, not every exploded
-    // (doc, shingle) row through a 12-aggregate hash agg — at 100× the
-    // exploded-row shuffle is the bottleneck; this one is linear in docs.
+    // Signature: ONE collect_set groupBy turns the shingle explode into a
+    // per-doc hash array, then each minhash_i is map-side
+    // array_min(transform(...)) over that array.
+    //
+    // Candidate generation is BUCKET-GROUPED, not a bands-self-join: group
+    // by (band, bucket), keep buckets with ≥2 docs, and explode the i<j
+    // pairs map-side from the sorted id array. A self-join would embed the
+    // scan→shingle→md5→collect_set chain on BOTH sides — and Spark does NOT
+    // reuse the exchange across them (measured: the chain executes once per
+    // instance), so this shape halves the heavy work. Cost stays Σ bucket²
+    // for pair output, but the chain runs exactly once.
     "dd_minhash_lsh" -> ((s, dir) => {
       val tok = shingleSet(s, dir)
         .select(col("doc_id"), (hash32(col("sh")) % MersenneP).as("h"))
@@ -145,12 +165,14 @@ object Dedup {
       }
       val bands = docsh.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
         .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkt").as("bkt"))
-      bands.as("x")
-        .join(bands.as("y"),
-          col("x.band") === col("y.band") && col("x.bkt") === col("y.bkt") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-        .agg(countDistinct(col("x.band")).as("n_bands"))
+      bands.groupBy("band", "bkt")
+        .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+        .where(size(col("ids")) > 1)
+        .select(col("band"), explode(flatten(transform(col("ids"), (x, i) =>
+          transform(slice(col("ids"), i + 2, size(col("ids"))),
+            y => struct(x.as("a"), y.as("b")))))).as("p"))
+        .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+        .agg(countDistinct(col("band")).as("n_bands"))
         .orderBy("doc_a", "doc_b")
     }),
 
