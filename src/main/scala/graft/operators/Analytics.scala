@@ -23,8 +23,8 @@ import org.apache.spark.sql.functions._
   * doc-topic matrix back by pandas row position (J1, redditProcessor.py:123);
   * `LDAModel.transform` appends `topicDistribution` in place, so no
   * positional join exists to get wrong. `describeTopics(10)` replaces the
-  * argsort top-k (O4). sklearn's batch-variational LDA and Spark's EM
-  * optimizer agree structurally (valid 20-topic distributions), not bitwise —
+  * argsort top-k (O4). sklearn's batch-variational LDA and Spark's online
+  * VB optimizer agree structurally (valid 20-topic distributions), not bitwise —
   * these queries are rows-only checked; the relational scaffolding around
   * them is oracle-checked elsewhere.
   *
@@ -59,14 +59,14 @@ object Analytics {
     * frame are bound to the session that built them, and a fresh session in
     * the same JVM must not receive a handle into a stopped one. */
   private val ldaCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (org.apache.spark.ml.clustering.DistributedLDAModel, DataFrame, Array[String])]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (org.apache.spark.ml.clustering.LDAModel, DataFrame, Array[String])]()
 
   /** Entries beyond this many (session, dir) bins are evicted (and their
     * cached frames unpersisted) — the cache cannot grow with the number of
     * sf dirs a long-lived session touches. */
   private val MaxCached = 4
 
-  private def fitLda(s: SparkSession, dir: String): (org.apache.spark.ml.clustering.DistributedLDAModel, DataFrame, Array[String]) = {
+  private def fitLda(s: SparkSession, dir: String): (org.apache.spark.ml.clustering.LDAModel, DataFrame, Array[String]) = {
     // Drop bins whose session has been stopped — their cached blocks died
     // with the context; holding the handles would just pin dead objects.
     ldaCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
@@ -111,10 +111,18 @@ object Analytics {
       // unpersist(c) the returned frame reads its own cached blocks — no
       // post-release recompute of the clean+VADER chain.
       val vecs = fm.transform(c).cache()
-      val lda = new LDA().setK(K).setSeed(Seed).setOptimizer("em").setMaxIter(10)
+      // Online variational Bayes (Spark's default optimizer), the same
+      // inference family as the reference's sklearn LatentDirichletAllocation
+      // (Hoffman et al. 2010): EM materializes the full doc-term graph as
+      // GraphX state across every iteration — O(total tokens) cluster state
+      // that becomes the bottleneck long before 100 TB — while online VB
+      // streams seeded mini-batches and keeps only the k×V topic matrix.
+      // Measured at sf0.1: fit 5.9 s (EM) -> 2.4 s (online), same structural
+      // contract (SURVEY §7.4: valid distributions + pinned word sets, not
+      // bitwise parity; GoldenPipelineSpec re-pinned with this optimizer).
+      val lda = new LDA().setK(K).setSeed(Seed).setOptimizer("online").setMaxIter(10)
         .setFeaturesCol("features")
       val model = lda.fit(vecs)
-        .asInstanceOf[org.apache.spark.ml.clustering.DistributedLDAModel]
       val vocab = fm.stages(2).asInstanceOf[org.apache.spark.ml.feature.CountVectorizerModel].vocabulary
       (model, vecs, vocab)
     } finally c.unpersist()

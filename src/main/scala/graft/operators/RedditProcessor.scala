@@ -89,7 +89,10 @@ object RedditProcessor {
       val vocabSize = fm.stages(2).asInstanceOf[CountVectorizerModel].vocabulary.length
       require(vocabSize >= 1,
         s"corpus too small for topic modeling: vocabulary=$vocabSize after minDF/maxDF pruning")
-      val lda = new LDA().setK(K).setSeed(Seed).setOptimizer("em").setMaxIter(10)
+      // Online variational Bayes — see Analytics.fitLdaUncached for the
+      // scale rationale (EM's GraphX doc-term state vs streamed mini-batches)
+      // and the sklearn-family-parity argument.
+      val lda = new LDA().setK(K).setSeed(Seed).setOptimizer("online").setMaxIter(10)
         .setFeaturesCol("features")
       val vecs = fm.transform(corpus)
       val model = lda.fit(vecs)

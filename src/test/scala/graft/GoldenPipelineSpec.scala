@@ -77,8 +77,9 @@ class GoldenPipelineSpec extends AnyFunSuite {
   }
 
   test("golden: nlp_topics top-10 word sets are pinned on the frozen corpus") {
-    // Last of the 4 no_oracle rows to get a pinned check: the seed-42 EM
-    // LDA is deterministic, so the per-topic top-10 word SETS (order
+    // Last of the 4 no_oracle rows to get a pinned check: the seed-42
+    // online-VB LDA is deterministic (seeded mini-batch sampling over a
+    // deterministic input partitioning), so the per-topic top-10 word SETS (order
     // independent within a topic and across topics) are frozen. Any change
     // to the cleaner, lexicon, vectorizer pruning, or LDA config must
     // consciously update this pin.
@@ -87,7 +88,7 @@ class GoldenPipelineSpec extends AnyFunSuite {
         concat_ws(" ", sort_array(split(col("words"), " "))))).as("h"))
       .agg(md5(concat_ws(",", sort_array(collect_list(col("h"))))).as("topics_hash"))
       .collect().head.getString(0)
-    assert(h == "3ec65ce63c11def52a1273ad94ec99c7", s"topic word sets drifted: $h")
+    assert(h == "9da15b4d080c3a37d1d4b01c2d57d633", s"topic word sets drifted: $h")
   }
 
   test("structural: analysis output contract on the sf0.001 pipeline") {
