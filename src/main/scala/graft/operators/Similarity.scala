@@ -76,7 +76,13 @@ object Similarity {
     }),
 
     // LSH-bucketed near-neighbor pairs: hyperplane bucket per vector, score
-    // only within-bucket pairs.
+    // only within-bucket pairs. Bucket-grouped pair generation, not a
+    // self-join (same reasoning as dd_minhash_lsh: Spark does not reuse the
+    // exchange across self-join sides, so the join shape runs the scan +
+    // 8-hyperplane bucket computation once PER SIDE — the grouped shape runs
+    // it exactly once). Σ bucket² pair cost is identical; bucket occupancy is
+    // governed by the plane count (each added plane halves expected bucket
+    // size), which is the knob a 100 TB deployment sizes to its data volume.
     "ann_lsh" -> ((s, dir) => {
       graft.plans.ArrayExprs.register(s)
       import graft.plans.ArrayExprs.dotProduct
@@ -84,11 +90,15 @@ object Similarity {
         .select(col("vec_id"), col("embedding").as("v"))
         .withColumn("nrm", sqrt(dotProduct(col("v"), col("v"))))
         .withColumn("bucket", bucket(col("v")))
-      e.as("a").join(e.as("b"),
-          col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.bucket").as("bucket"),
-          col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-          round(dotProduct(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 6).as("score"))
+      e.groupBy("bucket")
+        .agg(sort_array(collect_list(struct(col("vec_id"), col("v"), col("nrm")))).as("es"))
+        .where(size(col("es")) > 1)
+        .select(col("bucket"), explode(flatten(transform(col("es"), (x, i) =>
+          transform(slice(col("es"), i + 2, size(col("es"))),
+            y => struct(x.as("a"), y.as("b")))))).as("p"))
+        .select(col("bucket"),
+          col("p.a.vec_id").as("vec_a"), col("p.b.vec_id").as("vec_b"),
+          round(dotProduct(col("p.a.v"), col("p.b.v")) / (col("p.a.nrm") * col("p.b.nrm")), 6).as("score"))
         .orderBy("bucket", "vec_a", "vec_b")
     }))
 
