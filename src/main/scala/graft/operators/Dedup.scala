@@ -55,6 +55,11 @@ object Dedup {
   private val JaccardTau = 0.8
   /** embedding cosine near-dup threshold. */
   private val CosTau = 0.4
+  /** Decontamination: shingles appearing in more docs than this are treated
+    * as boilerplate and dropped (also the join-skew bound); pairs sharing at
+    * least MinShared surviving shingles are flagged. */
+  private val DecontamMaxShDocs = 20
+  private val DecontamMinShared = 3
   /** SimHash signature width (bits of the 32-bit token hash used). */
   private val SimBits = 16
 
@@ -191,6 +196,39 @@ object Dedup {
       sig.select(col("doc_id"), simhash.as("simhash")).orderBy("doc_id")
     }),
 
+    // Benchmark decontamination: find training docs that share >= MinShared
+    // distinct 3-token shingles with a held-out benchmark doc (here: every
+    // doc_id % 10 == 0 plays the benchmark set). The standard pre-training
+    // hygiene pass — n-gram overlap against eval sets — as one shingle-hash
+    // equi-join:
+    //   shingles → doc-frequency prune (shingles in > MaxShDocs docs are
+    //   boilerplate AND the join-skew hazard: a shingle shared by k docs
+    //   produces k_train × k_bench join rows, so the prune bounds the worst
+    //   key's fan-out) → bench ⋈ train on the shingle hash → count per pair.
+    // Scale: two hash-shuffles (doc-frequency, join) + one pair groupBy,
+    // all keyed — linear in corpus shingles, never pairwise in docs.
+    "dd_decontaminate" -> ((s, dir) => {
+      // distinct (doc, h): two shingles of one doc may collide into one h
+      // after the mod-P reduction — both engines must dedup identically.
+      val sh = shingleSet(s, dir)
+        .select(col("doc_id"), (hash32(col("sh")) % MersenneP).as("h"))
+        .distinct()
+      val rare = sh.groupBy("h")
+        .agg(collect_set(col("doc_id")).as("ds"))
+        .where(size(col("ds")) <= DecontamMaxShDocs)
+      // The doc lists per surviving shingle are <= MaxShDocs long, so the
+      // bench × train expansion happens map-side from the grouped row — the
+      // shingle's doc set never re-joins the corpus.
+      rare
+        .select(explode(expr(
+          "flatten(transform(filter(ds, d -> d % 10 <> 0), t -> " +
+            "transform(filter(ds, d -> d % 10 = 0), b -> struct(t AS t, b AS b))))")).as("p"))
+        .groupBy(col("p.t").as("train_id"), col("p.b").as("bench_id"))
+        .agg(count(lit(1)).as("n_shared"))
+        .where(col("n_shared") >= DecontamMinShared)
+        .orderBy("train_id", "bench_id")
+    }),
+
     // Embedding-cosine near-dup: exact pairwise verifier above CosTau.
     // Norms are precomputed per vector (not per pair), and the pair loop
     // runs the codegen'd DotProduct expression — the fold order matches the
@@ -282,6 +320,20 @@ object Dedup {
          |  FROM tok GROUP BY doc_id)
          |SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM sig ORDER BY doc_id""".stripMargin
     },
+
+    "dd_decontaminate" ->
+      s"""WITH sh AS (
+         |  SELECT DISTINCT doc_id, ${hash32Sql("sh")} % $MersenneP AS h
+         |  FROM ($shingleSetSql)),
+         |rare AS (
+         |  SELECT h FROM sh GROUP BY h HAVING count(*) <= $DecontamMaxShDocs),
+         |shf AS (SELECT sh.doc_id, sh.h FROM sh JOIN rare USING (h)),
+         |bench AS (SELECT doc_id AS bench_id, h FROM shf WHERE doc_id % 10 = 0),
+         |train AS (SELECT doc_id AS train_id, h FROM shf WHERE doc_id % 10 <> 0)
+         |SELECT train_id, bench_id, count(*) AS n_shared
+         |FROM train JOIN bench USING (h)
+         |GROUP BY train_id, bench_id HAVING count(*) >= $DecontamMinShared
+         |ORDER BY train_id, bench_id""".stripMargin,
 
     "dd_embed_cos" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)

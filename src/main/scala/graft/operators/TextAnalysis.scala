@@ -20,6 +20,12 @@ object TextAnalysis {
   // BPE-ish pre-tokenizer: letter runs, digit runs, single non-space symbols.
   private val BpeRe = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
 
+  // PII patterns, restricted to the Java-regex ∩ RE2 common subset so the
+  // DuckDB oracle evaluates them identically (greedy classes + \b only; no
+  // backrefs, no lookaround).
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "\\b555-[0-9]{3}-[0-9]{4}\\b"
+
   private val Stopwords = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
 
   // Tiny per-language stopword profiles for the n-gram/stopword language-ID
@@ -116,7 +122,67 @@ object TextAnalysis {
         .select(col("doc_id"),
           md5(array_join(array_sort(array_distinct(toks(col("text")))), " "))
             .as("fingerprint"))
-        .orderBy("doc_id")))
+        .orderBy("doc_id")),
+
+    // PII redaction: regex-scrub emails and phone numbers, keeping per-doc
+    // redaction counts for audit. The synthetic corpus carries no PII, so
+    // the query plants deterministic doc_id-derived PII first (mirrored by
+    // the oracle) — the operator under test is the scrub itself. Pure
+    // map-side regex work: at 100 TB this is an embarrassingly parallel
+    // column transform with zero shuffle before the oracle ORDER BY.
+    "ta_pii_redact" -> ((s, dir) => {
+      val planted = concat(col("text"),
+        when(col("doc_id") % 3 =!= 0,
+          concat(lit(" contact user"), col("doc_id"), lit("@mail.example.com")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 2 === 0,
+          concat(lit(" call 555-"), (col("doc_id") % 900 + 100).cast("string"),
+            lit("-"), ((col("doc_id") * 7) % 9000 + 1000).cast("string")))
+          .otherwise(lit("")))
+      load(s, dir, "documents")
+        .select(col("doc_id"), planted.as("enriched"))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("enriched"), lit(EmailRe), lit(0)))
+            .cast("long").as("n_emails"),
+          size(regexp_extract_all(col("enriched"), lit(PhoneRe), lit(0)))
+            .cast("long").as("n_phones"),
+          regexp_replace(regexp_replace(col("enriched"), EmailRe, "<EMAIL>"),
+            PhoneRe, "<PHONE>").as("redacted"))
+        .orderBy("doc_id")
+    }),
+
+    // Gopher-style repetition signals (Rae et al. 2021 §A1.1): fraction of
+    // duplicate tokens, most-frequent-token share, most-frequent-bigram
+    // share — the standard cheap repetition filters before training.
+    // Shape: explode → count per (doc, gram) → per-doc max/sum. Everything
+    // is keyed by doc or gram (two hash shuffles per gram size, linear in
+    // corpus tokens); the token- and bigram-level aggregates co-partition
+    // on doc_id so the final join is shuffle-free under AQE.
+    "ta_repetition" -> ((s, dir) => {
+      val t = toks(col("text"))
+      val n = size(t)
+      val bigrams = when(n >= 2,
+        zip_with(slice(t, lit(1), n - 1), slice(t, lit(2), n - 1),
+          (a, b) => concat_ws(" ", a, b)))
+        .otherwise(array().cast("array<string>"))
+      val docs = load(s, dir, "documents")
+      def gramStats(gram: org.apache.spark.sql.Column, nToks: String, maxG: String, nDist: String) =
+        docs.select(col("doc_id"), explode(gram).as("g"))
+          .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id")
+          .agg(sum(col("c")).as(nToks), max(col("c")).as(maxG),
+            count(lit(1)).as(nDist))
+      val tokStats = gramStats(t, "n_tokens", "max_tok", "n_distinct")
+      val bgStats = gramStats(bigrams, "n_bigrams", "max_bg", "n_bg_distinct")
+      tokStats.join(bgStats, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          (lit(1.0) - col("n_distinct").cast("double") / col("n_tokens"))
+            .as("dup_token_frac"),
+          (col("max_tok").cast("double") / col("n_tokens")).as("top_token_frac"),
+          coalesce(col("max_bg").cast("double") / col("n_bigrams"), lit(0.0))
+            .as("top_bigram_frac"))
+        .orderBy("doc_id")
+    }))
 
   private def sqlHits(words: Seq[String]): String =
     s"CAST(len(list_filter(string_split(lower(text), ' '), t -> t IN (${words.map(w => s"'$w'").mkString(", ")}))) AS BIGINT)"
@@ -166,5 +232,44 @@ object TextAnalysis {
       """SELECT doc_id,
         |  md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' '))
         |    AS fingerprint
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "ta_pii_redact" ->
+      s"""WITH e AS (
+         |  SELECT doc_id, text
+         |    || CASE WHEN doc_id % 3 <> 0
+         |            THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com'
+         |            ELSE '' END
+         |    || CASE WHEN doc_id % 2 = 0
+         |            THEN ' call 555-' || CAST(doc_id % 900 + 100 AS VARCHAR)
+         |                 || '-' || CAST((doc_id * 7) % 9000 + 1000 AS VARCHAR)
+         |            ELSE '' END AS enriched
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(enriched, '$EmailRe')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(enriched, '$PhoneRe')) AS BIGINT) AS n_phones,
+         |  regexp_replace(regexp_replace(enriched, '$EmailRe', '<EMAIL>', 'g'),
+         |                 '$PhoneRe', '<PHONE>', 'g') AS redacted
+         |FROM e ORDER BY doc_id""".stripMargin,
+
+    "ta_repetition" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS g FROM documents),
+        |tc AS (SELECT doc_id, g, count(*) AS c FROM tok GROUP BY doc_id, g),
+        |ts AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |              max(c) AS max_tok, count(*) AS n_distinct
+        |       FROM tc GROUP BY doc_id),
+        |bg0 AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, greatest(len(t), 1)),
+        |         i -> t[i] || ' ' || t[i+1])) AS g
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)),
+        |bc AS (SELECT doc_id, g, count(*) AS c FROM bg0 GROUP BY doc_id, g),
+        |bs AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams, max(c) AS max_bg
+        |       FROM bc GROUP BY doc_id)
+        |SELECT ts.doc_id, n_tokens,
+        |  1.0 - CAST(n_distinct AS DOUBLE) / n_tokens AS dup_token_frac,
+        |  CAST(max_tok AS DOUBLE) / n_tokens AS top_token_frac,
+        |  coalesce(CAST(max_bg AS DOUBLE) / n_bigrams, 0.0) AS top_bigram_frac
+        |FROM ts LEFT JOIN bs ON ts.doc_id = bs.doc_id
+        |ORDER BY ts.doc_id""".stripMargin)
 }
