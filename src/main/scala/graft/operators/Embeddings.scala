@@ -28,6 +28,10 @@ object Embeddings {
   private val TopK = 3
   private val NumQueries = 5
 
+  /** k-means: cluster count and unrolled Lloyd iterations (assign → update
+    * → assign). Deterministic seeding: the first KmK vectors. */
+  private val KmK = 8
+
   val queries: Map[String, Q] = Map(
     // Exact per-label centroid, long form (label, dim, mean). Double sums
     // are made order-independent by folding the group's values in sorted
@@ -44,6 +48,51 @@ object Embeddings {
           count(lit(1)).as("n"))
         .select(col("label"), col("dim"), (col("sx") / col("n")).as("mean"))
         .orderBy("label", "dim")),
+
+    // Distributed k-means over embeddings (the SemDeDup/cluster-curation
+    // primitive): deterministic seeds → cosine assignment → exact mean
+    // update → re-assignment. Per iteration the cluster state is k×d
+    // doubles broadcast to every task (assignment is map-side against the
+    // broadcast centroids — no shuffle) and the update is ONE keyed
+    // aggregation — the canonical scale shape, linear per iteration at any
+    // corpus size. Iterations are unrolled (2 here) so the whole refinement
+    // is a single declarative plan; centroid means use the same sorted-fold
+    // trick as emb_centroid so both engines compute bit-identical centroids.
+    "emb_kmeans" -> ((s, dir) => {
+      graft.plans.ArrayExprs.register(s)
+      import graft.plans.ArrayExprs.dotProduct
+      val e = load(s, dir, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+        .withColumn("nrm", sqrt(dotProduct(col("v"), col("v"))))
+      val seeds = e.where(col("vec_id") < KmK)
+        .select(col("vec_id").cast("int").as("cluster"), col("v").as("cv"),
+          col("nrm").as("cnrm"))
+
+      val wBest = Window.partitionBy("vec_id").orderBy(col("c").desc, col("cluster"))
+      def assign(cents: DataFrame): DataFrame =
+        e.crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("v"), col("cluster"),
+            round(dotProduct(col("v"), col("cv")) / (col("nrm") * col("cnrm")), 6).as("c"))
+          .withColumn("rn", row_number().over(wBest))
+          .where(col("rn") === 1)
+          .select("vec_id", "v", "cluster", "c")
+
+      def update(asg: DataFrame): DataFrame =
+        asg.select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
+          .groupBy("cluster", "dim")
+          .agg(aggregate(array_sort(collect_list(col("x"))), lit(0.0),
+            (acc, v) => acc + v).as("sx"), count(lit(1)).as("n"))
+          .groupBy("cluster")
+          .agg(sort_array(collect_list(struct(col("dim"), (col("sx") / col("n")).as("m"))))
+            .as("dm"))
+          .select(col("cluster"), transform(col("dm"), s => s.getField("m")).as("cv"))
+          .withColumn("cnrm", sqrt(dotProduct(col("cv"), col("cv"))))
+
+      assign(update(assign(seeds)))
+        .select(col("vec_id"), col("cluster"), col("c").as("score"))
+        .orderBy("vec_id")
+    }),
 
     // IVF ANN: assign all vectors to nearest seed cell (cosine), then for
     // each query probe the NProbe nearest cells and take cosine top-k among
@@ -100,6 +149,29 @@ object Embeddings {
         |FROM (SELECT label, generate_subscripts(embedding, 1) AS dim, unnest(embedding) AS x
         |      FROM embeddings)
         |GROUP BY label, dim ORDER BY label, dim""".stripMargin,
+
+    "emb_kmeans" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |s0 AS (SELECT CAST(vec_id AS INT) AS cluster, v AS cv FROM e WHERE vec_id < $KmK),
+         |a1r AS (
+         |  SELECT e.vec_id, e.v, cluster,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY round(list_cosine_similarity(e.v, cv), 6) DESC, cluster) AS rn
+         |  FROM e, s0),
+         |a1 AS (SELECT vec_id, v, cluster FROM a1r WHERE rn = 1),
+         |u AS (
+         |  SELECT cluster, dim, list_sum(list(x ORDER BY x)) / count(*) AS m
+         |  FROM (SELECT cluster, generate_subscripts(v, 1) AS dim, unnest(v) AS x FROM a1)
+         |  GROUP BY cluster, dim),
+         |c1 AS (SELECT cluster, list(m ORDER BY dim) AS cv FROM u GROUP BY cluster),
+         |a2r AS (
+         |  SELECT e.vec_id, cluster,
+         |    round(list_cosine_similarity(e.v, cv), 6) AS c,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY round(list_cosine_similarity(e.v, cv), 6) DESC, cluster) AS rn
+         |  FROM e, c1)
+         |SELECT vec_id, cluster, c AS score FROM a2r WHERE rn = 1
+         |ORDER BY vec_id""".stripMargin,
 
     "ann_ivf" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

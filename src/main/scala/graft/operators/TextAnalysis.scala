@@ -26,6 +26,11 @@ object TextAnalysis {
   private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val PhoneRe = "\\b555-[0-9]{3}-[0-9]{4}\\b"
 
+  /** Chunking: window of ChunkSize tokens advancing by ChunkStride
+    * (ChunkSize − ChunkStride tokens of overlap between neighbors). */
+  private val ChunkSize = 32
+  private val ChunkStride = 24
+
   private val Stopwords = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
 
   // Tiny per-language stopword profiles for the n-gram/stopword language-ID
@@ -151,6 +156,30 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // Sliding-window chunking — context packing for training: fixed-size
+    // token windows with overlap (stride < window), the standard shape for
+    // turning long documents into model-context-sized samples. One explode
+    // over per-doc start indices; the slice/join are map-side array ops, so
+    // at 100 TB this is shuffle-free row expansion (fan-out bounded by
+    // n_tokens / stride per doc).
+    "ta_chunk" -> ((s, dir) => {
+      val t = toks(col("text"))
+      val n = size(t)
+      // n_chunks - 1 = ceil(max(n - ChunkSize, 0) / Stride); +23/24 floor
+      // form keeps the arithmetic identical in both engines.
+      val lastIdx = floor((greatest(n - ChunkSize, lit(0)) + (ChunkStride - 1))
+        / lit(ChunkStride.toDouble)).cast("int")
+      load(s, dir, "documents")
+        .select(col("doc_id"), t.as("t"),
+          explode(sequence(lit(0), lastIdx)).as("chunk_idx"))
+        .select(col("doc_id"), col("chunk_idx"),
+          slice(col("t"), col("chunk_idx") * ChunkStride + 1, lit(ChunkSize)).as("c"))
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          size(col("c")).cast("long").as("n_tokens"),
+          array_join(col("c"), " ").as("chunk_text"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
     // Gopher-style repetition signals (Rae et al. 2021 §A1.1): fraction of
     // duplicate tokens, most-frequent-token share, most-frequent-bigram
     // share — the standard cheap repetition filters before training.
@@ -251,6 +280,22 @@ object TextAnalysis {
          |  regexp_replace(regexp_replace(enriched, '$EmailRe', '<EMAIL>', 'g'),
          |                 '$PhoneRe', '<PHONE>', 'g') AS redacted
          |FROM e ORDER BY doc_id""".stripMargin,
+
+    "ta_chunk" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+         |idx AS (
+         |  SELECT doc_id, t,
+         |    unnest(range(0, 1 + CAST(floor(
+         |      (greatest(len(t) - $ChunkSize, 0) + ${ChunkStride - 1})
+         |        / ${ChunkStride.toDouble}) AS INT))) AS chunk_idx
+         |  FROM d)
+         |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+         |  CAST(len(list_slice(t, chunk_idx * $ChunkStride + 1,
+         |                      chunk_idx * $ChunkStride + $ChunkSize)) AS BIGINT) AS n_tokens,
+         |  array_to_string(list_slice(t, chunk_idx * $ChunkStride + 1,
+         |                             chunk_idx * $ChunkStride + $ChunkSize), ' ') AS chunk_text
+         |FROM idx ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "ta_repetition" ->
       """WITH tok AS (
