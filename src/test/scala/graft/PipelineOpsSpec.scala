@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structural invariants for the training-pipeline operators added in round
+  * 4 (decontamination, PII redaction, repetition signals, chunking,
+  * k-means). Value-level correctness is the DuckDB oracle's job; these pin
+  * the properties a user relies on that a hash match alone doesn't state.
+  */
+class PipelineOpsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("ta_chunk: contiguous indices, full windows except the tail, exact coverage") {
+    val chunks = operators.TextAnalysis.queries("ta_chunk")(spark, dir)
+    val perDoc = chunks.groupBy("doc_id").agg(
+      count(lit(1)).as("n_chunks"), max(col("chunk_idx")).as("max_idx"))
+    // indices are 0..max with no gaps
+    assert(perDoc.where(col("n_chunks") =!= col("max_idx") + 1).count() == 0)
+    // every non-tail chunk is a full window; every chunk is within size
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    val tagged = chunks.withColumn("max_idx", max(col("chunk_idx")).over(w))
+    assert(tagged.where(col("chunk_idx") < col("max_idx") && col("n_tokens") =!= 32)
+      .count() == 0)
+    assert(chunks.where(col("n_tokens") > 32 || col("n_tokens") < 1).count() == 0)
+    // stride coverage: 24*max_idx + tail tokens == whitespace token count
+    val tails = tagged.where(col("chunk_idx") === col("max_idx"))
+      .select(col("doc_id"), (col("max_idx") * 24 + col("n_tokens")).as("covered"))
+    val toks = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), size(split(lower(col("text")), " ")).cast("long").as("n"))
+    assert(tails.join(toks, "doc_id").where(col("covered") =!= col("n")).count() == 0)
+  }
+
+  test("ta_pii_redact: no residual PII, plant accounted, markers present") {
+    val out = operators.TextAnalysis.queries("ta_pii_redact")(spark, dir)
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phoneRe = "\\b555-[0-9]{3}-[0-9]{4}\\b"
+    assert(out.where(regexp_like(col("redacted"), lit(emailRe))).count() == 0)
+    assert(out.where(regexp_like(col("redacted"), lit(phoneRe))).count() == 0)
+    // the deterministic plant is always found (>= covers PII-looking text)
+    assert(out.where(col("doc_id") % 3 =!= 0 && col("n_emails") < 1).count() == 0)
+    assert(out.where(col("doc_id") % 2 === 0 && col("n_phones") < 1).count() == 0)
+    assert(out.where(col("n_emails") > 0 && !col("redacted").contains("<EMAIL>"))
+      .count() == 0)
+    assert(out.where(col("n_phones") > 0 && !col("redacted").contains("<PHONE>"))
+      .count() == 0)
+  }
+
+  test("ta_repetition: fractions bounded and mutually consistent") {
+    val out = operators.TextAnalysis.queries("ta_repetition")(spark, dir)
+    assert(out.count() == 500)
+    assert(out.where(col("dup_token_frac") < 0 || col("dup_token_frac") >= 1).count() == 0)
+    assert(out.where(col("top_token_frac") <= 0 || col("top_token_frac") > 1).count() == 0)
+    assert(out.where(col("top_bigram_frac") < 0 || col("top_bigram_frac") > 1).count() == 0)
+    // the most frequent token can never be rarer than uniform
+    assert(out.where(col("top_token_frac") * col("n_tokens") < 1).count() == 0)
+  }
+
+  test("dd_decontaminate: pairs go train -> bench and meet the threshold") {
+    val out = operators.Dedup.queries("dd_decontaminate")(spark, dir)
+    assert(out.where(col("train_id") % 10 === 0).count() == 0)
+    assert(out.where(col("bench_id") % 10 =!= 0).count() == 0)
+    assert(out.where(col("n_shared") < 3).count() == 0)
+  }
+
+  test("emb_kmeans: total assignment, valid clusters, deterministic") {
+    val out = operators.Embeddings.queries("emb_kmeans")(spark, dir)
+    val n = Tables.load(spark, dir, "embeddings").count()
+    assert(out.count() == n)
+    assert(out.select(countDistinct(col("vec_id"))).head().getLong(0) == n)
+    assert(out.where(col("cluster") < 0 || col("cluster") >= 8).count() == 0)
+    assert(out.where(col("score") < -1.0 || col("score") > 1.0).count() == 0)
+    def h(df: org.apache.spark.sql.DataFrame): String =
+      df.select(md5(concat_ws("|", col("vec_id"), col("cluster"), col("score"))).as("r"))
+        .agg(md5(concat_ws(",", sort_array(collect_list(col("r"))))))
+        .head().getString(0)
+    assert(h(out) == h(operators.Embeddings.queries("emb_kmeans")(spark, dir)))
+  }
+}
