@@ -93,6 +93,47 @@ class ScaleDesignSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
   }
 
+  test("LSH queries keep the bucket-grouped shape: one scan chain, no self-join") {
+    // Spark does NOT reuse exchanges across self-join sides, so a bands/
+    // bucket self-join would run the scan→shingle→hash chain once per side
+    // (the round-3 dd_minhash_lsh regression). The grouped form has exactly
+    // one parquet scan of its input table and no join at all — pin both.
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec, ShuffledHashJoinExec}
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false") // AQE hides the inner plan pre-execution
+    try {
+      for (q <- Seq("dd_minhash_lsh", "ann_lsh")) {
+        val df = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+        val plan = df.queryExecution.executedPlan
+        val scans = plan.collect {
+          case s if s.nodeName.contains("Scan") => s
+        }
+        assert(scans.size == 1, s"$q reads its input ${scans.size}x (expected 1):\n$plan")
+        val joins = plan.collect {
+          case j: SortMergeJoinExec => j
+          case j: ShuffledHashJoinExec => j
+          case j: BroadcastHashJoinExec => j
+        }
+        assert(joins.isEmpty, s"$q reintroduced a join:\n$plan")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
+  test("no cartesian product anywhere except deliberate broadcast-tiny crosses") {
+    // The only cross joins allowed in the battery are broadcast nested loops
+    // against provably tiny sides (ANN query sets, k-means centroids).
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      for ((name, fn) <- SparkEntry.queries if !name.startsWith("nlp_")) {
+        val plan = fn(spark, "/root/testdata/sf0.001").queryExecution.executedPlan
+        val cartesians = plan.collect { case c: CartesianProductExec => c }
+        assert(cartesians.isEmpty, s"$name plans a CartesianProduct:\n$plan")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
   test("partitionBy layout prunes non-matching partitions at the scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString + "/ev"
     val ev = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
