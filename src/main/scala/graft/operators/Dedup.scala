@@ -60,6 +60,9 @@ object Dedup {
     * least MinShared surviving shingles are flagged. */
   private val DecontamMaxShDocs = 20
   private val DecontamMinShared = 3
+  /** Connected-components round bound (label propagation converges in
+    * O(component diameter) rounds; star-shaped duplicate groups need 2). */
+  private val MaxCcIters = 16
   /** SimHash signature width (bits of the 32-bit token hash used). */
   private val SimBits = 16
 
@@ -76,6 +79,58 @@ object Dedup {
       |  SELECT doc_id, unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
       |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
       |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents))""".stripMargin
+
+  /** n-gram (3-shingle) Jaccard near-dups above JaccardTau — the LSH-
+    * candidate-verified form, shared by `dd_ngram_jaccard` (which just adds
+    * the oracle ORDER BY) and `dd_components` (which uses the pairs as
+    * near-dup edges). ONE groupBy turns the shingle explode into a per-doc
+    * array of 60-bit md5-derived shingle hashes; MinHash bands are pure
+    * map-side array math over that array; candidate pairs come
+    * bucket-grouped from (band, bucket) — Σ bucket², never n², and never a
+    * self-join (the shingle chain is NOT exchange-reused across self-join
+    * sides; see dd_minhash_lsh). The exact Jaccard verify touches the
+    * doc-shingle frame ONCE: explode each pair into its two sides, join the
+    * shingle arrays in one pass, fold the pair back together — per-side
+    * rows are 2× the (small) candidate count, so the extra groupBy shuffles
+    * candidate-scale data while the doc-scale chain runs a single time. */
+  private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val tok = shingleSet(s, dir)
+      .select(col("doc_id"),
+        conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long").as("h"))
+    val docsh = tok.groupBy("doc_id").agg(collect_set(col("h")).as("shs"))
+    // minhash_i over the array: map-side, no extra shuffle. h is 60-bit so
+    // reduce mod P before the a·h mix to stay under 2^63 in both engines.
+    def mh(i: Int): Column = array_min(transform(col("shs"),
+      h => (lit(mixA(i)) * (h % MersenneP) + lit(mixB(i))) % MersenneP))
+    val bandCols = (0 until JBands).map { b =>
+      val hs = (0 until JRows).map(r => mh(b * JRows + r))
+      struct(lit(b).as("band"), md5(concat_ws("|", lit(b) +: hs: _*)).as("bkt"))
+    }
+    val bands = docsh.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkt").as("bkt"))
+    val cand = bands.groupBy("band", "bkt")
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .distinct()
+    val sides = cand
+      .select(col("doc_a"), col("doc_b"),
+        explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .join(docsh, "doc_id")
+    sides.groupBy("doc_a", "doc_b")
+      .agg(
+        first(when(col("doc_id") === col("doc_a"), col("shs")), ignoreNulls = true).as("sa"),
+        first(when(col("doc_id") === col("doc_b"), col("shs")), ignoreNulls = true).as("sb"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sa"), col("sb"))).cast("double").as("inter"),
+        size(col("sa")).cast("double").as("na"), size(col("sb")).cast("double").as("nb"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
+      .where(col("jaccard") >= JaccardTau)
+  }
 
   val queries: Map[String, Q] = Map(
     // Exact dedup: group by content hash of the normalized text; keep the
@@ -95,53 +150,8 @@ object Dedup {
     // the two docs' shingle arrays. Every branch (bands, both candidate
     // sides) reads the SAME groupBy exchange, so Catalyst's ReuseExchange
     // runs the scan+explode+md5 once — no persist, no recompute.
-    "dd_ngram_jaccard" -> ((s, dir) => {
-      val tok = shingleSet(s, dir)
-        .select(col("doc_id"),
-          conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long").as("h"))
-      val docsh = tok.groupBy("doc_id").agg(collect_set(col("h")).as("shs"))
-      // minhash_i over the array: map-side, no extra shuffle. h is 60-bit so
-      // reduce mod P before the a·h mix to stay under 2^63 in both engines.
-      def mh(i: Int): Column = array_min(transform(col("shs"),
-        h => (lit(mixA(i)) * (h % MersenneP) + lit(mixB(i))) % MersenneP))
-      val bandCols = (0 until JBands).map { b =>
-        val hs = (0 until JRows).map(r => mh(b * JRows + r))
-        struct(lit(b).as("band"), md5(concat_ws("|", lit(b) +: hs: _*)).as("bkt"))
-      }
-      val bands = docsh.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
-        .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkt").as("bkt"))
-      // Bucket-grouped candidate pairs (see dd_minhash_lsh for why this
-      // beats a bands self-join: the shingle chain is NOT exchange-reused
-      // across self-join sides).
-      val cand = bands.groupBy("band", "bkt")
-        .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
-        .where(size(col("ids")) > 1)
-        .select(explode(flatten(transform(col("ids"), (x, i) =>
-          transform(slice(col("ids"), i + 2, size(col("ids"))),
-            y => struct(x.as("a"), y.as("b")))))).as("p"))
-        .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
-        .distinct()
-      // Verify on candidates only, touching docsh ONCE: explode each pair
-      // into its two sides, join the shingle arrays in one pass, then fold
-      // the pair back together. The per-side rows are 2× the (small)
-      // candidate count, so the extra groupBy shuffles candidate-scale
-      // data, while the doc-scale chain runs a single time.
-      val sides = cand
-        .select(col("doc_a"), col("doc_b"),
-          explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
-        .join(docsh, "doc_id")
-      sides.groupBy("doc_a", "doc_b")
-        .agg(
-          first(when(col("doc_id") === col("doc_a"), col("shs")), ignoreNulls = true).as("sa"),
-          first(when(col("doc_id") === col("doc_b"), col("shs")), ignoreNulls = true).as("sb"))
-        .select(col("doc_a"), col("doc_b"),
-          size(array_intersect(col("sa"), col("sb"))).cast("double").as("inter"),
-          size(col("sa")).cast("double").as("na"), size(col("sb")).cast("double").as("nb"))
-        .select(col("doc_a"), col("doc_b"),
-          (col("inter") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
-        .where(col("jaccard") >= JaccardTau)
-        .orderBy("doc_a", "doc_b")
-    }),
+    "dd_ngram_jaccard" -> ((s, dir) =>
+      jaccardPairs(s, dir).orderBy("doc_a", "doc_b")),
 
     // MinHash + LSH banding: md5-derived minhash signature per doc, banded
     // into Bands buckets; docs sharing any band bucket are candidate dups.
@@ -229,6 +239,68 @@ object Dedup {
         .orderBy("train_id", "bench_id")
     }),
 
+    // Connected components over the duplicate graph — the step that turns
+    // pairwise dup evidence into dedup CLUSTERS (keep one doc per
+    // component, drop the rest). Three edge sources, so components chain
+    // across evidence kinds the way a production dedup needs: star edges
+    // within content-hash groups (exact dups), star edges within
+    // token-set-fingerprint groups (word-order permutations), and the
+    // LSH-verified n-gram Jaccard near-dup pairs. Components via min-label
+    // propagation to convergence: each round is one keyed join + one keyed
+    // aggregation — O(component diameter) rounds, the standard GraphX-free
+    // distributed CC. The driver checks a one-row convergence aggregate per
+    // round (the iterative algorithm's loop condition, not a data collect);
+    // rounds are bounded by MaxCcIters with a loud failure if not
+    // converged. The oracle computes the same fixpoint as a recursive-CTE
+    // transitive closure — the final labels are schedule-independent.
+    "dd_components" -> ((s, dir) => {
+      def starEdges(key: Column): DataFrame =
+        load(s, dir, "documents")
+          .groupBy(key.as("k"))
+          .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+          .where(size(col("ids")) > 1)
+          .select(explode(expr(
+            "transform(slice(ids, 2, size(ids)), d -> struct(ids[0] AS a, d AS b))")).as("e"))
+          .select(col("e.a").as("a"), col("e.b").as("b"))
+      val edges = starEdges(
+        md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))))
+        .unionByName(starEdges(
+          md5(array_join(array_sort(array_distinct(toks(col("text")))), " "))))
+        .unionByName(jaccardPairs(s, dir)
+          .select(col("doc_a").as("a"), col("doc_b").as("b")))
+        .distinct()
+      // localCheckpoint truncates the logical plan each round. Without it
+      // the round-N plan embeds round N−1's plan TWICE (join side + union
+      // side), so the tree doubles per round and Catalyst re-analysis goes
+      // exponential (measured: rounds of 1.8/2.1/5.7/41 s at sf0.1 with
+      // persist alone — the 41 s was driver-side planning, not execution).
+      // A cluster deployment would use reliable checkpointing to a shared
+      // dir for fault tolerance; the loop structure is identical.
+      val sym = edges.unionByName(edges.select(col("b").as("a"), col("a").as("b")))
+        .localCheckpoint(true)
+      var labels = sym.select(col("a").as("doc_id")).distinct()
+        .withColumn("lbl", col("doc_id"))
+        .localCheckpoint(true)
+      var converged = false
+      var iters = 0
+      while (!converged && iters < MaxCcIters) {
+        val next = sym.join(labels, sym("b") === labels("doc_id"))
+          .select(col("a"), col("lbl"))
+          .unionByName(labels.select(col("doc_id").as("a"), col("lbl")))
+          .groupBy(col("a").as("doc_id"))
+          .agg(min(col("lbl")).as("lbl"))
+          .localCheckpoint(true)
+        converged = next.join(labels.withColumnRenamed("lbl", "old"), "doc_id")
+          .where(col("lbl") =!= col("old")).isEmpty
+        labels = next
+        iters += 1
+      }
+      require(converged, s"dd_components did not converge in $MaxCcIters rounds")
+      labels.groupBy(col("lbl").as("component"))
+        .agg(count(lit(1)).as("n_members"), min(col("doc_id")).as("keep_id"))
+        .orderBy("component")
+    }),
+
     // Embedding-cosine near-dup: exact pairwise verifier above CosTau.
     // Norms are precomputed per vector (not per pair), and the pair loop
     // runs the codegen'd DotProduct expression — the fold order matches the
@@ -247,42 +319,46 @@ object Dedup {
         .orderBy("vec_a", "vec_b")
     }))
 
+  /** Oracle mirror of [[jaccardPairs]] (no ORDER BY — callers append one or
+    * embed it as a subquery). */
+  private lazy val jaccardPairsSql: String = {
+    val bandSelects = (0 until JBands).map { b =>
+      val hs = (0 until JRows).map { r =>
+        val i = b * JRows + r
+        s"list_min(list_transform(shs, hh -> (${mixA(i)} * (hh % $MersenneP) + ${mixB(i)}) % $MersenneP))"
+      }.mkString(", ")
+      s"SELECT doc_id, $b AS band, md5(concat_ws('|', $b, $hs)) AS bkt FROM docsh"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, CAST(('0x' || substr(md5(sh), 1, 15)) AS UBIGINT)::BIGINT AS h
+       |  FROM ($shingleSetSql)),
+       |docsh AS MATERIALIZED (
+       |  SELECT doc_id, list(DISTINCT h) AS shs FROM tok GROUP BY doc_id),
+       |bands AS (
+       |  $bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bkt = y.bkt AND x.doc_id < y.doc_id),
+       |j AS (
+       |  SELECT doc_a, doc_b,
+       |    CAST(len(list_intersect(da.shs, db.shs)) AS DOUBLE) AS i,
+       |    CAST(len(da.shs) AS DOUBLE) AS na, CAST(len(db.shs) AS DOUBLE) AS nb
+       |  FROM cand
+       |  JOIN docsh da ON doc_a = da.doc_id
+       |  JOIN docsh db ON doc_b = db.doc_id)
+       |SELECT doc_a, doc_b, i / (na + nb - i) AS jaccard
+       |FROM j WHERE i / (na + nb - i) >= $JaccardTau""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "dd_exact" ->
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_hash,
         |  count(*) AS n_copies, min(doc_id) AS keep_id
         |FROM documents GROUP BY content_hash ORDER BY content_hash""".stripMargin,
 
-    "dd_ngram_jaccard" -> {
-      val bandSelects = (0 until JBands).map { b =>
-        val hs = (0 until JRows).map { r =>
-          val i = b * JRows + r
-          s"list_min(list_transform(shs, hh -> (${mixA(i)} * (hh % $MersenneP) + ${mixB(i)}) % $MersenneP))"
-        }.mkString(", ")
-        s"SELECT doc_id, $b AS band, md5(concat_ws('|', $b, $hs)) AS bkt FROM docsh"
-      }.mkString("\n  UNION ALL ")
-      s"""WITH tok AS (
-         |  SELECT doc_id, CAST(('0x' || substr(md5(sh), 1, 15)) AS UBIGINT)::BIGINT AS h
-         |  FROM ($shingleSetSql)),
-         |docsh AS MATERIALIZED (
-         |  SELECT doc_id, list(DISTINCT h) AS shs FROM tok GROUP BY doc_id),
-         |bands AS (
-         |  $bandSelects),
-         |cand AS (
-         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         |  FROM bands x JOIN bands y
-         |    ON x.band = y.band AND x.bkt = y.bkt AND x.doc_id < y.doc_id),
-         |j AS (
-         |  SELECT doc_a, doc_b,
-         |    CAST(len(list_intersect(da.shs, db.shs)) AS DOUBLE) AS i,
-         |    CAST(len(da.shs) AS DOUBLE) AS na, CAST(len(db.shs) AS DOUBLE) AS nb
-         |  FROM cand
-         |  JOIN docsh da ON doc_a = da.doc_id
-         |  JOIN docsh db ON doc_b = db.doc_id)
-         |SELECT doc_a, doc_b, i / (na + nb - i) AS jaccard
-         |FROM j WHERE i / (na + nb - i) >= $JaccardTau
-         |ORDER BY doc_a, doc_b""".stripMargin
-    },
+    "dd_ngram_jaccard" ->
+      s"$jaccardPairsSql\nORDER BY doc_a, doc_b",
 
     "dd_minhash_lsh" -> {
       val bandSelects = (0 until Bands).map { b =>
@@ -320,6 +396,31 @@ object Dedup {
          |  FROM tok GROUP BY doc_id)
          |SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM sig ORDER BY doc_id""".stripMargin
     },
+
+    "dd_components" ->
+      s"""WITH RECURSIVE g1 AS (
+        |  SELECT list_sort(list(DISTINCT doc_id)) AS ids FROM documents
+        |  GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+        |  HAVING len(list(DISTINCT doc_id)) > 1),
+        |g2 AS (
+        |  SELECT list_sort(list(DISTINCT doc_id)) AS ids FROM documents
+        |  GROUP BY md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' '))
+        |  HAVING len(list(DISTINCT doc_id)) > 1),
+        |jp AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM ($jaccardPairsSql)),
+        |star AS (
+        |  SELECT ids[1] AS a, unnest(ids[2:]) AS b FROM g1
+        |  UNION SELECT ids[1] AS a, unnest(ids[2:]) AS b FROM g2
+        |  UNION SELECT a, b FROM jp),
+        |edges AS (SELECT a, b FROM star UNION SELECT b, a FROM star),
+        |nodes AS (SELECT DISTINCT a AS doc FROM edges),
+        |reach(src, dst) AS (
+        |  SELECT doc, doc FROM nodes
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+        |comp AS (SELECT src AS doc_id, min(dst) AS lbl FROM reach GROUP BY src)
+        |SELECT lbl AS component, count(*) AS n_members, min(doc_id) AS keep_id
+        |FROM comp GROUP BY lbl ORDER BY component""".stripMargin,
 
     "dd_decontaminate" ->
       s"""WITH sh AS (

