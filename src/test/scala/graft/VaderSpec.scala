@@ -122,9 +122,9 @@ class VaderSpec extends AnyFunSuite {
     assert(compound("a devastating tragedy") < -0.05)
   }
 
-  test("round-4 lexicon batch (940 entries): curated coverage goldens") {
+  test("round-4 lexicon batches (1017 entries): curated coverage goldens") {
     import graft.functions.VaderSentiment.Lexicon
-    assert(Lexicon.size == 940, s"lexicon entry count drifted: ${Lexicon.size}")
+    assert(Lexicon.size == 1017, s"lexicon entry count drifted: ${Lexicon.size}")
     // exact pinned values for the batch's anchors
     assert(Lexicon("shit") == -2.6 && Lexicon("scam") == -2.2)
     assert(Lexicon("stellar") == 2.7 && Lexicon("blissful") == 2.9)
@@ -138,5 +138,17 @@ class VaderSpec extends AnyFunSuite {
     // the new "shit" anchor lets the "the shit" idiom fire (praise)
     assert(compound("this mixtape is the shit") > 0.05)
     assert(compound("this mixtape is shit") < -0.05)
+    // second batch (77 entries, common-word gap fill): exact anchors
+    assert(Lexicon("catastrophe") == -3.4 && Lexicon("devastate") == -3.2)
+    assert(Lexicon("triumph") == 2.4 && Lexicon("glee") == 2.9)
+    // label-level goldens across the second batch
+    assert(label(compound("the launch was a complete catastrophe")) == "negative")
+    assert(label(compound("a triumph of innovative engineering")) == "positive")
+    assert(label(compound("they tried to trap and deceive us")) == "negative")
+    assert(label(compound("a sunny day full of glee and harmony")) == "positive")
+    assert(label(compound("his arrogant and vulgar remarks")) == "negative")
+    assert(label(compound("grateful for such a wholesome and useful gift")) == "positive")
+    // negation still inverts batch words through the scorer
+    assert(label(compound("this was not useful at all")) == "negative")
   }
 }
