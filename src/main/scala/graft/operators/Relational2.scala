@@ -205,6 +205,25 @@ object Relational2 {
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
         .orderBy("event_type")),
 
+    // Weighted source mixing — the domain-reweighting step of a training
+    // pipeline: each source gets a deterministic sampling rate (md5-derived
+    // here; production supplies a weights table) and rows are kept by
+    // content-stable hash threshold, so any cluster / any run / any engine
+    // keeps the SAME rows. Entirely map-side until the per-source rollup:
+    // no join (the rate is a pure function of the source key), one keyed
+    // shuffle for the audit counts; the filtered corpus itself never
+    // shuffles at all.
+    "samp_mix" -> ((s, dir) => {
+      val rate = hash32(col("source")) % 80 + 10
+      load(s, dir, "documents")
+        .select(col("source"), rate.as("rate_pct"),
+          (hash32(concat(col("doc_id").cast("string"), lit("|"), col("source"))) % 100 < rate)
+            .as("keep"))
+        .groupBy("source", "rate_pct")
+        .agg(count(lit(1)).as("n_total"), sum(col("keep").cast("long")).as("n_kept"))
+        .orderBy("source")
+    }),
+
     // Deterministic train/val/test split (80/10/10 by content-stable hash).
     "split_assign" -> ((s, dir) => {
       val h = hash32(col("doc_id").cast("string")) % 100
@@ -480,6 +499,14 @@ object Relational2 {
          |FROM events
          |WHERE ${hash32Sql("CAST(event_id AS VARCHAR)")} % 100 < 10
          |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "samp_mix" ->
+      s"""SELECT source, ${hash32Sql("source")} % 80 + 10 AS rate_pct,
+         |  count(*) AS n_total,
+         |  CAST(sum(CASE WHEN ${hash32Sql("CAST(doc_id AS VARCHAR) || '|' || source")} % 100
+         |                     < ${hash32Sql("source")} % 80 + 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         |FROM documents
+         |GROUP BY source ORDER BY source""".stripMargin,
 
     "split_assign" ->
       s"""SELECT split, count(*) AS n FROM (
