@@ -132,6 +132,69 @@ object Dedup {
       .where(col("jaccard") >= JaccardTau)
   }
 
+  /** Per-doc duplicate-component labels (doc_id, lbl) — the composable form
+    * of `dd_components` (lbl = the component's minimum doc_id = the keep
+    * doc; a downstream dedup drops every row with doc_id ≠ lbl). Only docs
+    * carrying some duplicate evidence appear; all other docs are their own
+    * singleton component.
+    *
+    * Edges union three evidence kinds so components chain across them the
+    * way a production dedup needs: star edges within content-hash groups
+    * (exact dups), star edges within token-set-fingerprint groups
+    * (word-order permutations), and the LSH-verified n-gram Jaccard
+    * near-dup pairs. Components via min-label propagation to convergence:
+    * each round is one keyed join + one keyed aggregation — O(component
+    * diameter) rounds, the standard GraphX-free distributed CC. The driver
+    * checks a one-row convergence aggregate per round (the iterative
+    * algorithm's loop condition, not a data collect); rounds are bounded by
+    * MaxCcIters with a loud failure if not converged.
+    *
+    * localCheckpoint truncates the logical plan each round. Without it the
+    * round-N plan embeds round N−1's plan TWICE (join side + union side),
+    * so the tree doubles per round and Catalyst re-analysis goes
+    * exponential (measured: rounds of 1.8/2.1/5.7/41 s at sf0.1 with
+    * persist alone — the 41 s was driver-side planning, not execution). A
+    * cluster deployment would use reliable checkpointing to a shared dir
+    * for fault tolerance; the loop structure is identical. */
+  def componentLabels(s: SparkSession, dir: String): DataFrame = {
+    def starEdges(key: Column): DataFrame =
+      load(s, dir, "documents")
+        .groupBy(key.as("k"))
+        .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+        .where(size(col("ids")) > 1)
+        .select(explode(expr(
+          "transform(slice(ids, 2, size(ids)), d -> struct(ids[0] AS a, d AS b))")).as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b"))
+    val edges = starEdges(
+      md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))))
+      .unionByName(starEdges(
+        md5(array_join(array_sort(array_distinct(toks(col("text")))), " "))))
+      .unionByName(jaccardPairs(s, dir)
+        .select(col("doc_a").as("a"), col("doc_b").as("b")))
+      .distinct()
+    val sym = edges.unionByName(edges.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint(true)
+    var labels = sym.select(col("a").as("doc_id")).distinct()
+      .withColumn("lbl", col("doc_id"))
+      .localCheckpoint(true)
+    var converged = false
+    var iters = 0
+    while (!converged && iters < MaxCcIters) {
+      val next = sym.join(labels, sym("b") === labels("doc_id"))
+        .select(col("a"), col("lbl"))
+        .unionByName(labels.select(col("doc_id").as("a"), col("lbl")))
+        .groupBy(col("a").as("doc_id"))
+        .agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint(true)
+      converged = next.join(labels.withColumnRenamed("lbl", "old"), "doc_id")
+        .where(col("lbl") =!= col("old")).isEmpty
+      labels = next
+      iters += 1
+    }
+    require(converged, s"dd_components did not converge in $MaxCcIters rounds")
+    labels
+  }
+
   val queries: Map[String, Q] = Map(
     // Exact dedup: group by content hash of the normalized text; keep the
     // lowest doc_id. One shuffle on a 128-bit key — scales linearly.
@@ -239,67 +302,16 @@ object Dedup {
         .orderBy("train_id", "bench_id")
     }),
 
-    // Connected components over the duplicate graph — the step that turns
-    // pairwise dup evidence into dedup CLUSTERS (keep one doc per
-    // component, drop the rest). Three edge sources, so components chain
-    // across evidence kinds the way a production dedup needs: star edges
-    // within content-hash groups (exact dups), star edges within
-    // token-set-fingerprint groups (word-order permutations), and the
-    // LSH-verified n-gram Jaccard near-dup pairs. Components via min-label
-    // propagation to convergence: each round is one keyed join + one keyed
-    // aggregation — O(component diameter) rounds, the standard GraphX-free
-    // distributed CC. The driver checks a one-row convergence aggregate per
-    // round (the iterative algorithm's loop condition, not a data collect);
-    // rounds are bounded by MaxCcIters with a loud failure if not
-    // converged. The oracle computes the same fixpoint as a recursive-CTE
-    // transitive closure — the final labels are schedule-independent.
-    "dd_components" -> ((s, dir) => {
-      def starEdges(key: Column): DataFrame =
-        load(s, dir, "documents")
-          .groupBy(key.as("k"))
-          .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
-          .where(size(col("ids")) > 1)
-          .select(explode(expr(
-            "transform(slice(ids, 2, size(ids)), d -> struct(ids[0] AS a, d AS b))")).as("e"))
-          .select(col("e.a").as("a"), col("e.b").as("b"))
-      val edges = starEdges(
-        md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))))
-        .unionByName(starEdges(
-          md5(array_join(array_sort(array_distinct(toks(col("text")))), " "))))
-        .unionByName(jaccardPairs(s, dir)
-          .select(col("doc_a").as("a"), col("doc_b").as("b")))
-        .distinct()
-      // localCheckpoint truncates the logical plan each round. Without it
-      // the round-N plan embeds round N−1's plan TWICE (join side + union
-      // side), so the tree doubles per round and Catalyst re-analysis goes
-      // exponential (measured: rounds of 1.8/2.1/5.7/41 s at sf0.1 with
-      // persist alone — the 41 s was driver-side planning, not execution).
-      // A cluster deployment would use reliable checkpointing to a shared
-      // dir for fault tolerance; the loop structure is identical.
-      val sym = edges.unionByName(edges.select(col("b").as("a"), col("a").as("b")))
-        .localCheckpoint(true)
-      var labels = sym.select(col("a").as("doc_id")).distinct()
-        .withColumn("lbl", col("doc_id"))
-        .localCheckpoint(true)
-      var converged = false
-      var iters = 0
-      while (!converged && iters < MaxCcIters) {
-        val next = sym.join(labels, sym("b") === labels("doc_id"))
-          .select(col("a"), col("lbl"))
-          .unionByName(labels.select(col("doc_id").as("a"), col("lbl")))
-          .groupBy(col("a").as("doc_id"))
-          .agg(min(col("lbl")).as("lbl"))
-          .localCheckpoint(true)
-        converged = next.join(labels.withColumnRenamed("lbl", "old"), "doc_id")
-          .where(col("lbl") =!= col("old")).isEmpty
-        labels = next
-        iters += 1
-      }
-      require(converged, s"dd_components did not converge in $MaxCcIters rounds")
-      labels.groupBy(col("lbl").as("component"))
+    // Connected components over the duplicate graph — cluster summary of
+    // [[componentLabels]] (see its Scaladoc for the algorithm and the
+    // localCheckpoint rationale). The oracle computes the same fixpoint as
+    // a recursive-CTE transitive closure — the final labels are
+    // schedule-independent.
+    "dd_components" -> ((s, dir) =>
+      componentLabels(s, dir)
+        .groupBy(col("lbl").as("component"))
         .agg(count(lit(1)).as("n_members"), min(col("doc_id")).as("keep_id"))
-        .orderBy("component")
-    }),
+        .orderBy("component")),
 
     // Embedding-cosine near-dup: exact pairwise verifier above CosTau.
     // Norms are precomputed per vector (not per pair), and the pair loop

@@ -77,6 +77,34 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(total >= 2 * out.count())
   }
 
+  test("composed training-data pipeline: quality -> dedup -> decontaminate -> chunk") {
+    // The operators compose the way a user of the library would chain them
+    // to build a training set from the raw corpus. Each stage joins on
+    // doc_id — all distributed, no collect until the final assertions.
+    val quality = operators.TextAnalysis.queries("ta_quality")(spark, dir)
+      .where(col("quality_score") === 1.0).select("doc_id")
+    // drop every duplicate that is not its component's keep doc
+    val dupDrops = operators.Dedup.componentLabels(spark, dir)
+      .where(col("doc_id") =!= col("lbl")).select("doc_id")
+    // drop every training doc that overlaps the benchmark holdout
+    val contamDrops = operators.Dedup.queries("dd_decontaminate")(spark, dir)
+      .select(col("train_id").as("doc_id")).distinct()
+    val kept = quality
+      .join(dupDrops, Seq("doc_id"), "left_anti")
+      .join(contamDrops, Seq("doc_id"), "left_anti")
+    val chunks = operators.TextAnalysis.queries("ta_chunk")(spark, dir)
+      .join(kept, Seq("doc_id"))
+    val (nKept, nChunks) = (kept.count(), chunks.count())
+    // every surviving doc still yields at least one chunk, and the funnel
+    // actually removed something at each stage
+    assert(chunks.select(countDistinct(col("doc_id"))).head().getLong(0) == nKept)
+    assert(nKept > 0 && nChunks >= nKept)
+    assert(nKept < quality.count())
+    // deterministic end-to-end: the same pipeline yields the same funnel
+    assert(nKept == 341,
+      s"funnel drifted: kept=$nKept (update consciously if an upstream operator changed)")
+  }
+
   test("emb_kmeans: total assignment, valid clusters, deterministic") {
     val out = operators.Embeddings.queries("emb_kmeans")(spark, dir)
     val n = Tables.load(spark, dir, "embeddings").count()
