@@ -157,18 +157,23 @@ object Dedup {
     * cluster deployment would use reliable checkpointing to a shared dir
     * for fault tolerance; the loop structure is identical. */
   def componentLabels(s: SparkSession, dir: String): DataFrame = {
-    def starEdges(key: Column): DataFrame =
-      load(s, dir, "documents")
-        .groupBy(key.as("k"))
-        .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
-        .where(size(col("ids")) > 1)
-        .select(explode(expr(
-          "transform(slice(ids, 2, size(ids)), d -> struct(ids[0] AS a, d AS b))")).as("e"))
-        .select(col("e.a").as("a"), col("e.b").as("b"))
-    val edges = starEdges(
-      md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))))
-      .unionByName(starEdges(
-        md5(array_join(array_sort(array_distinct(toks(col("text")))), " "))))
+    // Both group-key kinds (content hash, token-set fingerprint) ride ONE
+    // documents scan and ONE shuffle: explode each doc into its two
+    // (kind, key) rows, then a single groupBy over the compound key — a
+    // per-kind starEdges helper would scan and shuffle once per kind.
+    val chKey = md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")))
+    val fpKey = md5(array_join(array_sort(array_distinct(toks(col("text")))), " "))
+    val starEdges = load(s, dir, "documents")
+      .select(col("doc_id"), explode(array(
+        struct(lit("ch").as("kind"), chKey.as("key")),
+        struct(lit("fp").as("kind"), fpKey.as("key")))).as("k"))
+      .groupBy(col("k.kind"), col("k.key"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(explode(expr(
+        "transform(slice(ids, 2, size(ids)), d -> struct(ids[0] AS a, d AS b))")).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+    val edges = starEdges
       .unionByName(jaccardPairs(s, dir)
         .select(col("doc_a").as("a"), col("doc_b").as("b")))
       .distinct()
