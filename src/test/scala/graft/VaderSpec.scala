@@ -122,9 +122,9 @@ class VaderSpec extends AnyFunSuite {
     assert(compound("a devastating tragedy") < -0.05)
   }
 
-  test("round-4 lexicon batches (1017 entries): curated coverage goldens") {
+  test("round-4 lexicon batches (1139 entries): curated coverage goldens") {
     import graft.functions.VaderSentiment.Lexicon
-    assert(Lexicon.size == 1017, s"lexicon entry count drifted: ${Lexicon.size}")
+    assert(Lexicon.size == 1139, s"lexicon entry count drifted: ${Lexicon.size}")
     // exact pinned values for the batch's anchors
     assert(Lexicon("shit") == -2.6 && Lexicon("scam") == -2.2)
     assert(Lexicon("stellar") == 2.7 && Lexicon("blissful") == 2.9)
@@ -150,5 +150,13 @@ class VaderSpec extends AnyFunSuite {
     assert(label(compound("grateful for such a wholesome and useful gift")) == "positive")
     // negation still inverts batch words through the scorer
     assert(label(compound("this was not useful at all")) == "negative")
+    // third batch (122 entries): exact anchors + label goldens
+    assert(Lexicon("jubilant") == 2.8 && Lexicon("abysmal") == -2.8)
+    assert(Lexicon("wretched") == -2.5 && Lexicon("majestic") == 2.3)
+    assert(label(compound("a jubilant crowd welcomed the valiant team")) == "positive")
+    assert(label(compound("an abysmal and forgettable performance")) == "negative")
+    assert(label(compound("the service was courteous and the food immaculate")) == "positive")
+    assert(label(compound("a treacherous and malicious betrayal")) == "negative")
+    assert(label(compound("CAPS intensify: this is ABYSMAL")) == "negative")
   }
 }
