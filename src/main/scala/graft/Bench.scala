@@ -46,7 +46,11 @@ object Bench {
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    // A filtered dev run must not be mistaken for (or compared against) a
+    // full-battery total by downstream tooling — flag it in the JSON.
+    val partial = only.fold("")(names =>
+      s""","partial":true,"only":${names.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed$partial,"sf":"$sfDir"}""")
     spark.stop()
   }
 

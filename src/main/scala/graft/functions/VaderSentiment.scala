@@ -13,9 +13,9 @@ package graft.functions
   * ("never so/this X" intensifies, "without doubt" affirms), a "least"
   * de-intensifier ("least interesting", but not "at least"), and
   * punctuation amplification, normalized to [-1, 1] via s/sqrt(s²+15). The lexicon loads from the bundled
-  * `graft/vader_lexicon.tsv` classpath resource (940 entries); the
-  * published 7.5k-entry MIT lexicon is a drop-in replacement for that
-  * file when full production parity is needed.
+  * `graft/vader_lexicon.tsv` classpath resource (entry count pinned by
+  * VaderSpec); the published 7.5k-entry MIT lexicon is a drop-in
+  * replacement for that file when full production parity is needed.
   *
   * The scorer is a pure static function: loaded once per JVM (executor),
   * fixing the reference's analyzer-per-row re-instantiation bug
@@ -76,8 +76,9 @@ object VaderSentiment {
     "ridiculous" -> -1.5, "avoid" -> -1.2, "avoided" -> -1.3)
 
   /** The active lexicon: the bundled `graft/vader_lexicon.tsv` classpath
-    * resource (940 entries — the embedded subset verbatim plus extended
-    * common-word coverage), falling back to [[EmbeddedLexicon]]. Loaded
+    * resource (the embedded subset verbatim plus extended common-word
+    * coverage; entry count pinned by VaderSpec), falling back to
+    * [[EmbeddedLexicon]]. Loaded
     * once per JVM. The published 7.5k-entry MIT lexicon file is a drop-in
     * replacement for the resource (it cannot be bundled here: the build
     * environment has no network egress and no copy of the file on disk). */

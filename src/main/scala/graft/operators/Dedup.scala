@@ -60,9 +60,18 @@ object Dedup {
     * least MinShared surviving shingles are flagged. */
   private val DecontamMaxShDocs = 20
   private val DecontamMinShared = 3
-  /** Connected-components round bound (label propagation converges in
-    * O(component diameter) rounds; star-shaped duplicate groups need 2). */
+  /** Connected-components round bounds. The first JumpAfter rounds are pure
+    * min-label propagation (one join each — real duplicate graphs are stars
+    * and short chains that converge here); if the graph has not converged by
+    * then, every later round adds a pointer-jumping shortcut
+    * (lbl := lbl(lbl)), which at least halves the unresolved pointer-chain
+    * depth per round. Total bound ≈ JumpAfter + log2(diameter), so
+    * MaxCcIters = 16 guarantees convergence for any component of diameter
+    * < 2^(16−4) = 4096 — far past any real duplicate graph (a
+    * templated-drift chain would need >4096 hops of pairwise-near-dup
+    * drift to hit the bound, vs the loud require if one ever does). */
   private val MaxCcIters = 16
+  private val JumpAfter = 4
   /** SimHash signature width (bits of the 32-bit token hash used). */
   private val SimBits = 16
 
@@ -142,12 +151,12 @@ object Dedup {
     * way a production dedup needs: star edges within content-hash groups
     * (exact dups), star edges within token-set-fingerprint groups
     * (word-order permutations), and the LSH-verified n-gram Jaccard
-    * near-dup pairs. Components via min-label propagation to convergence:
-    * each round is one keyed join + one keyed aggregation — O(component
-    * diameter) rounds, the standard GraphX-free distributed CC. The driver
-    * checks a one-row convergence aggregate per round (the iterative
-    * algorithm's loop condition, not a data collect); rounds are bounded by
-    * MaxCcIters with a loud failure if not converged.
+    * near-dup pairs. Components via [[connectedComponents]]: min-label
+    * propagation with a pointer-jumping fallback — O(log diameter) rounds
+    * guaranteed, fast-path cost unchanged for the star/short-chain graphs
+    * real corpora produce (see the round-bound comment at MaxCcIters). The
+    * driver checks a one-row convergence aggregate per round (the iterative
+    * algorithm's loop condition, not a data collect).
     *
     * localCheckpoint truncates the logical plan each round. Without it the
     * round-N plan embeds round N−1's plan TWICE (join side + union side),
@@ -177,6 +186,18 @@ object Dedup {
       .unionByName(jaccardPairs(s, dir)
         .select(col("doc_a").as("a"), col("doc_b").as("b")))
       .distinct()
+    connectedComponents(edges)
+  }
+
+  /** Min-label connected components over a distinct undirected edge list
+    * `(a, b)` — labels every node that appears in an edge with its
+    * component's minimum node id. Rounds 1..JumpAfter are pure propagation
+    * (one keyed join + one keyed agg each); later rounds add the
+    * pointer-jumping shortcut, bounding total rounds by
+    * JumpAfter + log2(diameter) (see MaxCcIters). Expects `edges` already
+    * distinct (duplicate edges don't break correctness, just waste the
+    * join). */
+  private[graft] def connectedComponents(edges: DataFrame): DataFrame = {
     val sym = edges.unionByName(edges.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint(true)
     var labels = sym.select(col("a").as("doc_id")).distinct()
@@ -185,18 +206,27 @@ object Dedup {
     var converged = false
     var iters = 0
     while (!converged && iters < MaxCcIters) {
-      val next = sym.join(labels, sym("b") === labels("doc_id"))
+      val prop = sym.join(labels, sym("b") === labels("doc_id"))
         .select(col("a"), col("lbl"))
         .unionByName(labels.select(col("doc_id").as("a"), col("lbl")))
         .groupBy(col("a").as("doc_id"))
         .agg(min(col("lbl")).as("lbl"))
-        .localCheckpoint(true)
+      val next = (if (iters < JumpAfter) prop else {
+        // Pointer-jumping shortcut: lbl := lbl(lbl). Every lbl value is
+        // itself a node id (labels start as doc_id and only min() over
+        // other labels), so the self-join keeps every row, and
+        // lbl(lbl) <= lbl by min-monotonicity — the least() is a
+        // belt-and-braces invariant, not a semantic change.
+        val jump = prop.select(col("doc_id").as("j_id"), col("lbl").as("j_lbl"))
+        prop.join(jump, prop("lbl") === jump("j_id"))
+          .select(col("doc_id"), least(col("lbl"), col("j_lbl")).as("lbl"))
+      }).localCheckpoint(true)
       converged = next.join(labels.withColumnRenamed("lbl", "old"), "doc_id")
         .where(col("lbl") =!= col("old")).isEmpty
       labels = next
       iters += 1
     }
-    require(converged, s"dd_components did not converge in $MaxCcIters rounds")
+    require(converged, s"connectedComponents did not converge in $MaxCcIters rounds")
     labels
   }
 

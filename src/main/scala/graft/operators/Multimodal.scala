@@ -44,6 +44,23 @@ object Multimodal {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** Wraps a partition iterator so `release` runs once when it is
+    * exhausted — how per-partition codec handles get dispose()d without
+    * waiting for GC to reclaim their native resources. (Spark always
+    * drains `mapPartitions` iterators, so exhaustion is the release
+    * point; a mid-partition task failure tears down the whole executor
+    * JVM anyway.) */
+  private def onExhaust[T](it: Iterator[T])(release: () => Unit): Iterator[T] =
+    new Iterator[T] {
+      private var released = false
+      def hasNext: Boolean = {
+        val h = it.hasNext
+        if (!h && !released) { released = true; release() }
+        h
+      }
+      def next(): T = it.next()
+    }
+
   /** Deterministic image dimensions from the source text's UTF-8 byte
     * length. Mirrored by the SQL oracle — keep both in sync. Small caps
     * (≤112×68) keep per-row encode cost trivial. */
@@ -68,7 +85,7 @@ object Multimodal {
         val writers = Map(
           "png" -> ImageIO.getImageWritersByFormatName("png").next(),
           "jpeg" -> ImageIO.getImageWritersByFormatName("jpeg").next())
-        it.map { r =>
+        val out = it.map { r =>
           if (r.format == "mp4") r
           else {
             val textLen = r.media.length.toLong
@@ -76,13 +93,15 @@ object Multimodal {
               imgWidth(textLen), imgHeight(textLen), BufferedImage.TYPE_INT_RGB)
             val buf = new ByteArrayOutputStream()
             val ios = ImageIO.createImageOutputStream(buf)
-            val w = writers(r.format)
-            w.setOutput(ios)
-            w.write(img)
-            ios.close()
+            try {
+              val w = writers(r.format)
+              w.setOutput(ios)
+              w.write(img)
+            } finally ios.close()
             r.copy(media = buf.toByteArray)
           }
         }
+        onExhaust(out)(() => writers.values.foreach(_.dispose()))
       }
   }
 
@@ -102,14 +121,16 @@ object Multimodal {
         "png" -> ImageIO.getImageReadersByFormatName("png").next(),
         "jpeg" -> ImageIO.getImageReadersByFormatName("jpeg").next())
       codecInits.foreach(_.add(1))
-      it.map { r =>
+      val out = it.map { r =>
         r.format match {
           case "png" | "jpeg" =>
             val reader = readers(r.format)
             val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(r.media))
-            reader.setInput(iis)
-            val (w, h) = (reader.getWidth(0), reader.getHeight(0))
-            iis.close()
+            val (w, h) =
+              try {
+                reader.setInput(iis)
+                (reader.getWidth(0), reader.getHeight(0))
+              } finally iis.close()
             DecodedMedia(r.media_id, r.format, r.media.length.toLong, w, h, 1)
           case _ =>
             // mp4 STUB (no JDK video codec): fake metadata from byte length,
@@ -120,6 +141,7 @@ object Multimodal {
               1 + (n % 7).toInt)
         }
       }
+      onExhaust(out)(() => readers.values.foreach(_.dispose()))
     }
   }
 

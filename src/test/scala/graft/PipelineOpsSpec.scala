@@ -105,6 +105,25 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"funnel drifted: kept=$nKept (update consciously if an upstream operator changed)")
   }
 
+  test("connectedComponents: long chains converge via pointer jumping") {
+    import spark.implicits._
+    // A 60-hop path graph (diameter 60) would need ~60 rounds of pure
+    // min-label propagation — past MaxCcIters. The pointer-jumping rounds
+    // that kick in after the propagation-only prefix must close it within
+    // the bound. Two disjoint chains + one star prove labels don't bleed
+    // across components.
+    val chain1 = (0L until 60L).map(i => (i, i + 1))          // component min 0
+    val chain2 = (100L until 130L).map(i => (i, i + 1))       // component min 100
+    val star = (201L to 205L).map(i => (200L, i))             // component min 200
+    val edges = (chain1 ++ chain2 ++ star).toDF("a", "b")
+    val labels = operators.Dedup.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 61 + 31 + 6)
+    assert((0L to 60L).forall(labels(_) == 0L))
+    assert((100L to 130L).forall(labels(_) == 100L))
+    assert((200L to 205L).forall(labels(_) == 200L))
+  }
+
   test("emb_kmeans: total assignment, valid clusters, deterministic") {
     val out = operators.Embeddings.queries("emb_kmeans")(spark, dir)
     val n = Tables.load(spark, dir, "embeddings").count()
