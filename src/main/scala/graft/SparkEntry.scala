@@ -25,6 +25,7 @@ object SparkEntry {
       operators.TextAnalysis.queries ++
       operators.Dedup.queries ++
       operators.Similarity.queries ++
+      operators.Retrieval.queries ++
       operators.Embeddings.queries ++
       operators.Analytics.queries ++
       operators.Multimodal.queries
@@ -39,6 +40,7 @@ object SparkEntry {
       operators.TextAnalysis.oracle ++
       operators.Dedup.oracle ++
       operators.Similarity.oracle ++
+      operators.Retrieval.oracle ++
       operators.Embeddings.oracle ++
       operators.Multimodal.oracle
 }

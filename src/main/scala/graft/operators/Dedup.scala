@@ -348,6 +348,25 @@ object Dedup {
         .agg(count(lit(1)).as("n_members"), min(col("doc_id")).as("keep_id"))
         .orderBy("component")),
 
+    // Canonical-doc selection per duplicate cluster — the step after
+    // components in a production dedup: instead of blindly keeping the
+    // minimum doc_id, keep the highest-quality member (ta_quality's gate
+    // score; ties broken by min doc_id so the choice is deterministic).
+    // One join of the component labels against a map-side quality score,
+    // then one keyed aggregation: max over (quality, −doc_id) pairs picks
+    // the winner without a window over data-bearing rows.
+    "dd_canonical" -> ((s, dir) => {
+      val quality = load(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.qualityScoreCol.as("q"))
+      componentLabels(s, dir).join(quality, "doc_id")
+        .groupBy(col("lbl").as("component"))
+        .agg(count(lit(1)).as("n_members"),
+          max(struct(col("q"), (-col("doc_id")).as("nd"))).as("m"))
+        .select(col("component"), (-col("m.nd")).as("canonical_id"),
+          col("m.q").as("best_quality"), col("n_members"))
+        .orderBy("component")
+    }),
+
     // Embedding-cosine near-dup: exact pairwise verifier above CosTau.
     // Norms are precomputed per vector (not per pair), and the pair loop
     // runs the codegen'd DotProduct expression — the fold order matches the
@@ -398,6 +417,34 @@ object Dedup {
        |FROM j WHERE i / (na + nb - i) >= $JaccardTau""".stripMargin
   }
 
+  /** Shared CTE prefix for the components-based oracles: the three edge
+    * evidences, the recursive-CTE transitive closure, and the final
+    * per-node min-label table `comp(doc_id, lbl)` — the same fixpoint
+    * [[connectedComponents]] reaches (final labels are
+    * schedule-independent). */
+  private lazy val componentsCteSql: String =
+    s"""WITH RECURSIVE g1 AS (
+      |  SELECT list_sort(list(DISTINCT doc_id)) AS ids FROM documents
+      |  GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+      |  HAVING len(list(DISTINCT doc_id)) > 1),
+      |g2 AS (
+      |  SELECT list_sort(list(DISTINCT doc_id)) AS ids FROM documents
+      |  GROUP BY md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' '))
+      |  HAVING len(list(DISTINCT doc_id)) > 1),
+      |jp AS (
+      |  SELECT doc_a AS a, doc_b AS b FROM ($jaccardPairsSql)),
+      |star AS (
+      |  SELECT ids[1] AS a, unnest(ids[2:]) AS b FROM g1
+      |  UNION SELECT ids[1] AS a, unnest(ids[2:]) AS b FROM g2
+      |  UNION SELECT a, b FROM jp),
+      |edges AS (SELECT a, b FROM star UNION SELECT b, a FROM star),
+      |nodes AS (SELECT DISTINCT a AS doc FROM edges),
+      |reach(src, dst) AS (
+      |  SELECT doc, doc FROM nodes
+      |  UNION
+      |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+      |comp AS (SELECT src AS doc_id, min(dst) AS lbl FROM reach GROUP BY src)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "dd_exact" ->
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_hash,
@@ -445,29 +492,18 @@ object Dedup {
     },
 
     "dd_components" ->
-      s"""WITH RECURSIVE g1 AS (
-        |  SELECT list_sort(list(DISTINCT doc_id)) AS ids FROM documents
-        |  GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
-        |  HAVING len(list(DISTINCT doc_id)) > 1),
-        |g2 AS (
-        |  SELECT list_sort(list(DISTINCT doc_id)) AS ids FROM documents
-        |  GROUP BY md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' '))
-        |  HAVING len(list(DISTINCT doc_id)) > 1),
-        |jp AS (
-        |  SELECT doc_a AS a, doc_b AS b FROM ($jaccardPairsSql)),
-        |star AS (
-        |  SELECT ids[1] AS a, unnest(ids[2:]) AS b FROM g1
-        |  UNION SELECT ids[1] AS a, unnest(ids[2:]) AS b FROM g2
-        |  UNION SELECT a, b FROM jp),
-        |edges AS (SELECT a, b FROM star UNION SELECT b, a FROM star),
-        |nodes AS (SELECT DISTINCT a AS doc FROM edges),
-        |reach(src, dst) AS (
-        |  SELECT doc, doc FROM nodes
-        |  UNION
-        |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
-        |comp AS (SELECT src AS doc_id, min(dst) AS lbl FROM reach GROUP BY src)
+      s"""$componentsCteSql
         |SELECT lbl AS component, count(*) AS n_members, min(doc_id) AS keep_id
         |FROM comp GROUP BY lbl ORDER BY component""".stripMargin,
+
+    "dd_canonical" ->
+      s"""$componentsCteSql,
+        |q AS (SELECT doc_id, ${TextAnalysis.qualityScoreSql} AS q FROM documents),
+        |j AS (SELECT comp.lbl, comp.doc_id, q.q FROM comp JOIN q USING (doc_id))
+        |SELECT lbl AS component,
+        |  (list(doc_id ORDER BY q DESC, doc_id ASC))[1] AS canonical_id,
+        |  max(q) AS best_quality, count(*) AS n_members
+        |FROM j GROUP BY lbl ORDER BY component""".stripMargin,
 
     "dd_decontaminate" ->
       s"""WITH sh AS (

@@ -94,6 +94,30 @@ object Embeddings {
         .orderBy("vec_id")
     }),
 
+    // Scalar int8 quantization — the standard 4× memory cut that makes a
+    // 100 TB embedding store ANN-searchable in RAM. Per-dimension global
+    // min/max (one keyed agg over the posexplode; 64 rows out) is broadcast
+    // back and each value maps to round((x-mn)/(mx-mn)*255) — an
+    // embarrassingly parallel transform. floor(r + 0.5) is written
+    // explicitly on both sides because Spark round() (HALF_UP) and DuckDB
+    // round() (half-away-from-zero via different paths) are not the same
+    // function. Dimensions collapse back to an array ordered by position.
+    "emb_quantize" -> ((s, dir) => {
+      val e = load(s, dir, "embeddings")
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "xf")))
+        .select(col("vec_id"), col("d"), col("xf").cast("double").as("x"))
+      val stats = e.groupBy("d").agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      e.join(broadcast(stats), "d")
+        .select(col("vec_id"), col("d"),
+          floor(when(col("mx") === col("mn"), lit(0.0))
+            .otherwise((col("x") - col("mn")) / (col("mx") - col("mn")) * lit(255.0))
+            + lit(0.5)).cast("int").as("q"))
+        .groupBy("vec_id")
+        .agg(transform(array_sort(collect_list(struct(col("d"), col("q")))),
+          x => x.getField("q")).as("qvec"))
+        .orderBy("vec_id")
+    }),
+
     // IVF ANN: assign all vectors to nearest seed cell (cosine), then for
     // each query probe the NProbe nearest cells and take cosine top-k among
     // their members.
@@ -172,6 +196,19 @@ object Embeddings {
          |  FROM e, c1)
          |SELECT vec_id, cluster, c AS score FROM a2r WHERE rn = 1
          |ORDER BY vec_id""".stripMargin,
+
+    "emb_quantize" ->
+      """WITH e AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+        |         unnest(embedding::DOUBLE[]) AS x
+        |  FROM embeddings),
+        |stats AS (SELECT d, min(x) AS mn, max(x) AS mx FROM e GROUP BY d)
+        |SELECT vec_id,
+        |  list(CAST(floor(CASE WHEN mx = mn THEN 0.0
+        |                       ELSE (x - mn) / (mx - mn) * 255.0 END + 0.5) AS INT)
+        |       ORDER BY d) AS qvec
+        |FROM e JOIN stats USING (d)
+        |GROUP BY vec_id ORDER BY vec_id""".stripMargin,
 
     "ann_ivf" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -1,0 +1,126 @@
+package graft.operators
+
+import graft.Tables.load
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sparse-retrieval operators over the documents table: an inverted index
+  * (term → posting list) and BM25 ranked search — the lexical-search side
+  * of a training-data pipeline (the dense side is [[Similarity]] /
+  * [[Embeddings]]).
+  *
+  * Scale design:
+  *  - Inverted index: one explode + one groupBy on term — a single hash
+  *    shuffle, linear in corpus tokens. Posting lists are per-term rows, so
+  *    a skewed stopword term makes a big row, never a hot partition of many
+  *    rows; the MinDf floor also bounds output volume.
+  *  - BM25: doc lengths and corpus stats are keyed aggregations; the corpus
+  *    row (N, avgdl) and the per-term document frequencies (|query terms|
+  *    rows) are broadcast, so scoring is map-side over the per-(doc, term)
+  *    tf rows — no shuffle proportional to corpus size beyond the tf
+  *    groupBy itself. Candidate set is only docs containing ≥1 query term.
+  *
+  * Float parity with the oracle: per-term BM25 contributions are summed in
+  * sorted term order (sequential fold — see Exact's decimal/fold notes) and
+  * the final score is rounded to 6 dp on both sides, which absorbs the
+  * last-ulp divergence `ln` may have across libm implementations; ordering
+  * and the top-N cut both use the rounded value, so the row set is
+  * deterministic.
+  */
+object Retrieval {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** BM25 parameters (the standard Robertson defaults). */
+  private val K1 = 1.2
+  private val B = 0.75
+  /** The fixed search query (sorted; the fold order is by term anyway). */
+  private val QueryTerms = Seq("merge", "spark", "window")
+  private val TopN = 50
+  /** Inverted-index df floor: drops hapax noise and bounds output size. */
+  private val MinDf = 5L
+
+  private def toks(c: Column): Column = split(lower(c), " ")
+
+  val queries: Map[String, Q] = Map(
+    // term → (df, sorted posting list of distinct doc_ids). The groupBy is
+    // the index build's only shuffle.
+    "ir_invindex" -> ((s, dir) =>
+      load(s, dir, "documents")
+        .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+        .groupBy("term")
+        .agg(sort_array(collect_set(col("doc_id"))).as("postings"))
+        .select(col("term"), size(col("postings")).cast("long").as("df"),
+          col("postings"))
+        .where(col("df") >= MinDf)
+        .orderBy("term")),
+
+    // BM25(q, d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
+    // idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1) — the Lucene-style
+    // non-negative variant. Top-N docs by (rounded score desc, doc_id).
+    //
+    // Per-doc tf and dl are MAP-SIDE array math over the token array (no
+    // explode, no per-token shuffle); the corpus statistics (N, avgdl, and
+    // df per query term) collapse to ONE row in a single aggregate and are
+    // broadcast back, so the whole query is two scans of documents, zero
+    // corpus-scale shuffles, and a TakeOrdered top-N. Absent terms
+    // contribute exactly 0.0, so the fixed left-assoc sum over query terms
+    // (sorted) bit-matches the oracle's sorted sequential fold over the
+    // present terms only.
+    "ir_bm25" -> ((s, dir) => {
+      val d = load(s, dir, "documents")
+        .select(col("doc_id") +: size(toks(col("text"))).cast("long").as("dl") +:
+          QueryTerms.map(tm =>
+            size(filter(toks(col("text")), x => x === tm)).cast("long").as(s"tf_$tm")): _*)
+      val stats = d.agg(
+        count(lit(1)).cast("double").as("n"),
+        (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl") +:
+          QueryTerms.map(tm =>
+            sum(when(col(s"tf_$tm") > 0, 1L).otherwise(0L)).as(s"df_$tm")): _*)
+      val denomNorm = lit(1.0) - lit(B) + lit(B) * col("dl") / col("avgdl")
+      val score = QueryTerms.map { tm =>
+        val (tf, df) = (col(s"tf_$tm"), col(s"df_$tm"))
+        when(tf > 0,
+          log((col("n") - df + lit(0.5)) / (df + lit(0.5)) + lit(1.0)) *
+            (tf * lit(K1 + 1.0)) / (tf + lit(K1) * denomNorm))
+          .otherwise(lit(0.0))
+      }.reduce(_ + _)
+      d.crossJoin(broadcast(stats))
+        .where(QueryTerms.map(tm => col(s"tf_$tm") > 0).reduce(_ || _))
+        .select(col("doc_id"), round(score, 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(TopN)
+    }))
+
+  private val termList = QueryTerms.map("'" + _ + "'").mkString(", ")
+
+  val oracle: Map[String, String] = Map(
+    "ir_invindex" ->
+      s"""WITH tok AS (SELECT DISTINCT doc_id, term FROM (
+         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+         |  FROM documents))
+         |SELECT term, CAST(count(*) AS BIGINT) AS df,
+         |  list(doc_id ORDER BY doc_id) AS postings
+         |FROM tok GROUP BY term HAVING count(*) >= $MinDf ORDER BY term""".stripMargin,
+
+    "ir_bm25" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+         |  FROM documents),
+         |dlen AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+         |corpus AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+         |                  CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+         |           FROM dlen),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+         |       WHERE term IN ($termList) GROUP BY doc_id, term),
+         |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+         |sc AS (
+         |  SELECT tf.doc_id, tf.term,
+         |    ln((corpus.n - df.df + 0.5) / (df.df + 0.5) + 1.0) *
+         |    (tf.tf * ${K1 + 1.0}) /
+         |    (tf.tf + $K1 * (1.0 - $B + $B * dlen.dl / corpus.avgdl)) AS sc
+         |  FROM tf JOIN df USING (term) JOIN dlen USING (doc_id) CROSS JOIN corpus)
+         |SELECT doc_id, round(list_sum(list(sc ORDER BY term)), 6) AS score
+         |FROM sc GROUP BY doc_id
+         |ORDER BY score DESC, doc_id LIMIT $TopN""".stripMargin)
+}

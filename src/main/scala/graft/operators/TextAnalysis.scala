@@ -47,6 +47,17 @@ object TextAnalysis {
   private def hitCount(tokens: Column, words: Seq[String]): Column =
     size(filter(tokens, t => t.isin(words: _*))).cast("long")
 
+  /** The ta_quality keep/drop gate over a `text` column — shared with
+    * [[Dedup]]'s dd_canonical (canonical-doc selection ranks cluster
+    * members by this score). Keep the Spark and SQL forms in sync. */
+  private[operators] def qualityScoreCol: Column = {
+    val lenChars = length(col("text")).cast("long")
+    when(lenChars >= 100 && lenChars <= 2000 && hitCount(toks(col("text")), Stopwords) > 0,
+      1.0).otherwise(0.0)
+  }
+  private[operators] def qualityScoreSql: String =
+    s"CASE WHEN length(text) BETWEEN 100 AND 2000 AND ${sqlHits(Stopwords)} > 0 THEN 1.0 ELSE 0.0 END"
+
   val queries: Map[String, Q] = Map(
     // Token counting: whitespace tokens + BPE-ish regex tokens.
     "ta_token_count" -> ((s, dir) =>
@@ -71,8 +82,7 @@ object TextAnalysis {
           (nPunct.cast("double") / lenChars).as("punct_ratio"),
           (nStop.cast("double") / nToks).as("stop_ratio"),
           (sumTokLen.cast("double") / nToks).as("mean_tok_len"),
-          when(lenChars >= 100 && lenChars <= 2000 && nStop > 0, 1.0).otherwise(0.0)
-            .as("quality_score"))
+          qualityScoreCol.as("quality_score"))
         .orderBy("doc_id")
     }),
 
@@ -232,8 +242,7 @@ object TextAnalysis {
          |  CAST(${sqlHits(Stopwords)} AS DOUBLE) / len(string_split(text, ' ')) AS stop_ratio,
          |  CAST(CAST(list_sum(list_transform(string_split(lower(text), ' '), t -> length(t))) AS BIGINT) AS DOUBLE)
          |    / len(string_split(text, ' ')) AS mean_tok_len,
-         |  CASE WHEN length(text) BETWEEN 100 AND 2000 AND ${sqlHits(Stopwords)} > 0
-         |       THEN 1.0 ELSE 0.0 END AS quality_score
+         |  $qualityScoreSql AS quality_score
          |FROM documents ORDER BY doc_id""".stripMargin
     },
 

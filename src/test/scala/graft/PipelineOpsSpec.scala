@@ -105,6 +105,67 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"funnel drifted: kept=$nKept (update consciously if an upstream operator changed)")
   }
 
+  test("ir_invindex: postings sorted+distinct, df consistent, floor applied") {
+    val idx = operators.Retrieval.queries("ir_invindex")(spark, dir)
+    assert(idx.where(col("df") < 5).count() == 0)
+    assert(idx.where(size(col("postings")) =!= col("df")).count() == 0)
+    // sorted + distinct posting lists
+    assert(idx.where(col("postings") =!= array_sort(array_distinct(col("postings"))))
+      .count() == 0)
+    // postings reconstruct membership: every listed doc really contains the term
+    val flat = idx.select(col("term"), explode(col("postings")).as("doc_id"))
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
+    assert(flat.join(docs, "doc_id")
+      .where(!array_contains(col("t"), col("term"))).count() == 0)
+  }
+
+  test("ir_bm25: top-N ordered, scores positive, hits contain a query term") {
+    val hits = operators.Retrieval.queries("ir_bm25")(spark, dir)
+    val rows = hits.collect()
+    assert(rows.length == 50)
+    val scores = rows.map(_.getDouble(1))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    assert(scores.forall(_ > 0.0))
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
+    assert(hits.join(docs, "doc_id")
+      .where(!array_contains(col("t"), "merge") && !array_contains(col("t"), "spark") &&
+        !array_contains(col("t"), "window")).count() == 0)
+  }
+
+  test("emb_quantize: full coverage, byte range, endpoints hit per dimension") {
+    val q = operators.Embeddings.queries("emb_quantize")(spark, dir)
+    val n = Tables.load(spark, dir, "embeddings").count()
+    assert(q.count() == n)
+    assert(q.where(size(col("qvec")) =!= 64).count() == 0)
+    val vals = q.select(posexplode(col("qvec")).as(Seq("d", "v")))
+    assert(vals.where(col("v") < 0 || col("v") > 255).count() == 0)
+    // the min/max vector of every dimension must land exactly on 0 and 255
+    val ext = vals.groupBy("d").agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+    assert(ext.where(col("mn") =!= 0 || col("mx") =!= 255).count() == 0)
+  }
+
+  test("dd_canonical: agrees with dd_components, canonical is a best-quality member") {
+    val comp = operators.Dedup.queries("dd_components")(spark, dir)
+      .select(col("component"), col("n_members"))
+    val canon = operators.Dedup.queries("dd_canonical")(spark, dir)
+    // same cluster structure
+    assert(canon.select("component", "n_members").except(comp).count() == 0)
+    assert(comp.except(canon.select("component", "n_members")).count() == 0)
+    // canonical is a member of its component with the component-max quality
+    val labels = operators.Dedup.componentLabels(spark, dir)
+    val q = operators.TextAnalysis.queries("ta_quality")(spark, dir)
+      .select(col("doc_id"), col("quality_score"))
+    val members = labels.join(q, "doc_id")
+    val best = members.groupBy(col("lbl").as("component"))
+      .agg(max(col("quality_score")).as("bq"))
+    assert(canon.join(best, "component")
+      .where(col("best_quality") =!= col("bq")).count() == 0)
+    assert(canon.join(labels.withColumnRenamed("doc_id", "canonical_id"),
+      Seq("canonical_id")).where(col("lbl") =!= col("component")).count() == 0)
+  }
+
   test("connectedComponents: long chains converge via pointer jumping") {
     import spark.implicits._
     // A 60-hop path graph (diameter 60) would need ~60 rounds of pure
