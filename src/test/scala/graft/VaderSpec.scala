@@ -122,9 +122,9 @@ class VaderSpec extends AnyFunSuite {
     assert(compound("a devastating tragedy") < -0.05)
   }
 
-  test("round-4 lexicon batches (1139 entries): curated coverage goldens") {
+  test("round-4 lexicon batches: curated coverage goldens") {
     import graft.functions.VaderSentiment.Lexicon
-    assert(Lexicon.size == 1139, s"lexicon entry count drifted: ${Lexicon.size}")
+    assert(Lexicon.size == 1265, s"lexicon entry count drifted: ${Lexicon.size}")
     // exact pinned values for the batch's anchors
     assert(Lexicon("shit") == -2.6 && Lexicon("scam") == -2.2)
     assert(Lexicon("stellar") == 2.7 && Lexicon("blissful") == 2.9)
@@ -158,5 +158,27 @@ class VaderSpec extends AnyFunSuite {
     assert(label(compound("the service was courteous and the food immaculate")) == "positive")
     assert(label(compound("a treacherous and malicious betrayal")) == "negative")
     assert(label(compound("CAPS intensify: this is ABYSMAL")) == "negative")
+  }
+
+  test("round-5 lexicon batch (126 entries): curated coverage goldens") {
+    import graft.functions.VaderSentiment.Lexicon
+    // exact pinned anchors across the valence range
+    assert(Lexicon("euphoria") == 3.0 && Lexicon("overjoyed") == 3.0)
+    assert(Lexicon("wrath") == -2.7 && Lexicon("terrify") == -2.7)
+    assert(Lexicon("rigorous") == 0.8 && Lexicon("subdue") == -0.9)
+    // derived forms stay consistent with their bundled relatives
+    assert(math.abs(Lexicon("adored") - Lexicon("adore")) <= 0.3)
+    assert(math.abs(Lexicon("terrify") - Lexicon("terrified")) <= 0.3)
+    assert(math.abs(Lexicon("thrive") - Lexicon("thriving")) <= 0.3)
+    // label-level goldens across the batch
+    assert(label(compound("a caring and considerate host")) == "positive")
+    assert(label(compound("the audit was an excruciating ordeal")) == "negative")
+    assert(label(compound("they tried to manipulate and mislead the jury")) == "negative")
+    assert(label(compound("an ingenious and dazzling solution")) == "positive")
+    assert(label(compound("his vengeful wrath ravaged the village")) == "negative")
+    assert(label(compound("we persevere and thrive together")) == "positive")
+    // modulation still applies to batch words
+    assert(compound("extremely hurtful words") < compound("hurtful words"))
+    assert(label(compound("this was not hurtful")) == "positive")
   }
 }
