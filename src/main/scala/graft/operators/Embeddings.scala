@@ -31,6 +31,48 @@ object Embeddings {
   /** k-means: cluster count and unrolled Lloyd iterations (assign → update
     * → assign). Deterministic seeding: the first KmK vectors. */
   private val KmK = 8
+  /** SemDeDup within-cluster cosine near-dup threshold. */
+  private val SemTau = 0.4
+
+  /** The shared k-means assignment chain (emb_kmeans, emb_semdedup):
+    * deterministic seeds → cosine assignment → exact sorted-fold mean
+    * update → re-assignment. Returns (vec_id, v, cluster, c). Per
+    * iteration the k×d centroid state is broadcast (assignment is
+    * map-side) and the update is one keyed aggregation — linear at any
+    * corpus size. */
+  private def kmeansAssigned(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.ArrayExprs.register(s)
+    import graft.plans.ArrayExprs.dotProduct
+    val e = load(s, dir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(dotProduct(col("v"), col("v"))))
+    val seeds = e.where(col("vec_id") < KmK)
+      .select(col("vec_id").cast("int").as("cluster"), col("v").as("cv"),
+        col("nrm").as("cnrm"))
+
+    val wBest = Window.partitionBy("vec_id").orderBy(col("c").desc, col("cluster"))
+    def assign(cents: DataFrame): DataFrame =
+      e.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("v"), col("cluster"),
+          round(dotProduct(col("v"), col("cv")) / (col("nrm") * col("cnrm")), 6).as("c"))
+        .withColumn("rn", row_number().over(wBest))
+        .where(col("rn") === 1)
+        .select("vec_id", "v", "cluster", "c")
+
+    def update(asg: DataFrame): DataFrame =
+      asg.select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("cluster", "dim")
+        .agg(aggregate(array_sort(collect_list(col("x"))), lit(0.0),
+          (acc, v) => acc + v).as("sx"), count(lit(1)).as("n"))
+        .groupBy("cluster")
+        .agg(sort_array(collect_list(struct(col("dim"), (col("sx") / col("n")).as("m"))))
+          .as("dm"))
+        .select(col("cluster"), transform(col("dm"), s => s.getField("m")).as("cv"))
+        .withColumn("cnrm", sqrt(dotProduct(col("cv"), col("cv"))))
+
+    assign(update(assign(seeds)))
+  }
 
   val queries: Map[String, Q] = Map(
     // Exact per-label centroid, long form (label, dim, mean). Double sums
@@ -58,40 +100,35 @@ object Embeddings {
     // corpus size. Iterations are unrolled (2 here) so the whole refinement
     // is a single declarative plan; centroid means use the same sorted-fold
     // trick as emb_centroid so both engines compute bit-identical centroids.
-    "emb_kmeans" -> ((s, dir) => {
+    "emb_kmeans" -> ((s, dir) =>
+      kmeansAssigned(s, dir)
+        .select(col("vec_id"), col("cluster"), col("c").as("score"))
+        .orderBy("vec_id")),
+
+    // SemDeDup (semantic dedup over embedding clusters): k-means partitions
+    // the space, then ONLY within-cluster pairs are cosine-verified — the
+    // pair space is Σ cluster², never n². The assignment chain is
+    // localCheckpoint-ed before the self-join because Spark does not reuse
+    // exchanges across self-join sides (the dd_minhash_lsh lesson): the
+    // k-means plan executes once and both pair sides read the checkpoint.
+    // A production run raises k with corpus size so clusters stay bounded;
+    // the dataflow (cluster shuffle + within-cluster pairs) is identical.
+    "emb_semdedup" -> ((s, dir) => {
       graft.plans.ArrayExprs.register(s)
       import graft.plans.ArrayExprs.dotProduct
-      val e = load(s, dir, "embeddings")
-        .select(col("vec_id"),
-          transform(col("embedding"), x => x.cast("double")).as("v"))
+      val a = kmeansAssigned(s, dir)
+        .select(col("vec_id"), col("v"), col("cluster"))
         .withColumn("nrm", sqrt(dotProduct(col("v"), col("v"))))
-      val seeds = e.where(col("vec_id") < KmK)
-        .select(col("vec_id").cast("int").as("cluster"), col("v").as("cv"),
-          col("nrm").as("cnrm"))
-
-      val wBest = Window.partitionBy("vec_id").orderBy(col("c").desc, col("cluster"))
-      def assign(cents: DataFrame): DataFrame =
-        e.crossJoin(broadcast(cents))
-          .select(col("vec_id"), col("v"), col("cluster"),
-            round(dotProduct(col("v"), col("cv")) / (col("nrm") * col("cnrm")), 6).as("c"))
-          .withColumn("rn", row_number().over(wBest))
-          .where(col("rn") === 1)
-          .select("vec_id", "v", "cluster", "c")
-
-      def update(asg: DataFrame): DataFrame =
-        asg.select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
-          .groupBy("cluster", "dim")
-          .agg(aggregate(array_sort(collect_list(col("x"))), lit(0.0),
-            (acc, v) => acc + v).as("sx"), count(lit(1)).as("n"))
-          .groupBy("cluster")
-          .agg(sort_array(collect_list(struct(col("dim"), (col("sx") / col("n")).as("m"))))
-            .as("dm"))
-          .select(col("cluster"), transform(col("dm"), s => s.getField("m")).as("cv"))
-          .withColumn("cnrm", sqrt(dotProduct(col("cv"), col("cv"))))
-
-      assign(update(assign(seeds)))
-        .select(col("vec_id"), col("cluster"), col("c").as("score"))
-        .orderBy("vec_id")
+        .localCheckpoint(true)
+      a.select(col("cluster"), col("vec_id").as("vec_a"), col("v").as("va"),
+          col("nrm").as("na"))
+        .join(a.select(col("cluster"), col("vec_id").as("vec_b"), col("v").as("vb"),
+          col("nrm").as("nb")), "cluster")
+        .where(col("vec_a") < col("vec_b"))
+        .select(col("cluster"), col("vec_a"), col("vec_b"),
+          round(dotProduct(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("score"))
+        .where(col("score") >= SemTau)
+        .orderBy("cluster", "vec_a", "vec_b")
     }),
 
     // Scalar int8 quantization — the standard 4× memory cut that makes a
@@ -166,6 +203,30 @@ object Embeddings {
         .orderBy("q_id", "rank")
     }))
 
+  /** Shared oracle CTE for the k-means assignment (mirrors
+    * [[kmeansAssigned]] exactly — seeds, assign, sorted-fold update,
+    * re-assign — ending at `a2r` with the rn=1 filter still to apply). */
+  private lazy val kmeansCteSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |s0 AS (SELECT CAST(vec_id AS INT) AS cluster, v AS cv FROM e WHERE vec_id < $KmK),
+       |a1r AS (
+       |  SELECT e.vec_id, e.v, cluster,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY round(list_cosine_similarity(e.v, cv), 6) DESC, cluster) AS rn
+       |  FROM e, s0),
+       |a1 AS (SELECT vec_id, v, cluster FROM a1r WHERE rn = 1),
+       |u AS (
+       |  SELECT cluster, dim, list_sum(list(x ORDER BY x)) / count(*) AS m
+       |  FROM (SELECT cluster, generate_subscripts(v, 1) AS dim, unnest(v) AS x FROM a1)
+       |  GROUP BY cluster, dim),
+       |c1 AS (SELECT cluster, list(m ORDER BY dim) AS cv FROM u GROUP BY cluster),
+       |a2r AS (
+       |  SELECT e.vec_id, cluster,
+       |    round(list_cosine_similarity(e.v, cv), 6) AS c,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY round(list_cosine_similarity(e.v, cv), 6) DESC, cluster) AS rn
+       |  FROM e, c1)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "emb_centroid" ->
       """SELECT label, dim,
@@ -175,27 +236,20 @@ object Embeddings {
         |GROUP BY label, dim ORDER BY label, dim""".stripMargin,
 
     "emb_kmeans" ->
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |s0 AS (SELECT CAST(vec_id AS INT) AS cluster, v AS cv FROM e WHERE vec_id < $KmK),
-         |a1r AS (
-         |  SELECT e.vec_id, e.v, cluster,
-         |    row_number() OVER (PARTITION BY e.vec_id
-         |      ORDER BY round(list_cosine_similarity(e.v, cv), 6) DESC, cluster) AS rn
-         |  FROM e, s0),
-         |a1 AS (SELECT vec_id, v, cluster FROM a1r WHERE rn = 1),
-         |u AS (
-         |  SELECT cluster, dim, list_sum(list(x ORDER BY x)) / count(*) AS m
-         |  FROM (SELECT cluster, generate_subscripts(v, 1) AS dim, unnest(v) AS x FROM a1)
-         |  GROUP BY cluster, dim),
-         |c1 AS (SELECT cluster, list(m ORDER BY dim) AS cv FROM u GROUP BY cluster),
-         |a2r AS (
-         |  SELECT e.vec_id, cluster,
-         |    round(list_cosine_similarity(e.v, cv), 6) AS c,
-         |    row_number() OVER (PARTITION BY e.vec_id
-         |      ORDER BY round(list_cosine_similarity(e.v, cv), 6) DESC, cluster) AS rn
-         |  FROM e, c1)
+      s"""$kmeansCteSql
          |SELECT vec_id, cluster, c AS score FROM a2r WHERE rn = 1
          |ORDER BY vec_id""".stripMargin,
+
+    "emb_semdedup" ->
+      s"""$kmeansCteSql,
+         |asg AS (SELECT vec_id, cluster FROM a2r WHERE rn = 1)
+         |SELECT a.cluster, a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |  round(list_cosine_similarity(ea.v, eb.v), 6) AS score
+         |FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         |JOIN e ea ON a.vec_id = ea.vec_id
+         |JOIN e eb ON b.vec_id = eb.vec_id
+         |WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= $SemTau
+         |ORDER BY a.cluster, vec_a, vec_b""".stripMargin,
 
     "emb_quantize" ->
       """WITH e AS (

@@ -166,6 +166,24 @@ class PipelineOpsSpec extends AnyFunSuite {
       Seq("canonical_id")).where(col("lbl") =!= col("component")).count() == 0)
   }
 
+  test("emb_semdedup: within-cluster subset of the exact pair verifier") {
+    val sem = operators.Embeddings.queries("emb_semdedup")(spark, dir)
+    assert(sem.count() > 0)
+    // every SemDeDup pair is also found by the exact O(n²) verifier at the
+    // same threshold, with the identical rounded score (the cluster pass
+    // trades recall for the Σ cluster² pair space, never precision)
+    val exact = operators.Dedup.queries("dd_embed_cos")(spark, dir)
+    assert(sem.select("vec_a", "vec_b", "score")
+      .except(exact.select("vec_a", "vec_b", "score")).count() == 0)
+    // both members really carry the pair's cluster label
+    val km = operators.Embeddings.queries("emb_kmeans")(spark, dir)
+      .select(col("vec_id"), col("cluster").as("kc"))
+    assert(sem.join(km.withColumnRenamed("vec_id", "vec_a"), "vec_a")
+      .where(col("kc") =!= col("cluster")).count() == 0)
+    assert(sem.join(km.withColumnRenamed("vec_id", "vec_b"), "vec_b")
+      .where(col("kc") =!= col("cluster")).count() == 0)
+  }
+
   test("connectedComponents: long chains converge via pointer jumping") {
     import spark.implicits._
     // A 60-hop path graph (diameter 60) would need ~60 rounds of pure

@@ -119,6 +119,35 @@ class ScaleDesignSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
   }
 
+  test("ir_bm25 keeps the two-scan broadcast shape; emb_quantize broadcasts stats") {
+    // ir_bm25: per-doc tf/dl are map-side array math and the corpus stats
+    // are ONE broadcast row — the plan must stay at two scans of documents
+    // with no shuffled join (a corpus-sized join side would sink it at
+    // scale). emb_quantize: the 64-row per-dimension stats must come back
+    // as a broadcast, never a sort-merge join against the exploded values.
+    import org.apache.spark.sql.execution.joins.{SortMergeJoinExec, ShuffledHashJoinExec}
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val bm = SparkEntry.queries("ir_bm25")(spark, "/root/testdata/sf0.001")
+        .queryExecution.executedPlan
+      val scans = bm.collect { case s if s.nodeName.contains("Scan") => s }
+      assert(scans.size <= 2, s"ir_bm25 reads documents ${scans.size}x (expected 2):\n$bm")
+      val shuffledJoins = bm.collect {
+        case j: SortMergeJoinExec => j
+        case j: ShuffledHashJoinExec => j
+      }
+      assert(shuffledJoins.isEmpty, s"ir_bm25 has a shuffled join:\n$bm")
+      val qz = SparkEntry.queries("emb_quantize")(spark, "/root/testdata/sf0.001")
+        .queryExecution.executedPlan
+      val qzShuffled = qz.collect {
+        case j: SortMergeJoinExec => j
+        case j: ShuffledHashJoinExec => j
+      }
+      assert(qzShuffled.isEmpty, s"emb_quantize stats join is not broadcast:\n$qz")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
   test("no cartesian product anywhere except deliberate broadcast-tiny crosses") {
     // The only cross joins allowed in the battery are broadcast nested loops
     // against provably tiny sides (ANN query sets, k-means centroids).
