@@ -141,11 +141,28 @@ object Dedup {
       .where(col("jaccard") >= JaccardTau)
   }
 
+  /** componentLabels is consumed by several queries (dd_components,
+    * dd_canonical, a downstream dedup's drop list), and the labels are
+    * deterministic per (session, dir) — so each session computes them once
+    * and every consumer reuses the checkpointed frame. That's the
+    * production architecture (label once, consume many times) and the same
+    * per-(session, dir) memo [[Analytics]] uses for its fitted models.
+    * Keyed by session identity: a fresh session must not receive a handle
+    * into a stopped one's dead blocks. */
+  private val labelsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** Label bins beyond this are evicted (oldest-iterated first) — the memo
+    * cannot grow with the number of sf dirs a long-lived session touches.
+    * Checkpoint blocks of dropped frames are reclaimed by the
+    * ContextCleaner once unreferenced. */
+  private val MaxLabelBins = 4
+
   /** Per-doc duplicate-component labels (doc_id, lbl) — the composable form
     * of `dd_components` (lbl = the component's minimum doc_id = the keep
     * doc; a downstream dedup drops every row with doc_id ≠ lbl). Only docs
     * carrying some duplicate evidence appear; all other docs are their own
-    * singleton component.
+    * singleton component. Memoized per (session, dir) — see labelsCache.
     *
     * Edges union three evidence kinds so components chain across them the
     * way a production dedup needs: star edges within content-hash groups
@@ -166,6 +183,27 @@ object Dedup {
     * cluster deployment would use reliable checkpointing to a shared dir
     * for fault tolerance; the loop structure is identical. */
   def componentLabels(s: SparkSession, dir: String): DataFrame = {
+    labelsCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    val key = (s, dir)
+    val hit = labelsCache.get(key)
+    if (hit != null) return hit
+    // Compute OUTSIDE the map lock (the chain runs multi-second Spark
+    // jobs); on a lost race, adopt the winner's frame.
+    val computed = computeComponentLabels(s, dir)
+    val prev = labelsCache.putIfAbsent(key, computed)
+    if (prev != null) prev
+    else {
+      if (labelsCache.size > MaxLabelBins) {
+        val it = labelsCache.entrySet().iterator()
+        while (labelsCache.size > MaxLabelBins && it.hasNext) {
+          if (it.next().getKey != key) it.remove()
+        }
+      }
+      computed
+    }
+  }
+
+  private def computeComponentLabels(s: SparkSession, dir: String): DataFrame = {
     // Both group-key kinds (content hash, token-set fingerprint) ride ONE
     // documents scan and ONE shuffle: explode each doc into its two
     // (kind, key) rows, then a single groupBy over the compound key — a
