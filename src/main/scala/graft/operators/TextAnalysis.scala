@@ -33,6 +33,9 @@ object TextAnalysis {
 
   private val Stopwords = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
 
+  /** Keywords per doc emitted by ta_keywords. */
+  private val KwTopK = 3
+
   // Tiny per-language stopword profiles for the n-gram/stopword language-ID
   // heuristic. Real deployments swap in bigger profiles; the operator shape
   // (hits per profile → argmax) is what's exercised here.
@@ -190,6 +193,32 @@ object TextAnalysis {
         .orderBy("doc_id", "chunk_idx")
     }),
 
+    // TF-IDF keyword extraction: top-KwTopK terms per doc by
+    // tf · ln((N+1)/(df+1)). tf and df are two keyed aggregations over the
+    // token explode, the one-row corpus count is broadcast, and the final
+    // rank is a window partitioned BY DOC (keyed — never a global window).
+    // Score parity: round(6) on both sides absorbs libm ln ulp divergence;
+    // ordering and the top-k cut use the rounded value with a term
+    // tiebreak.
+    "ta_keywords" -> ((s, dir) => {
+      val tf = load(s, dir, "documents")
+        .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val corpus = load(s, dir, "documents")
+        .agg(count(lit(1)).cast("double").as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+      tf.join(dfT, "term").crossJoin(broadcast(corpus))
+        .select(col("doc_id"), col("term"),
+          round(col("tf") * log((col("n") + lit(1.0)) / (col("df") + lit(1.0))), 6)
+            .as("score"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= KwTopK)
+        .select("doc_id", "rank", "term", "score")
+        .orderBy("doc_id", "rank")
+    }),
+
     // Gopher-style repetition signals (Rae et al. 2021 §A1.1): fraction of
     // duplicate tokens, most-frequent-token share, most-frequent-bigram
     // share — the standard cheap repetition filters before training.
@@ -305,6 +334,22 @@ object TextAnalysis {
          |  array_to_string(list_slice(t, chunk_idx * $ChunkStride + 1,
          |                             chunk_idx * $ChunkStride + $ChunkSize), ' ') AS chunk_text
          |FROM idx ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "ta_keywords" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |corpus AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+         |sc AS (
+         |  SELECT doc_id, term,
+         |    round(tf * ln((n + 1.0) / (df + 1.0)), 6) AS score
+         |  FROM tf JOIN df USING (term) CROSS JOIN corpus),
+         |r AS (SELECT doc_id, term, score,
+         |        row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+         |      FROM sc)
+         |SELECT doc_id, CAST(rn AS BIGINT) AS rank, term, score
+         |FROM r WHERE rn <= $KwTopK ORDER BY doc_id, rank""".stripMargin,
 
     "ta_repetition" ->
       """WITH tok AS (
