@@ -47,6 +47,36 @@ object Relational2 {
         .orderBy("g_r", "g_n", "region", "nation")
     }),
 
+    // Scalar subquery: orders above the corpus-average price. Catalyst
+    // plans the subquery as an independent one-row aggregate broadcast into
+    // the filter (ScalarSubquery reuse), so the scan runs twice but nothing
+    // corpus-sized shuffles. The average goes through the decimal-exact sum
+    // (rule 2) so the threshold is bit-identical on both engines.
+    "q2_scalar_subquery" -> ((s, dir) => {
+      load(s, dir, "orders").createOrReplaceTempView("ord_sq")
+      s.sql(
+        """SELECT o_orderkey, o_totalprice FROM ord_sq
+          |WHERE o_totalprice > (
+          |  SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+          |  FROM ord_sq)
+          |ORDER BY o_orderkey, o_totalprice""".stripMargin)
+    }),
+
+    // Correlated NOT EXISTS: customers with no 'F'-status order. Catalyst's
+    // RewritePredicateSubquery turns this into a left-anti hash join on
+    // o_custkey — the same physical shape as the explicit j3 anti-join, but
+    // entering through the SQL subquery surface.
+    "q3_not_exists" -> ((s, dir) => {
+      load(s, dir, "customer").createOrReplaceTempView("cust_ne")
+      load(s, dir, "orders").createOrReplaceTempView("ord_ne")
+      s.sql(
+        """SELECT c_custkey, c_name FROM cust_ne c
+          |WHERE NOT EXISTS (
+          |  SELECT 1 FROM ord_ne o
+          |  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+          |ORDER BY c_custkey, c_name""".stripMargin)
+    }),
+
     // GROUPING SETS ((rf, ls), (rf), ()) — via Spark SQL on a temp view.
     "g2_grouping_sets" -> ((s, dir) => {
       load(s, dir, "lineitem").createOrReplaceTempView("li_gs")
@@ -384,6 +414,20 @@ object Relational2 {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP(r_name, n_name)
         |ORDER BY g_r, g_n, region, nation""".stripMargin,
+
+    "q2_scalar_subquery" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > (
+        |  SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+        |  FROM orders)
+        |ORDER BY o_orderkey, o_totalprice""".stripMargin,
+
+    "q3_not_exists" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+        |ORDER BY c_custkey, c_name""".stripMargin,
 
     "g2_grouping_sets" ->
       """SELECT coalesce(l_returnflag, '') AS rf, coalesce(l_linestatus, '') AS ls,
