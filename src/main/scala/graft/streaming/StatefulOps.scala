@@ -18,6 +18,10 @@ object StatefulOps {
   /** Keyed record for stateful dedup. */
   case class Keyed(key: String, payload: String)
 
+  /** Stream-stream interval-join inputs (the ad-attribution shape). */
+  case class Impression(ad_id: String, impression_ts: java.sql.Timestamp)
+  case class Click(ad_id: String, click_ts: java.sql.Timestamp)
+
   /** Per-key running aggregate output. */
   case class RunningTotal(key: String, n: Long, total: Double)
 
@@ -71,5 +75,28 @@ object StatefulOps {
           state.update((n, s))
           RunningTotal(key, n, s)
         })
+  }
+
+  /** Stream-stream interval join (ad attribution): each click joins the
+    * impression with the same ad_id it followed within `windowMinutes`.
+    * Both sides carry watermarks and the join condition bounds click_ts
+    * relative to impression_ts on BOTH ends — the two requirements that let
+    * the engine drop impression state once its attribution window has
+    * passed the watermark and click state once it can no longer match, so
+    * join-state memory is bounded by (arrival rate × window), not stream
+    * length. Inner join: unmatched rows age out of state silently. */
+  def attributeClicks(imps: Dataset[Impression], clicks: Dataset[Click],
+                      windowMinutes: Int = 10): Dataset[(String, java.sql.Timestamp, java.sql.Timestamp)] = {
+    import org.apache.spark.sql.functions.{col, expr}
+    implicit val enc: Encoder[(String, java.sql.Timestamp, java.sql.Timestamp)] =
+      Encoders.tuple(Encoders.STRING, Encoders.TIMESTAMP, Encoders.TIMESTAMP)
+    val i = imps.withWatermark("impression_ts", s"$windowMinutes minutes")
+    val c = clicks.withWatermark("click_ts", s"${windowMinutes * 2} minutes")
+    i.join(c,
+        i("ad_id") === c("ad_id") &&
+          c("click_ts") >= i("impression_ts") &&
+          c("click_ts") <= i("impression_ts") + expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select(i("ad_id"), col("impression_ts"), col("click_ts"))
+      .as[(String, java.sql.Timestamp, java.sql.Timestamp)]
   }
 }

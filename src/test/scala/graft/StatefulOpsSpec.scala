@@ -32,6 +32,34 @@ class StatefulOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join attributes clicks within the window only") {
+    import spark.implicits._
+    import graft.streaming.StatefulOps.{Click, Impression}
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+    val imps = MemoryStream[Impression]
+    val clicks = MemoryStream[Click]
+    val q = StatefulOps.attributeClicks(imps.toDS(), clicks.toDS(), windowMinutes = 10)
+      .toDF("ad_id", "impression_ts", "click_ts")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("attr_out").start()
+    try {
+      imps.addData(Impression("ad1", ts(0)), Impression("ad2", ts(0)))
+      q.processAllAvailable()
+      // ad1 clicked inside the window; ad2 clicked after it; ad3 never shown
+      clicks.addData(Click("ad1", ts(5)), Click("ad2", ts(15)), Click("ad3", ts(5)))
+      q.processAllAvailable()
+      // a second impression of ad1 arriving across micro-batches still joins
+      imps.addData(Impression("ad1", ts(4)))
+      q.processAllAvailable()
+      val rows = spark.table("attr_out")
+        .as[(String, java.sql.Timestamp, java.sql.Timestamp)].collect().toSet
+      assert(rows == Set(
+        ("ad1", ts(0), ts(5)),
+        ("ad1", ts(4), ts(5))))
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState running totals accumulate across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
