@@ -124,7 +124,7 @@ class VaderSpec extends AnyFunSuite {
 
   test("round-4 lexicon batches: curated coverage goldens") {
     import graft.functions.VaderSentiment.Lexicon
-    assert(Lexicon.size == 1265, s"lexicon entry count drifted: ${Lexicon.size}")
+    assert(Lexicon.size == 1396, s"lexicon entry count drifted: ${Lexicon.size}")
     // exact pinned values for the batch's anchors
     assert(Lexicon("shit") == -2.6 && Lexicon("scam") == -2.2)
     assert(Lexicon("stellar") == 2.7 && Lexicon("blissful") == 2.9)
@@ -180,5 +180,21 @@ class VaderSpec extends AnyFunSuite {
     // modulation still applies to batch words
     assert(compound("extremely hurtful words") < compound("hurtful words"))
     assert(label(compound("this was not hurtful")) == "positive")
+  }
+
+  test("round-5 lexicon batch 2 (131 entries): curated coverage goldens") {
+    import graft.functions.VaderSentiment.Lexicon
+    assert(Lexicon("atrocity") == -3.1 && Lexicon("brutality") == -3.0)
+    assert(Lexicon("brilliance") == 2.8 && Lexicon("elation") == 2.8)
+    assert(Lexicon("cautious") == 0.4 && Lexicon("apology") == 0.6)
+    // adverb/noun forms track their bundled roots
+    assert(math.abs(Lexicon("bravely") - Lexicon("brave")) <= 0.3)
+    assert(math.abs(Lexicon("dreadfully") - Lexicon("dreadful")) <= 0.3)
+    assert(label(compound("an admirable and compassionate leader")) == "positive")
+    assert(label(compound("the merger became a shameful debacle")) == "negative")
+    assert(label(compound("her eloquent and enchanting keynote")) == "positive")
+    assert(label(compound("their disloyal and distasteful scheme")) == "negative")
+    assert(label(compound("a diligent engineer with exemplary endurance")) == "positive")
+    assert(label(compound("he was fuming over the calamitous rollout")) == "negative")
   }
 }
