@@ -47,6 +47,36 @@ object Relational2 {
         .orderBy("g_r", "g_n", "region", "nation")
     }),
 
+    // Histogram profiling: fixed-width buckets via explicit floor(x/width)
+    // (DuckDB has no width_bucket; the explicit form is also bit-identical
+    // double math on both engines). One keyed aggregation — the standard
+    // distribution-profiling pass over any numeric column at scale.
+    "a11_histogram" -> ((s, dir) =>
+      load(s, dir, "lineitem")
+        .groupBy(floor(col("l_quantity") / lit(5.0)).cast("int").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("l_quantity")).as("lo"), max(col("l_quantity")).as("hi"))
+        .orderBy("bucket")),
+
+    // Dataset-card profiling: one wide row of per-column null counts,
+    // distinct counts, and typed min/max — the profiling pass a training
+    // pipeline runs before ingesting a new source. All exact aggregates
+    // (no float arithmetic beyond min/max value selection), one pass.
+    "prof_summary" -> ((s, dir) =>
+      load(s, dir, "orders").agg(
+        count(lit(1)).as("n_rows"),
+        (count(lit(1)) - count(col("o_custkey"))).as("custkey_nulls"),
+        countDistinct(col("o_custkey")).as("custkey_distinct"),
+        min(col("o_custkey")).as("custkey_min"),
+        max(col("o_custkey")).as("custkey_max"),
+        (count(lit(1)) - count(col("o_totalprice"))).as("price_nulls"),
+        countDistinct(col("o_totalprice")).as("price_distinct"),
+        min(col("o_totalprice")).as("price_min"),
+        max(col("o_totalprice")).as("price_max"),
+        countDistinct(col("o_orderstatus")).as("status_distinct"),
+        min(col("o_orderdate")).as("date_min"),
+        max(col("o_orderdate")).as("date_max"))),
+
     // Scalar subquery: orders above the corpus-average price. Catalyst
     // plans the subquery as an independent one-row aggregate broadcast into
     // the filter (ScalarSubquery reuse), so the scan runs twice but nothing
@@ -414,6 +444,23 @@ object Relational2 {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP(r_name, n_name)
         |ORDER BY g_r, g_n, region, nation""".stripMargin,
+
+    "a11_histogram" ->
+      """SELECT CAST(floor(l_quantity / 5.0) AS INT) AS bucket, count(*) AS n,
+        |  min(l_quantity) AS lo, max(l_quantity) AS hi
+        |FROM lineitem GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "prof_summary" ->
+      """SELECT count(*) AS n_rows,
+        |  count(*) - count(o_custkey) AS custkey_nulls,
+        |  count(DISTINCT o_custkey) AS custkey_distinct,
+        |  min(o_custkey) AS custkey_min, max(o_custkey) AS custkey_max,
+        |  count(*) - count(o_totalprice) AS price_nulls,
+        |  count(DISTINCT o_totalprice) AS price_distinct,
+        |  min(o_totalprice) AS price_min, max(o_totalprice) AS price_max,
+        |  count(DISTINCT o_orderstatus) AS status_distinct,
+        |  min(o_orderdate) AS date_min, max(o_orderdate) AS date_max
+        |FROM orders""".stripMargin,
 
     "q2_scalar_subquery" ->
       """SELECT o_orderkey, o_totalprice FROM orders
