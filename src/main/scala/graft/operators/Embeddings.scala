@@ -34,6 +34,11 @@ object Embeddings {
   /** SemDeDup within-cluster cosine near-dup threshold. */
   private val SemTau = 0.4
 
+  /** Product quantization: PqM subspaces of PqSubDim dims each (64-dim
+    * vectors → 2×32), codebook size = KmK per subspace. */
+  private val PqM = 2
+  private val PqSubDim = 32
+
   /** The shared k-means assignment chain (emb_kmeans, emb_semdedup):
     * deterministic seeds → cosine assignment → exact sorted-fold mean
     * update → re-assignment. Returns (vec_id, v, cluster, c). Per
@@ -129,6 +134,51 @@ object Embeddings {
           round(dotProduct(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("score"))
         .where(col("score") >= SemTau)
         .orderBy("cluster", "vec_a", "vec_b")
+    }),
+
+    // Product quantization encode (Jégou et al. 2011) — the other standard
+    // ANN compression: split each vector into PqM subspaces, k-means a
+    // per-subspace codebook, store one byte-sized code per subspace
+    // (64 doubles → 2 codes here). Each subspace runs the unrolled-Lloyd
+    // chain with L2 distance via the dot identity ‖a−b‖² = a·a + b·b − 2a·b
+    // (three sequential-fold dots — bit-identical cross-engine, rule 4 of
+    // the parity notes). Codebooks are broadcast (assignment map-side); at
+    // scale the only shuffles are the two per-(cluster,dim) mean updates.
+    "emb_pq" -> ((s, dir) => {
+      graft.plans.ArrayExprs.register(s)
+      import graft.plans.ArrayExprs.dotProduct
+      val e = load(s, dir, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("fv"))
+      def codes(m: Int): DataFrame = {
+        val sub = e.select(col("vec_id"),
+            slice(col("fv"), m * PqSubDim + 1, PqSubDim).as("v"))
+          .withColumn("vv", dotProduct(col("v"), col("v")))
+        val seeds = sub.where(col("vec_id") < KmK)
+          .select(col("vec_id").cast("int").as("cluster"), col("v").as("cv"),
+            col("vv").as("cvv"))
+        val wBest = Window.partitionBy("vec_id").orderBy(col("d"), col("cluster"))
+        def assign(cents: DataFrame): DataFrame =
+          sub.crossJoin(broadcast(cents))
+            .select(col("vec_id"), col("v"), col("vv"), col("cluster"),
+              round(col("vv") + col("cvv") - lit(2.0) * dotProduct(col("v"), col("cv")), 6)
+                .as("d"))
+            .withColumn("rn", row_number().over(wBest))
+            .where(col("rn") === 1)
+            .select("vec_id", "v", "vv", "cluster")
+        val upd = assign(seeds)
+          .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
+          .groupBy("cluster", "dim")
+          .agg(aggregate(array_sort(collect_list(col("x"))), lit(0.0),
+            (acc, x) => acc + x).as("sx"), count(lit(1)).as("n"))
+          .groupBy("cluster")
+          .agg(sort_array(collect_list(struct(col("dim"), (col("sx") / col("n")).as("m"))))
+            .as("dm"))
+          .select(col("cluster"), transform(col("dm"), t => t.getField("m")).as("cv"))
+          .withColumn("cvv", dotProduct(col("cv"), col("cv")))
+        assign(upd).select(col("vec_id"), col("cluster").as(s"code$m"))
+      }
+      codes(0).join(codes(1), "vec_id").orderBy("vec_id")
     }),
 
     // Scalar int8 quantization — the standard 4× memory cut that makes a
@@ -250,6 +300,41 @@ object Embeddings {
          |JOIN e eb ON b.vec_id = eb.vec_id
          |WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= $SemTau
          |ORDER BY a.cluster, vec_a, vec_b""".stripMargin,
+
+    "emb_pq" -> {
+      def sub(m: Int): String = {
+        val lo = m * PqSubDim + 1
+        val hi = (m + 1) * PqSubDim
+        s"""s$m AS (SELECT vec_id, list_slice(fv, $lo, $hi) AS v FROM e),
+           |seeds$m AS (SELECT CAST(vec_id AS INT) AS cluster, v AS cv
+           |            FROM s$m WHERE vec_id < $KmK),
+           |a$m AS (
+           |  SELECT s$m.vec_id, cluster, s$m.v,
+           |    row_number() OVER (PARTITION BY s$m.vec_id ORDER BY
+           |      round(list_inner_product(s$m.v, s$m.v) + list_inner_product(cv, cv)
+           |            - 2.0 * list_inner_product(s$m.v, cv), 6), cluster) AS rn
+           |  FROM s$m, seeds$m),
+           |asg$m AS (SELECT vec_id, v, cluster FROM a$m WHERE rn = 1),
+           |u$m AS (
+           |  SELECT cluster, dim, list_sum(list(x ORDER BY x)) / count(*) AS mu
+           |  FROM (SELECT cluster, generate_subscripts(v, 1) AS dim, unnest(v) AS x
+           |        FROM asg$m)
+           |  GROUP BY cluster, dim),
+           |c$m AS (SELECT cluster, list(mu ORDER BY dim) AS cv FROM u$m GROUP BY cluster),
+           |f$m AS (
+           |  SELECT s$m.vec_id, cluster,
+           |    row_number() OVER (PARTITION BY s$m.vec_id ORDER BY
+           |      round(list_inner_product(s$m.v, s$m.v) + list_inner_product(cv, cv)
+           |            - 2.0 * list_inner_product(s$m.v, cv), 6), cluster) AS rn
+           |  FROM s$m, c$m),
+           |code$m AS (SELECT vec_id, cluster AS code$m FROM f$m WHERE rn = 1)""".stripMargin
+      }
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS fv FROM embeddings),
+         |${sub(0)},
+         |${sub(1)}
+         |SELECT vec_id, code0, code1 FROM code0 JOIN code1 USING (vec_id)
+         |ORDER BY vec_id""".stripMargin
+    },
 
     "emb_quantize" ->
       """WITH e AS (

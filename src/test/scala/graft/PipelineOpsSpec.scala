@@ -166,6 +166,24 @@ class PipelineOpsSpec extends AnyFunSuite {
       Seq("canonical_id")).where(col("lbl") =!= col("component")).count() == 0)
   }
 
+  test("emb_pq: full coverage, codebook-range codes, deterministic") {
+    val pq = operators.Embeddings.queries("emb_pq")(spark, dir)
+    val n = Tables.load(spark, dir, "embeddings").count()
+    assert(pq.count() == n)
+    assert(pq.where(col("code0") < 0 || col("code0") >= 8 ||
+      col("code1") < 0 || col("code1") >= 8).count() == 0)
+    // both subspace codebooks are actually exercised (no collapsed codebook)
+    assert(pq.select(countDistinct(col("code0"))).head().getLong(0) > 1)
+    assert(pq.select(countDistinct(col("code1"))).head().getLong(0) > 1)
+    // the two subspaces encode independently: code pairs differ across docs
+    assert(pq.select(countDistinct(col("code0"), col("code1"))).head().getLong(0) > 8)
+    def h(df: org.apache.spark.sql.DataFrame): String =
+      df.select(md5(concat_ws("|", col("vec_id"), col("code0"), col("code1"))).as("r"))
+        .agg(md5(concat_ws(",", sort_array(collect_list(col("r"))))))
+        .head().getString(0)
+    assert(h(pq) == h(operators.Embeddings.queries("emb_pq")(spark, dir)))
+  }
+
   test("emb_semdedup: within-cluster subset of the exact pair verifier") {
     val sem = operators.Embeddings.queries("emb_semdedup")(spark, dir)
     assert(sem.count() > 0)
