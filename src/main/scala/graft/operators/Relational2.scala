@@ -47,6 +47,22 @@ object Relational2 {
         .orderBy("g_r", "g_n", "region", "nation")
     }),
 
+    // CUBE over (returnflag, linestatus): all 2² grouping combinations in
+    // one pass (Spark expands to a single Expand + hash aggregate — one
+    // shuffle regardless of the number of grouping sets). NULL group keys
+    // coalesced per parity rule (NULL sort order differs across engines).
+    "g3_cube" -> ((s, dir) =>
+      load(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          grouping(col("l_returnflag")).cast("int").as("g_rf"),
+          grouping(col("l_linestatus")).cast("int").as("g_ls"))
+        .select(coalesce(col("l_returnflag"), lit("")).as("rf"),
+          coalesce(col("l_linestatus"), lit("")).as("ls"),
+          col("g_rf"), col("g_ls"), col("n"), col("sum_qty"))
+        .orderBy("g_rf", "g_ls", "rf", "ls")),
+
     // Histogram profiling: fixed-width buckets via explicit floor(x/width)
     // (DuckDB has no width_bucket; the explicit form is also bit-identical
     // double math on both engines). One keyed aggregation — the standard
@@ -444,6 +460,16 @@ object Relational2 {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP(r_name, n_name)
         |ORDER BY g_r, g_n, region, nation""".stripMargin,
+
+    "g3_cube" ->
+      """SELECT coalesce(l_returnflag, '') AS rf, coalesce(l_linestatus, '') AS ls,
+        |  CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+        |  CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY g_rf, g_ls, rf, ls""".stripMargin,
 
     "a11_histogram" ->
       """SELECT CAST(floor(l_quantity / 5.0) AS INT) AS bucket, count(*) AS n,
