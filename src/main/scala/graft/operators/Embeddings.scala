@@ -39,6 +39,47 @@ object Embeddings {
   private val PqM = 2
   private val PqSubDim = 32
 
+  /** The per-subspace PQ codebook chain shared by emb_pq (encode) and
+    * ann_pq (ADC search): unrolled Lloyd (seed assign → sorted-fold mean
+    * update → re-assign) over the m-th PqSubDim-dim slice, L2 distance via
+    * the dot identity ‖a−b‖² = a·a + b·b − 2a·b (three sequential-fold
+    * dots — bit-identical cross-engine, rule 4 of the parity notes).
+    * Codebooks are broadcast (assignment map-side); the only shuffles are
+    * the per-(cluster, dim) mean updates. Returns (codes = (vec_id,
+    * code_m), centroids = (cluster, cv, cvv)). */
+  private def pqSub(s: SparkSession, dir: String, m: Int): (DataFrame, DataFrame) = {
+    graft.plans.ArrayExprs.register(s)
+    import graft.plans.ArrayExprs.dotProduct
+    val sub = load(s, dir, "embeddings")
+      .select(col("vec_id"),
+        slice(transform(col("embedding"), x => x.cast("double")),
+          m * PqSubDim + 1, PqSubDim).as("v"))
+      .withColumn("vv", dotProduct(col("v"), col("v")))
+    val seeds = sub.where(col("vec_id") < KmK)
+      .select(col("vec_id").cast("int").as("cluster"), col("v").as("cv"),
+        col("vv").as("cvv"))
+    val wBest = Window.partitionBy("vec_id").orderBy(col("d"), col("cluster"))
+    def assign(cents: DataFrame): DataFrame =
+      sub.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("v"), col("vv"), col("cluster"),
+          round(col("vv") + col("cvv") - lit(2.0) * dotProduct(col("v"), col("cv")), 6)
+            .as("d"))
+        .withColumn("rn", row_number().over(wBest))
+        .where(col("rn") === 1)
+        .select("vec_id", "v", "vv", "cluster")
+    val upd = assign(seeds)
+      .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy("cluster", "dim")
+      .agg(aggregate(array_sort(collect_list(col("x"))), lit(0.0),
+        (acc, x) => acc + x).as("sx"), count(lit(1)).as("n"))
+      .groupBy("cluster")
+      .agg(sort_array(collect_list(struct(col("dim"), (col("sx") / col("n")).as("m"))))
+        .as("dm"))
+      .select(col("cluster"), transform(col("dm"), t => t.getField("m")).as("cv"))
+      .withColumn("cvv", dotProduct(col("cv"), col("cv")))
+    (assign(upd).select(col("vec_id"), col("cluster").as(s"code$m")), upd)
+  }
+
   /** The shared k-means assignment chain (emb_kmeans, emb_semdedup):
     * deterministic seeds → cosine assignment → exact sorted-fold mean
     * update → re-assignment. Returns (vec_id, v, cluster, c). Per
@@ -139,46 +180,45 @@ object Embeddings {
     // Product quantization encode (Jégou et al. 2011) — the other standard
     // ANN compression: split each vector into PqM subspaces, k-means a
     // per-subspace codebook, store one byte-sized code per subspace
-    // (64 doubles → 2 codes here). Each subspace runs the unrolled-Lloyd
-    // chain with L2 distance via the dot identity ‖a−b‖² = a·a + b·b − 2a·b
-    // (three sequential-fold dots — bit-identical cross-engine, rule 4 of
-    // the parity notes). Codebooks are broadcast (assignment map-side); at
-    // scale the only shuffles are the two per-(cluster,dim) mean updates.
-    "emb_pq" -> ((s, dir) => {
+    // (64 doubles → 2 codes here). See [[pqSub]] for the chain.
+    "emb_pq" -> ((s, dir) =>
+      pqSub(s, dir, 0)._1.join(pqSub(s, dir, 1)._1, "vec_id").orderBy("vec_id")),
+
+    // ADC search over the PQ codes (the asymmetric-distance half of PQ):
+    // per query, the distance to EVERY centroid of every subspace is a tiny
+    // table (NumQueries × PqM × KmK rows) broadcast to the code frame; each
+    // database vector's approximate distance is then two table lookups and
+    // an add — a linear scan over 2-byte codes with zero vector math per
+    // candidate, which is exactly why PQ search survives 100 TB: the code
+    // frame is ~1/256 the raw data and the per-row work is O(PqM).
+    "ann_pq" -> ((s, dir) => {
+      val (c0, cents0) = pqSub(s, dir, 0)
+      val (c1, cents1) = pqSub(s, dir, 1)
       graft.plans.ArrayExprs.register(s)
       import graft.plans.ArrayExprs.dotProduct
+      val codes = c0.join(c1, "vec_id")
       val e = load(s, dir, "embeddings")
         .select(col("vec_id"),
           transform(col("embedding"), x => x.cast("double")).as("fv"))
-      def codes(m: Int): DataFrame = {
-        val sub = e.select(col("vec_id"),
-            slice(col("fv"), m * PqSubDim + 1, PqSubDim).as("v"))
-          .withColumn("vv", dotProduct(col("v"), col("v")))
-        val seeds = sub.where(col("vec_id") < KmK)
-          .select(col("vec_id").cast("int").as("cluster"), col("v").as("cv"),
-            col("vv").as("cvv"))
-        val wBest = Window.partitionBy("vec_id").orderBy(col("d"), col("cluster"))
-        def assign(cents: DataFrame): DataFrame =
-          sub.crossJoin(broadcast(cents))
-            .select(col("vec_id"), col("v"), col("vv"), col("cluster"),
-              round(col("vv") + col("cvv") - lit(2.0) * dotProduct(col("v"), col("cv")), 6)
-                .as("d"))
-            .withColumn("rn", row_number().over(wBest))
-            .where(col("rn") === 1)
-            .select("vec_id", "v", "vv", "cluster")
-        val upd = assign(seeds)
-          .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
-          .groupBy("cluster", "dim")
-          .agg(aggregate(array_sort(collect_list(col("x"))), lit(0.0),
-            (acc, x) => acc + x).as("sx"), count(lit(1)).as("n"))
-          .groupBy("cluster")
-          .agg(sort_array(collect_list(struct(col("dim"), (col("sx") / col("n")).as("m"))))
-            .as("dm"))
-          .select(col("cluster"), transform(col("dm"), t => t.getField("m")).as("cv"))
-          .withColumn("cvv", dotProduct(col("cv"), col("cv")))
-        assign(upd).select(col("vec_id"), col("cluster").as(s"code$m"))
-      }
-      codes(0).join(codes(1), "vec_id").orderBy("vec_id")
+      def qTable(m: Int, cents: DataFrame): DataFrame =
+        e.where(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("q_id"),
+            slice(col("fv"), m * PqSubDim + 1, PqSubDim).as("qv"))
+          .withColumn("qvv", dotProduct(col("qv"), col("qv")))
+          .crossJoin(broadcast(cents))
+          .select(col("q_id"), col("cluster").as(s"code$m"),
+            round(col("qvv") + col("cvv") - lit(2.0) * dotProduct(col("qv"), col("cv")), 6)
+              .as(s"d$m"))
+      val wRank = Window.partitionBy("q_id").orderBy(col("adist"), col("n_id"))
+      codes.join(broadcast(qTable(0, cents0)), "code0")
+        .join(broadcast(qTable(1, cents1)), Seq("code1", "q_id"))
+        .where(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("n_id"),
+          round(col("d0") + col("d1"), 6).as("adist"))
+        .withColumn("rank", row_number().over(wRank))
+        .where(col("rank") <= TopK)
+        .select("q_id", "rank", "n_id", "adist")
+        .orderBy("q_id", "rank")
     }),
 
     // Scalar int8 quantization — the standard 4× memory cut that makes a
@@ -277,6 +317,37 @@ object Embeddings {
        |      ORDER BY round(list_cosine_similarity(e.v, cv), 6) DESC, cluster) AS rn
        |  FROM e, c1)""".stripMargin
 
+  /** Oracle CTE block for PQ subspace m (mirrors [[pqSub]]): slices, seeds,
+    * assign, sorted-fold update, re-assign — ends at `code$m(vec_id,
+    * code$m)` with centroids available as `c$m(cluster, cv)`. */
+  private def pqSubSql(m: Int): String = {
+    val lo = m * PqSubDim + 1
+    val hi = (m + 1) * PqSubDim
+    s"""s$m AS (SELECT vec_id, list_slice(fv, $lo, $hi) AS v FROM e),
+       |seeds$m AS (SELECT CAST(vec_id AS INT) AS cluster, v AS cv
+       |            FROM s$m WHERE vec_id < $KmK),
+       |a$m AS (
+       |  SELECT s$m.vec_id, cluster, s$m.v,
+       |    row_number() OVER (PARTITION BY s$m.vec_id ORDER BY
+       |      round(list_inner_product(s$m.v, s$m.v) + list_inner_product(cv, cv)
+       |            - 2.0 * list_inner_product(s$m.v, cv), 6), cluster) AS rn
+       |  FROM s$m, seeds$m),
+       |asg$m AS (SELECT vec_id, v, cluster FROM a$m WHERE rn = 1),
+       |u$m AS (
+       |  SELECT cluster, dim, list_sum(list(x ORDER BY x)) / count(*) AS mu
+       |  FROM (SELECT cluster, generate_subscripts(v, 1) AS dim, unnest(v) AS x
+       |        FROM asg$m)
+       |  GROUP BY cluster, dim),
+       |c$m AS (SELECT cluster, list(mu ORDER BY dim) AS cv FROM u$m GROUP BY cluster),
+       |f$m AS (
+       |  SELECT s$m.vec_id, cluster,
+       |    row_number() OVER (PARTITION BY s$m.vec_id ORDER BY
+       |      round(list_inner_product(s$m.v, s$m.v) + list_inner_product(cv, cv)
+       |            - 2.0 * list_inner_product(s$m.v, cv), 6), cluster) AS rn
+       |  FROM s$m, c$m),
+       |code$m AS (SELECT vec_id, cluster AS code$m FROM f$m WHERE rn = 1)""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "emb_centroid" ->
       """SELECT label, dim,
@@ -301,39 +372,41 @@ object Embeddings {
          |WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= $SemTau
          |ORDER BY a.cluster, vec_a, vec_b""".stripMargin,
 
-    "emb_pq" -> {
-      def sub(m: Int): String = {
+    "emb_pq" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS fv FROM embeddings),
+         |${pqSubSql(0)},
+         |${pqSubSql(1)}
+         |SELECT vec_id, code0, code1 FROM code0 JOIN code1 USING (vec_id)
+         |ORDER BY vec_id""".stripMargin,
+
+    "ann_pq" -> {
+      def qt(m: Int): String = {
         val lo = m * PqSubDim + 1
         val hi = (m + 1) * PqSubDim
-        s"""s$m AS (SELECT vec_id, list_slice(fv, $lo, $hi) AS v FROM e),
-           |seeds$m AS (SELECT CAST(vec_id AS INT) AS cluster, v AS cv
-           |            FROM s$m WHERE vec_id < $KmK),
-           |a$m AS (
-           |  SELECT s$m.vec_id, cluster, s$m.v,
-           |    row_number() OVER (PARTITION BY s$m.vec_id ORDER BY
-           |      round(list_inner_product(s$m.v, s$m.v) + list_inner_product(cv, cv)
-           |            - 2.0 * list_inner_product(s$m.v, cv), 6), cluster) AS rn
-           |  FROM s$m, seeds$m),
-           |asg$m AS (SELECT vec_id, v, cluster FROM a$m WHERE rn = 1),
-           |u$m AS (
-           |  SELECT cluster, dim, list_sum(list(x ORDER BY x)) / count(*) AS mu
-           |  FROM (SELECT cluster, generate_subscripts(v, 1) AS dim, unnest(v) AS x
-           |        FROM asg$m)
-           |  GROUP BY cluster, dim),
-           |c$m AS (SELECT cluster, list(mu ORDER BY dim) AS cv FROM u$m GROUP BY cluster),
-           |f$m AS (
-           |  SELECT s$m.vec_id, cluster,
-           |    row_number() OVER (PARTITION BY s$m.vec_id ORDER BY
-           |      round(list_inner_product(s$m.v, s$m.v) + list_inner_product(cv, cv)
-           |            - 2.0 * list_inner_product(s$m.v, cv), 6), cluster) AS rn
-           |  FROM s$m, c$m),
-           |code$m AS (SELECT vec_id, cluster AS code$m FROM f$m WHERE rn = 1)""".stripMargin
+        s"""q$m AS (SELECT vec_id AS q_id, list_slice(fv, $lo, $hi) AS qv
+           |        FROM e WHERE vec_id < $NumQueries),
+           |t$m AS (
+           |  SELECT q_id, cluster AS code$m,
+           |    round(list_inner_product(qv, qv) + list_inner_product(cv, cv)
+           |          - 2.0 * list_inner_product(qv, cv), 6) AS d$m
+           |  FROM q$m, c$m)""".stripMargin
       }
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS fv FROM embeddings),
-         |${sub(0)},
-         |${sub(1)}
-         |SELECT vec_id, code0, code1 FROM code0 JOIN code1 USING (vec_id)
-         |ORDER BY vec_id""".stripMargin
+         |${pqSubSql(0)},
+         |${pqSubSql(1)},
+         |codes AS (SELECT vec_id, code0, code1 FROM code0 JOIN code1 USING (vec_id)),
+         |${qt(0)},
+         |${qt(1)},
+         |scored AS (
+         |  SELECT t0.q_id, codes.vec_id AS n_id, round(d0 + d1, 6) AS adist,
+         |    row_number() OVER (PARTITION BY t0.q_id
+         |      ORDER BY round(d0 + d1, 6), codes.vec_id) AS rank
+         |  FROM codes
+         |  JOIN t0 ON t0.code0 = codes.code0
+         |  JOIN t1 ON t1.code1 = codes.code1 AND t1.q_id = t0.q_id
+         |  WHERE codes.vec_id <> t0.q_id)
+         |SELECT q_id, rank, n_id, adist FROM scored WHERE rank <= $TopK
+         |ORDER BY q_id, rank""".stripMargin
     },
 
     "emb_quantize" ->

@@ -184,6 +184,34 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(h(pq) == h(operators.Embeddings.queries("emb_pq")(spark, dir)))
   }
 
+  test("ann_pq: ADC search is well-formed and consistent with the codes") {
+    val res = operators.Embeddings.queries("ann_pq")(spark, dir).collect()
+    // 5 queries × top-3, ranks 1..3, approximate distances non-negative and
+    // non-decreasing within each query
+    assert(res.length == 15)
+    val byQ = res.groupBy(_.getLong(0))
+    assert(byQ.keySet == (0L until 5L).toSet)
+    byQ.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq == Seq(1, 2, 3))
+      val dists = sorted.map(_.getDouble(3))
+      assert(dists.forall(_ >= 0.0))
+      assert(dists.zip(dists.tail).forall { case (a, b) => a <= b })
+    }
+    // a neighbor sharing BOTH codes with the query must rank above any
+    // sharing neither (its ADC distance is the query's own quantization
+    // floor) — spot-check via the codes frame
+    val codes = operators.Embeddings.queries("emb_pq")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    byQ.foreach { case (q, rs) =>
+      val top = rs.minBy(_.getInt(1))
+      val exactMatches = codes.filter { case (id, c) => id != q && c == codes(q) }
+      if (exactMatches.nonEmpty)
+        assert(codes(top.getLong(2)) == codes(q),
+          s"query $q: an exact code match exists but rank 1 differs")
+    }
+  }
+
   test("emb_semdedup: within-cluster subset of the exact pair verifier") {
     val sem = operators.Embeddings.queries("emb_semdedup")(spark, dir)
     assert(sem.count() > 0)
