@@ -39,6 +39,8 @@ object Retrieval {
   private val TopN = 50
   /** Inverted-index df floor: drops hapax noise and bounds output size. */
   private val MinDf = 5L
+  /** The fixed phrase for ir_phrase (two adjacent tokens). */
+  private val PhraseQuery = "spark window"
 
   private def toks(c: Column): Column = split(lower(c), " ")
 
@@ -54,6 +56,29 @@ object Retrieval {
           col("postings"))
         .where(col("df") >= MinDf)
         .orderBy("term")),
+
+    // Exact phrase match ("spark window" as adjacent tokens): the bigram
+    // array is map-side array math (same trick as ta_repetition), so the
+    // whole query is a single scan + filter with NO shuffle before the
+    // oracle ORDER BY — at 100 TB this is the cheapest possible full-corpus
+    // phrase scan (an inverted index with positions would beat it only for
+    // selective phrases, which is ir_invindex's territory).
+    "ir_phrase" -> ((s, dir) => {
+      val t = toks(col("text"))
+      val n = size(t)
+      // bigrams via zip_with over shifted slices (the ta_ngram_topk shape:
+      // transform(sequence)+element_at re-evaluates the array per element,
+      // and sequence(1, 0) DESCENDS rather than being empty)
+      val bigrams = when(n >= 2,
+        zip_with(slice(t, lit(1), n - 1), slice(t, lit(2), n - 1),
+          (a, b) => concat_ws(" ", a, b)))
+        .otherwise(array().cast("array<string>"))
+      load(s, dir, "documents")
+        .select(col("doc_id"),
+          size(filter(bigrams, b => b === PhraseQuery)).cast("long").as("n_hits"))
+        .where(col("n_hits") > 0)
+        .orderBy("doc_id")
+    }),
 
     // BM25(q, d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
     // idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1) — the Lucene-style
@@ -102,6 +127,16 @@ object Retrieval {
          |SELECT term, CAST(count(*) AS BIGINT) AS df,
          |  list(doc_id ORDER BY doc_id) AS postings
          |FROM tok GROUP BY term HAVING count(*) >= $MinDf ORDER BY term""".stripMargin,
+
+    "ir_phrase" ->
+      s"""WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(list_filter(list_transform(range(1, greatest(len(t), 1)),
+         |       i -> t[i] || ' ' || t[i+1]), b -> b = '$PhraseQuery')) AS BIGINT) AS n_hits
+         |FROM d
+         |WHERE len(list_filter(list_transform(range(1, greatest(len(t), 1)),
+         |      i -> t[i] || ' ' || t[i+1]), b -> b = '$PhraseQuery')) > 0
+         |ORDER BY doc_id""".stripMargin,
 
     "ir_bm25" ->
       s"""WITH tok AS (
