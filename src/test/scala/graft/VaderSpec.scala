@@ -124,7 +124,7 @@ class VaderSpec extends AnyFunSuite {
 
   test("round-4 lexicon batches: curated coverage goldens") {
     import graft.functions.VaderSentiment.Lexicon
-    assert(Lexicon.size == 1396, s"lexicon entry count drifted: ${Lexicon.size}")
+    assert(Lexicon.size == 1494, s"lexicon entry count drifted: ${Lexicon.size}")
     // exact pinned values for the batch's anchors
     assert(Lexicon("shit") == -2.6 && Lexicon("scam") == -2.2)
     assert(Lexicon("stellar") == 2.7 && Lexicon("blissful") == 2.9)
@@ -196,5 +196,18 @@ class VaderSpec extends AnyFunSuite {
     assert(label(compound("their disloyal and distasteful scheme")) == "negative")
     assert(label(compound("a diligent engineer with exemplary endurance")) == "positive")
     assert(label(compound("he was fuming over the calamitous rollout")) == "negative")
+  }
+
+  test("round-5 lexicon batch 3 (98 entries): curated coverage goldens") {
+    import graft.functions.VaderSentiment.Lexicon
+    assert(Lexicon("hatred") == -3.2 && Lexicon("hellish") == -2.8)
+    assert(Lexicon("heartwarming") == 2.6 && Lexicon("heroism") == 2.6)
+    assert(Lexicon("lull") == -0.4 && Lexicon("lenient") == 0.7)
+    assert(label(compound("a heartwarming act of generosity")) == "positive")
+    assert(label(compound("his insolent and judgmental tone")) == "negative")
+    assert(label(compound("an insightful and imaginative proposal")) == "positive")
+    assert(label(compound("the rollout was a joyless hassle")) == "negative")
+    assert(label(compound("her masterful and gracious keynote")) == "positive")
+    assert(label(compound("consumed by hatred and mistrust")) == "negative")
   }
 }
