@@ -124,7 +124,7 @@ class VaderSpec extends AnyFunSuite {
 
   test("round-4 lexicon batches: curated coverage goldens") {
     import graft.functions.VaderSentiment.Lexicon
-    assert(Lexicon.size == 1494, s"lexicon entry count drifted: ${Lexicon.size}")
+    assert(Lexicon.size == 1728, s"lexicon entry count drifted: ${Lexicon.size}")
     // exact pinned values for the batch's anchors
     assert(Lexicon("shit") == -2.6 && Lexicon("scam") == -2.2)
     assert(Lexicon("stellar") == 2.7 && Lexicon("blissful") == 2.9)
@@ -209,5 +209,21 @@ class VaderSpec extends AnyFunSuite {
     assert(label(compound("the rollout was a joyless hassle")) == "negative")
     assert(label(compound("her masterful and gracious keynote")) == "positive")
     assert(label(compound("consumed by hatred and mistrust")) == "negative")
+  }
+
+  test("round-5 lexicon batch 4 (234 entries): curated coverage goldens") {
+    import graft.functions.VaderSentiment.Lexicon
+    assert(Lexicon("perfection") == 2.7 && Lexicon("torturous") == -2.6)
+    assert(Lexicon("serenity") == 2.4 && Lexicon("repugnant") == -2.5)
+    assert(Lexicon("sacrifice") == -0.6 && Lexicon("scrappy") == 0.6)
+    assert(label(compound("a selfless act of tremendous valor")) == "positive")
+    assert(label(compound("the sickening stench of negligence")) == "negative")
+    assert(label(compound("an uplifting and stimulating seminar")) == "positive")
+    assert(label(compound("their underhanded and unethical tactics")) == "negative")
+    assert(label(compound("a serene retreat of splendor and tranquility")) == "positive")
+    assert(label(compound("he seethed over the slanderous taunt")) == "negative")
+    // boosters and negation still compose with the new vocabulary
+    assert(compound("incredibly uplifting news") > compound("uplifting news"))
+    assert(label(compound("this was not wasteful at all")) == "positive")
   }
 }
