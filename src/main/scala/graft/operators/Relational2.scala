@@ -47,6 +47,25 @@ object Relational2 {
         .orderBy("g_r", "g_n", "region", "nation")
     }),
 
+    // Correlated LATERAL subquery: per-customer order stats computed by a
+    // correlated derived table. Catalyst decorrelates this into an
+    // aggregate + equi-join (never a per-row re-execution), so the SQL
+    // surface is lateral but the physical plan is one keyed aggregation
+    // joined on the correlation key. max(price) rides the decimal cast so
+    // the extremum is exact on both engines.
+    "q4_lateral" -> ((s, dir) => {
+      load(s, dir, "customer").createOrReplaceTempView("cust_lat")
+      load(s, dir, "orders").createOrReplaceTempView("ord_lat")
+      s.sql(
+        """SELECT c_custkey, t.n_orders, t.top_price
+          |FROM cust_lat c, LATERAL (
+          |  SELECT count(*) AS n_orders,
+          |    CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS top_price
+          |  FROM ord_lat o WHERE o.o_custkey = c.c_custkey) t
+          |WHERE t.n_orders > 0
+          |ORDER BY c_custkey, n_orders, top_price""".stripMargin)
+    }),
+
     // CUBE over (returnflag, linestatus): all 2² grouping combinations in
     // one pass (Spark expands to a single Expand + hash aggregate — one
     // shuffle regardless of the number of grouping sets). NULL group keys
@@ -460,6 +479,15 @@ object Relational2 {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP(r_name, n_name)
         |ORDER BY g_r, g_n, region, nation""".stripMargin,
+
+    "q4_lateral" ->
+      """SELECT c_custkey, t.n_orders, t.top_price
+        |FROM customer c, LATERAL (
+        |  SELECT count(*) AS n_orders,
+        |    CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS top_price
+        |  FROM orders o WHERE o.o_custkey = c.c_custkey) t
+        |WHERE t.n_orders > 0
+        |ORDER BY c_custkey, n_orders, top_price""".stripMargin,
 
     "g3_cube" ->
       """SELECT coalesce(l_returnflag, '') AS rf, coalesce(l_linestatus, '') AS ls,
