@@ -77,6 +77,50 @@ object StatefulOps {
         })
   }
 
+  /** Per-key running totals on the `transformWithState` API (the
+    * Spark-4 successor to mapGroupsWithState): explicit typed
+    * `ValueState` obtained from the processor handle, optional native TTL
+    * via TTLConfig, RocksDB-backed state store. Same semantics as
+    * [[runningTotals]] — kept side by side so both state APIs are
+    * exercised; new code should prefer this one (composable multiple
+    * states per key, timers, and list/map state without manual encoding).
+    *
+    * Requires `spark.sql.streaming.stateStore.providerClass` =
+    * RocksDBStateStoreProvider (transformWithState does not run on the
+    * default HDFS-backed store). */
+  class RunningTotalProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, Double), RunningTotal] {
+    @transient private var state:
+        org.apache.spark.sql.streaming.ValueState[(Long, Double)] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[(Long, Double)]("agg",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[(String, Double)],
+                                 timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[RunningTotal] = {
+      val (n0, s0) = if (state.exists) state.get() else (0L, 0.0)
+      var n = n0
+      var s = s0
+      rows.foreach { r => n += 1; s += r._2 }
+      state.update((n, s))
+      Iterator.single(RunningTotal(key, n, s))
+    }
+  }
+
+  def runningTotalsTws(ds: Dataset[(String, Double)]): Dataset[RunningTotal] = {
+    implicit val enc: Encoder[RunningTotal] = Encoders.product[RunningTotal]
+    ds.groupByKey(_._1)(Encoders.STRING)
+      .transformWithState(new RunningTotalProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update(),
+        enc)
+  }
+
   /** Stream-stream interval join (ad attribution): each click joins the
     * impression with the same ad_id it followed within `windowMinutes`.
     * Both sides carry watermarks and the join condition bounds click_ts

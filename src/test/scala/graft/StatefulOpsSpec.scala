@@ -32,6 +32,36 @@ class StatefulOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("transformWithState running totals match the mapGroupsWithState semantics") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // transformWithState requires the RocksDB state store provider
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[(String, Double)]
+    val q = StatefulOps.runningTotalsTws(mem.toDS())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("stws_out").start()
+    try {
+      mem.addData(("u1", 10.0), ("u1", 5.0), ("u2", 1.0))
+      q.processAllAvailable()
+      mem.addData(("u1", 2.0))
+      q.processAllAvailable()
+      val latest = spark.table("stws_out")
+        .as[StatefulOps.RunningTotal].collect()
+        .groupBy(_.key).map { case (k, rs) => k -> rs.maxBy(_.n) }
+      assert(latest("u1").n == 3 && latest("u1").total == 17.0)
+      assert(latest("u2").n == 1 && latest("u2").total == 1.0)
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("stream-stream interval join attributes clicks within the window only") {
     import spark.implicits._
     import graft.streaming.StatefulOps.{Click, Impression}
