@@ -219,6 +219,35 @@ object TextAnalysis {
         .orderBy("doc_id", "rank")
     }),
 
+    // Unigram LM perplexity proxy — the cheap end of model-based quality
+    // filtering: score(doc) = −(1/n)·Σ_tokens ln p(term), with p the
+    // Laplace-smoothed corpus unigram frequency. High scores = documents
+    // full of corpus-rare tokens (gibberish, boilerplate IDs); real
+    // pipelines threshold on it before the expensive model-based filters.
+    // Two keyed aggs (term frequency, per-(doc,term) tf) + one join on
+    // term + a per-doc sorted-by-term sequential fold — the BM25 parity
+    // template: round(6) absorbs libm ln ulp, fold order fixed by term.
+    "ta_unigram_ppl" -> ((s, dir) => {
+      val tok = load(s, dir, "documents")
+        .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val cf = tf.groupBy("term").agg(sum(col("tf")).as("cf"))
+      val vocabAndN = cf.agg(count(lit(1)).cast("double").as("v"),
+        sum(col("cf")).cast("double").as("total"))
+      val contrib = tf.join(cf, "term").crossJoin(broadcast(vocabAndN))
+        .select(col("doc_id"), col("term"), col("tf"),
+          (col("tf") * log((col("cf") + lit(1.0)) / (col("total") + col("v"))))
+            .as("lp"))
+      contrib.groupBy("doc_id")
+        .agg(round(
+          -aggregate(
+            transform(array_sort(collect_list(struct(col("term"), col("lp")))),
+              x => x.getField("lp")),
+            lit(0.0), (acc, x) => acc + x)
+            / sum(col("tf")), 6).as("nll"))
+        .orderBy("doc_id")
+    }),
+
     // Gopher-style repetition signals (Rae et al. 2021 §A1.1): fraction of
     // duplicate tokens, most-frequent-token share, most-frequent-bigram
     // share — the standard cheap repetition filters before training.
@@ -350,6 +379,21 @@ object TextAnalysis {
          |      FROM sc)
          |SELECT doc_id, CAST(rn AS BIGINT) AS rank, term, score
          |FROM r WHERE rn <= $KwTopK ORDER BY doc_id, rank""".stripMargin,
+
+    "ta_unigram_ppl" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+        |cf AS (SELECT term, sum(tf) AS cf FROM tf GROUP BY term),
+        |vn AS (SELECT CAST(count(*) AS DOUBLE) AS v, CAST(sum(cf) AS DOUBLE) AS total
+        |       FROM cf),
+        |contrib AS (
+        |  SELECT doc_id, term, tf.tf,
+        |    tf.tf * ln((cf.cf + 1.0) / (total + v)) AS lp
+        |  FROM tf JOIN cf USING (term) CROSS JOIN vn)
+        |SELECT doc_id,
+        |  round(-list_sum(list(lp ORDER BY term)) / sum(tf), 6) AS nll
+        |FROM contrib GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "ta_repetition" ->
       """WITH tok AS (
