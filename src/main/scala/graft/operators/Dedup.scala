@@ -268,6 +268,28 @@ object Dedup {
     labels
   }
 
+  /** Benchmark-decontamination pairs (train_id, bench_id, n_shared) —
+    * shared by `dd_decontaminate` (which adds the oracle ORDER BY) and
+    * `dd_drop_list`. distinct (doc, h): two shingles of one doc may collide
+    * into one h after the mod-P reduction — both engines must dedup
+    * identically. The doc lists per surviving shingle are ≤ MaxShDocs
+    * long, so the bench × train expansion happens map-side from the
+    * grouped row — the shingle's doc set never re-joins the corpus. */
+  private def decontaminatePairs(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingleSet(s, dir)
+      .select(col("doc_id"), (hash32(col("sh")) % MersenneP).as("h"))
+      .distinct()
+    sh.groupBy("h")
+      .agg(collect_set(col("doc_id")).as("ds"))
+      .where(size(col("ds")) <= DecontamMaxShDocs)
+      .select(explode(expr(
+        "flatten(transform(filter(ds, d -> d % 10 <> 0), t -> " +
+          "transform(filter(ds, d -> d % 10 = 0), b -> struct(t AS t, b AS b))))")).as("p"))
+      .groupBy(col("p.t").as("train_id"), col("p.b").as("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= DecontamMinShared)
+  }
+
   val queries: Map[String, Q] = Map(
     // Exact dedup: group by content hash of the normalized text; keep the
     // lowest doc_id. One shuffle on a 128-bit key — scales linearly.
@@ -353,27 +375,8 @@ object Dedup {
     //   key's fan-out) → bench ⋈ train on the shingle hash → count per pair.
     // Scale: two hash-shuffles (doc-frequency, join) + one pair groupBy,
     // all keyed — linear in corpus shingles, never pairwise in docs.
-    "dd_decontaminate" -> ((s, dir) => {
-      // distinct (doc, h): two shingles of one doc may collide into one h
-      // after the mod-P reduction — both engines must dedup identically.
-      val sh = shingleSet(s, dir)
-        .select(col("doc_id"), (hash32(col("sh")) % MersenneP).as("h"))
-        .distinct()
-      val rare = sh.groupBy("h")
-        .agg(collect_set(col("doc_id")).as("ds"))
-        .where(size(col("ds")) <= DecontamMaxShDocs)
-      // The doc lists per surviving shingle are <= MaxShDocs long, so the
-      // bench × train expansion happens map-side from the grouped row — the
-      // shingle's doc set never re-joins the corpus.
-      rare
-        .select(explode(expr(
-          "flatten(transform(filter(ds, d -> d % 10 <> 0), t -> " +
-            "transform(filter(ds, d -> d % 10 = 0), b -> struct(t AS t, b AS b))))")).as("p"))
-        .groupBy(col("p.t").as("train_id"), col("p.b").as("bench_id"))
-        .agg(count(lit(1)).as("n_shared"))
-        .where(col("n_shared") >= DecontamMinShared)
-        .orderBy("train_id", "bench_id")
-    }),
+    "dd_decontaminate" -> ((s, dir) =>
+      decontaminatePairs(s, dir).orderBy("train_id", "bench_id")),
 
     // Connected components over the duplicate graph — cluster summary of
     // [[componentLabels]] (see its Scaladoc for the algorithm and the
@@ -403,6 +406,26 @@ object Dedup {
         .select(col("component"), (-col("m.nd")).as("canonical_id"),
           col("m.q").as("best_quality"), col("n_members"))
         .orderBy("component")
+    }),
+
+    // The terminal dedup artifact: the composed drop list a training run
+    // actually consumes — every (doc_id, reason) pair from the three
+    // hygiene passes. Duplicates ride the memoized component labels (keep
+    // doc = component min stays), contamination rides the shingle
+    // equi-join, low quality is the map-side gate. A doc failing several
+    // passes appears once per reason, so downstream can attribute loss.
+    "dd_drop_list" -> ((s, dir) => {
+      val dup = componentLabels(s, dir)
+        .where(col("doc_id") =!= col("lbl"))
+        .select(col("doc_id"), lit("duplicate").as("reason"))
+      val contam = decontaminatePairs(s, dir)
+        .select(col("train_id").as("doc_id")).distinct()
+        .select(col("doc_id"), lit("contaminated").as("reason"))
+      val lowq = load(s, dir, "documents")
+        .where(TextAnalysis.qualityScoreCol === 0.0)
+        .select(col("doc_id"), lit("low_quality").as("reason"))
+      dup.unionByName(contam).unionByName(lowq)
+        .orderBy("doc_id", "reason")
     }),
 
     // Embedding-cosine near-dup: exact pairwise verifier above CosTau.
@@ -454,6 +477,22 @@ object Dedup {
        |SELECT doc_a, doc_b, i / (na + nb - i) AS jaccard
        |FROM j WHERE i / (na + nb - i) >= $JaccardTau""".stripMargin
   }
+
+  /** Oracle mirror of [[decontaminatePairs]] (no ORDER BY — callers append
+    * one or embed it as a subquery; the WITH block scopes cleanly inside a
+    * FROM (...) subquery). */
+  private lazy val decontamSql: String =
+    s"""WITH sh AS (
+       |  SELECT DISTINCT doc_id, ${hash32Sql("sh")} % $MersenneP AS h
+       |  FROM ($shingleSetSql)),
+       |rare AS (
+       |  SELECT h FROM sh GROUP BY h HAVING count(*) <= $DecontamMaxShDocs),
+       |shf AS (SELECT sh.doc_id, sh.h FROM sh JOIN rare USING (h)),
+       |bench AS (SELECT doc_id AS bench_id, h FROM shf WHERE doc_id % 10 = 0),
+       |train AS (SELECT doc_id AS train_id, h FROM shf WHERE doc_id % 10 <> 0)
+       |SELECT train_id, bench_id, count(*) AS n_shared
+       |FROM train JOIN bench USING (h)
+       |GROUP BY train_id, bench_id HAVING count(*) >= $DecontamMinShared""".stripMargin
 
   /** Shared CTE prefix for the components-based oracles: the three edge
     * evidences, the recursive-CTE transitive closure, and the final
@@ -544,18 +583,18 @@ object Dedup {
         |FROM j GROUP BY lbl ORDER BY component""".stripMargin,
 
     "dd_decontaminate" ->
-      s"""WITH sh AS (
-         |  SELECT DISTINCT doc_id, ${hash32Sql("sh")} % $MersenneP AS h
-         |  FROM ($shingleSetSql)),
-         |rare AS (
-         |  SELECT h FROM sh GROUP BY h HAVING count(*) <= $DecontamMaxShDocs),
-         |shf AS (SELECT sh.doc_id, sh.h FROM sh JOIN rare USING (h)),
-         |bench AS (SELECT doc_id AS bench_id, h FROM shf WHERE doc_id % 10 = 0),
-         |train AS (SELECT doc_id AS train_id, h FROM shf WHERE doc_id % 10 <> 0)
-         |SELECT train_id, bench_id, count(*) AS n_shared
-         |FROM train JOIN bench USING (h)
-         |GROUP BY train_id, bench_id HAVING count(*) >= $DecontamMinShared
-         |ORDER BY train_id, bench_id""".stripMargin,
+      s"$decontamSql\nORDER BY train_id, bench_id",
+
+    "dd_drop_list" ->
+      s"""$componentsCteSql,
+         |dup AS (SELECT doc_id, 'duplicate' AS reason FROM comp WHERE doc_id <> lbl),
+         |con AS (SELECT DISTINCT train_id AS doc_id, 'contaminated' AS reason
+         |        FROM ($decontamSql)),
+         |lq AS (SELECT doc_id, 'low_quality' AS reason FROM documents
+         |       WHERE (${TextAnalysis.qualityScoreSql}) = 0.0)
+         |SELECT doc_id, reason FROM (
+         |  SELECT * FROM dup UNION ALL SELECT * FROM con UNION ALL SELECT * FROM lq)
+         |ORDER BY doc_id, reason""".stripMargin,
 
     "dd_embed_cos" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
