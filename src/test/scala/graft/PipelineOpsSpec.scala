@@ -250,6 +250,43 @@ class PipelineOpsSpec extends AnyFunSuite {
       .where(col("kc") =!= col("cluster")).count() == 0)
   }
 
+  test("connectedComponents: random graphs match an in-memory union-find") {
+    import spark.implicits._
+    // Property check against an independent reference implementation:
+    // three seeded random graphs with mixed topology (sparse edges over a
+    // node range — yields chains, stars, cycles, and isolated pairs).
+    for (seed <- Seq(7, 42, 1913)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 120
+      val edges = Seq.fill(90)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .distinct
+      // reference union-find with path compression
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(v => v -> {
+          // min label of v's component = min over members sharing find(v)
+          val root = find(v.toInt)
+          (0L until n).filter(u => find(u.toInt) == root).min
+        }).toMap
+      val got = operators.Dedup.connectedComponents(edges.toDF("a", "b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"seed $seed: labels diverge from union-find")
+    }
+  }
+
   test("connectedComponents: long chains converge via pointer jumping") {
     import spark.implicits._
     // A 60-hop path graph (diameter 60) would need ~60 rounds of pure
