@@ -124,7 +124,7 @@ class VaderSpec extends AnyFunSuite {
 
   test("round-4 lexicon batches: curated coverage goldens") {
     import graft.functions.VaderSentiment.Lexicon
-    assert(Lexicon.size == 1728, s"lexicon entry count drifted: ${Lexicon.size}")
+    assert(Lexicon.size == 1847, s"lexicon entry count drifted: ${Lexicon.size}")
     // exact pinned values for the batch's anchors
     assert(Lexicon("shit") == -2.6 && Lexicon("scam") == -2.2)
     assert(Lexicon("stellar") == 2.7 && Lexicon("blissful") == 2.9)
@@ -225,5 +225,18 @@ class VaderSpec extends AnyFunSuite {
     // boosters and negation still compose with the new vocabulary
     assert(compound("incredibly uplifting news") > compound("uplifting news"))
     assert(label(compound("this was not wasteful at all")) == "positive")
+  }
+
+  test("round-5 lexicon batch 5 (119 entries): curated coverage goldens") {
+    import graft.functions.VaderSentiment.Lexicon
+    assert(Lexicon("betrayal") == -2.8 && Lexicon("abominable") == -2.8)
+    assert(Lexicon("blissfulness") == 2.8 && Lexicon("cherished") == 2.4)
+    assert(Lexicon("bravado") == -0.6 && Lexicon("contrite") == 0.6)
+    assert(label(compound("a chivalrous act of benevolence")) == "positive")
+    assert(label(compound("their dastardly betrayal left him brokenhearted")) == "negative")
+    assert(label(compound("an articulate and conscientious mentor")) == "positive")
+    assert(label(compound("the cantankerous critic chose to denigrate everyone")) == "negative")
+    assert(label(compound("a convivial evening of camaraderie and candor")) == "positive")
+    assert(label(compound("morale continued to deteriorate into despondency")) == "negative")
   }
 }
