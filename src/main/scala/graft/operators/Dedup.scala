@@ -74,6 +74,9 @@ object Dedup {
   private val JumpAfter = 4
   /** SimHash signature width (bits of the 32-bit token hash used). */
   private val SimBits = 16
+  /** dd_substring: minimum shared consecutive-shingle run (a run of r
+    * 3-shingles = an identical r+2-token substring). */
+  private val SubstrMinRun = 3
 
   private def toks(c: Column): Column = split(lower(c), " ")
 
@@ -408,6 +411,45 @@ object Dedup {
         .orderBy("component")
     }),
 
+    // Substring-level dedup signal (the Lee et al. 2022 "Deduplicating
+    // Training Data" idea at shingle granularity): for each candidate pair,
+    // the LONGEST run of consecutive shared 3-token shingles — a run of r
+    // shingles means an identical r+2-token substring. Positions ride the
+    // shingle explode; the doc-frequency prune bounds join fan-out exactly
+    // like dd_decontaminate; runs are gaps-and-islands over (pair,
+    // pos-diff) — consecutive pa with constant pa−pb means both sides
+    // advance together. Integer-only arithmetic: no float parity risk. The
+    // positional frame is localCheckpoint-ed so the scan→explode→hash→prune
+    // chain runs once across both self-join sides.
+    "dd_substring" -> ((s, dir) => {
+      val sh = load(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(VectorFns.shingles3(toks(col("text")))).as(Seq("pos", "sh")))
+        .select(col("doc_id"), col("pos"), (hash32(col("sh")) % MersenneP).as("h"))
+      val rare = sh.select(col("doc_id"), col("h")).distinct()
+        .groupBy("h").agg(count(lit(1)).as("df"))
+        .where(col("df") <= DecontamMaxShDocs)
+        .select("h")
+      val pruned = sh.join(rare, "h").localCheckpoint(true)
+      val pairs = pruned.as("a").join(pruned.as("b"),
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.pos").as("pa"), col("b.pos").as("pb"))
+        .distinct()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_a", "doc_b", "diff").orderBy("pa")
+      pairs.withColumn("diff", col("pa") - col("pb"))
+        .withColumn("grp", col("pa") - row_number().over(w))
+        .groupBy("doc_a", "doc_b", "diff", "grp")
+        .agg(count(lit(1)).as("run"))
+        .groupBy("doc_a", "doc_b")
+        .agg(max(col("run")).as("max_run"))
+        .where(col("max_run") >= SubstrMinRun)
+        .select(col("doc_a"), col("doc_b"), col("max_run"),
+          (col("max_run") + 2).as("longest_tokens"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // The terminal dedup artifact: the composed drop list a training run
     // actually consumes — every (doc_id, reason) pair from the three
     // hygiene passes. Duplicates ride the memoized component labels (keep
@@ -584,6 +626,32 @@ object Dedup {
 
     "dd_decontaminate" ->
       s"$decontamSql\nORDER BY train_id, bench_id",
+
+    "dd_substring" ->
+      s"""WITH tdoc AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+         |sh0 AS (
+         |  SELECT doc_id,
+         |    unnest(range(1, greatest(len(t) - 1, 1))) AS pos,
+         |    unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+         |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+         |  FROM tdoc),
+         |sh AS (SELECT doc_id, pos, ${hash32Sql("sh")} % $MersenneP AS h FROM sh0),
+         |rare AS (SELECT h FROM (SELECT DISTINCT doc_id, h FROM sh)
+         |         GROUP BY h HAVING count(*) <= $DecontamMaxShDocs),
+         |pruned AS (SELECT sh.doc_id, sh.pos, sh.h FROM sh JOIN rare USING (h)),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    a.pos AS pa, b.pos AS pb
+         |  FROM pruned a JOIN pruned b ON a.h = b.h AND a.doc_id < b.doc_id),
+         |runs AS (
+         |  SELECT doc_a, doc_b, pa - pb AS diff,
+         |    pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS grp
+         |  FROM pairs),
+         |agg AS (SELECT doc_a, doc_b, diff, grp, count(*) AS run
+         |        FROM runs GROUP BY doc_a, doc_b, diff, grp),
+         |mx AS (SELECT doc_a, doc_b, max(run) AS max_run FROM agg GROUP BY doc_a, doc_b)
+         |SELECT doc_a, doc_b, max_run, max_run + 2 AS longest_tokens
+         |FROM mx WHERE max_run >= $SubstrMinRun ORDER BY doc_a, doc_b""".stripMargin,
 
     "dd_drop_list" ->
       s"""$componentsCteSql,
