@@ -250,6 +250,24 @@ class PipelineOpsSpec extends AnyFunSuite {
       .where(col("kc") =!= col("cluster")).count() == 0)
   }
 
+  test("dd_substring: reported pairs really share a substring of the claimed length") {
+    val out = operators.Dedup.queries("dd_substring")(spark, dir).collect()
+    assert(out.nonEmpty)
+    val texts = Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase.split(" ").toSeq).toMap
+    out.foreach { r =>
+      val (a, b, len) = (r.getLong(0), r.getLong(1), r.getLong(3).toInt)
+      val (ta, tb) = (texts(a), texts(b))
+      val wins = ta.sliding(len).toSet
+      // soundness: the claimed longest shared substring exists verbatim in
+      // both docs. (Maximality can legitimately under-report: runs through
+      // df-pruned boilerplate shingles are deliberately not counted.)
+      assert(tb.sliding(len).exists(wins.contains),
+        s"pair ($a,$b): no shared $len-token window found")
+    }
+  }
+
   test("connectedComponents: random graphs match an in-memory union-find") {
     import spark.implicits._
     // Property check against an independent reference implementation:
