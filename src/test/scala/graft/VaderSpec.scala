@@ -227,6 +227,34 @@ class VaderSpec extends AnyFunSuite {
     assert(label(compound("this was not wasteful at all")) == "positive")
   }
 
+  test("property: scorer invariants hold across the whole lexicon") {
+    import graft.functions.VaderSentiment.Lexicon
+    // scorer-special tokens (negators, idiom members, modifiers) are
+    // exempt — they trigger their own rules inside the test sentences
+    val special = Set("no", "nope", "not", "never", "without", "least", "but",
+      "kind", "sort", "bomb", "shit", "heart", "doubt")
+    val words = Lexicon.keys.toVector.sorted
+      .filter(w => w.forall(_.isLetter) && math.abs(Lexicon(w)) >= 0.5 &&
+        !special.contains(w))
+    // deterministic sample: every 17th word keeps the check fast but broad
+    val sample = words.indices.collect { case i if i % 17 == 0 => words(i) }
+    sample.foreach { w =>
+      val v = Lexicon(w)
+      val base = compound(s"the service was $w")
+      // 1. sign of a single-bearing-word sentence matches the lexicon sign
+      assert(base.sign == v.sign || base == 0.0, s"'$w': sign flip ($v -> $base)")
+      // 2. negation inverts the direction
+      val neg = compound(s"the service was not $w")
+      assert(neg == 0.0 || neg.sign == -v.sign, s"'$w': negation failed ($base -> $neg)")
+      // 3. boosters move the score away from zero
+      val boosted = compound(s"the service was extremely $w")
+      assert(math.abs(boosted) >= math.abs(base) - 1e-9, s"'$w': booster weakened")
+      // 4. bounded output
+      assert(math.abs(base) <= 1.0 && math.abs(boosted) <= 1.0)
+    }
+    assert(sample.size > 90, s"property sample too small: ${sample.size}")
+  }
+
   test("round-5 lexicon batch 5 (119 entries): curated coverage goldens") {
     import graft.functions.VaderSentiment.Lexicon
     assert(Lexicon("betrayal") == -2.8 && Lexicon("abominable") == -2.8)
