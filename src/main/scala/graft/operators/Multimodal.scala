@@ -26,9 +26,12 @@ case class DecodedMedia(media_id: Long, format: String, n_bytes: Long,
   * header dimensions. The target dimensions are a pure function of the
   * source text's byte length, so the DuckDB oracle recomputes them from the
   * documents table — a hash match proves the encode→decode round trip
-  * recovered the real header values, not stub arithmetic. Only the mp4 leg
-  * remains a stub (the JDK ships no video codec): its payload stays the raw
-  * UTF-8 text bytes and its metadata is documented fake arithmetic.
+  * recovered the real header values, not stub arithmetic. Audio is REAL
+  * too: `synthesizeAudio` writes actual RIFF/WAV bytes via
+  * `javax.sound.sampled` and `decodeAudio` parses the header back
+  * (mm_audio). Only the mp4 leg remains a stub (the JDK ships no video
+  * codec): its payload stays the raw UTF-8 text bytes and its metadata is
+  * documented fake arithmetic.
   *
   * The plumbing is the shape a production pipeline needs: binary columns in
   * parquet-friendly schemas, `Dataset[MediaRecord]` typed rows,
@@ -159,7 +162,57 @@ object Multimodal {
       .select(col("media_id"), col("format"),
         explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_idx"))
 
+  /** Audio lane spec: mono 16-bit PCM at AudioRate Hz; frame count is a
+    * pure function of the text's byte length (mirrored by the oracle). */
+  private val AudioRate = 8000
+  private def audioFrames(textBytes: Long): Int = 16 + (textBytes % 997).toInt
+
+  /** Synthesize REAL WAV bytes per document (RIFF container written by the
+    * JDK's `javax.sound.sampled` — zero external deps): deterministic PCM
+    * payload, frame count from the text-length spec. */
+  def synthesizeAudio(s: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import s.implicits._
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    load(s, dir, "documents")
+      .select(col("doc_id").as("media_id"), lit("wav").as("format"),
+        encode(col("text"), "UTF-8").as("media"))
+      .as[MediaRecord]
+      .mapPartitions { it =>
+        // one AudioFormat per partition; AudioSystem itself is static
+        val fmt = new AudioFormat(AudioRate.toFloat, 16, 1, true, false)
+        it.map { r =>
+          val n = audioFrames(r.media.length.toLong)
+          val pcm = Array.tabulate(n * 2)(i => ((i * 31 + r.media.length) % 256 - 128).toByte)
+          val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, n.toLong)
+          val buf = new ByteArrayOutputStream()
+          try AudioSystem.write(ais, AudioFileFormat.Type.WAVE, buf)
+          finally ais.close()
+          r.copy(media = buf.toByteArray)
+        }
+      }
+  }
+
+  /** Decode the WAV header with the real JDK parser — sample rate, channel
+    * count, and frame length come from the RIFF header, not arithmetic. */
+  def decodeAudio(media: Dataset[MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    import javax.sound.sampled.AudioSystem
+    media.mapPartitions { it =>
+      it.map { r =>
+        val aff = AudioSystem.getAudioFileFormat(new ByteArrayInputStream(r.media))
+        (r.media_id, aff.getFormat.getSampleRate.toInt,
+          aff.getFormat.getChannels, aff.getFrameLength.toLong)
+      }
+    }.toDF("media_id", "sample_rate", "n_channels", "n_frames")
+  }
+
   val queries: Map[String, Q] = Map(
+    // binary ingest → real JDK WAV encode → real RIFF header decode. A
+    // hash match proves the audio round trip recovered the header values
+    // the spec dictated — the audio sibling of mm_decode's image proof.
+    "mm_audio" -> ((s, dir) =>
+      decodeAudio(synthesizeAudio(s, dir)).orderBy("media_id")),
+
     // binary ingest → real ImageIO encode → typed mapPartitions decode →
     // header-derived metadata columns. n_bytes is projected out: for
     // png/jpeg it is the real encoded-image size, which DuckDB cannot
@@ -179,6 +232,13 @@ object Multimodal {
     * the raw text — a match proves the real encode→decode round trip.
     * mp4 rows recompute the documented stub arithmetic. */
   val oracle: Map[String, String] = Map(
+    "mm_audio" ->
+      s"""SELECT doc_id AS media_id,
+         |  CAST($AudioRate AS INT) AS sample_rate,
+         |  CAST(1 AS INT) AS n_channels,
+         |  CAST(16 + octet_length(encode(text)) % 997 AS BIGINT) AS n_frames
+         |FROM documents ORDER BY media_id""".stripMargin,
+
     "mm_decode" ->
       """SELECT doc_id AS media_id,
         |  CASE WHEN doc_id % 3 = 0 THEN 'png'
