@@ -35,6 +35,28 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("wav bytes are real RIFF containers: decode recovers the audio spec") {
+    val payloads = Multimodal.synthesizeAudio(spark, sfDir).collect()
+    assert(payloads.nonEmpty)
+    payloads.foreach { r =>
+      // RIFF....WAVE magic proves a real container written by javax.sound
+      assert(new String(r.media.take(4), "US-ASCII") == "RIFF",
+        s"media ${r.media_id} lacks RIFF magic")
+      assert(new String(r.media.slice(8, 12), "US-ASCII") == "WAVE",
+        s"media ${r.media_id} lacks WAVE id")
+    }
+    val decoded = Multimodal.queries("mm_audio")(spark, sfDir).collect()
+    decoded.foreach { d =>
+      assert(d.getInt(1) == 8000 && d.getInt(2) == 1)
+      val frames = d.getLong(3)
+      assert(frames >= 16 && frames < 16 + 997, s"frames $frames outside spec")
+    }
+    // deterministic: same media bytes on re-synthesis
+    val again = Multimodal.synthesizeAudio(spark, sfDir).collect()
+      .map(r => r.media_id -> r.media).toMap
+    payloads.foreach(r => assert(java.util.Arrays.equals(again(r.media_id), r.media)))
+  }
+
   test("decode initializes codecs once per partition, not per row") {
     val inits = spark.sparkContext.longAccumulator("codecInits")
     val media = (1L to 100L).map(i =>
