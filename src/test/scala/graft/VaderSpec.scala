@@ -124,7 +124,7 @@ class VaderSpec extends AnyFunSuite {
 
   test("round-4 lexicon batches: curated coverage goldens") {
     import graft.functions.VaderSentiment.Lexicon
-    assert(Lexicon.size == 1847, s"lexicon entry count drifted: ${Lexicon.size}")
+    assert(Lexicon.size == 1940, s"lexicon entry count drifted: ${Lexicon.size}")
     // exact pinned values for the batch's anchors
     assert(Lexicon("shit") == -2.6 && Lexicon("scam") == -2.2)
     assert(Lexicon("stellar") == 2.7 && Lexicon("blissful") == 2.9)
@@ -266,5 +266,16 @@ class VaderSpec extends AnyFunSuite {
     assert(label(compound("the cantankerous critic chose to denigrate everyone")) == "negative")
     assert(label(compound("a convivial evening of camaraderie and candor")) == "positive")
     assert(label(compound("morale continued to deteriorate into despondency")) == "negative")
+  }
+
+  test("round-5 lexicon batch 6 (93 entries): curated coverage goldens") {
+    import graft.functions.VaderSentiment.Lexicon
+    assert(Lexicon("euphoric") == 2.9 && Lexicon("excruciatingly") == -2.7)
+    assert(Lexicon("exhilarating") == 2.6 && Lexicon("enslave") == -2.6)
+    assert(Lexicon("grandiose") == -0.6 && Lexicon("frugal") == 0.8)
+    assert(label(compound("an effortless and exquisitely crafted tool")) == "positive")
+    assert(label(compound("the rollout was excruciatingly fraught with glitches")) == "negative")
+    assert(label(compound("a fruitful quarter of flourishing goodwill")) == "positive")
+    assert(label(compound("his egotistical gloating and graceless gaffes")) == "negative")
   }
 }
