@@ -124,7 +124,7 @@ class VaderSpec extends AnyFunSuite {
 
   test("round-4 lexicon batches: curated coverage goldens") {
     import graft.functions.VaderSentiment.Lexicon
-    assert(Lexicon.size == 1940, s"lexicon entry count drifted: ${Lexicon.size}")
+    assert(Lexicon.size == 2055, s"lexicon entry count drifted: ${Lexicon.size}")
     // exact pinned values for the batch's anchors
     assert(Lexicon("shit") == -2.6 && Lexicon("scam") == -2.2)
     assert(Lexicon("stellar") == 2.7 && Lexicon("blissful") == 2.9)
@@ -277,5 +277,16 @@ class VaderSpec extends AnyFunSuite {
     assert(label(compound("the rollout was excruciatingly fraught with glitches")) == "negative")
     assert(label(compound("a fruitful quarter of flourishing goodwill")) == "positive")
     assert(label(compound("his egotistical gloating and graceless gaffes")) == "negative")
+  }
+
+  test("round-5 lexicon batch 7 (115 entries): curated coverage goldens") {
+    import graft.functions.VaderSentiment.Lexicon
+    assert(Lexicon("heinous") == -2.9 && Lexicon("horrendously") == -2.8)
+    assert(Lexicon("heroically") == 2.3 && Lexicon("impeccably") == 2.3)
+    assert(Lexicon("hype") == -0.4 && Lexicon("innocuous") == 0.6)
+    assert(label(compound("a hospitable haven run harmoniously")) == "positive")
+    assert(label(compound("their heinous hypocrisy wreaked havoc")) == "negative")
+    assert(label(compound("an industrious and intrepid crew")) == "positive")
+    assert(label(compound("the irate customer decried the inexcusable incompetence")) == "negative")
   }
 }
