@@ -124,7 +124,7 @@ class VaderSpec extends AnyFunSuite {
 
   test("round-4 lexicon batches: curated coverage goldens") {
     import graft.functions.VaderSentiment.Lexicon
-    assert(Lexicon.size == 2055, s"lexicon entry count drifted: ${Lexicon.size}")
+    assert(Lexicon.size == 2145, s"lexicon entry count drifted: ${Lexicon.size}")
     // exact pinned values for the batch's anchors
     assert(Lexicon("shit") == -2.6 && Lexicon("scam") == -2.2)
     assert(Lexicon("stellar") == 2.7 && Lexicon("blissful") == 2.9)
@@ -288,5 +288,16 @@ class VaderSpec extends AnyFunSuite {
     assert(label(compound("their heinous hypocrisy wreaked havoc")) == "negative")
     assert(label(compound("an industrious and intrepid crew")) == "positive")
     assert(label(compound("the irate customer decried the inexcusable incompetence")) == "negative")
+  }
+
+  test("round-5 lexicon batch 8 (90 entries): curated coverage goldens") {
+    import graft.functions.VaderSentiment.Lexicon
+    assert(Lexicon("jubilation") == 2.8 && Lexicon("loathsome") == -2.5)
+    assert(Lexicon("marvelously") == 2.6 && Lexicon("malignant") == -2.4)
+    assert(Lexicon("mystify") == -0.6 && Lexicon("morale") == 1.0)
+    assert(label(compound("a jovial and kindhearted mentor")) == "positive")
+    assert(label(compound("the manipulative leech maligned his rivals")) == "negative")
+    assert(label(compound("she spoke marvelously of their meticulous work")) == "positive")
+    assert(label(compound("a lamentable meltdown mishandled at every turn")) == "negative")
   }
 }
