@@ -124,7 +124,7 @@ class VaderSpec extends AnyFunSuite {
 
   test("round-4 lexicon batches: curated coverage goldens") {
     import graft.functions.VaderSentiment.Lexicon
-    assert(Lexicon.size == 2145, s"lexicon entry count drifted: ${Lexicon.size}")
+    assert(Lexicon.size == 2254, s"lexicon entry count drifted: ${Lexicon.size}")
     // exact pinned values for the batch's anchors
     assert(Lexicon("shit") == -2.6 && Lexicon("scam") == -2.2)
     assert(Lexicon("stellar") == 2.7 && Lexicon("blissful") == 2.9)
@@ -299,5 +299,16 @@ class VaderSpec extends AnyFunSuite {
     assert(label(compound("the manipulative leech maligned his rivals")) == "negative")
     assert(label(compound("she spoke marvelously of their meticulous work")) == "positive")
     assert(label(compound("a lamentable meltdown mishandled at every turn")) == "negative")
+  }
+
+  test("round-5 lexicon batch 9 (109 entries): curated coverage goldens") {
+    import graft.functions.VaderSentiment.Lexicon
+    assert(Lexicon("phenomenal") == 2.8 && Lexicon("putrid") == -2.4)
+    assert(Lexicon("overjoy") == 2.6 && Lexicon("persecution") == -2.4)
+    assert(Lexicon("nonchalant") == -0.4 && Lexicon("prim") == 0.5)
+    assert(label(compound("a phenomenal and personable speaker")) == "positive")
+    assert(label(compound("their nefarious scheme obliterated all goodwill")) == "negative")
+    assert(label(compound("a picturesque village at the pinnacle of charm")) == "positive")
+    assert(label(compound("the noxious spill left the river polluted")) == "negative")
   }
 }
