@@ -124,7 +124,7 @@ class VaderSpec extends AnyFunSuite {
 
   test("round-4 lexicon batches: curated coverage goldens") {
     import graft.functions.VaderSentiment.Lexicon
-    assert(Lexicon.size == 2254, s"lexicon entry count drifted: ${Lexicon.size}")
+    assert(Lexicon.size == 2394, s"lexicon entry count drifted: ${Lexicon.size}")
     // exact pinned values for the batch's anchors
     assert(Lexicon("shit") == -2.6 && Lexicon("scam") == -2.2)
     assert(Lexicon("stellar") == 2.7 && Lexicon("blissful") == 2.9)
@@ -310,5 +310,16 @@ class VaderSpec extends AnyFunSuite {
     assert(label(compound("their nefarious scheme obliterated all goodwill")) == "negative")
     assert(label(compound("a picturesque village at the pinnacle of charm")) == "positive")
     assert(label(compound("the noxious spill left the river polluted")) == "negative")
+  }
+
+  test("round-5 lexicon batch 10 (140 entries): curated coverage goldens") {
+    import graft.functions.VaderSentiment.Lexicon
+    assert(Lexicon("terrorize") == -2.9 && Lexicon("stupendous") == 2.6)
+    assert(Lexicon("rapturous") == 2.6 && Lexicon("reprehensible") == -2.5)
+    assert(Lexicon("uncanny") == 0.5 && Lexicon("voracious") == -0.6)
+    assert(label(compound("a stupendous and warmhearted celebration")) == "positive")
+    assert(label(compound("their unscrupulous cronies vandalized the sanctuary")) == "negative")
+    assert(label(compound("the team performed superbly and seamlessly")) == "positive")
+    assert(label(compound("a ruinous spiral of rancor and toxicity")) == "negative")
   }
 }
