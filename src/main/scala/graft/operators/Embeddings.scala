@@ -228,7 +228,10 @@ object Embeddings {
     // embarrassingly parallel transform. floor(r + 0.5) is written
     // explicitly on both sides because Spark round() (HALF_UP) and DuckDB
     // round() (half-away-from-zero via different paths) are not the same
-    // function. Dimensions collapse back to an array ordered by position.
+    // function. Dimensions collapse back to a comma-joined string ordered by
+    // position (the arr_collect house pattern — the driver's pandas
+    // comparator cannot hash raw array cells; the string encodes the full
+    // ordered vector, so no semantic loss).
     "emb_quantize" -> ((s, dir) => {
       val e = load(s, dir, "embeddings")
         .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "xf")))
@@ -240,8 +243,8 @@ object Embeddings {
             .otherwise((col("x") - col("mn")) / (col("mx") - col("mn")) * lit(255.0))
             + lit(0.5)).cast("int").as("q"))
         .groupBy("vec_id")
-        .agg(transform(array_sort(collect_list(struct(col("d"), col("q")))),
-          x => x.getField("q")).as("qvec"))
+        .agg(array_join(transform(array_sort(collect_list(struct(col("d"), col("q")))),
+          x => x.getField("q").cast("string")), ",").as("qvec"))
         .orderBy("vec_id")
     }),
 
@@ -416,9 +419,9 @@ object Embeddings {
         |  FROM embeddings),
         |stats AS (SELECT d, min(x) AS mn, max(x) AS mx FROM e GROUP BY d)
         |SELECT vec_id,
-        |  list(CAST(floor(CASE WHEN mx = mn THEN 0.0
+        |  string_agg(CAST(CAST(floor(CASE WHEN mx = mn THEN 0.0
         |                       ELSE (x - mn) / (mx - mn) * 255.0 END + 0.5) AS INT)
-        |       ORDER BY d) AS qvec
+        |                  AS VARCHAR), ',' ORDER BY d) AS qvec
         |FROM e JOIN stats USING (d)
         |GROUP BY vec_id ORDER BY vec_id""".stripMargin,
 

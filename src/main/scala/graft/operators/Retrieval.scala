@@ -46,14 +46,17 @@ object Retrieval {
 
   val queries: Map[String, Q] = Map(
     // term → (df, sorted posting list of distinct doc_ids). The groupBy is
-    // the index build's only shuffle.
+    // the index build's only shuffle. The posting list is emitted as a
+    // space-joined string (the arr_collect house pattern) because the
+    // driver's pandas comparator cannot sort/hash raw array cells; the
+    // string still encodes the full ordered list, so no semantic loss.
     "ir_invindex" -> ((s, dir) =>
       load(s, dir, "documents")
         .select(col("doc_id"), explode(toks(col("text"))).as("term"))
         .groupBy("term")
-        .agg(sort_array(collect_set(col("doc_id"))).as("postings"))
-        .select(col("term"), size(col("postings")).cast("long").as("df"),
-          col("postings"))
+        .agg(sort_array(collect_set(col("doc_id"))).as("plist"))
+        .select(col("term"), size(col("plist")).cast("long").as("df"),
+          array_join(col("plist").cast("array<string>"), " ").as("postings"))
         .where(col("df") >= MinDf)
         .orderBy("term")),
 
@@ -125,7 +128,7 @@ object Retrieval {
          |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
          |  FROM documents))
          |SELECT term, CAST(count(*) AS BIGINT) AS df,
-         |  list(doc_id ORDER BY doc_id) AS postings
+         |  string_agg(CAST(doc_id AS VARCHAR), ' ' ORDER BY doc_id) AS postings
          |FROM tok GROUP BY term HAVING count(*) >= $MinDf ORDER BY term""".stripMargin,
 
     "ir_phrase" ->

@@ -106,14 +106,17 @@ class PipelineOpsSpec extends AnyFunSuite {
   }
 
   test("ir_invindex: postings sorted+distinct, df consistent, floor applied") {
+    // postings arrive as the comparator-safe joined string; parse back
     val idx = operators.Retrieval.queries("ir_invindex")(spark, dir)
+      .withColumn("plist",
+        transform(split(col("postings"), " "), x => x.cast("long")))
     assert(idx.where(col("df") < 5).count() == 0)
-    assert(idx.where(size(col("postings")) =!= col("df")).count() == 0)
+    assert(idx.where(size(col("plist")) =!= col("df")).count() == 0)
     // sorted + distinct posting lists
-    assert(idx.where(col("postings") =!= array_sort(array_distinct(col("postings"))))
+    assert(idx.where(col("plist") =!= array_sort(array_distinct(col("plist"))))
       .count() == 0)
     // postings reconstruct membership: every listed doc really contains the term
-    val flat = idx.select(col("term"), explode(col("postings")).as("doc_id"))
+    val flat = idx.select(col("term"), explode(col("plist")).as("doc_id"))
     val docs = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
     assert(flat.join(docs, "doc_id")
@@ -135,11 +138,13 @@ class PipelineOpsSpec extends AnyFunSuite {
   }
 
   test("emb_quantize: full coverage, byte range, endpoints hit per dimension") {
+    // qvec arrives as the comparator-safe joined string; parse back
     val q = operators.Embeddings.queries("emb_quantize")(spark, dir)
+      .withColumn("qarr", transform(split(col("qvec"), ","), x => x.cast("int")))
     val n = Tables.load(spark, dir, "embeddings").count()
     assert(q.count() == n)
-    assert(q.where(size(col("qvec")) =!= 64).count() == 0)
-    val vals = q.select(posexplode(col("qvec")).as(Seq("d", "v")))
+    assert(q.where(size(col("qarr")) =!= 64).count() == 0)
+    val vals = q.select(posexplode(col("qarr")).as(Seq("d", "v")))
     assert(vals.where(col("v") < 0 || col("v") > 255).count() == 0)
     // the min/max vector of every dimension must land exactly on 0 and 255
     val ext = vals.groupBy("d").agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
