@@ -9,8 +9,25 @@ import org.apache.spark.sql.SparkSession
   * which lets Spark drop projected columns and skip most of the work, noop
   * executes the full physical plan and discards rows at the sink, so the
   * numbers measure real operator cost.
+  *
+  * Noise diagnostics (machine-noise windows have inflated past rounds'
+  * numbers up to 13× with zero code change — see SCALING.md §noise):
+  *  - a SENTINEL query (`o3_limit`, the cheapest plan in the battery) runs
+  *    right after warm-up and again after the battery; `sentinel.ratio`
+  *    (last/first) far above ~2 on a trivial constant-cost plan means the
+  *    host degraded mid-run and the affected window's numbers are suspect.
+  *  - per-query JVM GC milliseconds (`gc_ms`) separate allocation pressure
+  *    (GC grows with the query's own work) from external noise (wall time
+  *    inflates while GC stays flat).
   */
 object Bench {
+
+  /** Cumulative JVM GC time across all collector beans, in ms. */
+  private def gcMillis(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // Optional 1st arg: comma-separated query names (dev iteration only;
@@ -40,18 +57,47 @@ object Bench {
     // nlp_analysis still pays its full fit.
     warmMlPath(spark)
 
+    // Sentinel pass 1: cheapest plan in the battery, timed on a warm JVM.
+    val sentinelFirst = timeQuery(spark, sfDir, "o3_limit")._1
     val results = runBattery(spark, sfDir, only)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // Sentinel pass 2: same trivial plan after the battery; on a healthy
+    // host this matches pass 1 within noise. gc stays per-query below.
+    val sentinelLast = timeQuery(spark, sfDir, "o3_limit")._1
+    val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    val gcs = results.map { case (k, (_, g)) => "\"" + k + "\":" + g }
+      .mkString("{", ",", "}")
+    val failed = results.collect { case (k, (v, _)) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val total = results.collect { case (_, (v, _)) if v >= 0 => v }.sum
+    val sentinel =
+      s"""{"query":"o3_limit","first":$sentinelFirst,"last":$sentinelLast,""" +
+        s""""ratio":${if (sentinelFirst > 0) sentinelLast / sentinelFirst else -1.0}}"""
     // A filtered dev run must not be mistaken for (or compared against) a
     // full-battery total by downstream tooling — flag it in the JSON.
     val partial = only.fold("")(names =>
       s""","partial":true,"only":${names.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed$partial,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"gc_ms":$gcs,"sentinel":$sentinel,"failed":$failed$partial,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Time one query (seconds, negative on failure) + its GC-ms delta. */
+  private def timeQuery(spark: SparkSession, sfDir: String,
+                        name: String): (Double, Long) = {
+    val g0 = gcMillis()
+    val t0 = System.nanoTime()
+    val ok =
+      try { SparkEntry.queries(name)(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          false
+      }
+    // Failures are marked in the JSON itself (negative seconds + the
+    // `failed` list) — a crashing query must not read as a fast win in
+    // cross-round comparisons.
+    val secs = (System.nanoTime() - t0) / 1e9
+    ((if (ok) secs else -secs), gcMillis() - g0)
   }
 
   private def warmMlPath(spark: SparkSession): Unit = {
@@ -85,25 +131,11 @@ object Bench {
   }
 
   private def runBattery(spark: SparkSession, sfDir: String,
-                         only: Option[Set[String]]): Seq[(String, Double)] = {
+                         only: Option[Set[String]]): Seq[(String, (Double, Long))] = {
     // Stable ordering: cheap scans first is irrelevant to totals, but a
     // deterministic run order makes cross-round comparisons meaningful.
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
-        catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            false
-        }
-      // Failures are marked in the JSON itself (negative seconds + the
-      // `failed` list) — a crashing query must not read as a fast win in
-      // cross-round comparisons.
-      val secs = (System.nanoTime() - t0) / 1e9
-      name -> (if (ok) secs else -secs)
-    }
+      .map { case (name, _) => name -> timeQuery(spark, sfDir, name) }
   }
 }
