@@ -39,6 +39,16 @@ object Embeddings {
   private val PqM = 2
   private val PqSubDim = 32
 
+  /** Production-shaped PQ for the recall study (`ann_pq_big`): 8 subspaces
+    * of 8 dims, 32-centroid codebooks → 8×5 = 40-bit codes. 32 is the
+    * largest codebook the 500-vector test corpus supports without
+    * degenerating (production uses 256 on billions of vectors; the chain is
+    * identical, only these three constants move). See AnnRecallSpec for the
+    * measured recall curve and why it is noise-bound on this corpus. */
+  private val PqBigM = 8
+  private val PqBigSubDim = 8
+  private val PqBigK = 32
+
   /** The per-subspace PQ codebook chain shared by emb_pq (encode) and
     * ann_pq (ADC search): unrolled Lloyd (seed assign → sorted-fold mean
     * update → re-assign) over the m-th PqSubDim-dim slice, L2 distance via
@@ -46,16 +56,19 @@ object Embeddings {
     * dots — bit-identical cross-engine, rule 4 of the parity notes).
     * Codebooks are broadcast (assignment map-side); the only shuffles are
     * the per-(cluster, dim) mean updates. Returns (codes = (vec_id,
-    * code_m), centroids = (cluster, cv, cvv)). */
-  private def pqSub(s: SparkSession, dir: String, m: Int): (DataFrame, DataFrame) = {
+    * code_m), centroids = (cluster, cv, cvv)). Parameterized by subspace
+    * width and codebook size so ann_pq (2×32-dim, k=8) and ann_pq_big
+    * (8×8-dim, k=32) share the one chain. */
+  private def pqSub(s: SparkSession, dir: String, m: Int,
+                    subDim: Int = PqSubDim, k: Int = KmK): (DataFrame, DataFrame) = {
     graft.plans.ArrayExprs.register(s)
     import graft.plans.ArrayExprs.dotProduct
     val sub = load(s, dir, "embeddings")
       .select(col("vec_id"),
         slice(transform(col("embedding"), x => x.cast("double")),
-          m * PqSubDim + 1, PqSubDim).as("v"))
+          m * subDim + 1, subDim).as("v"))
       .withColumn("vv", dotProduct(col("v"), col("v")))
-    val seeds = sub.where(col("vec_id") < KmK)
+    val seeds = sub.where(col("vec_id") < k)
       .select(col("vec_id").cast("int").as("cluster"), col("v").as("cv"),
         col("vv").as("cvv"))
     val wBest = Window.partitionBy("vec_id").orderBy(col("d"), col("cluster"))
@@ -78,6 +91,43 @@ object Embeddings {
       .select(col("cluster"), transform(col("dm"), t => t.getField("m")).as("cv"))
       .withColumn("cvv", dotProduct(col("cv"), col("cv")))
     (assign(upd).select(col("vec_id"), col("cluster").as(s"code$m")), upd)
+  }
+
+  /** ADC top-k search over `mCount` PQ subspaces (see the ann_pq query doc
+    * for the scale argument). Per subspace the query→centroid distance
+    * table (NumQueries × k rows) is broadcast; the code frame is joined on
+    * (code_m, q_id) — lookups, never vector math. */
+  private def annPq(s: SparkSession, dir: String, mCount: Int,
+                    subDim: Int, k: Int): DataFrame = {
+    graft.plans.ArrayExprs.register(s)
+    import graft.plans.ArrayExprs.dotProduct
+    val subs = (0 until mCount).map(m => pqSub(s, dir, m, subDim, k))
+    val codes = subs.map(_._1).reduce(_.join(_, "vec_id"))
+    val e = load(s, dir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("fv"))
+    def qTable(m: Int, cents: DataFrame): DataFrame =
+      e.where(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("q_id"),
+          slice(col("fv"), m * subDim + 1, subDim).as("qv"))
+        .withColumn("qvv", dotProduct(col("qv"), col("qv")))
+        .crossJoin(broadcast(cents))
+        .select(col("q_id"), col("cluster").as(s"code$m"),
+          round(col("qvv") + col("cvv") - lit(2.0) * dotProduct(col("qv"), col("cv")), 6)
+            .as(s"d$m"))
+    val wRank = Window.partitionBy("q_id").orderBy(col("adist"), col("n_id"))
+    val joined = (1 until mCount).foldLeft(
+      codes.join(broadcast(qTable(0, subs(0)._2)), "code0")) {
+      case (acc, m) => acc.join(broadcast(qTable(m, subs(m)._2)), Seq(s"code$m", "q_id"))
+    }
+    joined
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        round((0 until mCount).map(m => col(s"d$m")).reduce(_ + _), 6).as("adist"))
+      .withColumn("rank", row_number().over(wRank))
+      .where(col("rank") <= TopK)
+      .select("q_id", "rank", "n_id", "adist")
+      .orderBy("q_id", "rank")
   }
 
   /** The shared k-means assignment chain (emb_kmeans, emb_semdedup):
@@ -187,39 +237,17 @@ object Embeddings {
     // ADC search over the PQ codes (the asymmetric-distance half of PQ):
     // per query, the distance to EVERY centroid of every subspace is a tiny
     // table (NumQueries × PqM × KmK rows) broadcast to the code frame; each
-    // database vector's approximate distance is then two table lookups and
-    // an add — a linear scan over 2-byte codes with zero vector math per
+    // database vector's approximate distance is then PqM table lookups and
+    // adds — a linear scan over byte codes with zero vector math per
     // candidate, which is exactly why PQ search survives 100 TB: the code
     // frame is ~1/256 the raw data and the per-row work is O(PqM).
-    "ann_pq" -> ((s, dir) => {
-      val (c0, cents0) = pqSub(s, dir, 0)
-      val (c1, cents1) = pqSub(s, dir, 1)
-      graft.plans.ArrayExprs.register(s)
-      import graft.plans.ArrayExprs.dotProduct
-      val codes = c0.join(c1, "vec_id")
-      val e = load(s, dir, "embeddings")
-        .select(col("vec_id"),
-          transform(col("embedding"), x => x.cast("double")).as("fv"))
-      def qTable(m: Int, cents: DataFrame): DataFrame =
-        e.where(col("vec_id") < NumQueries)
-          .select(col("vec_id").as("q_id"),
-            slice(col("fv"), m * PqSubDim + 1, PqSubDim).as("qv"))
-          .withColumn("qvv", dotProduct(col("qv"), col("qv")))
-          .crossJoin(broadcast(cents))
-          .select(col("q_id"), col("cluster").as(s"code$m"),
-            round(col("qvv") + col("cvv") - lit(2.0) * dotProduct(col("qv"), col("cv")), 6)
-              .as(s"d$m"))
-      val wRank = Window.partitionBy("q_id").orderBy(col("adist"), col("n_id"))
-      codes.join(broadcast(qTable(0, cents0)), "code0")
-        .join(broadcast(qTable(1, cents1)), Seq("code1", "q_id"))
-        .where(col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id").as("n_id"),
-          round(col("d0") + col("d1"), 6).as("adist"))
-        .withColumn("rank", row_number().over(wRank))
-        .where(col("rank") <= TopK)
-        .select("q_id", "rank", "n_id", "adist")
-        .orderBy("q_id", "rank")
-    }),
+    "ann_pq" -> ((s, dir) => annPq(s, dir, PqM, PqSubDim, KmK)),
+
+    // Same ADC chain at a production-shaped configuration (8 subspaces ×
+    // 32-centroid codebooks — 40-bit codes). Exists so the recall study
+    // (AnnRecallSpec) measures a representative operating point, not just
+    // ann_pq's deliberately tiny 6-bit code.
+    "ann_pq_big" -> ((s, dir) => annPq(s, dir, PqBigM, PqBigSubDim, PqBigK)),
 
     // Scalar int8 quantization — the standard 4× memory cut that makes a
     // 100 TB embedding store ANN-searchable in RAM. Per-dimension global
@@ -322,33 +350,76 @@ object Embeddings {
 
   /** Oracle CTE block for PQ subspace m (mirrors [[pqSub]]): slices, seeds,
     * assign, sorted-fold update, re-assign — ends at `code$m(vec_id,
-    * code$m)` with centroids available as `c$m(cluster, cv)`. */
-  private def pqSubSql(m: Int): String = {
-    val lo = m * PqSubDim + 1
-    val hi = (m + 1) * PqSubDim
-    s"""s$m AS (SELECT vec_id, list_slice(fv, $lo, $hi) AS v FROM e),
-       |seeds$m AS (SELECT CAST(vec_id AS INT) AS cluster, v AS cv
-       |            FROM s$m WHERE vec_id < $KmK),
-       |a$m AS (
+    * code$m)` with centroids available as `c$m(cluster, cv)`.
+    *
+    * CTEs are MATERIALIZED: DuckDB 1.0 inlines CTEs at every reference, and
+    * with s/c referenced 2-3× at ~6 levels of nesting the inlined plan grows
+    * exponentially in the subspace count — the 8-subspace ann_pq_big oracle
+    * never finished planning without this. Semantics are unchanged. */
+  private def pqSubSql(m: Int, subDim: Int = PqSubDim, k: Int = KmK): String = {
+    val lo = m * subDim + 1
+    val hi = (m + 1) * subDim
+    s"""s$m AS MATERIALIZED (SELECT vec_id, list_slice(fv, $lo, $hi) AS v FROM e),
+       |seeds$m AS MATERIALIZED (SELECT CAST(vec_id AS INT) AS cluster, v AS cv
+       |            FROM s$m WHERE vec_id < $k),
+       |a$m AS MATERIALIZED (
        |  SELECT s$m.vec_id, cluster, s$m.v,
        |    row_number() OVER (PARTITION BY s$m.vec_id ORDER BY
        |      round(list_inner_product(s$m.v, s$m.v) + list_inner_product(cv, cv)
        |            - 2.0 * list_inner_product(s$m.v, cv), 6), cluster) AS rn
        |  FROM s$m, seeds$m),
-       |asg$m AS (SELECT vec_id, v, cluster FROM a$m WHERE rn = 1),
-       |u$m AS (
+       |asg$m AS MATERIALIZED (SELECT vec_id, v, cluster FROM a$m WHERE rn = 1),
+       |u$m AS MATERIALIZED (
        |  SELECT cluster, dim, list_sum(list(x ORDER BY x)) / count(*) AS mu
        |  FROM (SELECT cluster, generate_subscripts(v, 1) AS dim, unnest(v) AS x
        |        FROM asg$m)
        |  GROUP BY cluster, dim),
-       |c$m AS (SELECT cluster, list(mu ORDER BY dim) AS cv FROM u$m GROUP BY cluster),
-       |f$m AS (
+       |c$m AS MATERIALIZED (SELECT cluster, list(mu ORDER BY dim) AS cv FROM u$m GROUP BY cluster),
+       |f$m AS MATERIALIZED (
        |  SELECT s$m.vec_id, cluster,
        |    row_number() OVER (PARTITION BY s$m.vec_id ORDER BY
        |      round(list_inner_product(s$m.v, s$m.v) + list_inner_product(cv, cv)
        |            - 2.0 * list_inner_product(s$m.v, cv), 6), cluster) AS rn
        |  FROM s$m, c$m),
-       |code$m AS (SELECT vec_id, cluster AS code$m FROM f$m WHERE rn = 1)""".stripMargin
+       |code$m AS MATERIALIZED (SELECT vec_id, cluster AS code$m FROM f$m WHERE rn = 1)""".stripMargin
+  }
+
+  /** Oracle for [[annPq]] at any (subspace count, width, codebook size):
+    * the per-subspace CTE blocks, the code frame, one query→centroid
+    * distance table per subspace, then the ADC join + top-k window. */
+  private def annPqSql(mCount: Int, subDim: Int, k: Int): String = {
+    def qt(m: Int): String = {
+      val lo = m * subDim + 1
+      val hi = (m + 1) * subDim
+      s"""q$m AS MATERIALIZED (SELECT vec_id AS q_id, list_slice(fv, $lo, $hi) AS qv
+         |        FROM e WHERE vec_id < $NumQueries),
+         |t$m AS MATERIALIZED (
+         |  SELECT q_id, cluster AS code$m,
+         |    round(list_inner_product(qv, qv) + list_inner_product(cv, cv)
+         |          - 2.0 * list_inner_product(qv, cv), 6) AS d$m
+         |  FROM q$m, c$m)""".stripMargin
+    }
+    val ms = 0 until mCount
+    val codeCols = ms.map(m => s"code$m").mkString(", ")
+    val codesFrom = "code0" + ms.tail.map(m => s" JOIN code$m USING (vec_id)").mkString
+    val distSum = ms.map(m => s"d$m").mkString(" + ")
+    val tJoins = ms.tail
+      .map(m => s"  JOIN t$m ON t$m.code$m = codes.code$m AND t$m.q_id = t0.q_id")
+      .mkString("\n")
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS fv FROM embeddings),
+       |${ms.map(m => pqSubSql(m, subDim, k)).mkString(",\n")},
+       |codes AS MATERIALIZED (SELECT vec_id, $codeCols FROM $codesFrom),
+       |${ms.map(qt).mkString(",\n")},
+       |scored AS (
+       |  SELECT t0.q_id, codes.vec_id AS n_id, round($distSum, 6) AS adist,
+       |    row_number() OVER (PARTITION BY t0.q_id
+       |      ORDER BY round($distSum, 6), codes.vec_id) AS rank
+       |  FROM codes
+       |  JOIN t0 ON t0.code0 = codes.code0
+       |$tJoins
+       |  WHERE codes.vec_id <> t0.q_id)
+       |SELECT q_id, rank, n_id, adist FROM scored WHERE rank <= $TopK
+       |ORDER BY q_id, rank""".stripMargin
   }
 
   val oracle: Map[String, String] = Map(
@@ -382,35 +453,9 @@ object Embeddings {
          |SELECT vec_id, code0, code1 FROM code0 JOIN code1 USING (vec_id)
          |ORDER BY vec_id""".stripMargin,
 
-    "ann_pq" -> {
-      def qt(m: Int): String = {
-        val lo = m * PqSubDim + 1
-        val hi = (m + 1) * PqSubDim
-        s"""q$m AS (SELECT vec_id AS q_id, list_slice(fv, $lo, $hi) AS qv
-           |        FROM e WHERE vec_id < $NumQueries),
-           |t$m AS (
-           |  SELECT q_id, cluster AS code$m,
-           |    round(list_inner_product(qv, qv) + list_inner_product(cv, cv)
-           |          - 2.0 * list_inner_product(qv, cv), 6) AS d$m
-           |  FROM q$m, c$m)""".stripMargin
-      }
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS fv FROM embeddings),
-         |${pqSubSql(0)},
-         |${pqSubSql(1)},
-         |codes AS (SELECT vec_id, code0, code1 FROM code0 JOIN code1 USING (vec_id)),
-         |${qt(0)},
-         |${qt(1)},
-         |scored AS (
-         |  SELECT t0.q_id, codes.vec_id AS n_id, round(d0 + d1, 6) AS adist,
-         |    row_number() OVER (PARTITION BY t0.q_id
-         |      ORDER BY round(d0 + d1, 6), codes.vec_id) AS rank
-         |  FROM codes
-         |  JOIN t0 ON t0.code0 = codes.code0
-         |  JOIN t1 ON t1.code1 = codes.code1 AND t1.q_id = t0.q_id
-         |  WHERE codes.vec_id <> t0.q_id)
-         |SELECT q_id, rank, n_id, adist FROM scored WHERE rank <= $TopK
-         |ORDER BY q_id, rank""".stripMargin
-    },
+    "ann_pq" -> annPqSql(PqM, PqSubDim, KmK),
+
+    "ann_pq_big" -> annPqSql(PqBigM, PqBigSubDim, PqBigK),
 
     "emb_quantize" ->
       """WITH e AS (
