@@ -16,8 +16,8 @@ object ScalarFns {
 
   // Edge-case prefix/suffix spliced around every document so the cleaning
   // chain's URL/punct/stop/case branches all fire on real rows.
-  private val EdgePrefix = "Check http://ex.com/A?q=1 THIS Just WWW.x.Y "
-  private val EdgeSuffix = " !!! im IVE (parens) [brack] {brace} a.b,c;d"
+  private[graft] val EdgePrefix = "Check http://ex.com/A?q=1 THIS Just WWW.x.Y "
+  private[graft] val EdgeSuffix = " !!! im IVE (parens) [brack] {brace} a.b,c;d"
 
   val queries: Map[String, Q] = Map(
     // X1–X5 / D2 — the full preprocess chain (redditProcessor.py:36-53).
