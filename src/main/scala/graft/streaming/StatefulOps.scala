@@ -121,6 +121,127 @@ object StatefulOps {
         enc)
   }
 
+  /** A closed session: emitted by [[SessionTimeoutProcessor]] when the
+    * watermark passes (last event + gap) for a key. */
+  case class SessionClosed(key: String, n: Long, startMs: Long, endMs: Long)
+
+  /** Session-timeout emitter on transformWithState EVENT-TIME TIMERS — the
+    * timer half of the Spark-4 state API ([[RunningTotalProcessor]] covers
+    * ValueState). Each key holds (count, start, last); every batch the
+    * processor re-arms one timer at `last + gap`, and when the WATERMARK
+    * (not wall clock — deterministic under replay) passes it,
+    * `handleExpiredTimer` emits the session summary and frees the state.
+    * This is `session_window` re-built on raw primitives, which is the
+    * point: the same timer shape implements delayed emission, SLA alerts,
+    * or scheduled state GC that no built-in window expresses. State per key
+    * is one triple + one timer regardless of session length, keyed-hash
+    * partitioned — at 1000 executors each key's state and timer live on
+    * one partition, no cross-executor traffic. */
+  class SessionTimeoutProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, java.sql.Timestamp), SessionClosed] {
+    @transient private var state:
+        org.apache.spark.sql.streaming.ValueState[(Long, Long, Long)] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[(Long, Long, Long)]("sess",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: String, rows: Iterator[(String, java.sql.Timestamp)],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[SessionClosed] = {
+      val (n0, start0, last0) =
+        if (state.exists) state.get() else (0L, Long.MaxValue, Long.MinValue)
+      var n = n0
+      var start = start0
+      var last = last0
+      rows.foreach { r =>
+        val t = r._2.getTime
+        n += 1
+        start = math.min(start, t)
+        last = math.max(last, t)
+      }
+      if (last != last0) { // re-arm: one live timer per key
+        if (n0 > 0) getHandle.deleteTimer(last0 + gapMs)
+        getHandle.registerTimer(last + gapMs)
+      }
+      state.update((n, start, last))
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(
+        key: String,
+        timers: org.apache.spark.sql.streaming.TimerValues,
+        expired: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[SessionClosed] = {
+      val out = if (state.exists) {
+        val (n, start, last) = state.get()
+        Iterator.single(SessionClosed(key, n, start, last))
+      } else Iterator.empty
+      state.clear()
+      out
+    }
+  }
+
+  /** `(key, event_ts)` → one [[SessionClosed]] per key when `gapMs` of
+    * event time passes with no new events. Input must carry a watermark
+    * (TimeMode.EventTime). */
+  def sessionTimeouts(ds: Dataset[(String, java.sql.Timestamp)],
+                      gapMs: Long): Dataset[SessionClosed] = {
+    implicit val enc: Encoder[SessionClosed] = Encoders.product[SessionClosed]
+    ds.toDF("key", "ts").withWatermark("ts", "0 seconds")
+      .as[(String, java.sql.Timestamp)](
+        Encoders.tuple(Encoders.STRING, Encoders.TIMESTAMP))
+      .groupByKey(_._1)(Encoders.STRING)
+      .transformWithState(new SessionTimeoutProcessor(gapMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append(),
+        enc)
+  }
+
+  /** Last-n-per-key output of [[RecentEventsProcessor]]. */
+  case class Recent(key: String, recent: String)
+
+  /** Per-key recent-events buffer on transformWithState LIST STATE — the
+    * third leg of the Spark-4 state API (ValueState above, timers above,
+    * ListState here). Keeps the most recent `n` payloads per key and emits
+    * them oldest→newest each batch the key appears in; the RocksDB list
+    * layout appends without rewriting the whole value (unlike a
+    * ValueState[Seq] which round-trips the entire buffer per update), so
+    * the per-batch cost is O(new rows + n), not O(history). */
+  class RecentEventsProcessor(n: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, Keyed, Recent] {
+    @transient private var buf:
+        org.apache.spark.sql.streaming.ListState[String] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      buf = getHandle.getListState[String]("recent", Encoders.STRING,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: String, rows: Iterator[Keyed],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[Recent] = {
+      rows.foreach(r => buf.appendValue(r.payload))
+      val all = buf.get().toArray
+      if (all.length > n) buf.put(all.takeRight(n))
+      Iterator.single(Recent(key, all.takeRight(n).mkString(" ")))
+    }
+  }
+
+  def recentEvents(ds: Dataset[Keyed], n: Int): Dataset[Recent] = {
+    implicit val enc: Encoder[Recent] = Encoders.product[Recent]
+    ds.groupByKey(_.key)(Encoders.STRING)
+      .transformWithState(new RecentEventsProcessor(n),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update(),
+        enc)
+  }
+
   /** Stream-stream interval join (ad attribution): each click joins the
     * impression with the same ad_id it followed within `windowMinutes`.
     * Both sides carry watermarks and the join condition bounds click_ts

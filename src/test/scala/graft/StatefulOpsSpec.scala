@@ -62,6 +62,76 @@ class StatefulOpsSpec extends AnyFunSuite {
     }
   }
 
+  /** Run `body` with the RocksDB provider transformWithState requires,
+    * restoring the prior provider after. */
+  private def withRocksDb[A](body: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("transformWithState event-time timers close sessions when the watermark passes the gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      def ts(min: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+      val mem = MemoryStream[(String, java.sql.Timestamp)]
+      val q = StatefulOps.sessionTimeouts(mem.toDS(), gapMs = 5 * 60 * 1000L)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("stimer_out").start()
+      try {
+        def closed() = spark.table("stimer_out")
+          .as[StatefulOps.SessionClosed].collect().map(_.key).sorted.toSeq
+        // a's session: events at 10:00 and 10:01 → timer armed at 10:06.
+        // Watermark after this batch is 10:01 < 10:06 → still open.
+        mem.addData(("a", ts(0)), ("a", ts(1)))
+        q.processAllAvailable()
+        assert(closed().isEmpty, "session closed before watermark passed the gap")
+        // b@10:10 advances the watermark to 10:10; the engine's no-data
+        // batch then fires a's 10:06 timer. b's own timer (10:15) is live.
+        mem.addData(("b", ts(10)))
+        q.processAllAvailable()
+        assert(closed() == Seq("a"))
+        // watermark 10:20 ≥ 10:15 → b closes; c's timer (10:25) still live
+        mem.addData(("c", ts(20)))
+        q.processAllAvailable()
+        assert(closed() == Seq("a", "b"))
+        val a = spark.table("stimer_out").as[StatefulOps.SessionClosed]
+          .collect().find(_.key == "a").get
+        assert(a.n == 2 && a.startMs == ts(0).getTime && a.endMs == ts(1).getTime)
+      } finally q.stop()
+    }
+  }
+
+  test("transformWithState ListState keeps the last n payloads per key") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val mem = MemoryStream[Keyed]
+      val q = StatefulOps.recentEvents(mem.toDS(), n = 3)
+        .writeStream.outputMode("update")
+        .format("memory").queryName("srecent_out").start()
+      try {
+        mem.addData(Keyed("a", "p1"), Keyed("a", "p2"), Keyed("b", "q1"))
+        q.processAllAvailable()
+        mem.addData(Keyed("a", "p3"), Keyed("a", "p4"))
+        q.processAllAvailable()
+        // update-mode memory sink appends each emission; latest = longest
+        val latest = spark.table("srecent_out").as[StatefulOps.Recent]
+          .collect().groupBy(_.key)
+          .map { case (k, rs) => k -> rs.last.recent }
+        assert(latest("a") == "p2 p3 p4", s"got ${latest("a")}")
+        assert(latest("b") == "q1")
+      } finally q.stop()
+    }
+  }
+
   test("stream-stream interval join attributes clicks within the window only") {
     import spark.implicits._
     import graft.streaming.StatefulOps.{Click, Impression}
