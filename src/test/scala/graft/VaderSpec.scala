@@ -124,7 +124,7 @@ class VaderSpec extends AnyFunSuite {
 
   test("round-4 lexicon batches: curated coverage goldens") {
     import graft.functions.VaderSentiment.Lexicon
-    assert(Lexicon.size == 2394, s"lexicon entry count drifted: ${Lexicon.size}")
+    assert(Lexicon.size == 2462, s"lexicon entry count drifted: ${Lexicon.size}")
     // exact pinned values for the batch's anchors
     assert(Lexicon("shit") == -2.6 && Lexicon("scam") == -2.2)
     assert(Lexicon("stellar") == 2.7 && Lexicon("blissful") == 2.9)
@@ -321,5 +321,19 @@ class VaderSpec extends AnyFunSuite {
     assert(label(compound("their unscrupulous cronies vandalized the sanctuary")) == "negative")
     assert(label(compound("the team performed superbly and seamlessly")) == "positive")
     assert(label(compound("a ruinous spiral of rancor and toxicity")) == "negative")
+  }
+
+  test("round-6 lexicon batch 14 (68 entries): curated coverage goldens") {
+    import graft.functions.VaderSentiment.Lexicon
+    assert(Lexicon("carnage") == -3.0 && Lexicon("altruism") == 2.4)
+    assert(Lexicon("abhorrence") == -2.9 && Lexicon("accolade") == 2.3)
+    assert(Lexicon("aloof") == -0.7 && Lexicon("agile") == 1.2)
+    assert(Lexicon("contemptible") == -2.2 && Lexicon("cuddle") == 2.0)
+    assert(label(compound("an acclaimed speech met with every accolade")) == "positive")
+    assert(label(compound("the ambush left carnage and bereavement behind")) == "negative")
+    assert(label(compound("her altruism will befriend the whole amnesty board")) == "positive")
+    assert(label(compound("a conceited and condescending antagonist")) == "negative")
+    // negation still inverts batch words through the scorer
+    assert(compound("not agile at all") < 0)
   }
 }
