@@ -124,7 +124,7 @@ class VaderSpec extends AnyFunSuite {
 
   test("round-4 lexicon batches: curated coverage goldens") {
     import graft.functions.VaderSentiment.Lexicon
-    assert(Lexicon.size == 2462, s"lexicon entry count drifted: ${Lexicon.size}")
+    assert(Lexicon.size == 2545, s"lexicon entry count drifted: ${Lexicon.size}")
     // exact pinned values for the batch's anchors
     assert(Lexicon("shit") == -2.6 && Lexicon("scam") == -2.2)
     assert(Lexicon("stellar") == 2.7 && Lexicon("blissful") == 2.9)
@@ -335,5 +335,19 @@ class VaderSpec extends AnyFunSuite {
     assert(label(compound("a conceited and condescending antagonist")) == "negative")
     // negation still inverts batch words through the scorer
     assert(compound("not agile at all") < 0)
+  }
+
+  test("round-6 lexicon batch 15 (83 entries): curated coverage goldens") {
+    import graft.functions.VaderSentiment.Lexicon
+    assert(Lexicon("diabolical") == -2.5 && Lexicon("ebullient") == 2.2)
+    assert(Lexicon("dehumanize") == -2.3 && Lexicon("empathetic") == 1.9)
+    assert(Lexicon("fleeting") == -0.4 && Lexicon("dynamic") == 1.4)
+    assert(Lexicon("duplicity") == -2.0 && Lexicon("delectable") == 2.0)
+    assert(label(compound("an ebullient and effervescent host with real decency")) == "positive")
+    assert(label(compound("a diabolical scheme to defraud and dehumanize them")) == "negative")
+    assert(label(compound("the enchanted crowd found her enthralling")) == "positive")
+    assert(label(compound("disgruntled tenants left the place in disrepair and disarray")) == "negative")
+    // booster + batch word still compose
+    assert(compound("absolutely delectable") > compound("delectable"))
   }
 }
