@@ -124,7 +124,7 @@ class VaderSpec extends AnyFunSuite {
 
   test("round-4 lexicon batches: curated coverage goldens") {
     import graft.functions.VaderSentiment.Lexicon
-    assert(Lexicon.size == 2545, s"lexicon entry count drifted: ${Lexicon.size}")
+    assert(Lexicon.size == 2678, s"lexicon entry count drifted: ${Lexicon.size}")
     // exact pinned values for the batch's anchors
     assert(Lexicon("shit") == -2.6 && Lexicon("scam") == -2.2)
     assert(Lexicon("stellar") == 2.7 && Lexicon("blissful") == 2.9)
@@ -349,5 +349,32 @@ class VaderSpec extends AnyFunSuite {
     assert(label(compound("disgruntled tenants left the place in disrepair and disarray")) == "negative")
     // booster + batch word still compose
     assert(compound("absolutely delectable") > compound("delectable"))
+  }
+
+  test("round-6 lexicon batch 16 (43 entries): curated coverage goldens") {
+    import graft.functions.VaderSentiment.Lexicon
+    assert(Lexicon("genocide") == -3.4 && Lexicon("irresistible") == 1.7)
+    assert(Lexicon("inconsolable") == -2.3 && Lexicon("hearten") == 1.8)
+    assert(Lexicon("gritty") == -0.4 && Lexicon("inquisitive") == 1.1)
+    assert(label(compound("the heartening ingenuity of an inquisitive mind")) == "positive")
+    assert(label(compound("a grotesque infestation left the ward inconsolable")) == "negative")
+    assert(label(compound("their ingratitude and hypocritical indignation grate")) == "negative")
+  }
+
+  test("round-6 lexicon batch 17 (90 entries, informal/slang register): curated coverage goldens") {
+    // The published lexicon's defining feature is social-media vocabulary
+    // (Hutto & Gilbert 2014 §3.1 built it FOR microblog text) — exactly the
+    // register a Reddit corpus is made of. This batch opens that front.
+    import graft.functions.VaderSentiment.Lexicon
+    assert(Lexicon("lol") == 1.6 && Lexicon("wtf") == -2.7)
+    assert(Lexicon("stoked") == 2.2 && Lexicon("scumbag") == -2.6)
+    assert(Lexicon("nah") == -0.4 && Lexicon("gg") == 1.4)
+    assert(Lexicon("fml") == -2.6 && Lexicon("hooray") == 2.5)
+    assert(label(compound("lol that set was kickass, totally stoked")) == "positive")
+    assert(label(compound("ugh what a janky ripoff, fml")) == "negative")
+    assert(label(compound("gg everyone, woohoo")) == "positive")
+    assert(label(compound("that scumbag pulled a shoddy sham again")) == "negative")
+    // ALL-CAPS emphasis applies to slang too (scorer is case-aware)
+    assert(compound("this is KICKASS") > compound("this is kickass"))
   }
 }
