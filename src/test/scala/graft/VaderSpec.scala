@@ -124,7 +124,7 @@ class VaderSpec extends AnyFunSuite {
 
   test("round-4 lexicon batches: curated coverage goldens") {
     import graft.functions.VaderSentiment.Lexicon
-    assert(Lexicon.size == 2678, s"lexicon entry count drifted: ${Lexicon.size}")
+    assert(Lexicon.size == 2761, s"lexicon entry count drifted: ${Lexicon.size}")
     // exact pinned values for the batch's anchors
     assert(Lexicon("shit") == -2.6 && Lexicon("scam") == -2.2)
     assert(Lexicon("stellar") == 2.7 && Lexicon("blissful") == 2.9)
@@ -376,5 +376,19 @@ class VaderSpec extends AnyFunSuite {
     assert(label(compound("that scumbag pulled a shoddy sham again")) == "negative")
     // ALL-CAPS emphasis applies to slang too (scorer is case-aware)
     assert(compound("this is KICKASS") > compound("this is kickass"))
+  }
+
+  test("round-6 lexicon batches 18-19 (83 entries, j-r gap fill): curated coverage goldens") {
+    import graft.functions.VaderSentiment.Lexicon
+    assert(Lexicon("mutilate") == -2.7 && Lexicon("phenomenally") == 2.6)
+    assert(Lexicon("nightmarish") == -2.6 && Lexicon("reverence") == 1.8)
+    assert(Lexicon("lurk") == -1.0 && Lexicon("novel") == 1.0)
+    assert(Lexicon("racist") == -2.8 && Lexicon("prevail") == 1.5)
+    assert(label(compound("a remarkably prolific author held in reverence")) == "positive")
+    assert(label(compound("nightmarish misconduct and premeditated mistreatment")) == "negative")
+    assert(label(compound("justice will prevail over their rampage")) == "positive")
+    assert(label(compound("livid about the misinformation and rudeness")) == "negative")
+    // "least" de-emphasis still applies to batch words
+    assert(compound("least nightmarish outcome") > compound("nightmarish outcome"))
   }
 }
