@@ -124,7 +124,7 @@ class VaderSpec extends AnyFunSuite {
 
   test("round-4 lexicon batches: curated coverage goldens") {
     import graft.functions.VaderSentiment.Lexicon
-    assert(Lexicon.size == 2761, s"lexicon entry count drifted: ${Lexicon.size}")
+    assert(Lexicon.size == 2846, s"lexicon entry count drifted: ${Lexicon.size}")
     // exact pinned values for the batch's anchors
     assert(Lexicon("shit") == -2.6 && Lexicon("scam") == -2.2)
     assert(Lexicon("stellar") == 2.7 && Lexicon("blissful") == 2.9)
@@ -390,5 +390,20 @@ class VaderSpec extends AnyFunSuite {
     assert(label(compound("livid about the misinformation and rudeness")) == "negative")
     // "least" de-emphasis still applies to batch words
     assert(compound("least nightmarish outcome") > compound("nightmarish outcome"))
+  }
+
+  test("round-6 lexicon batch 20 (85 entries, s-z gap fill): curated coverage goldens") {
+    import graft.functions.VaderSentiment.Lexicon
+    assert(Lexicon("utopia") == 2.3 && Lexicon("treachery") == -2.4)
+    assert(Lexicon("salvation") == 1.9 && Lexicon("sadistic") == -2.6)
+    assert(Lexicon("suspense") == -0.4 && Lexicon("unscathed") == 1.0)
+    assert(Lexicon("virtuoso") == 2.1 && Lexicon("warmonger") == -2.3)
+    assert(label(compound("a virtuoso whose tenacity brought salvation")) == "positive")
+    assert(label(compound("the tyranny and treachery of a sadistic warmonger")) == "negative")
+    assert(label(compound("she emerged unscathed, full of vitality")) == "positive")
+    assert(label(compound("their vendetta victimized the whole village")) == "negative")
+    // but-pivot still reweights across batch words
+    assert(compound("a shipwreck but everyone emerged unscathed") >
+      compound("a shipwreck"))
   }
 }
