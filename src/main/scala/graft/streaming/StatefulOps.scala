@@ -242,6 +242,54 @@ object StatefulOps {
         enc)
   }
 
+  /** Per-(key, category) running count from [[CategoryCountsProcessor]]. */
+  case class CategoryCount(key: String, category: String, n: Long)
+
+  /** Per-key categorical histogram on transformWithState MAP STATE — the
+    * fourth and last state primitive (ValueState, timers, ListState above).
+    * Each key holds a category→count map; MapState stores every map entry
+    * as its own RocksDB key, so one category's increment reads and writes
+    * ONE entry — a ValueState[Map] would deserialize and rewrite the whole
+    * histogram per row, which at a 100 TB stream's cardinality (think
+    * per-subreddit flair counts) is the difference between O(updates) and
+    * O(updates × categories). Emits the touched categories' counts each
+    * batch (update-mode friendly). */
+  class CategoryCountsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, String), CategoryCount] {
+    @transient private var counts:
+        org.apache.spark.sql.streaming.MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long]("counts",
+        Encoders.STRING, Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: String, rows: Iterator[(String, String)],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[CategoryCount] = {
+      val touched = scala.collection.mutable.LinkedHashSet.empty[String]
+      rows.foreach { case (_, cat) =>
+        val prev = if (counts.containsKey(cat)) counts.getValue(cat) else 0L
+        counts.updateValue(cat, prev + 1L)
+        touched += cat
+      }
+      touched.iterator.map(c => CategoryCount(key, c, counts.getValue(c)))
+    }
+  }
+
+  /** `(key, category)` events → per-key running category counts. */
+  def categoryCounts(ds: Dataset[(String, String)]): Dataset[CategoryCount] = {
+    implicit val enc: Encoder[CategoryCount] = Encoders.product[CategoryCount]
+    ds.groupByKey(_._1)(Encoders.STRING)
+      .transformWithState(new CategoryCountsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update(),
+        enc)
+  }
+
   /** Stream-stream interval join (ad attribution): each click joins the
     * impression with the same ad_id it followed within `windowMinutes`.
     * Both sides carry watermarks and the join condition bounds click_ts

@@ -132,6 +132,30 @@ class StatefulOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("transformWithState MapState maintains per-key category histograms") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val mem = MemoryStream[(String, String)]
+      val q = StatefulOps.categoryCounts(mem.toDS())
+        .writeStream.outputMode("update")
+        .format("memory").queryName("scat_out").start()
+      try {
+        mem.addData(("sub1", "meme"), ("sub1", "meme"), ("sub1", "news"), ("sub2", "news"))
+        q.processAllAvailable()
+        mem.addData(("sub1", "meme"), ("sub2", "rant"))
+        q.processAllAvailable()
+        val latest = spark.table("scat_out").as[StatefulOps.CategoryCount]
+          .collect().groupBy(r => (r.key, r.category))
+          .map { case (k, rs) => k -> rs.map(_.n).max }
+        assert(latest(("sub1", "meme")) == 3)
+        assert(latest(("sub1", "news")) == 1)
+        assert(latest(("sub2", "news")) == 1)
+        assert(latest(("sub2", "rant")) == 1)
+      } finally q.stop()
+    }
+  }
+
   test("stream-stream interval join attributes clicks within the window only") {
     import spark.implicits._
     import graft.streaming.StatefulOps.{Click, Impression}
