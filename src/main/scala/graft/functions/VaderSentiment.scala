@@ -175,7 +175,13 @@ object VaderSentiment {
   def compound(text: String): Double = {
     if (text == null || text.isEmpty) return 0.0
     val raw = text.split("\\s+").filter(_.nonEmpty)
-    val words = raw.map(stripPunct)
+    // Published words-plus-punctuation behavior (Hutto & Gilbert 2014 §3.1):
+    // a token that is itself a lexicon entry — an emoticon like ":)" or
+    // "<3" — is kept verbatim; anything else has surrounding punctuation
+    // stripped before lookup. Without this, pure-punctuation tokens strip
+    // to "" and the social-media register the lexicon was built for is
+    // unreachable.
+    val words = raw.map(w => if (Lexicon.contains(w.toLowerCase)) w else stripPunct(w))
     val lower = words.map(_.toLowerCase)
     // CAPS emphasis only applies in mixed-case text (some caps, not all).
     val capsMatter = {

@@ -124,7 +124,7 @@ class VaderSpec extends AnyFunSuite {
 
   test("round-4 lexicon batches: curated coverage goldens") {
     import graft.functions.VaderSentiment.Lexicon
-    assert(Lexicon.size == 2846, s"lexicon entry count drifted: ${Lexicon.size}")
+    assert(Lexicon.size == 2896, s"lexicon entry count drifted: ${Lexicon.size}")
     // exact pinned values for the batch's anchors
     assert(Lexicon("shit") == -2.6 && Lexicon("scam") == -2.2)
     assert(Lexicon("stellar") == 2.7 && Lexicon("blissful") == 2.9)
@@ -405,5 +405,34 @@ class VaderSpec extends AnyFunSuite {
     // but-pivot still reweights across batch words
     assert(compound("a shipwreck but everyone emerged unscathed") >
       compound("a shipwreck"))
+  }
+
+  test("round-6 lexicon batch 21 (50 entries, emoticons): curated coverage goldens") {
+    // The published lexicon's most social-media-specific register: pure
+    // punctuation emoticons (Hutto & Gilbert 2014 §3.1 Table 1 lists them
+    // as a ground-truth category). Requires the words-plus-punctuation
+    // tokenizer rule — a token that IS a lexicon entry is kept verbatim
+    // instead of being stripped to "".
+    import graft.functions.VaderSentiment.Lexicon
+    assert(Lexicon(":)") == 2.0 && Lexicon(":(") == -1.9)
+    assert(Lexicon("<3") == 3.0 && Lexicon("</3") == -3.0)
+    assert(Lexicon("xd") == 2.6 && Lexicon("-_-") == -1.1)
+    assert(Lexicon(":'(") == -2.2 && Lexicon("^_^") == 1.5)
+    // emoticons survive tokenization and carry sign on their own
+    assert(compound(":)") > 0 && compound(":(") < 0)
+    assert(compound("i <3 this band") > 0)
+    assert(compound("server down again -_-") < 0)
+    // they compose with words and with each other
+    assert(label(compound("great set last night :)")) == "positive")
+    assert(label(compound("they cancelled the show :( :(")) == "negative")
+    assert(compound("good :)") > compound("good"))
+    // negation reaches emoticons like any other lexicon token
+    assert(compound("not :)") < 0)
+    // mixed-case caps emphasis: ":D" uppercases the letter, ":d" doesn't
+    assert(compound("that demo was :D impressive") >=
+      compound("that demo was :d impressive"))
+    // word tokens with trailing punctuation still strip (and "!"
+    // amplification still applies on top, so strictly greater)
+    assert(compound("good!!") > compound("good"))
   }
 }
