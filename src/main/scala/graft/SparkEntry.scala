@@ -20,6 +20,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++
       operators.Relational2.queries ++
+      operators.Relational3.queries ++
       operators.EventWindows.queries ++
       operators.ScalarFns.queries ++
       operators.TextAnalysis.queries ++
@@ -35,6 +36,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     operators.Relational.oracle ++
       operators.Relational2.oracle ++
+      operators.Relational3.oracle ++
       operators.EventWindows.oracle ++
       operators.ScalarFns.oracle ++
       operators.TextAnalysis.oracle ++

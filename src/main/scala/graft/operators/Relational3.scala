@@ -1,0 +1,177 @@
+package graft.operators
+
+import graft.Exact.dec
+import graft.Tables.load
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Coverage wave 3 (round 6): the scale patterns a 100 TB pipeline reaches
+  * for when the built-in operator shapes start to hurt —
+  *
+  *  - `skew_distinct_2phase`: exact count-distinct over a hot grouping key,
+  *    decomposed into two keyed aggregations so the first shuffle spreads a
+  *    hot key over its (key, member) pairs instead of funneling every row of
+  *    the hot group through one reducer. This is the general salting
+  *    pattern with the distinct member itself as the salt — no accuracy
+  *    trade, identical results to `count(DISTINCT ...)`.
+  *  - `j7_range_bin`: a pure range join (no equi-key) rewritten as an
+  *    equi-join on a time bucket. Each interval explodes to the O(1)
+  *    buckets it covers, points are bucketed map-side, and the exact range
+  *    predicate runs after the bucket equi-match — so the join never
+  *    degenerates into the O(n·m) broadcast-nested-loop Spark would
+  *    otherwise plan for an inequality-only condition.
+  *  - `scd2_intervals`: slowly-changing-dimension type-2 build from an
+  *    event log — collapse consecutive same-value runs per key, emit
+  *    [valid_from, valid_to) with a current-row flag. One shuffle on the
+  *    dimension key; both windows ride the same partitioning.
+  *  - `dd_paragraph`: cross-document duplicate-paragraph detection
+  *    (RefinedWeb-style): fixed-width non-overlapping token chunks, md5 per
+  *    chunk, one keyed aggregation to find chunks shared by 2+ documents.
+  *    Map-side chunking, a single shuffle on the chunk hash.
+  *
+  * Parity rules follow waves 1–2: total ORDER BY over all output columns,
+  * decimal-exact sums, bucket arithmetic in integer (`div`) so both engines
+  * and any partitioning agree bit-for-bit.
+  */
+object Relational3 {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val BucketUs = 600000000L // 10-minute range-join buckets, in µs
+  private val ParaSize = 24 // tokens per dd_paragraph chunk
+
+  val queries: Map[String, Q] = Map(
+    // Exact distinct-count over a skewed key via explicit two-phase
+    // aggregation. Phase 1 shuffles on (event_type, user_id) — a hot
+    // event_type is spread across as many reducers as it has distinct
+    // users; phase 2 is a tiny rollup of pre-deduped pairs. Contrast with
+    // a naive count(DISTINCT) planned as a single Expand whose hot group
+    // lands on one task. At 100 TB the phase-1 cardinality is bounded by
+    // the distinct pair count, not the row count.
+    "skew_distinct_2phase" -> ((s, dir) =>
+      load(s, dir, "events")
+        .groupBy("event_type", "user_id")
+        .agg(count(lit(1)).as("n_u"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_users"), sum(col("n_u")).cast("long").as("n_events"))
+        .orderBy("event_type")),
+
+    // Binned range join: purchases occurring within 10 minutes after each
+    // error event, with NO equi-key between the two sides. The interval
+    // side explodes to the (at most 2) buckets it overlaps, the point side
+    // computes its single bucket map-side, and the exact range predicate
+    // rides the join condition (kept there, not a post-filter, so the LEFT
+    // semantics count zero-match errors). Integer `div` bucketing keeps
+    // both sides' bucket math exact and engine-independent.
+    "j7_range_bin" -> ((s, dir) => {
+      val ev = load(s, dir, "events").withColumn("us", unix_micros(col("ts")))
+      val errs = ev.where(col("event_type") === "error")
+        .select(col("event_id").as("e_id"), col("us").as("e_us"),
+          explode(sequence(expr("us div 600000000"),
+            expr(s"(us + ${BucketUs - 1}) div 600000000"))).as("b"))
+      val purch = ev.where(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("us").as("p_us"),
+          col("value").as("p_value"), expr("us div 600000000").as("pb"))
+      errs.join(purch,
+          errs("b") === purch("pb") &&
+            purch("p_us") >= errs("e_us") &&
+            purch("p_us") < errs("e_us") + BucketUs,
+          "left")
+        .groupBy(col("e_id").as("event_id"))
+        .agg(count(col("p_id")).as("n_purch"),
+          coalesce(sum(dec(col("p_value"))), dec(lit(0))).cast("double").as("purch_value"))
+        .orderBy("event_id")
+    }),
+
+    // SCD2 dimension build: each user's event_type history collapsed to
+    // change rows with validity intervals. lag() finds the change points,
+    // lead() over the surviving rows closes each interval; both windows
+    // share the (user_id) partitioning so the plan pays one shuffle. The
+    // open interval is closed with a fixed far-future sentinel (house rule:
+    // no engine-generated NULL ordering in the comparison).
+    "scd2_intervals" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      load(s, dir, "events")
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .where(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+        .withColumn("valid_to",
+          coalesce(lead(col("ts"), 1).over(w), lit("2099-12-31 00:00:00").cast("timestamp")))
+        .select(col("user_id"), col("event_type"), col("ts").as("valid_from"),
+          col("valid_to"),
+          (col("valid_to") === lit("2099-12-31 00:00:00").cast("timestamp"))
+            .cast("int").as("is_current"))
+        .orderBy("user_id", "valid_from")
+    }),
+
+    // Cross-document duplicate paragraphs: md5 over fixed-width
+    // non-overlapping 24-token chunks (full chunks only — ragged tails
+    // can't collide meaningfully), then one groupBy on the hash keeping
+    // chunks seen in 2+ distinct documents. The 100 TB shape: chunking and
+    // hashing are map-side, the only shuffle carries (hash, doc_id) pairs,
+    // and the output is bounded by the duplicate set, not the corpus.
+    "dd_paragraph" -> ((s, dir) => {
+      val t = split(lower(col("text")), " ")
+      // full chunks only; floor-div in int (Column `/` is double division)
+      val lastIdx = floor(size(t) / lit(ParaSize.toDouble)).cast("int") - 1
+      load(s, dir, "documents")
+        .where(size(t) >= ParaSize)
+        .select(col("doc_id"), t.as("t"),
+          explode(sequence(lit(0), lastIdx)).as("ci"))
+        .select(col("doc_id"),
+          md5(array_join(slice(col("t"), col("ci") * ParaSize + 1, lit(ParaSize)), " "))
+            .as("chunk_md5"))
+        .groupBy("chunk_md5")
+        .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_occ"))
+        .where(col("n_docs") >= 2)
+        .orderBy("chunk_md5")
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "skew_distinct_2phase" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users,
+        |  count(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "j7_range_bin" ->
+      s"""SELECT e.event_id, count(p.event_id) AS n_purch,
+         |  CAST(coalesce(sum(CAST(p.value AS DECIMAL(18,2))),
+         |                CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS purch_value
+         |FROM events e LEFT JOIN events p
+         |  ON p.event_type = 'purchase'
+         | AND epoch_us(p.ts) >= epoch_us(e.ts)
+         | AND epoch_us(p.ts) < epoch_us(e.ts) + $BucketUs
+         |WHERE e.event_type = 'error'
+         |GROUP BY e.event_id ORDER BY e.event_id""".stripMargin,
+
+    "scd2_intervals" ->
+      """WITH chg AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |runs AS (
+        |  SELECT user_id, event_type, ts, event_id FROM chg
+        |  WHERE prev_type IS NULL OR prev_type <> event_type)
+        |SELECT user_id, event_type, ts AS valid_from,
+        |  coalesce(lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+        |           TIMESTAMP '2099-12-31 00:00:00') AS valid_to,
+        |  CAST(lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |       AS INT) AS is_current
+        |FROM runs ORDER BY user_id, valid_from""".stripMargin,
+
+    "dd_paragraph" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+         |  WHERE len(string_split(lower(text), ' ')) >= $ParaSize),
+         |chunks AS (
+         |  SELECT doc_id,
+         |    md5(array_to_string(list_slice(t, ci * $ParaSize + 1,
+         |                                   ci * $ParaSize + $ParaSize), ' ')) AS chunk_md5
+         |  FROM (SELECT doc_id, t,
+         |          unnest(range(0, CAST(len(t) / $ParaSize AS INT))) AS ci
+         |        FROM d))
+         |SELECT chunk_md5, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
+         |FROM chunks GROUP BY chunk_md5
+         |HAVING count(DISTINCT doc_id) >= 2
+         |ORDER BY chunk_md5""".stripMargin)
+}
