@@ -124,7 +124,7 @@ class VaderSpec extends AnyFunSuite {
 
   test("round-4 lexicon batches: curated coverage goldens") {
     import graft.functions.VaderSentiment.Lexicon
-    assert(Lexicon.size == 2896, s"lexicon entry count drifted: ${Lexicon.size}")
+    assert(Lexicon.size == 2943, s"lexicon entry count drifted: ${Lexicon.size}")
     // exact pinned values for the batch's anchors
     assert(Lexicon("shit") == -2.6 && Lexicon("scam") == -2.2)
     assert(Lexicon("stellar") == 2.7 && Lexicon("blissful") == 2.9)
@@ -434,5 +434,22 @@ class VaderSpec extends AnyFunSuite {
     // word tokens with trailing punctuation still strip (and "!"
     // amplification still applies on top, so strictly greater)
     assert(compound("good!!") > compound("good"))
+  }
+
+  test("round-6 lexicon batch 22 (47 entries, j/k/o/q/v/y/z gap fill): curated coverage goldens") {
+    import graft.functions.VaderSentiment.Lexicon
+    assert(Lexicon("jackpot") == 2.6 && Lexicon("junkie") == -2.2)
+    assert(Lexicon("kudos") == 2.3 && Lexicon("kidnapped") == -2.7)
+    assert(Lexicon("oasis") == 1.8 && Lexicon("obliterated") == -2.5)
+    assert(Lexicon("quench") == 1.2 && Lexicon("quitter") == -1.7)
+    assert(Lexicon("visionary") == 2.1 && Lexicon("vomit") == -2.2)
+    assert(Lexicon("zen") == 1.7 && Lexicon("zombie") == -1.2)
+    assert(label(compound("kudos to the visionary duo, they hit the jackpot")) == "positive")
+    assert(label(compound("the vandal yelled and left the vacant lot an ordeal")) == "negative")
+    assert(label(compound("a kindred spirit with youthful zen and virtue")) == "positive")
+    assert(label(compound("that quitter jinxed the whole jumpy crew")) == "negative")
+    // booster + negation still compose across the new entries
+    assert(compound("absolutely overjoyed, what a knockout") > compound("knockout"))
+    assert(compound("not a knockout") < 0)
   }
 }
