@@ -163,6 +163,28 @@ class ScaleDesignSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
   }
 
+  test("wave-3 plans keep their scale shapes: bucket equi-join, no Expand") {
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // j7_range_bin: the inequality-only condition must ride a bucket
+      // equi-join — a BroadcastNestedLoopJoin here means the rewrite broke
+      // and the plan is O(n·m) at scale.
+      val j7 = SparkEntry.queries("j7_range_bin")(spark, "/root/testdata/sf0.001")
+        .queryExecution.executedPlan
+      val bnl = j7.collect { case b: BroadcastNestedLoopJoinExec => b }
+      assert(bnl.isEmpty, s"j7_range_bin degenerated to a nested loop:\n$j7")
+      assert(j7.toString.contains("SortMergeJoin") || j7.toString.contains("ShuffledHashJoin")
+        || j7.toString.contains("BroadcastHashJoin"))
+      // skew_distinct_2phase: the whole point is avoiding the single-Expand
+      // count(DISTINCT) shape — two plain hash aggregations, no Expand node.
+      val sk = SparkEntry.queries("skew_distinct_2phase")(spark, "/root/testdata/sf0.001")
+        .queryExecution.executedPlan.toString
+      assert(!sk.contains("Expand"), s"2-phase distinct re-grew an Expand:\n$sk")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
   test("partitionBy layout prunes non-matching partitions at the scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString + "/ev"
     val ev = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
