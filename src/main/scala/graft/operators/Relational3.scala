@@ -40,6 +40,7 @@ object Relational3 {
 
   private val BucketUs = 600000000L // 10-minute range-join buckets, in µs
   private val ParaSize = 24 // tokens per dd_paragraph chunk
+  private val ZBits = 10 // zorder_key interleave width per dimension
 
   val queries: Map[String, Q] = Map(
     // Exact distinct-count over a skewed key via explicit two-phase
@@ -104,6 +105,20 @@ object Relational3 {
         .orderBy("user_id", "valid_from")
     }),
 
+    // Z-order clustering key over (user_id, props.k): the layout primitive
+    // for multi-dimensional file skipping. The key itself is what the
+    // oracle checks (bit-for-bit vs DuckDB via the shared formula in
+    // graft.functions.ZOrder); the clustering property it buys — chunk
+    // min/max ranges shrink on BOTH dimensions after a zkey sort — is
+    // pinned in ScaleDesignSpec.
+    "zorder_key" -> ((s, dir) =>
+      load(s, dir, "events")
+        .select(col("event_id"),
+          graft.functions.ZOrder.zkey(
+            pmod(col("user_id").cast("long"), lit(1L << ZBits)), // explicit mask
+            get_json_object(col("props"), "$.k").cast("long"), ZBits).as("zkey"))
+        .orderBy("event_id")),
+
     // Cross-document duplicate paragraphs: md5 over fixed-width
     // non-overlapping 24-token chunks (full chunks only — ragged tails
     // can't collide meaningfully), then one groupBy on the hash keeping
@@ -158,6 +173,12 @@ object Relational3 {
         |  CAST(lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
         |       AS INT) AS is_current
         |FROM runs ORDER BY user_id, valid_from""".stripMargin,
+
+    "zorder_key" ->
+      s"""SELECT event_id,
+         |  ${graft.functions.ZOrder.zkeySql(s"(user_id % ${1 << ZBits})",
+              "CAST(json_extract_string(props, '$.k') AS BIGINT)", ZBits)} AS zkey
+         |FROM events ORDER BY event_id""".stripMargin,
 
     "dd_paragraph" ->
       s"""WITH d AS (

@@ -185,6 +185,43 @@ class ScaleDesignSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
   }
 
+  test("zorder layout clusters BOTH dimensions; linear sort only one") {
+    // The point of writing a table sorted by zkey(a, b): chunk-level
+    // min/max stats (what parquet row groups / file footers carry) serve
+    // point queries on a AND on b. Measure it directly: range-partition
+    // into 16 chunks, compute each chunk's [min,max] per dimension, count
+    // how many chunks a mid-domain point predicate cannot skip.
+    import org.apache.spark.sql.functions._
+    val ev = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select(col("user_id").cast("long").as("a"),
+        get_json_object(col("props"), "$.k").cast("long").as("b"))
+    def overlaps(df: org.apache.spark.sql.DataFrame, sortCol: String): (Long, Long) = {
+      val stats = df.repartitionByRange(16, col(sortCol))
+        .select(col("a"), col("b"), spark_partition_id().as("chunk"))
+        .groupBy("chunk")
+        .agg(min("a").as("amn"), max("a").as("amx"),
+          min("b").as("bmn"), max("b").as("bmx"))
+        .cache()
+      val hitA = stats.where(col("amn") <= 7 && col("amx") >= 7).count()
+      val hitB = stats.where(col("bmn") <= 50 && col("bmx") >= 50).count()
+      stats.unpersist()
+      (hitA, hitB)
+    }
+    // Dimensions must be normalized to comparable bit widths first (a is
+    // 0..14 ≈ 4 bits, b is 0..99 ≈ 7 bits): raw interleave would sort by
+    // b's top bits alone. a*8 spreads a over the same 7-bit range — the
+    // quantile-normalization step every production zorder performs.
+    val z = ev.withColumn("zkey",
+      graft.functions.ZOrder.zkey(col("a") * 8, col("b"), 7))
+    val (za, zb) = overlaps(z, "zkey")
+    val (la, lb) = overlaps(ev.withColumn("zkey", col("a") * 128 + col("b")), "zkey")
+    // linear sort: perfect on the leading dim, useless on the trailing one
+    assert(la <= 2, s"linear sort should cluster its leading dim (got $la/16)")
+    assert(lb >= 12, s"expected the trailing dim unclustered under linear sort (got $lb/16)")
+    // z-order: BOTH dims prune most chunks
+    assert(za <= 8 && zb <= 8, s"zorder failed to cluster both dims: a=$za/16 b=$zb/16")
+  }
+
   test("partitionBy layout prunes non-matching partitions at the scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString + "/ev"
     val ev = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
