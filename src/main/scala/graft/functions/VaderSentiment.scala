@@ -93,7 +93,7 @@ object VaderSentiment {
     } finally in.close()
   }
 
-  private[functions] val Boosters: Map[String, Double] = Map(
+  private[graft] val Boosters: Map[String, Double] = Map(
     "absolutely" -> BoostIncr, "amazingly" -> BoostIncr, "awfully" -> BoostIncr,
     "completely" -> BoostIncr, "considerably" -> BoostIncr, "decidedly" -> BoostIncr,
     "deeply" -> BoostIncr, "enormously" -> BoostIncr, "entirely" -> BoostIncr,

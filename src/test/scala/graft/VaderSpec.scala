@@ -124,7 +124,7 @@ class VaderSpec extends AnyFunSuite {
 
   test("round-4 lexicon batches: curated coverage goldens") {
     import graft.functions.VaderSentiment.Lexicon
-    assert(Lexicon.size == 2943, s"lexicon entry count drifted: ${Lexicon.size}")
+    assert(Lexicon.size == 3027, s"lexicon entry count drifted: ${Lexicon.size}")
     // exact pinned values for the batch's anchors
     assert(Lexicon("shit") == -2.6 && Lexicon("scam") == -2.2)
     assert(Lexicon("stellar") == 2.7 && Lexicon("blissful") == 2.9)
@@ -451,5 +451,32 @@ class VaderSpec extends AnyFunSuite {
     // booster + negation still compose across the new entries
     assert(compound("absolutely overjoyed, what a knockout") > compound("knockout"))
     assert(compound("not a knockout") < 0)
+  }
+
+  test("round-6 lexicon batch 23 (86 entries, inflections a-c): curated coverage goldens") {
+    import graft.functions.VaderSentiment.Lexicon
+    assert(Lexicon("abandonment") == -2.4 && Lexicon("adores") == 2.6)
+    assert(Lexicon("betrays") == -2.8 && Lexicon("brilliantly") == 2.8)
+    assert(Lexicon("bullied") == -2.4 && Lexicon("celebrates") == 2.2)
+    assert(Lexicon("corrupted") == -2.4 && Lexicon("cheerfully") == 2.3)
+    assert(label(compound("she adores how brilliantly the chorus celebrates")) == "positive")
+    assert(label(compound("he betrays and belittles whoever complains")) == "negative")
+    assert(label(compound("the team cheerfully applauds every compliment")) == "positive")
+    assert(label(compound("bullied, battered, and burdened by curses")) == "negative")
+    // negation flips the new negative carriers into relief
+    assert(compound("not aching anymore") > 0)
+  }
+
+  test("lexicon entries never shadow booster words (modifier role wins)") {
+    // The scorer only applies a booster when the modifier is NOT itself a
+    // lexicon entry; a colliding entry would silently kill the boost. Keep
+    // the sets disjoint. (Negators may overlap by design — "no"/"nope"
+    // carry their own valence AND flip following carriers.)
+    import graft.functions.VaderSentiment.{Boosters, Lexicon}
+    val collisions = Lexicon.keySet.intersect(Boosters.keySet)
+    assert(collisions.isEmpty, s"booster/lexicon collisions: $collisions")
+    // and the boost actually fires for a couple of them
+    assert(compound("remarkably good") > compound("good"))
+    assert(compound("amazingly kind") > compound("kind"))
   }
 }
