@@ -124,7 +124,7 @@ class VaderSpec extends AnyFunSuite {
 
   test("round-4 lexicon batches: curated coverage goldens") {
     import graft.functions.VaderSentiment.Lexicon
-    assert(Lexicon.size == 3027, s"lexicon entry count drifted: ${Lexicon.size}")
+    assert(Lexicon.size == 3127, s"lexicon entry count drifted: ${Lexicon.size}")
     // exact pinned values for the batch's anchors
     assert(Lexicon("shit") == -2.6 && Lexicon("scam") == -2.2)
     assert(Lexicon("stellar") == 2.7 && Lexicon("blissful") == 2.9)
@@ -465,6 +465,21 @@ class VaderSpec extends AnyFunSuite {
     assert(label(compound("bullied, battered, and burdened by curses")) == "negative")
     // negation flips the new negative carriers into relief
     assert(compound("not aching anymore") > 0)
+  }
+
+  test("round-6 lexicon batch 24 (100 entries, inflections d-g): curated coverage goldens") {
+    import graft.functions.VaderSentiment.Lexicon
+    assert(Lexicon("devastates") == -2.7 && Lexicon("dazzles") == 2.0)
+    assert(Lexicon("enrages") == -2.6 && Lexicon("exhilarated") == 2.6)
+    assert(Lexicon("fatalities") == -2.9 && Lexicon("flourishes") == 2.0)
+    assert(Lexicon("grieves") == -2.2 && Lexicon("gloriously") == 2.7)
+    assert(label(compound("the encore dazzles and the crowd is exhilarated")) == "positive")
+    assert(label(compound("the scandal enrages donors and devastates trust")) == "negative")
+    assert(label(compound("her career flourishes gloriously, generously mentored")) == "positive")
+    assert(label(compound("he grieves the fatalities from the disasters")) == "negative")
+    // "but"-pivot reweights across new entries
+    assert(compound("the rollout fails but the team flourishes") >
+      compound("the rollout fails"))
   }
 
   test("lexicon entries never shadow booster words (modifier role wins)") {
