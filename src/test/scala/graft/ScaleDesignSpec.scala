@@ -185,6 +185,79 @@ class ScaleDesignSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
   }
 
+  test("runtime Bloom-filter join pruning fires on a selective dim filter") {
+    // The row-level runtime filter that matters for 100 TB fact⋈dim joins:
+    // a selective predicate on the dim side is turned into a Bloom filter
+    // applied at the fact scan, so non-matching fact rows die before the
+    // shuffle. Local data is far below the production size thresholds, so
+    // the test lowers them — what's pinned is that our join shapes are
+    // eligible (equi-join, selective creation side), not the thresholds.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.enabled").map(k => k -> conf.get(k))
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force shuffled join
+      conf.set("spark.sql.adaptive.enabled", "false")
+      val li = graft.Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+      val o = graft.Tables.load(spark, "/root/testdata/sf0.001", "orders")
+        .where(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 100000.0)
+      val j = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+      val plan = j.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"runtime Bloom filter did not inject on the fact side:\n$plan")
+      assert(j.collect().nonEmpty)
+    } finally saved.foreach { case (k, v) => conf.set(k, v) }
+  }
+
+  test("AQE splits a skewed join partition at runtime (skew=true)") {
+    // The other half of the skew story (skew_distinct_2phase handles hot
+    // AGGREGATION keys; this pins hot JOIN keys): AQE detects an oversized
+    // shuffle partition post-shuffle and splits it. Local thresholds are
+    // lowered to trip detection on small data — the pinned fact is that a
+    // plain equi-join needs NO code change to be skew-safe under AQE.
+    import spark.implicits._
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> conf.get(k))
+    try {
+      conf.set("spark.sql.adaptive.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // key 0 carries ~98% of the left side — a classic hot key
+      val left = (0 until 200000).map(i => (if (i % 50 == 0) i % 97 + 1 else 0, i))
+        .toDF("k", "v")
+      val right = (0 to 97).flatMap(k => (0 until 50).map(j => (k, j)))
+        .toDF("k", "w")
+      // NB: the consumer must not require the join's hash distribution
+      // (e.g. a groupBy on the join key) — AQE refuses to split a skewed
+      // partition if that would force an extra shuffle. A global aggregate
+      // keeps the join splittable; so does writing to a sink.
+      val j = left.join(right, "k").agg(sum(col("v")).as("sv"))
+      j.collect() // materialize so AQE finalizes the plan
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark the hot-key join partition as skewed:\n$plan")
+    } finally saved.foreach { case (k, v) => conf.set(k, v) }
+  }
+
   test("zorder layout clusters BOTH dimensions; linear sort only one") {
     // The point of writing a table sorted by zkey(a, b): chunk-level
     // min/max stats (what parquet row groups / file footers carry) serve
