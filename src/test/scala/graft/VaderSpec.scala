@@ -124,7 +124,7 @@ class VaderSpec extends AnyFunSuite {
 
   test("round-4 lexicon batches: curated coverage goldens") {
     import graft.functions.VaderSentiment.Lexicon
-    assert(Lexicon.size == 3127, s"lexicon entry count drifted: ${Lexicon.size}")
+    assert(Lexicon.size == 3186, s"lexicon entry count drifted: ${Lexicon.size}")
     // exact pinned values for the batch's anchors
     assert(Lexicon("shit") == -2.6 && Lexicon("scam") == -2.2)
     assert(Lexicon("stellar") == 2.7 && Lexicon("blissful") == 2.9)
@@ -480,6 +480,20 @@ class VaderSpec extends AnyFunSuite {
     // "but"-pivot reweights across new entries
     assert(compound("the rollout fails but the team flourishes") >
       compound("the rollout fails"))
+  }
+
+  test("round-6 lexicon batch 25 (59 entries, inflections h-m): curated coverage goldens") {
+    import graft.functions.VaderSentiment.Lexicon
+    assert(Lexicon("infuriates") == -2.6 && Lexicon("magnificently") == 2.8)
+    assert(Lexicon("loathes") == -2.5 && Lexicon("improves") == 1.8)
+    assert(Lexicon("murderous") == -3.0 && Lexicon("mesmerized") == 1.7)
+    assert(Lexicon("humiliates") == -2.4 && Lexicon("kindhearted") == 2.4)
+    assert(label(compound("the kindhearted mentor magnificently improves morale")) == "positive")
+    assert(label(compound("the delay infuriates riders and humiliates the agency")) == "negative")
+    assert(label(compound("mesmerized, the hall laughs and marvels joyfully")) == "positive")
+    assert(label(compound("he loathes the merciless, murderous regime")) == "negative")
+    // ALL-CAPS emphasis still applies to new entries in mixed-case text
+    assert(compound("this INFURIATES me daily") < compound("this infuriates me daily"))
   }
 
   test("lexicon entries never shadow booster words (modifier role wins)") {
