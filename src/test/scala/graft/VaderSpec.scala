@@ -124,7 +124,7 @@ class VaderSpec extends AnyFunSuite {
 
   test("round-4 lexicon batches: curated coverage goldens") {
     import graft.functions.VaderSentiment.Lexicon
-    assert(Lexicon.size == 3186, s"lexicon entry count drifted: ${Lexicon.size}")
+    assert(Lexicon.size == 3249, s"lexicon entry count drifted: ${Lexicon.size}")
     // exact pinned values for the batch's anchors
     assert(Lexicon("shit") == -2.6 && Lexicon("scam") == -2.2)
     assert(Lexicon("stellar") == 2.7 && Lexicon("blissful") == 2.9)
@@ -494,6 +494,19 @@ class VaderSpec extends AnyFunSuite {
     assert(label(compound("he loathes the merciless, murderous regime")) == "negative")
     // ALL-CAPS emphasis still applies to new entries in mixed-case text
     assert(compound("this INFURIATES me daily") < compound("this infuriates me daily"))
+  }
+
+  test("round-6 lexicon batch 26 (63 entries, inflections n-r): curated coverage goldens") {
+    import graft.functions.VaderSentiment.Lexicon
+    assert(Lexicon("persecutes") == -2.4 && Lexicon("rejoices") == 2.5)
+    assert(Lexicon("oppresses") == -2.3 && Lexicon("prospers") == 2.1)
+    assert(Lexicon("ravages") == -2.4 && Lexicon("praises") == 2.1)
+    assert(label(compound("the village prospers and rejoices as trade renews")) == "positive")
+    assert(label(compound("the blight ravages crops and poisons the wells")) == "negative")
+    assert(label(compound("she praises the crew that rescues and rebuilds")) == "positive")
+    assert(label(compound("the regime persecutes critics and plunders ruthlessly")) == "negative")
+    // idiom/negation machinery still composes with the new entries
+    assert(compound("never rejoices") < 0)
   }
 
   test("lexicon entries never shadow booster words (modifier role wins)") {
