@@ -124,7 +124,7 @@ class VaderSpec extends AnyFunSuite {
 
   test("round-4 lexicon batches: curated coverage goldens") {
     import graft.functions.VaderSentiment.Lexicon
-    assert(Lexicon.size == 3249, s"lexicon entry count drifted: ${Lexicon.size}")
+    assert(Lexicon.size == 3327, s"lexicon entry count drifted: ${Lexicon.size}")
     // exact pinned values for the batch's anchors
     assert(Lexicon("shit") == -2.6 && Lexicon("scam") == -2.2)
     assert(Lexicon("stellar") == 2.7 && Lexicon("blissful") == 2.9)
@@ -507,6 +507,20 @@ class VaderSpec extends AnyFunSuite {
     assert(label(compound("the regime persecutes critics and plunders ruthlessly")) == "negative")
     // idiom/negation machinery still composes with the new entries
     assert(compound("never rejoices") < 0)
+  }
+
+  test("round-6 lexicon batch 27 (78 entries, inflections s-z): curated coverage goldens") {
+    import graft.functions.VaderSentiment.Lexicon
+    assert(Lexicon("terrorizes") == -2.9 && Lexicon("triumphantly") == 2.6)
+    assert(Lexicon("slaughters") == -2.9 && Lexicon("succeeds") == 2.1)
+    assert(Lexicon("traumatizes") == -2.7 && Lexicon("uplifts") == 2.0)
+    assert(Lexicon("worsens") == -2.0 && Lexicon("treasures") == 2.1)
+    assert(label(compound("the choir uplifts the room and succeeds triumphantly")) == "positive")
+    assert(label(compound("the gang terrorizes vendors and traumatizes children")) == "negative")
+    assert(label(compound("she treasures the serene mornings that soothe her")) == "positive")
+    assert(label(compound("the drought worsens and starves the herds")) == "negative")
+    // punctuation amplification applies to the new carriers
+    assert(compound("this succeeds!!") > compound("this succeeds"))
   }
 
   test("lexicon entries never shadow booster words (modifier role wins)") {
