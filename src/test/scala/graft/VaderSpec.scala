@@ -124,7 +124,7 @@ class VaderSpec extends AnyFunSuite {
 
   test("round-4 lexicon batches: curated coverage goldens") {
     import graft.functions.VaderSentiment.Lexicon
-    assert(Lexicon.size == 3327, s"lexicon entry count drifted: ${Lexicon.size}")
+    assert(Lexicon.size == 3398, s"lexicon entry count drifted: ${Lexicon.size}")
     // exact pinned values for the batch's anchors
     assert(Lexicon("shit") == -2.6 && Lexicon("scam") == -2.2)
     assert(Lexicon("stellar") == 2.7 && Lexicon("blissful") == 2.9)
@@ -521,6 +521,23 @@ class VaderSpec extends AnyFunSuite {
     assert(label(compound("the drought worsens and starves the herds")) == "negative")
     // punctuation amplification applies to the new carriers
     assert(compound("this succeeds!!") > compound("this succeeds"))
+  }
+
+  test("round-6 lexicon batch 28 (71 entries, internet register 2): curated coverage goldens") {
+    // Second social-media batch: the platform-native vocabulary a Reddit
+    // corpus actually contains (Hutto & Gilbert 2014 built the lexicon on
+    // exactly this register).
+    import graft.functions.VaderSentiment.Lexicon
+    assert(Lexicon("doxxed") == -2.5 && Lexicon("poggers") == 2.1)
+    assert(Lexicon("dumpsterfire") == -2.6 && Lexicon("clutch") == 1.8)
+    assert(Lexicon("scammed") == -2.5 && Lexicon("upvoted") == 1.7)
+    assert(Lexicon("ghosted") == -1.9 && Lexicon("lmao") == 1.9)
+    assert(label(compound("that clutch play was legendary, absolutely poggers")) == "positive")
+    assert(label(compound("got scammed then doxxed, a total dumpsterfire")) == "negative")
+    assert(label(compound("lmao the wholesome thread got upvoted, love the vibes")) == "positive")
+    assert(label(compound("the mods ghosted us and the flamewar turned toxic")) == "negative")
+    // negation + slang
+    assert(compound("not poggers") < 0)
   }
 
   test("lexicon entries never shadow booster words (modifier role wins)") {
