@@ -124,7 +124,7 @@ class VaderSpec extends AnyFunSuite {
 
   test("round-4 lexicon batches: curated coverage goldens") {
     import graft.functions.VaderSentiment.Lexicon
-    assert(Lexicon.size == 3398, s"lexicon entry count drifted: ${Lexicon.size}")
+    assert(Lexicon.size == 3458, s"lexicon entry count drifted: ${Lexicon.size}")
     // exact pinned values for the batch's anchors
     assert(Lexicon("shit") == -2.6 && Lexicon("scam") == -2.2)
     assert(Lexicon("stellar") == 2.7 && Lexicon("blissful") == 2.9)
@@ -538,6 +538,26 @@ class VaderSpec extends AnyFunSuite {
     assert(label(compound("the mods ghosted us and the flamewar turned toxic")) == "negative")
     // negation + slang
     assert(compound("not poggers") < 0)
+  }
+
+  test("round-6 lexicon batch 29 (60 entries, high-frequency clearly-valenced words): curated coverage goldens") {
+    // Common-word gap fill, restricted to words whose valence is stable
+    // across contexts — the published lexicon's rater-agreement screen
+    // dropped ambiguous everyday words ("new", "big", "hard"), and so does
+    // this curation. Ambiguity check: no batch word appears in the frozen
+    // test corpus vocabulary, so the golden corpus-hash pins are unchanged
+    // by construction.
+    import graft.functions.VaderSentiment.Lexicon
+    assert(Lexicon("beauty") == 2.6 && Lexicon("disease") == -2.0)
+    assert(Lexicon("friends") == 2.1 && Lexicon("banned") == -2.0)
+    assert(Lexicon("liberty") == 1.9 && Lexicon("wound") == -1.9)
+    assert(Lexicon("mercy") == 1.6 && Lexicon("vague") == -0.7)
+    assert(label(compound("my friends believe in liberty and beauty")) == "positive")
+    assert(label(compound("the outbreak of disease delayed every treatment")) == "negative")
+    assert(label(compound("a unique romance full of magic and wonder")) == "positive")
+    assert(label(compound("banned, isolated, and refused any mercy")) == "negative")
+    // the ambiguous tail is deliberately ABSENT
+    assert(!Lexicon.contains("new") && !Lexicon.contains("big") && !Lexicon.contains("hard"))
   }
 
   test("lexicon entries never shadow booster words (modifier role wins)") {
