@@ -185,6 +185,37 @@ class ScaleDesignSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
   }
 
+  test("shuffle budgets: headline queries never grow a new exchange unnoticed") {
+    // At 100 TB every extra ShuffleExchange is the difference between a
+    // plan that works and one that doesn't. Pin each headline query's
+    // exchange count (AQE off, measured at round 6); a refactor that adds
+    // a shuffle must consciously raise its budget here.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val budgets = Map(
+      "nlp_analysis" -> 1, // corpus persisted; LDA/EM costs are not exchanges
+      "ir_bm25" -> 1, // two scans + broadcast stats, one TakeOrdered-side sort
+      "dd_canonical" -> 2, // memoized labels collapse the CC chain
+      "j7_range_bin" -> 2, // bucket equi-join + final sort
+      "ann_lsh" -> 2, // bucket groupBy + sort
+      "q1_agg" -> 2, // partial/final agg pair + sort
+      "emb_semdedup" -> 3, // cluster assign (checkpointed) + pair shuffle + sort
+      "dd_paragraph" -> 3, // chunk-hash groupBy (partial+final) + sort
+      "skew_distinct_2phase" -> 3, // two keyed aggs + sort (the design itself)
+      "dd_substring" -> 4, // positional join + islands windows
+      "dd_minhash_lsh" -> 5, // signature agg + band buckets + verify join
+      "ta_keywords" -> 6) // tf agg + df agg + join + per-doc rank window
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      for ((name, budget) <- budgets) {
+        val plan = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+          .queryExecution.executedPlan
+        val n = plan.collect { case s: ShuffleExchangeExec => s }.size
+        assert(n <= budget, s"$name grew to $n exchanges (budget $budget):\n$plan")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
   test("runtime Bloom-filter join pruning fires on a selective dim filter") {
     // The row-level runtime filter that matters for 100 TB fact⋈dim joins:
     // a selective predicate on the dim side is turned into a Bloom filter
