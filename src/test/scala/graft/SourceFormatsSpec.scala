@@ -33,6 +33,28 @@ class SourceFormatsSpec extends AnyFunSuite {
     assert(s == s0)
   }
 
+  test("ORC roundtrip: schema, exact aggregates, and filter pushdown at the scan") {
+    val dir = tmp("graft_orc") + "/o"
+    val li = graft.Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    li.write.orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.count() == li.count())
+    assert(back.schema.fieldNames.toSeq ==
+      Seq("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"))
+    // exact decimal-summed parity with the parquet original
+    def s(df: org.apache.spark.sql.DataFrame) =
+      df.agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double")).first().getDouble(0)
+    assert(s(back) == s(li))
+    // predicate + projection reach the ORC scan (same contract we pin for
+    // parquet): PushedFilters carries the predicate, ReadSchema is pruned
+    val q = back.where(col("l_returnflag") === "R").select("l_orderkey")
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters") && scan.contains("l_returnflag"),
+      s"ORC scan did not receive the filter:\n$scan")
+    assert(q.count() == li.where(col("l_returnflag") === "R").count())
+  }
+
   test("JSONL roundtrip with declared schema + corrupt-record branch") {
     import spark.implicits._
     val dir = tmp("graft_json") + "/j"
