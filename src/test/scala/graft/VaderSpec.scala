@@ -124,7 +124,7 @@ class VaderSpec extends AnyFunSuite {
 
   test("round-4 lexicon batches: curated coverage goldens") {
     import graft.functions.VaderSentiment.Lexicon
-    assert(Lexicon.size == 3458, s"lexicon entry count drifted: ${Lexicon.size}")
+    assert(Lexicon.size == 3561, s"lexicon entry count drifted: ${Lexicon.size}")
     // exact pinned values for the batch's anchors
     assert(Lexicon("shit") == -2.6 && Lexicon("scam") == -2.2)
     assert(Lexicon("stellar") == 2.7 && Lexicon("blissful") == 2.9)
@@ -558,6 +558,18 @@ class VaderSpec extends AnyFunSuite {
     assert(label(compound("banned, isolated, and refused any mercy")) == "negative")
     // the ambiguous tail is deliberately ABSENT
     assert(!Lexicon.contains("new") && !Lexicon.contains("big") && !Lexicon.contains("hard"))
+  }
+
+  test("round-6 lexicon batch 30 (103 entries, -ness/-ful/-less derivations): curated coverage goldens") {
+    import graft.functions.VaderSentiment.Lexicon
+    assert(Lexicon("selflessness") == 2.0 && Lexicon("ruthlessness") == -2.4)
+    assert(Lexicon("togetherness") == 1.9 && Lexicon("loneliness") == -2.1)
+    assert(Lexicon("thankfulness") == 2.0 && Lexicon("unfairness") == -2.0)
+    assert(Lexicon("loyalty") == 2.1 && Lexicon("recklessness") == -1.9)
+    assert(label(compound("her selflessness and loyalty define the team's togetherness")) == "positive")
+    assert(label(compound("the unfairness bred loneliness and hopelessness")) == "negative")
+    assert(label(compound("thankfulness and gentleness fill the gathering")) == "positive")
+    assert(label(compound("his recklessness and meanness caused such unpleasantness")) == "negative")
   }
 
   test("lexicon entries never shadow booster words (modifier role wins)") {
