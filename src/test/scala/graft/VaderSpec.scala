@@ -124,7 +124,7 @@ class VaderSpec extends AnyFunSuite {
 
   test("round-4 lexicon batches: curated coverage goldens") {
     import graft.functions.VaderSentiment.Lexicon
-    assert(Lexicon.size == 3561, s"lexicon entry count drifted: ${Lexicon.size}")
+    assert(Lexicon.size == 3639, s"lexicon entry count drifted: ${Lexicon.size}")
     // exact pinned values for the batch's anchors
     assert(Lexicon("shit") == -2.6 && Lexicon("scam") == -2.2)
     assert(Lexicon("stellar") == 2.7 && Lexicon("blissful") == 2.9)
@@ -570,6 +570,20 @@ class VaderSpec extends AnyFunSuite {
     assert(label(compound("the unfairness bred loneliness and hopelessness")) == "negative")
     assert(label(compound("thankfulness and gentleness fill the gathering")) == "positive")
     assert(label(compound("his recklessness and meanness caused such unpleasantness")) == "negative")
+  }
+
+  test("round-6 lexicon batch 31 (78 entries, un-/dis-/mis- prefixed forms): curated coverage goldens") {
+    import graft.functions.VaderSentiment.Lexicon
+    assert(Lexicon("misery") == -2.7 && Lexicon("unethical") == -2.1)
+    assert(Lexicon("untrustworthy") == -2.2 && Lexicon("disloyal") == -2.1)
+    assert(Lexicon("unloved") == -2.1 && Lexicon("dishonesty") == -2.2)
+    // morphological antonym keeps a positive counterpart where one exists
+    assert(Lexicon("unbelievable") == 0.8 && Lexicon("unfaithful") == -2.2)
+    assert(label(compound("their dishonesty and unethical conduct bred unrest")) == "negative")
+    assert(label(compound("an untrustworthy, disloyal and uncaring partner")) == "negative")
+    assert(label(compound("the show was unbelievable, honestly delightful")) == "positive")
+    // negation of a negated-prefix word still flips
+    assert(compound("not unreliable") > 0)
   }
 
   test("lexicon entries never shadow booster words (modifier role wins)") {
