@@ -124,7 +124,7 @@ class VaderSpec extends AnyFunSuite {
 
   test("round-4 lexicon batches: curated coverage goldens") {
     import graft.functions.VaderSentiment.Lexicon
-    assert(Lexicon.size == 3639, s"lexicon entry count drifted: ${Lexicon.size}")
+    assert(Lexicon.size == 3686, s"lexicon entry count drifted: ${Lexicon.size}")
     // exact pinned values for the batch's anchors
     assert(Lexicon("shit") == -2.6 && Lexicon("scam") == -2.2)
     assert(Lexicon("stellar") == 2.7 && Lexicon("blissful") == 2.9)
@@ -584,6 +584,18 @@ class VaderSpec extends AnyFunSuite {
     assert(label(compound("the show was unbelievable, honestly delightful")) == "positive")
     // negation of a negated-prefix word still flips
     assert(compound("not unreliable") > 0)
+  }
+
+  test("round-6 lexicon batch 32 (47 entries, -ous/-ive/-able adjectives): curated coverage goldens") {
+    import graft.functions.VaderSentiment.Lexicon
+    assert(Lexicon("affectionate") == 2.2 && Lexicon("barbarous") == -2.6)
+    assert(Lexicon("unforgettable") == 2.0 && Lexicon("remorseless") == -2.3)
+    assert(Lexicon("beneficial") == 1.9 && Lexicon("predatory") == -2.2)
+    assert(Lexicon("irreplaceable") == 1.8 && Lexicon("conniving") == -2.0)
+    assert(label(compound("an affectionate, approachable and reputable host")) == "positive")
+    assert(label(compound("a conniving, predatory and remorseless operator")) == "negative")
+    assert(label(compound("the retreat was unforgettable and deeply beneficial")) == "positive")
+    assert(label(compound("barbarous raids left the region in incurable ruin")) == "negative")
   }
 
   test("lexicon entries never shadow booster words (modifier role wins)") {
