@@ -28,6 +28,34 @@ object Bench {
     java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
       .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
   }
+
+  /** Running total of shuffle bytes WRITTEN across all completed stages —
+    * the direct per-query measure of exchange volume (what the 100 TB
+    * shuffle-shape claims in IMPLEMENTATION.md/SCALING.md are about). */
+  private class ShuffleTally extends org.apache.spark.scheduler.SparkListener {
+    val bytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    override def onStageCompleted(
+        done: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+      val m = done.stageInfo.taskMetrics
+      if (m != null) bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+    }
+  }
+
+  /** Listener events are delivered async; drain the bus so each query's
+    * stage metrics land in its own tally window. `listenerBus` /
+    * `waitUntilEmpty` are private[spark] in source but public in bytecode —
+    * reflection keeps this a dev-harness-only dependency. */
+  private def drainListenerBus(spark: SparkSession): Unit = {
+    val sc = spark.sparkContext
+    val bus = sc.getClass.getMethods.find(_.getName == "listenerBus")
+      .map(_.invoke(sc)).getOrElse(return)
+    val ms = bus.getClass.getMethods
+    ms.find(m => m.getName == "waitUntilEmpty" && m.getParameterCount == 0)
+      .map(_.invoke(bus))
+      .orElse(ms.find(m => m.getName == "waitUntilEmpty" && m.getParameterCount == 1)
+        .map(_.invoke(bus, java.lang.Long.valueOf(30000L))))
+    ()
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // Optional 1st arg: comma-separated query names (dev iteration only;
@@ -45,6 +73,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val tally = new ShuffleTally
+    spark.sparkContext.addSparkListener(tally)
     // Warm-up outside the timed region: JVM/codegen init and parquet footer
     // reads otherwise land entirely on whichever query sorts first and
     // distort its number.
@@ -59,18 +89,20 @@ object Bench {
     warmMlPath(spark)
 
     // Sentinel pass 1: cheapest plan in the battery, timed on a warm JVM.
-    val sentinelFirst = timeQuery(spark, sfDir, "o3_limit")._1
-    val results = runBattery(spark, sfDir, only)
+    val sentinelFirst = timeQuery(spark, sfDir, "o3_limit", tally)._1
+    val results = runBattery(spark, sfDir, only, tally)
     // Sentinel pass 2: same trivial plan after the battery; on a healthy
     // host this matches pass 1 within noise. gc stays per-query below.
-    val sentinelLast = timeQuery(spark, sfDir, "o3_limit")._1
-    val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + v }
+    val sentinelLast = timeQuery(spark, sfDir, "o3_limit", tally)._1
+    val qs = results.map { case (k, (v, _, _)) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val gcs = results.map { case (k, (_, g)) => "\"" + k + "\":" + g }
+    val gcs = results.map { case (k, (_, g, _)) => "\"" + k + "\":" + g }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, (v, _)) if v < 0 => "\"" + k + "\"" }
+    val shfl = results.map { case (k, (_, _, s)) => "\"" + k + "\":" + s }
+      .mkString("{", ",", "}")
+    val failed = results.collect { case (k, (v, _, _)) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, (v, _)) if v >= 0 => v }.sum
+    val total = results.collect { case (_, (v, _, _)) if v >= 0 => v }.sum
     val sentinel =
       s"""{"query":"o3_limit","first":$sentinelFirst,"last":$sentinelLast,""" +
         s""""ratio":${if (sentinelFirst > 0) sentinelLast / sentinelFirst else -1.0}}"""
@@ -78,13 +110,17 @@ object Bench {
     // full-battery total by downstream tooling — flag it in the JSON.
     val partial = only.fold("")(names =>
       s""","partial":true,"only":${names.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"gc_ms":$gcs,"sentinel":$sentinel,"failed":$failed$partial,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"gc_ms":$gcs,"shuffle_bytes":$shfl,"sentinel":$sentinel,"failed":$failed$partial,"sf":"$sfDir"}""")
     spark.stop()
   }
 
-  /** Time one query (seconds, negative on failure) + its GC-ms delta. */
+  /** Time one query: (seconds — negative on failure, GC-ms delta,
+    * shuffle bytes written). The bus drain brackets the tally window so
+    * stage metrics land with the query that produced them. */
   private def timeQuery(spark: SparkSession, sfDir: String,
-                        name: String): (Double, Long) = {
+                        name: String, tally: ShuffleTally): (Double, Long, Long) = {
+    drainListenerBus(spark)
+    val s0 = tally.bytes.get()
     val g0 = gcMillis()
     val t0 = System.nanoTime()
     val ok =
@@ -98,7 +134,8 @@ object Bench {
     // `failed` list) — a crashing query must not read as a fast win in
     // cross-round comparisons.
     val secs = (System.nanoTime() - t0) / 1e9
-    ((if (ok) secs else -secs), gcMillis() - g0)
+    drainListenerBus(spark)
+    ((if (ok) secs else -secs), gcMillis() - g0, tally.bytes.get() - s0)
   }
 
   private def warmMlPath(spark: SparkSession): Unit = {
@@ -132,11 +169,12 @@ object Bench {
   }
 
   private def runBattery(spark: SparkSession, sfDir: String,
-                         only: Option[Set[String]]): Seq[(String, (Double, Long))] = {
+                         only: Option[Set[String]],
+                         tally: ShuffleTally): Seq[(String, (Double, Long, Long))] = {
     // Stable ordering: cheap scans first is irrelevant to totals, but a
     // deterministic run order makes cross-round comparisons meaningful.
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, _) => name -> timeQuery(spark, sfDir, name) }
+      .map { case (name, _) => name -> timeQuery(spark, sfDir, name, tally) }
   }
 }
