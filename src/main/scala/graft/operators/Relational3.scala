@@ -119,6 +119,35 @@ object Relational3 {
             get_json_object(col("props"), "$.k").cast("long"), ZBits).as("zkey"))
         .orderBy("event_id")),
 
+    // Dataset drift monitor: population-stability index of the event-type
+    // mix between two time windows (first vs second half of the month),
+    // plus the per-type decimal-exact mean-value delta. The standing
+    // data-quality check of a production ingest: one scan, one keyed agg,
+    // a one-row broadcast for the window totals — no shuffle grows with
+    // the data. ln() parity follows the ta_keywords rule: round(6) on
+    // both engines absorbs libm ulp divergence.
+    "prof_drift" -> ((s, dir) => {
+      val ev = load(s, dir, "events")
+        .withColumn("win", when(col("ts") < lit("2024-01-16 00:00:00").cast("timestamp"),
+          "ref").otherwise("cur"))
+      val per = ev.groupBy("event_type")
+        .agg(sum(when(col("win") === "ref", 1L).otherwise(0L)).as("n_ref"),
+          sum(when(col("win") === "cur", 1L).otherwise(0L)).as("n_cur"),
+          sum(when(col("win") === "ref", dec(col("value")))).cast("double").as("sv_ref"),
+          sum(when(col("win") === "cur", dec(col("value")))).cast("double").as("sv_cur"))
+      val tot = ev.groupBy().agg(
+        sum(when(col("win") === "ref", 1L).otherwise(0L)).as("t_ref"),
+        sum(when(col("win") === "cur", 1L).otherwise(0L)).as("t_cur"))
+      per.crossJoin(broadcast(tot))
+        .select(col("event_type"), col("n_ref"), col("n_cur"),
+          round((col("n_cur") / col("t_cur") - col("n_ref") / col("t_ref")) *
+            log((col("n_cur") / col("t_cur")) / (col("n_ref") / col("t_ref"))), 6)
+            .as("psi_term"),
+          round(col("sv_cur") / col("n_cur") - col("sv_ref") / col("n_ref"), 6)
+            .as("mean_value_delta"))
+        .orderBy("event_type")
+    }),
+
     // Cross-document duplicate paragraphs: md5 over fixed-width
     // non-overlapping 24-token chunks (full chunks only — ragged tails
     // can't collide meaningfully), then one groupBy on the hash keeping
@@ -179,6 +208,28 @@ object Relational3 {
          |  ${graft.functions.ZOrder.zkeySql(s"(user_id % ${1 << ZBits})",
               "CAST(json_extract_string(props, '$.k') AS BIGINT)", ZBits)} AS zkey
          |FROM events ORDER BY event_id""".stripMargin,
+
+    "prof_drift" ->
+      """WITH ev AS (
+        |  SELECT event_type, value,
+        |    CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 'ref' ELSE 'cur' END AS win
+        |  FROM events),
+        |per AS (
+        |  SELECT event_type,
+        |    sum(CASE WHEN win = 'ref' THEN 1 ELSE 0 END) AS n_ref,
+        |    sum(CASE WHEN win = 'cur' THEN 1 ELSE 0 END) AS n_cur,
+        |    CAST(sum(CASE WHEN win = 'ref' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS sv_ref,
+        |    CAST(sum(CASE WHEN win = 'cur' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS sv_cur
+        |  FROM ev GROUP BY event_type),
+        |tot AS (
+        |  SELECT sum(CASE WHEN win = 'ref' THEN 1 ELSE 0 END) AS t_ref,
+        |         sum(CASE WHEN win = 'cur' THEN 1 ELSE 0 END) AS t_cur
+        |  FROM ev)
+        |SELECT event_type, CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+        |  round((n_cur / t_cur - n_ref / t_ref) *
+        |        ln((n_cur / t_cur) / (n_ref / t_ref)), 6) AS psi_term,
+        |  round(sv_cur / n_cur - sv_ref / n_ref, 6) AS mean_value_delta
+        |FROM per CROSS JOIN tot ORDER BY event_type""".stripMargin,
 
     "dd_paragraph" ->
       s"""WITH d AS (
