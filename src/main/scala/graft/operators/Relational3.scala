@@ -119,6 +119,26 @@ object Relational3 {
             get_json_object(col("props"), "$.k").cast("long"), ZBits).as("zkey"))
         .orderBy("event_id")),
 
+    // Stratified deterministic subsample: exactly k rows per stratum,
+    // chosen by content-stable hash rank — the reproducible equivalent of
+    // a per-group reservoir sample (same rows on any cluster, any run,
+    // any engine; no RNG state to coordinate). One shuffle on the stratum
+    // key; the heap-topk aggregate would drop even that to map-side
+    // partials if k·|strata| ever mattered.
+    "samp_stratified" -> ((s, dir) => {
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("h"), col("event_id"))
+      load(s, dir, "events")
+        .withColumn("h", graft.Exact.hash32(col("event_id").cast("string")))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 100)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("value"))).cast("double").as("sum_value"),
+          min(col("h")).as("h_min"))
+        .orderBy("event_type")
+    }),
+
     // Dataset drift monitor: population-stability index of the event-type
     // mix between two time windows (first vs second half of the month),
     // plus the per-type decimal-exact mean-value delta. The standing
@@ -208,6 +228,21 @@ object Relational3 {
          |  ${graft.functions.ZOrder.zkeySql(s"(user_id % ${1 << ZBits})",
               "CAST(json_extract_string(props, '$.k') AS BIGINT)", ZBits)} AS zkey
          |FROM events ORDER BY event_id""".stripMargin,
+
+    "samp_stratified" ->
+      s"""WITH h AS (
+         |  SELECT event_type, event_id, value,
+         |    ${graft.Exact.hash32Sql("CAST(event_id AS VARCHAR)")} AS h
+         |  FROM events),
+         |rk AS (
+         |  SELECT event_type, value, h,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY h, event_id) AS rk
+         |  FROM h)
+         |SELECT event_type, count(*) AS n,
+         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+         |  min(h) AS h_min
+         |FROM rk WHERE rk <= 100
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "prof_drift" ->
       """WITH ev AS (
