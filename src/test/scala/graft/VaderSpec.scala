@@ -124,7 +124,7 @@ class VaderSpec extends AnyFunSuite {
 
   test("round-4 lexicon batches: curated coverage goldens") {
     import graft.functions.VaderSentiment.Lexicon
-    assert(Lexicon.size == 3686, s"lexicon entry count drifted: ${Lexicon.size}")
+    assert(Lexicon.size == 3754, s"lexicon entry count drifted: ${Lexicon.size}")
     // exact pinned values for the batch's anchors
     assert(Lexicon("shit") == -2.6 && Lexicon("scam") == -2.2)
     assert(Lexicon("stellar") == 2.7 && Lexicon("blissful") == 2.9)
@@ -596,6 +596,18 @@ class VaderSpec extends AnyFunSuite {
     assert(label(compound("a conniving, predatory and remorseless operator")) == "negative")
     assert(label(compound("the retreat was unforgettable and deeply beneficial")) == "positive")
     assert(label(compound("barbarous raids left the region in incurable ruin")) == "negative")
+  }
+
+  test("round-6 lexicon batch 33 (68 entries, -ion/-ment nouns + -ing participles): curated coverage goldens") {
+    import graft.functions.VaderSentiment.Lexicon
+    assert(Lexicon("devastation") == -2.9 && Lexicon("inspiration") == 2.3)
+    assert(Lexicon("corruption") == -2.4 && Lexicon("adoration") == 2.5)
+    assert(Lexicon("intimidation") == -2.1 && Lexicon("appreciation") == 2.0)
+    assert(Lexicon("suffocating") == -2.1 && Lexicon("rejuvenation") == 1.9)
+    assert(label(compound("her dedication earned wide admiration and appreciation")) == "positive")
+    assert(label(compound("corruption, intimidation and discrimination at every level")) == "negative")
+    assert(label(compound("an inspiration whose determination keeps the team blooming")) == "positive")
+    assert(label(compound("the devastation left deprivation and malnutrition behind")) == "negative")
   }
 
   test("lexicon entries never shadow booster words (modifier role wins)") {
