@@ -160,4 +160,25 @@ class StreamingSpec extends AnyFunSuite {
       assert(rows == Map("click" -> 2L, "view" -> 1L))
     } finally q.stop()
   }
+
+  test("Trigger.AvailableNow drains the backlog then stops (T1 scheduled-run cadence)") {
+    // The production cadence for a periodic ingest: start, drain whatever
+    // accumulated (in rate-capped micro-batches if configured), shut down
+    // — instead of a long-lived cluster idling between harvest windows.
+    // awaitTermination returning (not timing out) IS the assertion that
+    // the trigger self-terminates.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    mem.addData(s"[${post("x1")},${post("x2")}]")
+    mem.addData(s"[${post("x3")}]")
+    val q = decodePosts(mem.toDF())
+      .writeStream.outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("memory").queryName("avail_out").start()
+    try {
+      assert(q.awaitTermination(60000), "AvailableNow query did not self-terminate")
+      assert(spark.table("avail_out").count() == 3)
+    } finally q.stop()
+  }
 }
