@@ -124,7 +124,7 @@ class VaderSpec extends AnyFunSuite {
 
   test("round-4 lexicon batches: curated coverage goldens") {
     import graft.functions.VaderSentiment.Lexicon
-    assert(Lexicon.size == 3754, s"lexicon entry count drifted: ${Lexicon.size}")
+    assert(Lexicon.size == 3837, s"lexicon entry count drifted: ${Lexicon.size}")
     // exact pinned values for the batch's anchors
     assert(Lexicon("shit") == -2.6 && Lexicon("scam") == -2.2)
     assert(Lexicon("stellar") == 2.7 && Lexicon("blissful") == 2.9)
@@ -608,6 +608,21 @@ class VaderSpec extends AnyFunSuite {
     assert(label(compound("corruption, intimidation and discrimination at every level")) == "negative")
     assert(label(compound("an inspiration whose determination keeps the team blooming")) == "positive")
     assert(label(compound("the devastation left deprivation and malnutrition behind")) == "negative")
+  }
+
+  test("round-6 lexicon batch 34 (83 entries, interjections + comparatives/superlatives): curated coverage goldens") {
+    import graft.functions.VaderSentiment.Lexicon
+    assert(Lexicon("bravo") == 2.5 && Lexicon("ouch") == -1.6)
+    assert(Lexicon("happiest") == 2.9 && Lexicon("cruelest") == -2.9)
+    assert(Lexicon("woot") == 2.2 && Lexicon("ugliest") == -2.5)
+    assert(Lexicon("smarter") == 2.0 && Lexicon("dumbest") == -2.5)
+    // comparative ladder is monotone where both forms exist
+    assert(Lexicon("happier") < Lexicon("happiest"))
+    assert(Lexicon("nastier") > Lexicon("nastiest"))
+    assert(label(compound("bravo, the happiest crowd and the kindest hosts")) == "positive")
+    assert(label(compound("ouch, that was the dumbest and nastiest take yet")) == "negative")
+    assert(label(compound("woot, it runs smoother and the ui looks lovelier")) == "positive")
+    assert(label(compound("alas, the sequel is uglier and far weaker")) == "negative")
   }
 
   test("lexicon entries never shadow booster words (modifier role wins)") {
