@@ -124,7 +124,7 @@ class VaderSpec extends AnyFunSuite {
 
   test("round-4 lexicon batches: curated coverage goldens") {
     import graft.functions.VaderSentiment.Lexicon
-    assert(Lexicon.size == 3837, s"lexicon entry count drifted: ${Lexicon.size}")
+    assert(Lexicon.size == 3920, s"lexicon entry count drifted: ${Lexicon.size}")
     // exact pinned values for the batch's anchors
     assert(Lexicon("shit") == -2.6 && Lexicon("scam") == -2.2)
     assert(Lexicon("stellar") == 2.7 && Lexicon("blissful") == 2.9)
@@ -623,6 +623,18 @@ class VaderSpec extends AnyFunSuite {
     assert(label(compound("ouch, that was the dumbest and nastiest take yet")) == "negative")
     assert(label(compound("woot, it runs smoother and the ui looks lovelier")) == "positive")
     assert(label(compound("alas, the sequel is uglier and far weaker")) == "negative")
+  }
+
+  test("round-6 lexicon batch 35 (83 entries, crime/health/finance registers): curated coverage goldens") {
+    import graft.functions.VaderSentiment.Lexicon
+    assert(Lexicon("homicide") == -3.1 && Lexicon("cured") == 2.0)
+    assert(Lexicon("bankruptcy") == -2.5 && Lexicon("windfall") == 2.1)
+    assert(Lexicon("extortion") == -2.4 && Lexicon("recovery") == 1.7)
+    assert(Lexicon("cancer") == -3.4 && Lexicon("bullish") == 1.4)
+    assert(label(compound("her recovery after the therapy left everyone grateful")) == "positive")
+    assert(label(compound("the indictment alleges bribery, extortion and racketeering")) == "negative")
+    assert(label(compound("a windfall dividend and a bullish upturn")) == "positive")
+    assert(label(compound("layoffs, foreclosure, then bankruptcy")) == "negative")
   }
 
   test("lexicon entries never shadow booster words (modifier role wins)") {
