@@ -124,7 +124,7 @@ class VaderSpec extends AnyFunSuite {
 
   test("round-4 lexicon batches: curated coverage goldens") {
     import graft.functions.VaderSentiment.Lexicon
-    assert(Lexicon.size == 3920, s"lexicon entry count drifted: ${Lexicon.size}")
+    assert(Lexicon.size == 3997, s"lexicon entry count drifted: ${Lexicon.size}")
     // exact pinned values for the batch's anchors
     assert(Lexicon("shit") == -2.6 && Lexicon("scam") == -2.2)
     assert(Lexicon("stellar") == 2.7 && Lexicon("blissful") == 2.9)
@@ -635,6 +635,20 @@ class VaderSpec extends AnyFunSuite {
     assert(label(compound("the indictment alleges bribery, extortion and racketeering")) == "negative")
     assert(label(compound("a windfall dividend and a bullish upturn")) == "positive")
     assert(label(compound("layoffs, foreclosure, then bankruptcy")) == "negative")
+  }
+
+  test("round-6 lexicon batch 36 (77 entries, sports/nature/relationships/tech registers): curated coverage goldens") {
+    import graft.functions.VaderSentiment.Lexicon
+    assert(Lexicon("soulmate") == 2.7 && Lexicon("divorce") == -2.3)
+    assert(Lexicon("honeymoon") == 2.2 && Lexicon("tsunami") == -2.6)
+    assert(Lexicon("trophy") == 2.0 && Lexicon("ransomware") == -2.5)
+    assert(Lexicon("undefeated") == 2.0 && Lexicon("bricked") == -2.2)
+    assert(label(compound("an undefeated season capped with the trophy, bravo")) == "positive")
+    assert(label(compound("the update bricked my phone and shipped malware")) == "negative")
+    assert(label(compound("their honeymoon reunion felt like sunshine and rainbows")) == "positive")
+    assert(label(compound("heartbreak and divorce after the infidelity")) == "negative")
+    // review register composes with negation and boosters
+    assert(compound("not laggy anymore, very responsive") > 0)
   }
 
   test("lexicon entries never shadow booster words (modifier role wins)") {
