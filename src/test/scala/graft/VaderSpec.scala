@@ -124,7 +124,7 @@ class VaderSpec extends AnyFunSuite {
 
   test("round-4 lexicon batches: curated coverage goldens") {
     import graft.functions.VaderSentiment.Lexicon
-    assert(Lexicon.size == 3997, s"lexicon entry count drifted: ${Lexicon.size}")
+    assert(Lexicon.size == 4088, s"lexicon entry count drifted: ${Lexicon.size}")
     // exact pinned values for the batch's anchors
     assert(Lexicon("shit") == -2.6 && Lexicon("scam") == -2.2)
     assert(Lexicon("stellar") == 2.7 && Lexicon("blissful") == 2.9)
@@ -649,6 +649,20 @@ class VaderSpec extends AnyFunSuite {
     assert(label(compound("heartbreak and divorce after the infidelity")) == "negative")
     // review register composes with negation and boosters
     assert(compound("not laggy anymore, very responsive") > 0)
+  }
+
+  test("round-6 lexicon batch 37 (91 entries, past-tense action verbs): curated coverage goldens") {
+    import graft.functions.VaderSentiment.Lexicon
+    assert(Lexicon("murdered") == -3.1 && Lexicon("rescued") == 2.0)
+    assert(Lexicon("hijacked") == -2.4 && Lexicon("graduated") == 1.9)
+    assert(Lexicon("tormented") == -2.5 && Lexicon("donated") == 1.7)
+    assert(Lexicon("sabotaged") == -2.3 && Lexicon("thrived") == 2.0)
+    assert(label(compound("she graduated with honors and was hired immediately")) == "positive")
+    assert(label(compound("the convoy was ambushed, looted and destroyed")) == "negative")
+    assert(label(compound("volunteers donated supplies and rescued the stranded")) == "positive")
+    assert(label(compound("the whistleblower was harassed, demoted and fired")) == "negative")
+    // passive-voice negation still flips
+    assert(compound("never harassed again") > 0)
   }
 
   test("lexicon entries never shadow booster words (modifier role wins)") {
