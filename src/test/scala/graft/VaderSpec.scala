@@ -124,7 +124,7 @@ class VaderSpec extends AnyFunSuite {
 
   test("round-4 lexicon batches: curated coverage goldens") {
     import graft.functions.VaderSentiment.Lexicon
-    assert(Lexicon.size == 4088, s"lexicon entry count drifted: ${Lexicon.size}")
+    assert(Lexicon.size == 4168, s"lexicon entry count drifted: ${Lexicon.size}")
     // exact pinned values for the batch's anchors
     assert(Lexicon("shit") == -2.6 && Lexicon("scam") == -2.2)
     assert(Lexicon("stellar") == 2.7 && Lexicon("blissful") == 2.9)
@@ -663,6 +663,18 @@ class VaderSpec extends AnyFunSuite {
     assert(label(compound("the whistleblower was harassed, demoted and fired")) == "negative")
     // passive-voice negation still flips
     assert(compound("never harassed again") > 0)
+  }
+
+  test("round-6 lexicon batch 38 (80 entries, food/education/work/emotion registers): curated coverage goldens") {
+    import graft.functions.VaderSentiment.Lexicon
+    assert(Lexicon("euphoric") == 2.9 && Lexicon("brokenhearted") == -2.6)
+    assert(Lexicon("mouthwatering") == 2.2 && Lexicon("rancid") == -2.2)
+    assert(Lexicon("valedictorian") == 2.2 && Lexicon("plagiarism") == -2.4)
+    assert(Lexicon("promotion") == 2.0 && Lexicon("underpaid") == -1.9)
+    assert(label(compound("a mouthwatering gourmet feast, simply luscious")) == "positive")
+    assert(label(compound("the rancid, soggy leftovers were inedible")) == "negative")
+    assert(label(compound("the valedictorian won a scholarship and a promotion")) == "positive")
+    assert(label(compound("underpaid, overworked and micromanaged into burnout")) == "negative")
   }
 
   test("lexicon entries never shadow booster words (modifier role wins)") {
