@@ -124,7 +124,7 @@ class VaderSpec extends AnyFunSuite {
 
   test("round-4 lexicon batches: curated coverage goldens") {
     import graft.functions.VaderSentiment.Lexicon
-    assert(Lexicon.size == 4168, s"lexicon entry count drifted: ${Lexicon.size}")
+    assert(Lexicon.size == 4256, s"lexicon entry count drifted: ${Lexicon.size}")
     // exact pinned values for the batch's anchors
     assert(Lexicon("shit") == -2.6 && Lexicon("scam") == -2.2)
     assert(Lexicon("stellar") == 2.7 && Lexicon("blissful") == 2.9)
@@ -675,6 +675,18 @@ class VaderSpec extends AnyFunSuite {
     assert(label(compound("the rancid, soggy leftovers were inedible")) == "negative")
     assert(label(compound("the valedictorian won a scholarship and a promotion")) == "positive")
     assert(label(compound("underpaid, overworked and micromanaged into burnout")) == "negative")
+  }
+
+  test("round-6 lexicon batch 39 (88 entries, plural nouns): curated coverage goldens") {
+    import graft.functions.VaderSentiment.Lexicon
+    assert(Lexicon("massacres") == -3.1 && Lexicon("miracles") == 2.5)
+    assert(Lexicon("atrocities") == -2.9 && Lexicon("heroes") == 2.2)
+    assert(Lexicon("failures") == -2.3 && Lexicon("blessings") == 2.3)
+    assert(Lexicon("scams") == -2.4 && Lexicon("triumphs") == 2.2)
+    assert(label(compound("heroes whose triumphs felt like miracles")) == "positive")
+    assert(label(compound("wars, atrocities and massacres filled the report")) == "negative")
+    assert(label(compound("blessings, friendships and opportunities everywhere")) == "positive")
+    assert(label(compound("scams, frauds and failures at every turn")) == "negative")
   }
 
   test("lexicon entries never shadow booster words (modifier role wins)") {
