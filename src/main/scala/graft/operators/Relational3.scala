@@ -275,7 +275,11 @@ object Relational3 {
          |    md5(array_to_string(list_slice(t, ci * $ParaSize + 1,
          |                                   ci * $ParaSize + $ParaSize), ' ')) AS chunk_md5
          |  FROM (SELECT doc_id, t,
-         |          unnest(range(0, CAST(len(t) / $ParaSize AS INT))) AS ci
+         |          -- floor, NOT a bare CAST: DuckDB CAST(double AS INT)
+         |          -- rounds-to-nearest while Spark's int cast truncates,
+         |          -- which fabricated a partial chunk whenever len/size
+         |          -- landed on >= x.5 (caught by the sf0.1 cross-check)
+         |          unnest(range(0, CAST(floor(len(t) / ${ParaSize}.0) AS INT))) AS ci
          |        FROM d))
          |SELECT chunk_md5, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
          |FROM chunks GROUP BY chunk_md5
