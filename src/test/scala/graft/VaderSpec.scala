@@ -124,7 +124,7 @@ class VaderSpec extends AnyFunSuite {
 
   test("round-4 lexicon batches: curated coverage goldens") {
     import graft.functions.VaderSentiment.Lexicon
-    assert(Lexicon.size == 4256, s"lexicon entry count drifted: ${Lexicon.size}")
+    assert(Lexicon.size == 4325, s"lexicon entry count drifted: ${Lexicon.size}")
     // exact pinned values for the batch's anchors
     assert(Lexicon("shit") == -2.6 && Lexicon("scam") == -2.2)
     assert(Lexicon("stellar") == 2.7 && Lexicon("blissful") == 2.9)
@@ -687,6 +687,18 @@ class VaderSpec extends AnyFunSuite {
     assert(label(compound("wars, atrocities and massacres filled the report")) == "negative")
     assert(label(compound("blessings, friendships and opportunities everywhere")) == "positive")
     assert(label(compound("scams, frauds and failures at every turn")) == "negative")
+  }
+
+  test("round-6 lexicon batch 40 (69 entries, epithets/moral/civic registers): curated coverage goldens") {
+    import graft.functions.VaderSentiment.Lexicon
+    assert(Lexicon("justice") == 2.0 && Lexicon("injustice") == -2.4)
+    assert(Lexicon("equality") == 2.0 && Lexicon("fascism") == -2.7)
+    assert(Lexicon("forgiveness") == 2.0 && Lexicon("treason") == -2.3)
+    assert(Lexicon("bliss") == 2.7 && Lexicon("vermin") == -2.4)
+    assert(label(compound("justice, equality and transparency prevailed")) == "positive")
+    assert(label(compound("the despot's kleptocracy thrived on nepotism and censorship")) == "negative")
+    assert(label(compound("grace, forgiveness and redemption — pure bliss")) == "positive")
+    assert(label(compound("those swindlers are vermin, parasites and crooks")) == "negative")
   }
 
   test("lexicon entries never shadow booster words (modifier role wins)") {
