@@ -124,7 +124,7 @@ class VaderSpec extends AnyFunSuite {
 
   test("round-4 lexicon batches: curated coverage goldens") {
     import graft.functions.VaderSentiment.Lexicon
-    assert(Lexicon.size == 4325, s"lexicon entry count drifted: ${Lexicon.size}")
+    assert(Lexicon.size == 4397, s"lexicon entry count drifted: ${Lexicon.size}")
     // exact pinned values for the batch's anchors
     assert(Lexicon("shit") == -2.6 && Lexicon("scam") == -2.2)
     assert(Lexicon("stellar") == 2.7 && Lexicon("blissful") == 2.9)
@@ -699,6 +699,23 @@ class VaderSpec extends AnyFunSuite {
     assert(label(compound("the despot's kleptocracy thrived on nepotism and censorship")) == "negative")
     assert(label(compound("grace, forgiveness and redemption — pure bliss")) == "positive")
     assert(label(compound("those swindlers are vermin, parasites and crooks")) == "negative")
+  }
+
+  test("round-6 lexicon batch 41 (72 entries, British/Commonwealth spellings): curated coverage goldens") {
+    // The reference harvests r/australia (reddit_harvester_aus.py) — the
+    // corpus register is Commonwealth English, where 'marvellous' and
+    // 'honour' are the common forms, not typos.
+    import graft.functions.VaderSentiment.Lexicon
+    assert(Lexicon("marvellous") == 2.7 && Lexicon("terrorise") == -2.8)
+    assert(Lexicon("honour") == 2.0 && Lexicon("whinge") == -1.4)
+    assert(Lexicon("splendour") == 2.4 && Lexicon("traumatised") == -2.7)
+    assert(Lexicon("favourable") == 1.9 && Lexicon("patronising") == -1.8)
+    assert(label(compound("a marvellous evening of humour and splendour")) == "positive")
+    assert(label(compound("stop whingeing about the patronising committee")) == "negative")
+    assert(label(compound("honoured and favoured by the whole colourful crowd")) == "positive")
+    assert(label(compound("residents were terrorised and traumatised")) == "negative")
+    // US/UK pairs agree in valence where both exist
+    assert(Lexicon("honour") == Lexicon("honor") || math.abs(Lexicon("honour") - Lexicon("honor")) <= 0.3)
   }
 
   test("lexicon entries never shadow booster words (modifier role wins)") {
