@@ -124,7 +124,7 @@ class VaderSpec extends AnyFunSuite {
 
   test("round-4 lexicon batches: curated coverage goldens") {
     import graft.functions.VaderSentiment.Lexicon
-    assert(Lexicon.size == 4397, s"lexicon entry count drifted: ${Lexicon.size}")
+    assert(Lexicon.size == 4466, s"lexicon entry count drifted: ${Lexicon.size}")
     // exact pinned values for the batch's anchors
     assert(Lexicon("shit") == -2.6 && Lexicon("scam") == -2.2)
     assert(Lexicon("stellar") == 2.7 && Lexicon("blissful") == 2.9)
@@ -716,6 +716,18 @@ class VaderSpec extends AnyFunSuite {
     assert(label(compound("residents were terrorised and traumatised")) == "negative")
     // US/UK pairs agree in valence where both exist
     assert(Lexicon("honour") == Lexicon("honor") || math.abs(Lexicon("honour") - Lexicon("honor")) <= 0.3)
+  }
+
+  test("round-6 lexicon batch 42 (69 entries, -ic/-al adjectives + agent nouns): curated coverage goldens") {
+    import graft.functions.VaderSentiment.Lexicon
+    assert(Lexicon("terrorist") == -3.1 && Lexicon("peacemaker") == 2.1)
+    assert(Lexicon("traitor") == -2.6 && Lexicon("savior") == 2.2)
+    assert(Lexicon("psychotic") == -2.3 && Lexicon("idyllic") == 2.3)
+    assert(Lexicon("pathetic") == -2.3 && Lexicon("trailblazer") == 2.0)
+    assert(label(compound("a charismatic trailblazer and genuine peacemaker")) == "positive")
+    assert(label(compound("the pathetic saboteur turned out a traitor")) == "negative")
+    assert(label(compound("an idyllic, magical and majestic valley")) == "positive")
+    assert(label(compound("horrific, apocalyptic scenes after the invader struck")) == "negative")
   }
 
   test("lexicon entries never shadow booster words (modifier role wins)") {
