@@ -124,7 +124,7 @@ class VaderSpec extends AnyFunSuite {
 
   test("round-4 lexicon batches: curated coverage goldens") {
     import graft.functions.VaderSentiment.Lexicon
-    assert(Lexicon.size == 4466, s"lexicon entry count drifted: ${Lexicon.size}")
+    assert(Lexicon.size == 4490, s"lexicon entry count drifted: ${Lexicon.size}")
     // exact pinned values for the batch's anchors
     assert(Lexicon("shit") == -2.6 && Lexicon("scam") == -2.2)
     assert(Lexicon("stellar") == 2.7 && Lexicon("blissful") == 2.9)
@@ -728,6 +728,18 @@ class VaderSpec extends AnyFunSuite {
     assert(label(compound("the pathetic saboteur turned out a traitor")) == "negative")
     assert(label(compound("an idyllic, magical and majestic valley")) == "positive")
     assert(label(compound("horrific, apocalyptic scenes after the invader struck")) == "negative")
+  }
+
+  test("round-6 lexicon batch 43 (24 entries, base-verb gap close): curated coverage goldens") {
+    // The base-verb sweep came back mostly covered (151 of 175 candidates
+    // already present) — the gap that remains is narrow, which is itself
+    // evidence the register is converging on the published surface.
+    import graft.functions.VaderSentiment.Lexicon
+    assert(Lexicon("cripple") == -2.1 && Lexicon("venerate") == 1.8)
+    assert(Lexicon("befoul") == -1.9 && Lexicon("astound") == 1.8)
+    assert(Lexicon("worsen") == -1.9 && Lexicon("unite") == 1.6)
+    assert(label(compound("rebuild, restore and strengthen the alliance")) == "positive")
+    assert(label(compound("the sanctions cripple trade and worsen the famine")) == "negative")
   }
 
   test("lexicon entries never shadow booster words (modifier role wins)") {
