@@ -119,6 +119,30 @@ object Relational3 {
             get_json_object(col("props"), "$.k").cast("long"), ZBits).as("zkey"))
         .orderBy("event_id")),
 
+    // Outlier flagging against exact per-group percentile fences (the
+    // IQR rule) — the anomaly-count step of a data-quality monitor. The
+    // per-group fences are a 5-row aggregate broadcast back to the scan;
+    // the flagging is map-side; one keyed agg summarizes. percentile()
+    // (exact interpolated) mirrors DuckDB quantile_cont bit-for-bit on
+    // this data (the a5_median_pct precedent); round(6) guards the
+    // fence arithmetic.
+    "prof_outliers" -> ((s, dir) => {
+      val fences = load(s, dir, "events")
+        .groupBy(col("event_type").as("ft"))
+        .agg(percentile(col("value"), lit(0.25)).as("q1"),
+          percentile(col("value"), lit(0.75)).as("q3"))
+        .select(col("ft"), round(col("q1") - (col("q3") - col("q1")) * 1.5, 6).as("lo"),
+          round(col("q3") + (col("q3") - col("q1")) * 1.5, 6).as("hi"))
+      load(s, dir, "events")
+        .join(broadcast(fences), col("event_type") === col("ft"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum((col("value") < col("lo") || col("value") > col("hi")).cast("long"))
+            .as("n_outliers"),
+          min(col("lo")).as("lo"), min(col("hi")).as("hi"))
+        .orderBy("event_type")
+    }),
+
     // Stratified deterministic subsample: exactly k rows per stratum,
     // chosen by content-stable hash rank — the reproducible equivalent of
     // a per-group reservoir sample (same rows on any cluster, any run,
@@ -228,6 +252,20 @@ object Relational3 {
          |  ${graft.functions.ZOrder.zkeySql(s"(user_id % ${1 << ZBits})",
               "CAST(json_extract_string(props, '$.k') AS BIGINT)", ZBits)} AS zkey
          |FROM events ORDER BY event_id""".stripMargin,
+
+    "prof_outliers" ->
+      """WITH f AS (
+        |  SELECT event_type AS ft,
+        |    round(quantile_cont(value, 0.25)
+        |          - (quantile_cont(value, 0.75) - quantile_cont(value, 0.25)) * 1.5, 6) AS lo,
+        |    round(quantile_cont(value, 0.75)
+        |          + (quantile_cont(value, 0.75) - quantile_cont(value, 0.25)) * 1.5, 6) AS hi
+        |  FROM events GROUP BY event_type)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(CASE WHEN value < lo OR value > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  min(lo) AS lo, min(hi) AS hi
+        |FROM events JOIN f ON event_type = ft
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "samp_stratified" ->
       s"""WITH h AS (
