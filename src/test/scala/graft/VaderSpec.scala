@@ -124,7 +124,7 @@ class VaderSpec extends AnyFunSuite {
 
   test("round-4 lexicon batches: curated coverage goldens") {
     import graft.functions.VaderSentiment.Lexicon
-    assert(Lexicon.size == 4490, s"lexicon entry count drifted: ${Lexicon.size}")
+    assert(Lexicon.size == 4587, s"lexicon entry count drifted: ${Lexicon.size}")
     // exact pinned values for the batch's anchors
     assert(Lexicon("shit") == -2.6 && Lexicon("scam") == -2.2)
     assert(Lexicon("stellar") == 2.7 && Lexicon("blissful") == 2.9)
@@ -740,6 +740,18 @@ class VaderSpec extends AnyFunSuite {
     assert(Lexicon("worsen") == -1.9 && Lexicon("unite") == 1.6)
     assert(label(compound("rebuild, restore and strengthen the alliance")) == "positive")
     assert(label(compound("the sanctions cripple trade and worsen the famine")) == "negative")
+  }
+
+  test("round-6 lexicon batch 44 (97 entries, -ity/-ance/-ence abstract nouns): curated coverage goldens") {
+    import graft.functions.VaderSentiment.Lexicon
+    assert(Lexicon("poverty") == -2.3 && Lexicon("prosperity") == 2.2)
+    assert(Lexicon("negligence") == -2.1 && Lexicon("integrity") == 1.9)
+    assert(Lexicon("animosity") == -2.2 && Lexicon("benevolence") == 2.3)
+    assert(Lexicon("intolerance") == -1.9 && Lexicon("resilience") == 1.9)
+    assert(label(compound("honesty, integrity and generosity define her leadership")) == "positive")
+    assert(label(compound("negligence and incompetence deepened the poverty")) == "negative")
+    assert(label(compound("the team's resilience and solidarity brought prosperity")) == "positive")
+    assert(label(compound("animosity, intolerance and vengeance fed the violence")) == "negative")
   }
 
   test("lexicon entries never shadow booster words (modifier role wins)") {
