@@ -124,7 +124,7 @@ class VaderSpec extends AnyFunSuite {
 
   test("round-4 lexicon batches: curated coverage goldens") {
     import graft.functions.VaderSentiment.Lexicon
-    assert(Lexicon.size == 4587, s"lexicon entry count drifted: ${Lexicon.size}")
+    assert(Lexicon.size == 4642, s"lexicon entry count drifted: ${Lexicon.size}")
     // exact pinned values for the batch's anchors
     assert(Lexicon("shit") == -2.6 && Lexicon("scam") == -2.2)
     assert(Lexicon("stellar") == 2.7 && Lexicon("blissful") == 2.9)
@@ -752,6 +752,17 @@ class VaderSpec extends AnyFunSuite {
     assert(label(compound("negligence and incompetence deepened the poverty")) == "negative")
     assert(label(compound("the team's resilience and solidarity brought prosperity")) == "positive")
     assert(label(compound("animosity, intolerance and vengeance fed the violence")) == "negative")
+  }
+
+  test("round-6 lexicon batch 45 (55 entries, -y colloquial adjectives): curated coverage goldens") {
+    import graft.functions.VaderSentiment.Lexicon
+    assert(Lexicon("cozy") == 1.9 && Lexicon("trashy") == -1.7)
+    assert(Lexicon("sturdy") == 1.3 && Lexicon("sketchy") == -1.4)
+    assert(Lexicon("sunny") == 1.9 && Lexicon("grumpy") == -1.6)
+    assert(label(compound("a cozy, sunny cabin with a snug reading nook")) == "positive")
+    assert(label(compound("a sketchy, dingy motel with leaky, rusty pipes")) == "negative")
+    assert(label(compound("the snazzy new build feels speedy and sturdy")) == "positive")
+    assert(label(compound("grumpy staff, smelly rooms, shoddy service")) == "negative")
   }
 
   test("lexicon entries never shadow booster words (modifier role wins)") {
