@@ -124,7 +124,7 @@ class VaderSpec extends AnyFunSuite {
 
   test("round-4 lexicon batches: curated coverage goldens") {
     import graft.functions.VaderSentiment.Lexicon
-    assert(Lexicon.size == 4642, s"lexicon entry count drifted: ${Lexicon.size}")
+    assert(Lexicon.size == 4697, s"lexicon entry count drifted: ${Lexicon.size}")
     // exact pinned values for the batch's anchors
     assert(Lexicon("shit") == -2.6 && Lexicon("scam") == -2.2)
     assert(Lexicon("stellar") == 2.7 && Lexicon("blissful") == 2.9)
@@ -763,6 +763,24 @@ class VaderSpec extends AnyFunSuite {
     assert(label(compound("a sketchy, dingy motel with leaky, rusty pipes")) == "negative")
     assert(label(compound("the snazzy new build feels speedy and sturdy")) == "positive")
     assert(label(compound("grumpy staff, smelly rooms, shoddy service")) == "negative")
+  }
+
+  test("round-6 lexicon batch 46 (55 entries, adverbs inheriting adjective valence): curated coverage goldens") {
+    // Manner adverbs carry their adjective's valence (the published
+    // lexicon rates happy 2.7 / happily 2.6-2.7); this batch derives the
+    // missing -ly forms from bases already in the lexicon, value-locked
+    // to the base by construction.
+    import graft.functions.VaderSentiment.Lexicon
+    assert(Lexicon("happily") == Lexicon("happy"))
+    assert(Lexicon("violently") == Lexicon("violent"))
+    assert(Lexicon("gleefully") == Lexicon("gleeful"))
+    assert(Lexicon("hopelessly") == Lexicon("hopeless"))
+    // pre-existing adverbs keep their own curated values (not overwritten)
+    assert(Lexicon("lovingly") == 2.4 && Lexicon("loving") == 2.5)
+    assert(label(compound("they happily and warmly welcomed every guest")) == "positive")
+    assert(label(compound("he rudely and violently shoved the vendor")) == "negative")
+    assert(label(compound("she wisely and patiently rebuilt the archive")) == "positive")
+    assert(label(compound("the account was wrongly and shamefully frozen")) == "negative")
   }
 
   test("lexicon entries never shadow booster words (modifier role wins)") {
