@@ -124,7 +124,7 @@ class VaderSpec extends AnyFunSuite {
 
   test("round-4 lexicon batches: curated coverage goldens") {
     import graft.functions.VaderSentiment.Lexicon
-    assert(Lexicon.size == 4697, s"lexicon entry count drifted: ${Lexicon.size}")
+    assert(Lexicon.size == 4735, s"lexicon entry count drifted: ${Lexicon.size}")
     // exact pinned values for the batch's anchors
     assert(Lexicon("shit") == -2.6 && Lexicon("scam") == -2.2)
     assert(Lexicon("stellar") == 2.7 && Lexicon("blissful") == 2.9)
@@ -781,6 +781,17 @@ class VaderSpec extends AnyFunSuite {
     assert(label(compound("he rudely and violently shoved the vendor")) == "negative")
     assert(label(compound("she wisely and patiently rebuilt the archive")) == "positive")
     assert(label(compound("the account was wrongly and shamefully frozen")) == "negative")
+  }
+
+  test("round-6 lexicon batch 47 (38 entries, -some/-worthy/-ish + misc): curated coverage goldens") {
+    import graft.functions.VaderSentiment.Lexicon
+    assert(Lexicon("loathsome") == -2.5 && Lexicon("noteworthy") == 1.5)
+    assert(Lexicon("burdensome") == -1.6 && Lexicon("stylish") == 1.7)
+    assert(Lexicon("shambles") == -1.9 && Lexicon("mirth") == 2.0)
+    assert(label(compound("a noteworthy, stylish and trustworthy shop")) == "positive")
+    assert(label(compound("the rollout was a loathsome, worrisome shambles")) == "negative")
+    assert(label(compound("resplendent decor full of verve and pizzazz")) == "positive")
+    assert(label(compound("hellish traffic and a burdensome, tiresome commute")) == "negative")
   }
 
   test("lexicon entries never shadow booster words (modifier role wins)") {
