@@ -124,7 +124,7 @@ class VaderSpec extends AnyFunSuite {
 
   test("round-4 lexicon batches: curated coverage goldens") {
     import graft.functions.VaderSentiment.Lexicon
-    assert(Lexicon.size == 4735, s"lexicon entry count drifted: ${Lexicon.size}")
+    assert(Lexicon.size == 4882, s"lexicon entry count drifted: ${Lexicon.size}")
     // exact pinned values for the batch's anchors
     assert(Lexicon("shit") == -2.6 && Lexicon("scam") == -2.2)
     assert(Lexicon("stellar") == 2.7 && Lexicon("blissful") == 2.9)
@@ -792,6 +792,38 @@ class VaderSpec extends AnyFunSuite {
     assert(label(compound("the rollout was a loathsome, worrisome shambles")) == "negative")
     assert(label(compound("resplendent decor full of verve and pizzazz")) == "positive")
     assert(label(compound("hellish traffic and a burdensome, tiresome commute")) == "negative")
+  }
+
+  test("round-6 lexicon batch 48 (88 entries, past participles locked to their base verbs): curated coverage goldens") {
+    import graft.functions.VaderSentiment.Lexicon
+    // participle inherits the base verb's pinned value
+    assert(Lexicon("captivated") == 2.0 && Lexicon("captivate") == 2.0)
+    assert(Lexicon("berated") == -2.0 && Lexicon("berate") == -2.0)
+    assert(Lexicon("congratulated") == 2.2 && Lexicon("brutalized") == -2.9)
+    // newly added base verbs locked to cognate nouns already in the lexicon
+    assert(Lexicon("blaspheme") == -1.9 && Lexicon("blasphemy") == -1.9)
+    assert(Lexicon("burglarize") == -2.2 && Lexicon("burglary") == -2.2)
+    assert(Lexicon("abomination") == -2.8 && Lexicon("abominable") == -2.8)
+    // "coveted" (prized) is deliberately NOT locked to "covet" (the sin)
+    assert(Lexicon("coveted") == 0.8 && Lexicon("covet") == -0.9)
+    assert(label(compound("the audience was captivated and congratulated the beaming cast")) == "positive")
+    assert(label(compound("the botched rollout left users blindsided and aggrieved")) == "negative")
+    assert(label(compound("a coveted award for an astounding, beatific performance")) == "positive")
+    assert(label(compound("they were conned, blackmailed and brutalized")) == "negative")
+  }
+
+  test("round-6 lexicon batch 49 (59 entries, d-f participles locked to their base verbs): curated coverage goldens") {
+    import graft.functions.VaderSentiment.Lexicon
+    assert(Lexicon("dazzled") == 2.1 && Lexicon("dazzle") == 2.1)
+    assert(Lexicon("despised") == -2.6 && Lexicon("despise") == -2.6)
+    assert(Lexicon("enthralled") == 1.9 && Lexicon("defrauded") == -2.3)
+    // locked to cognates: "envied" to "envy", "entertained" to "entertaining"
+    assert(Lexicon("envied") == -1.3 && Lexicon("envy") == -1.3)
+    assert(Lexicon("entertained") == 1.9 && Lexicon("entertaining") == 1.9)
+    assert(label(compound("the crowd was dazzled, enthralled and thoroughly entertained")) == "positive")
+    assert(label(compound("investors were defrauded, fleeced and fooled")) == "negative")
+    assert(label(compound("an enriched, emancipated and fascinated readership")) == "positive")
+    assert(label(compound("their hopes were dashed and their work forgotten")) == "negative")
   }
 
   test("lexicon entries never shadow booster words (modifier role wins)") {
