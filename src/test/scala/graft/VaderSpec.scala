@@ -124,7 +124,7 @@ class VaderSpec extends AnyFunSuite {
 
   test("round-4 lexicon batches: curated coverage goldens") {
     import graft.functions.VaderSentiment.Lexicon
-    assert(Lexicon.size == 4882, s"lexicon entry count drifted: ${Lexicon.size}")
+    assert(Lexicon.size == 4935, s"lexicon entry count drifted: ${Lexicon.size}")
     // exact pinned values for the batch's anchors
     assert(Lexicon("shit") == -2.6 && Lexicon("scam") == -2.2)
     assert(Lexicon("stellar") == 2.7 && Lexicon("blissful") == 2.9)
@@ -824,6 +824,18 @@ class VaderSpec extends AnyFunSuite {
     assert(label(compound("investors were defrauded, fleeced and fooled")) == "negative")
     assert(label(compound("an enriched, emancipated and fascinated readership")) == "positive")
     assert(label(compound("their hopes were dashed and their work forgotten")) == "negative")
+  }
+
+  test("round-6 lexicon batch 50 (53 entries, g-j participles + base verbs): curated coverage goldens") {
+    import graft.functions.VaderSentiment.Lexicon
+    assert(Lexicon("galvanized") == 1.3 && Lexicon("galvanize") == 1.3)
+    assert(Lexicon("infuriated") == -2.4 && Lexicon("infuriate") == -2.4)
+    assert(Lexicon("incarcerated") == -2.2 && Lexicon("incarcerate") == -2.2)
+    assert(Lexicon("gladdened") == 1.8 && Lexicon("haunted") == -1.9)
+    assert(label(compound("the team felt galvanized, intrigued and included")) == "positive")
+    assert(label(compound("witnesses were intimidated, hounded and interrogated")) == "negative")
+    assert(label(compound("a gladdened crowd hustled to the glamorized opening")) == "positive")
+    assert(label(compound("the budget was gutted and the staff left incensed")) == "negative")
   }
 
   test("lexicon entries never shadow booster words (modifier role wins)") {
