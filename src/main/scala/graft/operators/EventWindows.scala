@@ -40,7 +40,56 @@ object EventWindows {
         .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
         .agg(count(lit(1)).as("n"))
         .select(col("w.start").as("win_start"), col("event_type"), col("n"))
-        .orderBy("win_start", "event_type")))
+        .orderBy("win_start", "event_type")),
+
+    // Ordered conversion funnel signup → click → purchase: a user reaches
+    // step k only via an event strictly after their step-(k−1) time. Each
+    // stage is filter → groupBy(user) → min(ts), then an equi-join on
+    // user_id with the previous stage. At 100 TB the event_type filters cut
+    // the scan long before the first shuffle, every shuffle is keyed on
+    // user_id (AQE-coalesced), and the per-stage frames shrink
+    // monotonically — no window over the raw event stream is ever needed.
+    "ev_funnel" -> ((s, dir) => {
+      val ev = load(s, dir, "events")
+      def stage(prev: DataFrame, step: String, tPrev: String, tOut: String) =
+        ev.where(col("event_type") === step)
+          .join(prev, "user_id")
+          .where(col("ts") > col(tPrev))
+          .groupBy("user_id").agg(min(col("ts")).as(tOut))
+      val s1 = ev.where(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(col("ts")).as("t1"))
+      val s2 = stage(s1, "click", "t1", "t2")
+      val s3 = stage(s2, "purchase", "t2", "t3")
+      def row(df: DataFrame, step: Int, name: String) =
+        df.agg(count(lit(1)).as("users"))
+          .select(lit(step).cast("long").as("step"), lit(name).as("event_type"),
+            col("users"))
+      row(s1, 1, "signup").unionAll(row(s2, 2, "click"))
+        .unionAll(row(s3, 3, "purchase")).orderBy("step")
+    }),
+
+    // Weekly cohort retention: cohort = ISO week of a user's first event;
+    // `users` = distinct users from that cohort active k weeks later. Two
+    // shuffles total (per-user min, then the small cohort×offset agg); the
+    // per-user cohort frame is broadcast-joined back onto the distinct
+    // (user, week) activity pairs. Week arithmetic stays integral (both
+    // sides truncate to Monday 00:00, so the day diff is an exact multiple
+    // of 7) — no double rounding to drift between engines.
+    "ev_cohort" -> ((s, dir) => {
+      val ev = load(s, dir, "events")
+      val cohort = ev.groupBy("user_id")
+        .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+      val active = ev
+        .select(col("user_id"), date_trunc("week", col("ts")).as("act_week"))
+        .distinct()
+      active.join(broadcast(cohort), "user_id")
+        .select(col("cohort_week"),
+          expr("datediff(act_week, cohort_week) div 7").cast("long").as("week_offset"),
+          col("user_id"))
+        .groupBy("cohort_week", "week_offset")
+        .agg(count_distinct(col("user_id")).as("users"))
+        .orderBy("cohort_week", "week_offset")
+    }))
 
   val oracle: Map[String, String] = Map(
     "t6_session_window" ->
@@ -70,5 +119,38 @@ object EventWindows {
         |  event_type, count(*) AS n
         |FROM events, (SELECT unnest([0, 1]) AS k)
         |GROUP BY win_start, event_type
-        |ORDER BY win_start, event_type""".stripMargin)
+        |ORDER BY win_start, event_type""".stripMargin,
+
+    "ev_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |  JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |  JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
+        |SELECT CAST(1 AS BIGINT) AS step, 'signup' AS event_type, count(*) AS users FROM s1
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), 'click', count(*) FROM s2
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), 'purchase', count(*) FROM s3
+        |ORDER BY step""".stripMargin,
+
+    "ev_cohort" ->
+      """WITH cohort AS (
+        |  SELECT user_id, CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_week
+        |  FROM events GROUP BY user_id),
+        |active AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(date_trunc('week', ts) AS TIMESTAMP) AS act_week FROM events)
+        |SELECT c.cohort_week,
+        |  CAST(date_diff('day', c.cohort_week, a.act_week) // 7 AS BIGINT) AS week_offset,
+        |  count(DISTINCT a.user_id) AS users
+        |FROM active a JOIN cohort c ON a.user_id = c.user_id
+        |GROUP BY c.cohort_week, week_offset
+        |ORDER BY c.cohort_week, week_offset""".stripMargin)
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables.load
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a training-data pipeline: token counting,
@@ -35,6 +36,9 @@ object TextAnalysis {
 
   /** Keywords per doc emitted by ta_keywords. */
   private val KwTopK = 3
+
+  /** Token budget per packed training sequence (ta_pack). */
+  private val PackBudget = 2048L
 
   // Tiny per-language stopword profiles for the n-gram/stopword language-ID
   // heuristic. Real deployments swap in bigger profiles; the operator shape
@@ -279,12 +283,44 @@ object TextAnalysis {
           coalesce(col("max_bg").cast("double") / col("n_bigrams"), lit(0.0))
             .as("top_bigram_frac"))
         .orderBy("doc_id")
+    }),
+
+    // Sequence packing: assign docs to fixed-token-budget training
+    // sequences by running a cumulative token count per source shard and
+    // binning at PackBudget (first-fit in doc_id order; a doc whose prefix
+    // sum crosses the boundary straddles into the next sequence, the
+    // standard approximation when documents are not split). Partitioning
+    // by `source` is the scale design: packing is inherently sequential,
+    // so the window runs per shard — thousands of independent shards pack
+    // in parallel and no global sort or single-partition window exists.
+    // All arithmetic is integral (`div`), so the bin id is engine-exact.
+    "ta_pack" -> ((s, dir) => {
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      load(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          expr(s"(cum - n_tokens) div $PackBudget").as("seq_id"))
+        .orderBy("doc_id")
     }))
 
   private def sqlHits(words: Seq[String]): String =
     s"CAST(len(list_filter(string_split(lower(text), ' '), t -> t IN (${words.map(w => s"'$w'").mkString(", ")}))) AS BIGINT)"
 
   val oracle: Map[String, String] = Map(
+    "ta_pack" ->
+      s"""SELECT doc_id, source, n_tokens,
+         |  (cum - n_tokens) // $PackBudget AS seq_id
+         |FROM (
+         |  SELECT doc_id, source,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |    sum(CAST(len(string_split(text, ' ')) AS BIGINT))
+         |      OVER (PARTITION BY source ORDER BY doc_id
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+
     "ta_token_count" ->
       s"""SELECT doc_id,
          |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,

@@ -342,4 +342,51 @@ class PipelineOpsSpec extends AnyFunSuite {
         .head().getString(0)
     assert(h(out) == h(operators.Embeddings.queries("emb_kmeans")(spark, dir)))
   }
+
+  test("ev_funnel: stage counts monotone non-increasing, steps complete") {
+    val out = operators.EventWindows.queries("ev_funnel")(spark, dir).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(out.map(_.getString(1)).toSeq == Seq("signup", "click", "purchase"))
+    val users = out.map(_.getLong(2))
+    assert(users.zip(users.tail).forall { case (a, b) => a >= b },
+      s"funnel widened: ${users.toSeq}")
+    // step 1 equals the direct per-user signup count
+    val signups = Tables.load(spark, dir, "events")
+      .where(col("event_type") === "signup")
+      .select(countDistinct(col("user_id"))).head().getLong(0)
+    assert(users.head == signups)
+  }
+
+  test("ev_cohort: offsets non-negative, week-0 users equal cohort size") {
+    val out = operators.EventWindows.queries("ev_cohort")(spark, dir)
+    assert(out.where(col("week_offset") < 0).count() == 0)
+    // every user is active in their own first week, so offset 0 carries the
+    // whole cohort
+    val cohortSizes = Tables.load(spark, dir, "events")
+      .groupBy("user_id").agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+      .groupBy("cohort_week").agg(count(lit(1)).as("n"))
+    val w0 = out.where(col("week_offset") === 0)
+      .select(col("cohort_week"), col("users"))
+    assert(w0.join(cohortSizes, "cohort_week")
+      .where(col("users") =!= col("n")).count() == 0)
+  }
+
+  test("ta_pack: per-source sequences are contiguous and under-filled only at straddle points") {
+    val out = operators.TextAnalysis.queries("ta_pack")(spark, dir)
+    // every doc assigned exactly once
+    val n = Tables.load(spark, dir, "documents").count()
+    assert(out.count() == n)
+    // seq_id is non-decreasing in doc_id within each source, starts at 0
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+    val stepped = out.withColumn("prev", lag(col("seq_id"), 1, 0).over(w))
+    assert(stepped.where(col("seq_id") < col("prev")).count() == 0)
+    assert(out.groupBy("source").agg(min(col("seq_id")).as("m"))
+      .where(col("m") =!= 0).count() == 0)
+    // a sequence's token total only exceeds the budget by its straddling
+    // final doc: total - last doc's tokens < budget
+    val perSeq = out.groupBy("source", "seq_id")
+      .agg(sum(col("n_tokens")).as("tot"), max(col("n_tokens")).as("mx"))
+    assert(perSeq.where(col("tot") - col("mx") >= 2048).count() == 0)
+  }
 }
