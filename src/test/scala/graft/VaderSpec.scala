@@ -124,7 +124,7 @@ class VaderSpec extends AnyFunSuite {
 
   test("round-4 lexicon batches: curated coverage goldens") {
     import graft.functions.VaderSentiment.Lexicon
-    assert(Lexicon.size == 4935, s"lexicon entry count drifted: ${Lexicon.size}")
+    assert(Lexicon.size == 4982, s"lexicon entry count drifted: ${Lexicon.size}")
     // exact pinned values for the batch's anchors
     assert(Lexicon("shit") == -2.6 && Lexicon("scam") == -2.2)
     assert(Lexicon("stellar") == 2.7 && Lexicon("blissful") == 2.9)
@@ -836,6 +836,19 @@ class VaderSpec extends AnyFunSuite {
     assert(label(compound("witnesses were intimidated, hounded and interrogated")) == "negative")
     assert(label(compound("a gladdened crowd hustled to the glamorized opening")) == "positive")
     assert(label(compound("the budget was gutted and the staff left incensed")) == "negative")
+  }
+
+  test("round-6 lexicon batch 51 (47 entries, k-o participles + base verbs): curated coverage goldens") {
+    import graft.functions.VaderSentiment.Lexicon
+    assert(Lexicon("loathed") == -2.5 && Lexicon("loathe") == -2.5)
+    assert(Lexicon("nourished") == 1.6 && Lexicon("nourish") == 1.6)
+    assert(Lexicon("massacred") == -3.1 && Lexicon("mastered") == 1.7)
+    // "outsmarted" (you got beaten) deliberately flips "outsmart" (you won)
+    assert(Lexicon("outsmart") == 0.9 && Lexicon("outsmarted") == -0.9)
+    assert(label(compound("she mastered the craft and was lionized for it")) == "positive")
+    assert(label(compound("tenants were overcharged, misled and marginalized")) == "negative")
+    assert(label(compound("a mended, nourished and motivated community")) == "positive")
+    assert(label(compound("critics lambasted the mortifying, muddled rollout")) == "negative")
   }
 
   test("lexicon entries never shadow booster words (modifier role wins)") {
