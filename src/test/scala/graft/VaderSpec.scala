@@ -124,7 +124,7 @@ class VaderSpec extends AnyFunSuite {
 
   test("round-4 lexicon batches: curated coverage goldens") {
     import graft.functions.VaderSentiment.Lexicon
-    assert(Lexicon.size == 4982, s"lexicon entry count drifted: ${Lexicon.size}")
+    assert(Lexicon.size == 5022, s"lexicon entry count drifted: ${Lexicon.size}")
     // exact pinned values for the batch's anchors
     assert(Lexicon("shit") == -2.6 && Lexicon("scam") == -2.2)
     assert(Lexicon("stellar") == 2.7 && Lexicon("blissful") == 2.9)
@@ -849,6 +849,18 @@ class VaderSpec extends AnyFunSuite {
     assert(label(compound("tenants were overcharged, misled and marginalized")) == "negative")
     assert(label(compound("a mended, nourished and motivated community")) == "positive")
     assert(label(compound("critics lambasted the mortifying, muddled rollout")) == "negative")
+  }
+
+  test("round-6 lexicon batch 52 (40 entries, p-s participles + base verbs): curated coverage goldens") {
+    import graft.functions.VaderSentiment.Lexicon
+    assert(Lexicon("perfected") == 2.7 && Lexicon("perfect") == 2.7)
+    assert(Lexicon("persecuted") == -2.4 && Lexicon("persecute") == -2.4)
+    assert(Lexicon("revered") == 2.0 && Lexicon("ridiculed") == -2.1)
+    assert(Lexicon("rehabilitated") == 1.6 && Lexicon("rehabilitate") == 1.6)
+    assert(label(compound("a revered mentor who perfected and purified the process")) == "positive")
+    assert(label(compound("the village was plundered, ravaged and scorched")) == "negative")
+    assert(label(compound("customers were reimbursed and felt refreshed and rejuvenated")) == "positive")
+    assert(label(compound("he was ridiculed, rebuked and scorned in public")) == "negative")
   }
 
   test("lexicon entries never shadow booster words (modifier role wins)") {
