@@ -124,7 +124,7 @@ class VaderSpec extends AnyFunSuite {
 
   test("round-4 lexicon batches: curated coverage goldens") {
     import graft.functions.VaderSentiment.Lexicon
-    assert(Lexicon.size == 5022, s"lexicon entry count drifted: ${Lexicon.size}")
+    assert(Lexicon.size == 5091, s"lexicon entry count drifted: ${Lexicon.size}")
     // exact pinned values for the batch's anchors
     assert(Lexicon("shit") == -2.6 && Lexicon("scam") == -2.2)
     assert(Lexicon("stellar") == 2.7 && Lexicon("blissful") == 2.9)
@@ -861,6 +861,19 @@ class VaderSpec extends AnyFunSuite {
     assert(label(compound("the village was plundered, ravaged and scorched")) == "negative")
     assert(label(compound("customers were reimbursed and felt refreshed and rejuvenated")) == "positive")
     assert(label(compound("he was ridiculed, rebuked and scorned in public")) == "negative")
+  }
+
+  test("round-6 lexicon batch 53 (69 entries, s-w participles + base verbs): curated coverage goldens") {
+    import graft.functions.VaderSentiment.Lexicon
+    assert(Lexicon("slaughtered") == -3.0 && Lexicon("slaughter") == -3.0)
+    assert(Lexicon("strengthened") == 1.6 && Lexicon("strengthen") == 1.6)
+    assert(Lexicon("terrorized") == -2.9 && Lexicon("soothed") == 1.7)
+    // "shamed" locks to "shame" (-2.1), not the unrelated noun "sham"
+    assert(Lexicon("shamed") == -2.1 && Lexicon("violated") == -2.1)
+    assert(label(compound("the team felt strengthened, unified and validated")) == "positive")
+    assert(label(compound("witnesses were terrorized, stalked and threatened")) == "negative")
+    assert(label(compound("a sheltered, soothed and treasured community")) == "positive")
+    assert(label(compound("their savings were squandered and their name sullied")) == "negative")
   }
 
   test("lexicon entries never shadow booster words (modifier role wins)") {
