@@ -170,6 +170,23 @@ object Relational2 {
         .orderBy("user_id")
     }),
 
+    // Bag-semantics set ops (INTERSECT ALL / EXCEPT ALL): multiplicity
+    // min/difference per key. Spark plans both as a single hash aggregate
+    // per side + join on the count columns — same one-shuffle shape as the
+    // distinct variants, so the 100 TB story is unchanged.
+    "s3_intersect_all" -> ((s, dir) => {
+      val ev = load(s, dir, "events")
+      ev.where(col("event_type") === "click").select("user_id")
+        .intersectAll(ev.where(col("event_type") === "view").select("user_id"))
+        .orderBy("user_id")
+    }),
+    "s4_except_all" -> ((s, dir) => {
+      val ev = load(s, dir, "events")
+      ev.where(col("event_type") === "click").select("user_id")
+        .exceptAll(ev.where(col("event_type") === "view").select("user_id"))
+        .orderBy("user_id")
+    }),
+
     // FULL OUTER join: low-key customers vs event users; coalesced key.
     "j6_full_outer" -> ((s, dir) => {
       val c = load(s, dir, "customer").where(col("c_custkey") < 200)
@@ -222,6 +239,25 @@ object Relational2 {
           .otherwise(col("idx").cast("double") / (col("n") - 1L).cast("double"))
           .as("prank"))
         .orderBy("c_custkey")
+    }),
+
+    // Value-navigation window functions (first/last/nth_value + cume_dist)
+    // per event_type partition — partitions are bounded by the type
+    // cardinality, never a single global window, so each sorts locally
+    // after one keyed shuffle. The frame is pinned to the full partition
+    // explicitly on both engines (the default moving frame would make
+    // last_value trivially equal the current row).
+    "w5_value_window" -> ((s, dir) => {
+      val ord = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      val full = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      load(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"),
+          first(col("value")).over(full).as("first_v"),
+          last(col("value")).over(full).as("last_v"),
+          nth_value(col("value"), 3).over(full).as("third_v"),
+          cume_dist().over(ord).as("cdist"))
+        .orderBy("event_id")
     }),
 
     // Exact interpolated median / quartiles per group.
@@ -552,6 +588,18 @@ object Relational2 {
         |SELECT user_id FROM events WHERE event_type = 'purchase'
         |ORDER BY user_id""".stripMargin,
 
+    "s3_intersect_all" ->
+      """SELECT user_id FROM events WHERE event_type = 'click'
+        |INTERSECT ALL
+        |SELECT user_id FROM events WHERE event_type = 'view'
+        |ORDER BY user_id""".stripMargin,
+
+    "s4_except_all" ->
+      """SELECT user_id FROM events WHERE event_type = 'click'
+        |EXCEPT ALL
+        |SELECT user_id FROM events WHERE event_type = 'view'
+        |ORDER BY user_id""".stripMargin,
+
     "j6_full_outer" ->
       """SELECT coalesce(c_custkey, user_id) AS id,
         |  CASE WHEN c_custkey IS NULL THEN 0 ELSE 1 END AS has_customer,
@@ -579,6 +627,18 @@ object Relational2 {
         |FROM customer
         |WINDOW w AS (ORDER BY c_acctbal DESC, c_custkey)
         |ORDER BY c_custkey""".stripMargin,
+
+    "w5_value_window" ->
+      """SELECT event_id, event_type, value,
+        |  first_value(value) OVER wf AS first_v,
+        |  last_value(value) OVER wf AS last_v,
+        |  nth_value(value, 3) OVER wf AS third_v,
+        |  cume_dist() OVER wo AS cdist
+        |FROM events
+        |WINDOW wo AS (PARTITION BY event_type ORDER BY ts, event_id),
+        |  wf AS (PARTITION BY event_type ORDER BY ts, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY event_id""".stripMargin,
 
     "a5_median_pct" ->
       """SELECT l_returnflag, median(l_quantity) AS med_qty,
