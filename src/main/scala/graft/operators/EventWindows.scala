@@ -68,6 +68,27 @@ object EventWindows {
         .unionAll(row(s3, 3, "purchase")).orderBy("step")
     }),
 
+    // 7-day rolling distinct active users (WAU) per observed day. Rolling
+    // COUNT(DISTINCT) has no window form on either engine, and a day-range
+    // join would plan as a nested loop — instead each distinct (user, day)
+    // pair fans out to the ≤7 future days it keeps the user "active" for
+    // (a fixed ×7 map-side explode), then one keyed agg counts distinct
+    // users per day. At 100 TB the distinct-pair frame is users×days —
+    // already tiny relative to raw events — and the only shuffles are the
+    // distinct and the final per-day agg; the observed-days semi-join that
+    // trims the phantom tail is a broadcast of a day list.
+    "ev_rolling_wau" -> ((s, dir) => {
+      val ud = load(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val days = ud.select(col("day").as("d")).distinct()
+      ud.select(col("user_id"), col("day"),
+          explode(sequence(lit(0), lit(6))).as("k"))
+        .select(col("user_id"), date_add(col("day"), col("k")).as("d"))
+        .join(broadcast(days), "d")
+        .groupBy("d").agg(count_distinct(col("user_id")).as("wau"))
+        .orderBy("d")
+    }),
+
     // Weekly cohort retention: cohort = ISO week of a user's first event;
     // `users` = distinct users from that cohort active k weeks later. Two
     // shuffles total (per-user min, then the small cohort×offset agg); the
@@ -139,6 +160,17 @@ object EventWindows {
         |UNION ALL
         |SELECT CAST(3 AS BIGINT), 'purchase', count(*) FROM s3
         |ORDER BY step""".stripMargin,
+
+    "ev_rolling_wau" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |days AS (SELECT DISTINCT day AS d FROM ud),
+        |fan AS (
+        |  SELECT user_id, day + CAST(k AS INT) AS d
+        |  FROM ud, (SELECT unnest(range(7)) AS k))
+        |SELECT f.d, count(DISTINCT f.user_id) AS wau
+        |FROM fan f JOIN days USING (d)
+        |GROUP BY f.d ORDER BY f.d""".stripMargin,
 
     "ev_cohort" ->
       """WITH cohort AS (

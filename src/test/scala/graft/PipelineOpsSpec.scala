@@ -371,6 +371,18 @@ class PipelineOpsSpec extends AnyFunSuite {
       .where(col("users") =!= col("n")).count() == 0)
   }
 
+  test("ev_rolling_wau: bounded by DAU below and total users above") {
+    val out = operators.EventWindows.queries("ev_rolling_wau")(spark, dir)
+    val ev = Tables.load(spark, dir, "events")
+    val dau = ev.select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      .groupBy("d").agg(countDistinct(col("user_id")).as("dau"))
+    assert(out.join(dau, "d").where(col("wau") < col("dau")).count() == 0)
+    val totalUsers = ev.select(countDistinct(col("user_id"))).head().getLong(0)
+    assert(out.where(col("wau") > totalUsers).count() == 0)
+    // one row per observed day
+    assert(out.count() == dau.count())
+  }
+
   test("ta_pack: per-source sequences are contiguous and under-filled only at straddle points") {
     val out = operators.TextAnalysis.queries("ta_pack")(spark, dir)
     // every doc assigned exactly once
