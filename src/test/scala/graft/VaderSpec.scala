@@ -124,7 +124,7 @@ class VaderSpec extends AnyFunSuite {
 
   test("round-4 lexicon batches: curated coverage goldens") {
     import graft.functions.VaderSentiment.Lexicon
-    assert(Lexicon.size == 5091, s"lexicon entry count drifted: ${Lexicon.size}")
+    assert(Lexicon.size == 5456, s"lexicon entry count drifted: ${Lexicon.size}")
     // exact pinned values for the batch's anchors
     assert(Lexicon("shit") == -2.6 && Lexicon("scam") == -2.2)
     assert(Lexicon("stellar") == 2.7 && Lexicon("blissful") == 2.9)
@@ -874,6 +874,23 @@ class VaderSpec extends AnyFunSuite {
     assert(label(compound("witnesses were terrorized, stalked and threatened")) == "negative")
     assert(label(compound("a sheltered, soothed and treasured community")) == "positive")
     assert(label(compound("their savings were squandered and their name sullied")) == "negative")
+  }
+
+  test("round-6 lexicon batch 54 (365 entries, -ing gerunds value-locked to their verb bases): curated coverage goldens") {
+    import graft.functions.VaderSentiment.Lexicon
+    assert(Lexicon("betraying") == -2.8 && Lexicon("betray") == -2.8)
+    assert(Lexicon("praising") == 2.4 && Lexicon("praise") == 2.4)
+    assert(Lexicon("torturing") == -3.1 && Lexicon("rescuing") == 1.9)
+    // ambiguous derivations resolve to the verb: scare (not scar), shame (not sham)
+    assert(Lexicon("scaring") == -2.2 && Lexicon("shaming") == -2.1)
+    // garbage derivations were excluded, not generated blindly
+    assert(!Lexicon.contains("diing") && !Lexicon.contains("talenting"))
+    // "dashing" (the positive adjective) must not inherit dash's negative value
+    assert(!Lexicon.contains("dashing"))
+    assert(label(compound("mentoring, uplifting and strengthening the whole team")) == "positive")
+    assert(label(compound("they kept harassing, taunting and ridiculing him")) == "negative")
+    assert(label(compound("a relaxing, invigorating and rejuvenating retreat")) == "positive")
+    assert(label(compound("stop sabotaging, undermining and demoralizing the crew")) == "negative")
   }
 
   test("lexicon entries never shadow booster words (modifier role wins)") {
