@@ -124,7 +124,7 @@ class VaderSpec extends AnyFunSuite {
 
   test("round-4 lexicon batches: curated coverage goldens") {
     import graft.functions.VaderSentiment.Lexicon
-    assert(Lexicon.size == 5456, s"lexicon entry count drifted: ${Lexicon.size}")
+    assert(Lexicon.size == 5753, s"lexicon entry count drifted: ${Lexicon.size}")
     // exact pinned values for the batch's anchors
     assert(Lexicon("shit") == -2.6 && Lexicon("scam") == -2.2)
     assert(Lexicon("stellar") == 2.7 && Lexicon("blissful") == 2.9)
@@ -891,6 +891,19 @@ class VaderSpec extends AnyFunSuite {
     assert(label(compound("they kept harassing, taunting and ridiculing him")) == "negative")
     assert(label(compound("a relaxing, invigorating and rejuvenating retreat")) == "positive")
     assert(label(compound("stop sabotaging, undermining and demoralizing the crew")) == "negative")
+  }
+
+  test("round-6 lexicon batch 55 (297 entries, third-person -s forms locked to verb bases): curated coverage goldens") {
+    import graft.functions.VaderSentiment.Lexicon
+    assert(Lexicon("inspires") == 2.3 && Lexicon("inspire") == 2.3)
+    assert(Lexicon("murders") == -3.2 && Lexicon("murder") == -3.2)
+    assert(Lexicon("nurtures") == 1.6 && Lexicon("terrorises") == -2.8)
+    // ambiguous plurals were excluded ("contents", "fines", "dashes")
+    assert(!Lexicon.contains("contents") && !Lexicon.contains("fines"))
+    assert(label(compound("she inspires, mentors and empowers her students")) == "positive")
+    assert(label(compound("he taunts, belittles and torments his rivals")) == "negative")
+    assert(label(compound("the spa relaxes, rejuvenates and revitalizes guests")) == "positive")
+    assert(label(compound("the scheme defrauds, swindles and shortchanges investors")) == "negative")
   }
 
   test("lexicon entries never shadow booster words (modifier role wins)") {
