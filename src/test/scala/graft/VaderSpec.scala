@@ -124,7 +124,7 @@ class VaderSpec extends AnyFunSuite {
 
   test("round-4 lexicon batches: curated coverage goldens") {
     import graft.functions.VaderSentiment.Lexicon
-    assert(Lexicon.size == 5753, s"lexicon entry count drifted: ${Lexicon.size}")
+    assert(Lexicon.size == 5789, s"lexicon entry count drifted: ${Lexicon.size}")
     // exact pinned values for the batch's anchors
     assert(Lexicon("shit") == -2.6 && Lexicon("scam") == -2.2)
     assert(Lexicon("stellar") == 2.7 && Lexicon("blissful") == 2.9)
@@ -904,6 +904,18 @@ class VaderSpec extends AnyFunSuite {
     assert(label(compound("he taunts, belittles and torments his rivals")) == "negative")
     assert(label(compound("the spa relaxes, rejuvenates and revitalizes guests")) == "positive")
     assert(label(compound("the scheme defrauds, swindles and shortchanges investors")) == "negative")
+  }
+
+  test("round-6 lexicon batch 56 (36 entries, irregular pasts + doubled-consonant forms): curated coverage goldens") {
+    import graft.functions.VaderSentiment.Lexicon
+    assert(Lexicon("won") == 2.8 && Lexicon("win") == 2.8)
+    assert(Lexicon("stole") == -2.2 && Lexicon("stolen") == -2.2)
+    assert(Lexicon("stabbing") == -2.5 && Lexicon("scamming") == -2.2)
+    assert(Lexicon("forbade") == -1.5 && Lexicon("forbidden") == -1.5)
+    assert(label(compound("she won the case and was reassured and calmed")) == "positive")
+    assert(label(compound("thieves stole the payroll and fled")) == "negative")
+    assert(label(compound("the garden sparkled while the town throve")) == "positive")
+    assert(label(compound("he wept, mourned and struggled alone")) == "negative")
   }
 
   test("lexicon entries never shadow booster words (modifier role wins)") {
