@@ -203,7 +203,15 @@ class ScaleDesignSpec extends AnyFunSuite {
       "skew_distinct_2phase" -> 3, // two keyed aggs + sort (the design itself)
       "dd_substring" -> 4, // positional join + islands windows
       "dd_minhash_lsh" -> 5, // signature agg + band buckets + verify join
-      "ta_keywords" -> 6) // tf agg + df agg + join + per-doc rank window
+      "ta_keywords" -> 6, // tf agg + df agg + join + per-doc rank window
+      // round-6 wave (measured AQE-off; AQE shrinks the join sides at runtime)
+      "ta_pack" -> 2, // per-source window + oracle sort
+      "w5_value_window" -> 2, // one keyed window + oracle sort
+      "s3_intersect_all" -> 2, // hash agg per side, shared exchange + sort
+      "s4_except_all" -> 2,
+      "ev_cohort" -> 5, // per-user agg + distinct + broadcast join + final agg + sort
+      "ev_rolling_wau" -> 5, // distinct pairs + fan-out agg + broadcast day trim + sort
+      "ev_funnel" -> 7) // 3 stage aggs + 2 user_id SMJ joins (AQE broadcasts small stages)
     val aqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
