@@ -124,7 +124,7 @@ class VaderSpec extends AnyFunSuite {
 
   test("round-4 lexicon batches: curated coverage goldens") {
     import graft.functions.VaderSentiment.Lexicon
-    assert(Lexicon.size == 5789, s"lexicon entry count drifted: ${Lexicon.size}")
+    assert(Lexicon.size == 5850, s"lexicon entry count drifted: ${Lexicon.size}")
     // exact pinned values for the batch's anchors
     assert(Lexicon("shit") == -2.6 && Lexicon("scam") == -2.2)
     assert(Lexicon("stellar") == 2.7 && Lexicon("blissful") == 2.9)
@@ -916,6 +916,19 @@ class VaderSpec extends AnyFunSuite {
     assert(label(compound("thieves stole the payroll and fled")) == "negative")
     assert(label(compound("the garden sparkled while the town throve")) == "positive")
     assert(label(compound("he wept, mourned and struggled alone")) == "negative")
+  }
+
+  test("round-6 lexicon batch 57 (61 entries, agent nouns hand-curated from verb bases): curated coverage goldens") {
+    import graft.functions.VaderSentiment.Lexicon
+    assert(Lexicon("abuser") == -3.2 && Lexicon("abuse") == -3.2)
+    assert(Lexicon("inspirer") == 2.3 && Lexicon("torturer") == -3.1)
+    // -ate verbs take -ator, never the mechanical -er ("manipulater")
+    assert(Lexicon("manipulator") == -1.5 && !Lexicon.contains("manipulater"))
+    assert(Lexicon("motivator") == 1.7 && !Lexicon.contains("treasurer"))
+    assert(label(compound("a great motivator, encourager and nurturer of talent")) == "positive")
+    assert(label(compound("every harasser and blackmailer was banned from the forum")) == "negative")
+    assert(label(compound("an entertainer and charmer adored by the crowd")) == "positive")
+    assert(label(compound("the manipulator turned out to be a fraudster and a thief")) == "negative")
   }
 
   test("lexicon entries never shadow booster words (modifier role wins)") {
