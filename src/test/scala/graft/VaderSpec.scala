@@ -124,7 +124,7 @@ class VaderSpec extends AnyFunSuite {
 
   test("round-4 lexicon batches: curated coverage goldens") {
     import graft.functions.VaderSentiment.Lexicon
-    assert(Lexicon.size == 5850, s"lexicon entry count drifted: ${Lexicon.size}")
+    assert(Lexicon.size == 5898, s"lexicon entry count drifted: ${Lexicon.size}")
     // exact pinned values for the batch's anchors
     assert(Lexicon("shit") == -2.6 && Lexicon("scam") == -2.2)
     assert(Lexicon("stellar") == 2.7 && Lexicon("blissful") == 2.9)
@@ -929,6 +929,17 @@ class VaderSpec extends AnyFunSuite {
     assert(label(compound("every harasser and blackmailer was banned from the forum")) == "negative")
     assert(label(compound("an entertainer and charmer adored by the crowd")) == "positive")
     assert(label(compound("the manipulator turned out to be a fraudster and a thief")) == "negative")
+  }
+
+  test("round-6 lexicon batch 58 (48 entries, internet register 3: platform-abuse vocabulary): curated coverage goldens") {
+    import graft.functions.VaderSentiment.Lexicon
+    assert(Lexicon("gaslighting") == -2.2 && Lexicon("doxxing") == -2.4)
+    assert(Lexicon("banger") == 1.8 && Lexicon("bff") == 2.4)
+    assert(Lexicon("brigading") == -1.8 && Lexicon("wack") == -1.7)
+    assert(label(compound("my bff dropped an absolute banger, so pumped")) == "positive")
+    assert(label(compound("they kept gaslighting, doxxing and brigading users")) == "negative")
+    assert(label(compound("luv this based and cracked team")) == "positive")
+    assert(label(compound("the launch was mid and the forum got spammed by griefers")) == "negative")
   }
 
   test("lexicon entries never shadow booster words (modifier role wins)") {
