@@ -124,7 +124,7 @@ class VaderSpec extends AnyFunSuite {
 
   test("round-4 lexicon batches: curated coverage goldens") {
     import graft.functions.VaderSentiment.Lexicon
-    assert(Lexicon.size == 5898, s"lexicon entry count drifted: ${Lexicon.size}")
+    assert(Lexicon.size == 5926, s"lexicon entry count drifted: ${Lexicon.size}")
     // exact pinned values for the batch's anchors
     assert(Lexicon("shit") == -2.6 && Lexicon("scam") == -2.2)
     assert(Lexicon("stellar") == 2.7 && Lexicon("blissful") == 2.9)
@@ -940,6 +940,17 @@ class VaderSpec extends AnyFunSuite {
     assert(label(compound("they kept gaslighting, doxxing and brigading users")) == "negative")
     assert(label(compound("luv this based and cracked team")) == "positive")
     assert(label(compound("the launch was mid and the forum got spammed by griefers")) == "negative")
+  }
+
+  test("round-6 lexicon batch 59 (28 entries, -ment/-tion abstract nouns + vitality register): curated coverage goldens") {
+    import graft.functions.VaderSentiment.Lexicon
+    assert(Lexicon("disappointment") == -2.2 && Lexicon("satisfaction") == 1.9)
+    assert(Lexicon("enlightenment") == 1.9 && Lexicon("imprisonment") == -2.1)
+    assert(Lexicon("accomplishment") == 1.8 && Lexicon("boredom") == -1.3)
+    assert(label(compound("a sense of satisfaction and accomplishment in her work")) == "positive")
+    assert(label(compound("years of disappointment, boredom and disillusionment")) == "negative")
+    assert(label(compound("the retreat restored his vigor, wellness and vitality")) == "positive")
+    assert(label(compound("the verdict meant banishment and imprisonment")) == "negative")
   }
 
   test("lexicon entries never shadow booster words (modifier role wins)") {
