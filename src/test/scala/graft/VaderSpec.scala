@@ -124,7 +124,7 @@ class VaderSpec extends AnyFunSuite {
 
   test("round-4 lexicon batches: curated coverage goldens") {
     import graft.functions.VaderSentiment.Lexicon
-    assert(Lexicon.size == 5926, s"lexicon entry count drifted: ${Lexicon.size}")
+    assert(Lexicon.size == 6017, s"lexicon entry count drifted: ${Lexicon.size}")
     // exact pinned values for the batch's anchors
     assert(Lexicon("shit") == -2.6 && Lexicon("scam") == -2.2)
     assert(Lexicon("stellar") == 2.7 && Lexicon("blissful") == 2.9)
@@ -951,6 +951,18 @@ class VaderSpec extends AnyFunSuite {
     assert(label(compound("years of disappointment, boredom and disillusionment")) == "negative")
     assert(label(compound("the retreat restored his vigor, wellness and vitality")) == "positive")
     assert(label(compound("the verdict meant banishment and imprisonment")) == "negative")
+  }
+
+  test("round-6 lexicon batch 60 (91 entries, everyday low-intensity adjectives): curated coverage goldens") {
+    import graft.functions.VaderSentiment.Lexicon
+    assert(Lexicon("foul") == -2.2 && Lexicon("trusty") == 1.7)
+    assert(Lexicon("peachy") == 1.9 && Lexicon("vapid") == -1.5)
+    // deliberately low-magnitude: everyday words carry mild valence
+    assert(math.abs(Lexicon("mild")) < 1.0 && math.abs(Lexicon("subtle")) < 1.0)
+    assert(label(compound("a trusty, spotless and thorough mechanic")) == "positive")
+    assert(label(compound("the room was moldy, icky and unkempt")) == "negative")
+    assert(label(compound("everything is just peachy and dandy here")) == "positive")
+    assert(label(compound("a trite, vapid and humdrum sequel")) == "negative")
   }
 
   test("lexicon entries never shadow booster words (modifier role wins)") {
