@@ -124,7 +124,7 @@ class VaderSpec extends AnyFunSuite {
 
   test("round-4 lexicon batches: curated coverage goldens") {
     import graft.functions.VaderSentiment.Lexicon
-    assert(Lexicon.size == 6017, s"lexicon entry count drifted: ${Lexicon.size}")
+    assert(Lexicon.size == 6330, s"lexicon entry count drifted: ${Lexicon.size}")
     // exact pinned values for the batch's anchors
     assert(Lexicon("shit") == -2.6 && Lexicon("scam") == -2.2)
     assert(Lexicon("stellar") == 2.7 && Lexicon("blissful") == 2.9)
@@ -963,6 +963,21 @@ class VaderSpec extends AnyFunSuite {
     assert(label(compound("the room was moldy, icky and unkempt")) == "negative")
     assert(label(compound("everything is just peachy and dandy here")) == "positive")
     assert(label(compound("a trite, vapid and humdrum sequel")) == "negative")
+  }
+
+  test("round-6 lexicon batch 61 (313 entries, derivational-noun plurals locked to their singulars): curated coverage goldens") {
+    import graft.functions.VaderSentiment.Lexicon
+    assert(Lexicon("jubilations") == Lexicon("jubilation"))
+    assert(Lexicon("accomplishments") == Lexicon("accomplishment"))
+    assert(Lexicon("temptations") == Lexicon("temptation"))
+    assert(Lexicon("victimizations") == Lexicon("victimization"))
+    // awkward or sense-shifting plurals were excluded, not mass-generated
+    assert(!Lexicon.contains("patiences") && !Lexicon.contains("securities"))
+    assert(!Lexicon.contains("humanities") && !Lexicon.contains("vehements"))
+    assert(label(compound("great accomplishments and inspirations all around")) == "positive")
+    assert(label(compound("endless frustrations, humiliations and betrayals")) == "negative")
+    assert(label(compound("the celebrations brought jubilations and felicities")) == "positive")
+    assert(label(compound("wars bring atrocities, deprivations and desolations")) == "negative")
   }
 
   test("lexicon entries never shadow booster words (modifier role wins)") {
