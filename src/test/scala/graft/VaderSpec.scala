@@ -124,7 +124,7 @@ class VaderSpec extends AnyFunSuite {
 
   test("round-4 lexicon batches: curated coverage goldens") {
     import graft.functions.VaderSentiment.Lexicon
-    assert(Lexicon.size == 6330, s"lexicon entry count drifted: ${Lexicon.size}")
+    assert(Lexicon.size == 6804, s"lexicon entry count drifted: ${Lexicon.size}")
     // exact pinned values for the batch's anchors
     assert(Lexicon("shit") == -2.6 && Lexicon("scam") == -2.2)
     assert(Lexicon("stellar") == 2.7 && Lexicon("blissful") == 2.9)
@@ -978,6 +978,25 @@ class VaderSpec extends AnyFunSuite {
     assert(label(compound("endless frustrations, humiliations and betrayals")) == "negative")
     assert(label(compound("the celebrations brought jubilations and felicities")) == "positive")
     assert(label(compound("wars bring atrocities, deprivations and desolations")) == "negative")
+  }
+
+  test("round-6 lexicon batch 62 (480 entries, suffix-derived -ly adverbs locked to adjective bases): curated coverage goldens") {
+    import graft.functions.VaderSentiment.Lexicon
+    assert(Lexicon("flawlessly") == Lexicon("flawless"))
+    assert(Lexicon("heinously") == Lexicon("heinous"))
+    assert(Lexicon("admirably") == Lexicon("admirable"))
+    assert(Lexicon("deceitfully") == Lexicon("deceitful"))
+    // non-words and wrong derivations stayed out
+    assert(!Lexicon.contains("unably") && !Lexicon.contains("sycophantly"))
+    assert(!Lexicon.contains("abandonmently") && !Lexicon.contains("strively"))
+    // booster-role adverbs stay OUT of the lexicon (modifier role wins):
+    // an entry would silently kill "incredibly uplifting"-style boosts
+    assert(!Lexicon.contains("incredibly") && !Lexicon.contains("remarkably"))
+    assert(!Lexicon.contains("fabulously") && !Lexicon.contains("tremendously"))
+    assert(label(compound("the team executed flawlessly and collaborated wonderfully")) == "positive")
+    assert(label(compound("they acted heinously, deceitfully and shamelessly")) == "negative")
+    assert(label(compound("a remarkably and admirably generous offer")) == "positive")
+    assert(label(compound("the funds were ruinously and unlawfully diverted")) == "negative")
   }
 
   test("lexicon entries never shadow booster words (modifier role wins)") {
