@@ -124,7 +124,7 @@ class VaderSpec extends AnyFunSuite {
 
   test("round-4 lexicon batches: curated coverage goldens") {
     import graft.functions.VaderSentiment.Lexicon
-    assert(Lexicon.size == 6804, s"lexicon entry count drifted: ${Lexicon.size}")
+    assert(Lexicon.size == 6851, s"lexicon entry count drifted: ${Lexicon.size}")
     // exact pinned values for the batch's anchors
     assert(Lexicon("shit") == -2.6 && Lexicon("scam") == -2.2)
     assert(Lexicon("stellar") == 2.7 && Lexicon("blissful") == 2.9)
@@ -997,6 +997,18 @@ class VaderSpec extends AnyFunSuite {
     assert(label(compound("they acted heinously, deceitfully and shamelessly")) == "negative")
     assert(label(compound("a remarkably and admirably generous offer")) == "positive")
     assert(label(compound("the funds were ruinously and unlawfully diverted")) == "negative")
+  }
+
+  test("round-6 lexicon batch 63 (47 entries, -ier/-iest/-iness forms of -y adjectives): curated coverage goldens") {
+    import graft.functions.VaderSentiment.Lexicon
+    assert(Lexicon("filthiest") == Lexicon("filthy"))
+    assert(Lexicon("liveliest") == Lexicon("lively"))
+    assert(Lexicon("sleazier") == Lexicon("sleazy"))
+    assert(Lexicon("clumsiness") == Lexicon("clumsy"))
+    assert(label(compound("the liveliest and heartiest crowd of the tour")) == "positive")
+    assert(label(compound("the filthiest, sleaziest scam yet")) == "negative")
+    assert(label(compound("tidier code and a livelier team")) == "positive")
+    assert(label(compound("he grew unhappier, lonelier and wearier")) == "negative")
   }
 
   test("lexicon entries never shadow booster words (modifier role wins)") {
