@@ -124,7 +124,7 @@ class VaderSpec extends AnyFunSuite {
 
   test("round-4 lexicon batches: curated coverage goldens") {
     import graft.functions.VaderSentiment.Lexicon
-    assert(Lexicon.size == 6851, s"lexicon entry count drifted: ${Lexicon.size}")
+    assert(Lexicon.size == 6915, s"lexicon entry count drifted: ${Lexicon.size}")
     // exact pinned values for the batch's anchors
     assert(Lexicon("shit") == -2.6 && Lexicon("scam") == -2.2)
     assert(Lexicon("stellar") == 2.7 && Lexicon("blissful") == 2.9)
@@ -1009,6 +1009,17 @@ class VaderSpec extends AnyFunSuite {
     assert(label(compound("the filthiest, sleaziest scam yet")) == "negative")
     assert(label(compound("tidier code and a livelier team")) == "positive")
     assert(label(compound("he grew unhappier, lonelier and wearier")) == "negative")
+  }
+
+  test("round-6 lexicon batch 64 (64 entries, medical/disaster/legal registers): curated coverage goldens") {
+    import graft.functions.VaderSentiment.Lexicon
+    assert(Lexicon("kidnapping") == -2.8 && Lexicon("hostage") == -2.5)
+    assert(Lexicon("pneumonia") == -2.0 && Lexicon("ceasefire") == 1.3)
+    assert(Lexicon("peacekeeping") == 1.5 && Lexicon("eviction") == -2.1)
+    assert(label(compound("the ceasefire held and the truce became a treaty")) == "positive")
+    assert(label(compound("an outbreak of cholera, malaria and typhoid")) == "negative")
+    assert(label(compound("she won the lottery and inherited a cherished heirloom")) == "positive")
+    assert(label(compound("the standoff ended in a shootout and a manhunt")) == "negative")
   }
 
   test("lexicon entries never shadow booster words (modifier role wins)") {
