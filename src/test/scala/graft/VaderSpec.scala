@@ -124,7 +124,7 @@ class VaderSpec extends AnyFunSuite {
 
   test("round-4 lexicon batches: curated coverage goldens") {
     import graft.functions.VaderSentiment.Lexicon
-    assert(Lexicon.size == 6915, s"lexicon entry count drifted: ${Lexicon.size}")
+    assert(Lexicon.size == 6961, s"lexicon entry count drifted: ${Lexicon.size}")
     // exact pinned values for the batch's anchors
     assert(Lexicon("shit") == -2.6 && Lexicon("scam") == -2.2)
     assert(Lexicon("stellar") == 2.7 && Lexicon("blissful") == 2.9)
@@ -1020,6 +1020,19 @@ class VaderSpec extends AnyFunSuite {
     assert(label(compound("an outbreak of cholera, malaria and typhoid")) == "negative")
     assert(label(compound("she won the lottery and inherited a cherished heirloom")) == "positive")
     assert(label(compound("the standoff ended in a shootout and a manhunt")) == "negative")
+  }
+
+  test("round-6 lexicon batch 65 (46 entries, role nouns and praise/insult registers): curated coverage goldens") {
+    import graft.functions.VaderSentiment.Lexicon
+    assert(Lexicon("saint") == 2.1 && Lexicon("fiend") == -2.0)
+    assert(Lexicon("travesty") == -2.2 && Lexicon("paragon") == 1.9)
+    assert(Lexicon("deadbeat") == -1.9 && Lexicon("luminary") == 1.8)
+    // literal-use animal words were deliberately excluded
+    assert(!Lexicon.contains("wolf") && !Lexicon.contains("pig"))
+    assert(label(compound("a gem of a mentor, a true maestro and luminary")) == "positive")
+    assert(label(compound("the deal was a travesty run by grifters and racketeers")) == "negative")
+    assert(label(compound("she is a wizard with data and a paragon of patience")) == "positive")
+    assert(label(compound("a ramshackle, fetid flat run by a deadbeat landlord")) == "negative")
   }
 
   test("lexicon entries never shadow booster words (modifier role wins)") {
