@@ -124,7 +124,7 @@ class VaderSpec extends AnyFunSuite {
 
   test("round-4 lexicon batches: curated coverage goldens") {
     import graft.functions.VaderSentiment.Lexicon
-    assert(Lexicon.size == 6961, s"lexicon entry count drifted: ${Lexicon.size}")
+    assert(Lexicon.size == 7058, s"lexicon entry count drifted: ${Lexicon.size}")
     // exact pinned values for the batch's anchors
     assert(Lexicon("shit") == -2.6 && Lexicon("scam") == -2.2)
     assert(Lexicon("stellar") == 2.7 && Lexicon("blissful") == 2.9)
@@ -1033,6 +1033,20 @@ class VaderSpec extends AnyFunSuite {
     assert(label(compound("the deal was a travesty run by grifters and racketeers")) == "negative")
     assert(label(compound("she is a wizard with data and a paragon of patience")) == "positive")
     assert(label(compound("a ramshackle, fetid flat run by a deadbeat landlord")) == "negative")
+  }
+
+  test("round-6 lexicon batch 66 (94 entries, agent-noun plurals locked to their singulars): curated coverage goldens") {
+    import graft.functions.VaderSentiment.Lexicon
+    assert(Lexicon("harassers") == Lexicon("harasser"))
+    assert(Lexicon("inspirers") == Lexicon("inspirer"))
+    assert(Lexicon("terrorists") == Lexicon("terrorist"))
+    assert(Lexicon("racketeers") == Lexicon("racketeer"))
+    // comparatives never masquerade as agent plurals
+    assert(!Lexicon.contains("happiers") && !Lexicon.contains("angriers"))
+    assert(label(compound("a community of healers, encouragers and motivators")) == "positive")
+    assert(label(compound("the ring of swindlers, extorters and blackmailers")) == "negative")
+    assert(label(compound("supporters and defenders rallied to the rescuers")) == "positive")
+    assert(label(compound("stalkers and harassers plagued the forum")) == "negative")
   }
 
   test("lexicon entries never shadow booster words (modifier role wins)") {
