@@ -124,7 +124,7 @@ class VaderSpec extends AnyFunSuite {
 
   test("round-4 lexicon batches: curated coverage goldens") {
     import graft.functions.VaderSentiment.Lexicon
-    assert(Lexicon.size == 7058, s"lexicon entry count drifted: ${Lexicon.size}")
+    assert(Lexicon.size == 7121, s"lexicon entry count drifted: ${Lexicon.size}")
     // exact pinned values for the batch's anchors
     assert(Lexicon("shit") == -2.6 && Lexicon("scam") == -2.2)
     assert(Lexicon("stellar") == 2.7 && Lexicon("blissful") == 2.9)
@@ -1047,6 +1047,18 @@ class VaderSpec extends AnyFunSuite {
     assert(label(compound("the ring of swindlers, extorters and blackmailers")) == "negative")
     assert(label(compound("supporters and defenders rallied to the rescuers")) == "positive")
     assert(label(compound("stalkers and harassers plagued the forum")) == "negative")
+  }
+
+  test("round-6 lexicon batch 67 (63 entries, emotion-expression verbs): curated coverage goldens") {
+    import graft.functions.VaderSentiment.Lexicon
+    assert(Lexicon("giggle") == 1.7 && Lexicon("giggling") == 1.7)
+    assert(Lexicon("sneer") == -1.7 && Lexicon("sneering") == -1.7)
+    assert(Lexicon("exult") == 2.2 && Lexicon("jubilate") == 2.6)
+    assert(Lexicon("frolic") == 1.7 && Lexicon("grovel") == -1.5)
+    assert(label(compound("the kids giggled and frolicked in the garden")) == "positive")
+    assert(label(compound("he scowled, sneered and fumed through the meeting")) == "negative")
+    assert(label(compound("fans exulted and reveled in the victory")) == "positive")
+    assert(label(compound("she trembled and shuddered at the snarling dog")) == "negative")
   }
 
   test("lexicon entries never shadow booster words (modifier role wins)") {
