@@ -124,7 +124,7 @@ class VaderSpec extends AnyFunSuite {
 
   test("round-4 lexicon batches: curated coverage goldens") {
     import graft.functions.VaderSentiment.Lexicon
-    assert(Lexicon.size == 7121, s"lexicon entry count drifted: ${Lexicon.size}")
+    assert(Lexicon.size == 7235, s"lexicon entry count drifted: ${Lexicon.size}")
     // exact pinned values for the batch's anchors
     assert(Lexicon("shit") == -2.6 && Lexicon("scam") == -2.2)
     assert(Lexicon("stellar") == 2.7 && Lexicon("blissful") == 2.9)
@@ -1059,6 +1059,19 @@ class VaderSpec extends AnyFunSuite {
     assert(label(compound("he scowled, sneered and fumed through the meeting")) == "negative")
     assert(label(compound("fans exulted and reveled in the victory")) == "positive")
     assert(label(compound("she trembled and shuddered at the snarling dog")) == "negative")
+  }
+
+  test("round-6 lexicon batch 68 (114 entries, inflections of the emotion verbs): curated coverage goldens") {
+    import graft.functions.VaderSentiment.Lexicon
+    assert(Lexicon("frolicked") == Lexicon("frolic"))
+    assert(Lexicon("shuddered") == Lexicon("shudder"))
+    assert(Lexicon("snarling") == Lexicon("snarl"))
+    // consonant-doubling and c→ck handled, not mechanical suffixing
+    assert(Lexicon("snubbing") == Lexicon("snub") && !Lexicon.contains("frolicing"))
+    assert(label(compound("they frolicked, giggled and swooned all afternoon")) == "positive")
+    assert(label(compound("he groveled, moaned and sniveled for forgiveness")) == "negative")
+    assert(label(compound("the critics gushed and exulted over the premiere")) == "positive")
+    assert(label(compound("commuters scowled, fretted and grumbled in the delay")) == "negative")
   }
 
   test("lexicon entries never shadow booster words (modifier role wins)") {
