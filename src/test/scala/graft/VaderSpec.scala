@@ -124,7 +124,7 @@ class VaderSpec extends AnyFunSuite {
 
   test("round-4 lexicon batches: curated coverage goldens") {
     import graft.functions.VaderSentiment.Lexicon
-    assert(Lexicon.size == 7235, s"lexicon entry count drifted: ${Lexicon.size}")
+    assert(Lexicon.size == 7265, s"lexicon entry count drifted: ${Lexicon.size}")
     // exact pinned values for the batch's anchors
     assert(Lexicon("shit") == -2.6 && Lexicon("scam") == -2.2)
     assert(Lexicon("stellar") == 2.7 && Lexicon("blissful") == 2.9)
@@ -1072,6 +1072,17 @@ class VaderSpec extends AnyFunSuite {
     assert(label(compound("he groveled, moaned and sniveled for forgiveness")) == "negative")
     assert(label(compound("the critics gushed and exulted over the premiere")) == "positive")
     assert(label(compound("commuters scowled, fretted and grumbled in the delay")) == "negative")
+  }
+
+  test("round-6 lexicon batch 69 (30 entries, food/weather/commerce registers): curated coverage goldens") {
+    import graft.functions.VaderSentiment.Lexicon
+    assert(Lexicon("delish") == 2.2 && Lexicon("curdled") == -1.5)
+    assert(Lexicon("unspoiled") == 1.6 && Lexicon("sweltering") == -1.4)
+    assert(Lexicon("freebie") == 1.5 && Lexicon("scalping") == -1.8)
+    assert(label(compound("a delish, buttery and crunchy pastry")) == "positive")
+    assert(label(compound("a muggy, sweltering and torrential afternoon")) == "negative")
+    assert(label(compound("an unspoiled coastline with glistening water")) == "positive")
+    assert(label(compound("the curdled milk smelled dank and the kitchen was untidy")) == "negative")
   }
 
   test("lexicon entries never shadow booster words (modifier role wins)") {
