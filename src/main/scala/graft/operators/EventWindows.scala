@@ -90,10 +90,12 @@ object EventWindows {
     }),
 
     // Weekly cohort retention: cohort = ISO week of a user's first event;
-    // `users` = distinct users from that cohort active k weeks later. Two
-    // shuffles total (per-user min, then the small cohort×offset agg); the
-    // per-user cohort frame is broadcast-joined back onto the distinct
-    // (user, week) activity pairs. Week arithmetic stays integral (both
+    // `users` = distinct users from that cohort active k weeks later. The
+    // cohort frame is one row PER USER — at 100 TB that is billions of
+    // rows, so it joins back onto the distinct (user, week) activity pairs
+    // as a keyed equi-join on user_id (both sides hash-partition on the
+    // same key; AQE may still broadcast when the user count is actually
+    // small), never a broadcast hint. Week arithmetic stays integral (both
     // sides truncate to Monday 00:00, so the day diff is an exact multiple
     // of 7) — no double rounding to drift between engines.
     "ev_cohort" -> ((s, dir) => {
@@ -103,7 +105,7 @@ object EventWindows {
       val active = ev
         .select(col("user_id"), date_trunc("week", col("ts")).as("act_week"))
         .distinct()
-      active.join(broadcast(cohort), "user_id")
+      active.join(cohort, "user_id")
         .select(col("cohort_week"),
           expr("datediff(act_week, cohort_week) div 7").cast("long").as("week_offset"),
           col("user_id"))

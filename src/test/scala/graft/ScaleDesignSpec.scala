@@ -209,7 +209,7 @@ class ScaleDesignSpec extends AnyFunSuite {
       "w5_value_window" -> 2, // one keyed window + oracle sort
       "s3_intersect_all" -> 2, // hash agg per side, shared exchange + sort
       "s4_except_all" -> 2,
-      "ev_cohort" -> 5, // per-user agg + distinct + broadcast join + final agg + sort
+      "ev_cohort" -> 5, // per-user agg + distinct reuse their user_id exchanges at the join
       "ev_rolling_wau" -> 5, // distinct pairs + fan-out agg + broadcast day trim + sort
       "ev_funnel" -> 7) // 3 stage aggs + 2 user_id SMJ joins (AQE broadcasts small stages)
     val aqe = spark.conf.get("spark.sql.adaptive.enabled")
