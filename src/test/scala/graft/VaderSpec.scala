@@ -124,7 +124,7 @@ class VaderSpec extends AnyFunSuite {
 
   test("round-4 lexicon batches: curated coverage goldens") {
     import graft.functions.VaderSentiment.Lexicon
-    assert(Lexicon.size == 7265, s"lexicon entry count drifted: ${Lexicon.size}")
+    assert(Lexicon.size == 7287, s"lexicon entry count drifted: ${Lexicon.size}")
     // exact pinned values for the batch's anchors
     assert(Lexicon("shit") == -2.6 && Lexicon("scam") == -2.2)
     assert(Lexicon("stellar") == 2.7 && Lexicon("blissful") == 2.9)
@@ -1083,6 +1083,17 @@ class VaderSpec extends AnyFunSuite {
     assert(label(compound("a muggy, sweltering and torrential afternoon")) == "negative")
     assert(label(compound("an unspoiled coastline with glistening water")) == "positive")
     assert(label(compound("the curdled milk smelled dank and the kitchen was untidy")) == "negative")
+  }
+
+  test("round-6 lexicon batch 70 (22 entries, superlative-able adjectives and negated forms): curated coverage goldens") {
+    import graft.functions.VaderSentiment.Lexicon
+    assert(Lexicon("unbeatable") == 2.2 && Lexicon("unbeatably") == 2.2)
+    assert(Lexicon("unlovable") == -2.0 && Lexicon("uncharitable") == -1.5)
+    assert(Lexicon("indomitable") == 1.9 && Lexicon("injudicious") == -1.4)
+    assert(label(compound("an unbeatable deal from an unflappable team")) == "positive")
+    assert(label(compound("a disorderly, uncharitable and injudicious response")) == "negative")
+    assert(label(compound("her indomitable spirit proved incomparable")) == "positive")
+    assert(label(compound("the untrusted vendor shipped unlovable hardware")) == "negative")
   }
 
   test("lexicon entries never shadow booster words (modifier role wins)") {
