@@ -93,6 +93,40 @@ object Relational2 {
           min(col("l_quantity")).as("lo"), max(col("l_quantity")).as("hi"))
         .orderBy("bucket")),
 
+    // Deterministic per-group mode: most frequent value, ties broken by
+    // smallest value (both engines' bare mode() breaks ties arbitrarily, so
+    // the tie rule is spelled out as count-desc/value-asc rank). Two keyed
+    // aggs + a 1-row-per-group window — the distribution-profiling "top
+    // value" pass at scale, never a global sort.
+    "a12_mode" -> ((s, dir) => {
+      val counts = load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("n").desc, col("l_quantity").asc)
+      counts.withColumn("rk", row_number().over(w))
+        .where(col("rk") === 1)
+        .select(col("l_returnflag"), col("l_quantity").as("mode_qty"), col("n"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Event-type transition counts (first-order Markov structure of the
+    // event stream): lag(event_type) per user in event-time order, then one
+    // keyed count over (prev, next) pairs. The per-user window partitions
+    // on user_id — bounded partitions, no global ordering — and the
+    // transition matrix is |types|² rows regardless of corpus size.
+    "ev_transitions" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      load(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .where(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("prev_type", "next_type")
+    }),
+
     // Dataset-card profiling: one wide row of per-column null counts,
     // distinct counts, and typed min/max — the profiling pass a training
     // pipeline runs before ingesting a new source. All exact aggregates
@@ -539,6 +573,24 @@ object Relational2 {
       """SELECT CAST(floor(l_quantity / 5.0) AS INT) AS bucket, count(*) AS n,
         |  min(l_quantity) AS lo, max(l_quantity) AS hi
         |FROM lineitem GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "a12_mode" ->
+      """SELECT l_returnflag, l_quantity AS mode_qty, n FROM (
+        |  SELECT l_returnflag, l_quantity, count(*) AS n,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |                       ORDER BY count(*) DESC, l_quantity ASC) AS rk
+        |  FROM lineitem GROUP BY l_returnflag, l_quantity)
+        |WHERE rk = 1 ORDER BY l_returnflag""".stripMargin,
+
+    "ev_transitions" ->
+      """SELECT prev_type, next_type, count(*) AS n FROM (
+        |  SELECT lag(event_type, 1) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS prev_type,
+        |    event_type AS next_type
+        |  FROM events)
+        |WHERE prev_type IS NOT NULL
+        |GROUP BY prev_type, next_type
+        |ORDER BY prev_type, next_type""".stripMargin,
 
     "prof_summary" ->
       """SELECT count(*) AS n_rows,
