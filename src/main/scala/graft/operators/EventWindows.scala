@@ -3,6 +3,7 @@ package graft.operators
 import graft.Exact.dsum
 import graft.Tables.load
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Event-time window semantics (SURVEY.md §2.10 T5 extensions) as batch
@@ -89,6 +90,30 @@ object EventWindows {
         .orderBy("d")
     }),
 
+    // Last-touch attribution: for every purchase, the most recent click by
+    // the same user strictly before it, if within 7 days (the batch twin of
+    // the streaming interval join StatefulOps.attributeClicks — same
+    // semantics, oracle-checkable). No join at all: one per-user window in
+    // event-time order carries the running last-click timestamp (frame ends
+    // at 1 PRECEDING, so a click never attributes to itself); purchases
+    // filter and test the 7-day bound map-side. At 100 TB this is one keyed
+    // shuffle over the click/purchase subset — the join-free form of the
+    // classic ad-attribution query.
+    "ev_attribution" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      load(s, dir, "events")
+        .where(col("event_type").isin("click", "purchase"))
+        .withColumn("last_click",
+          max(when(col("event_type") === "click", col("ts"))).over(w))
+        .where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts").as("purchase_ts"),
+          when(col("last_click") >= col("ts") - expr("INTERVAL 7 DAYS"),
+            col("last_click")).as("attributed_click_ts"))
+        .orderBy("user_id", "event_id")
+    }),
+
     // Weekly cohort retention: cohort = ISO week of a user's first event;
     // `users` = distinct users from that cohort active k weeks later. The
     // cohort frame is one row PER USER — at 100 TB that is billions of
@@ -173,6 +198,20 @@ object EventWindows {
         |SELECT f.d, count(DISTINCT f.user_id) AS wau
         |FROM fan f JOIN days USING (d)
         |GROUP BY f.d ORDER BY f.d""".stripMargin,
+
+    "ev_attribution" ->
+      """SELECT user_id, event_id, ts AS purchase_ts,
+        |  CASE WHEN last_click >= ts - INTERVAL 7 DAY THEN last_click END
+        |    AS attributed_click_ts
+        |FROM (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    max(CASE WHEN event_type = 'click' THEN ts END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS last_click
+        |  FROM events WHERE event_type IN ('click', 'purchase'))
+        |WHERE event_type = 'purchase'
+        |ORDER BY user_id, event_id""".stripMargin,
 
     "ev_cohort" ->
       """WITH cohort AS (

@@ -383,6 +383,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out.count() == dau.count())
   }
 
+  test("ev_attribution: attributed clicks are real, strictly earlier, within window") {
+    val out = operators.EventWindows.queries("ev_attribution")(spark, dir)
+    val ev = Tables.load(spark, dir, "events")
+    // one output row per purchase event
+    assert(out.count() == ev.where(col("event_type") === "purchase").count())
+    val attributed = out.where(col("attributed_click_ts").isNotNull)
+    // strictly earlier and within 7 days
+    assert(attributed.where(col("attributed_click_ts") >= col("purchase_ts")).count() == 0)
+    assert(attributed.where(
+      col("attributed_click_ts") < col("purchase_ts") - expr("INTERVAL 7 DAYS")).count() == 0)
+    // every attributed timestamp is an actual click by that user
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("attributed_click_ts"))
+    assert(attributed.join(clicks, Seq("user_id", "attributed_click_ts"), "left_anti")
+      .count() == 0)
+  }
+
   test("ta_pack: per-source sequences are contiguous and under-filled only at straddle points") {
     val out = operators.TextAnalysis.queries("ta_pack")(spark, dir)
     // every doc assigned exactly once
