@@ -209,6 +209,9 @@ class ScaleDesignSpec extends AnyFunSuite {
       "w5_value_window" -> 2, // one keyed window + oracle sort
       "s3_intersect_all" -> 2, // hash agg per side, shared exchange + sort
       "s4_except_all" -> 2,
+      "ev_attribution" -> 2, // one user_id window + oracle sort, no join
+      "a12_mode" -> 3, // group-count agg + per-group rank window + sort
+      "ev_transitions" -> 3, // user_id lag window + pair count + sort
       "ev_cohort" -> 5, // per-user agg + distinct reuse their user_id exchanges at the join
       "ev_rolling_wau" -> 5, // distinct pairs + fan-out agg + broadcast day trim + sort
       "ev_funnel" -> 7) // 3 stage aggs + 2 user_id SMJ joins (AQE broadcasts small stages)
