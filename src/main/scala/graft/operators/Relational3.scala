@@ -30,6 +30,18 @@ import org.apache.spark.sql.functions._
   *    chunk, one keyed aggregation to find chunks shared by 2+ documents.
   *    Map-side chunking, a single shuffle on the chunk hash.
   *
+  *  - `rec_cooccur`: market-basket co-occurrence (the affinity primitive
+  *    behind "users who bought X also bought Y"). Pairs are generated
+  *    map-side from each order's sorted item set after ONE groupBy on the
+  *    order key — never a self-join of the fact table — so the join input
+  *    is Σ k² over basket sizes k (TPC-H k≈4–7), not n².
+  *  - `a13_moments`: exact skewness / excess kurtosis from integer power
+  *    sums. The quantity is rescaled to an integer (2 dp → ×100), the four
+  *    power sums accumulate exactly (decimal(38,0) / HUGEINT), and the
+  *    final moment arithmetic is the identical IEEE double expression tree
+  *    on both engines (sqrt-only, no libm pow), so the cross-engine hash
+  *    matches bit-for-bit before the round() guard even matters.
+  *
   * Parity rules follow waves 1–2: total ORDER BY over all output columns,
   * decimal-exact sums, bucket arithmetic in integer (`div`) so both engines
   * and any partitioning agree bit-for-bit.
@@ -213,6 +225,70 @@ object Relational3 {
         .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_occ"))
         .where(col("n_docs") >= 2)
         .orderBy("chunk_md5")
+    }),
+
+    // Market-basket co-occurrence: part pairs appearing together in 2+
+    // orders, with each part's own order support alongside (the exact
+    // integer inputs of lift/confidence — kept as integers so the oracle
+    // hash is arithmetic-free). Scale shape: one groupBy collects each
+    // order's sorted item set, the pair explosion is map-side and bounded
+    // by Σ basket² (baskets are small; a pathological mega-basket would be
+    // capped upstream), one shuffle on the pair key aggregates support.
+    // The per-item support join inputs are pair-count-sized and
+    // item-count-sized — both tiny next to the fact table, left to AQE.
+    "rec_cooccur" -> ((s, dir) => {
+      val items = load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val pairs = items
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+        .select(explode(expr(
+          "flatten(transform(ps, (x, i) -> " +
+            "transform(slice(ps, i + 2, size(ps) - i - 1), " +
+            "y -> struct(x AS pa, y AS pb))))")).as("pr"))
+        .groupBy(col("pr.pa").as("pa"), col("pr.pb").as("pb"))
+        .agg(count(lit(1)).as("pair_orders"))
+        .where(col("pair_orders") >= 2)
+      val supp = items.groupBy("l_partkey").agg(count(lit(1)).as("item_orders"))
+      pairs
+        .join(supp.select(col("l_partkey").as("ka"), col("item_orders").as("pa_orders")),
+          col("pa") === col("ka"))
+        .join(supp.select(col("l_partkey").as("kb"), col("item_orders").as("pb_orders")),
+          col("pb") === col("kb"))
+        .select(col("pa"), col("pb"), col("pair_orders"), col("pa_orders"), col("pb_orders"))
+        .orderBy(col("pair_orders").desc, col("pa"), col("pb"))
+    }),
+
+    // Exact higher moments per group. q = quantity×100 as a long (2-dp data
+    // → exact); power sums of q accumulate in decimal(38,0) (DuckDB:
+    // HUGEINT) so every engine sees the same exact integers; the moment
+    // formulas then run in doubles with an IDENTICAL expression tree on
+    // both sides — sqrt only (IEEE-correctly-rounded), never pow (libm
+    // ulp divergence). Skew/kurtosis are scale-invariant, so the ×100
+    // rescale needs no undo; only the mean is scaled back for reporting.
+    "a13_moments" -> ((s, dir) => {
+      val q = round(col("l_quantity") * 100).cast("long")
+      val mean = col("s1") / col("n")
+      val sn2 = col("s2") / col("n")
+      val sn3 = col("s3") / col("n")
+      val m2 = sn2 - mean * mean
+      val m3 = sn3 - lit(3.0) * mean * sn2 + lit(2.0) * mean * mean * mean
+      val m4 = col("s4") / col("n") - lit(4.0) * mean * sn3 +
+        lit(6.0) * mean * mean * sn2 - lit(3.0) * mean * mean * mean * mean
+      load(s, dir, "lineitem")
+        .select(col("l_returnflag"), q.as("q"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("q").cast("decimal(38,0)")).cast("double").as("s1"),
+          sum((col("q") * col("q")).cast("decimal(38,0)")).cast("double").as("s2"),
+          sum((col("q") * col("q") * col("q")).cast("decimal(38,0)")).cast("double").as("s3"),
+          sum((col("q") * col("q") * col("q") * col("q")).cast("decimal(38,0)"))
+            .cast("double").as("s4"))
+        .select(col("l_returnflag"), col("n"),
+          round(mean / 100.0, 6).as("mean_qty"),
+          round(m3 / (m2 * sqrt(m2)), 8).as("skewness"),
+          round(m4 / (m2 * m2) - lit(3.0), 8).as("kurtosis_excess"))
+        .orderBy("l_returnflag")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -322,5 +398,43 @@ object Relational3 {
          |SELECT chunk_md5, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
          |FROM chunks GROUP BY chunk_md5
          |HAVING count(DISTINCT doc_id) >= 2
-         |ORDER BY chunk_md5""".stripMargin)
+         |ORDER BY chunk_md5""".stripMargin,
+
+    "rec_cooccur" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |ps AS (
+        |  SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS pair_orders
+        |  FROM items a JOIN items b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |supp AS (SELECT l_partkey, count(*) AS item_orders FROM items GROUP BY 1)
+        |SELECT pa, pb, pair_orders,
+        |  sa.item_orders AS pa_orders, sb.item_orders AS pb_orders
+        |FROM ps JOIN supp sa ON pa = sa.l_partkey
+        |        JOIN supp sb ON pb = sb.l_partkey
+        |ORDER BY pair_orders DESC, pa, pb""".stripMargin,
+
+    "a13_moments" ->
+      """WITH q AS (
+        |  SELECT l_returnflag, CAST(round(l_quantity * 100, 0) AS BIGINT) AS q
+        |  FROM lineitem),
+        |s AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    CAST(sum(q) AS DOUBLE) AS s1,
+        |    CAST(sum(q * q) AS DOUBLE) AS s2,
+        |    CAST(sum(q * q * q) AS DOUBLE) AS s3,
+        |    CAST(sum(q * q * q * q) AS DOUBLE) AS s4
+        |  FROM q GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  round(s1 / n / 100.0, 6) AS mean_qty,
+        |  round((s3 / n - 3.0 * (s1 / n) * (s2 / n)
+        |         + 2.0 * (s1 / n) * (s1 / n) * (s1 / n))
+        |        / ((s2 / n - (s1 / n) * (s1 / n))
+        |           * sqrt(s2 / n - (s1 / n) * (s1 / n))), 8) AS skewness,
+        |  round((s4 / n - 4.0 * (s1 / n) * (s3 / n)
+        |         + 6.0 * (s1 / n) * (s1 / n) * (s2 / n)
+        |         - 3.0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+        |        / ((s2 / n - (s1 / n) * (s1 / n)) * (s2 / n - (s1 / n) * (s1 / n)))
+        |        - 3.0, 8) AS kurtosis_excess
+        |FROM s ORDER BY l_returnflag""".stripMargin)
 }

@@ -214,7 +214,9 @@ class ScaleDesignSpec extends AnyFunSuite {
       "ev_transitions" -> 3, // user_id lag window + pair count + sort
       "ev_cohort" -> 5, // per-user agg + distinct reuse their user_id exchanges at the join
       "ev_rolling_wau" -> 5, // distinct pairs + fan-out agg + broadcast day trim + sort
-      "ev_funnel" -> 7) // 3 stage aggs + 2 user_id SMJ joins (AQE broadcasts small stages)
+      "ev_funnel" -> 7, // 3 stage aggs + 2 user_id SMJ joins (AQE broadcasts small stages)
+      "a13_moments" -> 2, // one power-sum agg + oracle sort
+      "rec_cooccur" -> 5) // distinct + basket agg + pair agg + supp agg (ReuseExchange dedups the shared distinct) + sort
     val aqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
