@@ -21,6 +21,7 @@ object SparkEntry {
     operators.Relational.queries ++
       operators.Relational2.queries ++
       operators.Relational3.queries ++
+      operators.Graph.queries ++
       operators.EventWindows.queries ++
       operators.ScalarFns.queries ++
       operators.TextAnalysis.queries ++
@@ -37,6 +38,7 @@ object SparkEntry {
     operators.Relational.oracle ++
       operators.Relational2.oracle ++
       operators.Relational3.oracle ++
+      operators.Graph.oracle ++
       operators.EventWindows.oracle ++
       operators.ScalarFns.oracle ++
       operators.TextAnalysis.oracle ++

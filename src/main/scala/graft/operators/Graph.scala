@@ -1,0 +1,113 @@
+package graft.operators
+
+import graft.Tables.load
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over a derived co-purchase graph (round 6).
+  *
+  * The graph: parts are nodes; an undirected edge connects two parts that
+  * co-occur in 2+ orders (the `rec_cooccur` support threshold). Connected
+  * components over a different (document-similarity) graph live in
+  * `Dedup.componentLabels`; this file adds the other classic whole-graph
+  * primitive, triangle counting, in its scale-correct form.
+  *
+  * `gr_triangles` uses the degree-oriented edge-iterator algorithm
+  * (Schank & Wagner 2005 "Finding, Counting and Listing all Triangles in
+  * Large Graphs"): orient every undirected edge from its lower to its
+  * higher endpoint under the total order k = (degree, node id). Each
+  * triangle then has exactly one "apex" node with two out-edges, so
+  * joining out-edges on the apex and probing the closing edge counts each
+  * triangle exactly once, and the wedge fan-out is bounded by
+  * Σ outdeg² = O(m^1.5) regardless of skew — a star node of degree d
+  * contributes d wedges as an apex only toward HIGHER-degree nodes, so
+  * hub explosion (the naive id-orientation's failure mode) cannot happen.
+  * The id tiebreak keeps the order total and the oracle hash exact.
+  *
+  * 100 TB shape: degree is one keyed agg over the edge list; orientation
+  * is map-side; the wedge generation is one self-equi-join on the apex
+  * key; the closing probe is one equi-join on the (v, w) pair key. Every
+  * join key is a graph node/edge, never a fact-table row.
+  */
+object Graph {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val MinSupport = 2
+
+  /** Undirected co-purchase edges (pa < pb), support >= MinSupport. */
+  private def edges(s: SparkSession, dir: String): DataFrame = {
+    val items = load(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    items
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .select(explode(expr(
+        "flatten(transform(ps, (x, i) -> " +
+          "transform(slice(ps, i + 2, size(ps) - i - 1), " +
+          "y -> struct(x AS pa, y AS pb))))")).as("pr"))
+      .groupBy(col("pr.pa").as("pa"), col("pr.pb").as("pb"))
+      .agg(count(lit(1)).as("pair_orders"))
+      .where(col("pair_orders") >= MinSupport)
+      .select(col("pa"), col("pb"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    // Per-node triangle participation over the co-purchase graph, top
+    // nodes first. k = degree * 2^32 + id is the orientation key (degree
+    // fits far below 2^31 for any graph whose edge list fits anywhere).
+    "gr_triangles" -> ((s, dir) => {
+      val e = edges(s, dir).cache()
+      val deg = e.select(col("pa").as("node")).unionAll(e.select(col("pb").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("d"))
+      val k = col("d") * lit(4294967296L) + col("node")
+      val keyed = deg.select(col("node"), k.as("k"))
+      val withK = e
+        .join(keyed.select(col("node").as("na"), col("k").as("ka")), col("pa") === col("na"))
+        .join(keyed.select(col("node").as("nb"), col("k").as("kb")), col("pb") === col("nb"))
+      // orient low-k -> high-k; carry the endpoint keys for the wedge order
+      val o = withK.select(
+        when(col("ka") < col("kb"), col("pa")).otherwise(col("pb")).as("lo"),
+        when(col("ka") < col("kb"), col("pb")).otherwise(col("pa")).as("hi"),
+        when(col("ka") < col("kb"), col("kb")).otherwise(col("ka")).as("khi"))
+      val wedges = o.as("e1")
+        .join(o.as("e2"), col("e1.lo") === col("e2.lo") && col("e1.khi") < col("e2.khi"))
+        .select(col("e1.lo").as("u"), col("e1.hi").as("v"), col("e2.hi").as("w"))
+      val tris = wedges
+        .join(o.as("e3"), col("v") === col("e3.lo") && col("w") === col("e3.hi"))
+        .select(col("u"), col("v"), col("w"))
+      tris
+        .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("n_tri"))
+        .orderBy(col("n_tri").desc, col("node"))
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "gr_triangles" ->
+      s"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |e AS (
+         |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+         |  FROM items a JOIN items b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |  GROUP BY 1, 2 HAVING count(*) >= $MinSupport),
+         |deg AS (
+         |  SELECT node, count(*) AS d FROM (
+         |    SELECT pa AS node FROM e UNION ALL SELECT pb AS node FROM e)
+         |  GROUP BY node),
+         |o AS (
+         |  SELECT CASE WHEN ka.k < kb.k THEN pa ELSE pb END AS lo,
+         |         CASE WHEN ka.k < kb.k THEN pb ELSE pa END AS hi,
+         |         CASE WHEN ka.k < kb.k THEN kb.k ELSE ka.k END AS khi
+         |  FROM e
+         |  JOIN (SELECT node, d * 4294967296 + node AS k FROM deg) ka ON pa = ka.node
+         |  JOIN (SELECT node, d * 4294967296 + node AS k FROM deg) kb ON pb = kb.node),
+         |tris AS (
+         |  SELECT e1.lo AS u, e1.hi AS v, e2.hi AS w
+         |  FROM o e1 JOIN o e2 ON e1.lo = e2.lo AND e1.khi < e2.khi
+         |  JOIN o e3 ON e3.lo = e1.hi AND e3.hi = e2.hi)
+         |SELECT node, count(*) AS n_tri FROM (
+         |  SELECT u AS node FROM tris
+         |  UNION ALL SELECT v AS node FROM tris
+         |  UNION ALL SELECT w AS node FROM tris)
+         |GROUP BY node ORDER BY n_tri DESC, node""".stripMargin)
+}

@@ -216,7 +216,8 @@ class ScaleDesignSpec extends AnyFunSuite {
       "ev_rolling_wau" -> 5, // distinct pairs + fan-out agg + broadcast day trim + sort
       "ev_funnel" -> 7, // 3 stage aggs + 2 user_id SMJ joins (AQE broadcasts small stages)
       "a13_moments" -> 2, // one power-sum agg + oracle sort
-      "rec_cooccur" -> 5) // distinct + basket agg + pair agg + supp agg (ReuseExchange dedups the shared distinct) + sort
+      "rec_cooccur" -> 5, // distinct + basket agg + pair agg + supp agg (ReuseExchange dedups the shared distinct) + sort
+      "gr_triangles" -> 3) // deg agg + explode agg + sort above the cached edge list (edge-build shuffles live inside the InMemoryRelation)
     val aqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
