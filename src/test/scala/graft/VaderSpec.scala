@@ -124,7 +124,7 @@ class VaderSpec extends AnyFunSuite {
 
   test("round-4 lexicon batches: curated coverage goldens") {
     import graft.functions.VaderSentiment.Lexicon
-    assert(Lexicon.size == 7287, s"lexicon entry count drifted: ${Lexicon.size}")
+    assert(Lexicon.size == 7416, s"lexicon entry count drifted: ${Lexicon.size}")
     // exact pinned values for the batch's anchors
     assert(Lexicon("shit") == -2.6 && Lexicon("scam") == -2.2)
     assert(Lexicon("stellar") == 2.7 && Lexicon("blissful") == 2.9)
@@ -1094,6 +1094,24 @@ class VaderSpec extends AnyFunSuite {
     assert(label(compound("a disorderly, uncharitable and injudicious response")) == "negative")
     assert(label(compound("her indomitable spirit proved incomparable")) == "positive")
     assert(label(compound("the untrusted vendor shipped unlovable hardware")) == "negative")
+  }
+
+  test("round-6 lexicon batch 71 (129 entries, topical registers: travel, arts, health, finance, competition): curated coverage goldens") {
+    import graft.functions.VaderSentiment.Lexicon
+    assert(Lexicon("getaway") == 1.6 && Lexicon("gridlock") == -1.8)
+    assert(Lexicon("cacophony") == -1.9 && Lexicon("masterwork") == 2.4)
+    assert(Lexicon("malnourished") == -2.2 && Lexicon("hydrated") == 1.0)
+    assert(Lexicon("embezzled") == -2.7 && Lexicon("windfalls") == 1.8)
+    assert(Lexicon("trainwreck") == -2.5 && Lexicon("godsend") == 2.6)
+    assert(Lexicon("clunky") == -1.6 && Lexicon("futureproof") == 1.4)
+    assert(label(compound("a panoramic getaway full of sightseeing and souvenirs")) == "positive")
+    assert(label(compound("jetlag, gridlock and a sprained ankle ruined the layover")) == "negative")
+    assert(label(compound("a soulful encore from the symphonic masterwork")) == "positive")
+    assert(label(compound("a clunky, bloated app whose uptime cratered")) == "negative")
+    assert(label(compound("the windfalls left them wellpaid and stabilized")) == "positive")
+    assert(label(compound("the conman defaulted after laundering the kickback")) == "negative")
+    assert(label(compound("they clinched the tiebreaker with a buzzerbeater")) == "positive")
+    assert(label(compound("the trainwreck meeting stagnated into a minefield")) == "negative")
   }
 
   test("lexicon entries never shadow booster words (modifier role wins)") {
