@@ -80,7 +80,66 @@ object Graph {
         .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
         .groupBy("node").agg(count(lit(1)).as("n_tri"))
         .orderBy(col("n_tri").desc, col("node"))
+    }),
+
+    // Fixed-point PageRank (5 iterations, d = 0.85) over the undirected
+    // co-purchase graph. Reproducibility trick: ranks live in integer
+    // 1e-12 units and every operation is integral (`div`), so contribution
+    // sums are exact longs — immune to the order-dependence of double
+    // addition that makes naive distributed PageRank nondeterministic
+    // across runs, partitionings, and engines. Truncation leaks mass
+    // (bounded by outdeg per node per iteration, ~1e-10 relative here);
+    // that bias is the documented price of bit-exactness. 100 TB shape:
+    // each iteration is one contribution shuffle on dst + one keyed join
+    // back to the node list; production would localCheckpoint every few
+    // iterations to truncate lineage (the Dedup.componentLabels pattern).
+    "gr_pagerank" -> ((s, dir) => {
+      val e = edges(s, dir)
+      val e2 = e.select(col("pa").as("src"), col("pb").as("dst"))
+        .unionAll(e.select(col("pb").as("src"), col("pa").as("dst")))
+        .cache()
+      val nodes = e2.groupBy(col("src").as("node")).agg(count(lit(1)).as("outdeg"))
+      val nRow = nodes.groupBy().agg(count(lit(1)).as("n"))
+      var rank = nodes.crossJoin(broadcast(nRow))
+        .select(col("node"), expr(s"CAST($RankUnit AS BIGINT) div n").as("r"), col("outdeg"))
+      for (_ <- 1 to PrIters) {
+        val contrib = rank.join(e2, col("node") === col("src"))
+          .select(col("dst"), expr("r div outdeg").as("c"))
+          .groupBy("dst").agg(sum(col("c")).as("sc"))
+        rank = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
+          .crossJoin(broadcast(nRow))
+          .select(nodes("node"),
+            expr(s"((15 * CAST($RankUnit AS BIGINT)) div n) div 100 + " +
+              "(85 * coalesce(sc, CAST(0 AS BIGINT))) div 100").as("r"),
+            col("outdeg"))
+      }
+      rank.select(col("node"), col("r").as("pr_fp"))
+        .orderBy(col("pr_fp").desc, col("node"))
     }))
+
+  private val RankUnit = 1000000000000L // 1e12 rank units = 1.0
+  private val PrIters = 5
+
+  /** The shared DuckDB prologue: co-purchase edges both directions. */
+  private val EdgeSql =
+    s"""items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |e AS (
+       |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+       |  FROM items a JOIN items b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2 HAVING count(*) >= $MinSupport)""".stripMargin
+
+  /** Unrolled fixed-point PageRank iterations for the oracle. */
+  private def prIterSql(prev: String, cur: String): String =
+    s"""$cur AS (
+       |  SELECT d.node,
+       |    ((15 * CAST($RankUnit AS BIGINT)) // nn.n) // 100
+       |      + (85 * coalesce(c.sc, 0)) // 100 AS r,
+       |    d.outdeg
+       |  FROM deg d CROSS JOIN nn
+       |  LEFT JOIN (SELECT e2.dst, sum($prev.r // $prev.outdeg) AS sc
+       |             FROM $prev JOIN e2 ON $prev.node = e2.src GROUP BY 1) c
+       |    ON d.node = c.dst)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "gr_triangles" ->
@@ -109,5 +168,21 @@ object Graph {
          |  SELECT u AS node FROM tris
          |  UNION ALL SELECT v AS node FROM tris
          |  UNION ALL SELECT w AS node FROM tris)
-         |GROUP BY node ORDER BY n_tri DESC, node""".stripMargin)
+         |GROUP BY node ORDER BY n_tri DESC, node""".stripMargin,
+
+    "gr_pagerank" -> {
+      val iters = (1 to PrIters)
+        .map(i => prIterSql(if (i == 1) "r0" else s"it${i - 1}", s"it$i"))
+        .mkString(",\n")
+      s"""WITH $EdgeSql,
+         |e2 AS (SELECT pa AS src, pb AS dst FROM e
+         |       UNION ALL SELECT pb AS src, pa AS dst FROM e),
+         |deg AS (SELECT src AS node, count(*) AS outdeg FROM e2 GROUP BY 1),
+         |nn AS (SELECT count(*) AS n FROM deg),
+         |r0 AS (SELECT node, CAST($RankUnit AS BIGINT) // n AS r, outdeg
+         |       FROM deg CROSS JOIN nn),
+         |$iters
+         |SELECT node, r AS pr_fp FROM it$PrIters
+         |ORDER BY pr_fp DESC, node""".stripMargin
+    })
 }

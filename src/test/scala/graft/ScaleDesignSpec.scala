@@ -217,7 +217,8 @@ class ScaleDesignSpec extends AnyFunSuite {
       "ev_funnel" -> 7, // 3 stage aggs + 2 user_id SMJ joins (AQE broadcasts small stages)
       "a13_moments" -> 2, // one power-sum agg + oracle sort
       "rec_cooccur" -> 5, // distinct + basket agg + pair agg + supp agg (ReuseExchange dedups the shared distinct) + sort
-      "gr_triangles" -> 3) // deg agg + explode agg + sort above the cached edge list (edge-build shuffles live inside the InMemoryRelation)
+      "gr_triangles" -> 3, // deg agg + explode agg + sort above the cached edge list (edge-build shuffles live inside the InMemoryRelation)
+      "gr_pagerank" -> 9) // 5 contrib aggs + deg agg + sort, node-join exchanges reused; edge shuffles inside the cache
     val aqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
