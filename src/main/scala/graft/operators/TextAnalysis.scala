@@ -137,6 +137,39 @@ object TextAnalysis {
         .limit(20)
     }),
 
+    // PMI-scored bigram collocations (the word2phrase-style phrase-mining
+    // step of a corpus pipeline): pmi = ln(P(xy) / (P(x)·P(y))) over
+    // bigrams seen 5+ times. Scale shape: unigram and bigram counts are
+    // each one explode + one keyed agg over the corpus; the PMI join
+    // touches only the (vocab-sized) count tables, never corpus rows, and
+    // the two corpus totals ride one-row broadcasts. ln() parity follows
+    // the ta_keywords rule: identical double expression tree + round(6).
+    "ta_collocations" -> ((s, dir) => {
+      val t = toks(col("text"))
+      val n = size(t)
+      val bigrams = when(n >= 2,
+        zip_with(slice(t, lit(1), n - 1), slice(t, lit(2), n - 1),
+          (a, b) => concat_ws(" ", a, b)))
+        .otherwise(array().cast("array<string>"))
+      val docs = load(s, dir, "documents")
+      val uni = docs.select(explode(t).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("cw"))
+      val totU = uni.groupBy().agg(sum(col("cw")).as("nu"))
+      val bi0 = docs.select(explode(bigrams).as("bg"))
+        .groupBy("bg").agg(count(lit(1)).as("cxy"))
+      val totB = bi0.groupBy().agg(sum(col("cxy")).as("nb"))
+      bi0.where(col("cxy") >= 5)
+        .withColumn("wa", split(col("bg"), " ").getItem(0))
+        .withColumn("wb", split(col("bg"), " ").getItem(1))
+        .join(uni.select(col("w").as("ua"), col("cw").as("ca")), col("wa") === col("ua"))
+        .join(uni.select(col("w").as("ub"), col("cw").as("cb")), col("wb") === col("ub"))
+        .crossJoin(broadcast(totU)).crossJoin(broadcast(totB))
+        .select(col("bg"), col("cxy"),
+          round(log((col("cxy") / col("nb")) /
+            ((col("ca") / col("nu")) * (col("cb") / col("nu")))), 6).as("pmi"))
+        .orderBy(col("pmi").desc, col("bg"))
+    }),
+
     // Document fingerprint (OpenRefine-style key collision): md5 of the
     // sorted distinct token set — robust to word order and duplication.
     "ta_fingerprint" -> ((s, dir) =>
@@ -352,6 +385,24 @@ object TextAnalysis {
          |    ELSE 'und' END AS predicted
          |FROM documents ORDER BY doc_id""".stripMargin
     },
+
+    "ta_collocations" ->
+      """WITH d AS (SELECT string_split(lower(text), ' ') AS t FROM documents),
+        |uni AS (SELECT w, count(*) AS cw
+        |        FROM (SELECT unnest(t) AS w FROM d) GROUP BY w),
+        |tu AS (SELECT CAST(sum(cw) AS DOUBLE) AS nu FROM uni),
+        |bi0 AS (SELECT bg, count(*) AS cxy FROM (
+        |  SELECT unnest(list_transform(range(1, greatest(len(t), 1)),
+        |         i -> t[i] || ' ' || t[i+1])) AS bg FROM d) GROUP BY bg),
+        |tb AS (SELECT CAST(sum(cxy) AS DOUBLE) AS nb FROM bi0),
+        |bi AS (SELECT bg, cxy, string_split(bg, ' ')[1] AS wa,
+        |              string_split(bg, ' ')[2] AS wb
+        |       FROM bi0 WHERE cxy >= 5)
+        |SELECT bg, cxy, round(ln((cxy / nb) /
+        |  ((ua.cw / nu) * (ub.cw / nu))), 6) AS pmi
+        |FROM bi JOIN uni ua ON wa = ua.w JOIN uni ub ON wb = ub.w
+        |CROSS JOIN tu CROSS JOIN tb
+        |ORDER BY pmi DESC, bg""".stripMargin,
 
     "ta_ngram_topk" ->
       """SELECT ngram, count(*) AS n FROM (
