@@ -137,6 +137,43 @@ object EventWindows {
         .groupBy("cohort_week", "week_offset")
         .agg(count_distinct(col("user_id")).as("users"))
         .orderBy("cohort_week", "week_offset")
+    }),
+
+    // Two-proportion z-test over a deterministic 50/50 hash split — the
+    // experimentation-analytics primitive. Assignment is content-stable
+    // (md5-prefix hash of user_id: same variant on any engine, any run —
+    // the split_assign rule). "Conversion" is scale-adaptive so the metric
+    // is non-degenerate at every SF: a user converts when their purchase
+    // count is at least the corpus per-user average, compared by exact
+    // integer cross-multiplication (cnt · n_users >= total_purchases) —
+    // no float threshold to drift. The whole test reduces to ONE
+    // user-keyed shuffle + a one-row broadcast of the corpus totals + a
+    // one-row global agg: at 100 TB the z-score costs no more than a
+    // distinct-user count. The z arithmetic runs on exact integer counts
+    // with an identical double expression tree both engines (sqrt only),
+    // round(6) guard.
+    "ev_ab_test" -> ((s, dir) => {
+      val perUser = load(s, dir, "events")
+        .groupBy("user_id")
+        .agg(sum((col("event_type") === "purchase").cast("long")).as("pc"))
+      val tot = perUser.groupBy()
+        .agg(count(lit(1)).as("nu"), sum(col("pc")).as("tp"))
+      val users = perUser.crossJoin(broadcast(tot))
+        .select(col("user_id"),
+          (col("pc") * col("nu") >= col("tp")).cast("int").as("conv"),
+          (graft.Exact.hash32(col("user_id").cast("string")) % 2 === 0).as("va"))
+      val p = (col("c_a") + col("c_b")) / (col("n_a") + col("n_b"))
+      users.groupBy().agg(
+          sum(when(col("va"), 1L).otherwise(0L)).as("n_a"),
+          sum(when(!col("va"), 1L).otherwise(0L)).as("n_b"),
+          sum(when(col("va"), col("conv").cast("long")).otherwise(0L)).as("c_a"),
+          sum(when(!col("va"), col("conv").cast("long")).otherwise(0L)).as("c_b"))
+        .select(col("n_a"), col("n_b"), col("c_a"), col("c_b"),
+          round(col("c_a") / col("n_a"), 6).as("rate_a"),
+          round(col("c_b") / col("n_b"), 6).as("rate_b"),
+          round((col("c_a") / col("n_a") - col("c_b") / col("n_b")) /
+            sqrt(p * (lit(1.0) - p) *
+              (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 6).as("z_score"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -225,5 +262,34 @@ object EventWindows {
         |  count(DISTINCT a.user_id) AS users
         |FROM active a JOIN cohort c ON a.user_id = c.user_id
         |GROUP BY c.cohort_week, week_offset
-        |ORDER BY c.cohort_week, week_offset""".stripMargin)
+        |ORDER BY c.cohort_week, week_offset""".stripMargin,
+
+    "ev_ab_test" -> {
+      val h = graft.Exact.hash32Sql("CAST(user_id AS VARCHAR)")
+      s"""WITH pu AS (
+         |  SELECT user_id,
+         |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS pc
+         |  FROM events GROUP BY user_id),
+         |tot AS (SELECT count(*) AS nu, sum(pc) AS tp FROM pu),
+         |u AS (
+         |  SELECT user_id,
+         |    CAST(pc * nu >= tp AS INT) AS conv,
+         |    ($h % 2 = 0) AS va
+         |  FROM pu CROSS JOIN tot),
+         |s AS (
+         |  SELECT
+         |    sum(CASE WHEN va THEN 1 ELSE 0 END) AS n_a,
+         |    sum(CASE WHEN NOT va THEN 1 ELSE 0 END) AS n_b,
+         |    sum(CASE WHEN va THEN conv ELSE 0 END) AS c_a,
+         |    sum(CASE WHEN NOT va THEN conv ELSE 0 END) AS c_b
+         |  FROM u)
+         |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+         |  CAST(c_a AS BIGINT) AS c_a, CAST(c_b AS BIGINT) AS c_b,
+         |  round(c_a / n_a, 6) AS rate_a,
+         |  round(c_b / n_b, 6) AS rate_b,
+         |  round((c_a / n_a - c_b / n_b) /
+         |    sqrt(((c_a + c_b) / (n_a + n_b)) * (1.0 - (c_a + c_b) / (n_a + n_b)) *
+         |         (1.0 / n_a + 1.0 / n_b)), 6) AS z_score
+         |FROM s""".stripMargin
+    })
 }

@@ -219,7 +219,8 @@ class ScaleDesignSpec extends AnyFunSuite {
       "rec_cooccur" -> 5, // distinct + basket agg + pair agg + supp agg (ReuseExchange dedups the shared distinct) + sort
       "gr_triangles" -> 3, // deg agg + explode agg + sort above the cached edge list (edge-build shuffles live inside the InMemoryRelation)
       "gr_pagerank" -> 9, // 5 contrib aggs + deg agg + sort, node-join exchanges reused; edge shuffles inside the cache
-      "ta_collocations" -> 6) // uni agg + bi agg + 2 count-table joins + totals + sort; corpus scanned twice, never joined
+      "ta_collocations" -> 6, // uni agg + bi agg + 2 count-table joins + totals + sort; corpus scanned twice, never joined
+      "ev_ab_test" -> 3) // user agg + corpus-totals agg + global agg; totals ride a one-row broadcast
     val aqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
