@@ -389,6 +389,27 @@ object Relational2 {
         .orderBy("source")
     }),
 
+    // Weighted reservoir sampling (Efraimidis–Spirakis A-ES via the
+    // exponential race): every row draws key = −ln(u)/w from a
+    // content-stable hash u ∈ (0,1], and the k SMALLEST keys are an exact
+    // weighted-without-replacement sample of size k (here w = document
+    // length, biasing the sample toward long documents — the curriculum /
+    // token-budget sampling shape). The key is pure map-side arithmetic and
+    // the cut is a TakeOrdered top-k (per-partition heads merged on the
+    // driver), so at 100 TB nothing shuffles: cost = one scan + k rows.
+    // Determinism: the hash replaces the RNG, so any engine, any partition
+    // count, any run selects the SAME k rows; ordering and the cut use the
+    // round(6) key (ulp guard) with doc_id tiebreak.
+    "samp_weighted" -> ((s, dir) => {
+      val w = greatest(length(col("text")), lit(1)).cast("double")
+      val u = (hash32(col("doc_id").cast("string")) + lit(1.0)) / lit(4294967296.0)
+      load(s, dir, "documents")
+        .select(col("doc_id"), w.cast("long").as("weight"),
+          round(-log(u) / w * lit(1000.0), 6).as("samp_key"))
+        .orderBy(col("samp_key"), col("doc_id"))
+        .limit(100)
+    }),
+
     // Deterministic train/val/test split (80/10/10 by content-stable hash).
     "split_assign" -> ((s, dir) => {
       val h = hash32(col("doc_id").cast("string")) % 100
@@ -764,6 +785,13 @@ object Relational2 {
          |                     < ${hash32Sql("source")} % 80 + 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
          |FROM documents
          |GROUP BY source ORDER BY source""".stripMargin,
+
+    "samp_weighted" ->
+      s"""SELECT doc_id, CAST(greatest(length(text), 1) AS BIGINT) AS weight,
+         |  round(-ln((${hash32Sql("CAST(doc_id AS VARCHAR)")} + 1.0) / 4294967296.0)
+         |        / greatest(length(text), 1) * 1000.0, 6) AS samp_key
+         |FROM documents
+         |ORDER BY samp_key, doc_id LIMIT 100""".stripMargin,
 
     "split_assign" ->
       s"""SELECT split, count(*) AS n FROM (

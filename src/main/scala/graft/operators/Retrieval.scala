@@ -42,6 +42,14 @@ object Retrieval {
   /** The fixed phrase for ir_phrase (two adjacent tokens). */
   private val PhraseQuery = "spark window"
 
+  /** ir_cossim DF band: terms kept when CosMinDf ≤ df ≤ N/CosMaxDfDiv.
+    * The upper bound is THE scale lever — it caps every posting list at
+    * N/20 docs, so the term-keyed self-join generates at most (N/20)²
+    * candidate contributions per term instead of the stopword-driven n². */
+  private val CosMinDf = 2L
+  private val CosMaxDfDiv = 20L
+  private val CosTopN = 50
+
   private def toks(c: Column): Column = split(lower(c), " ")
 
   val queries: Map[String, Q] = Map(
@@ -118,6 +126,51 @@ object Retrieval {
         .select(col("doc_id"), round(score, 6).as("score"))
         .orderBy(col("score").desc, col("doc_id"))
         .limit(TopN)
+    }),
+
+    // All-pairs sparse TF-IDF cosine similarity via the inverted index —
+    // the lexical near-duplicate / related-document join (the sparse
+    // counterpart of emb_semdedup's dense path). Candidate pairs come ONLY
+    // from co-occurrence in a DF-banded posting list: terms with
+    // df < CosMinDf carry no pair, terms with df > N/CosMaxDfDiv
+    // (stopwords — the n² hazard) are pruned, so pair generation is
+    // Σ_term df² ≤ N/20 · Σ df, never corpus². Weights are tf·idf; norms
+    // and dot products are summed as sorted sequential folds by term
+    // (the ta_unigram_ppl parity template) and the final score is
+    // round(6) with full (d1, d2) tiebreak, so the top-N cut is
+    // deterministic across engines. At 100 TB: two keyed aggs + one
+    // term-keyed join whose fan-out the DF band bounds — the classic
+    // term-at-a-time similarity-join shape.
+    "ir_cossim" -> ((s, dir) => {
+      val tf = load(s, dir, "documents")
+        .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val corpus = load(s, dir, "documents").agg(count(lit(1)).as("n"))
+      val pruned = tf.join(dfT, "term").crossJoin(broadcast(corpus))
+        .where(col("df") >= CosMinDf && col("df") * CosMaxDfDiv <= col("n"))
+        .select(col("doc_id"), col("term"),
+          (col("tf") * log((col("n") + lit(1.0)) / (col("df") + lit(1.0)))).as("w"))
+      val norms = pruned.groupBy("doc_id")
+        .agg(sqrt(aggregate(
+          transform(array_sort(collect_list(struct(col("term"), col("w")))),
+            x => x.getField("w") * x.getField("w")),
+          lit(0.0), (acc, x) => acc + x)).as("norm"))
+      val dots = pruned.select(col("doc_id").as("d1"), col("term"), col("w").as("w1"))
+        .join(pruned.select(col("doc_id").as("d2"), col("term"), col("w").as("w2")), "term")
+        .where(col("d1") < col("d2"))
+        .groupBy("d1", "d2")
+        .agg(aggregate(
+          transform(array_sort(collect_list(struct(col("term"), (col("w1") * col("w2")).as("p")))),
+            x => x.getField("p")),
+          lit(0.0), (acc, x) => acc + x).as("dot"))
+      dots
+        .join(norms.select(col("doc_id").as("d1"), col("norm").as("n1")), "d1")
+        .join(norms.select(col("doc_id").as("d2"), col("norm").as("n2")), "d2")
+        .select(col("d1"), col("d2"),
+          round(col("dot") / (col("n1") * col("n2")), 6).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("d1"), col("d2"))
+        .limit(CosTopN)
     }))
 
   private val termList = QueryTerms.map("'" + _ + "'").mkString(", ")
@@ -160,5 +213,30 @@ object Retrieval {
          |  FROM tf JOIN df USING (term) JOIN dlen USING (doc_id) CROSS JOIN corpus)
          |SELECT doc_id, round(list_sum(list(sc ORDER BY term)), 6) AS score
          |FROM sc GROUP BY doc_id
-         |ORDER BY score DESC, doc_id LIMIT $TopN""".stripMargin)
+         |ORDER BY score DESC, doc_id LIMIT $TopN""".stripMargin,
+
+    "ir_cossim" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+         |  FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |corpus AS (SELECT count(*) AS n FROM documents),
+         |pruned AS (
+         |  SELECT doc_id, term, tf * ln((n + 1.0) / (df + 1.0)) AS w
+         |  FROM tf JOIN df USING (term) CROSS JOIN corpus
+         |  WHERE df >= $CosMinDf AND df * $CosMaxDfDiv <= n),
+         |norms AS (SELECT doc_id, sqrt(list_sum(list(w * w ORDER BY term))) AS norm
+         |          FROM pruned GROUP BY doc_id),
+         |dots AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2,
+         |    list_sum(list(a.w * b.w ORDER BY a.term)) AS dot
+         |  FROM pruned a JOIN pruned b ON a.term = b.term
+         |  WHERE a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT d1, d2, round(dot / (n1.norm * n2.norm), 6) AS cos_sim
+         |FROM dots
+         |JOIN norms n1 ON dots.d1 = n1.doc_id
+         |JOIN norms n2 ON dots.d2 = n2.doc_id
+         |ORDER BY cos_sim DESC, d1, d2 LIMIT $CosTopN""".stripMargin)
 }

@@ -285,6 +285,30 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // Shannon entropy of each document's word distribution — a lexical-
+    // diversity quality signal (near-zero = one token repeated; high =
+    // diverse vocabulary; boilerplate and keyword-stuffed spam sit low).
+    // H = ln(n) − (Σ c·ln c)/n over per-term counts c, computed as ONE
+    // (doc, term) keyed agg + ONE per-doc agg — linear in corpus tokens,
+    // embarrassingly parallel at 100 TB. The c·ln c sum is a sorted
+    // sequential fold by term (the ta_unigram_ppl parity template) and
+    // round(6) absorbs libm ln ulp.
+    "ta_entropy" -> ((s, dir) => {
+      val tf = load(s, dir, "documents")
+        .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+      tf.groupBy("doc_id")
+        .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_distinct"),
+          aggregate(
+            transform(array_sort(collect_list(struct(col("term"), col("c")))),
+              x => x.getField("c") * log(x.getField("c"))),
+            lit(0.0), (acc, x) => acc + x).as("clogc"))
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+          round(log(col("n_tokens")) - col("clogc") / col("n_tokens"), 6)
+            .as("entropy"))
+        .orderBy("doc_id")
+    }),
+
     // Gopher-style repetition signals (Rae et al. 2021 §A1.1): fraction of
     // duplicate tokens, most-frequent-token share, most-frequent-bigram
     // share — the standard cheap repetition filters before training.
@@ -481,6 +505,16 @@ object TextAnalysis {
         |SELECT doc_id,
         |  round(-list_sum(list(lp ORDER BY term)) / sum(tf), 6) AS nll
         |FROM contrib GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "ta_entropy" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS c FROM tok GROUP BY doc_id, term)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) AS BIGINT) AS n_distinct,
+        |  round(ln(sum(c)) - list_sum(list(c * ln(c) ORDER BY term)) / sum(c), 6)
+        |    AS entropy
+        |FROM tf GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "ta_repetition" ->
       """WITH tok AS (

@@ -220,7 +220,10 @@ class ScaleDesignSpec extends AnyFunSuite {
       "gr_triangles" -> 3, // deg agg + explode agg + sort above the cached edge list (edge-build shuffles live inside the InMemoryRelation)
       "gr_pagerank" -> 9, // 5 contrib aggs + deg agg + sort, node-join exchanges reused; edge shuffles inside the cache
       "ta_collocations" -> 6, // uni agg + bi agg + 2 count-table joins + totals + sort; corpus scanned twice, never joined
-      "ev_ab_test" -> 3) // user agg + corpus-totals agg + global agg; totals ride a one-row broadcast
+      "ev_ab_test" -> 3, // user agg + corpus-totals agg + global agg; totals ride a one-row broadcast
+      "ta_entropy" -> 3, // (doc,term) agg + per-doc agg + oracle sort
+      "samp_weighted" -> 0, // pure map-side key + TakeOrdered: NO exchange at all
+      "ir_cossim" -> 6) // tf agg + df agg + term self-join pair agg + norm agg + d1/d2 joins (ReuseExchange dedups the shared pruned chain) + sort
     val aqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
