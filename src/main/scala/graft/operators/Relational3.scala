@@ -53,6 +53,8 @@ object Relational3 {
   private val BucketUs = 600000000L // 10-minute range-join buckets, in µs
   private val ParaSize = 24 // tokens per dd_paragraph chunk
   private val ZBits = 10 // zorder_key interleave width per dimension
+  private val ErWindow = 5 // er_fuzzy_match sorted-neighborhood width
+  private val ErMaxDist = 2 // er_fuzzy_match Levenshtein accept threshold
 
   val queries: Map[String, Q] = Map(
     // Exact distinct-count over a skewed key via explicit two-phase
@@ -259,6 +261,38 @@ object Relational3 {
         .orderBy(col("pair_orders").desc, col("pa"), col("pb"))
     }),
 
+    // Entity-resolution fuzzy match via SORTED NEIGHBORHOOD (Hernández &
+    // Stolfo 1995): instead of blocking-key self-joins (the synthetic
+    // name vocabulary is 8 nouns — any key block is O(n) wide, so the
+    // block join is O(n²) and unshippable at 100 TB), sort records once
+    // by name and compare each record only with its next W neighbors in
+    // the total order. Candidates are exactly n·W pairs — LINEAR — and
+    // the sort + neighbor pairing is fully distributed: GlobalIndex
+    // assigns the dense rank (range-partitioned, no single-task window)
+    // and neighbors come from an integer equi-join on idx+w. The
+    // Levenshtein verify is integer-valued (no float-parity risk); each
+    // record keeps its best match by (distance, key) min-struct.
+    "er_fuzzy_match" -> ((s, dir) => {
+      val p = load(s, dir, "part").select("p_partkey", "p_name")
+      val idx = graft.plans.GlobalIndex.withRowIndex(
+        p, Seq(col("p_name"), col("p_partkey")), "idx")
+      val right = idx.select(col("idx").as("ridx"),
+        col("p_partkey").as("m_partkey"), col("p_name").as("m_name"))
+      idx.select(col("idx"), col("p_partkey"), col("p_name"),
+          explode(sequence(lit(1), lit(ErWindow))).as("w"))
+        .withColumn("ridx", col("idx") + col("w"))
+        .join(right, "ridx")
+        .select(col("p_partkey"), col("p_name"), col("m_partkey"), col("m_name"),
+          levenshtein(col("p_name"), col("m_name")).as("dist"))
+        .where(col("dist") <= ErMaxDist)
+        .groupBy("p_partkey", "p_name")
+        .agg(min(struct(col("dist"), col("m_partkey"), col("m_name"))).as("b"))
+        .select(col("p_partkey"), col("p_name"),
+          col("b.m_partkey").as("match_key"), col("b.m_name").as("match_name"),
+          col("b.dist").cast("long").as("dist"))
+        .orderBy("p_partkey")
+    }),
+
     // Exact higher moments per group. q = quantity×100 as a long (2-dp data
     // → exact); power sums of q accumulate in decimal(38,0) (DuckDB:
     // HUGEINT) so every engine sees the same exact integers; the moment
@@ -413,6 +447,25 @@ object Relational3 {
         |FROM ps JOIN supp sa ON pa = sa.l_partkey
         |        JOIN supp sb ON pb = sb.l_partkey
         |ORDER BY pair_orders DESC, pa, pb""".stripMargin,
+
+    "er_fuzzy_match" ->
+      s"""WITH p AS (
+         |  SELECT row_number() OVER (ORDER BY p_name, p_partkey) - 1 AS idx,
+         |         p_partkey, p_name
+         |  FROM part),
+         |cand AS (
+         |  SELECT a.p_partkey, a.p_name, b.p_partkey AS m_partkey,
+         |         b.p_name AS m_name, levenshtein(a.p_name, b.p_name) AS dist
+         |  FROM p a JOIN p b ON b.idx BETWEEN a.idx + 1 AND a.idx + $ErWindow
+         |  WHERE levenshtein(a.p_name, b.p_name) <= $ErMaxDist),
+         |r AS (
+         |  SELECT p_partkey, p_name, m_partkey, m_name, dist,
+         |    row_number() OVER (PARTITION BY p_partkey
+         |                       ORDER BY dist, m_partkey) AS rn
+         |  FROM cand)
+         |SELECT p_partkey, p_name, m_partkey AS match_key, m_name AS match_name,
+         |  CAST(dist AS BIGINT) AS dist
+         |FROM r WHERE rn = 1 ORDER BY p_partkey""".stripMargin,
 
     "a13_moments" ->
       """WITH q AS (

@@ -223,7 +223,9 @@ class ScaleDesignSpec extends AnyFunSuite {
       "ev_ab_test" -> 3, // user agg + corpus-totals agg + global agg; totals ride a one-row broadcast
       "ta_entropy" -> 3, // (doc,term) agg + per-doc agg + oracle sort
       "samp_weighted" -> 0, // pure map-side key + TakeOrdered: NO exchange at all
-      "ir_cossim" -> 6) // tf agg + df agg + term self-join pair agg + norm agg + d1/d2 joins (ReuseExchange dedups the shared pruned chain) + sort
+      "ir_cossim" -> 6, // tf agg + df agg + term self-join pair agg + norm agg + d1/d2 joins (ReuseExchange dedups the shared pruned chain) + sort
+      "er_fuzzy_match" -> 6, // range partition + offsets agg + idx window + neighbor idx join + best-match agg + sort (ReuseExchange shares the range exchange)
+      "gr_shortest_path" -> 1) // final sort only: per-round frontier joins/distincts run inside the eager localCheckpoints, edge build inside the cache
     val aqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
