@@ -261,6 +261,42 @@ object Relational3 {
         .orderBy(col("pair_orders").desc, col("pa"), col("pb"))
     }),
 
+    // Winsorized (5%/95%-clamped) robust mean per group, with the order
+    // statistics computed the 100 TB way: no per-group sort, no
+    // percentile() over data rows. The 2-dp quantity becomes exact
+    // integer cents; a (group, value) HISTOGRAM agg collapses the fact
+    // table to ≤ |groups|·|distinct values| rows; the cumulative-count
+    // window then runs over HISTOGRAM-scale rows only, and the k-th
+    // order statistic (k = ⌈p·n⌉, pure integer arithmetic) is the first
+    // value whose cumulative count reaches k. Clamp bounds broadcast
+    // back to the scan; the winsorized mean accumulates in decimal —
+    // order-independent, bit-identical on any partitioning. The same
+    // shape is how exact percentiles survive when a5_median_pct's
+    // built-in percentile() would need a per-group global sort.
+    "a14_winsorize" -> ((s, dir) => {
+      val q = round(col("l_quantity") * 100).cast("long")
+      val li = load(s, dir, "lineitem").select(col("l_returnflag"), q.as("q"))
+      val cum = li.groupBy("l_returnflag", "q").agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(
+          Window.partitionBy("l_returnflag").orderBy("q")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val n = li.groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+      val bounds = cum.join(n, "l_returnflag")
+        .groupBy(col("l_returnflag"), col("n"))
+        .agg(
+          min(when(col("cum") * 100 >= col("n") * 5, col("q"))).as("lo"),
+          min(when(col("cum") * 100 >= col("n") * 95, col("q"))).as("hi"))
+      li.join(broadcast(bounds), "l_returnflag")
+        .groupBy(col("l_returnflag"), col("n"), col("lo"), col("hi"))
+        .agg(sum(greatest(least(col("q"), col("hi")), col("lo"))
+          .cast("decimal(38,0)")).as("wsum"))
+        .select(col("l_returnflag"), col("n"),
+          (col("lo").cast("double") / 100.0).as("lo_qty"),
+          (col("hi").cast("double") / 100.0).as("hi_qty"),
+          round(col("wsum").cast("double") / col("n") / 100.0, 6).as("win_mean_qty"))
+        .orderBy("l_returnflag")
+    }),
+
     // Entity-resolution fuzzy match via SORTED NEIGHBORHOOD (Hernández &
     // Stolfo 1995): instead of blocking-key self-joins (the synthetic
     // name vocabulary is 8 nouns — any key block is O(n) wide, so the
@@ -447,6 +483,30 @@ object Relational3 {
         |FROM ps JOIN supp sa ON pa = sa.l_partkey
         |        JOIN supp sb ON pb = sb.l_partkey
         |ORDER BY pair_orders DESC, pa, pb""".stripMargin,
+
+    "a14_winsorize" ->
+      """WITH li AS (
+        |  SELECT l_returnflag, CAST(round(l_quantity * 100, 0) AS BIGINT) AS q
+        |  FROM lineitem),
+        |cum AS (
+        |  SELECT l_returnflag, q,
+        |    sum(count(*)) OVER (PARTITION BY l_returnflag ORDER BY q
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM li GROUP BY l_returnflag, q),
+        |nn AS (SELECT l_returnflag, count(*) AS n FROM li GROUP BY l_returnflag),
+        |b AS (
+        |  SELECT cum.l_returnflag, nn.n,
+        |    min(CASE WHEN cum * 100 >= nn.n * 5 THEN q END) AS lo,
+        |    min(CASE WHEN cum * 100 >= nn.n * 95 THEN q END) AS hi
+        |  FROM cum JOIN nn USING (l_returnflag) GROUP BY 1, 2)
+        |SELECT li.l_returnflag, b.n,
+        |  CAST(lo AS DOUBLE) / 100.0 AS lo_qty,
+        |  CAST(hi AS DOUBLE) / 100.0 AS hi_qty,
+        |  round(CAST(sum(greatest(least(q, hi), lo)) AS DOUBLE) / b.n / 100.0, 6)
+        |    AS win_mean_qty
+        |FROM li JOIN b USING (l_returnflag)
+        |GROUP BY li.l_returnflag, b.n, lo, hi
+        |ORDER BY li.l_returnflag""".stripMargin,
 
     "er_fuzzy_match" ->
       s"""WITH p AS (
