@@ -152,6 +152,32 @@ object EventWindows {
     // distinct-user count. The z arithmetic runs on exact integer counts
     // with an identical double expression tree both engines (sqrt only),
     // round(6) guard.
+    // Time-weighted average value per event type (the TWAP shape): each
+    // event's value holds until the user's next event, so it is weighted
+    // by that interval. One per-user lead window (keyed — never global)
+    // + one keyed rollup. Exactness: value→integer cents, duration→
+    // integer µs; per-row products stay inside long range (≤ ~8e17) and
+    // accumulate in decimal(38,0) (DuckDB: HUGEINT) so the sums are
+    // exact on any partitioning; only the final ratio is double+round(6).
+    "ev_twa" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val cents = round(col("value") * 100).cast("long")
+      load(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"), col("ts"),
+          cents.as("v"))
+        .withColumn("dur",
+          lead(unix_micros(col("ts")), 1).over(w) - unix_micros(col("ts")))
+        .where(col("dur").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_intervals"),
+          sum((col("v") * col("dur")).cast("decimal(38,0)")).as("sp"),
+          sum(col("dur").cast("decimal(38,0)")).as("sd"))
+        .select(col("event_type"), col("n_intervals"),
+          round(col("sp").cast("double") / col("sd").cast("double") / 100.0, 6)
+            .as("twa_value"))
+        .orderBy("event_type")
+    }),
+
     "ev_ab_test" -> ((s, dir) => {
       val perUser = load(s, dir, "events")
         .groupBy("user_id")
@@ -263,6 +289,21 @@ object EventWindows {
         |FROM active a JOIN cohort c ON a.user_id = c.user_id
         |GROUP BY c.cohort_week, week_offset
         |ORDER BY c.cohort_week, week_offset""".stripMargin,
+
+    "ev_twa" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS v
+        |  FROM events),
+        |d AS (
+        |  SELECT event_type, v,
+        |    lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) - us AS dur
+        |  FROM e)
+        |SELECT event_type, count(*) AS n_intervals,
+        |  round(CAST(sum(v * dur) AS DOUBLE) / CAST(sum(dur) AS DOUBLE) / 100.0, 6)
+        |    AS twa_value
+        |FROM d WHERE dur IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "ev_ab_test" -> {
       val h = graft.Exact.hash32Sql("CAST(user_id AS VARCHAR)")
