@@ -309,6 +309,25 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // Per-source vocabulary profile: token count, vocabulary size,
+    // hapax-legomena count (terms occurring once — the OOV tail a
+    // tokenizer will choke on), and type-token ratio. The corpus-level
+    // twin of ta_entropy's per-doc diversity: a source whose TTR
+    // collapses or whose hapax share explodes is boilerplate or junk
+    // respectively. Two keyed aggs ((source, term) then source) — linear
+    // in corpus tokens, all-integer until the final ratio.
+    "ta_vocab_profile" -> ((s, dir) => {
+      load(s, dir, "documents")
+        .select(col("source"), explode(toks(col("text"))).as("term"))
+        .groupBy("source", "term").agg(count(lit(1)).as("c"))
+        .groupBy("source")
+        .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("vocab"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("hapax"))
+        .select(col("source"), col("n_tokens"), col("vocab"), col("hapax"),
+          round(col("vocab").cast("double") / col("n_tokens"), 6).as("ttr"))
+        .orderBy("source")
+    }),
+
     // Gopher-style repetition signals (Rae et al. 2021 §A1.1): fraction of
     // duplicate tokens, most-frequent-token share, most-frequent-bigram
     // share — the standard cheap repetition filters before training.
@@ -505,6 +524,16 @@ object TextAnalysis {
         |SELECT doc_id,
         |  round(-list_sum(list(lp ORDER BY term)) / sum(tf), 6) AS nll
         |FROM contrib GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "ta_vocab_profile" ->
+      """WITH tok AS (
+        |  SELECT source, unnest(string_split(lower(text), ' ')) AS term FROM documents),
+        |tf AS (SELECT source, term, count(*) AS c FROM tok GROUP BY source, term)
+        |SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) AS BIGINT) AS vocab,
+        |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+        |  round(CAST(count(*) AS DOUBLE) / sum(c), 6) AS ttr
+        |FROM tf GROUP BY source ORDER BY source""".stripMargin,
 
     "ta_entropy" ->
       """WITH tok AS (

@@ -227,7 +227,8 @@ class ScaleDesignSpec extends AnyFunSuite {
       "er_fuzzy_match" -> 6, // range partition + offsets agg + idx window + neighbor idx join + best-match agg + sort (ReuseExchange shares the range exchange)
       "gr_shortest_path" -> 1, // final sort only: per-round frontier joins/distincts run inside the eager localCheckpoints, edge build inside the cache
       "a14_winsorize" -> 5, // histogram agg + cum window + bounds agg + clamped-mean agg + sort; bounds ride a broadcast, the histogram is value-domain-scale
-      "ev_twa" -> 3) // one user-keyed lead window + type rollup + sort
+      "ev_twa" -> 3, // one user-keyed lead window + type rollup + sort
+      "ta_vocab_profile" -> 3) // (source,term) agg + source agg + sort
     val aqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
