@@ -156,9 +156,11 @@ object EventWindows {
     // event's value holds until the user's next event, so it is weighted
     // by that interval. One per-user lead window (keyed — never global)
     // + one keyed rollup. Exactness: value→integer cents, duration→
-    // integer µs; per-row products stay inside long range (≤ ~8e17) and
-    // accumulate in decimal(38,0) (DuckDB: HUGEINT) so the sums are
-    // exact on any partitioning; only the final ratio is double+round(6).
+    // integer µs; the per-row product is computed in decimal(38,0)
+    // (DuckDB: HUGEINT), never in 64-bit — a months-long gap times a
+    // large value would overflow a long, where Spark (non-ANSI) wraps
+    // silently — and accumulates exactly on any partitioning; only the
+    // final ratio is double+round(6).
     "ev_twa" -> ((s, dir) => {
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
       val cents = round(col("value") * 100).cast("long")
@@ -170,7 +172,7 @@ object EventWindows {
         .where(col("dur").isNotNull)
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_intervals"),
-          sum((col("v") * col("dur")).cast("decimal(38,0)")).as("sp"),
+          sum(col("v").cast("decimal(38,0)") * col("dur")).as("sp"),
           sum(col("dur").cast("decimal(38,0)")).as("sd"))
         .select(col("event_type"), col("n_intervals"),
           round(col("sp").cast("double") / col("sd").cast("double") / 100.0, 6)
@@ -188,18 +190,23 @@ object EventWindows {
         .select(col("user_id"),
           (col("pc") * col("nu") >= col("tp")).cast("int").as("conv"),
           (graft.Exact.hash32(col("user_id").cast("string")) % 2 === 0).as("va"))
-      val p = (col("c_a") + col("c_b")) / (col("n_a") + col("n_b"))
+      // nullif guards: an empty variant must yield NULL on BOTH engines
+      // (Spark integer-division-by-zero is NULL but DuckDB float division
+      // diverges — nullif makes the expression identical everywhere).
+      val na = expr("nullif(n_a, 0)")
+      val nb = expr("nullif(n_b, 0)")
+      val p = (col("c_a") + col("c_b")) / expr("nullif(n_a + n_b, 0)")
       users.groupBy().agg(
           sum(when(col("va"), 1L).otherwise(0L)).as("n_a"),
           sum(when(!col("va"), 1L).otherwise(0L)).as("n_b"),
           sum(when(col("va"), col("conv").cast("long")).otherwise(0L)).as("c_a"),
           sum(when(!col("va"), col("conv").cast("long")).otherwise(0L)).as("c_b"))
         .select(col("n_a"), col("n_b"), col("c_a"), col("c_b"),
-          round(col("c_a") / col("n_a"), 6).as("rate_a"),
-          round(col("c_b") / col("n_b"), 6).as("rate_b"),
-          round((col("c_a") / col("n_a") - col("c_b") / col("n_b")) /
+          round(col("c_a") / na, 6).as("rate_a"),
+          round(col("c_b") / nb, 6).as("rate_b"),
+          round((col("c_a") / na - col("c_b") / nb) /
             sqrt(p * (lit(1.0) - p) *
-              (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 6).as("z_score"))
+              (lit(1.0) / na + lit(1.0) / nb)), 6).as("z_score"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -300,7 +307,8 @@ object EventWindows {
         |    lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) - us AS dur
         |  FROM e)
         |SELECT event_type, count(*) AS n_intervals,
-        |  round(CAST(sum(v * dur) AS DOUBLE) / CAST(sum(dur) AS DOUBLE) / 100.0, 6)
+        |  round(CAST(sum(CAST(v AS HUGEINT) * dur) AS DOUBLE)
+        |          / CAST(sum(dur) AS DOUBLE) / 100.0, 6)
         |    AS twa_value
         |FROM d WHERE dur IS NOT NULL
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
@@ -326,11 +334,12 @@ object EventWindows {
          |  FROM u)
          |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
          |  CAST(c_a AS BIGINT) AS c_a, CAST(c_b AS BIGINT) AS c_b,
-         |  round(c_a / n_a, 6) AS rate_a,
-         |  round(c_b / n_b, 6) AS rate_b,
-         |  round((c_a / n_a - c_b / n_b) /
-         |    sqrt(((c_a + c_b) / (n_a + n_b)) * (1.0 - (c_a + c_b) / (n_a + n_b)) *
-         |         (1.0 / n_a + 1.0 / n_b)), 6) AS z_score
+         |  round(c_a / nullif(n_a, 0), 6) AS rate_a,
+         |  round(c_b / nullif(n_b, 0), 6) AS rate_b,
+         |  round((c_a / nullif(n_a, 0) - c_b / nullif(n_b, 0)) /
+         |    sqrt(((c_a + c_b) / nullif(n_a + n_b, 0)) *
+         |         (1.0 - (c_a + c_b) / nullif(n_a + n_b, 0)) *
+         |         (1.0 / nullif(n_a, 0) + 1.0 / nullif(n_b, 0))), 6) AS z_score
          |FROM s""".stripMargin
     })
 }

@@ -54,14 +54,15 @@ object Graph {
 
   val queries: Map[String, Q] = Map(
     // Per-node triangle participation over the co-purchase graph, top
-    // nodes first. k = degree * 2^32 + id is the orientation key (degree
-    // fits far below 2^31 for any graph whose edge list fits anywhere).
+    // nodes first. k = (degree, id) is the orientation key as a STRUCT
+    // compared lexicographically — a strict total order for ANY id range
+    // (the previous packed d*2^32+id arithmetic silently broke the order
+    // once ids exceeded 2^32, i.e. well below the 100 TB target scale).
     "gr_triangles" -> ((s, dir) => {
       val e = edges(s, dir).cache()
       val deg = e.select(col("pa").as("node")).unionAll(e.select(col("pb").as("node")))
         .groupBy("node").agg(count(lit(1)).as("d"))
-      val k = col("d") * lit(4294967296L) + col("node")
-      val keyed = deg.select(col("node"), k.as("k"))
+      val keyed = deg.select(col("node"), struct(col("d"), col("node")).as("k"))
       val withK = e
         .join(keyed.select(col("node").as("na"), col("k").as("ka")), col("pa") === col("na"))
         .join(keyed.select(col("node").as("nb"), col("k").as("kb")), col("pb") === col("nb"))
@@ -89,29 +90,38 @@ object Graph {
     // addition that makes naive distributed PageRank nondeterministic
     // across runs, partitionings, and engines. Truncation leaks mass
     // (bounded by outdeg per node per iteration, ~1e-10 relative here);
-    // that bias is the documented price of bit-exactness. 100 TB shape:
-    // each iteration is one contribution shuffle on dst + one keyed join
-    // back to the node list; production would localCheckpoint every few
-    // iterations to truncate lineage (the Dedup.componentLabels pattern).
+    // that bias is the documented price of bit-exactness.
+    //
+    // 100 TB shape — ONE exchange per iteration: edges are pre-grouped
+    // once into a cached adjacency table (hash-partitioned by src, its
+    // groupBy partitioning), so the per-iteration rank ⋈ adjacency join
+    // and the node-keyed join back both reuse existing partitionings
+    // (rank arrives partitioned by node because the previous iteration's
+    // contribution agg clustered it by dst = node); contributions fan out
+    // map-side via explode and partially aggregate before the single
+    // groupBy(dst) exchange. The edge list is never re-shuffled after the
+    // one up-front build. n (node count) is a one-row driver scalar
+    // computed once — not a per-row collect.
     "gr_pagerank" -> ((s, dir) => {
       val e = edges(s, dir)
       val e2 = e.select(col("pa").as("src"), col("pb").as("dst"))
         .unionAll(e.select(col("pb").as("src"), col("pa").as("dst")))
+      val adj = e2.groupBy(col("src"))
+        .agg(collect_list(col("dst")).as("dsts"), count(lit(1)).as("outdeg"))
         .cache()
-      val nodes = e2.groupBy(col("src").as("node")).agg(count(lit(1)).as("outdeg"))
-      val nRow = nodes.groupBy().agg(count(lit(1)).as("n"))
-      var rank = nodes.crossJoin(broadcast(nRow))
-        .select(col("node"), expr(s"CAST($RankUnit AS BIGINT) div n").as("r"), col("outdeg"))
+      val n = adj.count() // scalar: |nodes| (every node has outdeg ≥ 1)
+      val base = (15L * RankUnit / n) / 100L // teleport term, exact long
+      var rank = adj.select(col("src").as("node"),
+        lit(RankUnit / n).as("r"))
       for (_ <- 1 to PrIters) {
-        val contrib = rank.join(e2, col("node") === col("src"))
-          .select(col("dst"), expr("r div outdeg").as("c"))
+        val contrib = rank.join(adj, col("node") === col("src"))
+          .select(explode(col("dsts")).as("dst"), expr("r div outdeg").as("c"))
           .groupBy("dst").agg(sum(col("c")).as("sc"))
-        rank = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
-          .crossJoin(broadcast(nRow))
-          .select(nodes("node"),
-            expr(s"((15 * CAST($RankUnit AS BIGINT)) div n) div 100 + " +
-              "(85 * coalesce(sc, CAST(0 AS BIGINT))) div 100").as("r"),
-            col("outdeg"))
+        rank = adj.select(col("src").as("node"))
+          .join(contrib, col("node") === col("dst"), "left")
+          .select(col("node"),
+            (lit(base) + expr("85 * coalesce(sc, CAST(0 AS BIGINT)) div 100"))
+              .as("r"))
       }
       rank.select(col("node"), col("r").as("pr_fp"))
         .orderBy(col("pr_fp").desc, col("node"))
@@ -194,8 +204,8 @@ object Graph {
          |         CASE WHEN ka.k < kb.k THEN pb ELSE pa END AS hi,
          |         CASE WHEN ka.k < kb.k THEN kb.k ELSE ka.k END AS khi
          |  FROM e
-         |  JOIN (SELECT node, d * 4294967296 + node AS k FROM deg) ka ON pa = ka.node
-         |  JOIN (SELECT node, d * 4294967296 + node AS k FROM deg) kb ON pb = kb.node),
+         |  JOIN (SELECT node, row(d, node) AS k FROM deg) ka ON pa = ka.node
+         |  JOIN (SELECT node, row(d, node) AS k FROM deg) kb ON pb = kb.node),
          |tris AS (
          |  SELECT e1.lo AS u, e1.hi AS v, e2.hi AS w
          |  FROM o e1 JOIN o e2 ON e1.lo = e2.lo AND e1.khi < e2.khi
@@ -218,7 +228,7 @@ object Graph {
          |r0 AS (SELECT node, CAST($RankUnit AS BIGINT) // n AS r, outdeg
          |       FROM deg CROSS JOIN nn),
          |$iters
-         |SELECT node, r AS pr_fp FROM it$PrIters
+         |SELECT node, CAST(r AS BIGINT) AS pr_fp FROM it$PrIters
          |ORDER BY pr_fp DESC, node""".stripMargin
     },
 

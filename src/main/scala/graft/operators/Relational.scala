@@ -370,7 +370,8 @@ object Relational {
         |  UNION ALL
         |  SELECT n.id, n.parent_id, f.depth + 1, n.score
         |  FROM nodes n JOIN flat f ON n.parent_id = f.id)
-        |SELECT id, parent_id, CAST(depth AS BIGINT) AS depth, score
+        |SELECT id, CAST(parent_id AS BIGINT) AS parent_id,
+        |  CAST(depth AS BIGINT) AS depth, score
         |FROM flat ORDER BY id""".stripMargin,
 
     "u1_union" ->

@@ -62,8 +62,11 @@ object TextAnalysis {
     when(lenChars >= 100 && lenChars <= 2000 && hitCount(toks(col("text")), Stopwords) > 0,
       1.0).otherwise(0.0)
   }
+  // CAST AS DOUBLE: a bare 1.0/0.0 literal is DECIMAL in DuckDB, which the
+  // driver's pandas conversion renders as `object` (Decimal) vs Spark's
+  // float64 — same comparator-dtype class as the HUGEINT incident.
   private[operators] def qualityScoreSql: String =
-    s"CASE WHEN length(text) BETWEEN 100 AND 2000 AND ${sqlHits(Stopwords)} > 0 THEN 1.0 ELSE 0.0 END"
+    s"CAST(CASE WHEN length(text) BETWEEN 100 AND 2000 AND ${sqlHits(Stopwords)} > 0 THEN 1.0 ELSE 0.0 END AS DOUBLE)"
 
   val queries: Map[String, Q] = Map(
     // Token counting: whitespace tokens + BPE-ish regex tokens.
@@ -387,7 +390,7 @@ object TextAnalysis {
   val oracle: Map[String, String] = Map(
     "ta_pack" ->
       s"""SELECT doc_id, source, n_tokens,
-         |  (cum - n_tokens) // $PackBudget AS seq_id
+         |  CAST((cum - n_tokens) // $PackBudget AS BIGINT) AS seq_id
          |FROM (
          |  SELECT doc_id, source,
          |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,

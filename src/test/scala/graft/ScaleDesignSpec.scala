@@ -218,7 +218,7 @@ class ScaleDesignSpec extends AnyFunSuite {
       "a13_moments" -> 2, // one power-sum agg + oracle sort
       "rec_cooccur" -> 5, // distinct + basket agg + pair agg + supp agg (ReuseExchange dedups the shared distinct) + sort
       "gr_triangles" -> 3, // deg agg + explode agg + sort above the cached edge list (edge-build shuffles live inside the InMemoryRelation)
-      "gr_pagerank" -> 9, // 5 contrib aggs + deg agg + sort, node-join exchanges reused; edge shuffles inside the cache
+      "gr_pagerank" -> 6, // 5 contrib aggs + sort — the ONLY exchanges: both per-iteration joins reuse the cached adjacency partitioning (left side) and the contrib agg partitioning (right side); edge/adjacency build shuffles live inside the cache
       "ta_collocations" -> 6, // uni agg + bi agg + 2 count-table joins + totals + sort; corpus scanned twice, never joined
       "ev_ab_test" -> 3, // user agg + corpus-totals agg + global agg; totals ride a one-row broadcast
       "ta_entropy" -> 3, // (doc,term) agg + per-doc agg + oracle sort

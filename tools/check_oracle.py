@@ -65,6 +65,24 @@ def main():
                   for i in range(got.num_rows)]
         e_rows = [tuple(canon(exp.column(c)[i].as_py()) for c in e_cols)
                   for i in range(exp.num_rows)]
+        # Dtype audit replicating the DRIVER's comparison path: the driver
+        # converts both sides to pandas before hashing, where DuckDB HUGEINT
+        # (e.g. sum(BIGINT) → INT128) silently lands as float64 while the
+        # Spark parquet stays int64 — values then hash as "5.0" vs "5" even
+        # when bitwise-identical (round-6 gr_pagerank/ta_pack incident).
+        # Symmetric coercion (nullable int64 → float64 on BOTH sides) is
+        # fine; only asymmetric coercion is a comparator bug.
+        g_pd, e_pd = got.to_pandas(), exp.to_pandas()
+        dtype_bad = [
+            c for c in g_cols
+            if str(g_pd[c].dtype) != str(e_pd[c].dtype)
+            and {str(g_pd[c].dtype), str(e_pd[c].dtype)} & {"float64"}]
+        if dtype_bad:
+            failures.append(
+                (name, "DTYPE asymmetry (driver-pandas path): " + ", ".join(
+                    f"{c}: spark={g_pd[c].dtype} duck={e_pd[c].dtype}"
+                    for c in dtype_bad)))
+            continue
         if g_rows == e_rows:
             print(f"  OK  {name} ({got.num_rows} rows)")
         elif sorted(g_rows) == sorted(e_rows):
