@@ -110,7 +110,15 @@ object Bench {
     // full-battery total by downstream tooling — flag it in the JSON.
     val partial = only.fold("")(names =>
       s""","partial":true,"only":${names.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"gc_ms":$gcs,"shuffle_bytes":$shfl,"sentinel":$sentinel,"failed":$failed$partial,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"gc_ms":$gcs,"shuffle_bytes":$shfl,"sentinel":$sentinel,"failed":$failed$partial,"sf":"$sfDir"}"""
+    println(line)
+    // The driver captures only a tail of stdout and has truncated the
+    // per-query map two rounds running — persist the full line in-repo so
+    // the complete numbers always survive a round.
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_LOCAL.json"),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable => System.err.println(s"[bench] BENCH_LOCAL.json write failed: ${e.getMessage}") }
     spark.stop()
   }
 

@@ -124,7 +124,7 @@ class VaderSpec extends AnyFunSuite {
 
   test("round-4 lexicon batches: curated coverage goldens") {
     import graft.functions.VaderSentiment.Lexicon
-    assert(Lexicon.size == 7416, s"lexicon entry count drifted: ${Lexicon.size}")
+    assert(Lexicon.size == 7524, s"lexicon entry count drifted: ${Lexicon.size}")
     // exact pinned values for the batch's anchors
     assert(Lexicon("shit") == -2.6 && Lexicon("scam") == -2.2)
     assert(Lexicon("stellar") == 2.7 && Lexicon("blissful") == 2.9)
@@ -885,8 +885,9 @@ class VaderSpec extends AnyFunSuite {
     assert(Lexicon("scaring") == -2.2 && Lexicon("shaming") == -2.1)
     // garbage derivations were excluded, not generated blindly
     assert(!Lexicon.contains("diing") && !Lexicon.contains("talenting"))
-    // "dashing" (the positive adjective) must not inherit dash's negative value
-    assert(!Lexicon.contains("dashing"))
+    // "dashing" (the positive adjective) must not inherit dash's negative
+    // value — the round-7 batch added it as a curated POSITIVE entry
+    assert(Lexicon("dashing") == 1.5)
     assert(label(compound("mentoring, uplifting and strengthening the whole team")) == "positive")
     assert(label(compound("they kept harassing, taunting and ridiculing him")) == "negative")
     assert(label(compound("a relaxing, invigorating and rejuvenating retreat")) == "positive")
@@ -1112,6 +1113,24 @@ class VaderSpec extends AnyFunSuite {
     assert(label(compound("the conman defaulted after laundering the kickback")) == "negative")
     assert(label(compound("they clinched the tiebreaker with a buzzerbeater")) == "positive")
     assert(label(compound("the trainwreck meeting stagnated into a minefield")) == "negative")
+  }
+
+  test("round-7 batch (108 entries): published-parity gap fill, count ≥ 7500") {
+    import graft.functions.VaderSentiment.Lexicon
+    // published-parity milestone: entry count at or above the ~7.5k
+    // published lexicon; growth by hand-batches stops here.
+    assert(Lexicon.size >= 7500, s"expected ≥7500 entries, got ${Lexicon.size}")
+    assert(Lexicon("abhorrent") == -3.1 && Lexicon("agonise") == -2.4)
+    assert(Lexicon("ability") == 1.3 && Lexicon("brighten") == 1.9)
+    assert(Lexicon("admit") == -0.1 && Lexicon("backed") == 0.1)
+    assert(Lexicon("sadistically") == -2.9 && Lexicon("terrifically") == 2.6)
+    // inflections stay consistent with their bundled relatives
+    assert(math.abs(Lexicon("agonise") - Lexicon("agonize")) <= 0.3)
+    assert(math.abs(Lexicon("acquitted") - Lexicon("acquit")) <= 0.5)
+    assert(label(compound("fortunately the outcome was terrifically satisfying")) == "positive")
+    assert(label(compound("an abhorrent and sadistically cruel act")) == "negative")
+    assert(label(compound("her abilities made the rollout refreshingly smooth")) == "positive")
+    assert(label(compound("the whining deniers kept agitating unfairly")) == "negative")
   }
 
   test("lexicon entries never shadow booster words (modifier role wins)") {
