@@ -95,13 +95,16 @@ object Graph {
     // 100 TB shape — ONE exchange per iteration: edges are pre-grouped
     // once into a cached adjacency table (hash-partitioned by src, its
     // groupBy partitioning), so the per-iteration rank ⋈ adjacency join
-    // and the node-keyed join back both reuse existing partitionings
-    // (rank arrives partitioned by node because the previous iteration's
-    // contribution agg clustered it by dst = node); contributions fan out
-    // map-side via explode and partially aggregate before the single
-    // groupBy(dst) exchange. The edge list is never re-shuffled after the
-    // one up-front build. n (node count) is a one-row driver scalar
-    // computed once — not a per-row collect.
+    // reuses existing partitionings (rank arrives partitioned by node
+    // because the previous iteration's contribution agg clustered it by
+    // dst = node); contributions fan out map-side via explode and
+    // partially aggregate before the single groupBy(dst) exchange. There
+    // is NO per-iteration join back to the node list: the graph is
+    // symmetrized (every edge contributes both directions), so every node
+    // has in-degree ≥ 1 and appears as a contribution dst every iteration
+    // — the contrib frame IS the full next rank vector. The edge list is
+    // never re-shuffled after the one up-front build. n (node count) is a
+    // one-row driver scalar computed once — not a per-row collect.
     "gr_pagerank" -> ((s, dir) => {
       val e = edges(s, dir)
       val e2 = e.select(col("pa").as("src"), col("pb").as("dst"))
@@ -114,14 +117,11 @@ object Graph {
       var rank = adj.select(col("src").as("node"),
         lit(RankUnit / n).as("r"))
       for (_ <- 1 to PrIters) {
-        val contrib = rank.join(adj, col("node") === col("src"))
+        rank = rank.join(adj, col("node") === col("src"))
           .select(explode(col("dsts")).as("dst"), expr("r div outdeg").as("c"))
           .groupBy("dst").agg(sum(col("c")).as("sc"))
-        rank = adj.select(col("src").as("node"))
-          .join(contrib, col("node") === col("dst"), "left")
-          .select(col("node"),
-            (lit(base) + expr("85 * coalesce(sc, CAST(0 AS BIGINT)) div 100"))
-              .as("r"))
+          .select(col("dst").as("node"),
+            (lit(base) + expr("85 * sc div 100")).as("r"))
       }
       rank.select(col("node"), col("r").as("pr_fp"))
         .orderBy(col("pr_fp").desc, col("node"))
