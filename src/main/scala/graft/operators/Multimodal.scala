@@ -5,6 +5,7 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import javax.imageio.ImageIO
 
 import graft.Tables.load
+import graft.functions.Mp4
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.util.LongAccumulator
@@ -29,9 +30,13 @@ case class DecodedMedia(media_id: Long, format: String, n_bytes: Long,
   * recovered the real header values, not stub arithmetic. Audio is REAL
   * too: `synthesizeAudio` writes actual RIFF/WAV bytes via
   * `javax.sound.sampled` and `decodeAudio` parses the header back
-  * (mm_audio). Only the mp4 leg remains a stub (the JDK ships no video
-  * codec): its payload stays the raw UTF-8 text bytes and its metadata is
-  * documented fake arithmetic.
+  * (mm_audio). The mp4 leg is now REAL at the container level: the JDK
+  * ships no video codec, but frame counts and track dimensions live in
+  * the ISO BMFF box tree, not the coded bitstream — `graft.functions.Mp4`
+  * writes a structurally valid single-track MP4 (ftyp/moov/trak/stbl/
+  * mdat) around the text payload and `decode` demuxes tkhd + stsz back.
+  * Only pixel/motion decode would need a codec, and no metadata query
+  * does.
   *
   * The plumbing is the shape a production pipeline needs: binary columns in
   * parquet-friendly schemas, `Dataset[MediaRecord]` typed rows,
@@ -70,10 +75,18 @@ object Multimodal {
   private def imgWidth(textBytes: Long): Int = 16 + (textBytes % 97).toInt
   private def imgHeight(textBytes: Long): Int = 16 + ((textBytes * 31) % 53).toInt
 
+  /** Deterministic video track spec from the source text's UTF-8 byte
+    * length — mirrored by the SQL oracle; the values round-trip through
+    * a real MP4 box tree, not arithmetic at decode time. */
+  private def vidWidth(textBytes: Long): Int = 64 + (textBytes % 577).toInt
+  private def vidHeight(textBytes: Long): Int = 64 + ((textBytes * 31) % 317).toInt
+  private def vidFrames(textBytes: Long): Int = 1 + (textBytes % 7).toInt
+
   /** Synthesize a media table from documents. png/jpeg rows carry REAL
     * encoded image bytes (dimensions a pure function of the text length);
-    * mp4 rows carry the raw UTF-8 text bytes (video stays a stub). One
-    * `ImageWriter` per format per partition, reused across rows. */
+    * mp4 rows carry a REAL ISO BMFF container wrapping the text bytes as
+    * the mdat payload. One `ImageWriter` per format per partition, reused
+    * across rows. */
   def synthesize(s: SparkSession, dir: String): Dataset[MediaRecord] = {
     import s.implicits._
     load(s, dir, "documents")
@@ -89,8 +102,11 @@ object Multimodal {
           "png" -> ImageIO.getImageWritersByFormatName("png").next(),
           "jpeg" -> ImageIO.getImageWritersByFormatName("jpeg").next())
         val out = it.map { r =>
-          if (r.format == "mp4") r
-          else {
+          if (r.format == "mp4") {
+            val n = r.media.length.toLong
+            r.copy(media =
+              Mp4.write(vidWidth(n), vidHeight(n), vidFrames(n), r.media))
+          } else {
             val textLen = r.media.length.toLong
             val img = new BufferedImage(
               imgWidth(textLen), imgHeight(textLen), BufferedImage.TYPE_INT_RGB)
@@ -114,7 +130,8 @@ object Multimodal {
     * shape a real decoder needs. Width/height for png/jpeg come from the
     * actual image header (`reader.getWidth(0)` parses the header without
     * decoding pixel data — the cheap path for metadata extraction); mp4
-    * metadata is the documented stub arithmetic. */
+    * metadata is demuxed from the container's real box tree (tkhd
+    * dimensions, stsz sample count) by `graft.functions.Mp4.parse`. */
   def decode(media: Dataset[MediaRecord],
              codecInits: Option[LongAccumulator] = None): Dataset[DecodedMedia] = {
     import media.sparkSession.implicits._
@@ -136,12 +153,10 @@ object Multimodal {
               } finally iis.close()
             DecodedMedia(r.media_id, r.format, r.media.length.toLong, w, h, 1)
           case _ =>
-            // mp4 STUB (no JDK video codec): fake metadata from byte length,
-            // mirrored by the SQL oracle
-            val n = r.media.length.toLong
-            DecodedMedia(r.media_id, r.format, n,
-              64 + (n % 577).toInt, 64 + ((n * 31) % 317).toInt,
-              1 + (n % 7).toInt)
+            // real ISO BMFF demux: dimensions from tkhd, frames from stsz
+            val m = Mp4.parse(r.media)
+            DecodedMedia(r.media_id, r.format, r.media.length.toLong,
+              m.width, m.height, m.nFrames)
         }
       }
       onExhaust(out)(() => readers.values.foreach(_.dispose()))
@@ -230,7 +245,9 @@ object Multimodal {
 
   /** png/jpeg width/height recompute the `synthesize` dimension spec from
     * the raw text — a match proves the real encode→decode round trip.
-    * mp4 rows recompute the documented stub arithmetic. */
+    * mp4 rows recompute the same spec the container writer embeds in the
+    * box tree, so a match proves the MP4 write→demux round trip too
+    * (DuckDB has no BMFF parser; the spec arithmetic is its only way in). */
   val oracle: Map[String, String] = Map(
     "mm_audio" ->
       s"""SELECT doc_id AS media_id,

@@ -35,6 +35,26 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("mp4 bytes are real ISO BMFF containers: decode demuxes the box tree") {
+    val payloads = Multimodal.synthesize(spark, sfDir)
+      .filter(_.format == "mp4").collect()
+    assert(payloads.nonEmpty)
+    payloads.foreach { r =>
+      assert(new String(r.media.slice(4, 8), "US-ASCII") == "ftyp",
+        s"media ${r.media_id} lacks ftyp box")
+    }
+    val decoded = Multimodal.decode(Multimodal.synthesize(spark, sfDir))
+      .filter(_.format == "mp4").collect()
+    decoded.foreach { d =>
+      // demuxed values must land inside the video track spec's range
+      assert(d.width >= 64 && d.width < 64 + 577, s"width ${d.width} outside spec")
+      assert(d.height >= 64 && d.height < 64 + 317, s"height ${d.height} outside spec")
+      assert(d.n_frames >= 1 && d.n_frames <= 7, s"frames ${d.n_frames} outside spec")
+      // n_bytes is the CONTAINER size — strictly larger than any payload
+      assert(d.n_bytes > 500, "container overhead missing — payload not wrapped")
+    }
+  }
+
   test("wav bytes are real RIFF containers: decode recovers the audio spec") {
     val payloads = Multimodal.synthesizeAudio(spark, sfDir).collect()
     assert(payloads.nonEmpty)
