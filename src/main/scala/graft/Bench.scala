@@ -77,8 +77,15 @@ object Bench {
     spark.sparkContext.addSparkListener(tally)
     // Warm-up outside the timed region: JVM/codegen init and parquet footer
     // reads otherwise land entirely on whichever query sorts first and
-    // distort its number.
-    Tables.All.foreach(t => Tables.load(spark, sfDir, t).count())
+    // distort its number. Failure-isolated per table: one unreadable table
+    // must degrade (its queries land in `failed`) rather than kill the whole
+    // bench before any JSON is printed — in round 7 a single bad loader
+    // zeroed the entire round's perf evidence from this exact line.
+    Tables.All.foreach { t =>
+      try Tables.load(spark, sfDir, t).count()
+      catch { case e: Throwable => System.err.println(
+        s"[bench] warm-up $t failed: ${e.getClass.getName}: ${e.getMessage}") }
+    }
     // JIT the ML + VADER + ImageIO stacks the same way: first use of
     // Tokenizer/CountVectorizer/LDA/BLAS and the codegen'd VADER expression
     // otherwise bills several seconds of class-load + C2 compilation to
@@ -86,7 +93,9 @@ object Bench {
     // here is a 40-row in-memory frame — NOT the sf dir — so Analytics'
     // per-(session,dir) model cache is not pre-filled and the timed
     // nlp_analysis still pays its full fit.
-    warmMlPath(spark)
+    try warmMlPath(spark)
+    catch { case e: Throwable => System.err.println(
+      s"[bench] ML warm-up failed: ${e.getClass.getName}: ${e.getMessage}") }
 
     // Sentinel pass 1: cheapest plan in the battery, timed on a warm JVM.
     val sentinelFirst = timeQuery(spark, sfDir, "o3_limit", tally)._1
@@ -135,7 +144,10 @@ object Bench {
       try { SparkEntry.queries(name)(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
       catch {
         case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          // Class name + message first: the driver keeps only a stdout/err
+          // tail, and a bare deep-stack message loses the failure signature.
+          System.err.println(
+            s"[bench] $name failed: ${e.getClass.getName}: ${e.getMessage}")
           false
       }
     // Failures are marked in the JSON itself (negative seconds + the

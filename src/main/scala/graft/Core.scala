@@ -21,13 +21,26 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.parquet carries TIMESTAMP(NANOS) which the Spark reader
-      // rejects; read nanos as long and truncate to the microsecond — the
-      // same ns→µs truncation DuckDB applies, so both engines see identical
-      // instants.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // The driver has shipped events.parquet with three different physical
+      // encodings of `ts` across regenerations: TIMESTAMP(NANOS) (which the
+      // Spark reader rejects unless nanosAsLong surfaces it as INT64),
+      // TIMESTAMP(MICROS) not UTC-adjusted (→ TIMESTAMP_NTZ), and
+      // UTC-adjusted TIMESTAMP (→ TIMESTAMP). Branch on the schema the
+      // reader actually produces so a testdata regeneration can never break
+      // the loader again; every branch lands on TimestampType micros with
+      // identical instants under the UTC session TZ (the ns→µs truncation
+      // matches what DuckDB's oracle applies).
+      if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+      df.schema.find(_.name == "ts").map(_.dataType) match {
+        case Some(LongType) =>
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case Some(TimestampNTZType) =>
+          df.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => df // already TimestampType (or absent): pass through
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
 }
 
