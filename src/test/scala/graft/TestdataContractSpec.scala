@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Loader-surface contract for every driver-generated table.
+  *
+  * Round 7 showed the driver regenerates the testdata parquet between
+  * rounds and may change a column's physical encoding when it does (events
+  * `ts`: TIMESTAMP(NANOS) → TIMESTAMP_NTZ micros). The events-specific
+  * normalization is pinned in EventsSchemaContractSpec; this suite pins the
+  * rest of the surface the 131-query battery consumes: every table loads
+  * through `Tables.load`, every column a query references exists, and each
+  * column's type sits in the family the queries assume. Families (not exact
+  * types) keep benign regenerations green — int32 vs int64 for a key is
+  * fine; a key becoming a string, a date becoming a long, or a column
+  * disappearing is a loud test failure instead of forty silent query
+  * deaths at Verify time.
+  */
+class TestdataContractSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private val integral: DataType => Boolean = {
+    case _: ByteType | _: ShortType | _: IntegerType | _: LongType => true
+    case _ => false
+  }
+  private val numeric: DataType => Boolean = {
+    case t if integral(t) => true
+    case _: FloatType | _: DoubleType | _: DecimalType => true
+    case _ => false
+  }
+  private val stringy: DataType => Boolean = _.isInstanceOf[StringType]
+  private val temporal: DataType => Boolean = {
+    case _: TimestampType | _: TimestampNTZType | _: DateType => true
+    case _ => false
+  }
+  private val floatArray: DataType => Boolean = {
+    case ArrayType(et, _) => numeric(et)
+    case _ => false
+  }
+
+  /** table -> (column -> allowed type family). */
+  private val contract: Map[String, Map[String, DataType => Boolean]] = Map(
+    "region" -> Map("r_regionkey" -> integral, "r_name" -> stringy),
+    "nation" -> Map("n_nationkey" -> integral, "n_name" -> stringy,
+      "n_regionkey" -> integral),
+    "customer" -> Map("c_custkey" -> integral, "c_name" -> stringy,
+      "c_nationkey" -> integral, "c_acctbal" -> numeric,
+      "c_mktsegment" -> stringy),
+    "supplier" -> Map("s_suppkey" -> integral, "s_name" -> stringy,
+      "s_nationkey" -> integral, "s_acctbal" -> numeric),
+    "part" -> Map("p_partkey" -> integral, "p_name" -> stringy,
+      "p_brand" -> stringy, "p_type" -> stringy, "p_size" -> integral,
+      "p_retailprice" -> numeric),
+    "orders" -> Map("o_orderkey" -> integral, "o_custkey" -> integral,
+      "o_orderstatus" -> stringy, "o_totalprice" -> numeric,
+      "o_orderdate" -> temporal, "o_orderpriority" -> stringy),
+    "lineitem" -> Map("l_orderkey" -> integral, "l_partkey" -> integral,
+      "l_suppkey" -> integral, "l_linenumber" -> integral,
+      "l_quantity" -> numeric, "l_extendedprice" -> numeric,
+      "l_discount" -> numeric, "l_tax" -> numeric,
+      "l_returnflag" -> stringy, "l_linestatus" -> stringy,
+      "l_shipdate" -> temporal),
+    "events" -> Map("event_id" -> integral, "ts" -> temporal,
+      "user_id" -> integral, "event_type" -> stringy, "value" -> numeric,
+      "props" -> stringy),
+    "documents" -> Map("doc_id" -> integral, "text" -> stringy,
+      "lang" -> stringy, "source" -> stringy, "n_chars" -> integral),
+    "embeddings" -> Map("vec_id" -> integral, "embedding" -> floatArray,
+      "label" -> integral))
+
+  for ((table, cols) <- contract.toSeq.sortBy(_._1))
+    test(s"$table loads with the column surface the battery assumes") {
+      val schema = Tables.load(spark, dir, table).schema
+      val byName = schema.fields.map(f => f.name -> f.dataType).toMap
+      val missing = cols.keys.filterNot(byName.contains)
+      assert(missing.isEmpty,
+        s"columns missing from $table: ${missing.mkString(", ")} " +
+          s"(driver testdata regeneration changed the schema?)")
+      val badType = cols.collect {
+        case (c, ok) if !ok(byName(c)) => s"$c is ${byName(c).simpleString}"
+      }
+      assert(badType.isEmpty,
+        s"type-family violations in $table: ${badType.mkString("; ")}")
+    }
+}

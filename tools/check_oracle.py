@@ -42,6 +42,15 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     failures = []
+    # graft.Verify records query-construction/execution failures in a
+    # sidecar (round-8 hardening: failures used to vanish from artifacts
+    # entirely). Surface each as an explicit gate failure.
+    try:
+        for name, sig in sorted(json.load(
+                open(f"{out_dir}/verify_failed.json")).items()):
+            failures.append((name, f"VERIFY failed: {sig.splitlines()[0][:200]}"))
+    except FileNotFoundError:
+        pass
     for name, sql in sorted(oracle.items()):
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
