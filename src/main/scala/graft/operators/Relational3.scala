@@ -52,6 +52,8 @@ object Relational3 {
 
   private val BucketUs = 600000000L // 10-minute range-join buckets, in µs
   private val ParaSize = 24 // tokens per dd_paragraph chunk
+  private val LineSize = 12 // tokens per dd_line_filter pseudo-line
+  private val LineDfMax = 3 // dd_line_filter: drop chunks in >= this many docs
   private val ZBits = 10 // zorder_key interleave width per dimension
   private val ErWindow = 5 // er_fuzzy_match sorted-neighborhood width
   private val ErMaxDist = 2 // er_fuzzy_match Levenshtein accept threshold
@@ -227,6 +229,45 @@ object Relational3 {
         .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_occ"))
         .where(col("n_docs") >= 2)
         .orderBy("chunk_md5")
+    }),
+
+    // CCNet-style boilerplate REMOVAL (dd_paragraph's sibling: that query
+    // DETECTS shared chunks; this one rewrites the corpus). Every
+    // non-overlapping LineSize-token chunk plays the role of a "line"
+    // (this corpus has no newlines); a chunk appearing in LineDfMax+
+    // distinct documents is treated as boilerplate and dropped, and each
+    // document is re-assembled from its surviving chunks in original
+    // order. The 100 TB shape: chunking/hashing map-side, ONE shuffle on
+    // the chunk hash for the document-frequency count, one hash join back
+    // (chunk-keyed, no broadcast assumption — the df table is
+    // corpus-sized), one doc-keyed aggregation to rebuild. Output is
+    // per-document, bounded by the corpus, never by pairs.
+    "dd_line_filter" -> ((s, dir) => {
+      val t = split(lower(col("text")), " ")
+      val lastIdx = floor(size(t) / lit(LineSize.toDouble)).cast("int") - 1
+      val chunks = load(s, dir, "documents")
+        .where(size(t) >= LineSize)
+        .select(col("doc_id"), t.as("t"),
+          explode(sequence(lit(0), lastIdx)).as("ci"))
+        .select(col("doc_id"), col("ci"),
+          array_join(slice(col("t"), col("ci") * LineSize + 1, lit(LineSize)), " ")
+            .as("chunk"))
+        .withColumn("h", md5(col("chunk")))
+      val chunkDf = chunks.groupBy("h")
+        .agg(countDistinct(col("doc_id")).as("docs"))
+      chunks.join(chunkDf, "h")
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).cast("long").as("n_chunks"),
+          sum(when(col("docs") < LineDfMax, 1L).otherwise(0L)).cast("long")
+            .as("n_kept"),
+          // collect_list skips nulls, so only kept chunks are gathered;
+          // array_sort on (ci, chunk) structs restores document order.
+          array_join(expr(
+            "transform(array_sort(collect_list(CASE WHEN docs < " + LineDfMax +
+              " THEN struct(ci, chunk) END)), x -> x.chunk)"), " ")
+            .as("text_kept"))
+        .orderBy("doc_id")
     }),
 
     // Market-basket co-occurrence: part pairs appearing together in 2+
@@ -469,6 +510,28 @@ object Relational3 {
          |FROM chunks GROUP BY chunk_md5
          |HAVING count(DISTINCT doc_id) >= 2
          |ORDER BY chunk_md5""".stripMargin,
+
+    "dd_line_filter" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+         |  WHERE len(string_split(lower(text), ' ')) >= $LineSize),
+         |chunks AS (
+         |  SELECT doc_id, ci,
+         |    array_to_string(list_slice(t, ci * $LineSize + 1,
+         |                               ci * $LineSize + $LineSize), ' ') AS chunk
+         |  FROM (SELECT doc_id, t,
+         |          unnest(range(0, CAST(floor(len(t) / ${LineSize}.0) AS INT))) AS ci
+         |        FROM d)),
+         |h AS (SELECT doc_id, ci, chunk, md5(chunk) AS h FROM chunks),
+         |cdf AS (SELECT h, count(DISTINCT doc_id) AS docs FROM h GROUP BY h)
+         |SELECT doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_chunks,
+         |  CAST(sum(CASE WHEN docs < $LineDfMax THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_kept,
+         |  coalesce(string_agg(CASE WHEN docs < $LineDfMax THEN chunk END,
+         |                      ' ' ORDER BY ci), '') AS text_kept
+         |FROM h JOIN cdf USING (h)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "rec_cooccur" ->
       """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

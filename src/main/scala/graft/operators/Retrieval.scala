@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables.load
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Sparse-retrieval operators over the documents table: an inverted index
@@ -51,6 +52,38 @@ object Retrieval {
   private val CosTopN = 50
 
   private def toks(c: Column): Column = split(lower(c), " ")
+
+  /** RRF constant (the k=60 of Cormack/Clarke/Büttcher 2009) and fused cut. */
+  private val RrfK = 60
+  private val RrfTopN = 20
+
+  /** The ir_bm25 plan (shared with ir_rrf's lexical leg): top-[[TopN]] docs
+    * for [[QueryTerms]] by rounded BM25 score, ordered (score desc, doc_id).
+    * Two scans of documents, one broadcast stats row, TakeOrdered cut. */
+  private def bm25Top(s: SparkSession, dir: String): DataFrame = {
+    val d = load(s, dir, "documents")
+      .select(col("doc_id") +: size(toks(col("text"))).cast("long").as("dl") +:
+        QueryTerms.map(tm =>
+          size(filter(toks(col("text")), x => x === tm)).cast("long").as(s"tf_$tm")): _*)
+    val stats = d.agg(
+      count(lit(1)).cast("double").as("n"),
+      (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl") +:
+        QueryTerms.map(tm =>
+          sum(when(col(s"tf_$tm") > 0, 1L).otherwise(0L)).as(s"df_$tm")): _*)
+    val denomNorm = lit(1.0) - lit(B) + lit(B) * col("dl") / col("avgdl")
+    val score = QueryTerms.map { tm =>
+      val (tf, df) = (col(s"tf_$tm"), col(s"df_$tm"))
+      when(tf > 0,
+        log((col("n") - df + lit(0.5)) / (df + lit(0.5)) + lit(1.0)) *
+          (tf * lit(K1 + 1.0)) / (tf + lit(K1) * denomNorm))
+        .otherwise(lit(0.0))
+    }.reduce(_ + _)
+    d.crossJoin(broadcast(stats))
+      .where(QueryTerms.map(tm => col(s"tf_$tm") > 0).reduce(_ || _))
+      .select(col("doc_id"), round(score, 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(TopN)
+  }
 
   val queries: Map[String, Q] = Map(
     // term → (df, sorted posting list of distinct doc_ids). The groupBy is
@@ -103,30 +136,7 @@ object Retrieval {
     // contribute exactly 0.0, so the fixed left-assoc sum over query terms
     // (sorted) bit-matches the oracle's sorted sequential fold over the
     // present terms only.
-    "ir_bm25" -> ((s, dir) => {
-      val d = load(s, dir, "documents")
-        .select(col("doc_id") +: size(toks(col("text"))).cast("long").as("dl") +:
-          QueryTerms.map(tm =>
-            size(filter(toks(col("text")), x => x === tm)).cast("long").as(s"tf_$tm")): _*)
-      val stats = d.agg(
-        count(lit(1)).cast("double").as("n"),
-        (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl") +:
-          QueryTerms.map(tm =>
-            sum(when(col(s"tf_$tm") > 0, 1L).otherwise(0L)).as(s"df_$tm")): _*)
-      val denomNorm = lit(1.0) - lit(B) + lit(B) * col("dl") / col("avgdl")
-      val score = QueryTerms.map { tm =>
-        val (tf, df) = (col(s"tf_$tm"), col(s"df_$tm"))
-        when(tf > 0,
-          log((col("n") - df + lit(0.5)) / (df + lit(0.5)) + lit(1.0)) *
-            (tf * lit(K1 + 1.0)) / (tf + lit(K1) * denomNorm))
-          .otherwise(lit(0.0))
-      }.reduce(_ + _)
-      d.crossJoin(broadcast(stats))
-        .where(QueryTerms.map(tm => col(s"tf_$tm") > 0).reduce(_ || _))
-        .select(col("doc_id"), round(score, 6).as("score"))
-        .orderBy(col("score").desc, col("doc_id"))
-        .limit(TopN)
-    }),
+    "ir_bm25" -> ((s, dir) => bm25Top(s, dir)),
 
     // All-pairs sparse TF-IDF cosine similarity via the inverted index —
     // the lexical near-duplicate / related-document join (the sparse
@@ -171,6 +181,52 @@ object Retrieval {
           round(col("dot") / (col("n1") * col("n2")), 6).as("cos_sim"))
         .orderBy(col("cos_sim").desc, col("d1"), col("d2"))
         .limit(CosTopN)
+    }),
+
+    // Hybrid-retrieval reciprocal-rank fusion (RRF, k=60): fuse the
+    // lexical BM25 ranking with a dense cosine ranking (embedding vec_id 0
+    // as the standing query, brute-force exact — the ann_* family holds
+    // the approximate scale paths) by Σ 1/(k + rank) over the lists each
+    // doc appears in. Scale shape: both legs end in a TakeOrdered top-N
+    // cut, so the rank windows and the full-outer fusion join run over two
+    // N-row frames (N=50), never the corpus — at 100 TB the fusion cost is
+    // the two legs' cost, the fuse itself is constant-size. Absent-list
+    // ranks surface as 0 with a 0.0 contribution (the RRF convention).
+    "ir_rrf" -> ((s, dir) => {
+      graft.plans.ArrayExprs.register(s)
+      import graft.plans.ArrayExprs.dotProduct
+      val lex = bm25Top(s, dir)
+        .withColumn("lex_rank", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+        .select(col("doc_id").as("id"), col("lex_rank"))
+      val e = load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").as("v"))
+        .withColumn("nrm", sqrt(dotProduct(col("v"), col("v"))))
+      val q = e.where(col("vec_id") === 0)
+        .select(col("v").as("qv"), col("nrm").as("qnrm"))
+      val dense = e.crossJoin(broadcast(q))
+        .where(col("vec_id") =!= 0)
+        .select(col("vec_id").as("id"),
+          round(dotProduct(col("qv"), col("v")) / (col("qnrm") * col("nrm")), 6)
+            .as("score"))
+        .orderBy(col("score").desc, col("id"))
+        .limit(TopN)
+        .withColumn("dense_rank", row_number().over(
+          Window.orderBy(col("score").desc, col("id"))).cast("long"))
+        .select(col("id"), col("dense_rank"))
+      val lexTerm =
+        when(col("lex_rank").isNotNull, lit(1.0) / (lit(RrfK) + col("lex_rank")))
+          .otherwise(lit(0.0))
+      val denseTerm =
+        when(col("dense_rank").isNotNull, lit(1.0) / (lit(RrfK) + col("dense_rank")))
+          .otherwise(lit(0.0))
+      lex.join(dense, Seq("id"), "full_outer")
+        .select(col("id").as("doc_id"),
+          coalesce(col("lex_rank"), lit(0L)).as("lex_rank"),
+          coalesce(col("dense_rank"), lit(0L)).as("dense_rank"),
+          (lexTerm + denseTerm).as("rrf_score"))
+        .orderBy(col("rrf_score").desc, col("doc_id"))
+        .limit(RrfTopN)
     }))
 
   private val termList = QueryTerms.map("'" + _ + "'").mkString(", ")
@@ -214,6 +270,48 @@ object Retrieval {
          |SELECT doc_id, round(list_sum(list(sc ORDER BY term)), 6) AS score
          |FROM sc GROUP BY doc_id
          |ORDER BY score DESC, doc_id LIMIT $TopN""".stripMargin,
+
+    "ir_rrf" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+         |  FROM documents),
+         |dlen AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+         |corpus AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+         |                  CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+         |           FROM dlen),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+         |       WHERE term IN ($termList) GROUP BY doc_id, term),
+         |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+         |sc AS (
+         |  SELECT tf.doc_id, tf.term,
+         |    ln((corpus.n - df.df + 0.5) / (df.df + 0.5) + 1.0) *
+         |    (tf.tf * ${K1 + 1.0}) /
+         |    (tf.tf + $K1 * (1.0 - $B + $B * dlen.dl / corpus.avgdl)) AS sc
+         |  FROM tf JOIN df USING (term) JOIN dlen USING (doc_id) CROSS JOIN corpus),
+         |lex AS (SELECT doc_id, round(list_sum(list(sc ORDER BY term)), 6) AS score
+         |        FROM sc GROUP BY doc_id
+         |        ORDER BY score DESC, doc_id LIMIT $TopN),
+         |lexr AS (SELECT doc_id,
+         |                row_number() OVER (ORDER BY score DESC, doc_id) AS lex_rank
+         |         FROM lex),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |dsc AS (SELECT e.vec_id AS id,
+         |               round(list_cosine_similarity(qv, v), 6) AS score
+         |        FROM e, q WHERE e.vec_id <> 0
+         |        ORDER BY score DESC, id LIMIT $TopN),
+         |dr AS (SELECT id, row_number() OVER (ORDER BY score DESC, id) AS dense_rank
+         |       FROM dsc)
+         |SELECT coalesce(lexr.doc_id, dr.id) AS doc_id,
+         |  CAST(coalesce(lex_rank, 0) AS BIGINT) AS lex_rank,
+         |  CAST(coalesce(dense_rank, 0) AS BIGINT) AS dense_rank,
+         |  CAST(CASE WHEN lex_rank IS NOT NULL
+         |            THEN CAST(1.0 AS DOUBLE) / ($RrfK + lex_rank) ELSE 0.0 END +
+         |       CASE WHEN dense_rank IS NOT NULL
+         |            THEN CAST(1.0 AS DOUBLE) / ($RrfK + dense_rank) ELSE 0.0 END
+         |       AS DOUBLE) AS rrf_score
+         |FROM lexr FULL OUTER JOIN dr ON lexr.doc_id = dr.id
+         |ORDER BY rrf_score DESC, doc_id LIMIT $RrfTopN""".stripMargin,
 
     "ir_cossim" ->
       s"""WITH tok AS (

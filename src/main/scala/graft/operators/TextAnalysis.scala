@@ -37,6 +37,19 @@ object TextAnalysis {
   /** Keywords per doc emitted by ta_keywords. */
   private val KwTopK = 3
 
+  /** The published Gopher quality-filter stopword list (Rae et al. 2021,
+    * appendix A1.1: a document must contain at least 2 of these). Distinct
+    * from [[Stopwords]], which drives the generic ratio features. */
+  private val GopherStops =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+  private val GopherMinWords = 50L
+  private val GopherMaxWords = 100000L
+  private val GopherMinMeanLen = 3.0
+  private val GopherMaxMeanLen = 10.0
+  private val GopherMinAlphaFrac = 0.8
+  private val GopherMaxSymRatio = 0.1
+  private val GopherMinStops = 2L
+
   /** Token budget per packed training sequence (ta_pack). */
   private val PackBudget = 2048L
 
@@ -93,6 +106,43 @@ object TextAnalysis {
           (nStop.cast("double") / nToks).as("stop_ratio"),
           (sumTokLen.cast("double") / nToks).as("mean_tok_len"),
           qualityScoreCol.as("quality_score"))
+        .orderBy("doc_id")
+    }),
+
+    // The published Gopher quality-rule filter (Rae et al. 2021, A1.1):
+    // word-count bounds, mean-word-length bounds, symbol-to-word ratio,
+    // alphabetic-word fraction, and the 8-word must-contain stopword rule,
+    // each surfaced as its own flag plus the composite keep decision. The
+    // paper's two line-level rules (bullet-start / ellipsis-end fractions)
+    // are omitted because this corpus has no line structure (zero
+    // newlines). Pure map-side column math — at 100 TB this filter runs
+    // inside the scan with zero shuffles.
+    "ta_gopher_rules" -> ((s, dir) => {
+      val t = toks(col("text"))
+      val nWords = size(t).cast("long")
+      val sumLen = aggregate(transform(t, tk => length(tk)), lit(0),
+        (acc, x) => acc + x).cast("long")
+      val meanLen = sumLen.cast("double") / nWords
+      val alphaFrac =
+        size(filter(t, tk => tk.rlike("[a-z]"))).cast("double") / nWords
+      val nSym = (size(regexp_extract_all(col("text"), lit("#"), lit(0))) +
+        size(regexp_extract_all(col("text"), lit("\\.\\.\\."), lit(0))))
+        .cast("long")
+      val symRatio = nSym.cast("double") / nWords
+      val stopHits = hitCount(t, GopherStops)
+      val okWords = nWords.between(GopherMinWords, GopherMaxWords)
+      val okMeanLen = meanLen.between(GopherMinMeanLen, GopherMaxMeanLen)
+      val okAlpha = alphaFrac >= GopherMinAlphaFrac
+      val okSymbols = symRatio <= GopherMaxSymRatio
+      val okStops = stopHits >= GopherMinStops
+      load(s, dir, "documents")
+        .select(col("doc_id"), nWords.as("n_words"),
+          meanLen.as("mean_word_len"), alphaFrac.as("alpha_frac"),
+          symRatio.as("sym_ratio"), stopHits.as("stop_hits"),
+          okWords.as("ok_words"), okMeanLen.as("ok_mean_len"),
+          okAlpha.as("ok_alpha"), okSymbols.as("ok_symbols"),
+          okStops.as("ok_stops"),
+          (okWords && okMeanLen && okAlpha && okSymbols && okStops).as("keep"))
         .orderBy("doc_id")
     }),
 
@@ -418,6 +468,37 @@ object TextAnalysis {
          |  $qualityScoreSql AS quality_score
          |FROM documents ORDER BY doc_id""".stripMargin
     },
+
+    "ta_gopher_rules" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, text, string_split(lower(text), ' ') AS t
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id,
+         |    CAST(len(t) AS BIGINT) AS n_words,
+         |    CAST(CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT)
+         |         AS DOUBLE) / len(t) AS mean_word_len,
+         |    CAST(len(list_filter(t, x -> regexp_matches(x, '[a-z]')))
+         |         AS DOUBLE) / len(t) AS alpha_frac,
+         |    CAST(len(regexp_extract_all(text, '#')) +
+         |         len(regexp_extract_all(text, '\\.\\.\\.'))
+         |         AS DOUBLE) / len(t) AS sym_ratio,
+         |    ${sqlHits(GopherStops)} AS stop_hits
+         |  FROM d)
+         |SELECT doc_id, n_words, mean_word_len, alpha_frac, sym_ratio,
+         |  stop_hits,
+         |  n_words BETWEEN $GopherMinWords AND $GopherMaxWords AS ok_words,
+         |  mean_word_len BETWEEN $GopherMinMeanLen AND $GopherMaxMeanLen
+         |    AS ok_mean_len,
+         |  alpha_frac >= $GopherMinAlphaFrac AS ok_alpha,
+         |  sym_ratio <= $GopherMaxSymRatio AS ok_symbols,
+         |  stop_hits >= $GopherMinStops AS ok_stops,
+         |  (n_words BETWEEN $GopherMinWords AND $GopherMaxWords)
+         |    AND (mean_word_len BETWEEN $GopherMinMeanLen AND $GopherMaxMeanLen)
+         |    AND alpha_frac >= $GopherMinAlphaFrac
+         |    AND sym_ratio <= $GopherMaxSymRatio
+         |    AND stop_hits >= $GopherMinStops AS keep
+         |FROM m ORDER BY doc_id""".stripMargin,
 
     "ta_langid" -> {
       val h = LangProfiles.map { case (l, ws) => l -> sqlHits(ws) }.toMap

@@ -228,7 +228,11 @@ class ScaleDesignSpec extends AnyFunSuite {
       "gr_shortest_path" -> 1, // final sort only: per-round frontier joins/distincts run inside the eager localCheckpoints, edge build inside the cache
       "a14_winsorize" -> 5, // histogram agg + cum window + bounds agg + clamped-mean agg + sort; bounds ride a broadcast, the histogram is value-domain-scale
       "ev_twa" -> 3, // one user-keyed lead window + type rollup + sort
-      "ta_vocab_profile" -> 3) // (source,term) agg + source agg + sort
+      "ta_vocab_profile" -> 3, // (source,term) agg + source agg + sort
+      // round-8 wave
+      "ta_gopher_rules" -> 1, // pure map-side rules + oracle sort
+      "dd_line_filter" -> 4, // chunk-df agg + h-keyed join + doc rebuild agg + sort
+      "ir_rrf" -> 1) // both legs end in TakeOrdered cuts; fusion runs on two 50-row frames
     val aqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
