@@ -322,6 +322,75 @@ object Embeddings {
         .where(col("rank") <= TopK)
         .select("q_id", "rank", "n_id", "score")
         .orderBy("q_id", "rank")
+    }),
+
+    // IVF-PQ: the production big-ANN layout (the FAISS IndexIVFPQ shape) —
+    // the IVF coarse quantizer restricts the search to NProbe probed cells,
+    // and WITHIN the candidates the distance is PQ ADC table lookups over
+    // 2-code rows, never raw-vector math. Composition of the ann_ivf cell
+    // chain (candidate generation) and the ann_pq codebook/ADC chain
+    // (scoring); codes here are raw-vector PQ (FAISS also offers residual
+    // encoding — same plumbing, one extra subtract). At 100 TB: codebooks
+    // and per-query distance tables broadcast, candidates bounded by
+    // probed-cell occupancy, the scan reads 1/13-size codes — both scale
+    // levers (cell count, code size) compose multiplicatively.
+    "ann_ivfpq" -> ((s, dir) => {
+      graft.plans.ArrayExprs.register(s)
+      import graft.plans.ArrayExprs.dotProduct
+      val e = load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").as("v"))
+        .withColumn("nrm", sqrt(dotProduct(col("v"), col("v"))))
+      val seeds = e.where(col("vec_id") < Cells)
+        .select(col("vec_id").as("cell"), col("v").as("cv"), col("nrm").as("cnrm"))
+      def cos(a: String, an: String, b: String, bn: String) =
+        round(dotProduct(col(a), col(b)) / (col(an) * col(bn)), 6)
+      // IVF leg (same shapes as ann_ivf): each vector lands in exactly one
+      // cell, so the probe⋈assigned join emits each (q_id, vec_id) once.
+      val wAssign = Window.partitionBy("vec_id").orderBy(col("c").desc, col("cell"))
+      val assigned = e.crossJoin(broadcast(seeds))
+        .select(col("vec_id"), col("cell"), cos("v", "nrm", "cv", "cnrm").as("c"))
+        .withColumn("rn", row_number().over(wAssign))
+        .where(col("rn") === 1)
+        .select("vec_id", "cell")
+      val q = e.where(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+      val wProbe = Window.partitionBy("q_id").orderBy(col("c").desc, col("cell"))
+      val probes = q.crossJoin(broadcast(seeds))
+        .select(col("q_id"), col("cell"), cos("qv", "qnrm", "cv", "cnrm").as("c"))
+        .withColumn("rn", row_number().over(wProbe))
+        .where(col("rn") <= NProbe)
+        .select("q_id", "cell")
+      val cands = probes.join(assigned, "cell")
+        .where(col("vec_id") =!= col("q_id"))
+        .select("q_id", "vec_id")
+      // PQ ADC leg (same chain as ann_pq), restricted to the candidates.
+      val subs = (0 until PqM).map(m => pqSub(s, dir, m, PqSubDim, KmK))
+      val codes = subs.map(_._1).reduce(_.join(_, "vec_id"))
+      val ef = load(s, dir, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("fv"))
+      def qTable(m: Int, cents: DataFrame): DataFrame =
+        ef.where(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("q_id"),
+            slice(col("fv"), m * PqSubDim + 1, PqSubDim).as("qv"))
+          .withColumn("qvv", dotProduct(col("qv"), col("qv")))
+          .crossJoin(broadcast(cents))
+          .select(col("q_id"), col("cluster").as(s"code$m"),
+            round(col("qvv") + col("cvv") - lit(2.0) * dotProduct(col("qv"), col("cv")), 6)
+              .as(s"d$m"))
+      val wRank2 = Window.partitionBy("q_id").orderBy(col("adist"), col("n_id"))
+      val scored = (1 until PqM).foldLeft(
+        cands.join(codes, "vec_id")
+          .join(broadcast(qTable(0, subs(0)._2)), Seq("code0", "q_id"))) {
+        case (acc, m) => acc.join(broadcast(qTable(m, subs(m)._2)), Seq(s"code$m", "q_id"))
+      }
+      scored
+        .select(col("q_id"), col("vec_id").as("n_id"),
+          round((0 until PqM).map(m => col(s"d$m")).reduce(_ + _), 6).as("adist"))
+        .withColumn("rank", row_number().over(wRank2))
+        .where(col("rank") <= TopK)
+        .select("q_id", "rank", "n_id", "adist")
+        .orderBy("q_id", "rank")
     }))
 
   /** Shared oracle CTE for the k-means assignment (mirrors
@@ -497,5 +566,50 @@ object Embeddings {
          |        row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rank
          |      FROM cand)
          |SELECT q_id, rank, n_id, score FROM r WHERE rank <= $TopK
+         |ORDER BY q_id, rank""".stripMargin,
+
+    "ann_ivfpq" ->
+      s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS fv FROM embeddings),
+         |seeds AS (SELECT vec_id AS cell, fv AS cv FROM e WHERE vec_id < $Cells),
+         |ac AS (
+         |  SELECT e.vec_id, cell,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |                       ORDER BY round(list_cosine_similarity(e.fv, cv), 6) DESC, cell) AS rn
+         |  FROM e, seeds),
+         |assigned AS (SELECT vec_id, cell FROM ac WHERE rn = 1),
+         |qiv AS (SELECT vec_id AS q_id, fv AS qv FROM e WHERE vec_id < $NumQueries),
+         |pc AS (
+         |  SELECT q_id, cell,
+         |    row_number() OVER (PARTITION BY q_id
+         |                       ORDER BY round(list_cosine_similarity(qv, cv), 6) DESC, cell) AS rn
+         |  FROM qiv, seeds),
+         |probes AS (SELECT q_id, cell FROM pc WHERE rn <= $NProbe),
+         |cand AS (
+         |  SELECT q_id, a.vec_id AS n_id
+         |  FROM probes p JOIN assigned a ON p.cell = a.cell
+         |  WHERE a.vec_id <> p.q_id),
+         |${(0 until PqM).map(m => pqSubSql(m)).mkString(",\n")},
+         |codes AS MATERIALIZED (SELECT vec_id, code0, code1
+         |                       FROM code0 JOIN code1 USING (vec_id)),
+         |${(0 until PqM).map { m =>
+        val lo = m * PqSubDim + 1
+        val hi = (m + 1) * PqSubDim
+        s"""q$m AS MATERIALIZED (SELECT vec_id AS q_id, list_slice(fv, $lo, $hi) AS qv
+           |        FROM e WHERE vec_id < $NumQueries),
+           |t$m AS MATERIALIZED (
+           |  SELECT q_id, cluster AS code$m,
+           |    round(list_inner_product(qv, qv) + list_inner_product(cv, cv)
+           |          - 2.0 * list_inner_product(qv, cv), 6) AS d$m
+           |  FROM q$m, c$m)""".stripMargin
+      }.mkString(",\n")},
+         |scored AS (
+         |  SELECT cand.q_id, cand.n_id, round(d0 + d1, 6) AS adist,
+         |    row_number() OVER (PARTITION BY cand.q_id
+         |      ORDER BY round(d0 + d1, 6), cand.n_id) AS rank
+         |  FROM cand
+         |  JOIN codes ON codes.vec_id = cand.n_id
+         |  JOIN t0 ON t0.code0 = codes.code0 AND t0.q_id = cand.q_id
+         |  JOIN t1 ON t1.code1 = codes.code1 AND t1.q_id = cand.q_id)
+         |SELECT q_id, rank, n_id, adist FROM scored WHERE rank <= $TopK
          |ORDER BY q_id, rank""".stripMargin)
 }
