@@ -21,17 +21,27 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // The driver has shipped events.parquet with three different physical
+      // The driver has shipped events.parquet with different physical
       // encodings of `ts` across regenerations: TIMESTAMP(NANOS) (which the
-      // Spark reader rejects unless nanosAsLong surfaces it as INT64),
-      // TIMESTAMP(MICROS) not UTC-adjusted (→ TIMESTAMP_NTZ), and
-      // UTC-adjusted TIMESTAMP (→ TIMESTAMP). Branch on the schema the
-      // reader actually produces so a testdata regeneration can never break
-      // the loader again; every branch lands on TimestampType micros with
-      // identical instants under the UTC session TZ (the ns→µs truncation
-      // matches what DuckDB's oracle applies).
+      // Spark reader rejects unless nanosAsLong surfaces it as INT64) and
+      // TIMESTAMP(MICROS) with isAdjustedToUTC either way. Branch on the
+      // schema the reader actually produces so a testdata regeneration can
+      // never break the loader again; every branch lands on TimestampType
+      // micros with identical instants under the UTC session TZ (the ns→µs
+      // truncation matches what DuckDB's oracle applies).
+      //
+      // inferTimestampNTZ=false makes the reader surface non-UTC-adjusted
+      // MICROS as TimestampType directly (the pre-3.4 mapping) instead of
+      // TIMESTAMP_NTZ — same instants under the UTC session, but
+      // CRUCIALLY pushdown-friendly: a `cast(ts AS timestamp)` wrapper
+      // would block every time predicate from reaching the parquet scan
+      // (PushedFilters: [] — at 100 TB that is a full scan per window
+      // query). The NTZ cast branch below stays as a fallback for frames
+      // read before the conf existed.
       if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      if (spark.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled", "true") != "false")
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       val df = spark.read.parquet(s"$dir/$name.parquet")
       import org.apache.spark.sql.types.{LongType, TimestampNTZType}
       df.schema.find(_.name == "ts").map(_.dataType) match {
