@@ -83,4 +83,20 @@ class EventsSchemaContractSpec extends AnyFunSuite {
     assert(df.schema("ts").dataType === TimestampType)
     assert(df.limit(1).count() === 1L)
   }
+
+  test("ts predicates push down into the events parquet scan") {
+    // The cast-to-timestamp fallback for TIMESTAMP_NTZ files blocks
+    // pushdown (PushedFilters: []) — at 100 TB that is a full scan per
+    // time-window query. The loader reads MICROS files as TimestampType
+    // directly (inferTimestampNTZ=false), so a ts filter must reach the
+    // scan as a pushed filter and the read schema must be plain timestamp.
+    val plan = Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .where(col("ts") >= lit("2024-01-01").cast("timestamp"))
+      .select("event_id", "ts")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts,"),
+      s"ts filter not pushed to the events scan:\n$plan")
+    assert(!plan.contains("timestamp_ntz"),
+      s"events scan still reads TIMESTAMP_NTZ (cast fallback engaged):\n$plan")
+  }
 }
