@@ -338,6 +338,45 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // Bigram-LM perplexity proxy — the next step up from ta_unigram_ppl
+    // toward the KenLM-style n-gram filtering CCNet uses: per-doc mean NLL
+    // under a Laplace-smoothed conditional model P(w2|w1) = (c(w1 w2)+1) /
+    // (ctx(w1)+V) fit on the corpus itself. Scale shape: bigrams map-side
+    // (the ir_phrase zip_with form), then three keyed aggs (doc-bigram tf →
+    // corpus bigram cf → left-context totals) + a one-row broadcast vocab;
+    // the contrib join is bigram-keyed. Fold by bigram sorted, round(6) —
+    // the ta_unigram_ppl parity template.
+    "ta_bigram_ppl" -> ((s, dir) => {
+      val t = toks(col("text"))
+      val n = size(t)
+      val bigrams = zip_with(slice(t, lit(1), n - 1), slice(t, lit(2), n - 1),
+        (a, b) => concat_ws(" ", a, b))
+      val tf = load(s, dir, "documents")
+        .where(n >= 2)
+        .select(col("doc_id"), explode(bigrams).as("bg"))
+        .groupBy("doc_id", "bg").agg(count(lit(1)).as("tf"))
+      val cf = tf.groupBy("bg").agg(sum(col("tf")).as("cf"))
+      val ctx = cf.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+        .agg(sum(col("cf")).as("ctx"))
+      val vocab = load(s, dir, "documents")
+        .select(explode(toks(col("text"))).as("term"))
+        .agg(countDistinct(col("term")).cast("double").as("v"))
+      val contrib = tf.join(cf, "bg")
+        .join(ctx, substring_index(col("bg"), " ", 1) === col("w1"))
+        .crossJoin(broadcast(vocab))
+        .select(col("doc_id"), col("bg"), col("tf"),
+          (col("tf") * log((col("cf") + lit(1.0)) / (col("ctx") + col("v"))))
+            .as("lp"))
+      contrib.groupBy("doc_id")
+        .agg(round(
+          -aggregate(
+            transform(array_sort(collect_list(struct(col("bg"), col("lp")))),
+              x => x.getField("lp")),
+            lit(0.0), (acc, x) => acc + x)
+            / sum(col("tf")), 6).as("nll"))
+        .orderBy("doc_id")
+    }),
+
     // Shannon entropy of each document's word distribution — a lexical-
     // diversity quality signal (near-zero = one token repeated; high =
     // diverse vocabulary; boilerplate and keyword-stuffed spam sit low).
@@ -607,6 +646,32 @@ object TextAnalysis {
         |  FROM tf JOIN cf USING (term) CROSS JOIN vn)
         |SELECT doc_id,
         |  round(-list_sum(list(lp ORDER BY term)) / sum(tf), 6) AS nll
+        |FROM contrib GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "ta_bigram_ppl" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+        |  WHERE len(string_split(lower(text), ' ')) >= 2),
+        |bgr AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bg
+        |  FROM d),
+        |tf AS (SELECT doc_id, bg, count(*) AS tf FROM bgr GROUP BY doc_id, bg),
+        |cf AS (SELECT bg, sum(tf) AS cf FROM tf GROUP BY bg),
+        |ctx AS (SELECT split_part(bg, ' ', 1) AS w1, sum(cf) AS ctx
+        |        FROM cf GROUP BY 1),
+        |vocab AS (
+        |  SELECT CAST(count(DISTINCT term) AS DOUBLE) AS v
+        |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS term
+        |        FROM documents)),
+        |contrib AS (
+        |  SELECT doc_id, bg, tf.tf,
+        |    tf.tf * ln((cf.cf + 1.0) / (ctx.ctx + v)) AS lp
+        |  FROM tf JOIN cf USING (bg)
+        |  JOIN ctx ON split_part(tf.bg, ' ', 1) = ctx.w1
+        |  CROSS JOIN vocab)
+        |SELECT doc_id,
+        |  round(-list_sum(list(lp ORDER BY bg)) / sum(tf), 6) AS nll
         |FROM contrib GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "ta_vocab_profile" ->
