@@ -74,6 +74,15 @@ object Dedup {
   private val JumpAfter = 4
   /** SimHash signature width (bits of the 32-bit token hash used). */
   private val SimBits = 16
+  // dd_simhash_hamming banding: SimBands × SimBandBits must cover SimBits,
+  // and the pigeonhole guarantee needs SimMaxHam < SimBands. 2×8-bit bands
+  // at Hamming <= 1: this synthetic corpus shares so much vocabulary that a
+  // 16-bit simhash concentrates (4×4-bit bands at ham<=3 emitted 34% of ALL
+  // pairs at sf0.001 — correct, but an output quadratic in the corpus);
+  // ham<=1 keeps the output the near-identical set the operator is for.
+  private val SimBands = 2
+  private val SimBandBits = 8
+  private val SimMaxHam = 1
   /** dd_substring: minimum shared consecutive-shingle run (a run of r
     * 3-shingles = an identical r+2-token substring). */
   private val SubstrMinRun = 3
@@ -367,6 +376,52 @@ object Dedup {
       sig.select(col("doc_id"), simhash.as("simhash")).orderBy("doc_id")
     }),
 
+    // SimHash near-duplicate PAIRS at Hamming distance <= SimMaxHam — the
+    // Manku/Jain/Sarma (WWW 2007) banded search that makes dd_simhash's
+    // signatures actually findable. Pigeonhole-exact: SimMaxHam(3) bit
+    // flips can touch at most 3 of the SimBands(4) bands, so every true
+    // near-dup pair agrees exactly on >= 1 band — candidates are ONLY
+    // same-(band, band-bits) bucket pairs, generated with the ann_lsh
+    // grouped shape (one scan, no self-join re-computation), then verified
+    // by bit_count(xor). At production scale the signature widens (64-bit,
+    // 4x16-bit bands = 65k buckets/band) so bucket occupancy — the Σ
+    // bucket² pair cost — stays bounded; the 16-bit test signature keeps
+    // the DuckDB oracle cheap while exercising the identical chain.
+    "dd_simhash_hamming" -> ((s, dir) => {
+      val tok = load(s, dir, "documents")
+        .select(col("doc_id"), explode(toks(col("text"))).as("token"))
+        .withColumn("h", hash32(col("token")))
+      val votes = (0 until SimBits).map(j =>
+        sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+          .as(s"v$j"))
+      val sigW = tok.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+      val simhash = (0 until SimBits).map(j =>
+        when(col(s"v$j") > 0, lit(1L << j)).otherwise(0L)).reduce(_ + _)
+      val sig = sigW.select(col("doc_id"), simhash.as("simhash"))
+      val bandMask = (1L << SimBandBits) - 1
+      val banded = sig.select(col("doc_id"), col("simhash"),
+        explode(array((0 until SimBands).map(b => struct(
+          lit(b).as("band"),
+          shiftright(col("simhash"), b * SimBandBits).bitwiseAND(lit(bandMask))
+            .as("key"))): _*)).as("bk"))
+        .select(col("doc_id"), col("simhash"),
+          col("bk.band").as("band"), col("bk.key").as("key"))
+      banded.groupBy("band", "key")
+        .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("ds"))
+        .where(size(col("ds")) > 1)
+        .select(explode(flatten(transform(col("ds"), (x, i) =>
+          transform(slice(col("ds"), i + 2, size(col("ds"))), y => struct(
+            x.getField("doc_id").as("doc_a"),
+            y.getField("doc_id").as("doc_b"),
+            x.getField("simhash").bitwiseXOR(y.getField("simhash")).as("xr"))))))
+          .as("p"))
+        .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+          bit_count(col("p.xr")).cast("long").as("hamming"))
+        .where(col("hamming") <= SimMaxHam)
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // Benchmark decontamination: find training docs that share >= MinShared
     // distinct 3-token shingles with a held-out benchmark doc (here: every
     // doc_id % 10 == 0 plays the benchmark set). The standard pre-training
@@ -608,6 +663,32 @@ object Dedup {
          |    $votes
          |  FROM tok GROUP BY doc_id)
          |SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM sig ORDER BY doc_id""".stripMargin
+    },
+
+    "dd_simhash_hamming" -> {
+      val votes = (0 until SimBits)
+        .map(j => s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS v$j")
+        .mkString(",\n    ")
+      val bits = (0 until SimBits)
+        .map(j => s"CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+      val mask = (1L << SimBandBits) - 1
+      s"""WITH tok AS (
+         |  SELECT doc_id, ${hash32Sql("token")} AS h FROM (
+         |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents)),
+         |sigv AS (
+         |  SELECT doc_id,
+         |    $votes
+         |  FROM tok GROUP BY doc_id),
+         |sig AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM sigv),
+         |banded AS (
+         |  SELECT doc_id, simhash, band, (simhash >> (band * $SimBandBits)) & $mask AS key
+         |  FROM (SELECT doc_id, simhash, unnest(range($SimBands)) AS band FROM sig))
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM banded a JOIN banded b
+         |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= $SimMaxHam
+         |ORDER BY doc_a, doc_b""".stripMargin
     },
 
     "dd_components" ->
