@@ -27,6 +27,9 @@ object Relational2 {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** samp_temperature: expected total docs drawn (the token/doc budget). */
+  private val SampTempTarget = 1000.0
+
   val queries: Map[String, Q] = Map(
     // ROLLUP over the region/nation hierarchy with explicit grouping flags.
     "g1_rollup" -> ((s, dir) => {
@@ -386,6 +389,39 @@ object Relational2 {
             .as("keep"))
         .groupBy("source", "rate_pct")
         .agg(count(lit(1)).as("n_total"), sum(col("keep").cast("long")).as("n_kept"))
+        .orderBy("source")
+    }),
+
+    // Temperature-scaled source mixing (the published multilingual /
+    // data-mix sampling rule: sample source s with share ∝ n_s^α, α=1/2 —
+    // upweights small sources, downweights dominant ones). Per-source keep
+    // rate r_s = min(1, T·p_s/n_s) with p_s = √n_s / Σ√n, applied as a
+    // content-stable integer hash threshold (millionths) — deterministic,
+    // RNG-free, reproducible on any cluster. Parity: √ is IEEE-exact, and
+    // Σ√n folds in sorted source order on BOTH engines so the shared
+    // denominator is bit-identical. Scale shape: one tiny per-source agg,
+    // a one-row broadcast total, and a broadcast threshold join — the
+    // keep decision itself is map-side.
+    "samp_temperature" -> ((s, dir) => {
+      val d = load(s, dir, "documents")
+      val counts = d.groupBy("source").agg(count(lit(1)).as("n_s"))
+      val tot = counts.agg(
+        aggregate(
+          transform(array_sort(collect_list(struct(col("source"),
+            sqrt(col("n_s").cast("double")).as("w")))),
+            x => x.getField("w")),
+          lit(0.0), (acc, x) => acc + x).as("sw"))
+      val th = counts.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_s"),
+          floor(least(lit(1.0),
+            lit(SampTempTarget) * (sqrt(col("n_s").cast("double")) / col("sw"))
+              / col("n_s").cast("double")) * lit(1000000.0)).cast("long").as("th"))
+      d.join(broadcast(th), "source")
+        .select(col("source"), col("n_s"), col("th"),
+          (hash32(concat(col("doc_id").cast("string"), lit("|"), col("source")))
+            % 1000000 < col("th")).as("keep"))
+        .groupBy("source", "n_s", "th")
+        .agg(sum(col("keep").cast("long")).as("n_kept"))
         .orderBy("source")
     }),
 
@@ -785,6 +821,22 @@ object Relational2 {
          |                     < ${hash32Sql("source")} % 80 + 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
          |FROM documents
          |GROUP BY source ORDER BY source""".stripMargin,
+
+    "samp_temperature" ->
+      s"""WITH c AS (SELECT source, count(*) AS n_s FROM documents GROUP BY source),
+         |tot AS (SELECT list_sum(list(sqrt(CAST(n_s AS DOUBLE)) ORDER BY source)) AS sw
+         |        FROM c),
+         |th AS (
+         |  SELECT source, n_s,
+         |    CAST(floor(least(CAST(1.0 AS DOUBLE),
+         |      CAST($SampTempTarget AS DOUBLE) * (sqrt(CAST(n_s AS DOUBLE)) / sw)
+         |        / CAST(n_s AS DOUBLE)) * 1000000.0) AS BIGINT) AS th
+         |  FROM c CROSS JOIN tot)
+         |SELECT d.source, CAST(th.n_s AS BIGINT) AS n_s, th.th,
+         |  CAST(sum(CASE WHEN ${hash32Sql("CAST(d.doc_id AS VARCHAR) || '|' || d.source")}
+         |                     % 1000000 < th.th THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         |FROM documents d JOIN th USING (source)
+         |GROUP BY d.source, th.n_s, th.th ORDER BY d.source""".stripMargin,
 
     "samp_weighted" ->
       s"""SELECT doc_id, CAST(greatest(length(text), 1) AS BIGINT) AS weight,
