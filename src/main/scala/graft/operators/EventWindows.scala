@@ -25,7 +25,42 @@ object EventWindows {
 
   private val GapUs = 1800L * 1000000L // 30 minutes
 
+  // ev_anomaly: trailing window length (rows), warm-up floor, z threshold.
+  private val AnomWin = 100
+  private val AnomMinN = 30
+  private val AnomZ = 3.0
+
   val queries: Map[String, Q] = Map(
+    // Rolling z-score anomaly flags per event type: each event scored
+    // against the trailing AnomWin-row window (inclusive of itself) on its
+    // type's timeline; |z| >= AnomZ rows surface. Exactness: values become
+    // integer cents (floor(x·100+0.5), the house rounding), the window
+    // keeps integer power sums (count/sum/sum-of-squares — exact on any
+    // partitioning), and z = (c·n − cs)/√(n·css − cs²) is division-free
+    // until one sqrt + one divide over identical integers — bit-identical
+    // cross-engine before the round(6) guard. Scale shape: ONE keyed
+    // window per event_type; with few types a 100 TB deployment
+    // sub-partitions the timeline (type, time-bucket) and stitches the
+    // AnomWin-row boundary strip — same operator, bounded partitions.
+    "ev_anomaly" -> ((s, dir) => {
+      val c = floor(col("value") * 100 + lit(0.5)).cast("long")
+      val w = Window.partitionBy("event_type").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-(AnomWin - 1), 0)
+      val stats = load(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("ts"), col("value"), c.as("c"))
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("cs", sum(col("c")).over(w))
+        .withColumn("css", sum(col("c") * col("c")).over(w))
+      val zRaw = (col("c") * col("n") - col("cs")).cast("double") /
+        sqrt((col("n") * col("css") - col("cs") * col("cs")).cast("double"))
+      stats
+        .where(col("n") >= AnomMinN &&
+          col("n") * col("css") - col("cs") * col("cs") > 0 &&
+          abs(zRaw) >= AnomZ)
+        .select(col("event_id"), col("event_type"), col("value"),
+          round(zRaw, 6).as("z"))
+        .orderBy("event_id")
+    }),
     // Native session windows per user: count + bounds per session.
     "t6_session_window" -> ((s, dir) =>
       load(s, dir, "events")
@@ -210,6 +245,28 @@ object EventWindows {
     }))
 
   val oracle: Map[String, String] = Map(
+    "ev_anomaly" ->
+      s"""WITH e AS (
+         |  SELECT event_id, event_type, ts, value,
+         |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+         |  FROM events),
+         |w AS (
+         |  SELECT event_id, event_type, value, c,
+         |    count(*) OVER win AS n,
+         |    sum(c) OVER win AS cs,
+         |    sum(c * c) OVER win AS css
+         |  FROM e
+         |  WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id
+         |                 ROWS BETWEEN ${AnomWin - 1} PRECEDING AND CURRENT ROW))
+         |SELECT event_id, event_type, value,
+         |  round(CAST(c * n - cs AS DOUBLE)
+         |        / sqrt(CAST(n * css - cs * cs AS DOUBLE)), 6) AS z
+         |FROM w
+         |WHERE n >= $AnomMinN AND n * css - cs * cs > 0
+         |  AND abs(CAST(c * n - cs AS DOUBLE)
+         |          / sqrt(CAST(n * css - cs * cs AS DOUBLE))) >= $AnomZ
+         |ORDER BY event_id""".stripMargin,
+
     "t6_session_window" ->
       s"""WITH g AS (
          |  SELECT user_id, ts, event_id, value,

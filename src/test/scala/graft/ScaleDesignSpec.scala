@@ -236,7 +236,8 @@ class ScaleDesignSpec extends AnyFunSuite {
       "ann_ivfpq" -> 19, // ann_pq's 14 codebook-fit/ADC exchanges (fixed count, codebook-sized frames) + the IVF assign/probe windows; candidate scoring itself is broadcast lookups
       "ta_bigram_ppl" -> 7, // doc-bigram tf + corpus cf + ctx aggs + contrib join + per-doc agg + sort (unigram twin is 5; the extra two are the context-total agg + its join)
       "dd_simhash_hamming" -> 4, // signature agg + band-bucket groupBy + pair distinct + sort; pairs explode map-side from sorted bucket arrays (the ann_lsh shape)
-      "samp_temperature" -> 5) // source-count agg + one-row total + threshold join exchanges + final agg + sort — all source-cardinality frames; the keep decision is map-side
+      "samp_temperature" -> 5, // source-count agg + one-row total + threshold join exchanges + final agg + sort — all source-cardinality frames; the keep decision is map-side
+      "ev_anomaly" -> 2) // one event_type-keyed rolling window + oracle sort; power sums are integer-exact
     val aqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
