@@ -19,30 +19,46 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+  /** Reader confs applied before EVERY table read — not just events — so
+    * reader semantics are identical for any load order (a conf flipped only
+    * on the events branch would make another table's timestamp columns
+    * change type depending on whether events loaded first).
+    *
+    * Why these two (and why session confs at all — neither is exposed as a
+    * DataFrameReader option in Spark 4, verified against ParquetOptions):
+    *  - nanosAsLong=true: the driver has shipped events.parquet with
+    *    TIMESTAMP(NANOS) in some regenerations, which the reader otherwise
+    *    rejects; as INT64 we truncate ns→µs ourselves, matching DuckDB.
+    *  - inferTimestampNTZ=false: non-UTC-adjusted MICROS surface as plain
+    *    TimestampType (the pre-3.4 mapping) instead of TIMESTAMP_NTZ —
+    *    same instants under the UTC session but pushdown-friendly: a
+    *    `cast(ts AS timestamp)` wrapper would block every time predicate
+    *    from reaching the parquet scan (PushedFilters: [] — at 100 TB
+    *    that is a full scan per window query).
+    *
+    * These are NOT no-ops outside events — orders' o_orderdate is
+    * NTZ-encoded, so an events-only flip would have made its Spark type
+    * depend on load order. Applying the confs before every read makes the
+    * loader view deterministic; TestdataContractSpec pins that no
+    * NTZ/nano-long column ever surfaces through Tables.load.
+    */
+  private def ensureReaderConfs(spark: SparkSession): Unit = {
+    if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (spark.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled", "true") != "false")
+      spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+  }
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    ensureReaderConfs(spark)
+    val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events") {
-      // The driver has shipped events.parquet with different physical
-      // encodings of `ts` across regenerations: TIMESTAMP(NANOS) (which the
-      // Spark reader rejects unless nanosAsLong surfaces it as INT64) and
-      // TIMESTAMP(MICROS) with isAdjustedToUTC either way. Branch on the
-      // schema the reader actually produces so a testdata regeneration can
-      // never break the loader again; every branch lands on TimestampType
-      // micros with identical instants under the UTC session TZ (the ns→µs
-      // truncation matches what DuckDB's oracle applies).
-      //
-      // inferTimestampNTZ=false makes the reader surface non-UTC-adjusted
-      // MICROS as TimestampType directly (the pre-3.4 mapping) instead of
-      // TIMESTAMP_NTZ — same instants under the UTC session, but
-      // CRUCIALLY pushdown-friendly: a `cast(ts AS timestamp)` wrapper
-      // would block every time predicate from reaching the parquet scan
-      // (PushedFilters: [] — at 100 TB that is a full scan per window
-      // query). The NTZ cast branch below stays as a fallback for frames
-      // read before the conf existed.
-      if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      if (spark.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled", "true") != "false")
-        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-      val df = spark.read.parquet(s"$dir/$name.parquet")
+      // Branch on the schema the reader actually produces so a testdata
+      // regeneration can never break the loader; every branch lands on
+      // TimestampType micros with identical instants under the UTC
+      // session TZ (the ns→µs truncation matches the DuckDB oracle). The
+      // NTZ cast branch is a fallback for frames read before the conf
+      // existed.
       import org.apache.spark.sql.types.{LongType, TimestampNTZType}
       df.schema.find(_.name == "ts").map(_.dataType) match {
         case Some(LongType) =>
@@ -51,7 +67,8 @@ object Tables {
           df.withColumn("ts", col("ts").cast("timestamp"))
         case _ => df // already TimestampType (or absent): pass through
       }
-    } else spark.read.parquet(s"$dir/$name.parquet")
+    } else df
+  }
 }
 
 object Exact {

@@ -378,8 +378,8 @@ object Dedup {
 
     // SimHash near-duplicate PAIRS at Hamming distance <= SimMaxHam — the
     // Manku/Jain/Sarma (WWW 2007) banded search that makes dd_simhash's
-    // signatures actually findable. Pigeonhole-exact: SimMaxHam(3) bit
-    // flips can touch at most 3 of the SimBands(4) bands, so every true
+    // signatures actually findable. Pigeonhole-exact: SimMaxHam bit flips
+    // can touch at most SimMaxHam < SimBands bands, so every true
     // near-dup pair agrees exactly on >= 1 band — candidates are ONLY
     // same-(band, band-bits) bucket pairs, generated with the ann_lsh
     // grouped shape (one scan, no self-join re-computation), then verified

@@ -491,6 +491,10 @@ object Embeddings {
        |ORDER BY q_id, rank""".stripMargin
   }
 
+  /** ADC distance sum over the PqM subspace tables — generated so the
+    * ann_ivfpq oracle tracks a PqM change like the Spark side does. */
+  private val ivfpqDistSql: String = (0 until PqM).map(m => s"d$m").mkString(" + ")
+
   val oracle: Map[String, String] = Map(
     "emb_centroid" ->
       """SELECT label, dim,
@@ -517,9 +521,9 @@ object Embeddings {
 
     "emb_pq" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS fv FROM embeddings),
-         |${pqSubSql(0)},
-         |${pqSubSql(1)}
-         |SELECT vec_id, code0, code1 FROM code0 JOIN code1 USING (vec_id)
+         |${(0 until PqM).map(m => pqSubSql(m)).mkString(",\n")}
+         |SELECT vec_id, ${(0 until PqM).map(m => s"code$m").mkString(", ")}
+         |FROM code0${(1 until PqM).map(m => s" JOIN code$m USING (vec_id)").mkString}
          |ORDER BY vec_id""".stripMargin,
 
     "ann_pq" -> annPqSql(PqM, PqSubDim, KmK),
@@ -589,8 +593,9 @@ object Embeddings {
          |  FROM probes p JOIN assigned a ON p.cell = a.cell
          |  WHERE a.vec_id <> p.q_id),
          |${(0 until PqM).map(m => pqSubSql(m)).mkString(",\n")},
-         |codes AS MATERIALIZED (SELECT vec_id, code0, code1
-         |                       FROM code0 JOIN code1 USING (vec_id)),
+         |codes AS MATERIALIZED (
+         |  SELECT vec_id, ${(0 until PqM).map(m => s"code$m").mkString(", ")}
+         |  FROM code0${(1 until PqM).map(m => s" JOIN code$m USING (vec_id)").mkString}),
          |${(0 until PqM).map { m =>
         val lo = m * PqSubDim + 1
         val hi = (m + 1) * PqSubDim
@@ -603,13 +608,14 @@ object Embeddings {
            |  FROM q$m, c$m)""".stripMargin
       }.mkString(",\n")},
          |scored AS (
-         |  SELECT cand.q_id, cand.n_id, round(d0 + d1, 6) AS adist,
+         |  SELECT cand.q_id, cand.n_id, round($ivfpqDistSql, 6) AS adist,
          |    row_number() OVER (PARTITION BY cand.q_id
-         |      ORDER BY round(d0 + d1, 6), cand.n_id) AS rank
+         |      ORDER BY round($ivfpqDistSql, 6), cand.n_id) AS rank
          |  FROM cand
          |  JOIN codes ON codes.vec_id = cand.n_id
-         |  JOIN t0 ON t0.code0 = codes.code0 AND t0.q_id = cand.q_id
-         |  JOIN t1 ON t1.code1 = codes.code1 AND t1.q_id = cand.q_id)
+         |${(0 until PqM).map(m =>
+        s"  JOIN t$m ON t$m.code$m = codes.code$m AND t$m.q_id = cand.q_id")
+        .mkString("\n")})
          |SELECT q_id, rank, n_id, adist FROM scored WHERE rank <= $TopK
          |ORDER BY q_id, rank""".stripMargin)
 }

@@ -25,10 +25,12 @@ object EventWindows {
 
   private val GapUs = 1800L * 1000000L // 30 minutes
 
-  // ev_anomaly: trailing window length (rows), warm-up floor, z threshold.
+  // ev_anomaly: trailing window length (rows), warm-up floor, z threshold,
+  // and the per-(type, chunk) partition size for the bounded-window form.
   private val AnomWin = 100
   private val AnomMinN = 30
   private val AnomZ = 3.0
+  private val AnomChunk = 1000 // must be >= AnomWin; ~10% strip duplication
 
   val queries: Map[String, Q] = Map(
     // Rolling z-score anomaly flags per event type: each event scored
@@ -38,23 +40,49 @@ object EventWindows {
     // keeps integer power sums (count/sum/sum-of-squares — exact on any
     // partitioning), and z = (c·n − cs)/√(n·css − cs²) is division-free
     // until one sqrt + one divide over identical integers — bit-identical
-    // cross-engine before the round(6) guard. Scale shape: ONE keyed
-    // window per event_type; with few types a 100 TB deployment
-    // sub-partitions the timeline (type, time-bucket) and stitches the
-    // AnomWin-row boundary strip — same operator, bounded partitions.
+    // cross-engine before the round(6) guard. Integer bounds: css sums
+    // AnomWin cent-squares, so n·css − cs² < AnomWin²·(100·|value|)² —
+    // int64-safe while |value| ≲ 9×10⁶; TestdataContractSpec pins the
+    // events value domain far inside that (DuckDB would raise on BIGINT
+    // overflow where Spark wraps, so the bound is a cross-engine contract,
+    // not just a precision one).
+    //
+    // Scale shape: event_type has a handful of values, so a plain
+    // per-type window would funnel each type's whole timeline through one
+    // task. Instead: (1) KeyedRank assigns the global per-type rank from
+    // hour buckets + a metadata-scale offset table; (2) rows chunk by
+    // rank div AnomChunk and the trailing AnomWin−1 rows of each chunk
+    // are REPLICATED into the next chunk (map-side explode, ~10% overhead)
+    // so every trailing window is complete inside its own (type, chunk)
+    // partition; (3) the rolling sums run per (type, chunk) — bounded at
+    // AnomChunk+AnomWin−1 rows per task — and replica rows are dropped
+    // after contributing. Identical n/cs/css per surviving row, so the
+    // DuckDB single-window oracle still hash-matches.
     "ev_anomaly" -> ((s, dir) => {
-      val c = floor(col("value") * 100 + lit(0.5)).cast("long")
-      val w = Window.partitionBy("event_type").orderBy(col("ts"), col("event_id"))
+      val ev = load(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("ts"), col("value"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("c"))
+      val ranked = graft.plans.KeyedRank.withRank(ev, "event_type",
+        date_trunc("hour", col("ts")), Seq(col("ts"), col("event_id")))
+      val g0 = floor((col("rk") - 1) / AnomChunk).cast("long")
+      val ownCopy = struct(g0.as("g"), lit(true).as("own"))
+      val stripCopy = struct((g0 + 1).as("g"), lit(false).as("own"))
+      val dup = ranked.select(col("event_id"), col("event_type"), col("value"),
+          col("c"), col("rk"),
+          explode(when((col("rk") - 1) % AnomChunk >= AnomChunk - (AnomWin - 1),
+            array(ownCopy, stripCopy)).otherwise(array(ownCopy))).as("d"))
+        .select(col("event_id"), col("event_type"), col("value"), col("c"),
+          col("rk"), col("d.g").as("g"), col("d.own").as("own"))
+      val w = Window.partitionBy("event_type", "g").orderBy("rk")
         .rowsBetween(-(AnomWin - 1), 0)
-      val stats = load(s, dir, "events")
-        .select(col("event_id"), col("event_type"), col("ts"), col("value"), c.as("c"))
+      val stats = dup
         .withColumn("n", count(lit(1)).over(w))
         .withColumn("cs", sum(col("c")).over(w))
         .withColumn("css", sum(col("c") * col("c")).over(w))
       val zRaw = (col("c") * col("n") - col("cs")).cast("double") /
         sqrt((col("n") * col("css") - col("cs") * col("cs")).cast("double"))
       stats
-        .where(col("n") >= AnomMinN &&
+        .where(col("own") && col("n") >= AnomMinN &&
           col("n") * col("css") - col("cs") * col("cs") > 0 &&
           abs(zRaw) >= AnomZ)
         .select(col("event_id"), col("event_type"), col("value"),

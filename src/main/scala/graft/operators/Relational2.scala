@@ -278,22 +278,33 @@ object Relational2 {
         .orderBy("c_custkey")
     }),
 
-    // Value-navigation window functions (first/last/nth_value + cume_dist)
-    // per event_type partition — partitions are bounded by the type
-    // cardinality, never a single global window, so each sorts locally
-    // after one keyed shuffle. The frame is pinned to the full partition
-    // explicitly on both engines (the default moving frame would make
-    // last_value trivially equal the current row).
+    // Value-navigation window semantics (first/last/nth_value + cume_dist)
+    // per event_type — WITHOUT a per-type window: event_type has a
+    // handful of values, so `PARTITION BY event_type` would sort each
+    // type's entire timeline through one task at scale. Instead KeyedRank
+    // assigns the global per-type rank from hour buckets (bounded window
+    // partitions + a metadata-scale offset table); then
+    //  - first/last/nth_value over the full frame are just the values at
+    //    rank 1 / rank n / rank 3: a filter to ≤3 rows per type, one tiny
+    //    aggregate, broadcast back;
+    //  - cume_dist has no ties here (event_id is unique), so it is
+    //    exactly rk/n — the same two integers DuckDB divides, hence
+    //    bit-identical.
     "w5_value_window" -> ((s, dir) => {
-      val ord = Window.partitionBy(col("event_type"))
-        .orderBy(col("ts"), col("event_id"))
-      val full = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-      load(s, dir, "events")
+      val ranked = graft.plans.KeyedRank.withRank(
+        load(s, dir, "events").select("event_id", "event_type", "ts", "value"),
+        "event_type", date_trunc("hour", col("ts")),
+        Seq(col("ts"), col("event_id")))
+      val edges = ranked
+        .where(col("rk") === 1 || col("rk") === 3 || col("rk") === col("rk_n"))
+        .groupBy("event_type")
+        .agg(max(when(col("rk") === 1, col("value"))).as("first_v"),
+          max(when(col("rk") === col("rk_n"), col("value"))).as("last_v"),
+          max(when(col("rk") === 3, col("value"))).as("third_v"))
+      ranked.join(broadcast(edges), "event_type")
         .select(col("event_id"), col("event_type"), col("value"),
-          first(col("value")).over(full).as("first_v"),
-          last(col("value")).over(full).as("last_v"),
-          nth_value(col("value"), 3).over(full).as("third_v"),
-          cume_dist().over(ord).as("cdist"))
+          col("first_v"), col("last_v"), col("third_v"),
+          (col("rk").cast("double") / col("rk_n").cast("double")).as("cdist"))
         .orderBy("event_id")
     }),
 

@@ -162,16 +162,26 @@ object Relational3 {
     // Stratified deterministic subsample: exactly k rows per stratum,
     // chosen by content-stable hash rank — the reproducible equivalent of
     // a per-group reservoir sample (same rows on any cluster, any run,
-    // any engine; no RNG state to coordinate). One shuffle on the stratum
-    // key; the heap-topk aggregate would drop even that to map-side
-    // partials if k·|strata| ever mattered.
+    // any engine; no RNG state to coordinate). Lowest-k-by-hash runs on
+    // the k-bounded heap aggregate (TopKAgg), NOT a per-stratum
+    // row_number window: event_type has a handful of values, so the
+    // window form would sort each stratum's entire timeline through one
+    // task, while the heap keeps map-side partials — at most k triples
+    // per stratum per partition cross the wire. Score is −h (heap keeps
+    // the HIGHEST scores = lowest hashes; h < 2³² so the double negation
+    // is exact), ties to the lowest event_id — exactly the oracle's
+    // ORDER BY h, event_id — and the value rides the heap as payload so
+    // no second scan re-fetches the survivors.
     "samp_stratified" -> ((s, dir) => {
-      val w = Window.partitionBy("event_type")
-        .orderBy(col("h"), col("event_id"))
+      graft.plans.TopKAgg.register(s)
       load(s, dir, "events")
         .withColumn("h", graft.Exact.hash32(col("event_id").cast("string")))
-        .withColumn("rk", row_number().over(w))
-        .where(col("rk") <= 100)
+        .groupBy("event_type")
+        .agg(graft.plans.TopKAgg.topkTriples(
+          -col("h").cast("double"), col("event_id"), col("value"), 100).as("top"))
+        .select(col("event_type"), explode(col("top")).as("t"))
+        .select(col("event_type"), (-col("t.score")).cast("long").as("h"),
+          col("t.payload").as("value"))
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"),
           sum(dec(col("value"))).cast("double").as("sum_value"),

@@ -1,0 +1,55 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scalable per-key ranking: `row_number() OVER (PARTITION BY key ORDER BY
+  * ord)` without ever materializing a per-key window partition.
+  *
+  * `Window.partitionBy(key)` routes every row of a key through ONE task —
+  * fine when the key is high-cardinality (user_id), a scale-killer when the
+  * key has a handful of values (event_type: at 100 TB each type's entire
+  * timeline would sort through a single task). This helper is the bounded
+  * form, the keyed analog of [[GlobalIndex]]:
+  *
+  *  1. bucket rows by a caller-supplied coarsening of the leading order
+  *     column (e.g. `date_trunc("hour", ts)` when ordering by `ts`) — the
+  *     bucket MUST be a non-decreasing function of the order prefix so that
+  *     bucket order agrees with row order;
+  *  2. one tiny aggregate counts rows per (key, bucket); a window over that
+  *     metadata-scale frame turns counts into cumulative offsets (and the
+  *     per-key total);
+  *  3. offsets broadcast-join back; rank = offset + row_number within the
+  *     (key, bucket) window — partitions bounded by bucket granularity, so
+  *     cardinality grows with the data span and no task ever sees more
+  *     than one bucket of one key.
+  *
+  * The bucket-count frame is keys × buckets rows (types × hours here) —
+  * broadcastable at any realistic span; pick a coarser bucket (day) for
+  * decade-long timelines. Results are identical to the single-window form
+  * for any unique ordering.
+  */
+object KeyedRank {
+
+  /** Adds `out` (1-based per-key rank, long) and `${out}_n` (per-key row
+    * count, long) to `df`. `order` must be a total order within each key
+    * (include a unique tiebreaker); `bucket` must coarsen its prefix.
+    */
+  def withRank(df: DataFrame, key: String, bucket: Column, order: Seq[Column],
+      out: String = "rk"): DataFrame = {
+    val withB = df.withColumn("__b", bucket)
+    val bc = withB.groupBy(col(key), col("__b")).agg(count(lit(1)).as("__nb"))
+    val offW = Window.partitionBy(key).orderBy("__b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val totW = Window.partitionBy(key)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val off = bc.select(col(key), col("__b"),
+      coalesce(sum("__nb").over(offW), lit(0L)).as("__off"),
+      sum("__nb").over(totW).as(s"${out}_n"))
+    val localW = Window.partitionBy(col(key), col("__b")).orderBy(order: _*)
+    withB.join(broadcast(off), Seq(key, "__b"))
+      .withColumn(out, col("__off") + row_number().over(localW))
+      .drop("__b", "__off")
+  }
+}

@@ -93,6 +93,39 @@ class ScaleDesignSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
   }
 
+  test("no data-scale window partitions solely on a low-cardinality key") {
+    // `Window.partitionBy(event_type)` over row-level data routes each
+    // type's ENTIRE timeline through one task — with a handful of types
+    // that is a single-task bottleneck at 100× scale no matter how many
+    // executors exist. The bounded forms (KeyedRank hour buckets +
+    // offsets, TopKAgg heaps, chunked rolling windows) must stay the plan:
+    // sweep EVERY battery query and reject any WindowExec over
+    // non-aggregated input whose partition keys are a subset of the known
+    // low-cardinality event dimension. Windows above an Aggregate are
+    // metadata-scale (offset tables over (key, bucket) counts) and exempt,
+    // mirroring the GlobalIndex pin above.
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val lowCard = Set("event_type")
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      for ((name, fn) <- SparkEntry.queries if !name.startsWith("nlp_")) {
+        val plan = fn(spark, "/root/testdata/sf0.001").queryExecution.executedPlan
+        val bad = plan.collect {
+          case w: WindowExec
+            if w.partitionSpec.nonEmpty &&
+              w.partitionSpec.forall(e => e.references.size == 1 &&
+                e.references.forall(a => lowCard.contains(a.name))) &&
+              w.child.collect { case a: BaseAggregateExec => a }.isEmpty => w
+        }
+        assert(bad.isEmpty,
+          s"$name windows row-level data on a low-cardinality key alone:\n" +
+            bad.mkString("\n"))
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
   test("LSH queries keep the bucket-grouped shape: one scan chain, no self-join") {
     // Spark does NOT reuse exchanges across self-join sides, so a bands/
     // bucket self-join would run the scan→shingle→hash chain once per side
@@ -206,7 +239,12 @@ class ScaleDesignSpec extends AnyFunSuite {
       "ta_keywords" -> 6, // tf agg + df agg + join + per-doc rank window
       // round-6 wave (measured AQE-off; AQE shrinks the join sides at runtime)
       "ta_pack" -> 2, // per-source window + oracle sort
-      "w5_value_window" -> 2, // one keyed window + oracle sort
+      // round-9 rewrite: KeyedRank bucket counts + tiny offset window +
+      // (type,hour) rank window + edge agg + oracle sort; the broadcast
+      // edge join back is free (the two rank chains share one reused
+      // exchange). Was 2 with the per-type window — the 3 extra exchanges
+      // buy partitions bounded by bucket, not by type cardinality.
+      "w5_value_window" -> 5,
       "s3_intersect_all" -> 2, // hash agg per side, shared exchange + sort
       "s4_except_all" -> 2,
       "ev_attribution" -> 2, // one user_id window + oracle sort, no join
@@ -237,7 +275,16 @@ class ScaleDesignSpec extends AnyFunSuite {
       "ta_bigram_ppl" -> 7, // doc-bigram tf + corpus cf + ctx aggs + contrib join + per-doc agg + sort (unigram twin is 5; the extra two are the context-total agg + its join)
       "dd_simhash_hamming" -> 4, // signature agg + band-bucket groupBy + pair distinct + sort; pairs explode map-side from sorted bucket arrays (the ann_lsh shape)
       "samp_temperature" -> 5, // source-count agg + one-row total + threshold join exchanges + final agg + sort — all source-cardinality frames; the keep decision is map-side
-      "ev_anomaly" -> 2) // one event_type-keyed rolling window + oracle sort; power sums are integer-exact
+      // round-9 rewrite: KeyedRank bucket counts + tiny offset window +
+      // (type,hour) rank window + the (type,chunk) rolling window over the
+      // strip-replicated frame + oracle sort. Was 2 with the per-type
+      // window; every window partition is now bounded (hour bucket /
+      // AnomChunk rows), power sums stay integer-exact.
+      "ev_anomaly" -> 5,
+      // round-9 rewrite: heap topk agg (map-side partials) + oracle sort —
+      // the per-type re-agg of the ≤100 survivors rides the same
+      // event_type partitioning, and the row_number window is gone.
+      "samp_stratified" -> 2)
     val aqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {

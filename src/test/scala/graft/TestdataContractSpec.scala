@@ -85,4 +85,41 @@ class TestdataContractSpec extends AnyFunSuite {
       assert(badType.isEmpty,
         s"type-family violations in $table: ${badType.mkString("; ")}")
     }
+
+  test("loader view is load-order independent: no NTZ/nanos surface anywhere") {
+    // Tables.load sets nanosAsLong=true / inferTimestampNTZ=false before
+    // EVERY read (not just events), so reader semantics cannot depend on
+    // which table loaded first. This matters beyond events: orders'
+    // o_orderdate is NTZ-encoded in the parquet, so with an events-only
+    // conf flip its Spark type would have depended on load order (the
+    // round-8 ADVICE finding). Pin the invariant the battery consumes:
+    // through Tables.load every temporal column surfaces as plain
+    // TimestampType/DateType — never TIMESTAMP_NTZ, never raw nano longs
+    // masquerading as a `ts` column.
+    for (table <- Tables.All) {
+      val schema = Tables.load(spark, dir, table).schema
+      val ntz = schema.fields.filter(_.dataType.isInstanceOf[TimestampNTZType])
+      assert(ntz.isEmpty,
+        s"$table surfaces TIMESTAMP_NTZ through Tables.load " +
+          s"(${ntz.map(_.name).mkString(", ")}) — the loader confs are not " +
+          "being applied before the read")
+      val rawTs = schema.fields.filter(f => f.name == "ts" && integral(f.dataType))
+      assert(rawTs.isEmpty,
+        s"$table's ts column surfaces as a raw integer through Tables.load")
+    }
+  }
+
+  test("events value domain stays inside ev_anomaly's int64-exact envelope") {
+    // ev_anomaly keeps integer power sums over cents: css sums AnomWin=100
+    // cent-squares, so n·css − cs² stays int64-exact while |value| ≲ 9×10⁶
+    // — and DuckDB would RAISE on overflow where Spark wraps, so the bound
+    // is a cross-engine divergence guard, not just precision. Pin the
+    // actual domain two orders of magnitude inside it.
+    import org.apache.spark.sql.functions._
+    val mx = Tables.load(spark, "/root/testdata/sf0.01", "events")
+      .agg(max(abs(col("value")))).collect()(0).getDouble(0)
+    assert(mx < 1e5,
+      s"events.value grew to |$mx| — re-derive ev_anomaly's integer-sum " +
+        "overflow envelope (EventWindows.scala) before trusting the oracle")
+  }
 }
