@@ -60,13 +60,22 @@ object Embeddings {
     * width and codebook size so ann_pq (2×32-dim, k=8) and ann_pq_big
     * (8×8-dim, k=32) share the one chain. */
   private def pqSub(s: SparkSession, dir: String, m: Int,
-                    subDim: Int = PqSubDim, k: Int = KmK): (DataFrame, DataFrame) = {
+                    subDim: Int = PqSubDim, k: Int = KmK): (DataFrame, DataFrame) =
+    pqSubOn(s,
+      load(s, dir, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("fv")),
+      m, subDim, k)
+
+  /** [[pqSub]] over an arbitrary `(vec_id, fv: array<double>)` frame — the
+    * residual variant trains its codebooks on cell-relative residuals
+    * instead of raw vectors, everything else identical. */
+  private def pqSubOn(s: SparkSession, base: DataFrame, m: Int,
+                      subDim: Int, k: Int): (DataFrame, DataFrame) = {
     graft.plans.ArrayExprs.register(s)
     import graft.plans.ArrayExprs.dotProduct
-    val sub = load(s, dir, "embeddings")
-      .select(col("vec_id"),
-        slice(transform(col("embedding"), x => x.cast("double")),
-          m * subDim + 1, subDim).as("v"))
+    val sub = base
+      .select(col("vec_id"), slice(col("fv"), m * subDim + 1, subDim).as("v"))
       .withColumn("vv", dotProduct(col("v"), col("v")))
     val seeds = sub.where(col("vec_id") < k)
       .select(col("vec_id").cast("int").as("cluster"), col("v").as("cv"),
@@ -329,69 +338,178 @@ object Embeddings {
     // and WITHIN the candidates the distance is PQ ADC table lookups over
     // 2-code rows, never raw-vector math. Composition of the ann_ivf cell
     // chain (candidate generation) and the ann_pq codebook/ADC chain
-    // (scoring); codes here are raw-vector PQ (FAISS also offers residual
-    // encoding — same plumbing, one extra subtract). At 100 TB: codebooks
+    // (scoring); codes here are raw-vector PQ (see ann_ivfpq_res below for
+    // the residual-encoding variant). At 100 TB: codebooks
     // and per-query distance tables broadcast, candidates bounded by
     // probed-cell occupancy, the scan reads 1/13-size codes — both scale
     // levers (cell count, code size) compose multiplicatively.
-    "ann_ivfpq" -> ((s, dir) => {
-      graft.plans.ArrayExprs.register(s)
-      import graft.plans.ArrayExprs.dotProduct
-      val e = load(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding").as("v"))
-        .withColumn("nrm", sqrt(dotProduct(col("v"), col("v"))))
-      val seeds = e.where(col("vec_id") < Cells)
-        .select(col("vec_id").as("cell"), col("v").as("cv"), col("nrm").as("cnrm"))
-      def cos(a: String, an: String, b: String, bn: String) =
-        round(dotProduct(col(a), col(b)) / (col(an) * col(bn)), 6)
-      // IVF leg (same shapes as ann_ivf): each vector lands in exactly one
-      // cell, so the probe⋈assigned join emits each (q_id, vec_id) once.
+    "ann_ivfpq" -> ((s, dir) => rankCut(s, ivfPqScored(s, dir))),
+
+    // Residual-encoding IVF-PQ (the FAISS IndexIVFPQ default): PQ codes
+    // the RESIDUAL x − μ(cell(x)) instead of the raw vector. The
+    // reference point must be the cell MEAN, not the seed vector: the
+    // variance decomposition E‖x−μ_cell‖² = E‖x‖² − E‖μ_cell‖² guarantees
+    // the residual frame carries strictly less variance than the raw
+    // frame only for the mean (measured here: residual-vs-seed INFLATES
+    // ADC error ~2.6× on this corpus, residual-vs-mean shrinks it —
+    // AnnRecallSpec pins the improvement). Cells themselves are identical
+    // to ann_ivfpq (same cosine assignment to the same seeds), so the two
+    // variants differ only in what the codebooks quantize. The price: the
+    // query's ADC table becomes per-(query, probed cell) — the query
+    // residual q − μ(cell) differs per probe — which multiplies the
+    // broadcast table by NProbe, still queries × probes × codebook rows,
+    // nowhere near data scale. The cell-mean update is one keyed
+    // aggregation (exact sorted-fold per dimension, the pqSub update
+    // shape) whose Cells × d output broadcasts. Candidate generation and
+    // all join shapes are identical to ann_ivfpq: broadcast
+    // codebooks/tables, code-frame lookups keyed on (cell, code, q_id),
+    // never raw-vector math per candidate.
+    "ann_ivfpq_res" -> ((s, dir) => rankCut(s, ivfPqResScored(s, dir))))
+
+  /** Top-k cut + deterministic presentation shared by the IVF-PQ variants. */
+  private def rankCut(s: SparkSession, scored: DataFrame): DataFrame = {
+    val wRank = Window.partitionBy("q_id").orderBy(col("adist"), col("n_id"))
+    scored
+      .withColumn("rank", row_number().over(wRank))
+      .where(col("rank") <= TopK)
+      .select("q_id", "rank", "n_id", "adist")
+      .orderBy("q_id", "rank")
+  }
+
+  /** Plain IVF-PQ candidates with ADC distances, PRE top-k cut —
+    * `(q_id, n_id, adist)` for every probed-cell candidate. Exposed
+    * package-private because AnnRecallSpec's fidelity study needs the full
+    * candidate set (the 15 returned rows are too small a sample to measure
+    * how well adist tracks the true distance). */
+  private[graft] def ivfPqScored(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.ArrayExprs.register(s)
+    import graft.plans.ArrayExprs.dotProduct
+    val e = load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("nrm", sqrt(dotProduct(col("v"), col("v"))))
+    val seeds = e.where(col("vec_id") < Cells)
+      .select(col("vec_id").as("cell"), col("v").as("cv"), col("nrm").as("cnrm"))
+    def cos(a: String, an: String, b: String, bn: String) =
+      round(dotProduct(col(a), col(b)) / (col(an) * col(bn)), 6)
+    // IVF leg (same shapes as ann_ivf): each vector lands in exactly one
+    // cell, so the probe⋈assigned join emits each (q_id, vec_id) once.
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("c").desc, col("cell"))
+    val assigned = e.crossJoin(broadcast(seeds))
+      .select(col("vec_id"), col("cell"), cos("v", "nrm", "cv", "cnrm").as("c"))
+      .withColumn("rn", row_number().over(wAssign))
+      .where(col("rn") === 1)
+      .select("vec_id", "cell")
+    val q = e.where(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val wProbe = Window.partitionBy("q_id").orderBy(col("c").desc, col("cell"))
+    val probes = q.crossJoin(broadcast(seeds))
+      .select(col("q_id"), col("cell"), cos("qv", "qnrm", "cv", "cnrm").as("c"))
+      .withColumn("rn", row_number().over(wProbe))
+      .where(col("rn") <= NProbe)
+      .select("q_id", "cell")
+    val cands = probes.join(assigned, "cell")
+      .where(col("vec_id") =!= col("q_id"))
+      .select("q_id", "vec_id")
+    // PQ ADC leg (same chain as ann_pq), restricted to the candidates.
+    val subs = (0 until PqM).map(m => pqSub(s, dir, m, PqSubDim, KmK))
+    val codes = subs.map(_._1).reduce(_.join(_, "vec_id"))
+    val ef = load(s, dir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("fv"))
+    def qTable(m: Int, cents: DataFrame): DataFrame =
+      ef.where(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("q_id"),
+          slice(col("fv"), m * PqSubDim + 1, PqSubDim).as("qv"))
+        .withColumn("qvv", dotProduct(col("qv"), col("qv")))
+        .crossJoin(broadcast(cents))
+        .select(col("q_id"), col("cluster").as(s"code$m"),
+          round(col("qvv") + col("cvv") - lit(2.0) * dotProduct(col("qv"), col("cv")), 6)
+            .as(s"d$m"))
+    val scored = (1 until PqM).foldLeft(
+      cands.join(codes, "vec_id")
+        .join(broadcast(qTable(0, subs(0)._2)), Seq("code0", "q_id"))) {
+      case (acc, m) => acc.join(broadcast(qTable(m, subs(m)._2)), Seq(s"code$m", "q_id"))
+    }
+    scored.select(col("q_id"), col("vec_id").as("n_id"),
+      round((0 until PqM).map(m => col(s"d$m")).reduce(_ + _), 6).as("adist"))
+  }
+
+  /** Residual IVF-PQ candidates with ADC distances, PRE top-k cut — see
+    * the ann_ivfpq_res query doc for the design. */
+  private[graft] def ivfPqResScored(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.ArrayExprs.register(s)
+    import graft.plans.ArrayExprs.dotProduct
+    val e = load(s, dir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(dotProduct(col("v"), col("v"))))
+    val seeds = e.where(col("vec_id") < Cells)
+      .select(col("vec_id").as("cell"), col("v").as("cv"), col("nrm").as("cnrm"))
+    def cos(a: String, an: String, b: String, bn: String) =
+      round(dotProduct(col(a), col(b)) / (col(an) * col(bn)), 6)
+    // IVF leg: same cells as ann_ivfpq, keeping the vector for the
+    // mean update + residual.
       val wAssign = Window.partitionBy("vec_id").orderBy(col("c").desc, col("cell"))
-      val assigned = e.crossJoin(broadcast(seeds))
-        .select(col("vec_id"), col("cell"), cos("v", "nrm", "cv", "cnrm").as("c"))
+      val assignedV = e.crossJoin(broadcast(seeds))
+        .select(col("vec_id"), col("v"), col("cell"),
+          cos("v", "nrm", "cv", "cnrm").as("c"))
         .withColumn("rn", row_number().over(wAssign))
         .where(col("rn") === 1)
-        .select("vec_id", "cell")
+        .select("vec_id", "v", "cell")
+      // Trained coarse centroid: exact per-dimension cell mean
+      // (sorted-fold sum — bit-identical on any partitioning and in the
+      // DuckDB oracle, the pqSub update shape).
+      val cellMean = assignedV
+        .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("cell", "dim")
+        .agg(aggregate(array_sort(collect_list(col("x"))), lit(0.0),
+          (acc, x) => acc + x).as("sx"), count(lit(1)).as("n"))
+        .groupBy("cell")
+        .agg(sort_array(collect_list(struct(col("dim"), (col("sx") / col("n")).as("m"))))
+          .as("dm"))
+        .select(col("cell"), transform(col("dm"), t => t.getField("m")).as("mu"))
+      val assigned = assignedV.join(broadcast(cellMean), "cell")
+        .select(col("vec_id"), col("cell"),
+          zip_with(col("v"), col("mu"), (a, b) => a - b).as("rv"))
+      // PQ codebooks trained on the residual frame.
+      val subs = (0 until PqM).map(m =>
+        pqSubOn(s, assigned.select(col("vec_id"), col("rv").as("fv")),
+          m, PqSubDim, KmK))
+      val codes = subs.map(_._1).reduce(_.join(_, "vec_id"))
+      // Probe list with the per-cell QUERY residual.
       val q = e.where(col("vec_id") < NumQueries)
         .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"))
       val wProbe = Window.partitionBy("q_id").orderBy(col("c").desc, col("cell"))
       val probes = q.crossJoin(broadcast(seeds))
-        .select(col("q_id"), col("cell"), cos("qv", "qnrm", "cv", "cnrm").as("c"))
+        .select(col("q_id"), col("cell"), col("qv"),
+          cos("qv", "qnrm", "cv", "cnrm").as("c"))
         .withColumn("rn", row_number().over(wProbe))
         .where(col("rn") <= NProbe)
-        .select("q_id", "cell")
-      val cands = probes.join(assigned, "cell")
-        .where(col("vec_id") =!= col("q_id"))
-        .select("q_id", "vec_id")
-      // PQ ADC leg (same chain as ann_pq), restricted to the candidates.
-      val subs = (0 until PqM).map(m => pqSub(s, dir, m, PqSubDim, KmK))
-      val codes = subs.map(_._1).reduce(_.join(_, "vec_id"))
-      val ef = load(s, dir, "embeddings")
-        .select(col("vec_id"),
-          transform(col("embedding"), x => x.cast("double")).as("fv"))
+        .join(broadcast(cellMean), "cell")
+        .select(col("q_id"), col("cell"),
+          zip_with(col("qv"), col("mu"), (a, b) => a - b).as("qr"))
+      // Per-(query, cell) ADC tables against the residual codebooks.
       def qTable(m: Int, cents: DataFrame): DataFrame =
-        ef.where(col("vec_id") < NumQueries)
-          .select(col("vec_id").as("q_id"),
-            slice(col("fv"), m * PqSubDim + 1, PqSubDim).as("qv"))
+        probes
+          .select(col("q_id"), col("cell"),
+            slice(col("qr"), m * PqSubDim + 1, PqSubDim).as("qv"))
           .withColumn("qvv", dotProduct(col("qv"), col("qv")))
           .crossJoin(broadcast(cents))
-          .select(col("q_id"), col("cluster").as(s"code$m"),
+          .select(col("q_id"), col("cell"), col("cluster").as(s"code$m"),
             round(col("qvv") + col("cvv") - lit(2.0) * dotProduct(col("qv"), col("cv")), 6)
               .as(s"d$m"))
-      val wRank2 = Window.partitionBy("q_id").orderBy(col("adist"), col("n_id"))
+      val cands = probes.select("q_id", "cell")
+        .join(assigned.select("vec_id", "cell"), "cell")
+        .where(col("vec_id") =!= col("q_id"))
       val scored = (1 until PqM).foldLeft(
         cands.join(codes, "vec_id")
-          .join(broadcast(qTable(0, subs(0)._2)), Seq("code0", "q_id"))) {
-        case (acc, m) => acc.join(broadcast(qTable(m, subs(m)._2)), Seq(s"code$m", "q_id"))
+          .join(broadcast(qTable(0, subs(0)._2)), Seq("code0", "q_id", "cell"))) {
+        case (acc, m) =>
+          acc.join(broadcast(qTable(m, subs(m)._2)), Seq(s"code$m", "q_id", "cell"))
       }
-      scored
-        .select(col("q_id"), col("vec_id").as("n_id"),
-          round((0 until PqM).map(m => col(s"d$m")).reduce(_ + _), 6).as("adist"))
-        .withColumn("rank", row_number().over(wRank2))
-        .where(col("rank") <= TopK)
-        .select("q_id", "rank", "n_id", "adist")
-        .orderBy("q_id", "rank")
-    }))
+      scored.select(col("q_id"), col("vec_id").as("n_id"),
+        round((0 until PqM).map(m => col(s"d$m")).reduce(_ + _), 6).as("adist"))
+  }
 
   /** Shared oracle CTE for the k-means assignment (mirrors
     * [[kmeansAssigned]] exactly — seeds, assign, sorted-fold update,
@@ -425,10 +543,11 @@ object Embeddings {
     * with s/c referenced 2-3× at ~6 levels of nesting the inlined plan grows
     * exponentially in the subspace count — the 8-subspace ann_pq_big oracle
     * never finished planning without this. Semantics are unchanged. */
-  private def pqSubSql(m: Int, subDim: Int = PqSubDim, k: Int = KmK): String = {
+  private def pqSubSql(m: Int, subDim: Int = PqSubDim, k: Int = KmK,
+                       src: String = "e"): String = {
     val lo = m * subDim + 1
     val hi = (m + 1) * subDim
-    s"""s$m AS MATERIALIZED (SELECT vec_id, list_slice(fv, $lo, $hi) AS v FROM e),
+    s"""s$m AS MATERIALIZED (SELECT vec_id, list_slice(fv, $lo, $hi) AS v FROM $src),
        |seeds$m AS MATERIALIZED (SELECT CAST(vec_id AS INT) AS cluster, v AS cv
        |            FROM s$m WHERE vec_id < $k),
        |a$m AS MATERIALIZED (
@@ -616,6 +735,74 @@ object Embeddings {
          |${(0 until PqM).map(m =>
         s"  JOIN t$m ON t$m.code$m = codes.code$m AND t$m.q_id = cand.q_id")
         .mkString("\n")})
+         |SELECT q_id, rank, n_id, adist FROM scored WHERE rank <= $TopK
+         |ORDER BY q_id, rank""".stripMargin,
+
+    "ann_ivfpq_res" ->
+      s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS fv FROM embeddings),
+         |seeds AS (SELECT vec_id AS cell, fv AS cv FROM e WHERE vec_id < $Cells),
+         |ac AS (
+         |  SELECT e.vec_id, cell,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |                       ORDER BY round(list_cosine_similarity(e.fv, cv), 6) DESC, cell) AS rn
+         |  FROM e, seeds),
+         |assigned AS MATERIALIZED (SELECT vec_id, cell FROM ac WHERE rn = 1),
+         |cm AS MATERIALIZED (
+         |  SELECT cell, list(mx ORDER BY dim) AS mu FROM (
+         |    SELECT cell, dim, list_sum(list(x ORDER BY x)) / count(*) AS mx
+         |    FROM (SELECT a.cell, generate_subscripts(e.fv, 1) AS dim, unnest(e.fv) AS x
+         |          FROM assigned a JOIN e ON a.vec_id = e.vec_id)
+         |    GROUP BY cell, dim)
+         |  GROUP BY cell),
+         |rese AS MATERIALIZED (
+         |  SELECT vec_id, cell, list(vx - mx ORDER BY dim) AS fv
+         |  FROM (SELECT a.vec_id, a.cell, generate_subscripts(e.fv, 1) AS dim,
+         |               unnest(e.fv) AS vx, unnest(c.mu) AS mx
+         |        FROM assigned a JOIN e ON a.vec_id = e.vec_id
+         |        JOIN cm c ON a.cell = c.cell)
+         |  GROUP BY vec_id, cell),
+         |${(0 until PqM).map(m => pqSubSql(m, src = "rese")).mkString(",\n")},
+         |codes AS MATERIALIZED (
+         |  SELECT vec_id, ${(0 until PqM).map(m => s"code$m").mkString(", ")}
+         |  FROM code0${(1 until PqM).map(m => s" JOIN code$m USING (vec_id)").mkString}),
+         |qiv AS (SELECT vec_id AS q_id, fv AS qv FROM e WHERE vec_id < $NumQueries),
+         |pc AS (
+         |  SELECT q_id, cell,
+         |    row_number() OVER (PARTITION BY q_id
+         |                       ORDER BY round(list_cosine_similarity(qv, cv), 6) DESC, cell) AS rn
+         |  FROM qiv, seeds),
+         |probes AS MATERIALIZED (SELECT q_id, cell FROM pc WHERE rn <= $NProbe),
+         |qres AS MATERIALIZED (
+         |  SELECT q_id, cell, list(qx - mx ORDER BY dim) AS qrv
+         |  FROM (SELECT p.q_id, p.cell, generate_subscripts(q.qv, 1) AS dim,
+         |               unnest(q.qv) AS qx, unnest(c.mu) AS mx
+         |        FROM probes p JOIN qiv q ON p.q_id = q.q_id
+         |        JOIN cm c ON p.cell = c.cell)
+         |  GROUP BY q_id, cell),
+         |cand AS (
+         |  SELECT q_id, a.vec_id AS n_id, p.cell
+         |  FROM probes p JOIN assigned a ON p.cell = a.cell
+         |  WHERE a.vec_id <> p.q_id),
+         |${(0 until PqM).map { m =>
+        val lo = m * PqSubDim + 1
+        val hi = (m + 1) * PqSubDim
+        s"""q$m AS MATERIALIZED (SELECT q_id, cell, list_slice(qrv, $lo, $hi) AS qv
+           |        FROM qres),
+           |t$m AS MATERIALIZED (
+           |  SELECT q_id, cell, cluster AS code$m,
+           |    round(list_inner_product(qv, qv) + list_inner_product(cv, cv)
+           |          - 2.0 * list_inner_product(qv, cv), 6) AS d$m
+           |  FROM q$m, c$m)""".stripMargin
+      }.mkString(",\n")},
+         |scored AS (
+         |  SELECT cand.q_id, cand.n_id, round($ivfpqDistSql, 6) AS adist,
+         |    row_number() OVER (PARTITION BY cand.q_id
+         |      ORDER BY round($ivfpqDistSql, 6), cand.n_id) AS rank
+         |  FROM cand
+         |  JOIN codes ON codes.vec_id = cand.n_id
+         |${(0 until PqM).map(m =>
+        s"  JOIN t$m ON t$m.code$m = codes.code$m AND t$m.q_id = cand.q_id" +
+          s" AND t$m.cell = cand.cell").mkString("\n")})
          |SELECT q_id, rank, n_id, adist FROM scored WHERE rank <= $TopK
          |ORDER BY q_id, rank""".stripMargin)
 }

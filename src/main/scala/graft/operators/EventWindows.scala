@@ -134,24 +134,26 @@ object EventWindows {
 
     // 7-day rolling distinct active users (WAU) per observed day. Rolling
     // COUNT(DISTINCT) has no window form on either engine, and a day-range
-    // join would plan as a nested loop — instead each distinct (user, day)
-    // pair fans out to the ≤7 future days it keeps the user "active" for
-    // (a fixed ×7 map-side explode), then one keyed agg counts distinct
-    // users per day. At 100 TB the distinct-pair frame is users×days —
-    // already tiny relative to raw events — and the only shuffles are the
-    // distinct and the final per-day agg; the observed-days semi-join that
-    // trims the phantom tail is a broadcast of a day list.
-    "ev_rolling_wau" -> ((s, dir) => {
-      val ud = load(s, dir, "events")
-        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
-      val days = ud.select(col("day").as("d")).distinct()
-      ud.select(col("user_id"), col("day"),
+    // join would plan as a nested loop — instead each event fans out to
+    // the ≤7 future days it keeps its user "active" for (a fixed ×7
+    // map-side explode; the partial hash agg dedups (user, day) pairs
+    // before anything hits the wire), carrying a direct-hit flag so the
+    // per-day agg can both count distinct users AND drop the phantom days
+    // no event actually landed on — no second distinct, no day-list
+    // broadcast join, no count_distinct Expand. At 100 TB: one keyed
+    // shuffle of ≤7× the distinct (user, day) pairs, one day-scale agg,
+    // one sort — down from 5 exchanges in the join formulation.
+    "ev_rolling_wau" -> ((s, dir) =>
+      load(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day"),
           explode(sequence(lit(0), lit(6))).as("k"))
-        .select(col("user_id"), date_add(col("day"), col("k")).as("d"))
-        .join(broadcast(days), "d")
-        .groupBy("d").agg(count_distinct(col("user_id")).as("wau"))
-        .orderBy("d")
-    }),
+        .select(col("user_id"), date_add(col("day"), col("k")).as("d"),
+          (col("k") === 0).cast("int").as("direct"))
+        .groupBy("user_id", "d").agg(max(col("direct")).as("direct"))
+        .groupBy("d").agg(count(lit(1)).as("wau"), max(col("direct")).as("hit"))
+        .where(col("hit") === 1)
+        .select(col("d"), col("wau"))
+        .orderBy("d")),
 
     // Last-touch attribution: for every purchase, the most recent click by
     // the same user strictly before it, if within 7 days (the batch twin of
@@ -178,29 +180,30 @@ object EventWindows {
     }),
 
     // Weekly cohort retention: cohort = ISO week of a user's first event;
-    // `users` = distinct users from that cohort active k weeks later. The
-    // cohort frame is one row PER USER — at 100 TB that is billions of
-    // rows, so it joins back onto the distinct (user, week) activity pairs
-    // as a keyed equi-join on user_id (both sides hash-partition on the
-    // same key; AQE may still broadcast when the user count is actually
-    // small), never a broadcast hint. Week arithmetic stays integral (both
-    // sides truncate to Monday 00:00, so the day diff is an exact multiple
-    // of 7) — no double rounding to drift between engines.
-    "ev_cohort" -> ((s, dir) => {
-      val ev = load(s, dir, "events")
-      val cohort = ev.groupBy("user_id")
-        .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
-      val active = ev
-        .select(col("user_id"), date_trunc("week", col("ts")).as("act_week"))
-        .distinct()
-      active.join(cohort, "user_id")
+    // `users` = distinct users from that cohort active k weeks later.
+    // ONE user-keyed aggregate computes both the cohort week (min of the
+    // truncated week — date_trunc is monotone, so min·trunc = trunc·min)
+    // and the user's distinct active-week set (collect_set dedups in the
+    // map-side partial, and its size is bounded by CALENDAR WEEKS, not by
+    // the user's event count — a decade is ≤522 entries). Exploding the
+    // set yields exactly one row per (user, act_week), so the per-cohort
+    // count is a plain count — no join, no count_distinct Expand: the
+    // round-8 formulation's separate cohort/active legs shuffled events
+    // twice on different keys (user_id vs (user_id, week)), which
+    // ReuseExchange can never merge. Week arithmetic stays integral (both
+    // sides truncate to Monday 00:00, so the day diff is an exact
+    // multiple of 7) — no double rounding to drift between engines.
+    "ev_cohort" -> ((s, dir) =>
+      load(s, dir, "events")
+        .select(col("user_id"), date_trunc("week", col("ts")).as("w"))
+        .groupBy("user_id")
+        .agg(min(col("w")).as("cohort_week"), collect_set(col("w")).as("act_weeks"))
+        .select(col("cohort_week"), explode(col("act_weeks")).as("act_week"))
         .select(col("cohort_week"),
-          expr("datediff(act_week, cohort_week) div 7").cast("long").as("week_offset"),
-          col("user_id"))
+          expr("datediff(act_week, cohort_week) div 7").cast("long").as("week_offset"))
         .groupBy("cohort_week", "week_offset")
-        .agg(count_distinct(col("user_id")).as("users"))
-        .orderBy("cohort_week", "week_offset")
-    }),
+        .agg(count(lit(1)).as("users"))
+        .orderBy("cohort_week", "week_offset")),
 
     // Two-proportion z-test over a deterministic 50/50 hash split — the
     // experimentation-analytics primitive. Assignment is content-stable

@@ -250,8 +250,11 @@ class ScaleDesignSpec extends AnyFunSuite {
       "ev_attribution" -> 2, // one user_id window + oracle sort, no join
       "a12_mode" -> 3, // group-count agg + per-group rank window + sort
       "ev_transitions" -> 3, // user_id lag window + pair count + sort
-      "ev_cohort" -> 5, // per-user agg + distinct reuse their user_id exchanges at the join
-      "ev_rolling_wau" -> 5, // distinct pairs + fan-out agg + broadcast day trim + sort
+      // round-9 diet (both were 5): ReuseExchange could never merge the
+      // old cohort/active legs (user_id vs (user_id, week) partitionings),
+      // so the join formulation was replaced outright.
+      "ev_cohort" -> 3, // one user agg (min week + bounded collect_set) + cohort agg + sort; no join, no Expand
+      "ev_rolling_wau" -> 3, // fan-out pair dedup w/ direct-day flag + day agg + sort; no second distinct, no day-trim join
       "ev_funnel" -> 7, // 3 stage aggs + 2 user_id SMJ joins (AQE broadcasts small stages)
       "a13_moments" -> 2, // one power-sum agg + oracle sort
       "rec_cooccur" -> 5, // distinct + basket agg + pair agg + supp agg (ReuseExchange dedups the shared distinct) + sort
@@ -272,6 +275,7 @@ class ScaleDesignSpec extends AnyFunSuite {
       "dd_line_filter" -> 4, // chunk-df agg + h-keyed join + doc rebuild agg + sort
       "ir_rrf" -> 1, // both legs end in TakeOrdered cuts; fusion runs on two 50-row frames
       "ann_ivfpq" -> 19, // ann_pq's 14 codebook-fit/ADC exchanges (fixed count, codebook-sized frames) + the IVF assign/probe windows; candidate scoring itself is broadcast lookups
+      "ann_ivfpq_res" -> 22, // ann_ivfpq + the cell-mean aggregation pair + residual re-key — all fixed-count codebook/cell-sized frames, data never re-shuffles
       "ta_bigram_ppl" -> 7, // doc-bigram tf + corpus cf + ctx aggs + contrib join + per-doc agg + sort (unigram twin is 5; the extra two are the context-total agg + its join)
       "dd_simhash_hamming" -> 4, // signature agg + band-bucket groupBy + pair distinct + sort; pairs explode map-side from sorted bucket arrays (the ann_lsh shape)
       "samp_temperature" -> 5, // source-count agg + one-row total + threshold join exchanges + final agg + sort — all source-cardinality frames; the keep decision is map-side
