@@ -60,6 +60,11 @@ object Dedup {
     * least MinShared surviving shingles are flagged. */
   private val DecontamMaxShDocs = 20
   private val DecontamMinShared = 3
+
+  /** dd_containment: minimum containment |A∩B|/|A| to emit, and the
+    * minimum |A| (distinct surviving shingles) for a pair to be scored. */
+  private val ContainTau = 0.8
+  private val ContainMinSh = 5
   /** Connected-components round bounds. The first JumpAfter rounds are pure
     * min-label propagation (one join each — real duplicate graphs are stars
     * and short chains that converge here); if the graph has not converged by
@@ -422,6 +427,38 @@ object Dedup {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // Shingle CONTAINMENT pairs (Broder's asymmetric resemblance,
+    // |A∩B|/|A|): detects near-SUPERSET relations — quotes, excerpts,
+    // doc-inside-doc contamination — that symmetric Jaccard dilutes (a
+    // 10-shingle quote inside a 1000-shingle doc has Jaccard ~0.01 but
+    // containment 1.0 from the quote's side). Same linear dataflow as
+    // dd_decontaminate: distinct shingle hashes → doc-frequency prune
+    // (bounds the worst shingle's fan-out at MaxShDocs² ordered pairs) →
+    // bucket-grouped ordered-pair explode → one keyed count, then the
+    // per-doc set size joins in to normalize. Emitted per DIRECTION
+    // (doc_a's shingles covered by doc_b); ContainMinSh keeps trivially
+    // tiny shingle sets from scoring 1.0.
+    "dd_containment" -> ((s, dir) => {
+      val sh = shingleSet(s, dir)
+        .select(col("doc_id"), (hash32(col("sh")) % MersenneP).as("h"))
+        .distinct()
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val contain = col("n_shared").cast("double") / col("sz_a")
+      sh.groupBy("h")
+        .agg(collect_set(col("doc_id")).as("ds"))
+        .where(size(col("ds")).between(2, DecontamMaxShDocs))
+        .select(explode(expr(
+          "flatten(transform(ds, a -> transform(filter(ds, b -> b <> a), " +
+            "b -> struct(a AS a, b AS b))))")).as("p"))
+        .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
+        .where(col("sz_a") >= ContainMinSh && contain >= ContainTau)
+        .select(col("doc_a"), col("doc_b"), col("n_shared"), col("sz_a"),
+          round(contain, 6).as("containment"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // Benchmark decontamination: find training docs that share >= MinShared
     // distinct 3-token shingles with a held-out benchmark doc (here: every
     // doc_id % 10 == 0 plays the benchmark set). The standard pre-training
@@ -707,6 +744,24 @@ object Dedup {
 
     "dd_decontaminate" ->
       s"$decontamSql\nORDER BY train_id, bench_id",
+
+    "dd_containment" ->
+      s"""WITH sh AS (
+         |  SELECT DISTINCT doc_id, ${hash32Sql("sh")} % $MersenneP AS h
+         |  FROM ($shingleSetSql)),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |rare AS (SELECT h FROM sh GROUP BY h
+         |         HAVING count(*) BETWEEN 2 AND $DecontamMaxShDocs),
+         |shf AS (SELECT sh.doc_id, sh.h FROM sh JOIN rare USING (h)),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+         |  FROM shf a JOIN shf b ON a.h = b.h AND a.doc_id <> b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, n_shared, sz AS sz_a,
+         |  round(CAST(n_shared AS DOUBLE) / sz, 6) AS containment
+         |FROM pairs JOIN sizes ON doc_a = sizes.doc_id
+         |WHERE sz >= $ContainMinSh AND CAST(n_shared AS DOUBLE) / sz >= $ContainTau
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dd_substring" ->
       s"""WITH tdoc AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),

@@ -89,6 +89,36 @@ object EventWindows {
           round(zRaw, 6).as("z"))
         .orderBy("event_id")
     }),
+    // Per-type running total over event time — the cumulative-sum window
+    // shape WITHOUT a per-type window partition: decimal partial sums per
+    // (type, hour bucket) roll up into a metadata-scale offset table
+    // (exact: decimal addition is associative, so bucket offset + local
+    // prefix = the global prefix bit-for-bit), and the in-bucket prefix
+    // runs in a bounded (type, bucket) window. The same ladder
+    // generalizes to ANY associative running aggregate; ev_anomaly's
+    // chunked strip form exists only because its windowed stats are a
+    // fixed-width trailing frame, not a prefix.
+    "ev_cumsum" -> ((s, dir) => {
+      val ev = load(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("ts"), col("value"))
+        .withColumn("b", date_trunc("hour", col("ts")))
+      val bt = ev.groupBy("event_type", "b")
+        .agg(sum(graft.Exact.dec(col("value"))).as("sb"))
+      val offW = Window.partitionBy("event_type").orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val off = bt.select(col("event_type"), col("b"),
+        coalesce(sum(col("sb")).over(offW), lit(0).cast("decimal(38,2)")).as("off"))
+      val localW = Window.partitionBy("event_type", "b")
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      ev.join(broadcast(off), Seq("event_type", "b"))
+        .withColumn("running_sum",
+          (col("off") + sum(graft.Exact.dec(col("value"))).over(localW))
+            .cast("double"))
+        .select(col("event_id"), col("event_type"), col("value"), col("running_sum"))
+        .orderBy("event_id")
+    }),
+
     // Native session windows per user: count + bounds per session.
     "t6_session_window" -> ((s, dir) =>
       load(s, dir, "events")
@@ -154,6 +184,35 @@ object EventWindows {
         .where(col("hit") === 1)
         .select(col("d"), col("wau"))
         .orderBy("d")),
+
+    // Daily retention triangle (the product-analytics D0–D7 matrix):
+    // cohort = a user's first-seen day; `users` = cohort members active
+    // exactly k days later (k ≤ 7); `retention` = users / cohort size
+    // (the k=0 row is the denominator — first day is always active).
+    // Same one-agg shape as ev_cohort: min(day) and the distinct day set
+    // come out of ONE user-keyed aggregate, the set explode yields one
+    // row per (user, day), and the cohort join is a broadcast of the
+    // day-scale k=0 frame. collect_set is bounded by the corpus day span
+    // (a decade ≈ 3.7k entries); for multi-year deployments swap in the
+    // two-pass min-day + co-partitioned join form — same downstream.
+    "ev_retention" -> ((s, dir) => {
+      val counts = load(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .groupBy("user_id")
+        .agg(min(col("day")).as("d0"), collect_set(col("day")).as("days"))
+        .select(col("d0").as("cohort_day"),
+          explode(col("days")).as("day"))
+        .select(col("cohort_day"),
+          datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
+        .where(col("day_offset").between(0, 7))
+        .groupBy("cohort_day", "day_offset").agg(count(lit(1)).as("users"))
+      val base = counts.where(col("day_offset") === 0)
+        .select(col("cohort_day"), col("users").as("n0"))
+      counts.join(broadcast(base), "cohort_day")
+        .select(col("cohort_day"), col("day_offset"), col("users"),
+          round(col("users").cast("double") / col("n0"), 6).as("retention"))
+        .orderBy("cohort_day", "day_offset")
+    }),
 
     // Last-touch attribution: for every purchase, the most recent click by
     // the same user strictly before it, if within 7 days (the batch twin of
@@ -298,6 +357,14 @@ object EventWindows {
          |          / sqrt(CAST(n * css - cs * cs AS DOUBLE))) >= $AnomZ
          |ORDER BY event_id""".stripMargin,
 
+    "ev_cumsum" ->
+      """SELECT event_id, event_type, value,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2)))
+        |         OVER (PARTITION BY event_type ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |       AS DOUBLE) AS running_sum
+        |FROM events ORDER BY event_id""".stripMargin,
+
     "t6_session_window" ->
       s"""WITH g AS (
          |  SELECT user_id, ts, event_id, value,
@@ -356,6 +423,23 @@ object EventWindows {
         |SELECT f.d, count(DISTINCT f.user_id) AS wau
         |FROM fan f JOIN days USING (d)
         |GROUP BY f.d ORDER BY f.d""".stripMargin,
+
+    "ev_retention" ->
+      """WITH per AS (
+        |  SELECT user_id, min(day) AS d0, list(DISTINCT day) AS days
+        |  FROM (SELECT user_id, CAST(ts AS DATE) AS day FROM events)
+        |  GROUP BY user_id),
+        |ex AS (SELECT d0 AS cohort_day,
+        |              date_diff('day', d0, unnest(days)) AS day_offset
+        |       FROM per),
+        |c AS (SELECT cohort_day, CAST(day_offset AS BIGINT) AS day_offset,
+        |             count(*) AS users
+        |      FROM ex WHERE day_offset BETWEEN 0 AND 7 GROUP BY 1, 2),
+        |b AS (SELECT cohort_day, users AS n0 FROM c WHERE day_offset = 0)
+        |SELECT c.cohort_day, c.day_offset, c.users,
+        |  round(CAST(c.users AS DOUBLE) / b.n0, 6) AS retention
+        |FROM c JOIN b USING (cohort_day)
+        |ORDER BY cohort_day, day_offset""".stripMargin,
 
     "ev_attribution" ->
       """SELECT user_id, event_id, ts AS purchase_ts,

@@ -348,6 +348,42 @@ object Relational3 {
         .orderBy("l_returnflag")
     }),
 
+    // Exact global multi-quantile (p25/p50/p75/p90/p99) the 100 TB way —
+    // the WIDE-domain complement of a14_winsorize's full histogram: when
+    // the value domain is too wide to histogram per distinct value
+    // (l_extendedprice spans ~10M distinct cents), phase 1 histograms
+    // COARSE $1000 buckets (domain/1000-scale frame), a cumulative count
+    // over that tiny frame locates the bucket holding each target rank
+    // k = ⌈p·n/100⌉ (pure integer arithmetic), and phase 2 re-scans ONLY
+    // the ≤5 located buckets (broadcast semi-join pruning the scan) to
+    // extract the exact k-th order statistic with an in-bucket
+    // row_number. No global sort, no percentile() over data rows, and
+    // the only data-scale shuffles are the bucket histogram and the
+    // located-bucket rescan.
+    "a15_quantile_2phase" -> ((s, dir) => {
+      val cents = round(col("l_extendedprice") * 100).cast("long")
+      val li = load(s, dir, "lineitem").select(cents.as("c"))
+      val withB = li.withColumn("bk", floor(col("c") / 100000L).cast("long"))
+      val cum = withB.groupBy("bk").agg(count(lit(1)).as("cnt"))
+        .withColumn("cumhi", sum(col("cnt")).over(
+          Window.orderBy("bk").rowsBetween(Window.unboundedPreceding, 0)))
+      val qs = Seq(25, 50, 75, 90, 99)
+      val tgt = li.agg(count(lit(1)).as("n"))
+        .select(explode(array(qs.map(p => lit(p.toLong)): _*)).as("p"), col("n"))
+        .withColumn("k", floor((col("p") * col("n") + lit(99)) / 100).cast("long"))
+      val located = cum.join(broadcast(tgt), col("cumhi") >= col("k"))
+        .groupBy("p", "k")
+        .agg(min(struct(col("bk"), col("cumhi"), col("cnt"))).as("t"))
+        .select(col("p"), col("k"), col("t.bk").as("bk"),
+          (col("t.cumhi") - col("t.cnt")).as("below"))
+      withB.join(broadcast(located), "bk")
+        .withColumn("r", row_number().over(
+          Window.partitionBy("p", "bk").orderBy("c")))
+        .where(col("r") === col("k") - col("below"))
+        .select(col("p"), (col("c").cast("double") / 100.0).as("value"))
+        .orderBy("p")
+    }),
+
     // Entity-resolution fuzzy match via SORTED NEIGHBORHOOD (Hernández &
     // Stolfo 1995): instead of blocking-key self-joins (the synthetic
     // name vocabulary is 8 nouns — any key block is O(n) wide, so the
@@ -556,6 +592,16 @@ object Relational3 {
         |FROM ps JOIN supp sa ON pa = sa.l_partkey
         |        JOIN supp sb ON pb = sb.l_partkey
         |ORDER BY pair_orders DESC, pa, pb""".stripMargin,
+
+    "a15_quantile_2phase" ->
+      """WITH c AS (SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS c
+        |           FROM lineitem),
+        |r AS (SELECT c, row_number() OVER (ORDER BY c) AS r FROM c),
+        |n AS (SELECT count(*) AS n FROM c),
+        |p AS (SELECT CAST(unnest([25, 50, 75, 90, 99]) AS BIGINT) AS p)
+        |SELECT p, min(CAST(c AS DOUBLE) / 100.0) AS value
+        |FROM p CROSS JOIN n JOIN r ON r.r = (p.p * n.n + 99) // 100
+        |GROUP BY p ORDER BY p""".stripMargin,
 
     "a14_winsorize" ->
       """WITH li AS (

@@ -109,6 +109,78 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // Code-vs-prose detection (the StarCoder/RedPajama-style routing
+    // signal): documents that look like source code get routed to a code
+    // pipeline (different dedup granularity, no NLP scoring), prose
+    // continues through the quality filters. Heuristics are the standard
+    // ones — code-symbol density ({};=()<>[] per char), code-keyword hits
+    // (def/class/import/…), and the assignment-operator count — each
+    // surfaced as its own column plus the composite is_code decision.
+    // Pure map-side column math over a shared Java∩RE2 regex subset
+    // (the ta_pii_redact parity rule): at 100 TB this filter runs inside
+    // the scan with zero shuffles.
+    "ta_code_detect" -> ((s, dir) => {
+      def cnt(re: String) =
+        size(regexp_extract_all(col("text"), lit(re), lit(0))).cast("long")
+      val nChars = length(col("text")).cast("long")
+      val nSym = cnt("[{};=()<>\\[\\]]")
+      val nKw = cnt("\\b(def|class|import|return|function|var|const|if|else|for|while)\\b")
+      val nAssign = cnt("[-+*/]?=[^=]")
+      val symRatio = nSym.cast("double") / nChars
+      load(s, dir, "documents")
+        .select(col("doc_id"), nChars.as("n_chars"), nSym.as("n_sym"),
+          nKw.as("n_kw"), nAssign.as("n_assign"),
+          round(symRatio, 6).as("sym_ratio"),
+          (symRatio >= 0.05 || (nKw >= 3 && nAssign >= 1)).as("is_code"))
+        .orderBy("doc_id")
+    }),
+
+    // The Gopher REPETITION signals (Rae et al. 2021, A1.1 "repetitious
+    // text"): per document, (a) the fraction of characters inside word
+    // trigrams that occur ≥2 times in the doc (every occurrence of a
+    // duplicated trigram counts its characters; chars = length of the
+    // space-joined shingle minus the 2 joiners), and (b) the fraction of
+    // bigram occurrences claimed by the single most frequent bigram.
+    // keep = both ≤ 0.2. Docs need ≥1 trigram to be scored. One scan:
+    // both gram sizes explode tagged into ONE (doc, n, sh) aggregation,
+    // then one doc-keyed rollup — everything keyed on doc_id, nothing
+    // corpus-wide, so the whole operator is two keyed exchanges at any
+    // scale.
+    "ta_dup_ngram_chars" -> ((s, dir) => {
+      def shingles2(t: Column): Column = {
+        val n = size(t)
+        when(n >= 2, zip_with(slice(t, lit(1), n - 1), slice(t, lit(2), n - 1),
+          (a, b) => concat_ws(" ", a, b)))
+          .otherwise(array().cast("array<string>"))
+      }
+      val t = toks(col("text"))
+      val grams = load(s, dir, "documents")
+        .select(col("doc_id"), explode(concat(
+          transform(graft.functions.VectorFns.shingles3(t),
+            x => struct(lit(3).as("n"), x.as("sh"))),
+          transform(shingles2(t),
+            x => struct(lit(2).as("n"), x.as("sh"))))).as("g"))
+        .select(col("doc_id"), col("g.n").as("n"), col("g.sh").as("sh"))
+      val perGram = grams.groupBy("doc_id", "n", "sh")
+        .agg(count(lit(1)).as("c"))
+        .withColumn("chars", (length(col("sh")) - (col("n") - 1)).cast("long"))
+      val dupFrac = col("dup_tri_chars").cast("double") / col("tri_chars")
+      val topFrac = col("top_bi").cast("double") / col("n_bi")
+      perGram.groupBy("doc_id").agg(
+          sum(when(col("n") === 3, col("c"))).as("n_tri"),
+          sum(when(col("n") === 3, col("c") * col("chars"))).as("tri_chars"),
+          coalesce(sum(when(col("n") === 3 && col("c") >= 2,
+            col("c") * col("chars"))), lit(0L)).as("dup_tri_chars"),
+          max(when(col("n") === 2, col("c"))).as("top_bi"),
+          sum(when(col("n") === 2, col("c"))).as("n_bi"))
+        .where(col("n_tri").isNotNull && col("n_bi").isNotNull)
+        .select(col("doc_id"), col("n_tri"),
+          round(dupFrac, 6).as("dup_tri_char_frac"),
+          round(topFrac, 6).as("top_bi_frac"),
+          (dupFrac <= 0.2 && topFrac <= 0.2).as("keep"))
+        .orderBy("doc_id")
+    }),
+
     // The published Gopher quality-rule filter (Rae et al. 2021, A1.1):
     // word-count bounds, mean-word-length bounds, symbol-to-word ratio,
     // alphabetic-word fraction, and the 8-word must-contain stopword rule,
@@ -507,6 +579,54 @@ object TextAnalysis {
          |  $qualityScoreSql AS quality_score
          |FROM documents ORDER BY doc_id""".stripMargin
     },
+
+    "ta_code_detect" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(len(regexp_extract_all(text, '[{};=()<>\[\]]')) AS BIGINT) AS n_sym,
+        |    CAST(len(regexp_extract_all(text,
+        |      '\b(def|class|import|return|function|var|const|if|else|for|while)\b'))
+        |      AS BIGINT) AS n_kw,
+        |    CAST(len(regexp_extract_all(text, '[-+*/]?=[^=]')) AS BIGINT) AS n_assign
+        |  FROM documents)
+        |SELECT doc_id, n_chars, n_sym, n_kw, n_assign,
+        |  round(CAST(n_sym AS DOUBLE) / n_chars, 6) AS sym_ratio,
+        |  (CAST(n_sym AS DOUBLE) / n_chars >= 0.05
+        |   OR (n_kw >= 3 AND n_assign >= 1)) AS is_code
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "ta_dup_ngram_chars" ->
+      """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+        |           FROM documents),
+        |g AS (
+        |  SELECT doc_id, 3 AS n,
+        |    unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+        |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+        |  FROM d
+        |  UNION ALL
+        |  SELECT doc_id, 2 AS n,
+        |    unnest(list_transform(range(1, greatest(len(t), 1)),
+        |           i -> t[i] || ' ' || t[i+1])) AS sh
+        |  FROM d),
+        |pg AS (SELECT doc_id, n, sh, count(*) AS c,
+        |              length(sh) - (n - 1) AS chars
+        |       FROM g GROUP BY doc_id, n, sh),
+        |pd AS (SELECT doc_id,
+        |  sum(CASE WHEN n = 3 THEN c END) AS n_tri,
+        |  sum(CASE WHEN n = 3 THEN c * chars END) AS tri_chars,
+        |  coalesce(sum(CASE WHEN n = 3 AND c >= 2 THEN c * chars END), 0)
+        |    AS dup_tri_chars,
+        |  max(CASE WHEN n = 2 THEN c END) AS top_bi,
+        |  sum(CASE WHEN n = 2 THEN c END) AS n_bi
+        |  FROM pg GROUP BY doc_id
+        |  HAVING n_tri IS NOT NULL AND n_bi IS NOT NULL)
+        |SELECT doc_id, CAST(n_tri AS BIGINT) AS n_tri,
+        |  round(CAST(dup_tri_chars AS DOUBLE) / tri_chars, 6) AS dup_tri_char_frac,
+        |  round(CAST(top_bi AS DOUBLE) / n_bi, 6) AS top_bi_frac,
+        |  (CAST(dup_tri_chars AS DOUBLE) / tri_chars <= 0.2
+        |   AND CAST(top_bi AS DOUBLE) / n_bi <= 0.2) AS keep
+        |FROM pd ORDER BY doc_id""".stripMargin,
 
     "ta_gopher_rules" ->
       s"""WITH d AS (

@@ -106,6 +106,13 @@ class ScaleDesignSpec extends AnyFunSuite {
     // mirroring the GlobalIndex pin above.
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
     import org.apache.spark.sql.execution.window.WindowExec
+    // Audited remaining row-level window partition keys (round 9):
+    // l_suppkey (w1) scales with the data; a12/a14's l_returnflag windows
+    // sit above histogram-scale aggregates (exempt below); a15's (p, bk)
+    // partitions are bucket-bounded. The ONE deliberate exception is
+    // o4_topk_group's p_brand window — it exists as the reference-
+    // semantics window-formulation twin whose scale path is o4_topk_heap
+    // (same oracle, heap aggregate), so p_brand stays out of this set.
     val lowCard = Set("event_type")
     val aqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
@@ -288,7 +295,14 @@ class ScaleDesignSpec extends AnyFunSuite {
       // round-9 rewrite: heap topk agg (map-side partials) + oracle sort —
       // the per-type re-agg of the ≤100 survivors rides the same
       // event_type partitioning, and the row_number window is gone.
-      "samp_stratified" -> 2)
+      "samp_stratified" -> 2,
+      // round-9 additions
+      "ev_cumsum" -> 4, // bucket-sum agg + tiny offset window + (type,hour) prefix window + oracle sort; offsets broadcast back
+      "a15_quantile_2phase" -> 5, // coarse histogram agg + tiny cum window + located-bucket rescan window + count + oracle sort; target buckets broadcast
+      "ta_dup_ngram_chars" -> 3, // (doc,n,gram) agg + doc rollup + oracle sort — both gram sizes in ONE scan/explode
+      "dd_containment" -> 5, // distinct shingle agg + size agg + bucket-pair explode agg + size join + sort (ReuseExchange shares the distinct chain)
+      "ev_retention" -> 4, // one user agg (min day + bounded day set) + cohort/offset agg + broadcast k=0 base + sort
+      "ta_code_detect" -> 1) // pure map-side regex counters + oracle sort
     val aqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
