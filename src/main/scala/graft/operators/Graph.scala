@@ -52,7 +52,43 @@ object Graph {
       .select(col("pa"), col("pb"))
   }
 
+  /** k-core: degree threshold and unrolled peel rounds. Peeling converges
+    * when every surviving node keeps degree ≥ K; PipelineOpsSpec pins that
+    * the fixed unroll reaches that fixpoint on the test graphs (min
+    * degree of the result ≥ K is exactly the fixpoint condition). */
+  // K=2 keeps the core non-empty at every test SF (the sf0.1 co-purchase
+  // graph's 3-core is empty); measured convergence is 1/4/6 peel rounds at
+  // sf0.001/0.01/0.1, so 8 unrolled rounds carry margin at all three.
+  private val KcoreK = 2
+  private val KcoreRounds = 8
+
   val queries: Map[String, Q] = Map(
+    // k-core decomposition membership (the densest-region primitive of
+    // community mining): iteratively peel nodes of degree < K until the
+    // remaining subgraph — the K-core — is stable. Per round: one keyed
+    // degree aggregate + two semi-join trims of the (directed-both-ways)
+    // edge list, localCheckpoint-ed so the plan stays flat (the
+    // gr_shortest_path discipline); every shuffle is keyed on a node id
+    // and the edge list only shrinks. The unroll count is FIXED (not
+    // run-to-fixpoint) so the DuckDB oracle is the identical computation;
+    // convergence at the fixed depth is pinned separately in GraphSpec.
+    "gr_kcore" -> ((s, dir) => {
+      val e0 = edges(s, dir)
+      val und0 = e0.select(col("pa").as("u"), col("pb").as("v"))
+        .unionAll(e0.select(col("pb").as("u"), col("pa").as("v")))
+        .localCheckpoint()
+      val fin = (0 until KcoreRounds).foldLeft(und0) { (g, _) =>
+        val keep = g.groupBy("u").agg(count(lit(1)).as("d"))
+          .where(col("d") >= KcoreK).select("u")
+        g.join(keep, "u")
+          .join(keep.select(col("u").as("v")), "v")
+          .select("u", "v")
+          .localCheckpoint()
+      }
+      fin.groupBy(col("u").as("node")).agg(count(lit(1)).as("core_degree"))
+        .orderBy("node")
+    }),
+
     // Per-node triangle participation over the co-purchase graph, top
     // nodes first. k = (degree, id) is the orientation key as a STRUCT
     // compared lexicographically — a strict total order for ANY id range
@@ -188,6 +224,34 @@ object Graph {
        |    ON d.node = c.dst)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "gr_kcore" -> {
+      // MATERIALIZED throughout: DuckDB inlines CTEs at every reference
+      // and each round references its predecessor 3× (edge trim + the two
+      // keep-side joins) — un-materialized, the 8-round chain expands
+      // 3^8-fold (the pqSubSql lesson; here it surfaced as fd exhaustion
+      // re-opening the parquet thousands of times).
+      val rounds = (0 until KcoreRounds).map { i =>
+        s"""k$i AS MATERIALIZED (
+           |  SELECT u FROM (SELECT u, count(*) AS d FROM g$i GROUP BY u)
+           |  WHERE d >= $KcoreK),
+           |g${i + 1} AS MATERIALIZED (
+           |  SELECT g.u, g.v FROM g$i g JOIN k$i a ON g.u = a.u
+           |  JOIN k$i b ON g.v = b.u)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH items AS MATERIALIZED (
+         |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |e AS MATERIALIZED (
+         |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+         |  FROM items a JOIN items b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |  GROUP BY 1, 2 HAVING count(*) >= $MinSupport),
+         |g0 AS MATERIALIZED (SELECT pa AS u, pb AS v FROM e
+         |       UNION ALL SELECT pb AS u, pa AS v FROM e),
+         |$rounds
+         |SELECT u AS node, count(*) AS core_degree FROM g$KcoreRounds
+         |GROUP BY u ORDER BY node""".stripMargin
+    },
+
     "gr_triangles" ->
       s"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
          |e AS (

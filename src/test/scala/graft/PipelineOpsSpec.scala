@@ -418,4 +418,22 @@ class PipelineOpsSpec extends AnyFunSuite {
       .agg(sum(col("n_tokens")).as("tot"), max(col("n_tokens")).as("mx"))
     assert(perSeq.where(col("tot") - col("mx") >= 2048).count() == 0)
   }
+
+  test("gr_kcore: the fixed peel unroll reaches the fixpoint") {
+    // gr_kcore unrolls a FIXED number of peel rounds so the DuckDB oracle
+    // is the identical computation. That is only the true k-core if
+    // peeling has converged by then — and the fixpoint condition is
+    // exactly that every surviving node still has degree >= K. A node
+    // below K in the output means the unroll stopped early: raise
+    // KcoreRounds (both sides move together through the shared constant).
+    // (An sf0.1 DuckDB probe measured convergence at 6 rounds there too —
+    // the 8-round unroll carries margin at every test SF.)
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val core = operators.Graph.queries("gr_kcore")(spark, d)
+      val under = core.where(col("core_degree") < 2).count()
+      assert(under == 0,
+        s"$d: $under nodes below K survived — KcoreRounds too small")
+      assert(core.count() > 0, s"$d: k-core is empty — K too high to pin anything")
+    }
+  }
 }

@@ -302,7 +302,8 @@ class ScaleDesignSpec extends AnyFunSuite {
       "ta_dup_ngram_chars" -> 3, // (doc,n,gram) agg + doc rollup + oracle sort — both gram sizes in ONE scan/explode
       "dd_containment" -> 5, // distinct shingle agg + size agg + bucket-pair explode agg + size join + sort (ReuseExchange shares the distinct chain)
       "ev_retention" -> 4, // one user agg (min day + bounded day set) + cohort/offset agg + broadcast k=0 base + sort
-      "ta_code_detect" -> 1) // pure map-side regex counters + oracle sort
+      "ta_code_detect" -> 1, // pure map-side regex counters + oracle sort
+      "gr_kcore" -> 2) // final degree agg + sort; the peel rounds run inside the eager localCheckpoints (the gr_shortest_path discipline)
     val aqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
