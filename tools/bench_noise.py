@@ -89,6 +89,18 @@ def main():
             n_regressed += 1
         rows.append((q, r, f_, rr, verdict))
     overall = "REGRESSION" if n_regressed else "noise"
+    # Whole-run host degradation check: the last/first sentinel RATIO only
+    # catches MID-run degradation — if the host is slow for the entire run,
+    # both sentinel passes inflate together and the ratio looks healthy.
+    # The absolute first-pass level is the cross-run comparable: o3_limit is
+    # a constant-cost plan, so a fresh first-pass well above the committed
+    # run's means the whole fresh run (and its reproducing re-runs, if the
+    # window persists) is host-degraded, not code-regressed.
+    s_ref = (ref.get("sentinel") or {}).get("first", -1.0)
+    s_new = (fresh.get("sentinel") or {}).get("first", -1.0)
+    if overall == "REGRESSION" and s_ref > 0 and s_new > 1.5 * s_ref:
+        overall = "HOST-DEGRADED (sustained)"
+    print(f"sentinel first-pass: fresh {s_new:.2f}s vs ref {s_ref:.2f}s")
     print(f"verdict: {overall}")
 
     lines = [
@@ -104,11 +116,18 @@ def main():
     for q, r, f_, rr, v in rows:
         lines.append(f"| {q} | {r:.2f} | {f_:.2f} | {rr:.2f} | {v} |")
     lines.append("")
-    lines.append(f"**Overall: {overall}** — "
-                 + ("at least one mover reproduces its fresh delta on re-run."
-                    if n_regressed else
-                    "every mover returned to its committed baseline; the fresh "
-                    "run hit a host noise window."))
+    if overall.startswith("HOST"):
+        lines.append(f"**Overall: {overall}** — movers reproduce, but the "
+                     f"constant-cost sentinel's first pass ({s_new:.2f} s vs "
+                     f"{s_ref:.2f} s committed) shows the whole window is "
+                     "host-degraded; re-measure in a quiet window before "
+                     "treating any mover as a code regression.")
+    else:
+        lines.append(f"**Overall: {overall}** — "
+                     + ("at least one mover reproduces its fresh delta on re-run."
+                        if n_regressed else
+                        "every mover returned to its committed baseline; the fresh "
+                        "run hit a host noise window."))
     with open(os.path.join(REPO, "SCALING.md"), "a") as f:
         f.write("\n".join(lines) + "\n")
     print("appended verdict to SCALING.md")
