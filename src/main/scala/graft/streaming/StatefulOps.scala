@@ -298,6 +298,67 @@ object StatefulOps {
     * passed the watermark and click state once it can no longer match, so
     * join-state memory is bounded by (arrival rate × window), not stream
     * length. Inner join: unmatched rows age out of state silently. */
+  /** Streaming event row for [[rollingAnomaly]]. */
+  case class Ev(event_type: String, ts: java.sql.Timestamp, event_id: Long, value: Double)
+
+  /** Flagged anomaly (mirrors the batch `ev_anomaly` output schema). */
+  case class Anomaly(event_id: Long, event_type: String, value: Double, z: Double)
+
+  /** Rolling-window state: the last ≤ AnomWin integer-cent values plus
+    * their running sum and sum-of-squares (subtract-on-evict keeps both
+    * exact). Bounded: ≤ win longs per live event_type, regardless of
+    * stream length. */
+  case class AnomState(ring: Seq[Long], cs: Long, css: Long)
+
+  /** The STREAMING twin of the batch `ev_anomaly` operator: per event
+    * type, score each event against the trailing `win`-row window
+    * (inclusive) of integer-cent values and emit rows with |z| ≥
+    * `zThresh` once `minN` rows have been seen. Identical arithmetic to
+    * the batch query — integer power sums, z = (c·n − cs)/√(n·css − cs²),
+    * round(6) — so on an in-order feed the stream output EQUALS the
+    * batch/DuckDB-oracle result row-for-row (StatefulOpsSpec pins it).
+    *
+    * Ordering contract: rows are sorted (ts, event_id) within each
+    * micro-batch; across batches the feed must be event-time ordered per
+    * key (the replay/backfill case). For out-of-order production streams,
+    * front this with a watermark + sort-within-window stage or accept
+    * per-batch-local ordering — the state itself is order-agnostic
+    * arithmetic over whatever order it is fed. */
+  def rollingAnomaly(ds: Dataset[Ev], win: Int = 100, minN: Int = 30,
+                     zThresh: Double = 3.0): Dataset[Anomaly] = {
+    implicit val enc: Encoder[Anomaly] = Encoders.product[Anomaly]
+    implicit val stEnc: Encoder[AnomState] = Encoders.product[AnomState]
+    ds.groupByKey(_.event_type)(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: String, rows: Iterator[Ev], state: GroupState[AnomState]) => {
+          var st = state.getOption.getOrElse(AnomState(Vector.empty, 0L, 0L))
+          val out = Vector.newBuilder[Anomaly]
+          for (ev <- rows.toVector.sortBy(e => (e.ts.getTime, e.event_id))) {
+            val c = math.floor(ev.value * 100 + 0.5).toLong
+            var ring = st.ring :+ c
+            var cs = st.cs + c
+            var css = st.css + c * c
+            if (ring.length > win) {
+              val ev0 = ring.head
+              ring = ring.tail
+              cs -= ev0
+              css -= ev0 * ev0
+            }
+            st = AnomState(ring, cs, css)
+            val n = ring.length.toLong
+            val disc = n * css - cs * cs
+            if (n >= minN && disc > 0) {
+              val z = (c * n - cs).toDouble / math.sqrt(disc.toDouble)
+              if (math.abs(z) >= zThresh)
+                out += Anomaly(ev.event_id, key, ev.value,
+                  BigDecimal(z).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+        })
+  }
+
   def attributeClicks(imps: Dataset[Impression], clicks: Dataset[Click],
                       windowMinutes: Int = 10): Dataset[(String, java.sql.Timestamp, java.sql.Timestamp)] = {
     import org.apache.spark.sql.functions.{col, expr}

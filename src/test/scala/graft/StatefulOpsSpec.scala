@@ -204,4 +204,38 @@ class StatefulOpsSpec extends AnyFunSuite {
       assert(latest("u2").n == 1 && latest("u2").total == 1.0)
     } finally q.stop()
   }
+
+  test("streaming rollingAnomaly equals the batch ev_anomaly oracle result") {
+    // The batch/stream parity pin: feed the real sf0.001 events table in
+    // event-time order across several micro-batches; the stateful stream
+    // must emit EXACTLY the rows the batch (DuckDB-oracle-checked)
+    // ev_anomaly query produces — same ids, same round(6) z values. This
+    // is the strongest claim a streaming operator can make: its bounded
+    // state (≤ win cents per type) reproduces the full-history window
+    // semantics.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.functions.col
+    val evs = graft.Tables.load(spark, dir, "events")
+      .select(col("event_type"), col("ts"), col("event_id"), col("value"))
+      .orderBy("ts", "event_id")
+      .as[StatefulOps.Ev].collect()
+    val batches = evs.grouped(math.max(1, evs.length / 5)).toSeq
+    val mem = MemoryStream[StatefulOps.Ev]
+    val q = StatefulOps.rollingAnomaly(mem.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sanom_out").start()
+    try {
+      batches.foreach { b => mem.addData(b.toSeq); q.processAllAvailable() }
+      val streamed = spark.table("sanom_out").as[StatefulOps.Anomaly].collect()
+        .map(a => (a.event_id, a.event_type, a.value, a.z)).sortBy(_._1)
+      val batch = SparkEntry.queries("ev_anomaly")(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3)))
+        .sortBy(_._1)
+      assert(streamed.length == batch.length,
+        s"stream emitted ${streamed.length} anomalies vs batch ${batch.length}")
+      assert(streamed.sameElements(batch))
+    } finally q.stop()
+  }
 }
