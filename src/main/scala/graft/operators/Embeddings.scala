@@ -39,6 +39,15 @@ object Embeddings {
   private val PqM = 2
   private val PqSubDim = 32
 
+  /** emb_pca_power: embedding width (require()d at runtime) and matrix-
+    * squaring count — the iterate applies C^(2^M), so M=8 is an effective
+    * 256-step power iteration (this corpus's eigengap is ~0.97: plain
+    * 12-step iteration measured cos 0.10 to the true eigenvector, 256
+    * effective steps ≈ 0.97^256 residual). Fixed M (not run-to-
+    * convergence) so the DuckDB oracle is the identical computation. */
+  private val EmbD = 64
+  private val PcaSquarings = 8
+
   /** Production-shaped PQ for the recall study (`ann_pq_big`): 8 subspaces
     * of 8 dims, 32-centroid codebooks → 8×5 = 40-bit codes. 32 is the
     * largest codebook the 500-vector test corpus supports without
@@ -364,7 +373,91 @@ object Embeddings {
     // all join shapes are identical to ann_ivfpq: broadcast
     // codebooks/tables, code-frame lookups keyed on (cell, code, q_id),
     // never raw-vector math per candidate.
-    "ann_ivfpq_res" -> ((s, dir) => rankCut(s, ivfPqResScored(s, dir))))
+    "ann_ivfpq_res" -> ((s, dir) => rankCut(s, ivfPqResScored(s, dir))),
+
+    // Top principal component by power iteration — the PCA/whitening
+    // primitive, in the Spark MLlib RowMatrix design: the DATA-scale work
+    // is one pass building the d×d Gramian (map-side pair explode with
+    // partial aggregation — the standard distributed covariance); the
+    // d×d matrix itself is MODEL-scale (64² doubles) and is collected for
+    // the eigen-iteration exactly as MLlib's computePrincipalComponents
+    // collects its Gramian. Cross-engine exactness: PCA runs on the
+    // emb_quantize int grid (products and sums are integers → DECIMAL,
+    // exact on any partitioning), covariance entries derive from those
+    // exact sums through one shared double expression, and every
+    // float-sum inside the iteration (matrix products, norms, the
+    // Rayleigh quotient) folds in ascending value order — the house
+    // sorted-fold convention, mirrored by list_sum(list(x ORDER BY x)) in
+    // the unrolled oracle CTEs. Convergence comes from repeated MATRIX
+    // SQUARING (v = normalize(C^(2^M)·v0), Frobenius-normalized between
+    // squarings so doubles never overflow): M=8 is an effective 256-step
+    // power iteration at 8 × d³ cost — necessary because this corpus's
+    // eigengap is ~0.97. Fixed M keeps the two engines computing
+    // literally the same thing; sign is pinned by the all-positive start
+    // vector (even matrix powers preserve the v0·e1 sign).
+    "emb_pca_power" -> ((s, dir) => {
+      import s.implicits._
+      val e = load(s, dir, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+      val stats = e.select(posexplode(col("v")).as(Seq("d", "x")))
+        .groupBy("d").agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      val grid = stats.groupBy()
+        .agg(sort_array(collect_list(struct(col("d"), col("mn"), col("mx")))).as("g"))
+        .select(transform(col("g"), t => t.getField("mn")).as("mnA"),
+          transform(col("g"), t => t.getField("mx")).as("mxA"))
+      val qa = e.crossJoin(broadcast(grid))
+        .select(col("vec_id"), expr(
+          "transform(v, (x, i) -> CAST(floor(CASE WHEN mxA[i] = mnA[i] THEN 0.0 " +
+            "ELSE (x - mnA[i]) / (mxA[i] - mnA[i]) * 255.0 END + 0.5) AS BIGINT))")
+          .as("qa"))
+      val spp = qa.select(explode(expr(
+          "flatten(transform(qa, (xi, i) -> " +
+            "transform(slice(qa, i + 1, size(qa) - i), (xj, j) -> " +
+            "struct(CAST(i AS INT) AS di, CAST(i + j AS INT) AS dj, xi * xj AS p))))"))
+          .as("pr"))
+        .select(col("pr.di").as("di"), col("pr.dj").as("dj"), col("pr.p").as("p"))
+        .groupBy("di", "dj")
+        .agg(sum(col("p").cast("decimal(38,0)")).as("s"))
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDecimal(2).doubleValue())
+        .toMap
+      val sq = qa.select(posexplode(col("qa")).as(Seq("d", "q")))
+        .groupBy("d").agg(sum(col("q").cast("decimal(38,0)")).as("s"))
+        .collect().map(r => r.getInt(0) -> r.getDecimal(1).doubleValue()).toMap
+      val nD = e.count().toDouble
+      val dim = sq.keys.max + 1
+      require(dim == EmbD, s"embedding width $dim != EmbD $EmbD — update the constant")
+      val cov = Array.tabulate(dim, dim) { (i, j) =>
+        val s = if (i <= j) spp((i, j)) else spp((j, i))
+        s / nD - (sq(i) / nD) * (sq(j) / nD)
+      }
+      def sortedSum(xs: Seq[Double]): Double = xs.sorted.foldLeft(0.0)(_ + _)
+      def mulV(m: Array[Array[Double]], v: Array[Double]): Array[Double] =
+        Array.tabulate(dim)(d => sortedSum((0 until dim).map(j => m(d)(j) * v(j))))
+      def frobNorm(m: Array[Array[Double]]): Double =
+        math.sqrt(sortedSum(
+          (for (i <- 0 until dim; j <- 0 until dim) yield m(i)(j) * m(i)(j))))
+      def normed(m: Array[Array[Double]]): Array[Array[Double]] = {
+        val f = frobNorm(m)
+        m.map(_.map(_ / f))
+      }
+      var c = normed(cov)
+      for (_ <- 1 to PcaSquarings) {
+        val sq2 = Array.tabulate(dim, dim) { (i, j) =>
+          sortedSum((0 until dim).map(k => c(i)(k) * c(k)(j)))
+        }
+        c = normed(sq2)
+      }
+      val p0 = mulV(c, Array.fill(dim)(1.0 / math.sqrt(dim.toDouble)))
+      val nrm = math.sqrt(sortedSum(p0.map(x => x * x).toSeq))
+      val v = p0.map(_ / nrm)
+      val pf = mulV(cov, v)
+      val lam = sortedSum((0 until dim).map(d => v(d) * pf(d)))
+      def r6(x: Double): Double =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (0 until dim).map(d => (d, r6(v(d)), r6(lam)))
+        .toDF("d", "loading", "eigval").orderBy("d")
+    }))
 
   /** Top-k cut + deterministic presentation shared by the IVF-PQ variants. */
   private def rankCut(s: SparkSession, scored: DataFrame): DataFrame = {
@@ -644,6 +737,66 @@ object Embeddings {
          |SELECT vec_id, ${(0 until PqM).map(m => s"code$m").mkString(", ")}
          |FROM code0${(1 until PqM).map(m => s" JOIN code$m USING (vec_id)").mkString}
          |ORDER BY vec_id""".stripMargin,
+
+    "emb_pca_power" -> {
+      val iters = (1 to PcaSquarings).map { t =>
+        s"""m$t AS MATERIALIZED (
+           |  SELECT a.di AS di, b.dj AS dj,
+           |    list_sum(list(a.cij * b.cij ORDER BY a.cij * b.cij)) AS cij
+           |  FROM cn${t - 1} a JOIN cn${t - 1} b ON a.dj = b.di
+           |  GROUP BY 1, 2),
+           |f$t AS (SELECT sqrt(list_sum(list(cij * cij ORDER BY cij * cij))) AS f
+           |        FROM m$t),
+           |cn$t AS MATERIALIZED (SELECT di, dj, cij / f AS cij FROM m$t, f$t)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+         |         unnest(embedding::DOUBLE[]) AS x
+         |  FROM embeddings),
+         |stats AS (SELECT d, min(x) AS mn, max(x) AS mx FROM e GROUP BY d),
+         |q AS MATERIALIZED (
+         |  SELECT vec_id, e.d,
+         |    CAST(floor(CASE WHEN mx = mn THEN 0.0
+         |               ELSE (x - mn) / (mx - mn) * 255.0 END + 0.5) AS BIGINT) AS q
+         |  FROM e JOIN stats USING (d)),
+         |n AS (SELECT CAST(count(DISTINCT vec_id) AS DOUBLE) AS n FROM q),
+         |spp AS MATERIALIZED (
+         |  SELECT a.d AS di, b.d AS dj, sum(a.q * b.q) AS s
+         |  FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.d <= b.d
+         |  GROUP BY 1, 2),
+         |sq AS MATERIALIZED (SELECT d, sum(q) AS s FROM q GROUP BY d),
+         |covu AS MATERIALIZED (
+         |  SELECT di, dj,
+         |    CAST(spp.s AS DOUBLE) / n.n
+         |      - (CAST(si.s AS DOUBLE) / n.n) * (CAST(sj.s AS DOUBLE) / n.n) AS cij
+         |  FROM spp, n
+         |  JOIN sq si ON spp.di = si.d
+         |  JOIN sq sj ON spp.dj = sj.d),
+         |cov AS MATERIALIZED (
+         |  SELECT di, dj, cij FROM covu
+         |  UNION ALL
+         |  SELECT dj AS di, di AS dj, cij FROM covu WHERE di <> dj),
+         |f0 AS (SELECT sqrt(list_sum(list(cij * cij ORDER BY cij * cij))) AS f
+         |       FROM cov),
+         |cn0 AS MATERIALIZED (SELECT di, dj, cij / f AS cij FROM cov, f0),
+         |$iters,
+         |it0 AS (SELECT DISTINCT di AS d, 1.0 / sqrt($EmbD) AS val FROM cov),
+         |p0 AS (
+         |  SELECT c.di AS d,
+         |    list_sum(list(c.cij * v.val ORDER BY c.cij * v.val)) AS pv
+         |  FROM cn$PcaSquarings c JOIN it0 v ON c.dj = v.d GROUP BY c.di),
+         |nm AS (SELECT sqrt(list_sum(list(pv * pv ORDER BY pv * pv))) AS nrm FROM p0),
+         |vfin AS MATERIALIZED (SELECT d, pv / nrm AS val FROM p0, nm),
+         |pf AS (
+         |  SELECT c.di AS d,
+         |    list_sum(list(c.cij * v.val ORDER BY c.cij * v.val)) AS pv
+         |  FROM cov c JOIN vfin v ON c.dj = v.d GROUP BY c.di),
+         |lam AS (SELECT list_sum(list(v.val * p.pv ORDER BY v.val * p.pv)) AS l
+         |        FROM vfin v JOIN pf p USING (d))
+         |SELECT CAST(v.d AS INT) AS d, round(v.val, 6) AS loading,
+         |       round(lam.l, 6) AS eigval
+         |FROM vfin v, lam ORDER BY d""".stripMargin
+    },
 
     "ann_pq" -> annPqSql(PqM, PqSubDim, KmK),
 

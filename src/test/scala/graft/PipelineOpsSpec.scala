@@ -419,6 +419,36 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(perSeq.where(col("tot") - col("mx") >= 2048).count() == 0)
   }
 
+  test("emb_pca_power: unit-norm loadings with a small Rayleigh residual") {
+    // The oracle hash-match proves cross-engine determinism; this pins
+    // that the fixed 2^M-power iterate actually CONVERGED to the top
+    // eigenpair: recompute the quantized covariance locally and require
+    // ‖Cv − λv‖ / λ ≪ 1 (the residual is ~0 only at an eigenvector —
+    // measured ~7e-3 here vs ~1.0 for a random direction; the 12-step
+    // plain-power variant this replaced sat at ~0.4).
+    val out = operators.Embeddings.queries("emb_pca_power")(spark, dir).collect()
+    val v = out.sortBy(_.getInt(0)).map(_.getDouble(1))
+    val lam = out.head.getDouble(2)
+    assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-3, "loadings not unit norm")
+    val X = Tables.load(spark, dir, "embeddings")
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val dim = X.head.length
+    val n = X.length.toDouble
+    val mn = Array.tabulate(dim)(d => X.map(_(d)).min)
+    val mx = Array.tabulate(dim)(d => X.map(_(d)).max)
+    val q = X.map(r => Array.tabulate(dim)(d =>
+      if (mx(d) == mn(d)) 0.0
+      else math.floor((r(d) - mn(d)) / (mx(d) - mn(d)) * 255.0 + 0.5)))
+    val mu = Array.tabulate(dim)(d => q.map(_(d)).sum / n)
+    def cov(i: Int, j: Int): Double = q.map(r => r(i) * r(j)).sum / n - mu(i) * mu(j)
+    val cv = Array.tabulate(dim)(i => (0 until dim).map(j => cov(i, j) * v(j)).sum)
+    val resid = math.sqrt((0 until dim).map(d => {
+      val e = cv(d) - lam * v(d); e * e
+    }).sum) / lam
+    assert(resid < 0.05, s"power iterate did not converge: residual $resid")
+  }
+
   test("gr_kcore: the fixed peel unroll reaches the fixpoint") {
     // gr_kcore unrolls a FIXED number of peel rounds so the DuckDB oracle
     // is the identical computation. That is only the true k-core if

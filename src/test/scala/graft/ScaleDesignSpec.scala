@@ -303,7 +303,8 @@ class ScaleDesignSpec extends AnyFunSuite {
       "dd_containment" -> 5, // distinct shingle agg + size agg + bucket-pair explode agg + size join + sort (ReuseExchange shares the distinct chain)
       "ev_retention" -> 4, // one user agg (min day + bounded day set) + cohort/offset agg + broadcast k=0 base + sort
       "ta_code_detect" -> 1, // pure map-side regex counters + oracle sort
-      "gr_kcore" -> 2) // final degree agg + sort; the peel rounds run inside the eager localCheckpoints (the gr_shortest_path discipline)
+      "gr_kcore" -> 2, // final degree agg + sort; the peel rounds run inside the eager localCheckpoints (the gr_shortest_path discipline)
+      "emb_pca_power" -> 1) // result sort only: the Gramian build's pair-explode agg runs inside the query's own collect (the MLlib design — d×d is model-scale), output is a 64-row local relation
     val aqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
