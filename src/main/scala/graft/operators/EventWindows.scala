@@ -32,6 +32,14 @@ object EventWindows {
   private val AnomZ = 3.0
   private val AnomChunk = 1000 // must be >= AnomWin; ~10% strip duplication
 
+  // ev_ewma: trailing exponentially-weighted mean with decay ratio 1/2 over
+  // the last EwmaWin rows per type. Powers of 2 keep the weighted sum an
+  // exact integer: Σ c_j·2^(n−1−j) ≤ cents_max·2^50 ≈ 3×10²² — inside
+  // decimal(38,0)/HUGEINT on both engines (the events cents domain is
+  // pinned in TestdataContractSpec).
+  private val EwmaWin = 50
+  private val EwmaChunk = 1000
+
   val queries: Map[String, Q] = Map(
     // Rolling z-score anomaly flags per event type: each event scored
     // against the trailing AnomWin-row window (inclusive of itself) on its
@@ -64,15 +72,7 @@ object EventWindows {
           floor(col("value") * 100 + lit(0.5)).cast("long").as("c"))
       val ranked = graft.plans.KeyedRank.withRank(ev, "event_type",
         date_trunc("hour", col("ts")), Seq(col("ts"), col("event_id")))
-      val g0 = floor((col("rk") - 1) / AnomChunk).cast("long")
-      val ownCopy = struct(g0.as("g"), lit(true).as("own"))
-      val stripCopy = struct((g0 + 1).as("g"), lit(false).as("own"))
-      val dup = ranked.select(col("event_id"), col("event_type"), col("value"),
-          col("c"), col("rk"),
-          explode(when((col("rk") - 1) % AnomChunk >= AnomChunk - (AnomWin - 1),
-            array(ownCopy, stripCopy)).otherwise(array(ownCopy))).as("d"))
-        .select(col("event_id"), col("event_type"), col("value"), col("c"),
-          col("rk"), col("d.g").as("g"), col("d.own").as("own"))
+      val dup = graft.plans.KeyedRank.withTrailingChunks(ranked, AnomWin, AnomChunk)
       val w = Window.partitionBy("event_type", "g").orderBy("rk")
         .rowsBetween(-(AnomWin - 1), 0)
       val stats = dup
@@ -89,6 +89,41 @@ object EventWindows {
           round(zRaw, 6).as("z"))
         .orderBy("event_id")
     }),
+    // Trailing EWMA (decay 1/2, last EwmaWin rows) per event type — the
+    // smoothing primitive under monitoring dashboards and drift detectors.
+    // Exactness: geometric weights 2^(n−1−j) make the weighted sum an
+    // integer, computed as a Horner fold over the reversed trailing-frame
+    // list (acc·2 + c — newest element ends up with the highest weight) in
+    // decimal(38,0) (DuckDB: HUGEINT); the divisor 2^n − 1 is the weight
+    // total, so the result is a true weighted mean with the same warm-up
+    // semantics on both engines. Only the final quotient is double
+    // (identical correctly-rounded casts of identical integers), round(6)
+    // guard. Scale shape: the ev_anomaly template — KeyedRank global
+    // per-type ranks from hour buckets, then the trailing frame runs in
+    // (type, chunk) partitions with a replicated EwmaWin−1 boundary strip,
+    // so no task ever holds more than EwmaChunk+EwmaWin−1 rows however few
+    // event types exist.
+    "ev_ewma" -> ((s, dir) => {
+      val ev = load(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("ts"), col("value"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("c"))
+      val ranked = graft.plans.KeyedRank.withRank(ev, "event_type",
+        date_trunc("hour", col("ts")), Seq(col("ts"), col("event_id")))
+      val dup = graft.plans.KeyedRank.withTrailingChunks(ranked, EwmaWin, EwmaChunk)
+      val w = Window.partitionBy("event_type", "g").orderBy("rk")
+        .rowsBetween(-(EwmaWin - 1), 0)
+      val lst = collect_list(col("c")).over(w)
+      val horner = aggregate(reverse(lst), lit(0L).cast("decimal(38,0)"),
+        (acc, x) => (acc * lit(2) + x).cast("decimal(38,0)"))
+      val denom = aggregate(lst, lit(0L), (acc, _) => acc * 2 + 1) // 2^n − 1
+      dup
+        .withColumn("ewma",
+          round(horner.cast("double") / denom.cast("double") / 100.0, 6))
+        .where(col("own"))
+        .select(col("event_id"), col("event_type"), col("value"), col("ewma"))
+        .orderBy("event_id")
+    }),
+
     // Per-type running total over event time — the cumulative-sum window
     // shape WITHOUT a per-type window partition: decimal partial sums per
     // (type, hour bucket) roll up into a metadata-scale offset table
@@ -356,6 +391,24 @@ object EventWindows {
          |  AND abs(CAST(c * n - cs AS DOUBLE)
          |          / sqrt(CAST(n * css - cs * cs AS DOUBLE))) >= $AnomZ
          |ORDER BY event_id""".stripMargin,
+
+    "ev_ewma" ->
+      s"""WITH e AS (
+         |  SELECT event_id, event_type, ts, value,
+         |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+         |  FROM events),
+         |w AS (
+         |  SELECT event_id, event_type, value, list(c) OVER win AS l
+         |  FROM e
+         |  WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id
+         |                 ROWS BETWEEN ${EwmaWin - 1} PRECEDING AND CURRENT ROW))
+         |SELECT event_id, event_type, value,
+         |  round(CAST(list_reduce(list_transform(list_reverse(l),
+         |                                        x -> CAST(x AS HUGEINT)),
+         |                         (acc, x) -> acc * 2 + x) AS DOUBLE)
+         |        / CAST((CAST(1 AS BIGINT) << len(l)) - 1 AS DOUBLE)
+         |        / 100.0, 6) AS ewma
+         |FROM w ORDER BY event_id""".stripMargin,
 
     "ev_cumsum" ->
       """SELECT event_id, event_type, value,

@@ -21,6 +21,23 @@ object TextAnalysis {
   // BPE-ish pre-tokenizer: letter runs, digit runs, single non-space symbols.
   private val BpeRe = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
 
+  /** ta_bpe_train: number of merge rounds learned, and the fixed number of
+    * leftmost-non-overlapping `replace` passes that APPLY each merge.
+    * Plain string replace consumes the shared boundary separator between
+    * back-to-back occurrences, so one pass merges a pair then skips the
+    * next symbol (`|a|a|a|a|` → `|aa|a|a|`-style alternation on
+    * same-symbol runs — a deterministic variant of greedy BPE, which
+    * would merge disjoint pairs left-to-right); later passes merge
+    * occurrences whose separators earlier passes re-exposed (`|a|b|a|b|`
+    * completes on pass 2). [[BpePasses]] passes reach the practical
+    * fixpoint on natural text; same-symbol runs fix at the alternating
+    * pattern, which no pass count changes. Both engines implement
+    * identical leftmost-non-overlapping `replace`, so cross-engine parity
+    * holds exactly for ANY pass count — the constant is part of the
+    * operator's definition, not a tolerance. */
+  private val BpeMerges = 6
+  private val BpePasses = 3
+
   // PII patterns, restricted to the Java-regex ∩ RE2 common subset so the
   // DuckDB oracle evaluates them identically (greedy classes + \b only; no
   // backrefs, no lookaround).
@@ -543,6 +560,57 @@ object TextAnalysis {
         .select(col("doc_id"), col("source"), col("n_tokens"),
           expr(s"(cum - n_tokens) div $PackBudget").as("seq_id"))
         .orderBy("doc_id")
+    }),
+
+    // BPE tokenizer training (Sennrich et al. 2016): learn BpeMerges merge
+    // rules by repeatedly counting adjacent symbol pairs over the corpus
+    // WORD HISTOGRAM and merging the most frequent pair (ties broken
+    // lexicographically). Output: the merge table (step, left, right,
+    // pair_count) — the artifact a tokenizer ships.
+    //
+    // Scale shape — the industrial BPE-trainer layout (SentencePiece / HF
+    // tokenizers train on word-frequency tables, not raw text): the corpus
+    // is touched ONCE by the word-histogram aggregate (the only data-scale
+    // shuffle); every merge round then runs on the vocab-sized histogram
+    // (pair explode is map-side, the argmax is a TakeOrdered(1) over the
+    // pair-count frame, and the applied merge is a map-side string
+    // replace). The per-round 1-row collect is metadata-scale — the
+    // emb_kmeans centroid discipline — and localCheckpoint keeps the plan
+    // flat across rounds (the gr_shortest_path discipline).
+    //
+    // Words are spelled `|c|h|a|r|`-style with an explicit separator, so
+    // pair extraction is a split + zip and merge application is a literal
+    // (non-regex) replace — identical leftmost-non-overlapping semantics
+    // on both engines (see BpePasses).
+    "ta_bpe_train" -> ((s, dir) => {
+      val words = load(s, dir, "documents")
+        .select(explode(split(lower(col("text")), " ")).as("word"))
+        .where(col("word") =!= "")
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+        .select(concat(regexp_replace(col("word"), "(.)", "|$1"), lit("|"))
+          .as("repr"), col("cnt"))
+      var cur = words.localCheckpoint()
+      val merges = Seq.newBuilder[(Long, String, String, Long)]
+      for (k <- 1 to BpeMerges) {
+        val toks = filter(split(col("repr"), "\\|"), t => t =!= "")
+        val best = cur
+          .select(col("cnt"),
+            explode(zip_with(toks, slice(toks, lit(2), size(toks) - 1),
+              (a, b) => struct(a.as("l"), b.as("r")))).as("z"))
+          .where(col("z.r").isNotNull)
+          .groupBy(col("z.l").as("l"), col("z.r").as("r"))
+          .agg(sum(col("cnt")).as("c"))
+          .orderBy(col("c").desc, col("l"), col("r"))
+          .limit(1).collect()(0)
+        val (l, r, c) = (best.getString(0), best.getString(1), best.getLong(2))
+        merges += ((k.toLong, l, r, c))
+        val applied = (1 to BpePasses).foldLeft(col("repr"))((e, _) =>
+          replace(e, lit(s"|$l|$r|"), lit(s"|$l$r|")))
+        cur = cur.select(applied.as("repr"), col("cnt")).localCheckpoint()
+      }
+      import s.implicits._
+      merges.result().toDF("step", "left", "right", "pair_count")
+        .orderBy("step")
     }))
 
   private def sqlHits(words: Seq[String]): String =
@@ -833,5 +901,35 @@ object TextAnalysis {
         |  CAST(max_tok AS DOUBLE) / n_tokens AS top_token_frac,
         |  coalesce(CAST(max_bg AS DOUBLE) / n_bigrams, 0.0) AS top_bigram_frac
         |FROM ts LEFT JOIN bs ON ts.doc_id = bs.doc_id
-        |ORDER BY ts.doc_id""".stripMargin)
+        |ORDER BY ts.doc_id""".stripMargin,
+
+    // Generated: one CTE layer per merge round (pair counts → 1-row argmax
+    // → applied merge), so DuckDB runs the identical fixed-depth algorithm
+    // the Spark driver loop does.
+    "ta_bpe_train" -> {
+      def appliedReplace(expr: String): String =
+        (1 to BpePasses).foldLeft(expr)((e, _) =>
+          s"replace($e, '|'||l||'|'||r||'|', '|'||l||r||'|')")
+      val w0 =
+        """w0 AS (
+          |  SELECT regexp_replace(word, '(.)', '|\1', 'g') || '|' AS repr, cnt FROM (
+          |    SELECT word, count(*) AS cnt FROM (
+          |      SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+          |    WHERE word <> '' GROUP BY word))""".stripMargin
+      val layers = (0 until BpeMerges).flatMap { k =>
+        Seq(
+          s"""p$k AS (
+             |  SELECT z[1] AS l, z[2] AS r, CAST(sum(cnt) AS BIGINT) AS c FROM (
+             |    SELECT cnt, unnest(list_zip(toks, toks[2:])) AS z FROM (
+             |      SELECT cnt, list_filter(string_split(repr, '|'), x -> x <> '') AS toks
+             |      FROM w$k))
+             |  WHERE z[2] IS NOT NULL GROUP BY 1, 2)""".stripMargin,
+          s"b$k AS (SELECT l, r, c FROM p$k ORDER BY c DESC, l, r LIMIT 1)",
+          s"""w${k + 1} AS (
+             |  SELECT ${appliedReplace("repr")} AS repr, cnt FROM w$k, b$k)""".stripMargin)
+      }
+      val rows = (0 until BpeMerges).map(k =>
+        s"SELECT CAST(${k + 1} AS BIGINT) AS step, l AS left, r AS right, c AS pair_count FROM b$k")
+      s"WITH ${(w0 +: layers).mkString(",\n")}\n${rows.mkString("\nUNION ALL\n")}\nORDER BY step"
+    })
 }

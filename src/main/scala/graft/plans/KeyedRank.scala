@@ -52,4 +52,28 @@ object KeyedRank {
       .withColumn(out, col("__off") + row_number().over(localW))
       .drop("__b", "__off")
   }
+
+  /** Chunks a [[withRank]]-ranked frame into fixed-size per-key groups so a
+    * trailing `win`-row window can run inside bounded partitions: rows land
+    * in chunk `g = (rk−1) div chunk`, and each chunk's trailing `win`−1
+    * rows are REPLICATED into the following chunk (a map-side explode,
+    * ≤ (win−1)/chunk overhead) so every trailing frame is complete within
+    * its own (key, g) partition. Adds `g` (long) and `own` (boolean; false
+    * on replica rows — window them, then drop them). Downstream windows
+    * must partition by (key, g) and order by `rk`; each task then sees at
+    * most chunk + win − 1 rows regardless of key cardinality.
+    */
+  def withTrailingChunks(ranked: DataFrame, win: Int, chunk: Int): DataFrame = {
+    require(chunk >= win, s"chunk ($chunk) must be >= win ($win)")
+    val g0 = floor((col("rk") - 1) / chunk).cast("long")
+    val ownCopy = struct(g0.as("g"), lit(true).as("own"))
+    val stripCopy = struct((g0 + 1).as("g"), lit(false).as("own"))
+    ranked
+      .withColumn("__d",
+        explode(when((col("rk") - 1) % chunk >= chunk - (win - 1),
+          array(ownCopy, stripCopy)).otherwise(array(ownCopy))))
+      .withColumn("g", col("__d.g"))
+      .withColumn("own", col("__d.own"))
+      .drop("__d")
+  }
 }

@@ -466,4 +466,51 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(core.count() > 0, s"$d: k-core is empty — K too high to pin anything")
     }
   }
+
+  test("ta_bpe_train: full merge table, non-increasing counts, chain passes suffice") {
+    val m = operators.TextAnalysis.queries("ta_bpe_train")(spark, dir).collect()
+    assert(m.length == 6, "one row per merge round")
+    assert(m.map(_.getLong(0)).toSeq == (1L to 6L), "steps are 1..BpeMerges")
+    // BPE invariant: a pair born from a merge (x, yz) can only occur where
+    // (x, y) was adjacent before, so the chosen max count never increases.
+    val counts = m.map(_.getLong(3)).toSeq
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b },
+      s"merge counts increased: $counts")
+    assert(m.forall(r => r.getString(1).nonEmpty && r.getString(2).nonEmpty))
+    // The replace-application semantics (see BpePasses scaladoc): a
+    // same-symbol run fixes at the alternating merged/single pattern (the
+    // boundary separator is consumed, so each merged pair skips one
+    // symbol), and no live pattern occurrence survives the passes. Pin
+    // the exact fixpoint so any change to the application rule is loud.
+    import spark.implicits._
+    val chain = "|" + Seq.fill(8)("a").mkString("|") + "|"
+    val out = Seq(chain).toDF("repr")
+      .select((1 to 3).foldLeft(col("repr"))((e, _) =>
+        replace(e, lit("|a|a|"), lit("|aa|"))).as("r"))
+      .collect()(0).getString(0)
+    assert(out == "|aa|a|aa|a|aa|", s"unexpected fixpoint: $out")
+    assert(!out.contains("|a|a|"), "live pattern occurrence survived the passes")
+  }
+
+  test("ev_ewma: bounded chunked form equals the naive per-type window") {
+    // The production plan never windows on event_type alone; this pins
+    // that the KeyedRank chunk + boundary-strip plumbing is semantically
+    // invisible by recomputing the naive single-window form (fine at
+    // sf0.001) and diffing exactly.
+    val fast = SparkEntry.queries("ev_ewma")(spark, dir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-49, 0)
+    val lst = collect_list(col("c")).over(w)
+    val horner = aggregate(reverse(lst), lit(0L).cast("decimal(38,0)"),
+      (acc, x) => (acc * lit(2) + x).cast("decimal(38,0)"))
+    val denom = aggregate(lst, lit(0L), (acc, _) => acc * 2 + 1)
+    val naive = Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("event_type"), col("ts"), col("value"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("c"))
+      .withColumn("ewma",
+        round(horner.cast("double") / denom.cast("double") / 100.0, 6))
+      .select(col("event_id"), col("event_type"), col("value"), col("ewma"))
+    assert(fast.exceptAll(naive).count() == 0 && naive.exceptAll(fast).count() == 0)
+  }
 }
