@@ -23,11 +23,20 @@ import org.apache.spark.sql.streaming.Trigger
   * Prints one JSON line with docs/min for the load leg and end-to-end —
   * comparable against the reference's ~50 docs/min ingest ceiling
   * (SURVEY.md §6: 5 subreddits × batch_size 10 per 60 s trigger).
+  *
+  * An optional multiplier (second arg, or SPARK_GRAFT_SCALE_MULT)
+  * replicates the corpus with disjoint doc_id ranges before staging —
+  * mult=10 over sf0.1 is the sf1-equivalent volume probe: 10× the
+  * payloads, 10× the RocksDB dedup state, 10× the idempotent-sink
+  * reconciliation, same exactly-once contract (landed == docs × mult,
+  * all ids distinct).
   */
 object StreamScale {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse(
       sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    val mult = args.lift(1).orElse(sys.env.get("SPARK_GRAFT_SCALE_MULT"))
+      .map(_.toInt).getOrElse(1)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val work = java.nio.file.Files.createTempDirectory("graft_stream_scale").toString
     val spark = SparkSession.builder()
@@ -44,7 +53,14 @@ object StreamScale {
     // Stage: documents → §1.2 post rows → one JSON-array payload per
     // micro-batch group of ~200 docs (the queue element granularity).
     // Titles carry the corpus keyword so the §3.3 filter keeps every doc.
-    val docs = graft.Tables.load(spark, sfDir, "documents")
+    val base = graft.Tables.load(spark, sfDir, "documents")
+    // Disjoint id ranges per replica: the dedup key space really is mult×
+    // bigger, so the state store carries mult× the entries.
+    val docs =
+      if (mult == 1) base
+      else (0 until mult).map(i =>
+        base.withColumn("doc_id", col("doc_id") + lit(i * 10000000L)))
+        .reduce(_ unionAll _)
     val nDocs = docs.count()
     val posts = docs.select(
       lit("harvester").as("author"),
@@ -59,7 +75,7 @@ object StreamScale {
       concat(lit("coffee notes "), col("lang")).as("title"),
       lit("url").as("url"))
     val payloads = posts
-      .withColumn("g", col("id").substr(lit(2), lit(18)).cast("long") % 25)
+      .withColumn("g", col("id").substr(lit(2), lit(18)).cast("long") % (25 * mult))
       .groupBy("g")
       .agg(collect_list(to_json(struct(posts.columns.map(col): _*))).as("docs"))
       .select(col("g"),
