@@ -46,6 +46,9 @@ object Embeddings {
     * effective steps ≈ 0.97^256 residual). Fixed M (not run-to-
     * convergence) so the DuckDB oracle is the identical computation. */
   private val EmbD = 64
+
+  /** emb_kcenter: number of greedy farthest-first rounds (centers picked). */
+  private val KcRounds = 5
   private val PcaSquarings = 8
 
   /** Production-shaped PQ for the recall study (`ann_pq_big`): 8 subspaces
@@ -455,6 +458,50 @@ object Embeddings {
         BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
       (0 until dim).map(d => (d, r6(v(d)), r6(lam)))
         .toDF("d", "loading", "eigval").orderBy("d")
+    }),
+
+    // Greedy k-center / farthest-first traversal (Gonzalez 1985) — the
+    // deterministic coreset-selection primitive (diverse-example picking,
+    // k-means++-style seeding without RNG, outlier surfacing): seed with
+    // the lowest vec_id, then KcRounds−1 times pick the point farthest
+    // from its nearest chosen center (squared L2; ties → lowest vec_id).
+    // Output: the chosen centers with their selection distance — each one
+    // a 2-approximation radius certificate for its round.
+    //
+    // Scale shape: each round is ONE map-side pass (the current center is
+    // a broadcast 1-row frame; `mind` updates with a `least`) + a
+    // TakeOrdered(1) — no shuffle exchange at all; rounds are unrolled
+    // behind per-round localCheckpoints (the gr_shortest_path discipline)
+    // so the corpus is scanned exactly KcRounds times, never re-derived.
+    // Distances are the VectorFns sequential-fold form, bit-identical to
+    // DuckDB's list_sum, so the greedy trajectory matches exactly.
+    "emb_kcenter" -> ((s, dir) => {
+      val e = load(s, dir, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+      def d2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, t) => acc + t)
+      val seed = e.orderBy("vec_id").limit(1)
+        .select(col("vec_id").as("c_id"), col("v").as("cv"))
+      var m = e.crossJoin(broadcast(seed))
+        .select(col("vec_id"), col("v"), d2(col("v"), col("cv")).as("mind"))
+        .localCheckpoint()
+      var picks = seed.select(lit(1L).as("step"), col("c_id").as("vec_id"),
+        lit(0.0).as("dist"))
+      for (k <- 2 to KcRounds) {
+        val c = m.orderBy(col("mind").desc, col("vec_id")).limit(1)
+          .select(col("vec_id").as("c_id"), col("v").as("cv"), col("mind").as("cd"))
+          .localCheckpoint()
+        picks = picks.unionAll(c.select(lit(k.toLong).as("step"),
+          col("c_id").as("vec_id"), round(col("cd"), 6).as("dist")))
+        if (k < KcRounds)
+          m = m.crossJoin(broadcast(c.drop("cd")))
+            .select(col("vec_id"), col("v"),
+              least(col("mind"), d2(col("v"), col("cv"))).as("mind"))
+            .localCheckpoint()
+      }
+      picks.orderBy("step")
     }))
 
   /** Top-k cut + deterministic presentation shared by the IVF-PQ variants. */
@@ -706,6 +753,27 @@ object Embeddings {
   private val ivfpqDistSql: String = (0 until PqM).map(m => s"d$m").mkString(" + ")
 
   val oracle: Map[String, String] = Map(
+    // Generated: one (argmax, update) CTE pair per greedy round, the
+    // identical fixed-depth trajectory the Spark unroll runs.
+    "emb_kcenter" -> {
+      def d2(a: String, b: String) =
+        s"list_sum(list_transform(range(1, ${EmbD + 1}), d -> ($a[d] - $b[d]) * ($a[d] - $b[d])))"
+      val ctes = Seq.newBuilder[String]
+      ctes += "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"
+      ctes += "c1 AS (SELECT vec_id AS c_id, v AS cv FROM e ORDER BY vec_id LIMIT 1)"
+      ctes += s"m1 AS (SELECT e.vec_id, e.v, ${d2("e.v", "c1.cv")} AS mind FROM e, c1)"
+      for (k <- 2 to KcRounds) {
+        ctes += s"c$k AS (SELECT vec_id AS c_id, v AS cv, mind AS cd FROM m${k - 1} ORDER BY mind DESC, vec_id LIMIT 1)"
+        if (k < KcRounds)
+          ctes += s"m$k AS (SELECT m.vec_id, m.v, least(m.mind, ${d2("m.v", s"c$k.cv")}) AS mind FROM m${k - 1} m, c$k)"
+      }
+      val rows =
+        Seq("SELECT CAST(1 AS BIGINT) AS step, c_id AS vec_id, CAST(0.0 AS DOUBLE) AS dist FROM c1") ++
+          (2 to KcRounds).map(k =>
+            s"SELECT CAST($k AS BIGINT), c_id, round(cd, 6) FROM c$k")
+      s"WITH ${ctes.result().mkString(",\n")}\n${rows.mkString("\nUNION ALL\n")}\nORDER BY step"
+    },
+
     "emb_centroid" ->
       """SELECT label, dim,
         |  list_sum(list(CAST(x AS DOUBLE) ORDER BY CAST(x AS DOUBLE))) / count(*) AS mean

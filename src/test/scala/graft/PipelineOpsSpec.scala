@@ -492,6 +492,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(!out.contains("|a|a|"), "live pattern occurrence survived the passes")
   }
 
+  test("emb_kcenter: distinct centers, non-increasing radii, true farthest point") {
+    val picks = operators.Embeddings.queries("emb_kcenter")(spark, dir).collect()
+    assert(picks.length == 5)
+    assert(picks.map(_.getLong(1)).distinct.length == 5, "a center repeated")
+    // Greedy k-center's selection distances never increase: adding a
+    // center can only shrink every point's nearest-center distance.
+    val d = picks.drop(1).map(_.getDouble(2))
+    assert(d.zip(d.tail).forall { case (a, b) => a >= b },
+      s"selection radii increased: ${d.toSeq}")
+    assert(d.forall(_ > 0), "farthest point at distance 0 — degenerate corpus")
+    // Round 2's pick really is the farthest point from the seed.
+    val e = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), graft.functions.VectorFns.asDouble(col("embedding")).as("v"))
+    val seedV = e.orderBy("vec_id").limit(1).collect()(0).getSeq[Double](1).toArray
+    val far = e.collect().map { r =>
+      val v = r.getSeq[Double](1)
+      (r.getLong(0), v.indices.foldLeft(0.0)((acc, i) =>
+        acc + (v(i) - seedV(i)) * (v(i) - seedV(i))))
+    }.maxBy { case (id, dd) => (dd, -id) }
+    assert(picks(1).getLong(1) == far._1)
+  }
+
   test("ev_ewma: bounded chunked form equals the naive per-type window") {
     // The production plan never windows on event_type alone; this pins
     // that the KeyedRank chunk + boundary-strip plumbing is semantically
