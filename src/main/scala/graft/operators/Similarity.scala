@@ -31,6 +31,12 @@ object Similarity {
   private val TopK = 5
   private val NumQueries = 10
 
+  /** ann_mmr: result-set size and the relevance/diversity trade-off λ
+    * (score = λ·rel − (1−λ)·max-sim-to-selected, Carbonell & Goldstein
+    * 1998). */
+  private val MmrK = 5
+  private val MmrLam = 0.7
+
   /** Hyperplane p (0-based) as a 64-dim double[] with entries in [-1, 1):
     * w(p,d) = hash32(p + "_" + d) / 2^31 - 1, d = 1..Dims. Constant-folded
     * by Catalyst into a literal array — no per-row hashing. */
@@ -100,6 +106,56 @@ object Similarity {
           col("p.a.vec_id").as("vec_a"), col("p.b.vec_id").as("vec_b"),
           round(dotProduct(col("p.a.v"), col("p.b.v")) / (col("p.a.nrm") * col("p.b.nrm")), 6).as("score"))
         .orderBy("bucket", "vec_a", "vec_b")
+    }),
+
+    // Maximal-marginal-relevance diversified top-k (Carbonell & Goldstein
+    // 1998) — the selection rule behind diverse example picking and
+    // redundancy-free retrieval: greedily take the candidate maximizing
+    // λ·rel(query) − (1−λ)·max-sim(already selected). Every cosine is
+    // rounded to 6 places BEFORE any comparison (the ann_topk rank
+    // discipline), so the greedy trajectory is engine-exact by
+    // construction, not by ulp luck. Scale shape: the emb_kcenter unroll —
+    // each round is one map-side pass against a broadcast 1-row pick
+    // (msim updates with a `greatest`) + TakeOrdered(1); zero shuffle
+    // exchanges, corpus scanned once per round behind localCheckpoints.
+    "ann_mmr" -> ((s, dir) => {
+      graft.plans.ArrayExprs.register(s)
+      import graft.plans.ArrayExprs.dotProduct
+      val e = load(s, dir, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+        .withColumn("nrm", sqrt(dotProduct(col("v"), col("v"))))
+      val q = e.where(col("vec_id") === 0)
+        .select(col("v").as("qv"), col("nrm").as("qn"))
+      def mmrCol = round(lit(MmrLam) * col("rel") -
+        lit(1 - MmrLam) * col("msim"), 6)
+      var m = e.where(col("vec_id") =!= 0).crossJoin(broadcast(q))
+        .select(col("vec_id"), col("v"), col("nrm"),
+          round(dotProduct(col("v"), col("qv")) / (col("nrm") * col("qn")), 6)
+            .as("rel"))
+        .withColumn("msim", lit(0.0))
+        .withColumn("mmr", mmrCol)
+        .localCheckpoint()
+      var picks: DataFrame = null
+      for (k <- 1 to MmrK) {
+        val c = m.orderBy(col("mmr").desc, col("vec_id")).limit(1)
+          .select(col("vec_id").as("c_id"), col("v").as("cv"),
+            col("nrm").as("cn"), col("rel").as("crel"), col("mmr").as("cmmr"))
+          .localCheckpoint()
+        val row = c.select(lit(k.toLong).as("step"), col("c_id").as("vec_id"),
+          col("crel").as("rel"), col("cmmr").as("mmr"))
+        picks = if (picks == null) row else picks.unionAll(row)
+        if (k < MmrK)
+          m = m.crossJoin(broadcast(c.select("c_id", "cv", "cn")))
+            .where(col("vec_id") =!= col("c_id"))
+            .select(col("vec_id"), col("v"), col("nrm"), col("rel"),
+              greatest(col("msim"),
+                round(dotProduct(col("v"), col("cv")) / (col("nrm") * col("cn")), 6))
+                .as("msim"))
+            .withColumn("mmr", mmrCol)
+            .localCheckpoint()
+      }
+      picks.orderBy("step")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -122,5 +178,35 @@ object Similarity {
          |SELECT a.bucket AS bucket, a.vec_id AS vec_a, b.vec_id AS vec_b,
          |  round(list_cosine_similarity(a.v, b.v), 6) AS score
          |FROM h a JOIN h b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-         |ORDER BY bucket, vec_a, vec_b""".stripMargin)
+         |ORDER BY bucket, vec_a, vec_b""".stripMargin,
+
+    // Generated: one (select-wrap, argmax, update) CTE group per greedy
+    // round. λ and 1−λ are emitted as string-cast doubles so DuckDB parses
+    // the EXACT double Spark's lit() holds (1−0.7 is 0.30000000000000004 —
+    // a bare 0.3 decimal literal would differ in the last ulp).
+    "ann_mmr" -> {
+      val lam = s"CAST('$MmrLam' AS DOUBLE)"
+      val oneMinus = s"CAST('${1 - MmrLam}' AS DOUBLE)"
+      def wrap(inner: String) =
+        s"SELECT vec_id, v, rel, msim, round($lam * rel - $oneMinus * msim, 6) AS mmr FROM (\n$inner)"
+      val ctes = Seq.newBuilder[String]
+      ctes += "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"
+      ctes += "q AS (SELECT v AS qv FROM e WHERE vec_id = 0)"
+      ctes += s"""m1 AS (${wrap(
+        """  SELECT e.vec_id, e.v,
+          |    round(list_cosine_similarity(e.v, q.qv), 6) AS rel,
+          |    CAST(0.0 AS DOUBLE) AS msim
+          |  FROM e, q WHERE e.vec_id <> 0""".stripMargin)})"""
+      for (k <- 1 to MmrK) {
+        ctes += s"c$k AS (SELECT vec_id AS c_id, v AS cv, rel AS crel, mmr AS cmmr FROM m$k ORDER BY mmr DESC, vec_id LIMIT 1)"
+        if (k < MmrK)
+          ctes += s"""m${k + 1} AS (${wrap(
+            s"""  SELECT m.vec_id, m.v, m.rel,
+               |    greatest(m.msim, round(list_cosine_similarity(m.v, c$k.cv), 6)) AS msim
+               |  FROM m$k m, c$k WHERE m.vec_id <> c$k.c_id""".stripMargin)})"""
+      }
+      val rows = (1 to MmrK).map(k =>
+        s"SELECT CAST($k AS BIGINT) AS step, c_id AS vec_id, crel AS rel, cmmr AS mmr FROM c$k")
+      s"WITH ${ctes.result().mkString(",\n")}\n${rows.mkString("\nUNION ALL\n")}\nORDER BY step"
+    })
 }

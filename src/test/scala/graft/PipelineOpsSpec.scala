@@ -514,6 +514,20 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(picks(1).getLong(1) == far._1)
   }
 
+  test("ann_mmr: distinct picks, first is top-relevance, scores non-increasing") {
+    val picks = operators.Similarity.queries("ann_mmr")(spark, dir).collect()
+    assert(picks.length == 5)
+    assert(picks.map(_.getLong(1)).distinct.length == 5, "a pick repeated")
+    // Round 1 is pure relevance: λ·rel − (1−λ)·0 maximized ⇔ rel maximized.
+    assert(picks(0).getDouble(2) == picks.map(_.getDouble(2)).max,
+      "first pick is not the most relevant candidate")
+    // Candidate msim only grows and the pool only shrinks, so the selected
+    // MMR score can never increase across rounds.
+    val mmr = picks.map(_.getDouble(3))
+    assert(mmr.zip(mmr.tail).forall { case (a, b) => a >= b },
+      s"MMR scores increased: ${mmr.toSeq}")
+  }
+
   test("ev_ewma: bounded chunked form equals the naive per-type window") {
     // The production plan never windows on event_type alone; this pins
     // that the KeyedRank chunk + boundary-strip plumbing is semantically
