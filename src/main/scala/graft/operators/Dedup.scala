@@ -578,6 +578,30 @@ object Dedup {
         .where(col("cos") >= CosTau)
         .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("score"))
         .orderBy("vec_a", "vec_b")
+    }),
+
+    // Per-doc n-gram novelty — the incremental-duplication curve curators
+    // watch while growing a corpus: for each doc, the fraction of its
+    // distinct 3-shingles it INTRODUCED (no lower-doc_id document contains
+    // them; doc_id is the corpus arrival order). Docs near 0 novelty are
+    // pure recombinations of earlier text — prime dedup candidates that
+    // exact/near-dup misses when the copying is piecewise. Shape: distinct
+    // (doc, shingle) pairs → min-doc_id per shingle → join back on the
+    // SAME shingle partitioning (ReuseExchange dedups the distinct chain,
+    // the dd_containment lesson) → one per-doc agg. Every shuffle is keyed
+    // on shingle or doc_id — linear at 100 TB, no pairwise anything.
+    "dd_novelty" -> ((s, dir) => {
+      val ss = shingleSet(s, dir)
+      val first = ss.groupBy("sh").agg(min(col("doc_id")).as("first_doc"))
+      ss.join(first, "sh")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+          round(col("n_novel").cast("double") / col("n_shingles"), 6)
+            .as("novelty"))
+        .orderBy("doc_id")
     }))
 
   /** Oracle mirror of [[jaccardPairs]] (no ORDER BY — callers append one or
@@ -806,5 +830,16 @@ object Dedup {
          |  round(list_cosine_similarity(a.v, b.v), 6) AS score
          |FROM e a JOIN e b ON a.vec_id < b.vec_id
          |WHERE list_cosine_similarity(a.v, b.v) >= $CosTau
-         |ORDER BY vec_a, vec_b""".stripMargin)
+         |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "dd_novelty" ->
+      s"""WITH ss AS ($shingleSetSql),
+         |f AS (SELECT sh, min(doc_id) AS first_doc FROM ss GROUP BY sh)
+         |SELECT ss.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+         |  CAST(sum(CASE WHEN f.first_doc = ss.doc_id THEN 1 ELSE 0 END)
+         |       AS BIGINT) AS n_novel,
+         |  round(CAST(sum(CASE WHEN f.first_doc = ss.doc_id THEN 1 ELSE 0 END)
+         |             AS DOUBLE) / count(*), 6) AS novelty
+         |FROM ss JOIN f USING (sh)
+         |GROUP BY ss.doc_id ORDER BY ss.doc_id""".stripMargin)
 }

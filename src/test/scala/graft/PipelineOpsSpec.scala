@@ -528,6 +528,23 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"MMR scores increased: ${mmr.toSeq}")
   }
 
+  test("dd_novelty: first doc fully novel, counts consistent, sum of novel = vocabulary") {
+    val out = operators.Dedup.queries("dd_novelty")(spark, dir)
+    val rows = out.collect()
+    // The earliest doc introduced everything it contains.
+    val firstDoc = rows.minBy(_.getLong(0))
+    assert(firstDoc.getDouble(3) == 1.0, "earliest doc not fully novel")
+    assert(rows.forall(r => r.getLong(2) <= r.getLong(1) && r.getLong(2) >= 0))
+    // Every distinct shingle is introduced exactly once, so novel counts
+    // across docs sum to the corpus shingle vocabulary.
+    val vocab = Tables.load(spark, dir, "documents")
+      .select(explode(array_distinct(graft.functions.VectorFns.shingles3(
+        split(lower(col("text")), " ")))).as("sh"))
+      .agg(countDistinct(col("sh"))).collect()(0).getLong(0)
+    assert(rows.map(_.getLong(2)).sum == vocab,
+      "novel counts do not partition the shingle vocabulary")
+  }
+
   test("ev_ewma: bounded chunked form equals the naive per-type window") {
     // The production plan never windows on event_type alone; this pins
     // that the KeyedRank chunk + boundary-strip plumbing is semantically
