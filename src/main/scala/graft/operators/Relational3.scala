@@ -196,6 +196,52 @@ object Relational3 {
     // a one-row broadcast for the window totals — no shuffle grows with
     // the data. ln() parity follows the ta_keywords rule: round(6) on
     // both engines absorbs libm ulp divergence.
+    // Population stability index over each type's VALUE distribution —
+    // the shape-drift complement to prof_drift's category-share psi_term:
+    // a type whose mix share is stable can still silently shift its value
+    // histogram (pricing change, sensor recalibration), which is exactly
+    // what PSI over binned values catches. Bins: 10 equal-width integer-
+    // cent buckets over the type's own [min, max] (all-integer div — bin
+    // ids engine-exact); ref/cur split at the same fixed pivot as
+    // prof_drift; Laplace +1 smoothing keeps empty bins finite and exact.
+    // PSI = Σ_b (p_b − q_b)·ln(p_b/q_b), folded in bin order (the
+    // ta_unigram_ppl parity template). Shape: one (type,bin) keyed agg
+    // over the corpus; everything after runs on types×10 rows with
+    // broadcast joins — the scan dominates at any scale.
+    "prof_psi_value" -> ((s, dir) => {
+      val ev = load(s, dir, "events")
+        .select(col("event_type"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("c"),
+          when(col("ts") < lit("2024-01-16 00:00:00").cast("timestamp"), 1L)
+            .otherwise(0L).as("ref"))
+      val rng = ev.groupBy("event_type").agg(min("c").as("mn"), max("c").as("mx"))
+      val counts = ev.join(broadcast(rng), "event_type")
+        .select(col("event_type"), col("ref"),
+          expr("((c - mn) * 10) div (mx - mn + 1)").as("bin"))
+        .groupBy("event_type", "bin")
+        .agg(sum(col("ref")).as("nr"), sum(lit(1L) - col("ref")).as("nc"))
+      val spine = rng.select(col("event_type"),
+        explode(sequence(lit(0L), lit(9L))).as("bin"))
+      val full = spine.join(counts, Seq("event_type", "bin"), "left")
+        .select(col("event_type"), col("bin"),
+          coalesce(col("nr"), lit(0L)).as("nr"),
+          coalesce(col("nc"), lit(0L)).as("nc"))
+      val tot = full.groupBy("event_type")
+        .agg(sum("nr").as("tr"), sum("nc").as("tc"))
+      val p = (col("nr") + 1).cast("double") / (col("tr") + 10)
+      val q = (col("nc") + 1).cast("double") / (col("tc") + 10)
+      full.join(broadcast(tot), "event_type")
+        .select(col("event_type"), col("bin"), col("tr"), col("tc"),
+          ((p - q) * log(p / q)).as("term"))
+        .groupBy("event_type")
+        .agg(max(col("tr")).as("n_ref"), max(col("tc")).as("n_cur"),
+          round(aggregate(
+            transform(array_sort(collect_list(struct(col("bin"), col("term")))),
+              x => x.getField("term")),
+            lit(0.0), (acc, x) => acc + x), 6).as("psi"))
+        .orderBy("event_type")
+    }),
+
     "prof_drift" -> ((s, dir) => {
       val ev = load(s, dir, "events")
         .withColumn("win", when(col("ts") < lit("2024-01-16 00:00:00").cast("timestamp"),
@@ -514,6 +560,36 @@ object Relational3 {
          |  min(h) AS h_min
          |FROM rk WHERE rk <= 100
          |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "prof_psi_value" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS c,
+        |    CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END AS ref
+        |  FROM events),
+        |rng AS (SELECT event_type, min(c) AS mn, max(c) AS mx FROM ev GROUP BY event_type),
+        |counts AS (
+        |  SELECT ev.event_type, ((c - mn) * 10) // (mx - mn + 1) AS bin,
+        |    CAST(sum(ref) AS BIGINT) AS nr, CAST(sum(1 - ref) AS BIGINT) AS nc
+        |  FROM ev JOIN rng USING (event_type)
+        |  GROUP BY 1, 2),
+        |spine AS (SELECT event_type, unnest(range(10)) AS bin FROM rng),
+        |fb AS (
+        |  SELECT s.event_type, s.bin,
+        |    coalesce(nr, 0) AS nr, coalesce(nc, 0) AS nc
+        |  FROM spine s LEFT JOIN counts c ON s.event_type = c.event_type AND s.bin = c.bin),
+        |tot AS (SELECT event_type, CAST(sum(nr) AS BIGINT) AS tr,
+        |               CAST(sum(nc) AS BIGINT) AS tc
+        |        FROM fb GROUP BY event_type),
+        |terms AS (
+        |  SELECT f.event_type, f.bin, tr, tc,
+        |    (CAST(nr + 1 AS DOUBLE) / (tr + 10) - CAST(nc + 1 AS DOUBLE) / (tc + 10))
+        |      * ln((CAST(nr + 1 AS DOUBLE) / (tr + 10)) / (CAST(nc + 1 AS DOUBLE) / (tc + 10)))
+        |      AS term
+        |  FROM fb f JOIN tot USING (event_type))
+        |SELECT event_type, max(tr) AS n_ref, max(tc) AS n_cur,
+        |  round(list_sum(list(term ORDER BY bin)), 6) AS psi
+        |FROM terms GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "prof_drift" ->
       """WITH ev AS (
