@@ -436,6 +436,45 @@ object Relational2 {
         .orderBy("source")
     }),
 
+    // UniMax-style budget allocation (Chung et al. 2023): distribute a
+    // fixed document budget (half the corpus here) across sources so no
+    // source is oversampled — small sources are taken whole, large ones
+    // share the remaining budget equally (the integer waterfill). All
+    // arithmetic is integer (div/mod, remainder +1s go to the largest
+    // sources), so the allocation is engine- and partition-exact. Shape:
+    // ONE corpus-scale source-count aggregate; the waterfill windows run
+    // on the source-cardinality frame (metadata scale — the
+    // samp_temperature discipline), so the single-partition window is a
+    // few dozen rows at any corpus size.
+    "samp_unimax" -> ((s, dir) => {
+      val wAsc = Window.orderBy(col("n"), col("source"))
+      val wAll = Window.partitionBy(lit(1))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val f = load(s, dir, "documents")
+        .groupBy("source").agg(count(lit(1)).as("n"))
+        .withColumn("idx", row_number().over(wAsc))
+        .withColumn("cumb", coalesce(
+          sum(col("n")).over(wAsc.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+        .withColumn("k", count(lit(1)).over(wAll))
+        .withColumn("b", expr("sum(n) OVER () div 2"))
+        // Sources sorted ascending: source i is fully affordable iff giving
+        // every not-yet-funded source n_i each still fits the remainder —
+        // a prefix property, so the marginal stats are plain sums of the
+        // full prefix.
+        .withColumn("fullsrc", col("n") * (col("k") - col("idx") + 1) <= col("b") - col("cumb"))
+      f.withColumn("nfull", sum(col("fullsrc").cast("long")).over(wAll))
+        .withColumn("cumfull",
+          sum(when(col("fullsrc"), col("n")).otherwise(0L)).over(wAll))
+        .select(col("source"), col("n").as("n_docs"),
+          when(col("fullsrc"), col("n"))
+            .otherwise(expr("(b - cumfull) div (k - nfull)") +
+              when(col("idx") > col("k") - expr("(b - cumfull) % (k - nfull)"), 1L)
+                .otherwise(0L)).as("alloc"),
+          (!col("fullsrc")).as("capped"))
+        .orderBy("source")
+    }),
+
     // Weighted reservoir sampling (Efraimidis–Spirakis A-ES via the
     // exponential race): every row draws key = −ln(u)/w from a
     // content-stable hash u ∈ (0,1], and the k SMALLEST keys are an exact
@@ -848,6 +887,30 @@ object Relational2 {
          |                     % 1000000 < th.th THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
          |FROM documents d JOIN th USING (source)
          |GROUP BY d.source, th.n_s, th.th ORDER BY d.source""".stripMargin,
+
+    "samp_unimax" ->
+      """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+        |f AS (
+        |  SELECT source, n,
+        |    row_number() OVER (ORDER BY n, source) AS idx,
+        |    coalesce(sum(n) OVER (ORDER BY n, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb,
+        |    count(*) OVER () AS k,
+        |    sum(n) OVER () // 2 AS b
+        |  FROM c),
+        |g AS (SELECT *, n * (k - idx + 1) <= b - cumb AS fullsrc FROM f),
+        |h AS (
+        |  SELECT *,
+        |    sum(CASE WHEN fullsrc THEN 1 ELSE 0 END) OVER () AS nfull,
+        |    sum(CASE WHEN fullsrc THEN n ELSE 0 END) OVER () AS cumfull
+        |  FROM g)
+        |SELECT source, CAST(n AS BIGINT) AS n_docs,
+        |  CAST(CASE WHEN fullsrc THEN n
+        |    ELSE (b - cumfull) // (k - nfull) +
+        |      CASE WHEN idx > k - ((b - cumfull) % (k - nfull)) THEN 1 ELSE 0 END
+        |    END AS BIGINT) AS alloc,
+        |  NOT fullsrc AS capped
+        |FROM h ORDER BY source""".stripMargin,
 
     "samp_weighted" ->
       s"""SELECT doc_id, CAST(greatest(length(text), 1) AS BIGINT) AS weight,

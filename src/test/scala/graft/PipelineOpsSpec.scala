@@ -545,6 +545,23 @@ class PipelineOpsSpec extends AnyFunSuite {
       "novel counts do not partition the shingle vocabulary")
   }
 
+  test("samp_unimax: allocations exhaust the budget exactly and respect caps") {
+    val out = operators.Relational2.queries("samp_unimax")(spark, dir).collect()
+    val n = out.map(_.getLong(1))
+    val alloc = out.map(_.getLong(2))
+    assert(out.nonEmpty)
+    assert(alloc.zip(n).forall { case (a, s) => a >= 0 && a <= s },
+      "an allocation exceeds its source size")
+    // The waterfill spends the budget to the last document.
+    assert(alloc.sum == n.sum / 2, s"allocated ${alloc.sum} of budget ${n.sum / 2}")
+    // Capped sources all sit at the shared water level (within the +1
+    // remainder distribution); uncapped sources are taken whole.
+    val capped = out.filter(_.getBoolean(3)).map(_.getLong(2))
+    if (capped.length > 1)
+      assert(capped.max - capped.min <= 1, s"water level not shared: ${capped.toSeq}")
+    out.filterNot(_.getBoolean(3)).foreach(r => assert(r.getLong(2) == r.getLong(1)))
+  }
+
   test("ev_ewma: bounded chunked form equals the naive per-type window") {
     // The production plan never windows on event_type alone; this pins
     // that the KeyedRank chunk + boundary-strip plumbing is semantically

@@ -309,6 +309,7 @@ class ScaleDesignSpec extends AnyFunSuite {
       "ann_mmr" -> 0, // the emb_kcenter unroll: broadcast-pick map pass + TakeOrdered(1) per round
       "dd_novelty" -> 3, // distinct (doc,shingle) agg + min-doc join riding the same sh partitioning (ReuseExchange) + per-doc agg + oracle sort share the rest
       "prof_psi_value" -> 4, // per-type range agg + (type,bin) counts agg + type rollups + oracle sort; spine/totals ride broadcasts — every frame after the counts agg is types×10 rows
+      "samp_unimax" -> 2, // ONE corpus-scale source-count agg; the waterfill windows + sort run single-partition on the source-cardinality frame (metadata scale)
       "ta_bpe_train" -> 1, // final 6-row sort only: the corpus word histogram + per-round pair argmaxes run inside the driver loop's own collects (vocab-scale frames behind localCheckpoint)
       "emb_pca_power" -> 1) // result sort only: the Gramian build's pair-explode agg runs inside the query's own collect (the MLlib design — d×d is model-scale), output is a 64-row local relation
     val aqe = spark.conf.get("spark.sql.adaptive.enabled")
