@@ -196,6 +196,41 @@ object Relational3 {
     // a one-row broadcast for the window totals — no shuffle grows with
     // the data. ln() parity follows the ta_keywords rule: round(6) on
     // both engines absorbs libm ulp divergence.
+    // Per-type Gini concentration index over value — the inequality
+    // measure behind "is this type's volume concentrated in a few huge
+    // events?" (revenue concentration, abuse spikes). Uses the
+    // group-by-value identity instead of per-row ranks: tied cents c with
+    // multiplicity m starting at rank r0 contribute
+    // c·(m·r0 + m(m−1)/2) to Σ rank·value, so DOUBLED sums stay division-
+    // free: 2T = Σ c·m·(2·r0 + m − 1), G = (2T − (n+1)·S)/(n·S). One
+    // corpus-scale (type, cents) aggregation; the rank-offset window runs
+    // over the distinct-cents frame, which is VALUE-DOMAIN-scale (the
+    // a14_winsorize histogram argument) and sits above an aggregate, so no
+    // row-level low-cardinality window exists. All sums are exact
+    // (decimal(38,0)/HUGEINT over non-negative cents — domain pinned in
+    // TestdataContractSpec); the final ratio is one identical double
+    // expression, round(6).
+    "a16_gini" -> ((s, dir) => {
+      val grp = load(s, dir, "events")
+        .select(col("event_type"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("c"))
+        .groupBy("event_type", "c").agg(count(lit(1)).as("m"))
+      val wCum = Window.partitionBy("event_type").orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      grp
+        .withColumn("r0", coalesce(sum(col("m")).over(wCum), lit(0L)) + 1)
+        .groupBy("event_type")
+        .agg(sum(col("m")).as("n"),
+          sum(col("c").cast("decimal(38,0)") * col("m")).as("s"),
+          sum(col("c").cast("decimal(38,0)") * col("m") *
+            (lit(2) * col("r0") + col("m") - 1)).as("t2"))
+        .select(col("event_type"), col("n"),
+          round((col("t2").cast("double") -
+              (col("n") + 1).cast("double") * col("s").cast("double")) /
+            (col("n").cast("double") * col("s").cast("double")), 6).as("gini"))
+        .orderBy("event_type")
+    }),
+
     // Population stability index over each type's VALUE distribution —
     // the shape-drift complement to prof_drift's category-share psi_term:
     // a type whose mix share is stable can still silently shift its value
@@ -560,6 +595,26 @@ object Relational3 {
          |  min(h) AS h_min
          |FROM rk WHERE rk <= 100
          |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "a16_gini" ->
+      """WITH g AS (
+        |  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS c,
+        |    count(*) AS m
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT event_type, c, m,
+        |    coalesce(sum(m) OVER (PARTITION BY event_type ORDER BY c
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1 AS r0
+        |  FROM g),
+        |a AS (
+        |  SELECT event_type, CAST(sum(m) AS BIGINT) AS n,
+        |    sum(CAST(c AS HUGEINT) * m) AS s,
+        |    sum(CAST(c AS HUGEINT) * m * (2 * r0 + m - 1)) AS t2
+        |  FROM r GROUP BY event_type)
+        |SELECT event_type, n,
+        |  round((CAST(t2 AS DOUBLE) - CAST(n + 1 AS DOUBLE) * CAST(s AS DOUBLE))
+        |        / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE)), 6) AS gini
+        |FROM a ORDER BY event_type""".stripMargin,
 
     "prof_psi_value" ->
       """WITH ev AS (

@@ -562,6 +562,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     out.filterNot(_.getBoolean(3)).foreach(r => assert(r.getLong(2) == r.getLong(1)))
   }
 
+  test("a16_gini: bounds hold and the grouped identity matches a direct rank sum") {
+    val out = operators.Relational3.queries("a16_gini")(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getDouble(2) >= 0 && r.getDouble(2) < 1,
+      s"gini out of range: $r"))
+    // Recompute one type's Gini from explicitly sorted per-row ranks.
+    val cents = Tables.load(spark, dir, "events")
+      .where(col("event_type") === "purchase")
+      .select(floor(col("value") * 100 + lit(0.5)).cast("long").as("c"))
+      .collect().map(_.getLong(0)).sorted
+    val n = cents.length.toLong
+    val s = cents.map(BigInt(_)).sum
+    val t = cents.zipWithIndex.map { case (c, i) => BigInt(c) * (i + 1) }.sum
+    val direct = (BigDecimal(2 * t - (n + 1) * s) / BigDecimal(n * s))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = out.find(_.getString(0) == "purchase").get.getDouble(2)
+    assert(math.abs(got - direct) <= 1e-6, s"grouped $got vs direct $direct")
+  }
+
   test("ev_ewma: bounded chunked form equals the naive per-type window") {
     // The production plan never windows on event_type alone; this pins
     // that the KeyedRank chunk + boundary-strip plumbing is semantically

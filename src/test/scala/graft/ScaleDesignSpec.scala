@@ -310,6 +310,7 @@ class ScaleDesignSpec extends AnyFunSuite {
       "dd_novelty" -> 3, // distinct (doc,shingle) agg + min-doc join riding the same sh partitioning (ReuseExchange) + per-doc agg + oracle sort share the rest
       "prof_psi_value" -> 4, // per-type range agg + (type,bin) counts agg + type rollups + oracle sort; spine/totals ride broadcasts — every frame after the counts agg is types×10 rows
       "samp_unimax" -> 2, // ONE corpus-scale source-count agg; the waterfill windows + sort run single-partition on the source-cardinality frame (metadata scale)
+      "a16_gini" -> 3, // (type,cents) agg + type rollup + oracle sort; the rank-offset window rides the value-domain-scale distinct-cents frame above the first agg
       "ta_bpe_train" -> 1, // final 6-row sort only: the corpus word histogram + per-round pair argmaxes run inside the driver loop's own collects (vocab-scale frames behind localCheckpoint)
       "emb_pca_power" -> 1) // result sort only: the Gramian build's pair-explode agg runs inside the query's own collect (the MLlib design — d×d is model-scale), output is a 64-row local relation
     val aqe = spark.conf.get("spark.sql.adaptive.enabled")

@@ -121,5 +121,11 @@ class TestdataContractSpec extends AnyFunSuite {
     assert(mx < 1e5,
       s"events.value grew to |$mx| — re-derive ev_anomaly's integer-sum " +
         "overflow envelope (EventWindows.scala) before trusting the oracle")
+    // a16_gini's concentration index assumes a non-negative value domain
+    // (Gini over mixed-sign data is not a well-defined inequality measure).
+    val mn = Tables.load(spark, "/root/testdata/sf0.01", "events")
+      .agg(min(col("value"))).collect()(0).getDouble(0)
+    assert(mn >= 0,
+      s"events.value went negative ($mn) — a16_gini's domain assumption broke")
   }
 }
