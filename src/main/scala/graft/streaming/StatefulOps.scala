@@ -359,6 +359,43 @@ object StatefulOps {
         })
   }
 
+  /** EWMA output row (mirrors the batch `ev_ewma` output schema). */
+  case class Ewma(event_id: Long, event_type: String, value: Double, ewma: Double)
+
+  /** Ring of the last ≤ win integer-cent values per event_type — bounded
+    * state regardless of stream length. */
+  case class EwmaState(ring: Seq[Long])
+
+  /** The STREAMING twin of the batch `ev_ewma` operator: per event type,
+    * emit the trailing `win`-row exponentially-weighted mean (decay 1/2)
+    * for every event. Identical arithmetic to the batch query — exact
+    * integer Horner sum Σ c_j·2^(n−1−j) (newest weighted highest), divisor
+    * 2^n − 1, one correctly-rounded double conversion, round(6) — so on an
+    * in-order feed the stream output EQUALS the batch/DuckDB-oracle result
+    * row-for-row (StatefulOpsSpec pins it). Same ordering contract as
+    * [[rollingAnomaly]]. */
+  def rollingEwma(ds: Dataset[Ev], win: Int = 50): Dataset[Ewma] = {
+    implicit val enc: Encoder[Ewma] = Encoders.product[Ewma]
+    implicit val stEnc: Encoder[EwmaState] = Encoders.product[EwmaState]
+    ds.groupByKey(_.event_type)(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: String, rows: Iterator[Ev], state: GroupState[EwmaState]) => {
+          var ring = state.getOption.map(_.ring.toVector).getOrElse(Vector.empty[Long])
+          val out = Vector.newBuilder[Ewma]
+          for (ev <- rows.toVector.sortBy(e => (e.ts.getTime, e.event_id))) {
+            val c = math.floor(ev.value * 100 + 0.5).toLong
+            ring = (ring :+ c).takeRight(win)
+            val s = ring.reverseIterator.foldLeft(BigInt(0))((acc, x) => acc * 2 + x)
+            val d = (BigInt(1) << ring.length) - 1
+            val e = s.doubleValue / d.doubleValue / 100.0
+            out += Ewma(ev.event_id, key, ev.value,
+              BigDecimal(e).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          }
+          state.update(EwmaState(ring))
+          out.result().iterator
+        })
+  }
+
   def attributeClicks(imps: Dataset[Impression], clicks: Dataset[Click],
                       windowMinutes: Int = 10): Dataset[(String, java.sql.Timestamp, java.sql.Timestamp)] = {
     import org.apache.spark.sql.functions.{col, expr}

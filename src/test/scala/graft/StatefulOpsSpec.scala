@@ -238,4 +238,35 @@ class StatefulOpsSpec extends AnyFunSuite {
       assert(streamed.sameElements(batch))
     } finally q.stop()
   }
+
+  test("streaming rollingEwma equals the batch ev_ewma oracle result") {
+    // Same parity contract as rollingAnomaly: the ≤ 50-cent ring state
+    // must reproduce the batch chunked-window EWMA exactly — every event
+    // emits, so this also pins that nothing is dropped or duplicated
+    // across micro-batch boundaries.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.functions.col
+    val evs = graft.Tables.load(spark, dir, "events")
+      .select(col("event_type"), col("ts"), col("event_id"), col("value"))
+      .orderBy("ts", "event_id")
+      .as[StatefulOps.Ev].collect()
+    val batches = evs.grouped(math.max(1, evs.length / 5)).toSeq
+    val mem = MemoryStream[StatefulOps.Ev]
+    val q = StatefulOps.rollingEwma(mem.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sewma_out").start()
+    try {
+      batches.foreach { b => mem.addData(b.toSeq); q.processAllAvailable() }
+      val streamed = spark.table("sewma_out").as[StatefulOps.Ewma].collect()
+        .map(a => (a.event_id, a.event_type, a.value, a.ewma)).sortBy(_._1)
+      val batch = SparkEntry.queries("ev_ewma")(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3)))
+        .sortBy(_._1)
+      assert(streamed.length == batch.length,
+        s"stream emitted ${streamed.length} rows vs batch ${batch.length}")
+      assert(streamed.sameElements(batch))
+    } finally q.stop()
+  }
 }
