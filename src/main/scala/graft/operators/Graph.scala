@@ -62,6 +62,14 @@ object Graph {
   private val KcoreK = 2
   private val KcoreRounds = 8
 
+  /** gr_linkpred: hub-degree cutoff (the computation restricts to the
+    * subgraph of nodes with degree ≤ this — super-hubs make every
+    * neighbor pair a "candidate", carry no signal, and cost d² wedges;
+    * dropping them is the standard common-neighbor prune) and the minimum
+    * shared-neighbor count for a candidate pair. */
+  private val LpMaxDeg = 64
+  private val LpMinCommon = 2
+
   val queries: Map[String, Q] = Map(
     // k-core decomposition membership (the densest-region primitive of
     // community mining): iteratively peel nodes of degree < K until the
@@ -87,6 +95,46 @@ object Graph {
       }
       fin.groupBy(col("u").as("node")).agg(count(lit(1)).as("core_degree"))
         .orderBy("node")
+    }),
+
+    // Link prediction by common-neighbor Jaccard: for every NON-edge pair
+    // sharing ≥ LpMinCommon neighbors in the (hub-pruned) co-purchase
+    // graph, score = |N(a)∩N(b)| / |N(a)∪N(b)| — the classic
+    // missing-edge / recommendation primitive. Wedge pairs explode
+    // map-side from each center's sorted neighbor set (the rec_cooccur
+    // basket shape — never a fact self-join), the hub prune bounds the
+    // fan-out at LpMaxDeg² per center, existing edges leave via one
+    // anti-join, and union sizes come from the subgraph degree table —
+    // every shuffle is keyed on a node or a candidate pair.
+    "gr_linkpred" -> ((s, dir) => {
+      val e = edges(s, dir)
+      val und = e.select(col("pa").as("u"), col("pb").as("v"))
+        .unionAll(e.select(col("pb").as("u"), col("pa").as("v")))
+        .localCheckpoint()
+      val keep = und.groupBy("u").agg(count(lit(1)).as("d"))
+        .where(col("d") <= LpMaxDeg).select("u")
+      val sub = und.join(keep, "u")
+        .join(keep.select(col("u").as("v")), "v")
+        .select("u", "v").localCheckpoint()
+      val subDeg = sub.groupBy("u").agg(count(lit(1)).as("d"))
+      val pairs = sub.groupBy("u")
+        .agg(sort_array(collect_set(col("v"))).as("ns"))
+        .select(explode(expr(
+          "flatten(transform(ns, (x, i) -> " +
+            "transform(slice(ns, i + 2, size(ns) - i - 1), " +
+            "y -> struct(x AS a, y AS b))))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(count(lit(1)).as("n_common"))
+        .where(col("n_common") >= LpMinCommon)
+      pairs
+        .join(e.select(col("pa").as("a"), col("pb").as("b")), Seq("a", "b"), "left_anti")
+        .join(subDeg.select(col("u").as("a"), col("d").as("da")), "a")
+        .join(subDeg.select(col("u").as("b"), col("d").as("db")), "b")
+        .select(col("a").as("pa"), col("b").as("pb"), col("n_common"),
+          (col("da") + col("db") - col("n_common")).as("n_union"),
+          round(col("n_common").cast("double") /
+            (col("da") + col("db") - col("n_common")), 6).as("jaccard"))
+        .orderBy("pa", "pb")
     }),
 
     // Per-node triangle participation over the co-purchase graph, top
@@ -251,6 +299,36 @@ object Graph {
          |SELECT u AS node, count(*) AS core_degree FROM g$KcoreRounds
          |GROUP BY u ORDER BY node""".stripMargin
     },
+
+    "gr_linkpred" ->
+      s"""WITH items AS MATERIALIZED (
+         |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |e AS MATERIALIZED (
+         |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+         |  FROM items a JOIN items b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |  GROUP BY 1, 2 HAVING count(*) >= $MinSupport),
+         |g0 AS MATERIALIZED (SELECT pa AS u, pb AS v FROM e
+         |       UNION ALL SELECT pb AS u, pa AS v FROM e),
+         |keep AS (SELECT u FROM (SELECT u, count(*) AS d FROM g0 GROUP BY u)
+         |         WHERE d <= $LpMaxDeg),
+         |sub AS MATERIALIZED (
+         |  SELECT g.u, g.v FROM g0 g JOIN keep a ON g.u = a.u
+         |  JOIN keep b ON g.v = b.u),
+         |sd AS (SELECT u, count(*) AS d FROM sub GROUP BY u),
+         |pairs AS (
+         |  SELECT a.v AS a, b.v AS b, count(*) AS n_common
+         |  FROM sub a JOIN sub b ON a.u = b.u AND a.v < b.v
+         |  GROUP BY 1, 2 HAVING count(*) >= $LpMinCommon),
+         |cand AS (
+         |  SELECT p.a, p.b, p.n_common FROM pairs p
+         |  LEFT JOIN e ON p.a = e.pa AND p.b = e.pb WHERE e.pa IS NULL)
+         |SELECT c.a AS pa, c.b AS pb, CAST(c.n_common AS BIGINT) AS n_common,
+         |  CAST(da.d + db.d - c.n_common AS BIGINT) AS n_union,
+         |  round(CAST(c.n_common AS DOUBLE) / (da.d + db.d - c.n_common), 6)
+         |    AS jaccard
+         |FROM cand c JOIN sd da ON c.a = da.u JOIN sd db ON c.b = db.u
+         |ORDER BY pa, pb""".stripMargin,
 
     "gr_triangles" ->
       s"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

@@ -581,6 +581,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(math.abs(got - direct) <= 1e-6, s"grouped $got vs direct $direct")
   }
 
+  test("gr_linkpred: candidates are non-edges with true common-neighbor counts") {
+    val out = operators.Graph.queries("gr_linkpred")(spark, dir).collect()
+    assert(out.nonEmpty, "no link-prediction candidates at sf0.001")
+    out.foreach { r =>
+      assert(r.getLong(2) >= 2 && r.getLong(2) <= r.getLong(3))
+      val j = r.getDouble(4)
+      assert(j > 0 && j <= 1, s"jaccard out of range: $r")
+    }
+    // No candidate may be an existing co-purchase edge.
+    val cand = out.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val items = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = items.groupBy(_._1).values
+      .flatMap(g => g.map(_._2).sorted.combinations(2).map(p => (p(0), p(1))))
+      .toSeq.groupBy(identity).collect { case (p, os) if os.size >= 2 => p }.toSet
+    assert(cand.intersect(byOrder).isEmpty, "a candidate is already an edge")
+  }
+
   test("ev_ewma: bounded chunked form equals the naive per-type window") {
     // The production plan never windows on event_type alone; this pins
     // that the KeyedRank chunk + boundary-strip plumbing is semantically
