@@ -60,6 +60,36 @@ object Retrieval {
   /** The ir_bm25 plan (shared with ir_rrf's lexical leg): top-[[TopN]] docs
     * for [[QueryTerms]] by rounded BM25 score, ordered (score desc, doc_id).
     * Two scans of documents, one broadcast stats row, TakeOrdered cut. */
+  /** ir_ql: Dirichlet smoothing pseudo-count μ (Zhai & Lafferty 2001),
+    * sized to the corpus mean document length. */
+  private val QlMu = 50.0
+
+  /** Dirichlet-smoothed query likelihood — the language-modeling twin of
+    * BM25 (same two-scan broadcast shape): score(q,d) =
+    * Σ_t ln((tf_t + μ·cf_t/|C|)/(dl + μ)). Per-doc term counts are
+    * map-side; the one-row corpus stats (collection frequencies, total
+    * length) broadcast; the score is a fixed left-to-right 3-term sum, so
+    * the double expression tree is identical cross-engine; round(6) +
+    * doc_id tiebreak make the top-N cut deterministic. */
+  private def qlTop(s: SparkSession, dir: String): DataFrame = {
+    val d = load(s, dir, "documents")
+      .select(col("doc_id") +: size(toks(col("text"))).cast("long").as("dl") +:
+        QueryTerms.map(tm =>
+          size(filter(toks(col("text")), x => x === tm)).cast("long").as(s"tf_$tm")): _*)
+    val stats = d.agg(
+      sum(col("dl")).cast("double").as("total"),
+      QueryTerms.map(tm => sum(col(s"tf_$tm")).cast("double").as(s"cf_$tm")): _*)
+    val score = QueryTerms.map { tm =>
+      log((col(s"tf_$tm") + lit(QlMu) * col(s"cf_$tm") / col("total")) /
+        (col("dl") + lit(QlMu)))
+    }.reduce(_ + _)
+    d.crossJoin(broadcast(stats))
+      .where(QueryTerms.map(tm => col(s"tf_$tm") > 0).reduce(_ || _))
+      .select(col("doc_id"), round(score, 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(TopN)
+  }
+
   private def bm25Top(s: SparkSession, dir: String): DataFrame = {
     val d = load(s, dir, "documents")
       .select(col("doc_id") +: size(toks(col("text"))).cast("long").as("dl") +:
@@ -137,6 +167,11 @@ object Retrieval {
     // (sorted) bit-matches the oracle's sorted sequential fold over the
     // present terms only.
     "ir_bm25" -> ((s, dir) => bm25Top(s, dir)),
+
+    // Dirichlet query likelihood (see [[qlTop]]) — ranks the same query as
+    // ir_bm25 under the language-modeling scorer, completing the classic
+    // lexical-ranking pair.
+    "ir_ql" -> ((s, dir) => qlTop(s, dir)),
 
     // All-pairs sparse TF-IDF cosine similarity via the inverted index —
     // the lexical near-duplicate / related-document join (the sparse
@@ -270,6 +305,28 @@ object Retrieval {
          |SELECT doc_id, round(list_sum(list(sc ORDER BY term)), 6) AS score
          |FROM sc GROUP BY doc_id
          |ORDER BY score DESC, doc_id LIMIT $TopN""".stripMargin,
+
+    // Per-doc conditional tf (NOT the tok-explode join): zero-tf query
+    // terms still contribute their smoothed mass, so every kept doc needs
+    // all |q| term columns. Sum order is the fixed left-assoc QueryTerms
+    // order on both sides.
+    "ir_ql" -> {
+      val cfCols = QueryTerms.map(tm =>
+        s"CAST(sum(tf_$tm) AS DOUBLE) AS cf_$tm").mkString(", ")
+      val terms = QueryTerms.map(tm =>
+        s"ln((tf_$tm + $QlMu * cf_$tm / total) / (dl + $QlMu))").mkString("\n         |      + ")
+      val anyHit = QueryTerms.map(tm => s"tf_$tm > 0").mkString(" OR ")
+      s"""WITH d AS (
+         |  SELECT doc_id, len(t) AS dl,
+         |    ${QueryTerms.map(tm => s"len(list_filter(t, x -> x = '$tm')) AS tf_$tm").mkString(",\n         |    ")}
+         |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)),
+         |c AS (SELECT CAST(sum(dl) AS DOUBLE) AS total, $cfCols FROM d)
+         |SELECT doc_id,
+         |  round($terms, 6) AS score
+         |FROM d CROSS JOIN c
+         |WHERE $anyHit
+         |ORDER BY score DESC, doc_id LIMIT $TopN""".stripMargin
+    },
 
     "ir_rrf" ->
       s"""WITH tok AS (
