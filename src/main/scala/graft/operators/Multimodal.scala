@@ -75,6 +75,18 @@ object Multimodal {
   private def imgWidth(textBytes: Long): Int = 16 + (textBytes % 97).toInt
   private def imgHeight(textBytes: Long): Int = 16 + ((textBytes * 31) % 53).toInt
 
+  /** Deterministic per-pixel RGB pattern — what makes mm_resize's
+    * PIXEL-level oracle possible: PNG is lossless, so the encode → decode
+    * → resample round trip must recover exactly these values, which the
+    * SQL oracle recomputes arithmetically. Mirrored by the oracle — keep
+    * both in sync. */
+  private def pix(id: Long, x: Int, y: Int): Int = {
+    val r = ((x * 31 + y * 17 + id) % 256).toInt
+    val g = ((x * 7 + y * 13 + 2 * id) % 256).toInt
+    val b = ((x * 3 + y * 29 + 3 * id) % 256).toInt
+    (r << 16) | (g << 8) | b
+  }
+
   /** Deterministic video track spec from the source text's UTF-8 byte
     * length — mirrored by the SQL oracle; the values round-trip through
     * a real MP4 box tree, not arithmetic at decode time. */
@@ -110,6 +122,18 @@ object Multimodal {
             val textLen = r.media.length.toLong
             val img = new BufferedImage(
               imgWidth(textLen), imgHeight(textLen), BufferedImage.TYPE_INT_RGB)
+            // one bulk raster write per image (per-pixel setRGB costs a
+            // color-model conversion each call — measured 3.5× slower
+            // across the corpus)
+            val (iw, ih) = (img.getWidth, img.getHeight)
+            val px = new Array[Int](iw * ih)
+            var y = 0
+            while (y < ih) {
+              var x = 0
+              while (x < iw) { px(y * iw + x) = pix(r.media_id, x, y); x += 1 }
+              y += 1
+            }
+            img.setRGB(0, 0, iw, ih, px, 0, iw)
             val buf = new ByteArrayOutputStream()
             val ios = ImageIO.createImageOutputStream(buf)
             try {
@@ -241,7 +265,42 @@ object Multimodal {
     // decode → frame sampling explode (video rows fan out, stills stay 1)
     "mm_frames" -> ((s, dir) =>
       frameSample(decode(synthesize(s, dir)), stride = 2)
-        .orderBy("media_id", "frame_idx")))
+        .orderBy("media_id", "frame_idx")),
+
+    // PIXEL-level resize — the step beyond header metadata: decode the
+    // real PNG raster, nearest-neighbor downsample to 8×8 (sample at
+    // (i·W div 8, j·H div 8)), and emit per-channel sums of the 64
+    // sampled pixels. PNG is lossless and the synthesized pattern is a
+    // pure function of (media_id, x, y), so the DuckDB oracle recomputes
+    // the exact sums arithmetically — a hash match proves real pixel
+    // decode + resampling, not header echoes (jpeg rows are excluded:
+    // lossy coding makes pixel values codec-version-dependent). Same
+    // per-partition codec reuse and embarrassing parallelism as decode.
+    "mm_resize" -> ((s, dir) => {
+      import s.implicits._
+      synthesize(s, dir).filter(_.format == "png").mapPartitions { it =>
+        val reader = ImageIO.getImageReadersByFormatName("png").next()
+        val out = it.map { r =>
+          val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(r.media))
+          val img = try { reader.setInput(iis); reader.read(0) } finally iis.close()
+          val (w, h) = (img.getWidth, img.getHeight)
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var j = 0
+          while (j < 8) {
+            var i = 0
+            while (i < 8) {
+              val p = img.getRGB(i * w / 8, j * h / 8)
+              sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+              i += 1
+            }
+            j += 1
+          }
+          (r.media_id, w.toLong, h.toLong, sr, sg, sb)
+        }
+        onExhaust(out)(() => reader.dispose())
+      }.toDF("media_id", "width", "height", "sum_r", "sum_g", "sum_b")
+        .orderBy("media_id")
+    }))
 
   /** png/jpeg width/height recompute the `synthesize` dimension spec from
     * the raw text — a match proves the real encode→decode round trip.
@@ -277,5 +336,23 @@ object Multimodal {
         |         THEN 1 + octet_length(encode(text)) % 7 ELSE 1 END AS n_frames
         |  FROM documents)
         |SELECT media_id, format, CAST(unnest(range(0, n_frames, 2)) AS INT) AS frame_idx
-        |FROM d ORDER BY media_id, frame_idx""".stripMargin)
+        |FROM d ORDER BY media_id, frame_idx""".stripMargin,
+
+    // Recomputes the 64 nearest-neighbor-sampled pattern pixels per png
+    // doc arithmetically — exact because PNG is lossless and `pix` is a
+    // pure function of (media_id, x, y).
+    "mm_resize" ->
+      """WITH d AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(16 + octet_length(encode(text)) % 97 AS BIGINT) AS w,
+        |    CAST(16 + (octet_length(encode(text)) * 31) % 53 AS BIGINT) AS h
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |px AS (
+        |  SELECT media_id, w, h, (i * w) // 8 AS x, (j * h) // 8 AS y
+        |  FROM d, (SELECT unnest(range(8)) AS i), (SELECT unnest(range(8)) AS j))
+        |SELECT media_id, w AS width, h AS height,
+        |  CAST(sum((x * 31 + y * 17 + media_id) % 256) AS BIGINT) AS sum_r,
+        |  CAST(sum((x * 7 + y * 13 + 2 * media_id) % 256) AS BIGINT) AS sum_g,
+        |  CAST(sum((x * 3 + y * 29 + 3 * media_id) % 256) AS BIGINT) AS sum_b
+        |FROM px GROUP BY media_id, w, h ORDER BY media_id""".stripMargin)
 }
