@@ -40,6 +40,12 @@ object EventWindows {
   private val EwmaWin = 50
   private val EwmaChunk = 1000
 
+  /** ev_markov: fixed unrolled power-iteration depth. At the corpus
+    * eigengap the chain mixes within a handful of steps; the depth is
+    * FIXED (not run-to-convergence) so the DuckDB oracle is the identical
+    * computation. */
+  private val MarkovIters = 24
+
   val queries: Map[String, Q] = Map(
     // Rolling z-score anomaly flags per event type: each event scored
     // against the trailing AnomWin-row window (inclusive of itself) on its
@@ -152,6 +158,47 @@ object EventWindows {
             .cast("double"))
         .select(col("event_id"), col("event_type"), col("value"), col("running_sum"))
         .orderBy("event_id")
+    }),
+
+    // Stationary distribution of the event-type Markov chain — "where
+    // does user behavior settle": row-normalize the ev_transitions count
+    // matrix and power-iterate π ← πP from uniform. Scale shape: the
+    // emb_pca_power discipline — the ONLY data-scale work is the per-user
+    // lag window (user_id-keyed) + one (from, to) count aggregate; the
+    // types² matrix is model-scale, collected, and iterated on the driver
+    // with every float sum folded in from-state order, mirrored by
+    // MarkovIters unrolled DuckDB CTE layers over the same join order —
+    // identical doubles by construction, round(6) guard. States never
+    // transitioned INTO drop out after step 1 on both sides (join
+    // semantics), which is also the right answer: they have stationary
+    // mass 0.
+    "ev_markov" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val types = load(s, dir, "events")
+        .select(col("event_type")).distinct().collect()
+        .map(_.getString(0)).sorted
+      val trans = load(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .where(col("prev_type").isNotNull)
+        .groupBy(col("prev_type").as("f"), col("event_type").as("t"))
+        .agg(count(lit(1)).as("c"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      val rowSum = trans.groupBy(_._1).map { case (f, ps) => f -> ps.map(_._3).sum }
+      val p = trans.map { case (f, t, c) => (f, t, c.toDouble / rowSum(f)) }
+      // pairs grouped by destination, each group sorted by from-state —
+      // the exact list the SQL's list(term ORDER BY f) folds.
+      val byTo = p.groupBy(_._2).view.mapValues(_.sortBy(_._1)).toMap
+      var pi: Map[String, Double] = types.map(_ -> 1.0 / types.length).toMap
+      for (_ <- 1 to MarkovIters)
+        pi = byTo.collect { case (t, ins) =>
+          val terms = ins.flatMap { case (f, _, pr) => pi.get(f).map(_ * pr) }
+          t -> terms.foldLeft(0.0)(_ + _)
+        }.toMap
+      pi.toSeq.map { case (t, v) =>
+        (t, BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.toDF("event_type", "pi").orderBy("event_type")
     }),
 
     // Native session windows per user: count + bounds per session.
@@ -391,6 +438,35 @@ object EventWindows {
          |  AND abs(CAST(c * n - cs AS DOUBLE)
          |          / sqrt(CAST(n * css - cs * cs AS DOUBLE))) >= $AnomZ
          |ORDER BY event_id""".stripMargin,
+
+    // Generated: MarkovIters unrolled mat-vec CTE layers, terms folded in
+    // from-state order (the driver loop's exact arithmetic).
+    "ev_markov" -> {
+      // MATERIALIZED throughout — the gr_kcore lesson: un-materialized,
+      // DuckDB inlines p's whole subtree into every one of the unrolled
+      // layers and the planner never returns.
+      val layers = (0 until MarkovIters).map { k =>
+        s"""pi${k + 1} AS MATERIALIZED (
+           |  SELECT p.t AS st, list_sum(list(pi$k.pi * p.pr ORDER BY p.f)) AS pi
+           |  FROM p JOIN pi$k ON p.f = pi$k.st GROUP BY p.t)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH tr AS MATERIALIZED (
+         |  SELECT prev AS f, event_type AS t, count(*) AS c FROM (
+         |    SELECT event_type,
+         |      lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+         |    FROM events)
+         |  WHERE prev IS NOT NULL GROUP BY 1, 2),
+         |rs AS (SELECT f, sum(c) AS s FROM tr GROUP BY f),
+         |p AS MATERIALIZED (
+         |  SELECT tr.f, tr.t, CAST(c AS DOUBLE) / s AS pr FROM tr JOIN rs USING (f)),
+         |k0 AS (SELECT count(DISTINCT event_type) AS k FROM events),
+         |pi0 AS MATERIALIZED (
+         |  SELECT DISTINCT event_type AS st, CAST(1.0 AS DOUBLE) / k AS pi
+         |  FROM events, k0),
+         |$layers
+         |SELECT st AS event_type, round(pi, 6) AS pi FROM pi$MarkovIters
+         |ORDER BY event_type""".stripMargin
+    },
 
     "ev_ewma" ->
       s"""WITH e AS (

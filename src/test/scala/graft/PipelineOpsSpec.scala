@@ -600,6 +600,31 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(cand.intersect(byOrder).isEmpty, "a candidate is already an edge")
   }
 
+  test("ev_markov: a probability vector at the chain's fixpoint") {
+    val out = operators.EventWindows.queries("ev_markov")(spark, dir).collect()
+    assert(out.nonEmpty)
+    val pi = out.map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(pi.values.forall(v => v > 0 && v < 1))
+    assert(math.abs(pi.values.sum - 1.0) < 1e-4,
+      s"stationary mass drifted: ${pi.values.sum}")
+    // π ≈ πP after 24 iterations: recompute one more mat-vec step from
+    // the raw transition counts and require a small residual.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val trans = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .where(col("prev").isNotNull)
+      .groupBy("prev", "event_type").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val rowSum = trans.groupBy(_._1).map { case (f, ps) => f -> ps.map(_._3).sum.toDouble }
+    val next = trans.groupBy(_._2).map { case (t, ins) =>
+      t -> ins.map { case (f, _, c) => pi.getOrElse(f, 0.0) * (c / rowSum(f)) }.sum
+    }
+    val resid = next.map { case (t, v) => math.abs(v - pi.getOrElse(t, 0.0)) }.max
+    assert(resid < 1e-3, s"not at fixpoint after 24 iterations: residual $resid")
+  }
+
   test("ev_ewma: bounded chunked form equals the naive per-type window") {
     // The production plan never windows on event_type alone; this pins
     // that the KeyedRank chunk + boundary-strip plumbing is semantically
