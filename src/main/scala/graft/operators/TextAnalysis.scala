@@ -583,35 +583,68 @@ object TextAnalysis {
     // (non-regex) replace — identical leftmost-non-overlapping semantics
     // on both engines (see BpePasses).
     "ta_bpe_train" -> ((s, dir) => {
-      val words = load(s, dir, "documents")
-        .select(explode(split(lower(col("text")), " ")).as("word"))
-        .where(col("word") =!= "")
-        .groupBy("word").agg(count(lit(1)).as("cnt"))
-        .select(concat(regexp_replace(col("word"), "(.)", "|$1"), lit("|"))
-          .as("repr"), col("cnt"))
-      var cur = words.localCheckpoint()
-      val merges = Seq.newBuilder[(Long, String, String, Long)]
-      for (k <- 1 to BpeMerges) {
-        val toks = filter(split(col("repr"), "\\|"), t => t =!= "")
-        val best = cur
-          .select(col("cnt"),
-            explode(zip_with(toks, slice(toks, lit(2), size(toks) - 1),
-              (a, b) => struct(a.as("l"), b.as("r")))).as("z"))
-          .where(col("z.r").isNotNull)
-          .groupBy(col("z.l").as("l"), col("z.r").as("r"))
-          .agg(sum(col("cnt")).as("c"))
-          .orderBy(col("c").desc, col("l"), col("r"))
-          .limit(1).collect()(0)
-        val (l, r, c) = (best.getString(0), best.getString(1), best.getLong(2))
-        merges += ((k.toLong, l, r, c))
-        val applied = (1 to BpePasses).foldLeft(col("repr"))((e, _) =>
-          replace(e, lit(s"|$l|$r|"), lit(s"|$l$r|")))
-        cur = cur.select(applied.as("repr"), col("cnt")).localCheckpoint()
-      }
       import s.implicits._
-      merges.result().toDF("step", "left", "right", "pair_count")
+      bpeMerges(s, dir).toDF("step", "left", "right", "pair_count")
         .orderBy("step")
+    }),
+
+    // Apply the learned BPE merge table to tokenize the CORPUS (the step
+    // a trained tokenizer actually ships for): every document's words are
+    // spelled to character symbols and the BpeMerges rules replay in
+    // learned order (each with the same BpePasses replace application as
+    // training), yielding per-doc BPE token counts and the compression
+    // ratio vs raw characters. Map-side over the corpus once the
+    // vocab-scale training loop has produced the 6 rules — the
+    // train-once/apply-everywhere split a 100 TB tokenization run needs.
+    "ta_bpe_apply" -> ((s, dir) => {
+      val merges = bpeMerges(s, dir)
+      val words = filter(split(lower(col("text")), " "), w => w =!= "")
+      val reprs = transform(words,
+        w => concat(regexp_replace(w, "(.)", "|$1"), lit("|")))
+      val merged = merges.foldLeft(reprs) { case (arr, (_, l, r, _)) =>
+        transform(arr, rp => (1 to BpePasses).foldLeft(rp)((e, _) =>
+          replace(e, lit(s"|$l|$r|"), lit(s"|$l$r|"))))
+      }
+      val nChars = aggregate(words, lit(0L), (acc, w) => acc + length(w))
+      val nBpe = size(flatten(transform(merged,
+        rp => filter(split(rp, "\\|"), t => t =!= "")))).cast("long")
+      load(s, dir, "documents")
+        .select(col("doc_id"), nChars.as("n_chars"), nBpe.as("n_bpe_tokens"),
+          round(nBpe.cast("double") / nChars, 6).as("compression"))
+        .orderBy("doc_id")
     }))
+
+  /** The ta_bpe_train driver loop (see that query's scaladoc for the
+    * scale argument) — shared with ta_bpe_apply, which replays the
+    * learned rules over the corpus. */
+  private def bpeMerges(s: SparkSession, dir: String): Seq[(Long, String, String, Long)] = {
+    val words = load(s, dir, "documents")
+      .select(explode(split(lower(col("text")), " ")).as("word"))
+      .where(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .select(concat(regexp_replace(col("word"), "(.)", "|$1"), lit("|"))
+        .as("repr"), col("cnt"))
+    var cur = words.localCheckpoint()
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    for (k <- 1 to BpeMerges) {
+      val toks = filter(split(col("repr"), "\\|"), t => t =!= "")
+      val best = cur
+        .select(col("cnt"),
+          explode(zip_with(toks, slice(toks, lit(2), size(toks) - 1),
+            (a, b) => struct(a.as("l"), b.as("r")))).as("z"))
+        .where(col("z.r").isNotNull)
+        .groupBy(col("z.l").as("l"), col("z.r").as("r"))
+        .agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("l"), col("r"))
+        .limit(1).collect()(0)
+      val (l, r, c) = (best.getString(0), best.getString(1), best.getLong(2))
+      merges += ((k.toLong, l, r, c))
+      val applied = (1 to BpePasses).foldLeft(col("repr"))((e, _) =>
+        replace(e, lit(s"|$l|$r|"), lit(s"|$l$r|")))
+      cur = cur.select(applied.as("repr"), col("cnt")).localCheckpoint()
+    }
+    merges.result()
+  }
 
   private def sqlHits(words: Seq[String]): String =
     s"CAST(len(list_filter(string_split(lower(text), ' '), t -> t IN (${words.map(w => s"'$w'").mkString(", ")}))) AS BIGINT)"
@@ -907,29 +940,74 @@ object TextAnalysis {
     // → applied merge), so DuckDB runs the identical fixed-depth algorithm
     // the Spark driver loop does.
     "ta_bpe_train" -> {
-      def appliedReplace(expr: String): String =
-        (1 to BpePasses).foldLeft(expr)((e, _) =>
-          s"replace($e, '|'||l||'|'||r||'|', '|'||l||r||'|')")
-      val w0 =
-        """w0 AS (
-          |  SELECT regexp_replace(word, '(.)', '|\1', 'g') || '|' AS repr, cnt FROM (
-          |    SELECT word, count(*) AS cnt FROM (
-          |      SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
-          |    WHERE word <> '' GROUP BY word))""".stripMargin
-      val layers = (0 until BpeMerges).flatMap { k =>
-        Seq(
-          s"""p$k AS (
-             |  SELECT z[1] AS l, z[2] AS r, CAST(sum(cnt) AS BIGINT) AS c FROM (
-             |    SELECT cnt, unnest(list_zip(toks, toks[2:])) AS z FROM (
-             |      SELECT cnt, list_filter(string_split(repr, '|'), x -> x <> '') AS toks
-             |      FROM w$k))
-             |  WHERE z[2] IS NOT NULL GROUP BY 1, 2)""".stripMargin,
-          s"b$k AS (SELECT l, r, c FROM p$k ORDER BY c DESC, l, r LIMIT 1)",
-          s"""w${k + 1} AS (
-             |  SELECT ${appliedReplace("repr")} AS repr, cnt FROM w$k, b$k)""".stripMargin)
-      }
       val rows = (0 until BpeMerges).map(k =>
         s"SELECT CAST(${k + 1} AS BIGINT) AS step, l AS left, r AS right, c AS pair_count FROM b$k")
-      s"WITH ${(w0 +: layers).mkString(",\n")}\n${rows.mkString("\nUNION ALL\n")}\nORDER BY step"
+      s"WITH ${bpeTrainCtes.mkString(",\n")}\n${rows.mkString("\nUNION ALL\n")}\nORDER BY step"
+    },
+
+    // The train CTEs relearn the rules, then per-doc word lists replay
+    // them in learned order (each b$k cross-joined in — 1 row each).
+    "ta_bpe_apply" -> {
+      // lambda var must NOT be named r — it would shadow b$k's r column
+      // inside the replace pattern (bitten once: every merge no-opped)
+      val docLayers = (0 until BpeMerges).map { k =>
+        s"""d${k + 1} AS (
+           |  SELECT doc_id, ws,
+           |    list_transform(rs, q -> ${bpeAppliedReplace("q")}) AS rs
+           |  FROM d$k, b$k)""".stripMargin
+      }
+      val d0 =
+        """d0 AS (
+          |  SELECT doc_id, ws,
+          |    list_transform(ws, w -> regexp_replace(w, '(.)', '|\1', 'g') || '|') AS rs
+          |  FROM (SELECT doc_id,
+          |          list_filter(string_split(lower(text), ' '), w -> w <> '') AS ws
+          |        FROM documents))""".stripMargin
+      s"""WITH ${bpeTrainCtes.mkString(",\n")},
+         |$d0,
+         |${docLayers.mkString(",\n")}
+         |SELECT doc_id,
+         |  CAST(list_sum(list_transform(ws, w -> length(w))) AS BIGINT) AS n_chars,
+         |  CAST(list_sum(list_transform(rs,
+         |    r -> len(list_filter(string_split(r, '|'), x -> x <> '')))) AS BIGINT)
+         |    AS n_bpe_tokens,
+         |  round(CAST(list_sum(list_transform(rs,
+         |          r -> len(list_filter(string_split(r, '|'), x -> x <> ''))))
+         |        AS DOUBLE) / list_sum(list_transform(ws, w -> length(w))), 6)
+         |    AS compression
+         |FROM d$BpeMerges ORDER BY doc_id""".stripMargin
     })
+
+  /** BpePasses-fold leftmost-non-overlapping replace of the current b$k
+    * merge (l, r) applied to SQL expression `expr`. */
+  private def bpeAppliedReplace(expr: String): String =
+    (1 to BpePasses).foldLeft(expr)((e, _) =>
+      s"replace($e, '|'||l||'|'||r||'|', '|'||l||r||'|')")
+
+  /** The shared DuckDB mirror of [[bpeMerges]]: word histogram + one
+    * (pair-count, argmax, apply) CTE triple per merge round. MATERIALIZED
+    * on the word frames — each w$k is referenced by both p$k and w${k+1},
+    * and the layered replace chains would otherwise inline multiplicatively
+    * (the gr_kcore lesson). */
+  private def bpeTrainCtes: Seq[String] = {
+    val w0 =
+      """w0 AS MATERIALIZED (
+        |  SELECT regexp_replace(word, '(.)', '|\1', 'g') || '|' AS repr, cnt FROM (
+        |    SELECT word, count(*) AS cnt FROM (
+        |      SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+        |    WHERE word <> '' GROUP BY word))""".stripMargin
+    val layers = (0 until BpeMerges).flatMap { k =>
+      Seq(
+        s"""p$k AS (
+           |  SELECT z[1] AS l, z[2] AS r, CAST(sum(cnt) AS BIGINT) AS c FROM (
+           |    SELECT cnt, unnest(list_zip(toks, toks[2:])) AS z FROM (
+           |      SELECT cnt, list_filter(string_split(repr, '|'), x -> x <> '') AS toks
+           |      FROM w$k))
+           |  WHERE z[2] IS NOT NULL GROUP BY 1, 2)""".stripMargin,
+        s"b$k AS MATERIALIZED (SELECT l, r, c FROM p$k ORDER BY c DESC, l, r LIMIT 1)",
+        s"""w${k + 1} AS MATERIALIZED (
+           |  SELECT ${bpeAppliedReplace("repr")} AS repr, cnt FROM w$k, b$k)""".stripMargin)
+    }
+    w0 +: layers
+  }
 }

@@ -600,6 +600,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(cand.intersect(byOrder).isEmpty, "a candidate is already an edge")
   }
 
+  test("ta_bpe_apply: merges only ever shrink token counts, never below half") {
+    val out = operators.TextAnalysis.queries("ta_bpe_apply")(spark, dir).collect()
+    assert(out.length == 500)
+    out.foreach { r =>
+      val (chars, bpe) = (r.getLong(1), r.getLong(2))
+      // each applied merge replaces 2 symbols with 1, so counts only
+      // shrink and can never drop below ceil(chars/2) with single-level
+      // merges... but merged tokens can merge again, so only the upper
+      // bound is universal.
+      assert(bpe <= chars, s"merge grew the token count: $r")
+      assert(bpe >= 1)
+    }
+    // The 6 learned merges must actually fire somewhere: corpus-wide
+    // compression strictly below 1.
+    val totC = out.map(_.getLong(1)).sum.toDouble
+    val totB = out.map(_.getLong(2)).sum.toDouble
+    assert(totB / totC < 0.95, s"merges barely fired: ${totB / totC}")
+  }
+
   test("ev_markov: a probability vector at the chain's fixpoint") {
     val out = operators.EventWindows.queries("ev_markov")(spark, dir).collect()
     assert(out.nonEmpty)
