@@ -81,6 +81,11 @@ object TextAnalysis {
 
   private def toks(c: Column): Column = split(lower(c), " ")
 
+  /** ta_nb_langid: the fixed class list (generated into the oracle SQL's
+    * pivot columns — TestdataContractSpec pins that the corpus' actual
+    * lang domain equals this). Order is the argmax tie-break order. */
+  private val NbLangs = Seq("de", "en", "es", "fr", "zh")
+
   private def hitCount(tokens: Column, words: Seq[String]): Column =
     size(filter(tokens, t => t.isin(words: _*))).cast("long")
 
@@ -562,6 +567,58 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // Multinomial Naive Bayes language classifier, trained AND applied
+    // in-engine — the fastText-role model a data pipeline trains on its
+    // own labeled subset and applies corpus-wide. Training is pure
+    // counting (per-(term, class) token counts, class totals, vocab size,
+    // doc priors — all exact integers); classification scores each doc
+    // with Σ tf·ln((c_{t,ℓ}+1)/(N_ℓ+V)) + ln(prior_ℓ) per class, folded
+    // in term order (the ta_unigram_ppl parity template), rounds to 6,
+    // and argmaxes with the fixed NbLangs tie-break. Shape: one
+    // (doc, lang, term) keyed agg + one term-keyed pivot agg + the
+    // term-keyed contrib join + one per-doc agg; the class/vocab/prior
+    // stats ride one-row broadcasts — linear in corpus tokens, the model
+    // "parameters" never leave the term-keyed frames.
+    "ta_nb_langid" -> ((s, dir) => {
+      val docs = load(s, dir, "documents")
+      val tf = docs
+        .select(col("doc_id"), col("lang"), explode(toks(col("text"))).as("term"))
+        .groupBy("doc_id", "lang", "term").agg(count(lit(1)).as("tf"))
+      def pivots(pre: String) = NbLangs.map(l =>
+        sum(when(col("lang") === l, col("tf")).otherwise(0L)).as(s"$pre$l"))
+      val ctf = tf.groupBy("term").agg(pivots("c_").head, pivots("c_").tail: _*)
+      val cls = tf.agg(pivots("n_").head, pivots("n_").tail: _*)
+      val vocab = ctf.agg(count(lit(1)).cast("double").as("v"))
+      val priAggs = count(lit(1)).as("nd") +:
+        NbLangs.map(l => sum((col("lang") === l).cast("long")).as(s"d_$l"))
+      val pri = docs.agg(priAggs.head, priAggs.tail: _*)
+      val contrib = tf.join(ctf, "term")
+        .crossJoin(broadcast(cls)).crossJoin(broadcast(vocab))
+        .select(col("doc_id") +: col("lang") +: col("term") +:
+          NbLangs.map(l => (col("tf") *
+            log((col(s"c_$l") + 1.0) / (col(s"n_$l") + col("v")))).as(s"lp_$l")): _*)
+      val folds = NbLangs.map { l =>
+        aggregate(
+          transform(array_sort(collect_list(struct(col("term"), col(s"lp_$l")))),
+            x => x.getField(s"lp_$l")),
+          lit(0.0), (acc, x) => acc + x).as(s"f_$l")
+      }
+      val scored = contrib.groupBy("doc_id", "lang")
+        .agg(folds.head, folds.tail: _*)
+        .crossJoin(broadcast(pri))
+        .select(col("doc_id") +: col("lang").as("actual") +:
+          NbLangs.map(l => round(col(s"f_$l") +
+            log(col(s"d_$l").cast("double") / col("nd")), 6).as(s"s_$l")): _*)
+      val predicted = NbLangs.init.zipWithIndex.foldRight(
+        lit(NbLangs.last): Column) { case ((l, i), els) =>
+        when(NbLangs.drop(i + 1).map(m => col(s"s_$l") >= col(s"s_$m"))
+          .reduce(_ && _), l).otherwise(els)
+      }
+      scored
+        .select(col("doc_id"), col("actual"), predicted.as("predicted"))
+        .orderBy("doc_id")
+    }),
+
     // BPE tokenizer training (Sennrich et al. 2016): learn BpeMerges merge
     // rules by repeatedly counting adjacent symbol pairs over the corpus
     // WORD HISTOGRAM and merging the most frequent pair (ties broken
@@ -935,6 +992,51 @@ object TextAnalysis {
         |  coalesce(CAST(max_bg AS DOUBLE) / n_bigrams, 0.0) AS top_bigram_frac
         |FROM ts LEFT JOIN bs ON ts.doc_id = bs.doc_id
         |ORDER BY ts.doc_id""".stripMargin,
+
+    // Generated over NbLangs: count pivots, per-class term-ordered folds,
+    // the same first-match >= argmax chain.
+    "ta_nb_langid" -> {
+      val cPiv = NbLangs.map(l =>
+        s"sum(CASE WHEN lang = '$l' THEN tf ELSE 0 END) AS c_$l").mkString(", ")
+      val nPiv = NbLangs.map(l =>
+        s"sum(CASE WHEN lang = '$l' THEN tf ELSE 0 END) AS n_$l").mkString(", ")
+      val dPiv = NbLangs.map(l =>
+        s"sum(CASE WHEN lang = '$l' THEN 1 ELSE 0 END) AS d_$l").mkString(", ")
+      val lps = NbLangs.map(l =>
+        s"tf.tf * ln((c_$l + 1.0) / (n_$l + v)) AS lp_$l").mkString(",\n         |    ")
+      val fs = NbLangs.map(l =>
+        s"list_sum(list(lp_$l ORDER BY term)) AS f_$l").mkString(",\n         |  ")
+      val ss = NbLangs.map(l =>
+        s"round(f_$l + ln(CAST(d_$l AS DOUBLE) / nd), 6) AS s_$l").mkString(",\n         |  ")
+      val caseChain = NbLangs.init.zipWithIndex.map { case (l, i) =>
+        s"WHEN ${NbLangs.drop(i + 1).map(m => s"s_$l >= s_$m").mkString(" AND ")} THEN '$l'"
+      }.mkString("\n         |       ")
+      s"""WITH tf AS (
+         |  SELECT doc_id, lang, term, count(*) AS tf FROM (
+         |    SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS term
+         |    FROM documents)
+         |  GROUP BY 1, 2, 3),
+         |ctf AS (SELECT term, $cPiv FROM tf GROUP BY term),
+         |cls AS (SELECT $nPiv FROM tf),
+         |vocab AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM ctf),
+         |pri AS (SELECT count(*) AS nd, $dPiv FROM documents),
+         |contrib AS (
+         |  SELECT tf.doc_id, tf.lang, tf.term,
+         |    $lps
+         |  FROM tf JOIN ctf USING (term) CROSS JOIN cls CROSS JOIN vocab),
+         |sc AS (
+         |  SELECT doc_id, lang,
+         |  $fs
+         |  FROM contrib GROUP BY doc_id, lang),
+         |fin AS (
+         |  SELECT doc_id, lang AS actual,
+         |  $ss
+         |  FROM sc CROSS JOIN pri)
+         |SELECT doc_id, actual,
+         |  CASE $caseChain
+         |       ELSE '${NbLangs.last}' END AS predicted
+         |FROM fin ORDER BY doc_id""".stripMargin
+    },
 
     // Generated: one CTE layer per merge round (pair counts → 1-row argmax
     // → applied merge), so DuckDB runs the identical fixed-depth algorithm

@@ -619,6 +619,19 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(totB / totC < 0.95, s"merges barely fired: ${totB / totC}")
   }
 
+  test("ta_nb_langid: predictions in-domain and above the majority baseline") {
+    val out = operators.TextAnalysis.queries("ta_nb_langid")(spark, dir).collect()
+    assert(out.length == 500)
+    val classes = Set("de", "en", "es", "fr", "zh")
+    assert(out.forall(r => classes(r.getString(2))))
+    val acc = out.count(r => r.getString(1) == r.getString(2)).toDouble / out.length
+    val majority = out.groupBy(_.getString(1)).values.map(_.length).max.toDouble / out.length
+    // A trained model must beat always-guess-the-majority-class; on this
+    // heavily-overlapping synthetic vocabulary the margin is small but
+    // must exist.
+    assert(acc >= majority, s"accuracy $acc below majority baseline $majority")
+  }
+
   test("ev_markov: a probability vector at the chain's fixpoint") {
     val out = operators.EventWindows.queries("ev_markov")(spark, dir).collect()
     assert(out.nonEmpty)

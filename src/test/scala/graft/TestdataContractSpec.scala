@@ -128,4 +128,17 @@ class TestdataContractSpec extends AnyFunSuite {
     assert(mn >= 0,
       s"events.value went negative ($mn) — a16_gini's domain assumption broke")
   }
+
+  test("documents.lang domain equals ta_nb_langid's generated class list") {
+    // The NB classifier's pivot columns and argmax chain are GENERATED
+    // over a fixed class list (the oracle SQL is a static string); a lang
+    // appearing outside it would silently train into no class.
+    import org.apache.spark.sql.functions._
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val langs = Tables.load(spark, d, "documents")
+        .select(col("lang")).distinct().collect().map(_.getString(0)).sorted.toSeq
+      assert(langs == Seq("de", "en", "es", "fr", "zh"),
+        s"$d lang domain drifted to $langs — regenerate NbLangs")
+    }
+  }
 }
