@@ -231,6 +231,59 @@ object Relational3 {
         .orderBy("event_type")
     }),
 
+    // Mann–Whitney U test between every pair of event types' value
+    // distributions — the nonparametric "did the distribution shift"
+    // test (robust where the t-test's normality assumption fails; the
+    // classic A/B metric for skewed values). Group-by-value identity
+    // again (the a16_gini trick): tied cents with combined multiplicity
+    // m starting at rank r0 carry doubled midrank 2·r0 + m − 1, so the
+    // DOUBLED rank sum R2 = Σ cA·(2r0+m−1) and tie correction
+    // T = Σ (m³−m) stay division-free exact integers; 2U = R2 − nA(nA+1),
+    // z = (2U − nA·nB) / (2σ) with the standard tie-corrected σ — one
+    // identical double expression, round(6). Shape: one corpus-scale
+    // (type, cents) aggregate; the ×(types−1) pair explode and the rank
+    // window run on the value-domain-scale histogram frame.
+    "a17_mwu" -> ((s, dir) => {
+      val h = load(s, dir, "events")
+        .select(col("event_type"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("c"))
+        .groupBy("event_type", "c").agg(count(lit(1)).as("m"))
+      val tys = h.select(col("event_type").as("t2")).distinct()
+      val paired = h.crossJoin(broadcast(tys))
+        .where(col("t2") =!= col("event_type"))
+        .select(least(col("event_type"), col("t2")).as("type_a"),
+          greatest(col("event_type"), col("t2")).as("type_b"),
+          col("event_type").as("own"), col("c"), col("m"))
+        .groupBy("type_a", "type_b", "c")
+        .agg(sum(when(col("own") === col("type_a"), col("m")).otherwise(0L)).as("ca"),
+          sum(when(col("own") === col("type_b"), col("m")).otherwise(0L)).as("cb"))
+      val wCum = Window.partitionBy("type_a", "type_b").orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val dec = (x: org.apache.spark.sql.Column) => x.cast("decimal(38,0)")
+      val agg = paired
+        .withColumn("r0", coalesce(sum(col("ca") + col("cb")).over(wCum), lit(0L)) + 1)
+        .groupBy("type_a", "type_b")
+        .agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
+          sum(dec(col("ca")) * (lit(2) * col("r0") + col("ca") + col("cb") - 1))
+            .as("r2a"),
+          sum(dec(col("ca") + col("cb")) * dec(col("ca") + col("cb")) *
+            dec(col("ca") + col("cb")) - dec(col("ca") + col("cb"))).as("t3"))
+      val u2 = col("r2a").cast("double") -
+        col("na").cast("double") * (col("na").cast("double") + 1)
+      val n = col("na").cast("double") + col("nb").cast("double")
+      val s2 = col("na").cast("double") * col("nb").cast("double") / 12.0 *
+        ((n + 1) - col("t3").cast("double") / (n * (n - 1)))
+      agg
+        .select(col("type_a"), col("type_b"), col("na").as("n_a"),
+          col("nb").as("n_b"),
+          round(u2 / 2.0 - col("na").cast("double") * col("nb").cast("double") / 2.0, 6)
+            .as("u_minus_mean"),
+          when(s2 > 0,
+            round((u2 - col("na").cast("double") * col("nb").cast("double")) /
+              (lit(2.0) * sqrt(s2)), 6)).as("z"))
+        .orderBy("type_a", "type_b")
+    }),
+
     // Population stability index over each type's VALUE distribution —
     // the shape-drift complement to prof_drift's category-share psi_term:
     // a type whose mix share is stable can still silently shift its value
@@ -595,6 +648,51 @@ object Relational3 {
          |  min(h) AS h_min
          |FROM rk WHERE rk <= 100
          |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "a17_mwu" ->
+      """WITH h AS (
+        |  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS c,
+        |    count(*) AS m
+        |  FROM events GROUP BY 1, 2),
+        |tys AS (SELECT DISTINCT event_type AS t2 FROM h),
+        |px AS (
+        |  SELECT least(h.event_type, t.t2) AS type_a,
+        |    greatest(h.event_type, t.t2) AS type_b,
+        |    h.event_type AS own, c, m
+        |  FROM h, tys t WHERE t.t2 <> h.event_type),
+        |pc AS (
+        |  SELECT type_a, type_b, c,
+        |    CAST(sum(CASE WHEN own = type_a THEN m ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN own = type_b THEN m ELSE 0 END) AS BIGINT) AS cb
+        |  FROM px GROUP BY 1, 2, 3),
+        |r AS (
+        |  SELECT *, coalesce(sum(ca + cb) OVER (PARTITION BY type_a, type_b
+        |    ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1 AS r0
+        |  FROM pc),
+        |a AS (
+        |  SELECT type_a, type_b,
+        |    CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb,
+        |    sum(CAST(ca AS HUGEINT) * (2 * r0 + ca + cb - 1)) AS r2a,
+        |    sum(CAST(ca + cb AS HUGEINT) * CAST(ca + cb AS HUGEINT)
+        |        * CAST(ca + cb AS HUGEINT) - (ca + cb)) AS t3
+        |  FROM r GROUP BY 1, 2)
+        |SELECT type_a, type_b, na AS n_a, nb AS n_b,
+        |  round((CAST(r2a AS DOUBLE) - CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) + 1))
+        |          / 2.0
+        |        - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 2.0, 6) AS u_minus_mean,
+        |  CASE WHEN CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0 *
+        |         ((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) + 1)
+        |          - CAST(t3 AS DOUBLE) / ((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
+        |            * (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) - 1))) > 0
+        |    THEN round((CAST(r2a AS DOUBLE)
+        |          - CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) + 1)
+        |          - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+        |        / (2.0 * sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0 *
+        |           ((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) + 1)
+        |            - CAST(t3 AS DOUBLE) / ((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
+        |              * (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) - 1))))), 6)
+        |  END AS z
+        |FROM a ORDER BY type_a, type_b""".stripMargin,
 
     "a16_gini" ->
       """WITH g AS (

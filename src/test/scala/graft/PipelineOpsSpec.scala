@@ -632,6 +632,31 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(acc >= majority, s"accuracy $acc below majority baseline $majority")
   }
 
+  test("a17_mwu: grouped identity matches directly computed midranks on one pair") {
+    val out = operators.Relational3.queries("a17_mwu")(spark, dir).collect()
+    assert(out.length == 10, "5 types should yield 10 unordered pairs")
+    val row = out.find(r =>
+      r.getString(0) == "click" && r.getString(1) == "purchase").get
+    val vals = Tables.load(spark, dir, "events")
+      .where(col("event_type").isin("click", "purchase"))
+      .select(col("event_type"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val sorted = vals.sortBy(_._2)
+    // midrank of a tied run starting at 1-based position p with length m
+    // is p + (m−1)/2
+    val midrank = sorted.zipWithIndex.groupBy(_._1._2).toSeq.flatMap { case (_, g) =>
+      val mr = (g.map(_._2 + 1).sum).toDouble / g.length
+      g.map { case ((t, _), _) => (t, mr) }
+    }
+    val nA = vals.count(_._1 == "click").toDouble
+    val nB = vals.count(_._1 == "purchase").toDouble
+    val rA = midrank.collect { case ("click", mr) => mr }.sum
+    val direct = (rA - nA * (nA + 1) / 2) - nA * nB / 2
+    assert(math.abs(row.getDouble(4) - direct) < 1e-4,
+      s"u_minus_mean ${row.getDouble(4)} vs direct $direct")
+  }
+
   test("ev_markov: a probability vector at the chain's fixpoint") {
     val out = operators.EventWindows.queries("ev_markov")(spark, dir).collect()
     assert(out.nonEmpty)
