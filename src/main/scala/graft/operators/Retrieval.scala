@@ -64,6 +64,9 @@ object Retrieval {
     * sized to the corpus mean document length. */
   private val QlMu = 50.0
 
+  /** ir_snippet: tokens per extracted passage window. */
+  private val SnipW = 16
+
   /** Dirichlet-smoothed query likelihood — the language-modeling twin of
     * BM25 (same two-scan broadcast shape): score(q,d) =
     * Σ_t ln((tf_t + μ·cf_t/|C|)/(dl + μ)). Per-doc term counts are
@@ -173,6 +176,37 @@ object Retrieval {
     // lexical-ranking pair.
     "ir_ql" -> ((s, dir) => qlTop(s, dir)),
 
+    // Query-biased snippet extraction — the RAG passage-selection step:
+    // for each BM25 top doc, the SnipW-token window with the most query-
+    // term hits (ties → earliest start; tail windows allowed, clamped by
+    // both engines' slice semantics). The broadcast top-k join prunes the
+    // corpus to the retrieved 50 docs BEFORE the token explode, so window
+    // scoring touches k·doclen tokens however big the corpus is — snippet
+    // cost is retrieval-bounded, not corpus-bounded. The per-doc window
+    // partitions on doc_id (high-cardinality) and all scores are integer
+    // hit counts — engine-exact.
+    "ir_snippet" -> ((s, dir) => {
+      val top = bm25Top(s, dir)
+      val pos = load(s, dir, "documents")
+        .select(col("doc_id"), toks(col("text")).as("t"))
+        .join(broadcast(top), "doc_id")
+        .select(col("doc_id"), col("score"), col("t"),
+          posexplode(col("t")).as(Seq("p", "tok")))
+        .withColumn("hit", col("tok").isin(QueryTerms: _*).cast("long"))
+      val wSum = Window.partitionBy("doc_id").orderBy("p")
+        .rowsBetween(0, SnipW - 1)
+      val wBest = Window.partitionBy("doc_id")
+        .orderBy(col("h").desc, col("p"))
+      pos
+        .withColumn("h", sum(col("hit")).over(wSum))
+        .withColumn("rn", row_number().over(wBest))
+        .where(col("rn") === 1)
+        .select(col("doc_id"), col("score"), col("p").as("snip_start"),
+          col("h").as("snip_hits"),
+          concat_ws(" ", slice(col("t"), col("p") + 1, lit(SnipW))).as("snippet"))
+        .orderBy("doc_id")
+    }),
+
     // All-pairs sparse TF-IDF cosine similarity via the inverted index —
     // the lexical near-duplicate / related-document join (the sparse
     // counterpart of emb_semdedup's dense path). Candidate pairs come ONLY
@@ -266,6 +300,29 @@ object Retrieval {
 
   private val termList = QueryTerms.map("'" + _ + "'").mkString(", ")
 
+  /** The ir_bm25 oracle — also embedded by ir_snippet as its top-k
+    * subquery (nested-CTE form), so both stay one definition. */
+  private val bm25OracleSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+       |  FROM documents),
+       |dlen AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+       |corpus AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+       |                  CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+       |           FROM dlen),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       |       WHERE term IN ($termList) GROUP BY doc_id, term),
+       |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+       |sc AS (
+       |  SELECT tf.doc_id, tf.term,
+       |    ln((corpus.n - df.df + 0.5) / (df.df + 0.5) + 1.0) *
+       |    (tf.tf * ${K1 + 1.0}) /
+       |    (tf.tf + $K1 * (1.0 - $B + $B * dlen.dl / corpus.avgdl)) AS sc
+       |  FROM tf JOIN df USING (term) JOIN dlen USING (doc_id) CROSS JOIN corpus)
+       |SELECT doc_id, round(list_sum(list(sc ORDER BY term)), 6) AS score
+       |FROM sc GROUP BY doc_id
+       |ORDER BY score DESC, doc_id LIMIT $TopN""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "ir_invindex" ->
       s"""WITH tok AS (SELECT DISTINCT doc_id, term FROM (
@@ -285,26 +342,30 @@ object Retrieval {
          |      i -> t[i] || ' ' || t[i+1]), b -> b = '$PhraseQuery')) > 0
          |ORDER BY doc_id""".stripMargin,
 
-    "ir_bm25" ->
-      s"""WITH tok AS (
-         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
-         |  FROM documents),
-         |dlen AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
-         |corpus AS (SELECT CAST(count(*) AS DOUBLE) AS n,
-         |                  CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
-         |           FROM dlen),
-         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
-         |       WHERE term IN ($termList) GROUP BY doc_id, term),
-         |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
-         |sc AS (
-         |  SELECT tf.doc_id, tf.term,
-         |    ln((corpus.n - df.df + 0.5) / (df.df + 0.5) + 1.0) *
-         |    (tf.tf * ${K1 + 1.0}) /
-         |    (tf.tf + $K1 * (1.0 - $B + $B * dlen.dl / corpus.avgdl)) AS sc
-         |  FROM tf JOIN df USING (term) JOIN dlen USING (doc_id) CROSS JOIN corpus)
-         |SELECT doc_id, round(list_sum(list(sc ORDER BY term)), 6) AS score
-         |FROM sc GROUP BY doc_id
-         |ORDER BY score DESC, doc_id LIMIT $TopN""".stripMargin,
+    "ir_bm25" -> bm25OracleSql,
+
+    // BM25 top-k as a nested-CTE subquery, then per-position window hit
+    // sums and the same (hits desc, start asc) argmax.
+    "ir_snippet" -> {
+      val terms = QueryTerms.map(t => s"'$t'").mkString(", ")
+      s"""WITH top AS (SELECT * FROM ($bm25OracleSql)),
+         |d AS (
+         |  SELECT t.doc_id, t.score, string_split(lower(dd.text), ' ') AS tk
+         |  FROM top t JOIN documents dd ON t.doc_id = dd.doc_id),
+         |pos AS (SELECT doc_id, score, tk, unnest(range(len(tk))) AS p FROM d),
+         |hs AS (
+         |  SELECT doc_id, score, tk, p,
+         |    sum(CASE WHEN tk[p + 1] IN ($terms) THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id ORDER BY p
+         |            ROWS BETWEEN CURRENT ROW AND ${SnipW - 1} FOLLOWING) AS h
+         |  FROM pos),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, p) AS rn
+         |      FROM hs)
+         |SELECT doc_id, score, CAST(p AS INT) AS snip_start,
+         |  CAST(h AS BIGINT) AS snip_hits,
+         |  array_to_string(tk[p + 1:p + $SnipW], ' ') AS snippet
+         |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin
+    },
 
     // Per-doc conditional tf (NOT the tok-explode join): zero-tf query
     // terms still contribute their smoothed mass, so every kept doc needs
