@@ -49,6 +49,10 @@ object Embeddings {
 
   /** emb_kcenter: number of greedy farthest-first rounds (centers picked). */
   private val KcRounds = 5
+
+  /** emb_knn_label: labeled query subset size and neighbor-vote count. */
+  private val KnnNq = 100
+  private val KnnK = 5
   private val PcaSquarings = 8
 
   /** Production-shaped PQ for the recall study (`ann_pq_big`): 8 subspaces
@@ -458,6 +462,61 @@ object Embeddings {
         BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
       (0 until dim).map(d => (d, r6(v(d)), r6(lam)))
         .toDF("d", "loading", "eigval").orderBy("d")
+    }),
+
+    // kNN majority-vote labeling through the IVF index — the weak-
+    // labeling / label-propagation primitive (predict a vector's class
+    // from its K nearest labeled neighbors): the ann_ivf candidate chain
+    // (coarse cells, NProbe probe lists, within-cell cosine) feeds a
+    // 5-neighbor majority vote with (votes desc, label asc) tie-break.
+    // Same scale levers as ann_ivf — Cells grows with the corpus so cell
+    // occupancy stays bounded; everything is broadcast seeds + cell-keyed
+    // joins; votes are integer counts, so prediction is engine-exact.
+    "emb_knn_label" -> ((s, dir) => {
+      graft.plans.ArrayExprs.register(s)
+      import graft.plans.ArrayExprs.dotProduct
+      val e = load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").as("v"), col("label"))
+        .withColumn("nrm", sqrt(dotProduct(col("v"), col("v"))))
+      val seeds = e.where(col("vec_id") < Cells)
+        .select(col("vec_id").as("cell"), col("v").as("cv"), col("nrm").as("cnrm"))
+      def cos(a: String, an: String, b: String, bn: String) =
+        round(dotProduct(col(a), col(b)) / (col(an) * col(bn)), 6)
+      val wAssign = Window.partitionBy("vec_id").orderBy(col("c").desc, col("cell"))
+      val assigned = e.crossJoin(broadcast(seeds))
+        .select(col("vec_id"), col("v"), col("nrm"), col("label"), col("cell"),
+          cos("v", "nrm", "cv", "cnrm").as("c"))
+        .withColumn("rn", row_number().over(wAssign))
+        .where(col("rn") === 1)
+        .select("vec_id", "v", "nrm", "label", "cell")
+      val q = e.where(col("vec_id") < KnnNq)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("nrm").as("qnrm"), col("label").as("q_label"))
+      val wProbe = Window.partitionBy("q_id").orderBy(col("c").desc, col("cell"))
+      val probes = q.crossJoin(broadcast(seeds))
+        .select(col("q_id"), col("qv"), col("qnrm"), col("q_label"), col("cell"),
+          cos("qv", "qnrm", "cv", "cnrm").as("c"))
+        .withColumn("rn", row_number().over(wProbe))
+        .where(col("rn") <= NProbe)
+        .select("q_id", "qv", "qnrm", "q_label", "cell")
+      val wRank = Window.partitionBy("q_id").orderBy(col("score").desc, col("n_id"))
+      val wVote = Window.partitionBy("q_id")
+        .orderBy(col("votes").desc, col("label"))
+      probes.join(assigned, "cell")
+        .where(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("q_label"), col("vec_id").as("n_id"),
+          col("label"), cos("qv", "qnrm", "v", "nrm").as("score"))
+        .groupBy("q_id", "q_label", "n_id", "label")
+        .agg(max(col("score")).as("score"))
+        .withColumn("rank", row_number().over(wRank))
+        .where(col("rank") <= KnnK)
+        .groupBy("q_id", "q_label", "label")
+        .agg(count(lit(1)).as("votes"))
+        .withColumn("brn", row_number().over(wVote))
+        .where(col("brn") === 1)
+        .select(col("q_id").as("vec_id"), col("q_label").as("actual"),
+          col("label").as("predicted"), col("votes"))
+        .orderBy("vec_id")
     }),
 
     // Greedy k-center / farthest-first traversal (Gonzalez 1985) — the
@@ -880,6 +939,40 @@ object Embeddings {
         |                  AS VARCHAR), ',' ORDER BY d) AS qvec
         |FROM e JOIN stats USING (d)
         |GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    // The ann_ivf chain with labels carried through + the vote layers.
+    "emb_knn_label" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+         |seeds AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < $Cells),
+         |ac AS (
+         |  SELECT e.vec_id, e.v, e.label, cell,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |                       ORDER BY round(list_cosine_similarity(e.v, cv), 6) DESC, cell) AS rn
+         |  FROM e, seeds),
+         |assigned AS (SELECT vec_id, v, label, cell FROM ac WHERE rn = 1),
+         |q AS (SELECT vec_id AS q_id, v AS qv, label AS q_label FROM e
+         |      WHERE vec_id < $KnnNq),
+         |pc AS (
+         |  SELECT q_id, qv, q_label, cell,
+         |    row_number() OVER (PARTITION BY q_id
+         |                       ORDER BY round(list_cosine_similarity(qv, cv), 6) DESC, cell) AS rn
+         |  FROM q, seeds),
+         |probes AS (SELECT q_id, qv, q_label, cell FROM pc WHERE rn <= $NProbe),
+         |cand AS (
+         |  SELECT q_id, q_label, a.vec_id AS n_id, a.label AS label,
+         |    max(round(list_cosine_similarity(qv, a.v), 6)) AS score
+         |  FROM probes p JOIN assigned a ON p.cell = a.cell
+         |  WHERE a.vec_id <> p.q_id
+         |  GROUP BY 1, 2, 3, 4),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rank
+         |      FROM cand),
+         |vt AS (SELECT q_id, q_label, label, count(*) AS votes
+         |       FROM r WHERE rank <= $KnnK GROUP BY 1, 2, 3),
+         |b AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY votes DESC, label) AS brn
+         |      FROM vt)
+         |SELECT q_id AS vec_id, q_label AS actual, label AS predicted,
+         |  CAST(votes AS BIGINT) AS votes
+         |FROM b WHERE brn = 1 ORDER BY vec_id""".stripMargin,
 
     "ann_ivf" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

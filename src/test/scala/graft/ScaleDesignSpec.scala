@@ -317,6 +317,7 @@ class ScaleDesignSpec extends AnyFunSuite {
       "ta_bpe_apply" -> 1, // oracle sort only: merge rules come from the vocab-scale training collects; application is pure map-side string work over the corpus scan
       "a17_mwu" -> 5, // (type,cents) histogram agg + pair-explode agg + per-pair rollup + oracle sort; pair explode and rank window ride the value-domain-scale histogram frame
       "ir_snippet" -> 3, // bm25 stats agg + the retrieved-50-doc window partition + oracle sort; the broadcast top-k join prunes the corpus BEFORE the token explode, so window cost is retrieval-bounded
+      "emb_knn_label" -> 7, // the ann_ivf chain (assign window + probe window + cell-keyed candidate join + score dedup agg) + vote agg + oracle sort; seeds broadcast
       "ta_nb_langid" -> 8, // (doc,lang,term) tf agg + term-keyed pivot agg + term-keyed contrib join + per-doc fold agg + oracle sort; class/vocab/prior stats ride one-row broadcasts
       "ta_bpe_train" -> 1, // final 6-row sort only: the corpus word histogram + per-round pair argmaxes run inside the driver loop's own collects (vocab-scale frames behind localCheckpoint)
       "emb_pca_power" -> 1) // result sort only: the Gramian build's pair-explode agg runs inside the query's own collect (the MLlib design — d×d is model-scale), output is a 64-row local relation
