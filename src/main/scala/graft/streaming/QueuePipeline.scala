@@ -124,4 +124,13 @@ object QueuePipeline {
     * Use inside foreachBatch where the batch is a plain DataFrame. */
   def perTriggerCap(batch: DataFrame, n: Int, order: Column*): DataFrame =
     batch.orderBy(order: _*).limit(n)
+
+  /** Stream-static enrichment join — the standard streaming dimension
+    * lookup (J2's streaming face): each micro-batch broadcast-joins the
+    * static dim frame, so NO stream state is ever kept (spec pins zero
+    * state rows) and the join adds no watermark requirement. Left join:
+    * events with no dim row pass through with nulls rather than silently
+    * dropping — the defensive default for reference-data gaps. */
+  def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(org.apache.spark.sql.functions.broadcast(dim), Seq(key), "left")
 }

@@ -181,4 +181,36 @@ class StreamingSpec extends AnyFunSuite {
       assert(spark.table("avail_out").count() == 3)
     } finally q.stop()
   }
+
+  test("stream-static enrichment join: broadcast dim lookup, stateless, left semantics") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq(("melbourne", "AU"), ("sydney", "AU"))
+      .toDF("subreddit", "region")
+    val mem = MemoryStream[String]
+    mem.addData(s"[${post("e1")},${post("e2")}]")
+    val q = enrich(decodePosts(mem.toDF()), dim, "subreddit")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("enrich_out").start()
+    try {
+      q.processAllAvailable()
+      val out1 = spark.table("enrich_out")
+      assert(out1.count() == 2)
+      assert(out1.where(col("region") === "AU").count() == 2, "dim lookup missed")
+      // Left semantics: an event with no dim row passes through with null.
+      mem.addData(s"""[{"author":"u2","created_utc":"2024-01-01T11:00:00Z",
+        |"id":"e3","num_comments":0,"score":1,"selftext":"","subreddit":"perth",
+        |"title":"t","url":"u"}]""".stripMargin.replaceAll("\n", ""))
+      q.processAllAvailable()
+      val out2 = spark.table("enrich_out")
+      assert(out2.count() == 3)
+      assert(out2.where(col("subreddit") === "perth" && col("region").isNull)
+        .count() == 1, "unmatched event dropped or mis-enriched")
+      // Stateless: a broadcast per micro-batch, never a state store.
+      assert(q.lastProgress == null ||
+        q.lastProgress.stateOperators.isEmpty ||
+        q.lastProgress.stateOperators.forall(_.numRowsTotal == 0),
+        "stream-static join grew state rows")
+    } finally q.stop()
+  }
 }
