@@ -284,6 +284,54 @@ object Relational3 {
         .orderBy("type_a", "type_b")
     }),
 
+    // Two-sample Kolmogorov–Smirnov statistic between every pair of event
+    // types — the CDF-distance companion to a17_mwu (KS sees shape
+    // differences a rank test can miss). EXACT until the last division:
+    // D = max_x |F_A(x) − F_B(x)| is computed as the integer maximum
+    // M = max |cumA·nB − cumB·nA| over the merged cent histogram
+    // (cross-multiplied CDFs — no per-step float), then D = M/(nA·nB) and
+    // the asymptotic λ = D·√(nA·nB/(nA+nB)) in one identical double
+    // expression, round(6). Same scale shape as a17_mwu: one corpus-scale
+    // (type, cents) aggregate; pair explode + CDF windows on the
+    // value-domain-scale histogram frame.
+    "a18_ks" -> ((s, dir) => {
+      val h = load(s, dir, "events")
+        .select(col("event_type"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("c"))
+        .groupBy("event_type", "c").agg(count(lit(1)).as("m"))
+      val tys = h.select(col("event_type").as("t2")).distinct()
+      val paired = h.crossJoin(broadcast(tys))
+        .where(col("t2") =!= col("event_type"))
+        .select(least(col("event_type"), col("t2")).as("type_a"),
+          greatest(col("event_type"), col("t2")).as("type_b"),
+          col("event_type").as("own"), col("c"), col("m"))
+        .groupBy("type_a", "type_b", "c")
+        .agg(sum(when(col("own") === col("type_a"), col("m")).otherwise(0L)).as("ca"),
+          sum(when(col("own") === col("type_b"), col("m")).otherwise(0L)).as("cb"))
+      val wCdf = Window.partitionBy("type_a", "type_b").orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wAll = Window.partitionBy("type_a", "type_b")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val dec = (x: org.apache.spark.sql.Column) => x.cast("decimal(38,0)")
+      val naD = col("na").cast("double")
+      val nbD = col("nb").cast("double")
+      paired
+        .withColumn("cuma", sum(col("ca")).over(wCdf))
+        .withColumn("cumb", sum(col("cb")).over(wCdf))
+        .withColumn("na", sum(col("ca")).over(wAll))
+        .withColumn("nb", sum(col("cb")).over(wAll))
+        .groupBy("type_a", "type_b")
+        .agg(max(col("na")).as("na"), max(col("nb")).as("nb"),
+          max(abs(dec(col("cuma")) * col("nb") - dec(col("cumb")) * col("na")))
+            .as("mx"))
+        .select(col("type_a"), col("type_b"), col("na").as("n_a"),
+          col("nb").as("n_b"),
+          round(col("mx").cast("double") / (naD * nbD), 6).as("d"),
+          round(col("mx").cast("double") / (naD * nbD) *
+            sqrt(naD * nbD / (naD + nbD)), 6).as("lambda"))
+        .orderBy("type_a", "type_b")
+    }),
+
     // Population stability index over each type's VALUE distribution —
     // the shape-drift complement to prof_drift's category-share psi_term:
     // a type whose mix share is stable can still silently shift its value
@@ -648,6 +696,44 @@ object Relational3 {
          |  min(h) AS h_min
          |FROM rk WHERE rk <= 100
          |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "a18_ks" ->
+      """WITH h AS (
+        |  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS c,
+        |    count(*) AS m
+        |  FROM events GROUP BY 1, 2),
+        |tys AS (SELECT DISTINCT event_type AS t2 FROM h),
+        |px AS (
+        |  SELECT least(h.event_type, t.t2) AS type_a,
+        |    greatest(h.event_type, t.t2) AS type_b,
+        |    h.event_type AS own, c, m
+        |  FROM h, tys t WHERE t.t2 <> h.event_type),
+        |pc AS (
+        |  SELECT type_a, type_b, c,
+        |    CAST(sum(CASE WHEN own = type_a THEN m ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN own = type_b THEN m ELSE 0 END) AS BIGINT) AS cb
+        |  FROM px GROUP BY 1, 2, 3),
+        |cd AS (
+        |  SELECT type_a, type_b,
+        |    CAST(sum(ca) OVER cdf AS BIGINT) AS cuma,
+        |    CAST(sum(cb) OVER cdf AS BIGINT) AS cumb,
+        |    CAST(sum(ca) OVER whole AS BIGINT) AS na,
+        |    CAST(sum(cb) OVER whole AS BIGINT) AS nb
+        |  FROM pc
+        |  WINDOW cdf AS (PARTITION BY type_a, type_b ORDER BY c
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         whole AS (PARTITION BY type_a, type_b
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
+        |a AS (
+        |  SELECT type_a, type_b, max(na) AS na, max(nb) AS nb,
+        |    max(abs(CAST(cuma AS HUGEINT) * nb - CAST(cumb AS HUGEINT) * na)) AS mx
+        |  FROM cd GROUP BY 1, 2)
+        |SELECT type_a, type_b, na AS n_a, nb AS n_b,
+        |  round(CAST(mx AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) AS d,
+        |  round(CAST(mx AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) *
+        |        sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+        |             / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))), 6) AS lambda
+        |FROM a ORDER BY type_a, type_b""".stripMargin,
 
     "a17_mwu" ->
       """WITH h AS (

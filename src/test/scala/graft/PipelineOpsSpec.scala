@@ -657,6 +657,28 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"u_minus_mean ${row.getDouble(4)} vs direct $direct")
   }
 
+  test("a18_ks: D in [0,1] and matches a directly computed CDF distance on one pair") {
+    val out = operators.Relational3.queries("a18_ks")(spark, dir).collect()
+    assert(out.length == 10)
+    out.foreach(r => assert(r.getDouble(4) >= 0 && r.getDouble(4) <= 1))
+    val row = out.find(r =>
+      r.getString(0) == "click" && r.getString(1) == "purchase").get
+    val vals = Tables.load(spark, dir, "events")
+      .where(col("event_type").isin("click", "purchase"))
+      .select(col("event_type"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val a = vals.filter(_._1 == "click").map(_._2).sorted
+    val b = vals.filter(_._1 == "purchase").map(_._2).sorted
+    val grid = (a ++ b).distinct.sorted
+    val d = grid.map { x =>
+      math.abs(a.count(_ <= x).toDouble / a.length -
+        b.count(_ <= x).toDouble / b.length)
+    }.max
+    assert(math.abs(row.getDouble(4) - d) < 1e-4,
+      s"D ${row.getDouble(4)} vs direct $d")
+  }
+
   test("ev_markov: a probability vector at the chain's fixpoint") {
     val out = operators.EventWindows.queries("ev_markov")(spark, dir).collect()
     assert(out.nonEmpty)
