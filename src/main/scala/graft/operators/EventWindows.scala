@@ -160,6 +160,34 @@ object EventWindows {
         .orderBy("event_id")
     }),
 
+    // Hour-of-day seasonality per event type: peak hour, peak share, and
+    // an EXACT χ² uniformity statistic — "is this type's traffic flat or
+    // rush-hour shaped" (the monitoring gate before capacity planning or
+    // sampling by time-of-day). Algebra keeps χ² integer to the last
+    // division: Σ(O−n/24)²/(n/24) = (24·ΣO² − n²)/n, with ΣO² and n² in
+    // decimal(38,0)/HUGEINT (absent hours contribute 0² = 0, so summing
+    // present rows IS the 24-hour sum). One corpus-scale (type, hour)
+    // aggregate; the peak argmax window rides the ≤ types×24 frame.
+    "ev_seasonality" -> ((s, dir) => {
+      val g = load(s, dir, "events")
+        .select(col("event_type"), hour(col("ts")).as("h"))
+        .groupBy("event_type", "h").agg(count(lit(1)).as("o"))
+      val wPeak = Window.partitionBy("event_type")
+        .orderBy(col("o").desc, col("h"))
+      g.withColumn("rn", row_number().over(wPeak))
+        .groupBy("event_type")
+        .agg(sum(col("o")).as("n"),
+          sum(col("o").cast("decimal(38,0)") * col("o")).as("so2"),
+          max(when(col("rn") === 1, col("h"))).as("peak_hour"),
+          max(when(col("rn") === 1, col("o"))).as("peak_o"))
+        .select(col("event_type"), col("n"), col("peak_hour"),
+          round(col("peak_o").cast("double") / col("n"), 6).as("peak_share"),
+          round((lit(24) * col("so2").cast("double") -
+              col("n").cast("double") * col("n").cast("double")) / col("n"), 6)
+            .as("chi2_uniform"))
+        .orderBy("event_type")
+    }),
+
     // Stationary distribution of the event-type Markov chain — "where
     // does user behavior settle": row-normalize the ev_transitions count
     // matrix and power-iterate π ← πP from uniform. Scale shape: the
@@ -438,6 +466,25 @@ object EventWindows {
          |  AND abs(CAST(c * n - cs AS DOUBLE)
          |          / sqrt(CAST(n * css - cs * cs AS DOUBLE))) >= $AnomZ
          |ORDER BY event_id""".stripMargin,
+
+    "ev_seasonality" ->
+      """WITH g AS (
+        |  SELECT event_type, CAST(extract(hour FROM ts) AS INT) AS h,
+        |    count(*) AS o
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |        ORDER BY o DESC, h) AS rn FROM g),
+        |a AS (
+        |  SELECT event_type, CAST(sum(o) AS BIGINT) AS n,
+        |    sum(CAST(o AS HUGEINT) * o) AS so2,
+        |    max(CASE WHEN rn = 1 THEN h END) AS peak_hour,
+        |    max(CASE WHEN rn = 1 THEN o END) AS peak_o
+        |  FROM r GROUP BY 1)
+        |SELECT event_type, n, peak_hour,
+        |  round(CAST(peak_o AS DOUBLE) / n, 6) AS peak_share,
+        |  round((24 * CAST(so2 AS DOUBLE) - CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+        |        / n, 6) AS chi2_uniform
+        |FROM a ORDER BY event_type""".stripMargin,
 
     // Generated: MarkovIters unrolled mat-vec CTE layers, terms folded in
     // from-state order (the driver loop's exact arithmetic).
