@@ -53,6 +53,9 @@ object Embeddings {
   /** emb_knn_label: labeled query subset size and neighbor-vote count. */
   private val KnnNq = 100
   private val KnnK = 5
+
+  /** emb_outliers: how many least-prototypical vectors to surface. */
+  private val EmbOutK = 20
   private val PcaSquarings = 8
 
   /** Production-shaped PQ for the recall study (`ann_pq_big`): 8 subspaces
@@ -464,6 +467,19 @@ object Embeddings {
         .toDF("d", "loading", "eigval").orderBy("d")
     }),
 
+    // Prototypicality outliers: the EmbOutK vectors LEAST similar to
+    // their own k-means centroid — the inverse of SemDeDup's
+    // prototype-keeping: these are the mislabeled / out-of-distribution /
+    // frontier examples a curation pass inspects first (Sorscher et al.
+    // 2022 prune by exactly this margin). Pure composition of the shared
+    // kmeansAssigned chain + a TakeOrdered cut — no new shuffle beyond
+    // the k-means iterations themselves.
+    "emb_outliers" -> ((s, dir) =>
+      kmeansAssigned(s, dir)
+        .select(col("vec_id"), col("cluster"), col("c").as("score"))
+        .orderBy(col("score"), col("vec_id"))
+        .limit(EmbOutK)),
+
     // kNN majority-vote labeling through the IVF index — the weak-
     // labeling / label-propagation primitive (predict a vector's class
     // from its K nearest labeled neighbors): the ann_ivf candidate chain
@@ -844,6 +860,11 @@ object Embeddings {
       s"""$kmeansCteSql
          |SELECT vec_id, cluster, c AS score FROM a2r WHERE rn = 1
          |ORDER BY vec_id""".stripMargin,
+
+    "emb_outliers" ->
+      s"""$kmeansCteSql
+         |SELECT vec_id, cluster, c AS score FROM a2r WHERE rn = 1
+         |ORDER BY score, vec_id LIMIT $EmbOutK""".stripMargin,
 
     "emb_semdedup" ->
       s"""$kmeansCteSql,
