@@ -494,6 +494,46 @@ object Relational3 {
         .orderBy(col("pair_orders").desc, col("pa"), col("pb"))
     }),
 
+    // Item-item similarity scores over the co-purchase counts — the
+    // collaborative-filtering / association-rule layer on top of
+    // rec_cooccur's exact integers: cosine c_ij/√(c_i·c_j) (the item-item
+    // CF similarity), lift c_ij·N/(c_i·c_j) (association strength vs
+    // independence), and confidence c_ij/c_i (the rule score). All inputs
+    // are the same integer supports; each metric is one identical double
+    // expression, round(6). Same scale shape as rec_cooccur — basket-
+    // bounded pair explode, keyed support joins, a one-row total
+    // broadcast.
+    "rec_item_sim" -> ((s, dir) => {
+      val items = load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val pairs = items
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+        .select(explode(expr(
+          "flatten(transform(ps, (x, i) -> " +
+            "transform(slice(ps, i + 2, size(ps) - i - 1), " +
+            "y -> struct(x AS pa, y AS pb))))")).as("pr"))
+        .groupBy(col("pr.pa").as("pa"), col("pr.pb").as("pb"))
+        .agg(count(lit(1)).as("c"))
+        .where(col("c") >= 2)
+      val supp = items.groupBy("l_partkey").agg(count(lit(1)).as("s"))
+      val tot = items.select("l_orderkey").distinct().agg(count(lit(1)).as("n"))
+      val cD = col("c").cast("double")
+      val saD = col("sa").cast("double")
+      val sbD = col("sb").cast("double")
+      pairs
+        .join(supp.select(col("l_partkey").as("ka"), col("s").as("sa")),
+          col("pa") === col("ka"))
+        .join(supp.select(col("l_partkey").as("kb"), col("s").as("sb")),
+          col("pb") === col("kb"))
+        .crossJoin(broadcast(tot))
+        .select(col("pa"), col("pb"), col("c").as("pair_orders"),
+          round(cD / sqrt(saD * sbD), 6).as("cosine"),
+          round(cD * col("n").cast("double") / (saD * sbD), 6).as("lift"),
+          round(cD / saD, 6).as("confidence"))
+        .orderBy("pa", "pb")
+    }),
+
     // Winsorized (5%/95%-clamped) robust mean per group, with the order
     // statistics computed the 100 TB way: no per-group sort, no
     // percentile() over data rows. The 2-dp quantity becomes exact
@@ -907,6 +947,26 @@ object Relational3 {
         |FROM ps JOIN supp sa ON pa = sa.l_partkey
         |        JOIN supp sb ON pb = sb.l_partkey
         |ORDER BY pair_orders DESC, pa, pb""".stripMargin,
+
+    "rec_item_sim" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |ps AS (
+        |  SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS c
+        |  FROM items a JOIN items b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |supp AS (SELECT l_partkey, count(*) AS s FROM items GROUP BY 1),
+        |tot AS (SELECT count(DISTINCT l_orderkey) AS n FROM items)
+        |SELECT pa, pb, CAST(c AS BIGINT) AS pair_orders,
+        |  round(CAST(c AS DOUBLE)
+        |        / sqrt(CAST(sa.s AS DOUBLE) * CAST(sb.s AS DOUBLE)), 6) AS cosine,
+        |  round(CAST(c AS DOUBLE) * CAST(n AS DOUBLE)
+        |        / (CAST(sa.s AS DOUBLE) * CAST(sb.s AS DOUBLE)), 6) AS lift,
+        |  round(CAST(c AS DOUBLE) / CAST(sa.s AS DOUBLE), 6) AS confidence
+        |FROM ps JOIN supp sa ON pa = sa.l_partkey
+        |        JOIN supp sb ON pb = sb.l_partkey
+        |        CROSS JOIN tot
+        |ORDER BY pa, pb""".stripMargin,
 
     "a15_quantile_2phase" ->
       """WITH c AS (SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS c

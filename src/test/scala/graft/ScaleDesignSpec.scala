@@ -316,6 +316,7 @@ class ScaleDesignSpec extends AnyFunSuite {
       "ev_markov" -> 1,
       "ev_seasonality" -> 3, // (type,hour) agg + per-type rollup + oracle sort; the peak window rides the types×24 frame above the aggregate // result sort only: the user-keyed lag window + (from,to) agg run inside the query's own collects (the emb_pca_power model-scale discipline), output is a types-sized local relation
       "ta_bpe_apply" -> 1, // oracle sort only: merge rules come from the vocab-scale training collects; application is pure map-side string work over the corpus scan
+      "rec_item_sim" -> 7, // the rec_cooccur chain (distinct + basket agg + pair agg + support agg with ReuseExchange) + 2 support joins + oracle sort; totals ride a one-row broadcast
       "a17_mwu" -> 5,
       "a18_ks" -> 5, // same histogram shape as a17_mwu: (type,cents) agg + pair-explode agg + CDF windows + per-pair max rollup + oracle sort // (type,cents) histogram agg + pair-explode agg + per-pair rollup + oracle sort; pair explode and rank window ride the value-domain-scale histogram frame
       "ir_snippet" -> 3, // bm25 stats agg + the retrieved-50-doc window partition + oracle sort; the broadcast top-k join prunes the corpus BEFORE the token explode, so window cost is retrieval-bounded
