@@ -295,6 +295,28 @@ object EventWindows {
         .select(col("d"), col("wau"))
         .orderBy("d")),
 
+    // DAU/MAU stickiness per observed day — the engagement ratio product
+    // analytics watches daily. Same shape as ev_rolling_wau with the
+    // 28-day trailing window: each distinct (user, day) pair fans out to
+    // the ≤28 future days it keeps the user "monthly active" for, the
+    // direct-day flag yields DAU from the SAME aggregate that counts MAU
+    // (and drops phantom days), so one keyed shuffle of ≤28× the distinct
+    // pairs + one day-scale agg covers both numerator and denominator —
+    // no second distinct, no day-range join.
+    "ev_stickiness" -> ((s, dir) =>
+      load(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day"),
+          explode(sequence(lit(0), lit(27))).as("k"))
+        .select(col("user_id"), date_add(col("day"), col("k")).as("d"),
+          (col("k") === 0).cast("int").as("direct"))
+        .groupBy("user_id", "d").agg(max(col("direct")).as("direct"))
+        .groupBy("d").agg(sum(col("direct")).as("dau"),
+          count(lit(1)).as("mau"), max(col("direct")).as("hit"))
+        .where(col("hit") === 1)
+        .select(col("d"), col("dau"), col("mau"),
+          round(col("dau").cast("double") / col("mau"), 6).as("stickiness"))
+        .orderBy("d")),
+
     // Daily retention triangle (the product-analytics D0–D7 matrix):
     // cohort = a user's first-seen day; `users` = cohort members active
     // exactly k days later (k ≤ 7); `retention` = users / cohort size
@@ -599,6 +621,19 @@ object EventWindows {
         |SELECT f.d, count(DISTINCT f.user_id) AS wau
         |FROM fan f JOIN days USING (d)
         |GROUP BY f.d ORDER BY f.d""".stripMargin,
+
+    "ev_stickiness" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |fan AS (
+        |  SELECT user_id, day + CAST(k AS INT) AS d,
+        |    CAST(k = 0 AS INT) AS direct
+        |  FROM ud, (SELECT unnest(range(28)) AS k)),
+        |dd AS (SELECT user_id, d, max(direct) AS direct FROM fan GROUP BY 1, 2)
+        |SELECT d, CAST(sum(direct) AS BIGINT) AS dau, count(*) AS mau,
+        |  round(CAST(sum(direct) AS DOUBLE) / count(*), 6) AS stickiness
+        |FROM dd GROUP BY d HAVING max(direct) = 1
+        |ORDER BY d""".stripMargin,
 
     "ev_retention" ->
       """WITH per AS (
