@@ -80,11 +80,12 @@ object Dedup {
   /** SimHash signature width (bits of the 32-bit token hash used). */
   private val SimBits = 16
   // dd_simhash_hamming banding: SimBands × SimBandBits must cover SimBits,
-  // and the pigeonhole guarantee needs SimMaxHam < SimBands. 2×8-bit bands
-  // at Hamming <= 1: this synthetic corpus shares so much vocabulary that a
-  // 16-bit simhash concentrates (4×4-bit bands at ham<=3 emitted 34% of ALL
-  // pairs at sf0.001 — correct, but an output quadratic in the corpus);
-  // ham<=1 keeps the output the near-identical set the operator is for.
+  // and the pigeonhole guarantee needs SimMaxHam < SimBands — with the
+  // CURRENT constants: ham <= 1 < 2 bands, so every true pair agrees on
+  // >= 1 full 8-bit band. (Historical note, NOT the live configuration: an
+  // earlier 4×4-bit/ham<=3 setting emitted 34% of ALL pairs at sf0.001 on
+  // this vocabulary-dense synthetic corpus — correct but quadratic output;
+  // ham<=1 keeps the output the near-identical set the operator is for.)
   private val SimBands = 2
   private val SimBandBits = 8
   private val SimMaxHam = 1

@@ -34,11 +34,6 @@ object Embeddings {
   /** SemDeDup within-cluster cosine near-dup threshold. */
   private val SemTau = 0.4
 
-  /** Product quantization: PqM subspaces of PqSubDim dims each (64-dim
-    * vectors → 2×32), codebook size = KmK per subspace. */
-  private val PqM = 2
-  private val PqSubDim = 32
-
   /** emb_pca_power: embedding width (require()d at runtime) and matrix-
     * squaring count — the iterate applies C^(2^M), so M=8 is an effective
     * 256-step power iteration (this corpus's eigengap is ~0.97: plain
@@ -46,6 +41,16 @@ object Embeddings {
     * effective steps ≈ 0.97^256 residual). Fixed M (not run-to-
     * convergence) so the DuckDB oracle is the identical computation. */
   private val EmbD = 64
+
+  /** Product quantization: PqM subspaces of PqSubDim dims each (64-dim
+    * vectors → 2×32), codebook size = KmK per subspace. PqSubDim is
+    * DERIVED, not a free constant: both the Spark chain and the DuckDB
+    * oracles (annPqSql, ann_ivfpq, ann_ivfpq_res) generate their per-
+    * subspace columns over `(0 until PqM)`, so changing PqM alone keeps
+    * cross-engine parity (verified by a PqM=4 scratch run, round 10). */
+  private val PqM = 2
+  require(EmbD % PqM == 0, s"PqM=$PqM must divide the embedding width $EmbD")
+  private val PqSubDim = EmbD / PqM
 
   /** emb_kcenter: number of greedy farthest-first rounds (centers picked). */
   private val KcRounds = 5
@@ -260,7 +265,8 @@ object Embeddings {
     // per-subspace codebook, store one byte-sized code per subspace
     // (64 doubles → 2 codes here). See [[pqSub]] for the chain.
     "emb_pq" -> ((s, dir) =>
-      pqSub(s, dir, 0)._1.join(pqSub(s, dir, 1)._1, "vec_id").orderBy("vec_id")),
+      (0 until PqM).map(m => pqSub(s, dir, m)._1)
+        .reduce(_.join(_, "vec_id")).orderBy("vec_id")),
 
     // ADC search over the PQ codes (the asymmetric-distance half of PQ):
     // per query, the distance to EVERY centroid of every subspace is a tiny
@@ -548,8 +554,11 @@ object Embeddings {
     // TakeOrdered(1) — no shuffle exchange at all; rounds are unrolled
     // behind per-round localCheckpoints (the gr_shortest_path discipline)
     // so the corpus is scanned exactly KcRounds times, never re-derived.
-    // Distances are the VectorFns sequential-fold form, bit-identical to
-    // DuckDB's list_sum, so the greedy trajectory matches exactly.
+    // Distances are the sequential-fold form AND rounded to 6 places
+    // before every argmax/least (the ann_mmr discipline): the greedy
+    // trajectory must not hinge on a summation-order tie between Spark's
+    // aggregate() fold and DuckDB's list_sum — at 6 dp the two engines
+    // compare identical doubles by construction.
     "emb_kcenter" -> ((s, dir) => {
       val e = load(s, dir, "embeddings")
         .select(col("vec_id"),
@@ -560,7 +569,8 @@ object Embeddings {
       val seed = e.orderBy("vec_id").limit(1)
         .select(col("vec_id").as("c_id"), col("v").as("cv"))
       var m = e.crossJoin(broadcast(seed))
-        .select(col("vec_id"), col("v"), d2(col("v"), col("cv")).as("mind"))
+        .select(col("vec_id"), col("v"),
+          round(d2(col("v"), col("cv")), 6).as("mind"))
         .localCheckpoint()
       var picks = seed.select(lit(1L).as("step"), col("c_id").as("vec_id"),
         lit(0.0).as("dist"))
@@ -573,7 +583,7 @@ object Embeddings {
         if (k < KcRounds)
           m = m.crossJoin(broadcast(c.drop("cd")))
             .select(col("vec_id"), col("v"),
-              least(col("mind"), d2(col("v"), col("cv"))).as("mind"))
+              least(col("mind"), round(d2(col("v"), col("cv")), 6)).as("mind"))
             .localCheckpoint()
       }
       picks.orderBy("step")
@@ -836,11 +846,11 @@ object Embeddings {
       val ctes = Seq.newBuilder[String]
       ctes += "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"
       ctes += "c1 AS (SELECT vec_id AS c_id, v AS cv FROM e ORDER BY vec_id LIMIT 1)"
-      ctes += s"m1 AS (SELECT e.vec_id, e.v, ${d2("e.v", "c1.cv")} AS mind FROM e, c1)"
+      ctes += s"m1 AS (SELECT e.vec_id, e.v, round(${d2("e.v", "c1.cv")}, 6) AS mind FROM e, c1)"
       for (k <- 2 to KcRounds) {
         ctes += s"c$k AS (SELECT vec_id AS c_id, v AS cv, mind AS cd FROM m${k - 1} ORDER BY mind DESC, vec_id LIMIT 1)"
         if (k < KcRounds)
-          ctes += s"m$k AS (SELECT m.vec_id, m.v, least(m.mind, ${d2("m.v", s"c$k.cv")}) AS mind FROM m${k - 1} m, c$k)"
+          ctes += s"m$k AS (SELECT m.vec_id, m.v, least(m.mind, round(${d2("m.v", s"c$k.cv")}, 6)) AS mind FROM m${k - 1} m, c$k)"
       }
       val rows =
         Seq("SELECT CAST(1 AS BIGINT) AS step, c_id AS vec_id, CAST(0.0 AS DOUBLE) AS dist FROM c1") ++

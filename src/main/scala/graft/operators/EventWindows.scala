@@ -54,12 +54,13 @@ object EventWindows {
     // keeps integer power sums (count/sum/sum-of-squares — exact on any
     // partitioning), and z = (c·n − cs)/√(n·css − cs²) is division-free
     // until one sqrt + one divide over identical integers — bit-identical
-    // cross-engine before the round(6) guard. Integer bounds: css sums
-    // AnomWin cent-squares, so n·css − cs² < AnomWin²·(100·|value|)² —
-    // int64-safe while |value| ≲ 9×10⁶; TestdataContractSpec pins the
-    // events value domain far inside that (DuckDB would raise on BIGINT
-    // overflow where Spark wraps, so the bound is a cross-engine contract,
-    // not just a precision one).
+    // cross-engine before the round(6) guard. Integer bounds: the
+    // squared-cents sum css and the discriminant n·css − cs² accumulate
+    // in DECIMAL(38,0) (DuckDB: HUGEINT) — the ev_cumsum/a13_moments
+    // house pattern — so NO value domain can wrap either engine: both
+    // stay exact to 38 digits and fail loudly (never silently diverge)
+    // beyond. Only c·n − cs stays int64: |c| ≤ 1e16 cents would be
+    // needed to wrap it, far past the DECIMAL(18,2) ingest domain.
     //
     // Scale shape: event_type has a handful of values, so a plain
     // per-type window would funnel each type's whole timeline through one
@@ -84,12 +85,14 @@ object EventWindows {
       val stats = dup
         .withColumn("n", count(lit(1)).over(w))
         .withColumn("cs", sum(col("c")).over(w))
-        .withColumn("css", sum(col("c") * col("c")).over(w))
+        .withColumn("css",
+          sum(col("c").cast("decimal(38,0)") * col("c")).over(w))
+      val disc = col("n") * col("css") -
+        col("cs").cast("decimal(38,0)") * col("cs")
       val zRaw = (col("c") * col("n") - col("cs")).cast("double") /
-        sqrt((col("n") * col("css") - col("cs") * col("cs")).cast("double"))
+        sqrt(disc.cast("double"))
       stats
-        .where(col("own") && col("n") >= AnomMinN &&
-          col("n") * col("css") - col("cs") * col("cs") > 0 &&
+        .where(col("own") && col("n") >= AnomMinN && disc > 0 &&
           abs(zRaw) >= AnomZ)
         .select(col("event_id"), col("event_type"), col("value"),
           round(zRaw, 6).as("z"))
@@ -476,17 +479,18 @@ object EventWindows {
          |  SELECT event_id, event_type, value, c,
          |    count(*) OVER win AS n,
          |    sum(c) OVER win AS cs,
-         |    sum(c * c) OVER win AS css
+         |    sum(CAST(c AS HUGEINT) * c) OVER win AS css
          |  FROM e
          |  WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id
-         |                 ROWS BETWEEN ${AnomWin - 1} PRECEDING AND CURRENT ROW))
+         |                 ROWS BETWEEN ${AnomWin - 1} PRECEDING AND CURRENT ROW)),
+         |d AS (
+         |  SELECT *, n * css - CAST(cs AS HUGEINT) * cs AS disc FROM w)
          |SELECT event_id, event_type, value,
-         |  round(CAST(c * n - cs AS DOUBLE)
-         |        / sqrt(CAST(n * css - cs * cs AS DOUBLE)), 6) AS z
-         |FROM w
-         |WHERE n >= $AnomMinN AND n * css - cs * cs > 0
+         |  round(CAST(c * n - cs AS DOUBLE) / sqrt(CAST(disc AS DOUBLE)), 6) AS z
+         |FROM d
+         |WHERE n >= $AnomMinN AND disc > 0
          |  AND abs(CAST(c * n - cs AS DOUBLE)
-         |          / sqrt(CAST(n * css - cs * cs AS DOUBLE))) >= $AnomZ
+         |          / sqrt(CAST(disc AS DOUBLE))) >= $AnomZ
          |ORDER BY event_id""".stripMargin,
 
     "ev_seasonality" ->

@@ -665,9 +665,14 @@ object TextAnalysis {
       val nChars = aggregate(words, lit(0L), (acc, w) => acc + length(w))
       val nBpe = size(flatten(transform(merged,
         rp => filter(split(rp, "\\|"), t => t =!= "")))).cast("long")
+      // Empty/whitespace-only text: both engines must agree — n_chars /
+      // n_bpe_tokens are 0 (Spark's aggregate init; DuckDB's list_sum
+      // over [] is NULL, coalesced in the oracle) and compression is NULL
+      // via an explicit nullif divisor on BOTH engines.
       load(s, dir, "documents")
         .select(col("doc_id"), nChars.as("n_chars"), nBpe.as("n_bpe_tokens"),
-          round(nBpe.cast("double") / nChars, 6).as("compression"))
+          round(nBpe.cast("double") / nullif(nChars, lit(0L)), 6)
+            .as("compression"))
         .orderBy("doc_id")
     }))
 
@@ -1069,13 +1074,16 @@ object TextAnalysis {
          |$d0,
          |${docLayers.mkString(",\n")}
          |SELECT doc_id,
-         |  CAST(list_sum(list_transform(ws, w -> length(w))) AS BIGINT) AS n_chars,
-         |  CAST(list_sum(list_transform(rs,
-         |    r -> len(list_filter(string_split(r, '|'), x -> x <> '')))) AS BIGINT)
-         |    AS n_bpe_tokens,
-         |  round(CAST(list_sum(list_transform(rs,
-         |          r -> len(list_filter(string_split(r, '|'), x -> x <> ''))))
-         |        AS DOUBLE) / list_sum(list_transform(ws, w -> length(w))), 6)
+         |  CAST(coalesce(list_sum(list_transform(ws, w -> length(w))), 0)
+         |       AS BIGINT) AS n_chars,
+         |  CAST(coalesce(list_sum(list_transform(rs,
+         |    r -> len(list_filter(string_split(r, '|'), x -> x <> '')))), 0)
+         |    AS BIGINT) AS n_bpe_tokens,
+         |  round(CAST(coalesce(list_sum(list_transform(rs,
+         |          r -> len(list_filter(string_split(r, '|'), x -> x <> '')))), 0)
+         |        AS DOUBLE)
+         |      / nullif(coalesce(list_sum(list_transform(ws, w -> length(w))), 0),
+         |               0), 6)
          |    AS compression
          |FROM d$BpeMerges ORDER BY doc_id""".stripMargin
     })

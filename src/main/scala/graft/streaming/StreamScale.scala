@@ -55,12 +55,18 @@ object StreamScale {
     // Titles carry the corpus keyword so the §3.3 filter keeps every doc.
     val base = graft.Tables.load(spark, sfDir, "documents")
     // Disjoint id ranges per replica: the dedup key space really is mult×
-    // bigger, so the state store carries mult× the entries.
+    // bigger, so the state store carries mult× the entries. The replica
+    // stride is DERIVED from the data (max(doc_id)+1), not hardcoded — a
+    // larger sf dir can never collide replica ranges and silently break
+    // the `landed == docs × mult distinct ids` exactly-once probe.
     val docs =
       if (mult == 1) base
-      else (0 until mult).map(i =>
-        base.withColumn("doc_id", col("doc_id") + lit(i * 10000000L)))
-        .reduce(_ unionAll _)
+      else {
+        val stride = base.agg(max(col("doc_id"))).head().getLong(0) + 1L
+        (0 until mult).map(i =>
+          base.withColumn("doc_id", col("doc_id") + lit(i * stride)))
+          .reduce(_ unionAll _)
+      }
     val nDocs = docs.count()
     val posts = docs.select(
       lit("harvester").as("author"),

@@ -313,13 +313,13 @@ class ScaleDesignSpec extends AnyFunSuite {
       "a16_gini" -> 3, // (type,cents) agg + type rollup + oracle sort; the rank-offset window rides the value-domain-scale distinct-cents frame above the first agg
       "gr_linkpred" -> 6, // degree agg + neighbor-set agg + pair agg + anti-join + 2 degree joins + sort above the checkpointed subgraph (edge-build shuffles live inside the localCheckpoints); wedge fan-out bounded at LpMaxDeg² per center
       "ir_ql" -> 1, // the ir_bm25 shape: map-side per-doc tf + one-row broadcast corpus stats + TakeOrdered cut; the single exchange is the stats agg
-      "ev_markov" -> 1,
-      "ev_seasonality" -> 3,
-      "ev_stickiness" -> 3, // the ev_rolling_wau shape at 28 days: fan-out pair dedup w/ direct flag + day agg + sort; DAU and MAU come out of ONE aggregate // (type,hour) agg + per-type rollup + oracle sort; the peak window rides the types×24 frame above the aggregate // result sort only: the user-keyed lag window + (from,to) agg run inside the query's own collects (the emb_pca_power model-scale discipline), output is a types-sized local relation
+      "ev_markov" -> 1, // result sort only: the user-keyed lag window + (from,to) agg run inside the query's own collects (the emb_pca_power model-scale discipline), output is a types-sized local relation
+      "ev_seasonality" -> 3, // (type,hour) agg + per-type rollup + oracle sort; the peak window rides the types×24 frame above the aggregate
+      "ev_stickiness" -> 3, // the ev_rolling_wau shape at 28 days: fan-out pair dedup w/ direct flag + day agg + sort; DAU and MAU come out of ONE aggregate
       "ta_bpe_apply" -> 1, // oracle sort only: merge rules come from the vocab-scale training collects; application is pure map-side string work over the corpus scan
       "rec_item_sim" -> 7, // the rec_cooccur chain (distinct + basket agg + pair agg + support agg with ReuseExchange) + 2 support joins + oracle sort; totals ride a one-row broadcast
-      "a17_mwu" -> 5,
-      "a18_ks" -> 5, // same histogram shape as a17_mwu: (type,cents) agg + pair-explode agg + CDF windows + per-pair max rollup + oracle sort // (type,cents) histogram agg + pair-explode agg + per-pair rollup + oracle sort; pair explode and rank window ride the value-domain-scale histogram frame
+      "a17_mwu" -> 5, // (type,cents) histogram agg + pair-explode agg + per-pair rollup + oracle sort; pair explode and rank window ride the value-domain-scale histogram frame
+      "a18_ks" -> 5, // same histogram shape as a17_mwu: (type,cents) agg + pair-explode agg + CDF windows + per-pair max rollup + oracle sort
       "ir_snippet" -> 3, // bm25 stats agg + the retrieved-50-doc window partition + oracle sort; the broadcast top-k join prunes the corpus BEFORE the token explode, so window cost is retrieval-bounded
       "emb_knn_label" -> 7, // the ann_ivf chain (assign window + probe window + cell-keyed candidate join + score dedup agg) + vote agg + oracle sort; seeds broadcast
       "ta_nb_langid" -> 8, // (doc,lang,term) tf agg + term-keyed pivot agg + term-keyed contrib join + per-doc fold agg + oracle sort; class/vocab/prior stats ride one-row broadcasts
