@@ -65,7 +65,8 @@ object EventWindows {
     // Scale shape: event_type has a handful of values, so a plain
     // per-type window would funnel each type's whole timeline through one
     // task. Instead: (1) KeyedRank assigns the global per-type rank from
-    // hour buckets + a metadata-scale offset table; (2) rows chunk by
+    // span-adaptive time buckets (hour here) + a metadata-scale offset
+    // table; (2) rows chunk by
     // rank div AnomChunk and the trailing AnomWin−1 rows of each chunk
     // are REPLICATED into the next chunk (map-side explode, ~10% overhead)
     // so every trailing window is complete inside its own (type, chunk)
@@ -78,7 +79,8 @@ object EventWindows {
         .select(col("event_id"), col("event_type"), col("ts"), col("value"),
           floor(col("value") * 100 + lit(0.5)).cast("long").as("c"))
       val ranked = graft.plans.KeyedRank.withRank(ev, "event_type",
-        date_trunc("hour", col("ts")), Seq(col("ts"), col("event_id")))
+        graft.plans.KeyedRank.adaptiveTimeBucket(ev, col("ts")),
+        Seq(col("ts"), col("event_id")))
       val dup = graft.plans.KeyedRank.withTrailingChunks(ranked, AnomWin, AnomChunk)
       val w = Window.partitionBy("event_type", "g").orderBy("rk")
         .rowsBetween(-(AnomWin - 1), 0)
@@ -108,7 +110,7 @@ object EventWindows {
     // semantics on both engines. Only the final quotient is double
     // (identical correctly-rounded casts of identical integers), round(6)
     // guard. Scale shape: the ev_anomaly template — KeyedRank global
-    // per-type ranks from hour buckets, then the trailing frame runs in
+    // per-type ranks from span-adaptive time buckets, the trailing frame in
     // (type, chunk) partitions with a replicated EwmaWin−1 boundary strip,
     // so no task ever holds more than EwmaChunk+EwmaWin−1 rows however few
     // event types exist.
@@ -117,7 +119,8 @@ object EventWindows {
         .select(col("event_id"), col("event_type"), col("ts"), col("value"),
           floor(col("value") * 100 + lit(0.5)).cast("long").as("c"))
       val ranked = graft.plans.KeyedRank.withRank(ev, "event_type",
-        date_trunc("hour", col("ts")), Seq(col("ts"), col("event_id")))
+        graft.plans.KeyedRank.adaptiveTimeBucket(ev, col("ts")),
+        Seq(col("ts"), col("event_id")))
       val dup = graft.plans.KeyedRank.withTrailingChunks(ranked, EwmaWin, EwmaChunk)
       val w = Window.partitionBy("event_type", "g").orderBy("rk")
         .rowsBetween(-(EwmaWin - 1), 0)
@@ -135,7 +138,7 @@ object EventWindows {
 
     // Per-type running total over event time — the cumulative-sum window
     // shape WITHOUT a per-type window partition: decimal partial sums per
-    // (type, hour bucket) roll up into a metadata-scale offset table
+    // (type, adaptive time bucket) roll up into a metadata-scale offset table
     // (exact: decimal addition is associative, so bucket offset + local
     // prefix = the global prefix bit-for-bit), and the in-bucket prefix
     // runs in a bounded (type, bucket) window. The same ladder
@@ -143,9 +146,10 @@ object EventWindows {
     // chunked strip form exists only because its windowed stats are a
     // fixed-width trailing frame, not a prefix.
     "ev_cumsum" -> ((s, dir) => {
-      val ev = load(s, dir, "events")
+      val ev0 = load(s, dir, "events")
         .select(col("event_id"), col("event_type"), col("ts"), col("value"))
-        .withColumn("b", date_trunc("hour", col("ts")))
+      val ev = ev0.withColumn("b",
+        graft.plans.KeyedRank.adaptiveTimeBucket(ev0, col("ts")))
       val bt = ev.groupBy("event_type", "b")
         .agg(sum(graft.Exact.dec(col("value"))).as("sb"))
       val offW = Window.partitionBy("event_type").orderBy("b")

@@ -282,7 +282,7 @@ object Relational2 {
     // per event_type — WITHOUT a per-type window: event_type has a
     // handful of values, so `PARTITION BY event_type` would sort each
     // type's entire timeline through one task at scale. Instead KeyedRank
-    // assigns the global per-type rank from hour buckets (bounded window
+    // assigns the global per-type rank from span-adaptive time buckets (bounded
     // partitions + a metadata-scale offset table); then
     //  - first/last/nth_value over the full frame are just the values at
     //    rank 1 / rank n / rank 3: a filter to ≤3 rows per type, one tiny
@@ -291,9 +291,10 @@ object Relational2 {
     //    exactly rk/n — the same two integers DuckDB divides, hence
     //    bit-identical.
     "w5_value_window" -> ((s, dir) => {
-      val ranked = graft.plans.KeyedRank.withRank(
-        load(s, dir, "events").select("event_id", "event_type", "ts", "value"),
-        "event_type", date_trunc("hour", col("ts")),
+      val ev = load(s, dir, "events")
+        .select("event_id", "event_type", "ts", "value")
+      val ranked = graft.plans.KeyedRank.withRank(ev, "event_type",
+        graft.plans.KeyedRank.adaptiveTimeBucket(ev, col("ts")),
         Seq(col("ts"), col("event_id")))
       val edges = ranked
         .where(col("rk") === 1 || col("rk") === 3 || col("rk") === col("rk_n"))

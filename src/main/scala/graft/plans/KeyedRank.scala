@@ -26,11 +26,36 @@ import org.apache.spark.sql.functions._
   *     than one bucket of one key.
   *
   * The bucket-count frame is keys × buckets rows (types × hours here) —
-  * broadcastable at any realistic span; pick a coarser bucket (day) for
-  * decade-long timelines. Results are identical to the single-window form
-  * for any unique ordering.
+  * broadcastable at any realistic span. [[adaptiveTimeBucket]] derives the
+  * granularity (hour/day/month) from a one-row min/max(ts) aggregate so
+  * the offsets frame stays under [[MaxBuckets]] per key on ANY corpus
+  * span — hour for up to ~7.5 years, day to ~179 years, month beyond —
+  * with no caller tuning. Results are identical to the single-window form
+  * for any unique ordering (the rank does not depend on the coarsening).
   */
 object KeyedRank {
+
+  /** Per-key bucket-count ceiling for [[adaptiveTimeBucket]]: 2^16 buckets
+    * × a handful of keys × ~32 bytes/row keeps the offsets frame far under
+    * any broadcast threshold. */
+  val MaxBuckets: Long = 65536L
+
+  /** Span-adaptive coarsening of a timestamp order column: ONE metadata
+    * min/max aggregate over `df` (runs at plan-construction time — the
+    * model-scale-collect discipline: one row, never the data) picks the
+    * coarsest-needed `date_trunc` unit so the (key, bucket) offset frame
+    * of [[withRank]] stays broadcastable on any timeline span. */
+  def adaptiveTimeBucket(df: DataFrame, ts: Column): Column = {
+    val r = df.agg(min(unix_micros(ts)), max(unix_micros(ts))).head()
+    val spanHours =
+      if (r.isNullAt(0)) 0L
+      else (r.getLong(1) - r.getLong(0)) / 3600000000L + 1L
+    val unit =
+      if (spanHours <= MaxBuckets) "hour"
+      else if (spanHours <= MaxBuckets * 24L) "day"
+      else "month"
+    date_trunc(unit, ts)
+  }
 
   /** Adds `out` (1-based per-key rank, long) and `${out}_n` (per-key row
     * count, long) to `df`. `order` must be a total order within each key

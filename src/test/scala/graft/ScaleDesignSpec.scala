@@ -97,7 +97,7 @@ class ScaleDesignSpec extends AnyFunSuite {
     // `Window.partitionBy(event_type)` over row-level data routes each
     // type's ENTIRE timeline through one task — with a handful of types
     // that is a single-task bottleneck at 100× scale no matter how many
-    // executors exist. The bounded forms (KeyedRank hour buckets +
+    // executors exist. The bounded forms (KeyedRank adaptive time buckets +
     // offsets, TopKAgg heaps, chunked rolling windows) must stay the plan:
     // sweep EVERY battery query and reject any WindowExec over
     // non-aggregated input whose partition keys are a subset of the known
@@ -335,6 +335,54 @@ class ScaleDesignSpec extends AnyFunSuite {
         assert(n <= budget, s"$name grew to $n exchanges (budget $budget):\n$plan")
       }
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
+  test("KeyedRank adaptive bucket keeps the offsets frame bounded on any span") {
+    // The offsets frame is keys × buckets rows; a fixed hour bucket would
+    // grow it unboundedly on a decade-long timeline. adaptiveTimeBucket
+    // must (a) pick hour on the test corpus (plans unchanged), (b) coarsen
+    // to day/month as the span grows, and (c) never exceed MaxBuckets
+    // buckets for any span — and the rank must be IDENTICAL under any
+    // coarsening (pinned on the real corpus vs the single-window form).
+    import java.sql.Timestamp
+    import org.apache.spark.sql.expressions.Window
+    val s = spark; import s.implicits._
+    // off-midnight + off-hour instants so hour/day/month truncations are
+    // all distinguishable on the probe rows
+    def span(hours: Long) = Seq(
+      Timestamp.valueOf("2020-01-03 05:30:07"),
+      new Timestamp(Timestamp.valueOf("2020-01-03 05:30:07").getTime +
+        hours * 3600000L)).toDF("ts")
+    def unitOf(df: org.apache.spark.sql.DataFrame): String = {
+      val b = graft.plans.KeyedRank.adaptiveTimeBucket(df, col("ts"))
+      Seq("hour", "day", "month").find { u =>
+        df.select((b === date_trunc(u, col("ts"))).as("m"))
+          .agg(min(col("m"))).head().getBoolean(0)
+      }.get
+    }
+    assert(unitOf(span(1000L)) == "hour")
+    assert(unitOf(span(20L * 365 * 24)) == "day")   // ~175k hours > 2^16
+    assert(unitOf(span(200L * 365 * 24)) == "month") // ~73k days > 2^16
+    // Bound: for each chosen unit the bucket count stays <= MaxBuckets.
+    for ((hours, perBucket) <- Seq(1000L -> 3600000L,
+        20L * 365 * 24 -> 86400000L, 200L * 365 * 24 -> 2678400000L))
+      assert(hours * 3600000L / perBucket + 1 <=
+        graft.plans.KeyedRank.MaxBuckets)
+    // Rank parity on the real corpus: adaptive-bucket rank == the plain
+    // single-window row_number for the same total order.
+    val ev = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select("event_id", "event_type", "ts")
+    val got = graft.plans.KeyedRank.withRank(ev, "event_type",
+        graft.plans.KeyedRank.adaptiveTimeBucket(ev, col("ts")),
+        Seq(col("ts"), col("event_id")))
+      .select("event_id", "rk").orderBy("event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val want = ev.withColumn("rk",
+        row_number().over(Window.partitionBy("event_type")
+          .orderBy(col("ts"), col("event_id"))).cast("long"))
+      .select("event_id", "rk").orderBy("event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.sameElements(want))
   }
 
   test("runtime Bloom-filter join pruning fires on a selective dim filter") {
