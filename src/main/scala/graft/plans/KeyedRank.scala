@@ -63,6 +63,18 @@ object KeyedRank {
     */
   def withRank(df: DataFrame, key: String, bucket: Column, order: Seq[Column],
       out: String = "rk"): DataFrame = {
+    // Exchange-diet adjudication (round 10): the bucket-count aggregate
+    // and the in-bucket rank window both cluster by (key, __b), so one
+    // shared repartition + ReuseExchange looks possible — it is NOT. The
+    // two consumers prune to different column sets (counts need only
+    // (key, __b); the window keeps every payload column), so Catalyst
+    // plans two non-identical scan subtrees and ReuseExchange's
+    // canonical-equality test can never match them. Forcing one frame
+    // through both would need a cache/checkpoint barrier that costs far
+    // more than the count exchange it saves — which is map-side combined
+    // and carries only (key, bucket, count) partials, bytes per task.
+    // Measured: the repartition form kept the same exchange count and
+    // upgraded the tiny count shuffle into a full-row shuffle. Keep this.
     val withB = df.withColumn("__b", bucket)
     val bc = withB.groupBy(col(key), col("__b")).agg(count(lit(1)).as("__nb"))
     val offW = Window.partitionBy(key).orderBy("__b")

@@ -247,10 +247,15 @@ class ScaleDesignSpec extends AnyFunSuite {
       // round-6 wave (measured AQE-off; AQE shrinks the join sides at runtime)
       "ta_pack" -> 2, // per-source window + oracle sort
       // round-9 rewrite: KeyedRank bucket counts + tiny offset window +
-      // (type,hour) rank window + edge agg + oracle sort; the broadcast
+      // (type,bucket) rank window + edge agg + oracle sort; the broadcast
       // edge join back is free (the two rank chains share one reused
       // exchange). Was 2 with the per-type window — the 3 extra exchanges
       // buy partitions bounded by bucket, not by type cardinality.
+      // Round-10 diet adjudication: the bucket-count and rank-window
+      // exchanges can NOT be ReuseExchange-shared — they prune to
+      // different column sets, so their scan subtrees never canonicalize
+      // equal (see KeyedRank.withRank; the repartition form was measured
+      // same-count but with the tiny count shuffle upgraded to full rows).
       "w5_value_window" -> 5,
       "s3_intersect_all" -> 2, // hash agg per side, shared exchange + sort
       "s4_except_all" -> 2,
