@@ -304,11 +304,12 @@ object StatefulOps {
   /** Flagged anomaly (mirrors the batch `ev_anomaly` output schema). */
   case class Anomaly(event_id: Long, event_type: String, value: Double, z: Double)
 
-  /** Rolling-window state: the last ≤ AnomWin integer-cent values plus
-    * their running sum and sum-of-squares (subtract-on-evict keeps both
-    * exact). Bounded: ≤ win longs per live event_type, regardless of
-    * stream length. */
-  case class AnomState(ring: Seq[Long], cs: Long, css: Long)
+  /** Rolling-window state: the last ≤ AnomWin integer-cent values.
+    * Bounded: ≤ win longs per live event_type, regardless of stream
+    * length. The power sums are recomputed per event in BigInt (O(win)
+    * adds — trivial at win=100) to mirror the batch query's DECIMAL(38,0)
+    * accumulation: no cent domain can silently wrap the discriminant. */
+  case class AnomState(ring: Seq[Long])
 
   /** The STREAMING twin of the batch `ev_anomaly` operator: per event
     * type, score each event against the trailing `win`-row window
@@ -331,30 +332,25 @@ object StatefulOps {
     ds.groupByKey(_.event_type)(Encoders.STRING)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (key: String, rows: Iterator[Ev], state: GroupState[AnomState]) => {
-          var st = state.getOption.getOrElse(AnomState(Vector.empty, 0L, 0L))
+          var ring = state.getOption.map(_.ring.toVector)
+            .getOrElse(Vector.empty[Long])
           val out = Vector.newBuilder[Anomaly]
           for (ev <- rows.toVector.sortBy(e => (e.ts.getTime, e.event_id))) {
             val c = math.floor(ev.value * 100 + 0.5).toLong
-            var ring = st.ring :+ c
-            var cs = st.cs + c
-            var css = st.css + c * c
-            if (ring.length > win) {
-              val ev0 = ring.head
-              ring = ring.tail
-              cs -= ev0
-              css -= ev0 * ev0
-            }
-            st = AnomState(ring, cs, css)
+            ring = (ring :+ c).takeRight(win)
             val n = ring.length.toLong
-            val disc = n * css - cs * cs
-            if (n >= minN && disc > 0) {
-              val z = (c * n - cs).toDouble / math.sqrt(disc.toDouble)
+            // exact BigInt power sums — the batch DECIMAL(38,0) twin
+            val cs = ring.foldLeft(BigInt(0))(_ + _)
+            val css = ring.foldLeft(BigInt(0))((a, x) => a + BigInt(x) * x)
+            val disc = css * n - cs * cs
+            if (n >= minN && disc.signum > 0) {
+              val z = (BigInt(c) * n - cs).doubleValue / math.sqrt(disc.doubleValue)
               if (math.abs(z) >= zThresh)
                 out += Anomaly(ev.event_id, key, ev.value,
                   BigDecimal(z).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
             }
           }
-          state.update(st)
+          state.update(AnomState(ring))
           out.result().iterator
         })
   }
@@ -394,6 +390,141 @@ object StatefulOps {
           state.update(EwmaState(ring))
           out.result().iterator
         })
+  }
+
+  /** Streaming input row for the engagement twins: one event per user
+    * action (only the user and the event time matter). A row with
+    * `user_id == FlushUser` is a watermark-advancing sentinel: it passes
+    * the EventTimeWatermark node (advancing the clock) but contributes to
+    * no day — tests and drain-style shutdowns use it to close the final
+    * days. */
+  case class UserEv(user_id: Long, ts: java.sql.Timestamp)
+  val FlushUser: Long = Long.MinValue
+
+  /** Fan-out contribution: user's activity on some day keeps them
+    * "active" for target day `d` (epoch day); `direct` marks d itself. */
+  case class DayContribution(d: Long, user_id: Long, direct: Boolean)
+
+  /** Closed engagement day: `dau` = distinct users active ON the day,
+    * `active` = distinct users active within the trailing window ending
+    * on the day (MAU at 28 days, WAU at 7). */
+  case class ActiveDay(day: java.time.LocalDate, dau: Long, active: Long)
+
+  /** DAU/MAU stickiness row (mirrors the batch `ev_stickiness` schema). */
+  case class Stickiness(d: java.time.LocalDate, dau: Long, mau: Long,
+                        stickiness: Double)
+
+  /** Rolling-WAU row (mirrors the batch `ev_rolling_wau` schema). */
+  case class Wau(d: java.time.LocalDate, wau: Long)
+
+  /** The day-closing half of the engagement twins: keyed by TARGET epoch
+    * day, each key holds a user→direct MapState (one RocksDB entry per
+    * contributing user — O(1) per update, never a whole-set rewrite) plus
+    * a one-shot event-time timer at the day's end. Contributions to day d
+    * only come from event days in [d−window+1, d], so when the WATERMARK
+    * passes end-of-day-d the set is complete: the timer fires, the day
+    * emits exactly the batch aggregate's row (dau = direct users, active
+    * = all users; phantom days with dau = 0 stay silent), and the state
+    * frees — live state is bounded by (window × users/day), the same
+    * volume the batch fan-out shuffles. Keys hash across executors; no
+    * single-task funnel at any user or day cardinality. */
+  class ActiveWindowProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, DayContribution, ActiveDay] {
+    @transient private var users:
+        org.apache.spark.sql.streaming.MapState[Long, Boolean] = _
+    @transient private var armed:
+        org.apache.spark.sql.streaming.ValueState[Boolean] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      users = getHandle.getMapState[Long, Boolean]("users",
+        Encoders.scalaLong, Encoders.scalaBoolean,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      armed = getHandle.getValueState[Boolean]("armed",
+        Encoders.scalaBoolean, org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    override def handleInputRows(
+        day: Long, rows: Iterator[DayContribution],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[ActiveDay] = {
+      rows.foreach { r =>
+        val direct = r.direct ||
+          (users.containsKey(r.user_id) && users.getValue(r.user_id))
+        users.updateValue(r.user_id, direct)
+      }
+      if (!armed.exists()) { // one live timer per day: end-of-day epoch ms
+        getHandle.registerTimer((day + 1L) * 86400000L)
+        armed.update(true)
+      }
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(
+        day: Long,
+        timers: org.apache.spark.sql.streaming.TimerValues,
+        expired: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[ActiveDay] = {
+      var dau = 0L
+      var act = 0L
+      users.iterator().foreach { case (_, direct) =>
+        act += 1; if (direct) dau += 1
+      }
+      users.clear()
+      armed.clear()
+      if (dau > 0)
+        Iterator.single(ActiveDay(java.time.LocalDate.ofEpochDay(day), dau, act))
+      else Iterator.empty // phantom day: window tail with no direct activity
+    }
+  }
+
+  /** Shared fan-out + state chain of [[rollingStickiness]] /
+    * [[rollingWau]]: watermark on the raw event time, map-side explode of
+    * each event's ≤ `windowDays` target days (the batch queries' exact
+    * shape), then the day-keyed closing processor. */
+  private def activeDays(ds: Dataset[UserEv], windowDays: Int): Dataset[ActiveDay] = {
+    implicit val outEnc: Encoder[ActiveDay] = Encoders.product[ActiveDay]
+    implicit val contribEnc: Encoder[DayContribution] = Encoders.product[DayContribution]
+    ds.toDF("user_id", "ts").withWatermark("ts", "0 seconds")
+      .as[UserEv](Encoders.product[UserEv])
+      .flatMap { ev =>
+        if (ev.user_id == FlushUser) Iterator.empty
+        else {
+          val day = Math.floorDiv(ev.ts.getTime, 86400000L)
+          (0 until windowDays).iterator
+            .map(k => DayContribution(day + k, ev.user_id, k == 0))
+        }
+      }
+      .groupByKey(_.d)(Encoders.scalaLong)
+      .transformWithState(new ActiveWindowProcessor,
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append(),
+        outEnc)
+  }
+
+  /** The STREAMING twin of the batch `ev_stickiness` operator: one
+    * DAU/MAU/stickiness row per observed day, emitted when the watermark
+    * closes the day. On an event-time-ordered feed (plus a [[FlushUser]]
+    * sentinel to close the tail) the output EQUALS the batch/DuckDB-
+    * oracle result row-for-row — StatefulOpsSpec pins it across
+    * micro-batches. Requires the RocksDB state store provider
+    * (transformWithState). */
+  def rollingStickiness(ds: Dataset[UserEv]): Dataset[Stickiness] = {
+    implicit val enc: Encoder[Stickiness] = Encoders.product[Stickiness]
+    activeDays(ds, 28).map { a =>
+      Stickiness(a.day, a.dau, a.active,
+        BigDecimal(a.dau.toDouble / a.active)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+  }
+
+  /** The STREAMING twin of the batch `ev_rolling_wau` operator: one
+    * trailing-7-day distinct-active-users row per observed day. Same
+    * parity contract as [[rollingStickiness]]. */
+  def rollingWau(ds: Dataset[UserEv]): Dataset[Wau] = {
+    implicit val enc: Encoder[Wau] = Encoders.product[Wau]
+    activeDays(ds, 7).map(a => Wau(a.day, a.active))
   }
 
   def attributeClicks(imps: Dataset[Impression], clicks: Dataset[Click],

@@ -269,4 +269,76 @@ class StatefulOpsSpec extends AnyFunSuite {
       assert(streamed.sameElements(batch))
     } finally q.stop()
   }
+
+  test("streaming rollingStickiness equals the batch ev_stickiness oracle result") {
+    // The engagement-family parity pin: feed the real sf0.001 events in
+    // event-time order across several micro-batches plus a FlushUser
+    // sentinel to close the tail days; the day-keyed transformWithState
+    // op (per-day user MapState + event-time timer) must emit EXACTLY the
+    // rows the batch (DuckDB-oracle-checked) ev_stickiness query
+    // produces — same days, dau, mau, round(6) stickiness.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      import org.apache.spark.sql.functions.col
+      val dir = "/root/testdata/sf0.001"
+      val evs = graft.Tables.load(spark, dir, "events")
+        .select(col("user_id"), col("ts")).orderBy("ts", "event_id")
+        .as[StatefulOps.UserEv].collect()
+      val flush = StatefulOps.UserEv(StatefulOps.FlushUser,
+        new java.sql.Timestamp(evs.map(_.ts.getTime).max + 40L * 86400000L))
+      val mem = MemoryStream[StatefulOps.UserEv]
+      val q = StatefulOps.rollingStickiness(mem.toDS())
+        .writeStream.outputMode("append")
+        .format("memory").queryName("sstick_out").start()
+      try {
+        evs.grouped(math.max(1, evs.length / 5))
+          .foreach { b => mem.addData(b.toSeq); q.processAllAvailable() }
+        mem.addData(flush)
+        q.processAllAvailable()
+        val streamed = spark.table("sstick_out").as[StatefulOps.Stickiness]
+          .collect().map(s => (s.d.toString, s.dau, s.mau, s.stickiness))
+          .sortBy(_._1)
+        val batch = SparkEntry.queries("ev_stickiness")(spark, dir).collect()
+          .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2),
+            r.getDouble(3))).sortBy(_._1)
+        assert(streamed.length == batch.length,
+          s"stream emitted ${streamed.length} days vs batch ${batch.length}")
+        assert(streamed.sameElements(batch))
+      } finally q.stop()
+    }
+  }
+
+  test("streaming rollingWau equals the batch ev_rolling_wau oracle result") {
+    // Same contract at the 7-day window: trailing distinct-active-users
+    // per day, phantom tail days silent.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      import org.apache.spark.sql.functions.col
+      val dir = "/root/testdata/sf0.001"
+      val evs = graft.Tables.load(spark, dir, "events")
+        .select(col("user_id"), col("ts")).orderBy("ts", "event_id")
+        .as[StatefulOps.UserEv].collect()
+      val flush = StatefulOps.UserEv(StatefulOps.FlushUser,
+        new java.sql.Timestamp(evs.map(_.ts.getTime).max + 10L * 86400000L))
+      val mem = MemoryStream[StatefulOps.UserEv]
+      val q = StatefulOps.rollingWau(mem.toDS())
+        .writeStream.outputMode("append")
+        .format("memory").queryName("swau_out").start()
+      try {
+        evs.grouped(math.max(1, evs.length / 5))
+          .foreach { b => mem.addData(b.toSeq); q.processAllAvailable() }
+        mem.addData(flush)
+        q.processAllAvailable()
+        val streamed = spark.table("swau_out").as[StatefulOps.Wau]
+          .collect().map(w => (w.d.toString, w.wau)).sortBy(_._1)
+        val batch = SparkEntry.queries("ev_rolling_wau")(spark, dir).collect()
+          .map(r => (r.getDate(0).toString, r.getLong(1))).sortBy(_._1)
+        assert(streamed.length == batch.length,
+          s"stream emitted ${streamed.length} days vs batch ${batch.length}")
+        assert(streamed.sameElements(batch))
+      } finally q.stop()
+    }
+  }
 }
