@@ -332,6 +332,104 @@ object Relational3 {
         .orderBy("type_a", "type_b")
     }),
 
+    // χ² independence cells between event_type and a derived user segment
+    // (user_id mod 4 — the deterministic stand-in for a cohort/device
+    // dimension): per cell the observed count, the independence
+    // expectation R·C/n, and the Pearson residual (O − E)/√E — the
+    // contingency diagnostic behind "does behavior differ by segment"
+    // (cell residuals locate WHERE the table breaks independence; the χ²
+    // total is Σ resid²). Exactness: O/R/C/n are integers, R·C in
+    // decimal(38,0)/HUGEINT, and expected/resid are the identical
+    // two-step double expression (e = RC/n once, then (O−e)/√e) on both
+    // engines — bit-identical before the round(6) guard. Scale: ONE
+    // corpus-scale (type, seg) count agg; row/col/grand totals are
+    // rollups of the types×4 cell frame riding broadcasts.
+    "a19_chi2_indep" -> ((s, dir) => {
+      // localCheckpoint: the types×4 cell frame feeds four consumers
+      // (cells + three total rollups); without it each consumer re-plans
+      // the corpus scan+agg chain (measured 4 scans, 8 exchanges — the
+      // dd_substring lineage lesson). Checkpointed: ONE corpus scan.
+      val cells = load(s, dir, "events")
+        .select(col("event_type"), pmod(col("user_id"), lit(4L)).as("seg"))
+        .groupBy("event_type", "seg").agg(count(lit(1)).as("o"))
+        .localCheckpoint()
+      val rT = cells.groupBy("event_type").agg(sum("o").as("r"))
+      val cT = cells.groupBy("seg").agg(sum("o").as("ct"))
+      val nT = cells.groupBy().agg(sum("o").as("n"))
+      val e = (col("r").cast("decimal(38,0)") * col("ct")).cast("double") /
+        col("n").cast("double")
+      cells.join(broadcast(rT), "event_type")
+        .join(broadcast(cT), "seg")
+        .crossJoin(broadcast(nT))
+        .select(col("event_type"), col("seg"), col("o"),
+          round(e, 6).as("expected"),
+          round((col("o").cast("double") - e) / sqrt(e), 6).as("resid"))
+        .orderBy("event_type", "seg")
+    }),
+
+    // Benford first-digit audit over the event values — the fraud/quality
+    // screen for "does this metric look organically generated": observed
+    // share of each leading significant digit of the integer cents vs the
+    // Benford expectation log10(1+1/d). First digit via string head of
+    // the cent value (identical integer→decimal-string semantics on both
+    // engines — no float log in the bucketing); only the final
+    // share/expectation/diff are doubles, round(6). ONE map-side digit
+    // derivation + one 9-row aggregate; the total rides a broadcast.
+    "a20_benford" -> ((s, dir) => {
+      val d = load(s, dir, "events")
+        .select(floor(col("value") * 100 + lit(0.5)).cast("long").as("c"))
+        .where(col("c") >= 1)
+        .select(substring(col("c").cast("string"), 1, 1).cast("int").as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n_d"))
+      val tot = d.groupBy().agg(sum("n_d").as("n"))
+      d.crossJoin(broadcast(tot))
+        .select(col("digit"), col("n_d"),
+          round(col("n_d").cast("double") / col("n"), 6).as("share"),
+          round(log10(lit(1.0) + lit(1.0) / col("digit")), 6).as("benford_p"),
+          round(col("n_d").cast("double") / col("n") -
+            log10(lit(1.0) + lit(1.0) / col("digit")), 6).as("diff"))
+        .orderBy("digit")
+    }),
+
+    // Welch's unequal-variance t between every event-type pair — the
+    // mean-difference companion to a17_mwu (rank) and a18_ks (shape).
+    // From each type's exact decimal power sums (n, Σc, Σc² in integer
+    // cents): sample variance v = (n·Σc² − (Σc)²)/(n·(n−1)) — exact
+    // integer numerator in decimal(38,0)/HUGEINT — then
+    // t = (m_a − m_b)/√(v_a/n_a + v_b/n_b) and the Welch–Satterthwaite
+    // df, every double step the identical expression tree cross-engine,
+    // round(6). Scale: ONE per-type aggregate; the pair explode runs on
+    // the types-scale frame under a broadcast.
+    "a21_welch_t" -> ((s, dir) => {
+      val dec38 = (x: org.apache.spark.sql.Column) => x.cast("decimal(38,0)")
+      val st = load(s, dir, "events")
+        .select(col("event_type"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("c"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("s1"),
+          sum(dec38(col("c")) * col("c")).as("s2"))
+      val b = st.select(col("event_type").as("type_b"), col("n").as("nb"),
+        col("s1").as("s1b"), col("s2").as("s2b"))
+      def m(n: org.apache.spark.sql.Column, s1: org.apache.spark.sql.Column) =
+        s1.cast("double") / n.cast("double")
+      def v(n: org.apache.spark.sql.Column, s1: org.apache.spark.sql.Column,
+            s2: org.apache.spark.sql.Column) =
+        (dec38(n) * s2 - dec38(s1) * s1).cast("double") /
+          (n.cast("double") * (n.cast("double") - 1))
+      val va = v(col("n"), col("s1"), col("s2")) / col("n").cast("double")
+      val vb = v(col("nb"), col("s1b"), col("s2b")) / col("nb").cast("double")
+      st.crossJoin(broadcast(b))
+        .where(col("event_type") < col("type_b"))
+        .select(col("event_type").as("type_a"), col("type_b"),
+          col("n").as("n_a"), col("nb").as("n_b"),
+          round((m(col("n"), col("s1")) - m(col("nb"), col("s1b"))) /
+            sqrt(va + vb), 6).as("t"),
+          round((va + vb) * (va + vb) /
+            (va * va / (col("n").cast("double") - 1) +
+              vb * vb / (col("nb").cast("double") - 1)), 6).as("df"))
+        .orderBy("type_a", "type_b")
+    }),
+
     // Population stability index over each type's VALUE distribution —
     // the shape-drift complement to prof_drift's category-share psi_term:
     // a type whose mix share is stable can still silently shift its value
@@ -774,6 +872,92 @@ object Relational3 {
         |        sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
         |             / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))), 6) AS lambda
         |FROM a ORDER BY type_a, type_b""".stripMargin,
+
+    "a19_chi2_indep" ->
+      """WITH cells AS (
+        |  SELECT event_type, user_id % 4 AS seg, count(*) AS o
+        |  FROM events GROUP BY 1, 2),
+        |rt AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+        |ct AS (SELECT seg, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+        |nt AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells)
+        |SELECT cells.event_type, seg, o,
+        |  round(CAST(CAST(r AS HUGEINT) * c AS DOUBLE) / CAST(n AS DOUBLE), 6)
+        |    AS expected,
+        |  round((CAST(o AS DOUBLE)
+        |         - CAST(CAST(r AS HUGEINT) * c AS DOUBLE) / CAST(n AS DOUBLE))
+        |        / sqrt(CAST(CAST(r AS HUGEINT) * c AS DOUBLE) / CAST(n AS DOUBLE)),
+        |        6) AS resid
+        |FROM cells JOIN rt USING (event_type) JOIN ct USING (seg), nt
+        |ORDER BY event_type, seg""".stripMargin,
+
+    "a20_benford" ->
+      """WITH d AS (
+        |  SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INT) AS digit,
+        |    count(*) AS n_d
+        |  FROM (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS c FROM events)
+        |  WHERE c >= 1 GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_d) AS BIGINT) AS n FROM d)
+        |SELECT digit, n_d,
+        |  round(CAST(n_d AS DOUBLE) / n, 6) AS share,
+        |  round(log10(1.0 + 1.0 / digit), 6) AS benford_p,
+        |  round(CAST(n_d AS DOUBLE) / n - log10(1.0 + 1.0 / digit), 6) AS diff
+        |FROM d, t ORDER BY digit""".stripMargin,
+
+    "a21_welch_t" ->
+      """WITH st AS (
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(sum(c) AS BIGINT) AS s1, sum(CAST(c AS HUGEINT) * c) AS s2
+        |  FROM (SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+        |        FROM events)
+        |  GROUP BY 1)
+        |SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |  a.n AS n_a, b.n AS n_b,
+        |  round((CAST(a.s1 AS DOUBLE) / CAST(a.n AS DOUBLE)
+        |         - CAST(b.s1 AS DOUBLE) / CAST(b.n AS DOUBLE))
+        |      / sqrt(CAST(CAST(a.n AS HUGEINT) * a.s2
+        |                  - CAST(a.s1 AS HUGEINT) * a.s1 AS DOUBLE)
+        |             / (CAST(a.n AS DOUBLE) * (CAST(a.n AS DOUBLE) - 1))
+        |             / CAST(a.n AS DOUBLE)
+        |           + CAST(CAST(b.n AS HUGEINT) * b.s2
+        |                  - CAST(b.s1 AS HUGEINT) * b.s1 AS DOUBLE)
+        |             / (CAST(b.n AS DOUBLE) * (CAST(b.n AS DOUBLE) - 1))
+        |             / CAST(b.n AS DOUBLE)), 6) AS t,
+        |  round((CAST(CAST(a.n AS HUGEINT) * a.s2
+        |              - CAST(a.s1 AS HUGEINT) * a.s1 AS DOUBLE)
+        |         / (CAST(a.n AS DOUBLE) * (CAST(a.n AS DOUBLE) - 1))
+        |         / CAST(a.n AS DOUBLE)
+        |       + CAST(CAST(b.n AS HUGEINT) * b.s2
+        |              - CAST(b.s1 AS HUGEINT) * b.s1 AS DOUBLE)
+        |         / (CAST(b.n AS DOUBLE) * (CAST(b.n AS DOUBLE) - 1))
+        |         / CAST(b.n AS DOUBLE))
+        |      * (CAST(CAST(a.n AS HUGEINT) * a.s2
+        |              - CAST(a.s1 AS HUGEINT) * a.s1 AS DOUBLE)
+        |         / (CAST(a.n AS DOUBLE) * (CAST(a.n AS DOUBLE) - 1))
+        |         / CAST(a.n AS DOUBLE)
+        |       + CAST(CAST(b.n AS HUGEINT) * b.s2
+        |              - CAST(b.s1 AS HUGEINT) * b.s1 AS DOUBLE)
+        |         / (CAST(b.n AS DOUBLE) * (CAST(b.n AS DOUBLE) - 1))
+        |         / CAST(b.n AS DOUBLE))
+        |      / ((CAST(CAST(a.n AS HUGEINT) * a.s2
+        |               - CAST(a.s1 AS HUGEINT) * a.s1 AS DOUBLE)
+        |          / (CAST(a.n AS DOUBLE) * (CAST(a.n AS DOUBLE) - 1))
+        |          / CAST(a.n AS DOUBLE))
+        |         * (CAST(CAST(a.n AS HUGEINT) * a.s2
+        |                 - CAST(a.s1 AS HUGEINT) * a.s1 AS DOUBLE)
+        |            / (CAST(a.n AS DOUBLE) * (CAST(a.n AS DOUBLE) - 1))
+        |            / CAST(a.n AS DOUBLE))
+        |         / (CAST(a.n AS DOUBLE) - 1)
+        |       + (CAST(CAST(b.n AS HUGEINT) * b.s2
+        |               - CAST(b.s1 AS HUGEINT) * b.s1 AS DOUBLE)
+        |          / (CAST(b.n AS DOUBLE) * (CAST(b.n AS DOUBLE) - 1))
+        |          / CAST(b.n AS DOUBLE))
+        |         * (CAST(CAST(b.n AS HUGEINT) * b.s2
+        |                 - CAST(b.s1 AS HUGEINT) * b.s1 AS DOUBLE)
+        |            / (CAST(b.n AS DOUBLE) * (CAST(b.n AS DOUBLE) - 1))
+        |            / CAST(b.n AS DOUBLE))
+        |         / (CAST(b.n AS DOUBLE) - 1)), 6) AS df
+        |FROM st a JOIN st b ON a.event_type < b.event_type
+        |ORDER BY type_a, type_b""".stripMargin,
 
     "a17_mwu" ->
       """WITH h AS (

@@ -324,6 +324,9 @@ class ScaleDesignSpec extends AnyFunSuite {
       "ta_bpe_apply" -> 1, // oracle sort only: merge rules come from the vocab-scale training collects; application is pure map-side string work over the corpus scan
       "rec_item_sim" -> 7, // the rec_cooccur chain (distinct + basket agg + pair agg + support agg with ReuseExchange) + 2 support joins + oracle sort; totals ride a one-row broadcast
       "a17_mwu" -> 5, // (type,cents) histogram agg + pair-explode agg + per-pair rollup + oracle sort; pair explode and rank window ride the value-domain-scale histogram frame
+      "a19_chi2_indep" -> 4, // ONE corpus (type,seg) agg behind localCheckpoint + three metadata rollups of the types×4 cell frame; totals ride broadcasts
+      "a20_benford" -> 3, // 9-digit agg + one-row total + oracle sort; digit derivation map-side
+      "a21_welch_t" -> 2, // ONE per-type power-sum agg (pair explode rides a broadcast of the types frame) + oracle sort
       "a18_ks" -> 5, // same histogram shape as a17_mwu: (type,cents) agg + pair-explode agg + CDF windows + per-pair max rollup + oracle sort
       "ir_snippet" -> 3, // bm25 stats agg + the retrieved-50-doc window partition + oracle sort; the broadcast top-k join prunes the corpus BEFORE the token explode, so window cost is retrieval-bounded
       "emb_knn_label" -> 7, // the ann_ivf chain (assign window + probe window + cell-keyed candidate join + score dedup agg) + vote agg + oracle sort; seeds broadcast
