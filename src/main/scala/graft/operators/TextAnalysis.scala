@@ -639,6 +639,76 @@ object TextAnalysis {
     // pair extraction is a split + zip and merge application is a literal
     // (non-regex) replace — identical leftmost-non-overlapping semantics
     // on both engines (see BpePasses).
+    // Readability scoring (Flesch reading ease + Flesch–Kincaid grade) —
+    // the curriculum/quality signal reading-level filters key on. Counts
+    // are pure integers on both engines: words = non-empty whitespace
+    // tokens, sentences = runs of [.!?] (floored at 1 — this synthetic
+    // corpus carries no sentence punctuation, so the fixture exercises
+    // the degenerate 1-sentence path; the regex chain is the operator),
+    // syllables = vowel-group runs per word floored at 1 (the classic
+    // heuristic). Only the two final formula evaluations are doubles —
+    // identical expression trees, round(6). Pure map-side scan + oracle
+    // sort: nothing shuffles but the presentation order.
+    "ta_readability" -> ((s, dir) => {
+      val ws = filter(toks(col("text")), w => w =!= "")
+      val words = size(ws).cast("long")
+      val sentences = greatest(lit(1L),
+        size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))).cast("long"))
+      val syll = aggregate(ws, lit(0L), (acc, w) => acc +
+        greatest(lit(1L),
+          size(regexp_extract_all(w, lit("[aeiouy]+"), lit(0))).cast("long")))
+      val wps = words.cast("double") / sentences.cast("double")
+      val spw = syll.cast("double") / words.cast("double")
+      load(s, dir, "documents")
+        .where(words > 0)
+        .select(col("doc_id"), words.as("words"), sentences.as("sentences"),
+          syll.as("syllables"),
+          round(lit(206.835) - lit(1.015) * wps - lit(84.6) * spw, 6)
+            .as("flesch"),
+          round(lit(0.39) * wps + lit(11.8) * spw - lit(15.59), 6)
+            .as("fk_grade"))
+        .orderBy("doc_id")
+    }),
+
+    // Per-source Jensen–Shannon divergence from the corpus term
+    // distribution — the drift/contamination monitor for "which source's
+    // vocabulary is pulling away from the mix" (JSD is symmetric, bounded
+    // by ln 2, and defined even where one side has zero mass — the reason
+    // it beats raw KL for source auditing). Exact shape: p = source term
+    // share, q = corpus term share; absent terms contribute only the
+    // q·ln(2q/(p+q)) leg (p·ln(…) → 0 limit). Every per-term double is
+    // the identical expression tree cross-engine and the per-source total
+    // folds in term-sorted order (the ta_unigram_ppl parity template),
+    // round(6). Scale: one (source, term) tf aggregate behind
+    // localCheckpoint feeds the corpus/source rollups; the evaluation
+    // grid is vocab × sources with source-count a small constant, joined
+    // on the tf frame's own (term, source) keys.
+    "ta_jsd_drift" -> ((s, dir) => {
+      val tok = load(s, dir, "documents")
+        .select(col("source"), explode(toks(col("text"))).as("term"))
+      val stf = tok.groupBy("source", "term").agg(count(lit(1)).as("stf"))
+        .localCheckpoint()
+      val cf = stf.groupBy("term").agg(sum("stf").as("cf"))
+      val ns = stf.groupBy("source").agg(sum("stf").as("ns"))
+      val nt = stf.groupBy().agg(sum("stf").as("n"))
+      val grid = cf.crossJoin(broadcast(ns))
+        .join(stf, Seq("term", "source"), "left")
+        .na.fill(0L, Seq("stf"))
+        .crossJoin(broadcast(nt))
+      val p = col("stf").cast("double") / col("ns").cast("double")
+      val q = col("cf").cast("double") / col("n").cast("double")
+      val contrib =
+        when(col("stf") > 0, p * log(lit(2.0) * p / (p + q))).otherwise(lit(0.0)) +
+          q * log(lit(2.0) * q / (p + q))
+      grid.select(col("source"), col("term"), contrib.as("ct"))
+        .groupBy("source")
+        .agg(round(aggregate(
+            transform(array_sort(collect_list(struct(col("term"), col("ct")))),
+              x => x.getField("ct")),
+            lit(0.0), (acc, x) => acc + x) * 0.5, 6).as("jsd"))
+        .orderBy("source")
+    }),
+
     "ta_bpe_train" -> ((s, dir) => {
       import s.implicits._
       bpeMerges(s, dir).toDF("step", "left", "right", "pair_count")
@@ -915,6 +985,57 @@ object TextAnalysis {
          |      FROM sc)
          |SELECT doc_id, CAST(rn AS BIGINT) AS rank, term, score
          |FROM r WHERE rn <= $KwTopK ORDER BY doc_id, rank""".stripMargin,
+
+    "ta_readability" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), w -> w <> '') AS ws,
+        |    greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS sentences
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS words,
+        |    CAST(sentences AS BIGINT) AS sentences,
+        |    CAST(list_sum(list_transform(ws,
+        |      w -> greatest(1, len(regexp_extract_all(w, '[aeiouy]+')))))
+        |      AS BIGINT) AS syllables
+        |  FROM d WHERE len(ws) > 0)
+        |SELECT doc_id, words, sentences, syllables,
+        |  round(206.835 - 1.015 * (CAST(words AS DOUBLE) / CAST(sentences AS DOUBLE))
+        |        - 84.6 * (CAST(syllables AS DOUBLE) / CAST(words AS DOUBLE)), 6)
+        |    AS flesch,
+        |  round(0.39 * (CAST(words AS DOUBLE) / CAST(sentences AS DOUBLE))
+        |        + 11.8 * (CAST(syllables AS DOUBLE) / CAST(words AS DOUBLE))
+        |        - 15.59, 6) AS fk_grade
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "ta_jsd_drift" ->
+      """WITH tok AS (
+        |  SELECT source, unnest(string_split(lower(text), ' ')) AS term
+        |  FROM documents),
+        |stf AS (SELECT source, term, count(*) AS stf FROM tok GROUP BY 1, 2),
+        |cf AS (SELECT term, CAST(sum(stf) AS BIGINT) AS cf FROM stf GROUP BY 1),
+        |ns AS (SELECT source, CAST(sum(stf) AS BIGINT) AS ns FROM stf GROUP BY 1),
+        |nt AS (SELECT CAST(sum(stf) AS BIGINT) AS n FROM stf),
+        |grid AS (
+        |  SELECT cf.term, ns.source, cf.cf, ns.ns, n,
+        |    coalesce(stf.stf, 0) AS stf
+        |  FROM cf CROSS JOIN ns CROSS JOIN nt
+        |  LEFT JOIN stf ON stf.term = cf.term AND stf.source = ns.source),
+        |ct AS (
+        |  SELECT source, term,
+        |    CASE WHEN stf > 0
+        |      THEN (CAST(stf AS DOUBLE) / CAST(ns AS DOUBLE))
+        |           * ln(2.0 * (CAST(stf AS DOUBLE) / CAST(ns AS DOUBLE))
+        |                / ((CAST(stf AS DOUBLE) / CAST(ns AS DOUBLE))
+        |                   + (CAST(cf AS DOUBLE) / CAST(n AS DOUBLE))))
+        |      ELSE 0.0 END
+        |    + (CAST(cf AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * ln(2.0 * (CAST(cf AS DOUBLE) / CAST(n AS DOUBLE))
+        |           / ((CAST(stf AS DOUBLE) / CAST(ns AS DOUBLE))
+        |              + (CAST(cf AS DOUBLE) / CAST(n AS DOUBLE)))) AS ct
+        |  FROM grid)
+        |SELECT source, round(list_sum(list(ct ORDER BY term)) * 0.5, 6) AS jsd
+        |FROM ct GROUP BY source ORDER BY source""".stripMargin,
 
     "ta_unigram_ppl" ->
       """WITH tok AS (

@@ -325,6 +325,8 @@ class ScaleDesignSpec extends AnyFunSuite {
       "rec_item_sim" -> 7, // the rec_cooccur chain (distinct + basket agg + pair agg + support agg with ReuseExchange) + 2 support joins + oracle sort; totals ride a one-row broadcast
       "a17_mwu" -> 5, // (type,cents) histogram agg + pair-explode agg + per-pair rollup + oracle sort; pair explode and rank window ride the value-domain-scale histogram frame
       "a19_chi2_indep" -> 4, // ONE corpus (type,seg) agg behind localCheckpoint + three metadata rollups of the types×4 cell frame; totals ride broadcasts
+      "ta_readability" -> 1, // pure map-side regex/word counters + oracle sort
+      "ta_jsd_drift" -> 5, // (source,term) tf agg behind localCheckpoint + term rollup + (term,source) grid join + per-source fold agg + oracle sort; source/corpus totals ride broadcasts
       "a20_benford" -> 3, // 9-digit agg + one-row total + oracle sort; digit derivation map-side
       "a21_welch_t" -> 2, // ONE per-type power-sum agg (pair explode rides a broadcast of the types frame) + oracle sort
       "a18_ks" -> 5, // same histogram shape as a17_mwu: (type,cents) agg + pair-explode agg + CDF windows + per-pair max rollup + oracle sort
