@@ -334,6 +334,85 @@ object EventWindows {
     // day-scale k=0 frame. collect_set is bounded by the corpus day span
     // (a decade ≈ 3.7k entries); for multi-year deployments swap in the
     // two-pass min-day + co-partitioned join form — same downstream.
+    // Power-user curve (the L28-style engagement-depth histogram): how
+    // many users were active on exactly k distinct days, how many events
+    // they generated, their share of the user base, and the survival
+    // count (users active on >= k days) — the distribution product teams
+    // read before defining "core user". All-integer: two keyed aggs
+    // ((user, day) dedup → per-user depth) + one histogram agg; the
+    // survival window and share division ride the day-span-scale
+    // histogram frame above an aggregate, total via one-row broadcast.
+    "ev_powerusers" -> ((s, dir) => {
+      val perUser = load(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .groupBy("user_id", "day").agg(count(lit(1)).as("ev"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("days"), sum("ev").as("ev"))
+      // localCheckpoint: the day-span-scale histogram feeds two consumers
+      // (the total rollup + the output row build) — without it the whole
+      // 3-exchange corpus chain re-plans for the one-row total.
+      val hist = perUser.groupBy(col("days").as("active_days"))
+        .agg(count(lit(1)).as("n_users"), sum("ev").as("n_events"))
+        .localCheckpoint()
+      val tot = hist.groupBy().agg(sum("n_users").as("nu"))
+      val wSurv = Window.orderBy(col("active_days").desc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      hist.crossJoin(broadcast(tot))
+        .withColumn("cum_users", sum("n_users").over(wSurv))
+        .select(col("active_days"), col("n_users"), col("n_events"),
+          round(col("n_users").cast("double") / col("nu"), 6).as("user_share"),
+          col("cum_users"))
+        .orderBy("active_days")
+    }),
+
+    // RFM quintile segmentation — the classic recency/frequency/monetary
+    // user scoring, 100 TB-shaped: per-user metrics come from ONE keyed
+    // aggregate (recency as the integer last-active epoch day — later =
+    // better, so all three metrics score "higher is better" uniformly),
+    // and the quintile boundaries are NOT a user-scale rank window: each
+    // metric builds a distinct-value histogram with a cumulative count
+    // (value-domain-scale frames above aggregates), picks the four
+    // 20/40/60/80% thresholds by the integer test 5·cum ≥ k·n (no
+    // division), and broadcasts them back as ONE row. score = 1 + #
+    // thresholds strictly below the user's value — pure integer compares,
+    // bit-identical cross-engine; monetary stays exact in integer cents.
+    "ev_rfm" -> ((s, dir) => {
+      val users = load(s, dir, "events")
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 86400000000").as("d"),
+          graft.Exact.dec(col("value")).as("v"))
+        .groupBy("user_id")
+        .agg(max("d").as("rec"), count(lit(1)).as("freq"),
+          (sum("v") * 100).cast("long").as("mon"))
+        .localCheckpoint()
+      val nU = users.count()
+      def thresholds(metric: String): DataFrame = {
+        val h = users.groupBy(col(metric).as("v")).agg(count(lit(1)).as("m"))
+        val wCum = Window.orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val cum = h.withColumn("cum", sum("m").over(wCum))
+        val ts = (1 to 4).map(k =>
+          min(when(col("cum") * 5 >= lit(k.toLong * nU), col("v")))
+            .as(s"${metric}_t$k"))
+        cum.groupBy().agg(ts.head, ts.tail: _*)
+      }
+      def score(metric: String): org.apache.spark.sql.Column =
+        (1 to 4).map(k =>
+          (col(metric) > col(s"${metric}_t$k")).cast("long"))
+          .reduce(_ + _) + 1
+      users
+        .crossJoin(broadcast(thresholds("rec")))
+        .crossJoin(broadcast(thresholds("freq")))
+        .crossJoin(broadcast(thresholds("mon")))
+        .select(col("user_id"), col("rec").as("last_day"),
+          col("freq").as("frequency"),
+          (col("mon").cast("double") / 100.0).as("monetary"),
+          score("rec").as("r_score"), score("freq").as("f_score"),
+          score("mon").as("m_score"),
+          (score("rec") * 100 + score("freq") * 10 + score("mon")).as("rfm"))
+        .orderBy("user_id")
+    }),
+
     "ev_retention" -> ((s, dir) => {
       val counts = load(s, dir, "events")
         .select(col("user_id"), to_date(col("ts")).as("day"))
@@ -474,6 +553,61 @@ object EventWindows {
     }))
 
   val oracle: Map[String, String] = Map(
+    "ev_powerusers" ->
+      """WITH ud AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS ev
+        |  FROM events GROUP BY 1, 2),
+        |pu AS (
+        |  SELECT user_id, count(*) AS days, CAST(sum(ev) AS BIGINT) AS ev
+        |  FROM ud GROUP BY 1),
+        |h AS (
+        |  SELECT days AS active_days, count(*) AS n_users,
+        |    CAST(sum(ev) AS BIGINT) AS n_events
+        |  FROM pu GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_users) AS BIGINT) AS nu FROM h)
+        |SELECT active_days, n_users, n_events,
+        |  round(CAST(n_users AS DOUBLE) / nu, 6) AS user_share,
+        |  CAST(sum(n_users) OVER (ORDER BY active_days DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_users
+        |FROM h, t ORDER BY active_days""".stripMargin,
+
+    "ev_rfm" -> {
+      def thr(metric: String) =
+        s"""${metric}_h AS (
+           |  SELECT $metric AS v, count(*) AS m FROM users GROUP BY 1),
+           |${metric}_c AS (
+           |  SELECT v, sum(m) OVER (ORDER BY v
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           |  FROM ${metric}_h),
+           |${metric}_t AS (
+           |  SELECT ${(1 to 4).map(k =>
+          s"min(CASE WHEN cum * 5 >= $k * (SELECT nu FROM n) THEN v END) AS ${metric}_t$k")
+          .mkString(", ")}
+           |  FROM ${metric}_c)""".stripMargin
+      def score(metric: String) =
+        (1 to 4).map(k =>
+          s"CAST($metric > ${metric}_t$k AS BIGINT)").mkString(" + ") + " + 1"
+      s"""WITH users AS (
+         |  SELECT user_id,
+         |    max(epoch_us(ts) // 86400000000) AS rec,
+         |    count(*) AS freq,
+         |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS mon
+         |  FROM events GROUP BY 1),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS nu FROM users),
+         |${thr("rec")},
+         |${thr("freq")},
+         |${thr("mon")}
+         |SELECT user_id, rec AS last_day, freq AS frequency,
+         |  CAST(mon AS DOUBLE) / 100.0 AS monetary,
+         |  ${score("rec")} AS r_score, ${score("freq")} AS f_score,
+         |  ${score("mon")} AS m_score,
+         |  (${score("rec")}) * 100 + (${score("freq")}) * 10 + (${score("mon")})
+         |    AS rfm
+         |FROM users, rec_t, freq_t, mon_t
+         |ORDER BY user_id""".stripMargin
+    },
+
     "ev_anomaly" ->
       s"""WITH e AS (
          |  SELECT event_id, event_type, ts, value,

@@ -326,6 +326,8 @@ class ScaleDesignSpec extends AnyFunSuite {
       "a17_mwu" -> 5, // (type,cents) histogram agg + pair-explode agg + per-pair rollup + oracle sort; pair explode and rank window ride the value-domain-scale histogram frame
       "a19_chi2_indep" -> 4, // ONE corpus (type,seg) agg behind localCheckpoint + three metadata rollups of the types×4 cell frame; totals ride broadcasts
       "ta_readability" -> 1, // pure map-side regex/word counters + oracle sort
+      "ev_powerusers" -> 2, // one-row total + oracle sort; the (user,day)→user→histogram 3-agg chain runs inside the localCheckpoint (its frame feeds two consumers)
+      "ev_rfm" -> 7, // per-user agg behind localCheckpoint + 3 metric histograms + 3 single-partition cum windows on value-domain frames (above aggregates, tiny) — thresholds ride one-row broadcasts; + oracle sort
       "ta_jsd_drift" -> 5, // (source,term) tf agg behind localCheckpoint + term rollup + (term,source) grid join + per-source fold agg + oracle sort; source/corpus totals ride broadcasts
       "a20_benford" -> 3, // 9-digit agg + one-row total + oracle sort; digit derivation map-side
       "a21_welch_t" -> 2, // ONE per-type power-sum agg (pair explode rides a broadcast of the types frame) + oracle sort
