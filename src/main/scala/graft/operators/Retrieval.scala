@@ -57,6 +57,13 @@ object Retrieval {
   private val RrfK = 60
   private val RrfTopN = 20
 
+  /** ir_rm3: feedback depth, expansion-term count, and the interpolation
+    * weight of the original query model (Lavrenko & Croft 2001; Abdul-
+    * Jaleel et al. 2004's RM3 variant). */
+  private val FbDocs = 10
+  private val FbTerms = 10
+  private val RmAlpha = 0.5
+
   /** The ir_bm25 plan (shared with ir_rrf's lexical leg): top-[[TopN]] docs
     * for [[QueryTerms]] by rounded BM25 score, ordered (score desc, doc_id).
     * Two scans of documents, one broadcast stats row, TakeOrdered cut. */
@@ -261,6 +268,74 @@ object Retrieval {
     // N-row frames (N=50), never the corpus — at 100 TB the fusion cost is
     // the two legs' cost, the fuse itself is constant-size. Absent-list
     // ranks surface as 0 with a 0.0 contribution (the RRF convention).
+    // RM3 pseudo-relevance feedback (Lavrenko–Croft relevance model with
+    // the standard α interpolation): run the BM25 pass, build the
+    // relevance model P(t|R) = Σ_d∈fb P(t|d)·(score_d/Σscore) over the
+    // FbDocs feedback docs, keep the FbTerms strongest non-query terms
+    // (renormalized), interpolate with the uniform original-query model,
+    // and re-score the corpus under the weighted-BM25 expanded query —
+    // the classic recall-boosting expansion a RAG retriever runs when
+    // first-pass results look thin. Exactness: every per-term double is
+    // the identical expression tree; every cross-term/cross-doc sum folds
+    // in sorted order (the ta_unigram_ppl template); both rank cuts order
+    // by round(6) scores with id tiebreaks. Scale: the (doc, term) tf
+    // frame is built ONCE behind a localCheckpoint and feeds dl/df/
+    // feedback/rescore; the relevance model runs on the feedback-doc
+    // vocabulary (10 docs' terms); the rescore join hits only the ≤
+    // |Q|+FbTerms expanded terms via a broadcast, so the second pass
+    // touches the posting lists of 13 terms, not the corpus vocabulary.
+    "ir_rm3" -> ((s, dir) => {
+      import s.implicits._
+      val tok = load(s, dir, "documents")
+        .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .localCheckpoint()
+      val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+      val corpus = dl.groupBy().agg(count(lit(1)).cast("double").as("n"),
+        (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl"))
+      def ordFold(key: org.apache.spark.sql.Column,
+                  v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        aggregate(
+          transform(array_sort(collect_list(struct(key.as("k"), v.as("x")))),
+            x => x.getField("x")),
+          lit(0.0), (acc, x) => acc + x)
+      val top = bm25Top(s, dir).limit(FbDocs)
+      val stot = top.groupBy()
+        .agg(ordFold(col("doc_id"), col("score")).as("stot"))
+      val rm = tf.join(broadcast(top), "doc_id").join(dl, "doc_id")
+        .crossJoin(broadcast(stot))
+        .select(col("term"), col("doc_id"),
+          (col("tf").cast("double") / col("dl").cast("double") *
+            (col("score") / col("stot"))).as("c"))
+        .groupBy("term").agg(ordFold(col("doc_id"), col("c")).as("w"))
+        .where(!col("term").isin(QueryTerms: _*))
+      val wBest = Window.orderBy(col("w").desc, col("term"))
+      val exp = rm.withColumn("rn", row_number().over(wBest))
+        .where(col("rn") <= FbTerms)
+        .localCheckpoint()
+      val wsum = exp.groupBy().agg(ordFold(col("term"), col("w")).as("wsum"))
+      val qAll = QueryTerms.toDF("term")
+        .select(col("term"), lit(RmAlpha / QueryTerms.size).as("qw"))
+        .unionAll(exp.crossJoin(broadcast(wsum))
+          .select(col("term"),
+            (lit(1.0 - RmAlpha) * col("w") / col("wsum")).as("qw")))
+      val bm = log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) +
+          lit(1.0)) *
+        (col("tf") * lit(K1 + 1.0)) /
+        (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / col("avgdl")))
+      // df only for the ≤ |Q|+FbTerms expanded terms (the full-vocab df
+      // frame is NOT broadcastable at scale; the restricted one is rows).
+      val cand = tf.join(broadcast(qAll), "term")
+      val dfq = cand.groupBy("term").agg(count(lit(1)).cast("long").as("df"))
+      cand.join(broadcast(dfq), "term")
+        .join(dl, "doc_id").crossJoin(broadcast(corpus))
+        .select(col("doc_id"), col("term"), (col("qw") * bm).as("c"))
+        .groupBy("doc_id")
+        .agg(round(ordFold(col("term"), col("c")), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(TopN)
+    }),
+
     "ir_rrf" -> ((s, dir) => {
       graft.plans.ArrayExprs.register(s)
       import graft.plans.ArrayExprs.dotProduct
@@ -343,6 +418,55 @@ object Retrieval {
          |ORDER BY doc_id""".stripMargin,
 
     "ir_bm25" -> bm25OracleSql,
+
+    // The full RM3 chain as CTEs: feedback top-10 (nested BM25 subquery),
+    // relevance-model folds ordered by doc/term, expansion cut, weighted
+    // re-score — every double expression the mirror of the Spark side,
+    // with α/|Q| emitted as the string-cast Scala double (the ann_mmr
+    // literal-parity trick).
+    "ir_rm3" -> {
+      val terms = QueryTerms.map(t => s"'$t'").mkString(", ")
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+         |  FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |dlen AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+         |corpus AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+         |                  CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+         |           FROM dlen),
+         |top AS (SELECT doc_id, score FROM ($bm25OracleSql)
+         |        ORDER BY score DESC, doc_id LIMIT $FbDocs),
+         |stot AS (SELECT list_sum(list(score ORDER BY doc_id)) AS stot FROM top),
+         |rm AS (
+         |  SELECT term,
+         |    list_sum(list(CAST(tf.tf AS DOUBLE) / CAST(dlen.dl AS DOUBLE)
+         |                  * (score / stot) ORDER BY tf.doc_id)) AS w
+         |  FROM tf JOIN top ON tf.doc_id = top.doc_id
+         |  JOIN dlen ON tf.doc_id = dlen.doc_id CROSS JOIN stot
+         |  GROUP BY term),
+         |exp AS (SELECT term, w, row_number() OVER (ORDER BY w DESC, term) AS rn
+         |        FROM rm WHERE term NOT IN ($terms)),
+         |expk AS (SELECT term, w FROM exp WHERE rn <= $FbTerms),
+         |wsum AS (SELECT list_sum(list(w ORDER BY term)) AS wsum FROM expk),
+         |qall AS (
+         |  SELECT unnest([$terms]) AS term,
+         |    CAST(${RmAlpha / QueryTerms.size} AS DOUBLE) AS qw
+         |  UNION ALL
+         |  SELECT term, ${1.0 - RmAlpha} * w / wsum AS qw FROM expk, wsum),
+         |cand AS (SELECT tf.doc_id, tf.term, tf.tf, qw
+         |         FROM tf JOIN qall ON tf.term = qall.term),
+         |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM cand GROUP BY 1),
+         |sc2 AS (
+         |  SELECT cand.doc_id, cand.term,
+         |    qw * (ln((corpus.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0) *
+         |          (cand.tf * ${K1 + 1.0}) /
+         |          (cand.tf + $K1 * (1.0 - $B + $B * dlen.dl / corpus.avgdl))) AS c
+         |  FROM cand JOIN dfq USING (term) JOIN dlen USING (doc_id)
+         |  CROSS JOIN corpus)
+         |SELECT doc_id, round(list_sum(list(c ORDER BY term)), 6) AS score
+         |FROM sc2 GROUP BY doc_id
+         |ORDER BY score DESC, doc_id LIMIT $TopN""".stripMargin
+    },
 
     // BM25 top-k as a nested-CTE subquery, then per-position window hit
     // sums and the same (hits desc, start asc) argmax.

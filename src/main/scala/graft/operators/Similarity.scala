@@ -37,6 +37,11 @@ object Similarity {
   private val MmrK = 5
   private val MmrLam = 0.7
 
+  /** emb_matryoshka: prefix width for truncated-dimension retrieval (the
+    * Matryoshka-representation-learning serving trick: score with the
+    * first MatDim dims, keep the full vector only for rerank). */
+  private val MatDim = 16
+
   /** Hyperplane p (0-based) as a 64-dim double[] with entries in [-1, 1):
     * w(p,d) = hash32(p + "_" + d) / 2^31 - 1, d = 1..Dims. Constant-folded
     * by Catalyst into a literal array — no per-row hashing. */
@@ -118,6 +123,48 @@ object Similarity {
     // each round is one map-side pass against a broadcast 1-row pick
     // (msim updates with a `greatest`) + TakeOrdered(1); zero shuffle
     // exchanges, corpus scanned once per round behind localCheckpoints.
+    // Matryoshka truncated-dimension retrieval audit: top-k by cosine on
+    // the FIRST MatDim dims (the cheap serving path — a 4× smaller index
+    // and 4× fewer multiplies per candidate) against the full-dimension
+    // exact top-k, with an in_full flag per retrieved row — the fidelity
+    // readout that decides how far an MRL-style index can truncate. One
+    // broadcast-query scan scores both widths (prefix slices + both norms
+    // in the same projection, behind a localCheckpoint so the two rank
+    // windows don't re-run the scan); both top-k cuts rank on rounded
+    // scores with id tiebreaks — engine-exact.
+    "emb_matryoshka" -> ((s, dir) => {
+      graft.plans.ArrayExprs.register(s)
+      import graft.plans.ArrayExprs.dotProduct
+      val e = load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").as("v"))
+        .withColumn("pv", slice(col("v"), 1, MatDim))
+        .withColumn("nrm", sqrt(dotProduct(col("v"), col("v"))))
+        .withColumn("pnrm", sqrt(dotProduct(col("pv"), col("pv"))))
+      val q = e.where(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("pv").as("qpv"), col("nrm").as("qnrm"), col("pnrm").as("qpnrm"))
+      val scored = e.crossJoin(broadcast(q))
+        .where(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("n_id"),
+          round(dotProduct(col("qv"), col("v")) / (col("qnrm") * col("nrm")), 6)
+            .as("fscore"),
+          round(dotProduct(col("qpv"), col("pv")) / (col("qpnrm") * col("pnrm")), 6)
+            .as("pscore"))
+        .localCheckpoint()
+      val wF = Window.partitionBy("q_id").orderBy(col("fscore").desc, col("n_id"))
+      val full = scored.withColumn("r", row_number().over(wF))
+        .where(col("r") <= TopK)
+        .select(col("q_id"), col("n_id"), lit(1L).as("in_full"))
+      val wP = Window.partitionBy("q_id").orderBy(col("pscore").desc, col("n_id"))
+      scored.withColumn("rank", row_number().over(wP))
+        .where(col("rank") <= TopK)
+        .join(broadcast(full), Seq("q_id", "n_id"), "left")
+        .na.fill(0L, Seq("in_full"))
+        .select(col("q_id"), col("rank"), col("n_id"),
+          col("pscore").as("score"), col("in_full"))
+        .orderBy("q_id", "rank")
+    }),
+
     "ann_mmr" -> ((s, dir) => {
       graft.plans.ArrayExprs.register(s)
       import graft.plans.ArrayExprs.dotProduct
@@ -159,6 +206,26 @@ object Similarity {
     }))
 
   val oracle: Map[String, String] = Map(
+    "emb_matryoshka" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < $NumQueries),
+         |sc AS (
+         |  SELECT q_id, e.vec_id AS n_id,
+         |    round(list_cosine_similarity(qv, v), 6) AS fscore,
+         |    round(list_cosine_similarity(qv[1:$MatDim], v[1:$MatDim]), 6)
+         |      AS pscore
+         |  FROM q, e WHERE e.vec_id <> q_id),
+         |f AS (SELECT q_id, n_id FROM (
+         |    SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY fscore DESC, n_id) AS r FROM sc) WHERE r <= $TopK),
+         |p AS (SELECT q_id, n_id, pscore, row_number() OVER (PARTITION BY q_id
+         |        ORDER BY pscore DESC, n_id) AS rank FROM sc)
+         |SELECT p.q_id, p.rank, p.n_id, p.pscore AS score,
+         |  CAST(CASE WHEN f.n_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+         |    AS in_full
+         |FROM p LEFT JOIN f ON p.q_id = f.q_id AND p.n_id = f.n_id
+         |WHERE p.rank <= $TopK ORDER BY p.q_id, p.rank""".stripMargin,
+
     "ann_topk" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < $NumQueries),
