@@ -189,6 +189,49 @@ object Graph {
     // — the contrib frame IS the full next rank vector. The edge list is
     // never re-shuffled after the one up-front build. n (node count) is a
     // one-row driver scalar computed once — not a per-row collect.
+    // HITS hubs & authorities (Kleinberg 1999) on the DIRECTED low→high
+    // orientation of the co-purchase edges (direction makes hub ≠
+    // authority; the orientation is deterministic, so both engines build
+    // the identical graph). Fixed-point integer arithmetic throughout —
+    // the gr_pagerank discipline extended with the L1 normalization HITS
+    // needs to keep magnitudes bounded: each half-round sums the opposite
+    // score over the edge list (exact long), then renormalizes to
+    // HitsUnit via (x·Unit) div Σx with the product in decimal(38,0)/
+    // HUGEINT (x ≤ Unit·degmax makes x·Unit overflow int64). Unrolled
+    // HitsIters rounds behind per-round localCheckpoints; every shuffle
+    // keys on a node id; nodes with no out-(in-)edges keep score 0 via
+    // the left join + coalesce both engines share.
+    "gr_hits" -> ((s, dir) => {
+      val e = edges(s, dir).select(col("pa").as("src"), col("pb").as("dst"))
+        .localCheckpoint()
+      val nodes = e.select(col("src").as("node"))
+        .unionAll(e.select(col("dst").as("node"))).distinct()
+        .localCheckpoint()
+      def norm(scores: DataFrame, c: String): DataFrame = {
+        val tot = scores.groupBy().agg(sum(col(c)).as("t"))
+        scores.crossJoin(broadcast(tot))
+          .select(col("node"),
+            expr(s"CAST($c AS DECIMAL(38,0)) * $HitsUnit div t").as(c))
+      }
+      var auth = nodes.select(col("node"), lit(HitsUnit).as("a"))
+      var hub: DataFrame = null
+      for (_ <- 1 to HitsIters) {
+        val hp = e.join(auth, e("dst") === auth("node"))
+          .groupBy(col("src").as("node")).agg(sum("a").as("h"))
+        hub = norm(
+          nodes.join(hp, Seq("node"), "left").na.fill(0L, Seq("h")), "h")
+          .localCheckpoint()
+        val ap = e.join(hub, e("src") === hub("node"))
+          .groupBy(col("dst").as("node")).agg(sum("h").as("a"))
+        auth = norm(
+          nodes.join(ap, Seq("node"), "left").na.fill(0L, Seq("a")), "a")
+          .localCheckpoint()
+      }
+      hub.join(auth, "node")
+        .select(col("node"), col("h").as("hub_fp"), col("a").as("auth_fp"))
+        .orderBy("node")
+    }),
+
     "gr_pagerank" -> ((s, dir) => {
       val e = edges(s, dir)
       val e2 = e.select(col("pa").as("src"), col("pb").as("dst"))
@@ -247,6 +290,10 @@ object Graph {
 
   private val RankUnit = 1000000000000L // 1e12 rank units = 1.0
   private val PrIters = 5
+
+  /** gr_hits: fixed-point unit and unrolled iteration count. */
+  private val HitsUnit = 1000000000000L
+  private val HitsIters = 5
   private val SpSeedMod = 10 // gr_shortest_path: seeds are nodes ≡ 0 (mod 10)
   private val SpMaxHops = 4 // gr_shortest_path BFS round bound
 
@@ -357,6 +404,41 @@ object Graph {
          |  UNION ALL SELECT v AS node FROM tris
          |  UNION ALL SELECT w AS node FROM tris)
          |GROUP BY node ORDER BY n_tri DESC, node""".stripMargin,
+
+    // Generated: one (sum, total, renormalize) CTE triple per half-round,
+    // MATERIALIZED (the ev_markov planner lesson) — the identical integer
+    // fixed-point computation the Spark unroll runs.
+    "gr_hits" -> {
+      val rounds = (1 to HitsIters).map { i =>
+        val aPrev = if (i == 1) "a0" else s"an${i - 1}"
+        s"""hp$i AS MATERIALIZED (
+           |  SELECT n.node, coalesce(x.s, 0) AS h FROM nodes n LEFT JOIN (
+           |    SELECT e.pa AS node, CAST(sum($aPrev.a) AS BIGINT) AS s
+           |    FROM e JOIN $aPrev ON e.pb = $aPrev.node GROUP BY 1) x
+           |    USING (node)),
+           |ht$i AS (SELECT CAST(sum(h) AS BIGINT) AS t FROM hp$i),
+           |hn$i AS MATERIALIZED (
+           |  SELECT node, (CAST(h AS HUGEINT) * $HitsUnit) // t AS h
+           |  FROM hp$i, ht$i),
+           |ap$i AS MATERIALIZED (
+           |  SELECT n.node, coalesce(x.s, 0) AS a FROM nodes n LEFT JOIN (
+           |    SELECT e.pb AS node, CAST(sum(hn$i.h) AS BIGINT) AS s
+           |    FROM e JOIN hn$i ON e.pa = hn$i.node GROUP BY 1) x
+           |    USING (node)),
+           |at$i AS (SELECT CAST(sum(a) AS BIGINT) AS t FROM ap$i),
+           |an$i AS MATERIALIZED (
+           |  SELECT node, (CAST(a AS HUGEINT) * $HitsUnit) // t AS a
+           |  FROM ap$i, at$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $EdgeSql,
+         |nodes AS (SELECT pa AS node FROM e UNION SELECT pb FROM e),
+         |a0 AS (SELECT node, CAST($HitsUnit AS BIGINT) AS a FROM nodes),
+         |$rounds
+         |SELECT node, CAST(hn$HitsIters.h AS BIGINT) AS hub_fp,
+         |  CAST(an$HitsIters.a AS BIGINT) AS auth_fp
+         |FROM hn$HitsIters JOIN an$HitsIters USING (node)
+         |ORDER BY node""".stripMargin
+    },
 
     "gr_pagerank" -> {
       val iters = (1 to PrIters)
