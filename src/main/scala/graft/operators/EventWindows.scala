@@ -46,6 +46,9 @@ object EventWindows {
     * computation. */
   private val MarkovIters = 24
 
+  /** ev_path: how many top 3-step session paths to keep. */
+  private val PathTopN = 20
+
   val queries: Map[String, Q] = Map(
     // Rolling z-score anomaly flags per event type: each event scored
     // against the trailing AnomWin-row window (inclusive of itself) on its
@@ -334,6 +337,42 @@ object EventWindows {
     // day-scale k=0 frame. collect_set is bounded by the corpus day span
     // (a decade ≈ 3.7k entries); for multi-year deployments swap in the
     // two-pass min-day + co-partitioned join form — same downstream.
+    // Session path mining (the "what do users do next" product-analytics
+    // staple): sessionize per user at the 30-minute gap (the
+    // t6_session_window construction), list each session's event types in
+    // time order, emit every consecutive 3-step path, and count the
+    // corpus-wide top paths. Scale shape: the session window partitions
+    // on user_id (data-scale key), path explode is map-side off the
+    // per-session list, one (path) count agg + TakeOrdered cut. All
+    // counts integer; the only list op is an index transform both
+    // engines define identically (1-based, len−2 windows).
+    "ev_path" -> ((s, dir) => {
+      val wOrd = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val gapped = load(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("pus", lag(unix_micros(col("ts")), 1).over(wOrd))
+        .withColumn("new_sess",
+          when(col("pus").isNull ||
+            unix_micros(col("ts")) - col("pus") >= GapUs, 1L).otherwise(0L))
+      val wSess = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val paths = gapped
+        .withColumn("sess", sum("new_sess").over(wSess))
+        .groupBy("user_id", "sess")
+        .agg(transform(
+          array_sort(collect_list(struct(col("ts"), col("event_id"),
+            col("event_type")))),
+          x => x.getField("event_type")).as("t"))
+        .where(size(col("t")) >= 3)
+        .select(explode(transform(sequence(lit(1), size(col("t")) - 2),
+          i => concat_ws(">", element_at(col("t"), i),
+            element_at(col("t"), i + 1), element_at(col("t"), i + 2))))
+          .as("path"))
+      paths.groupBy("path").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path"))
+        .limit(PathTopN)
+    }),
+
     // Power-user curve (the L28-style engagement-depth histogram): how
     // many users were active on exactly k distinct days, how many events
     // they generated, their share of the user base, and the survival
@@ -553,6 +592,31 @@ object EventWindows {
     }))
 
   val oracle: Map[String, String] = Map(
+    "ev_path" ->
+      s"""WITH g AS (
+         |  SELECT user_id, ts, event_id, event_type,
+         |    CASE WHEN lag(epoch_us(ts), 1)
+         |           OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         |         OR epoch_us(ts) - lag(epoch_us(ts), 1)
+         |           OVER (PARTITION BY user_id ORDER BY ts, event_id) >= $GapUs
+         |    THEN 1 ELSE 0 END AS new_sess
+         |  FROM events),
+         |sid AS (
+         |  SELECT user_id, event_type, ts, event_id,
+         |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+         |  FROM g),
+         |sl AS (
+         |  SELECT user_id, sess,
+         |    list(event_type ORDER BY ts, event_id) AS t
+         |  FROM sid GROUP BY 1, 2),
+         |p AS (
+         |  SELECT unnest(list_transform(range(1, len(t) - 1),
+         |    i -> t[i] || '>' || t[i + 1] || '>' || t[i + 2])) AS path
+         |  FROM sl WHERE len(t) >= 3)
+         |SELECT path, count(*) AS n FROM p GROUP BY path
+         |ORDER BY n DESC, path LIMIT $PathTopN""".stripMargin,
+
     "ev_powerusers" ->
       """WITH ud AS (
         |  SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS ev

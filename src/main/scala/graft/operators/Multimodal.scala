@@ -276,6 +276,44 @@ object Multimodal {
     // decode + resampling, not header echoes (jpeg rows are excluded:
     // lossy coding makes pixel values codec-version-dependent). Same
     // per-partition codec reuse and embarrassing parallelism as decode.
+    // Perceptual average-hash (aHash) over the decoded png images — the
+    // cheap image near-dup fingerprint (8×8 luma grid, mean threshold,
+    // 64-bit signature; production pipelines band these like
+    // dd_simhash_hamming's signatures). The decode is REAL ImageIO (one
+    // reader per partition); luma and the mean test are all-integer
+    // ((299r+587g+114b) div 1000; bit set iff 64·g > Σg — no division),
+    // and the signature is emitted as a 64-char bit string so the oracle
+    // — which recomputes the same grid from the pixel spec — matches
+    // bit-for-bit. Map-side except the presentation sort.
+    "mm_ahash" -> ((s, dir) => {
+      import s.implicits._
+      synthesize(s, dir).filter(_.format == "png").mapPartitions { it =>
+        val reader = ImageIO.getImageReadersByFormatName("png").next()
+        val out = it.map { r =>
+          val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(r.media))
+          val img = try { reader.setInput(iis); reader.read(0) } finally iis.close()
+          val (w, h) = (img.getWidth, img.getHeight)
+          val g = new Array[Long](64)
+          var j = 0
+          while (j < 8) {
+            var i = 0
+            while (i < 8) {
+              val p = img.getRGB(i * w / 8, j * h / 8)
+              g(j * 8 + i) = (299L * ((p >> 16) & 0xff) +
+                587L * ((p >> 8) & 0xff) + 114L * (p & 0xff)) / 1000L
+              i += 1
+            }
+            j += 1
+          }
+          val tot = g.sum
+          val bits = g.map(v => if (64L * v > tot) '1' else '0').mkString
+          (r.media_id, w.toLong, h.toLong, bits)
+        }
+        onExhaust(out)(() => reader.dispose())
+      }.toDF("media_id", "width", "height", "ahash")
+        .orderBy("media_id")
+    }),
+
     "mm_resize" -> ((s, dir) => {
       import s.implicits._
       synthesize(s, dir).filter(_.format == "png").mapPartitions { it =>
@@ -341,6 +379,29 @@ object Multimodal {
     // Recomputes the 64 nearest-neighbor-sampled pattern pixels per png
     // doc arithmetically — exact because PNG is lossless and `pix` is a
     // pure function of (media_id, x, y).
+    "mm_ahash" ->
+      """WITH d AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(16 + octet_length(encode(text)) % 97 AS BIGINT) AS w,
+        |    CAST(16 + (octet_length(encode(text)) * 31) % 53 AS BIGINT) AS h
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |px AS (
+        |  SELECT media_id, w, h, j * 8 + i AS idx,
+        |    (i * w) // 8 AS x, (j * h) // 8 AS y
+        |  FROM d, (SELECT unnest(range(8)) AS i), (SELECT unnest(range(8)) AS j)),
+        |g AS (
+        |  SELECT media_id, w, h, idx,
+        |    (299 * ((x * 31 + y * 17 + media_id) % 256)
+        |     + 587 * ((x * 7 + y * 13 + 2 * media_id) % 256)
+        |     + 114 * ((x * 3 + y * 29 + 3 * media_id) % 256)) // 1000 AS gv
+        |  FROM px),
+        |t AS (SELECT media_id, sum(gv) AS tot FROM g GROUP BY 1)
+        |SELECT g.media_id, w AS width, h AS height,
+        |  string_agg(CASE WHEN 64 * gv > tot THEN '1' ELSE '0' END, ''
+        |             ORDER BY idx) AS ahash
+        |FROM g JOIN t USING (media_id) GROUP BY g.media_id, w, h
+        |ORDER BY media_id""".stripMargin,
+
     "mm_resize" ->
       """WITH d AS (
         |  SELECT doc_id AS media_id,

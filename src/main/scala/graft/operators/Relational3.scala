@@ -57,6 +57,7 @@ object Relational3 {
   private val ZBits = 10 // zorder_key interleave width per dimension
   private val ErWindow = 5 // er_fuzzy_match sorted-neighborhood width
   private val ErMaxDist = 2 // er_fuzzy_match Levenshtein accept threshold
+  private val SkyBucketW = 1000L // q_skyline price-bucket width, cents
 
   val queries: Map[String, Q] = Map(
     // Exact distinct-count over a skewed key via explicit two-phase
@@ -330,6 +331,46 @@ object Relational3 {
           round(col("mx").cast("double") / (naD * nbD) *
             sqrt(naD * nbD / (naD + nbD)), 6).as("lambda"))
         .orderBy("type_a", "type_b")
+    }),
+
+    // 2-D skyline / Pareto frontier over parts (minimize retail price,
+    // maximize size) — the multi-criteria shortlist operator ("no other
+    // part is both cheaper and bigger"). NOT the O(n²) dominance join:
+    // a part is dominated iff the max size among STRICTLY cheaper parts
+    // reaches its size, or an equal-priced part is strictly bigger — and
+    // both maxima come from the ev_cumsum offset ladder: per price-bucket
+    // maxima roll into a metadata-scale running-max table (broadcast
+    // back), the in-bucket strictly-cheaper max runs in a bounded
+    // (bucket) RANGE window over integer cents, and the equal-price max
+    // partitions on the high-cardinality exact price. All-integer
+    // dominance tests — engine-exact; the DuckDB oracle is the
+    // independent NOT EXISTS dominance definition, so the bucketed
+    // rewrite is checked against the textbook semantics, not a mirror of
+    // itself.
+    "q_skyline" -> ((s, dir) => {
+      val p = load(s, dir, "part")
+        .select(col("p_partkey"),
+          floor(col("p_retailprice") * 100 + lit(0.5)).cast("long").as("pc"),
+          col("p_size").cast("long").as("sz"))
+        .withColumn("b", expr(s"pc div $SkyBucketW"))
+      val bmax = p.groupBy("b").agg(max("sz").as("bm"))
+      val offW = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+      val off = bmax.select(col("b"),
+        coalesce(max("bm").over(offW), lit(Long.MinValue)).as("off"))
+      val inW = Window.partitionBy("b").orderBy("pc")
+        .rangeBetween(Window.unboundedPreceding, -1)
+      // equal-price max via RANGE [0,0] on the SAME (bucket) partitioning
+      // (pc determines b, so the bucket partition already co-locates each
+      // exact price — one exchange serves both windows)
+      val eqW = Window.partitionBy("b").orderBy("pc").rangeBetween(0, 0)
+      p.join(broadcast(off), "b")
+        .withColumn("inm", coalesce(max("sz").over(inW), lit(Long.MinValue)))
+        .withColumn("eqm", max("sz").over(eqW))
+        .where(!(greatest(col("off"), col("inm")) >= col("sz") ||
+          col("eqm") > col("sz")))
+        .select(col("p_partkey"),
+          (col("pc").cast("double") / 100.0).as("price"), col("sz").as("size"))
+        .orderBy("p_partkey")
     }),
 
     // χ² independence cells between event_type and a derived user segment
@@ -872,6 +913,22 @@ object Relational3 {
         |        sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
         |             / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))), 6) AS lambda
         |FROM a ORDER BY type_a, type_b""".stripMargin,
+
+    // The INDEPENDENT dominance definition (NOT EXISTS), not a mirror of
+    // the bucketed ladder — integer-exact, so semantic equivalence is
+    // what the hash check proves.
+    "q_skyline" ->
+      """WITH p AS (
+        |  SELECT p_partkey, CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS pc,
+        |    CAST(p_size AS BIGINT) AS sz
+        |  FROM part)
+        |SELECT p_partkey, CAST(pc AS DOUBLE) / 100.0 AS price, sz AS size
+        |FROM p a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM p b
+        |  WHERE b.pc <= a.pc AND b.sz >= a.sz
+        |    AND (b.pc < a.pc OR b.sz > a.sz))
+        |ORDER BY p_partkey""".stripMargin,
 
     "a19_chi2_indep" ->
       """WITH cells AS (

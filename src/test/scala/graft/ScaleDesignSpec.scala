@@ -329,6 +329,9 @@ class ScaleDesignSpec extends AnyFunSuite {
       "ev_powerusers" -> 2, // one-row total + oracle sort; the (user,day)→user→histogram 3-agg chain runs inside the localCheckpoint (its frame feeds two consumers)
       "ir_rm3" -> 5, // dl rollup + feedback-vocab rm agg + expanded-term df agg + rescore doc_id join/fold agg + TakeOrdered; the (doc,term) tf frame is checkpointed, qw/df/stats ride broadcasts
       "gr_hits" -> 1, // final join+sort only: the per-half-round sum/normalize shuffles run inside the unrolled localCheckpoints (the gr_kcore discipline); totals ride one-row broadcasts
+      "ev_path" -> 2, // user-keyed session window/agg chain shares one exchange + path count agg; TakeOrdered cut
+      "q_skyline" -> 4, // bucket-max agg + metadata offset window + ONE (bucket) exchange serving both the strictly-cheaper RANGE window and the equal-price RANGE[0,0] window + oracle sort
+      "mm_ahash" -> 1, // oracle sort only: decode + luma grid + threshold are map-side per partition
       "emb_matryoshka" -> 3, // both rank windows ride the ONE checkpointed broadcast-query scoring scan ((q,pscore) + (q,fscore) exchanges) + oracle sort; full top-k joins back as a broadcast
       "ev_rfm" -> 7, // per-user agg behind localCheckpoint + 3 metric histograms + 3 single-partition cum windows on value-domain frames (above aggregates, tiny) — thresholds ride one-row broadcasts; + oracle sort
       "ta_jsd_drift" -> 5, // (source,term) tf agg behind localCheckpoint + term rollup + (term,source) grid join + per-source fold agg + oracle sort; source/corpus totals ride broadcasts
