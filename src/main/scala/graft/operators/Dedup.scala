@@ -4,6 +4,7 @@ import graft.Exact.{hash32, hash32Sql}
 import graft.Tables.load
 import graft.functions.VectorFns
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication suite for a large-scale training-data pipeline:
@@ -92,6 +93,9 @@ object Dedup {
   /** dd_substring: minimum shared consecutive-shingle run (a run of r
     * 3-shingles = an identical r+2-token substring). */
   private val SubstrMinRun = 3
+  /** dd_cdc: boundary divisor — trigram hash ≡ 0 (mod CdcD) opens a chunk,
+    * so the expected chunk length is CdcD tokens. */
+  private val CdcD = 8L
 
   private def toks(c: Column): Column = split(lower(c), " ")
 
@@ -309,6 +313,47 @@ object Dedup {
   }
 
   val queries: Map[String, Q] = Map(
+    // Content-defined chunking dedup (the rsync/LBFS/FastCDC idea at token
+    // granularity): chunk boundaries are set by CONTENT — before token i
+    // whenever the trigram hash starting at i ≡ 0 (mod CdcD) — so an
+    // insertion early in a document shifts only the chunk it lands in,
+    // and every following chunk still hashes identically (the property
+    // fixed-width dd_paragraph chunks lack). Output: chunks shared by 2+
+    // docs with their doc lists — the shifted-text near-dup detector.
+    // Scale: boundary flags and chunk ids are computed per doc (doc_id-
+    // keyed window — data-scale key), chunk text re-assembles in one
+    // (doc, chunk) agg, and ONE shuffle on the chunk hash finds the
+    // cross-doc duplicates. Expected chunk length = CdcD tokens.
+    "dd_cdc" -> ((s, dir) => {
+      val t = toks(col("text"))
+      val tok = load(s, dir, "documents")
+        .select(col("doc_id"), posexplode(t).as(Seq("p", "tok")),
+          t.as("ts"), size(t).as("n"))
+        .withColumn("bnd",
+          when(col("p") >= 1 && col("p") <= col("n") - 3 &&
+            hash32(concat_ws(" ", element_at(col("ts"), col("p") + 1),
+              element_at(col("ts"), col("p") + 2),
+              element_at(col("ts"), col("p") + 3))) % CdcD === 0, 1L)
+            .otherwise(0L))
+        .drop("ts", "n")
+      val wChunk = Window.partitionBy("doc_id").orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val chunks = tok
+        .withColumn("ck", sum("bnd").over(wChunk))
+        .groupBy("doc_id", "ck")
+        .agg(md5(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("p"), col("tok")))),
+            x => x.getField("tok")))).as("chunk_hash"),
+          count(lit(1)).as("n_tokens"))
+      chunks.groupBy("chunk_hash")
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          max(col("n_tokens")).as("n_tokens"),
+          concat_ws(" ", sort_array(collect_set(col("doc_id").cast("string"))))
+            .as("docs"))
+        .where(col("n_docs") >= 2)
+        .orderBy("chunk_hash")
+    }),
+
     // Exact dedup: group by content hash of the normalized text; keep the
     // lowest doc_id. One shuffle on a 128-bit key — scales linearly.
     "dd_exact" -> ((s, dir) =>
@@ -682,6 +727,34 @@ object Dedup {
       |comp AS (SELECT src AS doc_id, min(dst) AS lbl FROM reach GROUP BY src)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "dd_cdc" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
+         |pos AS (
+         |  SELECT doc_id, unnest(range(len(ts))) AS p, ts FROM tok),
+         |b AS (
+         |  SELECT doc_id, p, ts[p + 1] AS tok,
+         |    CASE WHEN p >= 1 AND p <= len(ts) - 3
+         |      AND ${hash32Sql("ts[p + 1] || ' ' || ts[p + 2] || ' ' || ts[p + 3]")}
+         |          % $CdcD = 0
+         |    THEN 1 ELSE 0 END AS bnd
+         |  FROM pos),
+         |ckt AS (
+         |  SELECT doc_id, p, tok,
+         |    sum(bnd) OVER (PARTITION BY doc_id ORDER BY p
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ck
+         |  FROM b),
+         |ch AS (
+         |  SELECT doc_id, ck, md5(string_agg(tok, ' ' ORDER BY p)) AS chunk_hash,
+         |    count(*) AS n_tokens
+         |  FROM ckt GROUP BY 1, 2)
+         |SELECT chunk_hash, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  CAST(max(n_tokens) AS BIGINT) AS n_tokens,
+         |  string_agg(DISTINCT CAST(doc_id AS VARCHAR), ' '
+         |             ORDER BY CAST(doc_id AS VARCHAR)) AS docs
+         |FROM ch GROUP BY chunk_hash HAVING count(DISTINCT doc_id) >= 2
+         |ORDER BY chunk_hash""".stripMargin,
+
     "dd_exact" ->
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_hash,
         |  count(*) AS n_copies, min(doc_id) AS keep_id

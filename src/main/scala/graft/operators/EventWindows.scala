@@ -337,6 +337,99 @@ object EventWindows {
     // day-scale k=0 frame. collect_set is bounded by the corpus day span
     // (a decade ≈ 3.7k entries); for multi-year deployments swap in the
     // two-pass min-day + co-partitioned join form — same downstream.
+    // Seasonal-naive forecast backtest (the baseline every real
+    // forecasting deployment must beat, and the denominator of the MASE
+    // metric): per event type, forecast each day's value total as the
+    // total 7 days earlier, evaluated against the one-day-naive on the
+    // same day set — n, MAE, and MASE = ΣAE_sn / ΣAE_naive1. Exactness:
+    // daily totals are integer cents on a COMPLETE per-type calendar
+    // spine (absent days are true zeros — a lag over present-days-only
+    // would compare the wrong calendar pairs), absolute errors are exact
+    // integer sums, and only the two final ratios are doubles, round(6).
+    // Scale: one corpus (type, day) agg; the spine, lags, and rollup all
+    // ride the types×days metadata frame above it.
+    "ev_forecast_sn" -> ((s, dir) => {
+      val d = load(s, dir, "events")
+        .select(col("event_type"), to_date(col("ts")).as("d"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("c"))
+        .groupBy("event_type", "d").agg(sum("c").as("sc"))
+        .localCheckpoint()
+      val spine = d.groupBy("event_type")
+        .agg(min("d").as("mn"), max("d").as("mx"))
+        .select(col("event_type"),
+          explode(sequence(col("mn"), col("mx"))).as("d"))
+      val w = Window.partitionBy("event_type").orderBy("d")
+      val f = spine.join(d, Seq("event_type", "d"), "left")
+        .na.fill(0L, Seq("sc"))
+        .withColumn("l7", lag("sc", 7).over(w))
+        .withColumn("l1", lag("sc", 1).over(w))
+        .where(col("l7").isNotNull && col("l1").isNotNull)
+      f.groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+          sum(abs(col("sc") - col("l7"))).as("sae7"),
+          sum(abs(col("sc") - col("l1"))).as("sae1"))
+        .select(col("event_type"), col("n_days"),
+          round(col("sae7").cast("double") / col("n_days") / 100.0, 6)
+            .as("mae_sn"),
+          round(col("sae1").cast("double") / col("n_days") / 100.0, 6)
+            .as("mae_naive1"),
+          round(col("sae7").cast("double") / nullif(col("sae1"), lit(0L)), 6)
+            .as("mase"))
+        .orderBy("event_type")
+    }),
+
+    // MATCH_RECOGNIZE-lite sequence detection: sessions where a signup is
+    // followed by a purchase with NO error in between — the row-pattern
+    // query (SQL:2016 MATCH_RECOGNIZE, which Spark lacks) expressed as
+    // three keyed aggregates over in-session positions instead of a
+    // pattern automaton: (1) first signup position per session, (2) first
+    // purchase after it, (3) error count strictly between, every step an
+    // integer min/count on the (user, sess)-keyed frame. Emits the
+    // matched sessions with the step gap and the signup→purchase latency
+    // (µs, exact). Scale: the t6 sessionization window (user-keyed) + the
+    // per-position explode stays on (user, sess) keys end to end.
+    "ev_pattern" -> ((s, dir) => {
+      val wOrd = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val gapped = load(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("pus", lag(unix_micros(col("ts")), 1).over(wOrd))
+        .withColumn("new_sess",
+          when(col("pus").isNull ||
+            unix_micros(col("ts")) - col("pus") >= GapUs, 1L).otherwise(0L))
+      val wSess = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wPos = Window.partitionBy("user_id", "sess").orderBy("ts", "event_id")
+      val rows = gapped
+        .withColumn("sess", sum("new_sess").over(wSess))
+        .withColumn("pos", row_number().over(wPos).cast("long"))
+        .select("user_id", "sess", "pos", "event_type", "ts")
+      val sign = rows.where(col("event_type") === "signup")
+        .groupBy("user_id", "sess")
+        .agg(min(struct(col("pos"), col("ts"))).as("s"))
+        .select(col("user_id"), col("sess"), col("s.pos").as("ps"),
+          col("s.ts").as("ts_s"))
+      val purch = rows.join(sign, Seq("user_id", "sess"))
+        .where(col("event_type") === "purchase" && col("pos") > col("ps"))
+        .groupBy("user_id", "sess")
+        .agg(min(struct(col("pos"), col("ts"))).as("p"))
+        .select(col("user_id"), col("sess"), col("p.pos").as("pe"),
+          col("p.ts").as("ts_p"))
+      val matched = sign.join(purch, Seq("user_id", "sess"))
+      val errs = rows.join(matched, Seq("user_id", "sess"))
+        .where(col("event_type") === "error" &&
+          col("pos") > col("ps") && col("pos") < col("pe"))
+        .groupBy("user_id", "sess").agg(count(lit(1)).as("ne"))
+      matched.join(errs, Seq("user_id", "sess"), "left")
+        .na.fill(0L, Seq("ne"))
+        .where(col("ne") === 0)
+        .select(col("user_id"), col("sess"),
+          col("ps").as("signup_pos"), col("pe").as("purchase_pos"),
+          (col("pe") - col("ps") - 1).as("steps_between"),
+          (unix_micros(col("ts_p")) - unix_micros(col("ts_s")))
+            .as("latency_us"))
+        .orderBy("user_id", "sess")
+    }),
+
     // Session path mining (the "what do users do next" product-analytics
     // staple): sessionize per user at the 30-minute gap (the
     // t6_session_window construction), list each session's event types in
@@ -592,6 +685,73 @@ object EventWindows {
     }))
 
   val oracle: Map[String, String] = Map(
+    "ev_forecast_sn" ->
+      """WITH d AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sc
+        |  FROM events GROUP BY 1, 2),
+        |rng AS (SELECT event_type, min(d) AS mn, max(d) AS mx FROM d GROUP BY 1),
+        |spine AS (
+        |  SELECT event_type, CAST(unnest(generate_series(mn, mx,
+        |    INTERVAL 1 DAY)) AS DATE) AS d
+        |  FROM rng),
+        |f AS (
+        |  SELECT s.event_type, s.d, coalesce(d.sc, 0) AS sc,
+        |    lag(coalesce(d.sc, 0), 7) OVER w AS l7,
+        |    lag(coalesce(d.sc, 0), 1) OVER w AS l1
+        |  FROM spine s LEFT JOIN d ON s.event_type = d.event_type AND s.d = d.d
+        |  WINDOW w AS (PARTITION BY s.event_type ORDER BY s.d)),
+        |a AS (
+        |  SELECT event_type, count(*) AS n_days,
+        |    CAST(sum(abs(sc - l7)) AS BIGINT) AS sae7,
+        |    CAST(sum(abs(sc - l1)) AS BIGINT) AS sae1
+        |  FROM f WHERE l7 IS NOT NULL AND l1 IS NOT NULL GROUP BY 1)
+        |SELECT event_type, n_days,
+        |  round(CAST(sae7 AS DOUBLE) / n_days / 100.0, 6) AS mae_sn,
+        |  round(CAST(sae1 AS DOUBLE) / n_days / 100.0, 6) AS mae_naive1,
+        |  round(CAST(sae7 AS DOUBLE) / nullif(sae1, 0), 6) AS mase
+        |FROM a ORDER BY event_type""".stripMargin,
+
+    "ev_pattern" ->
+      s"""WITH g AS (
+         |  SELECT user_id, ts, event_id, event_type,
+         |    CASE WHEN lag(epoch_us(ts), 1)
+         |           OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         |         OR epoch_us(ts) - lag(epoch_us(ts), 1)
+         |           OVER (PARTITION BY user_id ORDER BY ts, event_id) >= $GapUs
+         |    THEN 1 ELSE 0 END AS new_sess
+         |  FROM events),
+         |r AS (
+         |  SELECT user_id, event_type, ts, event_id,
+         |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS sess
+         |  FROM g),
+         |rp AS (
+         |  SELECT user_id, sess, event_type, ts,
+         |    CAST(row_number() OVER (PARTITION BY user_id, sess
+         |      ORDER BY ts, event_id) AS BIGINT) AS pos
+         |  FROM r),
+         |sg AS (
+         |  SELECT user_id, sess, min(pos) AS ps, arg_min(ts, pos) AS ts_s
+         |  FROM rp WHERE event_type = 'signup' GROUP BY 1, 2),
+         |pu AS (
+         |  SELECT rp.user_id, rp.sess, min(pos) AS pe, arg_min(ts, pos) AS ts_p
+         |  FROM rp JOIN sg ON rp.user_id = sg.user_id AND rp.sess = sg.sess
+         |  WHERE event_type = 'purchase' AND pos > ps GROUP BY 1, 2),
+         |m AS (SELECT sg.user_id, sg.sess, ps, ts_s, pe, ts_p
+         |      FROM sg JOIN pu ON sg.user_id = pu.user_id AND sg.sess = pu.sess),
+         |er AS (
+         |  SELECT rp.user_id, rp.sess, count(*) AS ne
+         |  FROM rp JOIN m ON rp.user_id = m.user_id AND rp.sess = m.sess
+         |  WHERE event_type = 'error' AND pos > ps AND pos < pe GROUP BY 1, 2)
+         |SELECT m.user_id, m.sess, ps AS signup_pos, pe AS purchase_pos,
+         |  pe - ps - 1 AS steps_between,
+         |  epoch_us(ts_p) - epoch_us(ts_s) AS latency_us
+         |FROM m LEFT JOIN er ON m.user_id = er.user_id AND m.sess = er.sess
+         |WHERE coalesce(ne, 0) = 0
+         |ORDER BY m.user_id, m.sess""".stripMargin,
+
     "ev_path" ->
       s"""WITH g AS (
          |  SELECT user_id, ts, event_id, event_type,

@@ -252,6 +252,41 @@ object Multimodal {
     "mm_audio" -> ((s, dir) =>
       decodeAudio(synthesizeAudio(s, dir)).orderBy("media_id")),
 
+    // Sample-level audio feature extraction over the decoded PCM — the
+    // audio sibling of mm_resize's pixel proof: energy (Σ s², exact
+    // int64), zero-crossing count (sign changes), and peak |s| per clip,
+    // computed from the REAL javax.sound frame decode of the WAV body.
+    // The synthetic PCM is a pure function of (frame index, text byte
+    // length), so the oracle recomputes every 16-bit little-endian sample
+    // arithmetically — a hash match proves the decode recovered the
+    // samples, not just the RIFF header. All-integer features; map-side
+    // except the presentation sort.
+    "mm_audio_features" -> ((s, dir) => {
+      import s.implicits._
+      import javax.sound.sampled.AudioSystem
+      synthesizeAudio(s, dir).mapPartitions { it =>
+        it.map { r =>
+          val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(r.media))
+          val pcm = try ais.readAllBytes() finally ais.close()
+          val n = pcm.length / 2
+          var (energy, zcr, peak) = (0L, 0L, 0L)
+          var prevNeg = false
+          var k = 0
+          while (k < n) {
+            val s16 = ((pcm(2 * k + 1) << 8) | (pcm(2 * k) & 0xff)).toShort.toLong
+            energy += s16 * s16
+            if (math.abs(s16) > peak) peak = math.abs(s16)
+            val neg = s16 < 0
+            if (k > 0 && neg != prevNeg) zcr += 1
+            prevNeg = neg
+            k += 1
+          }
+          (r.media_id, n.toLong, energy, zcr, peak)
+        }
+      }.toDF("media_id", "n_frames", "energy", "zero_crossings", "peak")
+        .orderBy("media_id")
+    }),
+
     // binary ingest → real ImageIO encode → typed mapPartitions decode →
     // header-derived metadata columns. n_bytes is projected out: for
     // png/jpeg it is the real encoded-image size, which DuckDB cannot
@@ -379,6 +414,29 @@ object Multimodal {
     // Recomputes the 64 nearest-neighbor-sampled pattern pixels per png
     // doc arithmetically — exact because PNG is lossless and `pix` is a
     // pure function of (media_id, x, y).
+    "mm_audio_features" ->
+      """WITH d AS (
+        |  SELECT doc_id AS media_id,
+        |    octet_length(encode(text)) AS len,
+        |    16 + octet_length(encode(text)) % 997 AS n
+        |  FROM documents),
+        |kk AS (SELECT media_id, len, n, unnest(range(n)) AS k FROM d),
+        |sm AS (
+        |  SELECT media_id, n, k,
+        |    ((62 * k + len + 159) % 256) * 256 + ((62 * k + len + 128) % 256)
+        |      AS v
+        |  FROM kk),
+        |sg AS (SELECT media_id, n, k,
+        |         CASE WHEN v >= 32768 THEN v - 65536 ELSE v END AS s FROM sm),
+        |w AS (SELECT media_id, n, k, s,
+        |        lag(s) OVER (PARTITION BY media_id ORDER BY k) AS ps FROM sg)
+        |SELECT media_id, CAST(max(n) AS BIGINT) AS n_frames,
+        |  CAST(sum(s * s) AS BIGINT) AS energy,
+        |  CAST(sum(CASE WHEN ps IS NOT NULL AND ((s < 0) != (ps < 0))
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+        |  CAST(max(abs(s)) AS BIGINT) AS peak
+        |FROM w GROUP BY media_id ORDER BY media_id""".stripMargin,
+
     "mm_ahash" ->
       """WITH d AS (
         |  SELECT doc_id AS media_id,
