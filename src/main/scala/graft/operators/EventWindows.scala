@@ -337,6 +337,44 @@ object EventWindows {
     // day-scale k=0 frame. collect_set is bounded by the corpus day span
     // (a decade ≈ 3.7k entries); for multi-year deployments swap in the
     // two-pass min-day + co-partitioned join form — same downstream.
+    // Inter-arrival-time distribution per event type (the burstiness /
+    // rate-stability readout behind capacity planning and anomaly
+    // baselines): gap to the previous same-type event, log2-bucketed
+    // (bucket = floor(log2(gap_seconds)); safe cross-engine: log2 of a
+    // power of two is IEEE-exact and of any other integer is ≥ 7e-10
+    // from the floor boundary at this domain), counted per (type,
+    // bucket) with each bucket's exact
+    // integer mean gap. The per-type lag is the KeyedRank chunked form at
+    // win=2: event_type is low-cardinality, so a plain per-type lag
+    // window is the single-task trap — the global rank comes from
+    // span-adaptive buckets and the 1-row boundary strip makes every
+    // chunk's first gap computable inside its own (type, chunk)
+    // partition. All integers end to end.
+    "ev_interarrival" -> ((s, dir) => {
+      val ev = load(s, dir, "events")
+        .select(col("event_type"), col("ts"), col("event_id"),
+          unix_micros(col("ts")).as("us"))
+      val ranked = graft.plans.KeyedRank.withRank(ev, "event_type",
+        graft.plans.KeyedRank.adaptiveTimeBucket(ev, col("ts")),
+        Seq(col("ts"), col("event_id")))
+      val dup = graft.plans.KeyedRank.withTrailingChunks(ranked, 2, 1000)
+      val w = Window.partitionBy("event_type", "g").orderBy("rk")
+      val gaps = dup
+        .withColumn("pus", lag("us", 1).over(w))
+        .where(col("own") && col("pus").isNotNull)
+        .withColumn("gap_s", expr("(us - pus) div 1000000"))
+      // floor(log2(g)) for g >= 1 as bit length − 1 (integer); g = 0 (two
+      // events in the same second) gets its own bucket −1.
+      val bucket = when(col("gap_s") <= 0, lit(-1L))
+        .otherwise(floor(log2(col("gap_s"))).cast("long"))
+      gaps.select(col("event_type"), bucket.as("log2_bucket"), col("gap_s"))
+        .groupBy("event_type", "log2_bucket")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("gap_s")).cast("double") / count(lit(1)), 6)
+            .as("mean_gap_s"))
+        .orderBy("event_type", "log2_bucket")
+    }),
+
     // Seasonal-naive forecast backtest (the baseline every real
     // forecasting deployment must beat, and the denominator of the MASE
     // metric): per event type, forecast each day's value total as the
@@ -685,6 +723,24 @@ object EventWindows {
     }))
 
   val oracle: Map[String, String] = Map(
+    "ev_interarrival" ->
+      """WITH e AS (
+        |  SELECT event_type, ts, event_id, epoch_us(ts) AS us FROM events),
+        |g AS (
+        |  SELECT event_type,
+        |    (us - lag(us, 1) OVER (PARTITION BY event_type
+        |       ORDER BY ts, event_id)) // 1000000 AS gap_s
+        |  FROM e),
+        |b AS (
+        |  SELECT event_type,
+        |    CASE WHEN gap_s <= 0 THEN -1
+        |         ELSE CAST(floor(log2(gap_s)) AS BIGINT) END AS log2_bucket,
+        |    gap_s
+        |  FROM g WHERE gap_s IS NOT NULL)
+        |SELECT event_type, log2_bucket, count(*) AS n,
+        |  round(CAST(sum(gap_s) AS DOUBLE) / count(*), 6) AS mean_gap_s
+        |FROM b GROUP BY 1, 2 ORDER BY event_type, log2_bucket""".stripMargin,
+
     "ev_forecast_sn" ->
       """WITH d AS (
         |  SELECT event_type, CAST(ts AS DATE) AS d,

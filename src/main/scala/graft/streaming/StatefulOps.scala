@@ -392,6 +392,62 @@ object StatefulOps {
         })
   }
 
+  /** Per-key heavy-hitter estimate from [[MisraGriesProcessor]]. */
+  case class HeavyHitter(key: String, item: String, est: Long)
+
+  /** Misra–Gries heavy hitters on transformWithState MAP STATE: each key
+    * holds at most `k` (item → counter) entries — an unseen item either
+    * claims a free slot or decrements every counter (the classic
+    * frequent-items sketch). State is O(k) per key FOREVER, regardless of
+    * stream length or item cardinality — the property that lets a
+    * 1000-executor topology track per-user/per-tenant top items without
+    * per-item state. Guarantees (spec-pinned): estimates never exceed the
+    * true count, undercount by at most n_key/(k+1), and — when k ≥ the
+    * key's distinct-item count — are EXACT, equal to the batch
+    * groupBy(key, item).count. Emits the key's current counters each
+    * batch it appears in (update-mode friendly). */
+  class MisraGriesProcessor(k: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, String), HeavyHitter] {
+    @transient private var counters:
+        org.apache.spark.sql.streaming.MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      counters = getHandle.getMapState[String, Long]("mg",
+        Encoders.STRING, Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: String, rows: Iterator[(String, String)],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[HeavyHitter] = {
+      val m = scala.collection.mutable.LinkedHashMap[String, Long]()
+      counters.iterator().foreach { case (i, c) => m(i) = c }
+      rows.foreach { case (_, item) =>
+        if (m.contains(item)) m(item) += 1L
+        else if (m.size < k) m(item) = 1L
+        else m.keys.toSeq.foreach { i =>
+          m(i) -= 1L
+          if (m(i) == 0L) m.remove(i)
+        }
+      }
+      counters.clear()
+      m.foreach { case (i, c) => counters.updateValue(i, c) }
+      m.iterator.map { case (i, c) => HeavyHitter(key, i, c) }
+    }
+  }
+
+  /** `(key, item)` events → per-key Misra–Gries top items (≤ k counters). */
+  def heavyHitters(ds: Dataset[(String, String)], k: Int): Dataset[HeavyHitter] = {
+    implicit val enc: Encoder[HeavyHitter] = Encoders.product[HeavyHitter]
+    ds.groupByKey(_._1)(Encoders.STRING)
+      .transformWithState(new MisraGriesProcessor(k),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update(),
+        enc)
+  }
+
   /** Streaming input row for the engagement twins: one event per user
     * action (only the user and the event time matter). A row with
     * `user_id == FlushUser` is a watermark-advancing sentinel: it passes

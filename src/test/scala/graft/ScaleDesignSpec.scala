@@ -336,6 +336,7 @@ class ScaleDesignSpec extends AnyFunSuite {
       "ev_pattern" -> 2, // one user-keyed session/pos window chain (shared exchange) + (user,sess) aggs riding it; match joins broadcast the session-scale frames
       "ev_forecast_sn" -> 2, // spine/lag/rollup ride the types×days frame behind the checkpointed (type,day) agg; + oracle sort
       "mm_audio_features" -> 1, // oracle sort only: WAV decode + integer features map-side per partition
+      "ev_interarrival" -> 6, // the ev_ewma-template KeyedRank win=2 chunked-lag chain (bucket counts + tiny offset window + rank window + (type,chunk) lag window) + (type,bucket) agg + oracle sort
       "emb_matryoshka" -> 3, // both rank windows ride the ONE checkpointed broadcast-query scoring scan ((q,pscore) + (q,fscore) exchanges) + oracle sort; full top-k joins back as a broadcast
       "ev_rfm" -> 7, // per-user agg behind localCheckpoint + 3 metric histograms + 3 single-partition cum windows on value-domain frames (above aggregates, tiny) — thresholds ride one-row broadcasts; + oracle sort
       "ta_jsd_drift" -> 5, // (source,term) tf agg behind localCheckpoint + term rollup + (term,source) grid join + per-source fold agg + oracle sort; source/corpus totals ride broadcasts

@@ -270,6 +270,60 @@ class StatefulOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("Misra-Gries heavy hitters: exact when k covers the item domain, bounded otherwise") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      // Exact regime: k=8 > 5 distinct event types, so the sketch's final
+      // counters must EQUAL the batch per-(user, type) counts on the real
+      // events feed — across micro-batches.
+      import org.apache.spark.sql.functions.col
+      val dir = "/root/testdata/sf0.001"
+      val evs = graft.Tables.load(spark, dir, "events")
+        .select(col("user_id").cast("string"), col("event_type"))
+        .as[(String, String)].collect()
+      val mem = MemoryStream[(String, String)]
+      val q = StatefulOps.heavyHitters(mem.toDS(), k = 8)
+        .writeStream.outputMode("update")
+        .format("memory").queryName("smg_out").start()
+      try {
+        evs.grouped(math.max(1, evs.length / 4))
+          .foreach { b => mem.addData(b.toSeq); q.processAllAvailable() }
+        // latest estimate per (key, item) — update mode re-emits rows
+        val streamed = spark.table("smg_out").as[StatefulOps.HeavyHitter]
+          .collect().zipWithIndex
+          .groupBy(r => (r._1.key, r._1.item))
+          .map { case (k, rs) => k -> rs.maxBy(_._2)._1.est }
+        val batch = evs.groupBy(identity).map { case ((u, t), rs) =>
+          (u, t) -> rs.length.toLong
+        }
+        assert(streamed == batch)
+      } finally q.stop()
+      // Sketch regime: k=2 over 5 items — the MG bound must hold:
+      // est <= true and true - est <= n/(k+1).
+      val feed = Seq.fill(30)(("u", "a")) ++ Seq.fill(12)(("u", "b")) ++
+        Seq(("u", "c"), ("u", "d"), ("u", "e"), ("u", "c"), ("u", "d"))
+      val mem2 = MemoryStream[(String, String)]
+      val q2 = StatefulOps.heavyHitters(mem2.toDS(), k = 2)
+        .writeStream.outputMode("update")
+        .format("memory").queryName("smg2_out").start()
+      try {
+        feed.grouped(10).foreach { b => mem2.addData(b.toSeq); q2.processAllAvailable() }
+        val est = spark.table("smg2_out").as[StatefulOps.HeavyHitter]
+          .collect().zipWithIndex
+          .groupBy(_._1.item).map { case (i, rs) => i -> rs.maxBy(_._2)._1.est }
+        val truth = feed.groupBy(_._2).map { case (i, rs) => i -> rs.length.toLong }
+        val n = feed.length.toLong
+        for ((i, e) <- est) {
+          assert(e <= truth(i), s"$i overestimated: $e > ${truth(i)}")
+          assert(truth(i) - e <= n / 3, s"$i undercounted past the MG bound")
+        }
+        // the dominant item must still be tracked
+        assert(est.contains("a"))
+      } finally q2.stop()
+    }
+  }
+
   test("streaming rollingStickiness equals the batch ev_stickiness oracle result") {
     // The engagement-family parity pin: feed the real sf0.001 events in
     // event-time order across several micro-batches plus a FlushUser
