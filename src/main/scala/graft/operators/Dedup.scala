@@ -412,6 +412,61 @@ object Dedup {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // MinHash estimator fidelity audit: for every LSH candidate pair,
+    // the signature-match estimate Ĵ = (matching minhashes)/NumHashes
+    // against the exact Jaccard and their absolute error — the query a
+    // deployment runs to SIZE its signature (is 12 hashes enough at this
+    // threshold, or does the estimator need 128?). One chain computes
+    // signatures AND shingle sets behind a localCheckpoint; candidates
+    // come from the same bucket-grouped band explode as dd_minhash_lsh
+    // (never all pairs), and the per-pair arithmetic is integer counts
+    // until the two final ratios. Pairs join the checkpointed doc frame
+    // on its own doc_id keys.
+    "dd_minhash_est" -> ((s, dir) => {
+      val tok = shingleSet(s, dir)
+        .select(col("doc_id"), (hash32(col("sh")) % MersenneP).as("h"))
+      def mh(i: Int): Column = array_min(transform(col("hs"),
+        h => (lit(mixA(i)) * h + lit(mixB(i))) % MersenneP))
+      val sigs = tok.groupBy("doc_id").agg(collect_set(col("h")).as("hs"))
+        .select(col("doc_id"), col("hs"),
+          array((0 until NumHashes).map(mh): _*).as("sig"))
+        .localCheckpoint()
+      val bandCols = (0 until Bands).map { b =>
+        struct(lit(b).as("band"),
+          md5(concat_ws("|", lit(b),
+            array_join(transform(
+              slice(col("sig"), b * RowsPerBand + 1, RowsPerBand),
+              x => x.cast("string")), "|"))).as("bkt"))
+      }
+      val pairs = sigs
+        .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+        .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkt").as("bkt"))
+        .groupBy("band", "bkt")
+        .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+        .where(size(col("ids")) > 1)
+        .select(explode(flatten(transform(col("ids"), (x, i) =>
+          transform(slice(col("ids"), i + 2, size(col("ids"))),
+            y => struct(x.as("a"), y.as("b")))))).as("p"))
+        .select(col("p.a").as("doc_a"), col("p.b").as("doc_b")).distinct()
+      val a = sigs.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"),
+        col("sig").as("sig_a"))
+      val b = sigs.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"),
+        col("sig").as("sig_b"))
+      val m = size(filter(zip_with(col("sig_a"), col("sig_b"),
+        (x, y) => x === y), x => x)).cast("long")
+      val inter = size(array_intersect(col("hs_a"), col("hs_b"))).cast("long")
+      val uni = size(col("hs_a")) + size(col("hs_b")) -
+        size(array_intersect(col("hs_a"), col("hs_b")))
+      val est = m.cast("double") / NumHashes.toDouble
+      val jac = inter.cast("double") / uni.cast("double")
+      pairs.join(a, "doc_a").join(b, "doc_b")
+        .select(col("doc_a"), col("doc_b"), m.as("n_match"),
+          round(est, 6).as("est_jaccard"),
+          round(jac, 6).as("jaccard"),
+          round(abs(est - jac), 6).as("abs_err"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // SimHash: per-token md5 hash; signature bit j is the sign of the sum of
     // (±1) votes from bit j of each token hash. Map-side except one groupBy.
     "dd_simhash" -> ((s, dir) => {
@@ -782,6 +837,44 @@ object Dedup {
          |FROM bands x JOIN bands y
          |  ON x.band = y.band AND x.bkt = y.bkt AND x.doc_id < y.doc_id
          |GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b""".stripMargin
+    },
+
+    "dd_minhash_est" -> {
+      val sigList = (0 until NumHashes).map(i =>
+        s"list_min(list_transform(hs, hh -> (${mixA(i)} * hh + ${mixB(i)}) % $MersenneP))")
+        .mkString(", ")
+      val bandSelects = (0 until Bands).map { b =>
+        val hs = (b * RowsPerBand until (b + 1) * RowsPerBand)
+          .map(i => s"sig[${i + 1}]").mkString(", ")
+        s"SELECT doc_id, $b AS band, md5(concat_ws('|', $b, $hs)) AS bkt FROM sigs"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH tok AS (
+         |  SELECT doc_id, ${hash32Sql("sh")} % $MersenneP AS h
+         |  FROM ($shingleSetSql)),
+         |docsh AS MATERIALIZED (
+         |  SELECT doc_id, list(DISTINCT h) AS hs FROM tok GROUP BY doc_id),
+         |sigs AS MATERIALIZED (
+         |  SELECT doc_id, hs, [$sigList] AS sig FROM docsh),
+         |bands AS (
+         |  $bandSelects),
+         |pairs AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bkt = y.bkt AND x.doc_id < y.doc_id),
+         |sc AS (
+         |  SELECT doc_a, doc_b,
+         |    CAST(len(list_filter(range(1, ${NumHashes + 1}),
+         |      i -> a.sig[i] = b.sig[i])) AS BIGINT) AS m,
+         |    CAST(len(list_intersect(a.hs, b.hs)) AS BIGINT) AS i,
+         |    len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)) AS u
+         |  FROM pairs JOIN sigs a ON pairs.doc_a = a.doc_id
+         |  JOIN sigs b ON pairs.doc_b = b.doc_id)
+         |SELECT doc_a, doc_b, m AS n_match,
+         |  round(CAST(m AS DOUBLE) / ${NumHashes}.0, 6) AS est_jaccard,
+         |  round(CAST(i AS DOUBLE) / CAST(u AS DOUBLE), 6) AS jaccard,
+         |  round(abs(CAST(m AS DOUBLE) / ${NumHashes}.0
+         |            - CAST(i AS DOUBLE) / CAST(u AS DOUBLE)), 6) AS abs_err
+         |FROM sc ORDER BY doc_a, doc_b""".stripMargin
     },
 
     "dd_simhash" -> {

@@ -610,6 +610,42 @@ object Relational3 {
     // capped upstream), one shuffle on the pair key aggregates support.
     // The per-item support join inputs are pair-count-sized and
     // item-count-sized — both tiny next to the fact table, left to AQE.
+    // Sequential-recommender backtest (leave-last-out): train a
+    // first-order transition model on every user's history EXCEPT their
+    // final event, predict that final event's type from the penultimate
+    // one by argmax transition count (ties → lexicographic), and report
+    // per-context accuracy — the evaluation loop behind "what does the
+    // user do next" models, with the train/test split that prevents
+    // target leakage. All integers: one user-keyed lag/pos window, one
+    // (from, to) count aggregate EXCLUDING each user's last transition,
+    // argmax on the types² model frame, broadcast prediction join.
+    "rec_next_item" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val r = load(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("pos", row_number().over(w).cast("long"))
+        .withColumn("prev", lag("event_type", 1).over(w))
+      val nU = r.groupBy("user_id").agg(max("pos").as("n"))
+      val r2 = r.join(nU, "user_id").localCheckpoint()
+      val model = r2.where(col("prev").isNotNull && col("pos") < col("n"))
+        .groupBy(col("prev").as("f"), col("event_type").as("t"))
+        .agg(count(lit(1)).as("c"))
+      val wBest = Window.partitionBy("f").orderBy(col("c").desc, col("t"))
+      val pred = model.withColumn("rn", row_number().over(wBest))
+        .where(col("rn") === 1)
+        .select(col("f"), col("t").as("predicted"))
+      r2.where(col("pos") === col("n") && col("n") >= 2)
+        .select(col("user_id"), col("prev").as("f"),
+          col("event_type").as("actual"))
+        .join(broadcast(pred), Seq("f"), "left")
+        .groupBy(col("f").as("from_type"))
+        .agg(count(lit(1)).as("n_eval"),
+          sum((col("predicted") === col("actual")).cast("long")).as("n_hits"))
+        .select(col("from_type"), col("n_eval"), col("n_hits"),
+          round(col("n_hits").cast("double") / col("n_eval"), 6).as("accuracy"))
+        .orderBy("from_type")
+    }),
+
     "rec_cooccur" -> ((s, dir) => {
       val items = load(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_partkey")).distinct()
@@ -913,6 +949,34 @@ object Relational3 {
         |        sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
         |             / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))), 6) AS lambda
         |FROM a ORDER BY type_a, type_b""".stripMargin,
+
+    "rec_next_item" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type,
+        |    CAST(row_number() OVER w AS BIGINT) AS pos,
+        |    lag(event_type, 1) OVER w AS prev
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |nu AS (SELECT user_id, max(pos) AS n FROM r GROUP BY 1),
+        |r2 AS (SELECT r.*, n FROM r JOIN nu USING (user_id)),
+        |model AS (
+        |  SELECT prev AS f, event_type AS t, count(*) AS c
+        |  FROM r2 WHERE prev IS NOT NULL AND pos < n GROUP BY 1, 2),
+        |pred AS (
+        |  SELECT f, t AS predicted FROM (
+        |    SELECT f, t, row_number() OVER (PARTITION BY f
+        |      ORDER BY c DESC, t) AS rn FROM model)
+        |  WHERE rn = 1),
+        |ev AS (
+        |  SELECT user_id, prev AS f, event_type AS actual
+        |  FROM r2 WHERE pos = n AND n >= 2)
+        |SELECT f AS from_type, count(*) AS n_eval,
+        |  CAST(sum(CASE WHEN predicted = actual THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_hits,
+        |  round(CAST(sum(CASE WHEN predicted = actual THEN 1 ELSE 0 END)
+        |        AS DOUBLE) / count(*), 6) AS accuracy
+        |FROM ev LEFT JOIN pred USING (f)
+        |GROUP BY f ORDER BY from_type""".stripMargin,
 
     // The INDEPENDENT dominance definition (NOT EXISTS), not a mirror of
     // the bucketed ladder — integer-exact, so semantic equivalence is

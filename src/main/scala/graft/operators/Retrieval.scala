@@ -64,6 +64,9 @@ object Retrieval {
   private val FbTerms = 10
   private val RmAlpha = 0.5
 
+  /** ir_ndcg: evaluation cutoff. */
+  private val NdcgK = 10
+
   /** The ir_bm25 plan (shared with ir_rrf's lexical leg): top-[[TopN]] docs
     * for [[QueryTerms]] by rounded BM25 score, ordered (score desc, doc_id).
     * Two scans of documents, one broadcast stats row, TakeOrdered cut. */
@@ -336,6 +339,61 @@ object Retrieval {
         .limit(TopN)
     }),
 
+    // Ranking-quality evaluation (nDCG@k): score the dense retrieval run
+    // (cosine to query vector 0, the ir_rrf dense leg) against graded
+    // relevance judgments derived from the text itself — grade = how many
+    // distinct query terms the document contains (0–3). Discounts use
+    // the natural log (base choice is free in DCG; ln is the one
+    // discount both engines compute identically — the ta_unigram_ppl
+    // parity precedent). The ideal DCG needs NO corpus-scale sort: with
+    // a 4-value grade domain, the ideal ordering is determined by the
+    // grade HISTOGRAM (one corpus aggregate, broadcast), and position
+    // i's ideal grade is a constant-time comparison against the counts.
+    // Output: per-position rank/doc/grade with running dcg/idcg/ndcg —
+    // all running sums over the k-row frame above TakeOrdered cuts.
+    "ir_ndcg" -> ((s, dir) => {
+      graft.plans.ArrayExprs.register(s)
+      import graft.plans.ArrayExprs.dotProduct
+      val rel = load(s, dir, "documents")
+        .select(col("doc_id"),
+          QueryTerms.map(t => array_contains(toks(col("text")), t).cast("long"))
+            .reduce(_ + _).as("rel"))
+        .localCheckpoint()
+      val e = load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").as("v"))
+        .withColumn("nrm", sqrt(dotProduct(col("v"), col("v"))))
+      val q = e.where(col("vec_id") === 0)
+        .select(col("v").as("qv"), col("nrm").as("qnrm"))
+      val dense = e.crossJoin(broadcast(q))
+        .where(col("vec_id") =!= 0)
+        .select(col("vec_id").as("doc_id"),
+          round(dotProduct(col("qv"), col("v")) / (col("qnrm") * col("nrm")), 6)
+            .as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(NdcgK)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      val grades = rel.groupBy()
+        .agg(sum(when(col("rel") === 3, 1L).otherwise(0L)).as("n3"),
+          sum(when(col("rel") === 2, 1L).otherwise(0L)).as("n2"),
+          sum(when(col("rel") === 1, 1L).otherwise(0L)).as("n1"))
+      val ideal = when(col("rank") <= col("n3"), lit(3L))
+        .when(col("rank") <= col("n3") + col("n2"), lit(2L))
+        .when(col("rank") <= col("n3") + col("n2") + col("n1"), lit(1L))
+        .otherwise(lit(0L))
+      val wCum = Window.orderBy("rank")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      dense.join(rel, "doc_id").crossJoin(broadcast(grades))
+        .withColumn("gain", col("rel").cast("double") / log(col("rank") + 1))
+        .withColumn("igain", ideal.cast("double") / log(col("rank") + 1))
+        .withColumn("dcg", sum("gain").over(wCum))
+        .withColumn("idcg", sum("igain").over(wCum))
+        .select(col("rank"), col("doc_id"), col("rel"),
+          round(col("dcg"), 6).as("dcg"), round(col("idcg"), 6).as("idcg"),
+          round(col("dcg") / col("idcg"), 6).as("ndcg"))
+        .orderBy("rank")
+    }),
+
     "ir_rrf" -> ((s, dir) => {
       graft.plans.ArrayExprs.register(s)
       import graft.plans.ArrayExprs.dotProduct
@@ -418,6 +476,48 @@ object Retrieval {
          |ORDER BY doc_id""".stripMargin,
 
     "ir_bm25" -> bm25OracleSql,
+
+    "ir_ndcg" -> {
+      val relExpr = QueryTerms
+        .map(t => s"CAST(list_contains(string_split(lower(text), ' '), '$t') AS BIGINT)")
+        .mkString(" + ")
+      s"""WITH rel AS (
+         |  SELECT doc_id, $relExpr AS rel FROM documents),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |dense AS (
+         |  SELECT e.vec_id AS doc_id,
+         |    round(list_cosine_similarity(qv, v), 6) AS score
+         |  FROM e, q WHERE e.vec_id <> 0
+         |  ORDER BY score DESC, doc_id LIMIT $NdcgK),
+         |rk AS (
+         |  SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+         |    AS BIGINT) AS rank
+         |  FROM dense),
+         |g AS (
+         |  SELECT CAST(sum(CASE WHEN rel = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+         |    CAST(sum(CASE WHEN rel = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         |    CAST(sum(CASE WHEN rel = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+         |  FROM rel),
+         |rows_ AS (
+         |  SELECT rank, rk.doc_id, rel.rel,
+         |    CAST(rel.rel AS DOUBLE) / ln(rank + 1) AS gain,
+         |    CAST(CASE WHEN rank <= n3 THEN 3
+         |              WHEN rank <= n3 + n2 THEN 2
+         |              WHEN rank <= n3 + n2 + n1 THEN 1
+         |              ELSE 0 END AS DOUBLE) / ln(rank + 1) AS igain
+         |  FROM rk JOIN rel ON rk.doc_id = rel.doc_id CROSS JOIN g),
+         |c AS (
+         |  SELECT rank, doc_id, rel,
+         |    sum(gain) OVER (ORDER BY rank
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dcg,
+         |    sum(igain) OVER (ORDER BY rank
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS idcg
+         |  FROM rows_)
+         |SELECT rank, doc_id, rel, round(dcg, 6) AS dcg, round(idcg, 6) AS idcg,
+         |  round(dcg / idcg, 6) AS ndcg
+         |FROM c ORDER BY rank""".stripMargin
+    },
 
     // The full RM3 chain as CTEs: feedback top-10 (nested BM25 subquery),
     // relevance-model folds ordered by doc/term, expansion cut, weighted

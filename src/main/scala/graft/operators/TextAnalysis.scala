@@ -38,6 +38,9 @@ object TextAnalysis {
   private val BpeMerges = 6
   private val BpePasses = 3
 
+  /** ta_zipf_fit: how many top ranks per source enter the OLS fit. */
+  private val ZipfTopR = 200L
+
   // PII patterns, restricted to the Java-regex ∩ RE2 common subset so the
   // DuckDB oracle evaluates them identically (greedy classes + \b only; no
   // backrefs, no lookaround).
@@ -670,6 +673,47 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // Zipf rank-frequency fit per source — the corpus-health diagnostic
+    // ("natural language sits near slope −1; template spam and synthetic
+    // filler bend the curve"): OLS of ln(freq) on ln(rank) over each
+    // source's top ZipfTopR terms, emitting slope, intercept, and r².
+    // Ranks come from a window OVER the vocab-scale (source, term) count
+    // frame (above an aggregate — metadata territory); every Σ of
+    // ln-doubles folds in rank order (the ta_unigram_ppl template) and
+    // the OLS closed forms are identical expression trees, round(6).
+    "ta_zipf_fit" -> ((s, dir) => {
+      val cf = load(s, dir, "documents")
+        .select(col("source"), explode(toks(col("text"))).as("term"))
+        .groupBy("source", "term").agg(count(lit(1)).as("cf"))
+      val wR = Window.partitionBy("source")
+        .orderBy(col("cf").desc, col("term"))
+      val top = cf.withColumn("rnk", row_number().over(wR).cast("long"))
+        .where(col("rnk") <= ZipfTopR)
+        .select(col("source"), col("rnk"),
+          log(col("rnk").cast("double")).as("x"),
+          log(col("cf").cast("double")).as("y"))
+      def fold(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        aggregate(
+          transform(array_sort(collect_list(struct(col("rnk"), v.as("v")))),
+            x => x.getField("v")),
+          lit(0.0), (acc, x) => acc + x)
+      val agg = top.groupBy("source")
+        .agg(count(lit(1)).cast("double").as("n"),
+          fold(col("x")).as("sx"), fold(col("y")).as("sy"),
+          fold(col("x") * col("y")).as("sxy"),
+          fold(col("x") * col("x")).as("sxx"),
+          fold(col("y") * col("y")).as("syy"))
+      val cov = col("n") * col("sxy") - col("sx") * col("sy")
+      val vx = col("n") * col("sxx") - col("sx") * col("sx")
+      val vy = col("n") * col("syy") - col("sy") * col("sy")
+      agg.select(col("source"), col("n").cast("long").as("n_ranks"),
+          round(cov / vx, 6).as("slope"),
+          round((col("sy") - cov / vx * col("sx")) / col("n"), 6)
+            .as("intercept"),
+          round(cov * cov / (vx * vy), 6).as("r2"))
+        .orderBy("source")
+    }),
+
     // Per-source Jensen–Shannon divergence from the corpus term
     // distribution — the drift/contamination monitor for "which source's
     // vocabulary is pulling away from the mix" (JSD is symmetric, bounded
@@ -1007,6 +1051,37 @@ object TextAnalysis {
         |        + 11.8 * (CAST(syllables AS DOUBLE) / CAST(words AS DOUBLE))
         |        - 15.59, 6) AS fk_grade
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "ta_zipf_fit" ->
+      s"""WITH cf AS (
+         |  SELECT source, term, count(*) AS cf FROM (
+         |    SELECT source, unnest(string_split(lower(text), ' ')) AS term
+         |    FROM documents)
+         |  GROUP BY 1, 2),
+         |r AS (
+         |  SELECT source, cf,
+         |    CAST(row_number() OVER (PARTITION BY source
+         |      ORDER BY cf DESC, term) AS BIGINT) AS rnk
+         |  FROM cf),
+         |t AS (
+         |  SELECT source, rnk, ln(CAST(rnk AS DOUBLE)) AS x,
+         |    ln(CAST(cf AS DOUBLE)) AS y
+         |  FROM r WHERE rnk <= $ZipfTopR),
+         |a AS (
+         |  SELECT source, CAST(count(*) AS DOUBLE) AS n,
+         |    list_sum(list(x ORDER BY rnk)) AS sx,
+         |    list_sum(list(y ORDER BY rnk)) AS sy,
+         |    list_sum(list(x * y ORDER BY rnk)) AS sxy,
+         |    list_sum(list(x * x ORDER BY rnk)) AS sxx,
+         |    list_sum(list(y * y ORDER BY rnk)) AS syy
+         |  FROM t GROUP BY 1)
+         |SELECT source, CAST(n AS BIGINT) AS n_ranks,
+         |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+         |  round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+         |    AS intercept,
+         |  round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+         |        / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+         |FROM a ORDER BY source""".stripMargin,
 
     "ta_jsd_drift" ->
       """WITH tok AS (

@@ -337,6 +337,10 @@ class ScaleDesignSpec extends AnyFunSuite {
       "ev_forecast_sn" -> 2, // spine/lag/rollup ride the types×days frame behind the checkpointed (type,day) agg; + oracle sort
       "mm_audio_features" -> 1, // oracle sort only: WAV decode + integer features map-side per partition
       "ev_interarrival" -> 6, // the ev_ewma-template KeyedRank win=2 chunked-lag chain (bucket counts + tiny offset window + rank window + (type,chunk) lag window) + (type,bucket) agg + oracle sort
+      "dd_minhash_est" -> 3, // bucket-pair agg + 2 doc_id joins against the ONE checkpointed signature frame; candidate generation shares the lsh grouped shape
+      "ta_zipf_fit" -> 3, // (source,term) cf agg + per-source fold agg + oracle sort; the rank window rides the vocab-scale frame above the aggregate
+      "ir_ndcg" -> 2, // dense TakeOrdered + rel join agg; running dcg/idcg windows ride the k-row frame; grade histogram broadcasts
+      "rec_next_item" -> 4, // ONE user-keyed window chain behind localCheckpoint + model agg + eval agg + oracle sort; predictions broadcast
       "emb_matryoshka" -> 3, // both rank windows ride the ONE checkpointed broadcast-query scoring scan ((q,pscore) + (q,fscore) exchanges) + oracle sort; full top-k joins back as a broadcast
       "ev_rfm" -> 7, // per-user agg behind localCheckpoint + 3 metric histograms + 3 single-partition cum windows on value-domain frames (above aggregates, tiny) — thresholds ride one-row broadcasts; + oracle sort
       "ta_jsd_drift" -> 5, // (source,term) tf agg behind localCheckpoint + term rollup + (term,source) grid join + per-source fold agg + oracle sort; source/corpus totals ride broadcasts
