@@ -58,6 +58,7 @@ object Relational3 {
   private val ErWindow = 5 // er_fuzzy_match sorted-neighborhood width
   private val ErMaxDist = 2 // er_fuzzy_match Levenshtein accept threshold
   private val SkyBucketW = 1000L // q_skyline price-bucket width, cents
+  private val QualityBudget = 100L // samp_quality_budget: global doc budget
 
   val queries: Map[String, Q] = Map(
     // Exact distinct-count over a skewed key via explicit two-phase
@@ -188,6 +189,75 @@ object Relational3 {
           sum(dec(col("value"))).cast("double").as("sum_value"),
           min(col("h")).as("h_min"))
         .orderBy("event_type")
+    }),
+
+    // Quality-budgeted selection — the data-selection step that closes
+    // the quality-scoring loop: spend a global doc budget across sources
+    // in proportion to their size (floor allocation, ≥1 per source),
+    // filling each source's quota with its HIGHEST-quality docs (TTR =
+    // distinct-token ratio; ties → lowest doc_id). The per-source cut
+    // runs on the TopKAgg bounded heap — source is low-cardinality, so a
+    // per-source rank window over doc rows is the single-task trap; the
+    // heap keeps map-side partials and at most budget-many triples per
+    // source per partition cross the wire. Allocations come from a
+    // metadata-scale count frame broadcast back; the heap array is
+    // ordered (score desc, id asc) so the post-explode ordinal IS the
+    // in-source quality rank.
+    "samp_quality_budget" -> ((s, dir) => {
+      graft.plans.TopKAgg.register(s)
+      val ws = filter(split(lower(col("text")), " "), w => w =!= "")
+      val d = load(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          (size(array_distinct(ws)).cast("double") / size(ws)).as("ttr"))
+      val counts = d.groupBy("source").agg(count(lit(1)).as("ns"))
+      val tot = counts.groupBy().agg(sum("ns").as("nt"))
+      val alloc = counts.crossJoin(broadcast(tot))
+        .select(col("source"),
+          least(col("ns"),
+            greatest(lit(1L), expr(s"($QualityBudget * ns) div nt")))
+            .as("alloc"))
+      d.groupBy("source")
+        .agg(graft.plans.TopKAgg.topkTriples(
+          col("ttr"), col("doc_id"), col("ttr"), QualityBudget.toInt).as("top"))
+        .select(col("source"), posexplode(col("top")).as(Seq("ord", "t")))
+        .join(broadcast(alloc), "source")
+        .where(col("ord") < col("alloc"))
+        .select(col("source"), (col("ord") + 1).cast("long").as("rank"),
+          col("t.id").as("doc_id"), round(col("t.score"), 6).as("ttr"))
+        .orderBy("source", "rank")
+    }),
+
+    // Temporal (SCD2) dimension lookup join: for every click, the state
+    // interval active at click time — dimension = the user's last
+    // non-click event type as [valid_from, valid_to) intervals (the
+    // scd2_intervals build over the non-click stream), fact = the click
+    // events. The join is a USER-KEYED equi-join with the range predicate
+    // applied after co-location — user_id is data-scale, each user holds
+    // a handful of intervals, so no bucket machinery is needed (contrast
+    // j7_range_bin, whose range join has NO equi-key). Time-in-state is
+    // exact integer µs.
+    "j8_temporal_join" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val dim = load(s, dir, "events")
+        .where(col("event_type") =!= "click")
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .where(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+        .withColumn("valid_to",
+          coalesce(lead(col("ts"), 1).over(w),
+            lit("2099-12-31 00:00:00").cast("timestamp")))
+        .select(col("user_id"), col("event_type").as("state"),
+          col("ts").as("valid_from"), col("valid_to"))
+      val clicks = load(s, dir, "events")
+        .where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      clicks.join(dim,
+          clicks("user_id") === dim("user_id") &&
+            col("ts") >= col("valid_from") && col("ts") < col("valid_to"))
+        .select(col("event_id"), clicks("user_id"), col("state"),
+          col("valid_from").as("state_since"),
+          (unix_micros(col("ts")) - unix_micros(col("valid_from")))
+            .as("time_in_state_us"))
+        .orderBy("event_id")
     }),
 
     // Dataset drift monitor: population-stability index of the event-type
@@ -949,6 +1019,52 @@ object Relational3 {
         |        sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
         |             / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))), 6) AS lambda
         |FROM a ORDER BY type_a, type_b""".stripMargin,
+
+    "samp_quality_budget" ->
+      s"""WITH d AS (
+         |  SELECT source, doc_id,
+         |    CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS ttr
+         |  FROM (SELECT source, doc_id,
+         |          list_filter(string_split(lower(text), ' '), w -> w <> '')
+         |            AS ws
+         |        FROM documents)),
+         |c AS (SELECT source, count(*) AS ns FROM d GROUP BY 1),
+         |t AS (SELECT CAST(sum(ns) AS BIGINT) AS nt FROM c),
+         |a AS (SELECT source,
+         |        least(ns, greatest(1, ($QualityBudget * ns) // nt)) AS alloc
+         |      FROM c, t),
+         |r AS (SELECT source, doc_id, ttr,
+         |        CAST(row_number() OVER (PARTITION BY source
+         |          ORDER BY ttr DESC, doc_id) AS BIGINT) AS rank
+         |      FROM d)
+         |SELECT r.source, rank, doc_id, round(ttr, 6) AS ttr
+         |FROM r JOIN a ON r.source = a.source
+         |WHERE rank <= alloc ORDER BY r.source, rank""".stripMargin,
+
+    "j8_temporal_join" ->
+      """WITH w AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    lag(event_type, 1) OVER win AS prev_type,
+        |    lead(ts, 1) OVER win AS next_ts
+        |  FROM events WHERE event_type <> 'click'
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |dim0 AS (
+        |  SELECT user_id, event_type AS state, ts AS valid_from, event_id
+        |  FROM w WHERE prev_type IS NULL OR prev_type <> event_type),
+        |dim AS (
+        |  SELECT user_id, state, valid_from,
+        |    coalesce(lead(valid_from, 1) OVER (PARTITION BY user_id
+        |      ORDER BY valid_from, event_id),
+        |      TIMESTAMP '2099-12-31 00:00:00') AS valid_to
+        |  FROM dim0),
+        |clicks AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+        |SELECT c.event_id, c.user_id, d.state, d.valid_from AS state_since,
+        |  epoch_us(c.ts) - epoch_us(d.valid_from) AS time_in_state_us
+        |FROM clicks c JOIN dim d
+        |  ON c.user_id = d.user_id AND c.ts >= d.valid_from
+        |  AND c.ts < d.valid_to
+        |ORDER BY c.event_id""".stripMargin,
 
     "rec_next_item" ->
       """WITH r AS (

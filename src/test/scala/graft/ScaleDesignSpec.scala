@@ -341,6 +341,8 @@ class ScaleDesignSpec extends AnyFunSuite {
       "ta_zipf_fit" -> 3, // (source,term) cf agg + per-source fold agg + oracle sort; the rank window rides the vocab-scale frame above the aggregate
       "ir_ndcg" -> 2, // dense TakeOrdered + rel join agg; running dcg/idcg windows ride the k-row frame; grade histogram broadcasts
       "rec_next_item" -> 4, // ONE user-keyed window chain behind localCheckpoint + model agg + eval agg + oracle sort; predictions broadcast
+      "samp_quality_budget" -> 5, // TTR map-side + source-count agg + one-row total + bounded heap agg + oracle sort; allocations broadcast
+      "j8_temporal_join" -> 2, // ONE user-keyed window chain builds the intervals; the lookup is a user-keyed equi-join with the range predicate post-colocation + oracle sort
       "emb_matryoshka" -> 3, // both rank windows ride the ONE checkpointed broadcast-query scoring scan ((q,pscore) + (q,fscore) exchanges) + oracle sort; full top-k joins back as a broadcast
       "ev_rfm" -> 7, // per-user agg behind localCheckpoint + 3 metric histograms + 3 single-partition cum windows on value-domain frames (above aggregates, tiny) — thresholds ride one-row broadcasts; + oracle sort
       "ta_jsd_drift" -> 5, // (source,term) tf agg behind localCheckpoint + term rollup + (term,source) grid join + per-source fold agg + oracle sort; source/corpus totals ride broadcasts
