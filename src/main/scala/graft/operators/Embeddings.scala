@@ -370,6 +370,40 @@ object Embeddings {
     // levers (cell count, code size) compose multiplicatively.
     "ann_ivfpq" -> ((s, dir) => rankCut(s, ivfPqScored(s, dir))),
 
+    // IVF recall audit — the deployment-sizing readout for the coarse
+    // quantizer (is NProbe/Cells enough?): per query, |IVF top-k ∩ exact
+    // top-k| / k against the brute-force ground truth. The IVF leg is
+    // the ann_ivf chain verbatim; the truth leg is one broadcast-query
+    // scan + per-group top-k; the overlap is an integer count. The
+    // battery twin of AnnRecallSpec's fidelity study, oracle-checked.
+    "emb_recall" -> ((s, dir) => {
+      graft.plans.ArrayExprs.register(s)
+      import graft.plans.ArrayExprs.dotProduct
+      val ivf = queries("ann_ivf")(s, dir).select(col("q_id"), col("n_id"))
+      val e = load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").as("v"))
+        .withColumn("nrm", sqrt(dotProduct(col("v"), col("v"))))
+      val q = e.where(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("nrm").as("qnrm"))
+      val wT = Window.partitionBy("q_id").orderBy(col("score").desc, col("n_id"))
+      val truth = e.crossJoin(broadcast(q))
+        .where(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("n_id"),
+          round(dotProduct(col("qv"), col("v")) / (col("qnrm") * col("nrm")), 6)
+            .as("score"))
+        .withColumn("rank", row_number().over(wT))
+        .where(col("rank") <= TopK)
+        .select(col("q_id"), col("n_id"), lit(1L).as("hit"))
+      ivf.join(broadcast(truth), Seq("q_id", "n_id"), "left")
+        .na.fill(0L, Seq("hit"))
+        .groupBy("q_id")
+        .agg(sum("hit").as("n_hits"))
+        .select(col("q_id"), col("n_hits"),
+          round(col("n_hits").cast("double") / TopK, 6).as("recall"))
+        .orderBy("q_id")
+    }),
+
     // Residual-encoding IVF-PQ (the FAISS IndexIVFPQ default): PQ codes
     // the RESIDUAL x − μ(cell(x)) instead of the raw vector. The
     // reference point must be the cell MEAN, not the seed vector: the
@@ -837,6 +871,37 @@ object Embeddings {
     * ann_ivfpq oracle tracks a PqM change like the Spark side does. */
   private val ivfpqDistSql: String = (0 until PqM).map(m => s"d$m").mkString(" + ")
 
+  /** ann_ivf oracle SQL, lifted so emb_recall can nest it as a subquery
+    * (the ir_snippet precedent). */
+  private val annIvfSql: String =
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |seeds AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < $Cells),
+         |ac AS (
+         |  SELECT e.vec_id, e.v, cell,
+         |    round(list_cosine_similarity(e.v, cv), 6) AS c,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |                       ORDER BY round(list_cosine_similarity(e.v, cv), 6) DESC, cell) AS rn
+         |  FROM e, seeds),
+         |assigned AS (SELECT vec_id, v, cell FROM ac WHERE rn = 1),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < $NumQueries),
+         |pc AS (
+         |  SELECT q_id, qv, cell,
+         |    row_number() OVER (PARTITION BY q_id
+         |                       ORDER BY round(list_cosine_similarity(qv, cv), 6) DESC, cell) AS rn
+         |  FROM q, seeds),
+         |probes AS (SELECT q_id, qv, cell FROM pc WHERE rn <= $NProbe),
+         |cand AS (
+         |  SELECT q_id, a.vec_id AS n_id,
+         |    max(round(list_cosine_similarity(qv, a.v), 6)) AS score
+         |  FROM probes p JOIN assigned a ON p.cell = a.cell
+         |  WHERE a.vec_id <> p.q_id
+         |  GROUP BY q_id, n_id),
+         |r AS (SELECT q_id, n_id, score,
+         |        row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rank
+         |      FROM cand)
+         |SELECT q_id, rank, n_id, score FROM r WHERE rank <= $TopK
+         |ORDER BY q_id, rank""".stripMargin
+
   val oracle: Map[String, String] = Map(
     // Generated: one (argmax, update) CTE pair per greedy round, the
     // identical fixed-depth trajectory the Spark unroll runs.
@@ -1005,34 +1070,29 @@ object Embeddings {
          |  CAST(votes AS BIGINT) AS votes
          |FROM b WHERE brn = 1 ORDER BY vec_id""".stripMargin,
 
-    "ann_ivf" ->
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |seeds AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < $Cells),
-         |ac AS (
-         |  SELECT e.vec_id, e.v, cell,
-         |    round(list_cosine_similarity(e.v, cv), 6) AS c,
-         |    row_number() OVER (PARTITION BY e.vec_id
-         |                       ORDER BY round(list_cosine_similarity(e.v, cv), 6) DESC, cell) AS rn
-         |  FROM e, seeds),
-         |assigned AS (SELECT vec_id, v, cell FROM ac WHERE rn = 1),
+    "ann_ivf" -> annIvfSql,
+
+    "emb_recall" ->
+      s"""WITH ivf AS (SELECT q_id, n_id FROM ($annIvfSql)),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < $NumQueries),
-         |pc AS (
-         |  SELECT q_id, qv, cell,
-         |    row_number() OVER (PARTITION BY q_id
-         |                       ORDER BY round(list_cosine_similarity(qv, cv), 6) DESC, cell) AS rn
-         |  FROM q, seeds),
-         |probes AS (SELECT q_id, qv, cell FROM pc WHERE rn <= $NProbe),
-         |cand AS (
-         |  SELECT q_id, a.vec_id AS n_id,
-         |    max(round(list_cosine_similarity(qv, a.v), 6)) AS score
-         |  FROM probes p JOIN assigned a ON p.cell = a.cell
-         |  WHERE a.vec_id <> p.q_id
-         |  GROUP BY q_id, n_id),
-         |r AS (SELECT q_id, n_id, score,
-         |        row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rank
-         |      FROM cand)
-         |SELECT q_id, rank, n_id, score FROM r WHERE rank <= $TopK
-         |ORDER BY q_id, rank""".stripMargin,
+         |sc AS (
+         |  SELECT q_id, e.vec_id AS n_id,
+         |    round(list_cosine_similarity(qv, v), 6) AS score
+         |  FROM q, e WHERE e.vec_id <> q_id),
+         |truth AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY score DESC, n_id) AS rank FROM sc)
+         |  WHERE rank <= $TopK)
+         |SELECT ivf.q_id,
+         |  CAST(sum(CASE WHEN truth.n_id IS NOT NULL THEN 1 ELSE 0 END)
+         |       AS BIGINT) AS n_hits,
+         |  round(CAST(sum(CASE WHEN truth.n_id IS NOT NULL THEN 1 ELSE 0 END)
+         |        AS DOUBLE) / $TopK, 6) AS recall
+         |FROM ivf LEFT JOIN truth
+         |  ON ivf.q_id = truth.q_id AND ivf.n_id = truth.n_id
+         |GROUP BY ivf.q_id ORDER BY ivf.q_id""".stripMargin,
 
     "ann_ivfpq" ->
       s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS fv FROM embeddings),
