@@ -191,6 +191,32 @@ object Relational3 {
         .orderBy("event_type")
     }),
 
+    // Candidate-key discovery (the data-profiling staple behind "what can
+    // I join/dedup on"): for each candidate column set over events, the
+    // exact distinct count vs the row count and a uniqueness verdict.
+    // Each distinct count is a keyed aggregate + metadata rollup (the
+    // skew_distinct_2phase shape — a hot key spreads over its member
+    // pairs, no count-distinct Expand); the four candidates are four
+    // passes over one cached scan, unioned into a 4-row report.
+    "prof_keys" -> ((s, dir) => {
+      val ev = load(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+        .localCheckpoint()
+      val nRows = ev.count()
+      def probe(cols: Seq[String]): DataFrame =
+        ev.select(cols.map(col): _*).groupBy(cols.map(col): _*)
+          .agg(count(lit(1)).as("m"))
+          .groupBy()
+          .agg(count(lit(1)).as("n_distinct"))
+          .select(lit(cols.mkString(",")).as("key_cols"),
+            col("n_distinct"), lit(nRows).as("n_rows"),
+            (col("n_distinct") === nRows).cast("long").as("is_unique"))
+      Seq(Seq("event_id"), Seq("ts"), Seq("user_id", "ts"),
+        Seq("user_id", "event_type", "ts"))
+        .map(probe).reduce(_ unionAll _)
+        .orderBy("key_cols")
+    }),
+
     // Quality-budgeted selection — the data-selection step that closes
     // the quality-scoring loop: spend a global doc budget across sources
     // in proportion to their size (floor allocation, ≥1 per source),
@@ -1019,6 +1045,25 @@ object Relational3 {
         |        sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
         |             / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))), 6) AS lambda
         |FROM a ORDER BY type_a, type_b""".stripMargin,
+
+    "prof_keys" ->
+      """WITH n AS (SELECT count(*) AS n_rows FROM events),
+        |p1 AS (SELECT 'event_id' AS key_cols,
+        |         CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct
+        |       FROM events),
+        |p2 AS (SELECT 'ts' AS key_cols,
+        |         CAST(count(DISTINCT ts) AS BIGINT) AS n_distinct FROM events),
+        |p3 AS (SELECT 'user_id,ts' AS key_cols,
+        |         CAST(count(*) AS BIGINT) AS n_distinct
+        |       FROM (SELECT DISTINCT user_id, ts FROM events)),
+        |p4 AS (SELECT 'user_id,event_type,ts' AS key_cols,
+        |         CAST(count(*) AS BIGINT) AS n_distinct
+        |       FROM (SELECT DISTINCT user_id, event_type, ts FROM events)),
+        |u AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2
+        |      UNION ALL SELECT * FROM p3 UNION ALL SELECT * FROM p4)
+        |SELECT key_cols, n_distinct, n_rows,
+        |  CAST(n_distinct = n_rows AS BIGINT) AS is_unique
+        |FROM u, n ORDER BY key_cols""".stripMargin,
 
     "samp_quality_budget" ->
       s"""WITH d AS (

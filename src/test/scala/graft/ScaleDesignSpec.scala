@@ -344,6 +344,7 @@ class ScaleDesignSpec extends AnyFunSuite {
       "samp_quality_budget" -> 5, // TTR map-side + source-count agg + one-row total + bounded heap agg + oracle sort; allocations broadcast
       "j8_temporal_join" -> 2, // ONE user-keyed window chain builds the intervals; the lookup is a user-keyed equi-join with the range predicate post-colocation + oracle sort
       "emb_recall" -> 8, // the full ann_ivf chain (assign window + probe window + cell join + dedup agg + rank cut) + truth rank window + hit agg + oracle sort; truth/seed frames broadcast
+      "prof_keys" -> 8, // four candidate-key probes over the checkpointed scan, each a keyed agg + one-row rollup (the skew_distinct_2phase shape, no Expand)
       "emb_matryoshka" -> 3, // both rank windows ride the ONE checkpointed broadcast-query scoring scan ((q,pscore) + (q,fscore) exchanges) + oracle sort; full top-k joins back as a broadcast
       "ev_rfm" -> 7, // per-user agg behind localCheckpoint + 3 metric histograms + 3 single-partition cum windows on value-domain frames (above aggregates, tiny) — thresholds ride one-row broadcasts; + oracle sort
       "ta_jsd_drift" -> 5, // (source,term) tf agg behind localCheckpoint + term rollup + (term,source) grid join + per-source fold agg + oracle sort; source/corpus totals ride broadcasts
