@@ -504,6 +504,45 @@ object Relational3 {
         .orderBy("event_type", "seg")
     }),
 
+    // Cramér's V effect size for the a19 contingency table — the scalar
+    // that says whether a significant χ² MATTERS (V ∈ [0,1] is
+    // sample-size-free, the number a segmentation decision actually
+    // reads). Same exact-integer cell construction as a19_chi2_indep;
+    // χ² = Σ (n·O − R·C)²/(n·R·C) folds over the types×segs cell frame
+    // in (type, seg) order (numerators exact in decimal/HUGEINT), and
+    // V = √(χ²/(n·min(r−1, c−1))). One corpus aggregate behind a
+    // localCheckpoint; everything else is metadata-scale.
+    "a24_cramers_v" -> ((s, dir) => {
+      val cells = load(s, dir, "events")
+        .select(col("event_type"), pmod(col("user_id"), lit(4L)).as("seg"))
+        .groupBy("event_type", "seg").agg(count(lit(1)).as("o"))
+        .localCheckpoint()
+      val rT = cells.groupBy("event_type").agg(sum("o").as("r"))
+      val cT = cells.groupBy("seg").agg(sum("o").as("ct"))
+      val dims = cells.groupBy().agg(sum("o").as("n"),
+        countDistinct("event_type").as("nr"), countDistinct("seg").as("nc"))
+      val dec38 = (x: org.apache.spark.sql.Column) => x.cast("decimal(38,0)")
+      val num = dec38(col("n")) * col("o") - dec38(col("r")) * col("ct")
+      val term = (num * num).cast("double") /
+        (dec38(col("n")) * col("r") * col("ct")).cast("double")
+      cells.join(broadcast(rT), "event_type")
+        .join(broadcast(cT), "seg")
+        .crossJoin(broadcast(dims))
+        .select(col("event_type"), col("seg"), col("n"), col("nr"), col("nc"),
+          term.as("t"))
+        .groupBy("n", "nr", "nc")
+        .agg(aggregate(
+          transform(array_sort(collect_list(
+            struct(col("event_type"), col("seg"), col("t")))),
+            x => x.getField("t")),
+          lit(0.0), (acc, x) => acc + x).as("chi2"))
+        .select(col("n"), ((col("nr") - 1) * (col("nc") - 1)).as("df"),
+          round(col("chi2"), 6).as("chi2"),
+          round(sqrt(col("chi2") /
+            (col("n").cast("double") * least(col("nr") - 1, col("nc") - 1))), 6)
+            .as("cramers_v"))
+    }),
+
     // Benford first-digit audit over the event values — the fraud/quality
     // screen for "does this metric look organically generated": observed
     // share of each leading significant digit of the integer cents vs the
@@ -1154,6 +1193,31 @@ object Relational3 {
         |  WHERE b.pc <= a.pc AND b.sz >= a.sz
         |    AND (b.pc < a.pc OR b.sz > a.sz))
         |ORDER BY p_partkey""".stripMargin,
+
+    "a24_cramers_v" ->
+      """WITH cells AS (
+        |  SELECT event_type, user_id % 4 AS seg, count(*) AS o
+        |  FROM events GROUP BY 1, 2),
+        |rt AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+        |ct AS (SELECT seg, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+        |dm AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+        |         CAST(count(DISTINCT event_type) AS BIGINT) AS nr,
+        |         CAST(count(DISTINCT seg) AS BIGINT) AS nc
+        |       FROM cells),
+        |t AS (
+        |  SELECT cells.event_type, seg, n, nr, nc,
+        |    CAST((CAST(n AS HUGEINT) * o - CAST(r AS HUGEINT) * c)
+        |         * (CAST(n AS HUGEINT) * o - CAST(r AS HUGEINT) * c) AS DOUBLE)
+        |      / CAST(CAST(n AS HUGEINT) * r * c AS DOUBLE) AS t
+        |  FROM cells JOIN rt USING (event_type) JOIN ct USING (seg), dm),
+        |a AS (
+        |  SELECT n, nr, nc,
+        |    list_sum(list(t ORDER BY event_type, seg)) AS chi2
+        |  FROM t GROUP BY 1, 2, 3)
+        |SELECT n, (nr - 1) * (nc - 1) AS df, round(chi2, 6) AS chi2,
+        |  round(sqrt(chi2 / (CAST(n AS DOUBLE) * least(nr - 1, nc - 1))), 6)
+        |    AS cramers_v
+        |FROM a""".stripMargin,
 
     "a19_chi2_indep" ->
       """WITH cells AS (

@@ -123,6 +123,26 @@ object Similarity {
     // each round is one map-side pass against a broadcast 1-row pick
     // (msim updates with a `greatest`) + TakeOrdered(1); zero shuffle
     // exchanges, corpus scanned once per round behind localCheckpoints.
+    // Pairwise-similarity histogram — the threshold-choosing readout
+    // before running SemDeDup/near-dup at scale ("where does the cosine
+    // mass sit?"): 0.1-wide bins over the cosine of every LSH-bucket
+    // candidate pair. Reuses the ann_lsh grouped chain (Σ bucket² pairs,
+    // never n²); the bin is floor(10·score) of the ALREADY-round(6)
+    // cosine, so binning is a floor over identical doubles — engine-
+    // exact. Counts + share; share's denominator rides a one-row
+    // broadcast.
+    "emb_cos_hist" -> ((s, dir) => {
+      val pairs = queries("ann_lsh")(s, dir)
+        .select(floor(col("score") * 10).cast("long").as("bin"))
+      val hist = pairs.groupBy("bin").agg(count(lit(1)).as("n_pairs"))
+        .localCheckpoint()
+      val tot = hist.groupBy().agg(sum("n_pairs").as("nt"))
+      hist.crossJoin(broadcast(tot))
+        .select(col("bin"), col("n_pairs"),
+          round(col("n_pairs").cast("double") / col("nt"), 6).as("share"))
+        .orderBy("bin")
+    }),
+
     // Matryoshka truncated-dimension retrieval audit: top-k by cosine on
     // the FIRST MatDim dims (the cheap serving path — a 4× smaller index
     // and 4× fewer multiplies per candidate) against the full-dimension
@@ -206,6 +226,18 @@ object Similarity {
     }))
 
   val oracle: Map[String, String] = Map(
+    "emb_cos_hist" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |h AS (SELECT vec_id, v, ${bucketSql("v")} AS bucket FROM e),
+         |p AS (
+         |  SELECT CAST(floor(round(list_cosine_similarity(a.v, b.v), 6) * 10)
+         |    AS BIGINT) AS bin
+         |  FROM h a JOIN h b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |hi AS (SELECT bin, count(*) AS n_pairs FROM p GROUP BY 1),
+         |t AS (SELECT CAST(sum(n_pairs) AS BIGINT) AS nt FROM hi)
+         |SELECT bin, n_pairs, round(CAST(n_pairs AS DOUBLE) / nt, 6) AS share
+         |FROM hi, t ORDER BY bin""".stripMargin,
+
     "emb_matryoshka" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < $NumQueries),

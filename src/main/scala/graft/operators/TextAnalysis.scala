@@ -673,6 +673,24 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // Language-ID confusion matrix — the model-evaluation view of
+    // ta_langid against the labeled lang column: per (actual, predicted)
+    // cell the count and the within-actual share (the per-class recall
+    // readout). Composition of the heuristic scorer (pure map-side) +
+    // one langs² aggregate behind a localCheckpoint + a broadcast of the
+    // per-actual totals.
+    "ta_lang_confusion" -> ((s, dir) => {
+      val m = queries("ta_langid")(s, dir)
+        .select(col("actual"), col("predicted"))
+        .groupBy("actual", "predicted").agg(count(lit(1)).as("n"))
+        .localCheckpoint()
+      val tot = m.groupBy("actual").agg(sum("n").as("na"))
+      m.join(broadcast(tot), "actual")
+        .select(col("actual"), col("predicted"), col("n"),
+          round(col("n").cast("double") / col("na"), 6).as("share"))
+        .orderBy("actual", "predicted")
+    }),
+
     // Zipf rank-frequency fit per source — the corpus-health diagnostic
     // ("natural language sits near slope −1; template spam and synthetic
     // filler bend the curve"): OLS of ln(freq) on ln(rank) over each
@@ -825,6 +843,20 @@ object TextAnalysis {
   private def sqlHits(words: Seq[String]): String =
     s"CAST(len(list_filter(string_split(lower(text), ' '), t -> t IN (${words.map(w => s"'$w'").mkString(", ")}))) AS BIGINT)"
 
+  /** ta_langid oracle SQL, lifted so ta_lang_confusion can nest it. */
+  private lazy val taLangidSql: String = {
+    val h = LangProfiles.map { case (l, ws) => l -> sqlHits(ws) }.toMap
+    s"""SELECT doc_id, lang AS actual,
+       |  ${LangProfiles.map { case (l, _) => s"${h(l)} AS hits_$l" }.mkString(",\n  ")},
+       |  CASE
+       |    WHEN ${h("en")} > 0 AND ${h("en")} >= ${h("es")} AND ${h("en")} >= ${h("de")} AND ${h("en")} >= ${h("fr")} THEN 'en'
+       |    WHEN ${h("es")} > 0 AND ${h("es")} >= ${h("de")} AND ${h("es")} >= ${h("fr")} THEN 'es'
+       |    WHEN ${h("de")} > 0 AND ${h("de")} >= ${h("fr")} THEN 'de'
+       |    WHEN ${h("fr")} > 0 THEN 'fr'
+       |    ELSE 'und' END AS predicted
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "ta_pack" ->
       s"""SELECT doc_id, source, n_tokens,
@@ -936,18 +968,16 @@ object TextAnalysis {
          |    AND stop_hits >= $GopherMinStops AS keep
          |FROM m ORDER BY doc_id""".stripMargin,
 
-    "ta_langid" -> {
-      val h = LangProfiles.map { case (l, ws) => l -> sqlHits(ws) }.toMap
-      s"""SELECT doc_id, lang AS actual,
-         |  ${LangProfiles.map { case (l, _) => s"${h(l)} AS hits_$l" }.mkString(",\n  ")},
-         |  CASE
-         |    WHEN ${h("en")} > 0 AND ${h("en")} >= ${h("es")} AND ${h("en")} >= ${h("de")} AND ${h("en")} >= ${h("fr")} THEN 'en'
-         |    WHEN ${h("es")} > 0 AND ${h("es")} >= ${h("de")} AND ${h("es")} >= ${h("fr")} THEN 'es'
-         |    WHEN ${h("de")} > 0 AND ${h("de")} >= ${h("fr")} THEN 'de'
-         |    WHEN ${h("fr")} > 0 THEN 'fr'
-         |    ELSE 'und' END AS predicted
-         |FROM documents ORDER BY doc_id""".stripMargin
-    },
+    "ta_langid" -> taLangidSql,
+
+    "ta_lang_confusion" ->
+      s"""WITH p AS (SELECT actual, predicted FROM ($taLangidSql)),
+         |m AS (SELECT actual, predicted, count(*) AS n FROM p GROUP BY 1, 2),
+         |t AS (SELECT actual, CAST(sum(n) AS BIGINT) AS na FROM m GROUP BY 1)
+         |SELECT m.actual, m.predicted, n,
+         |  round(CAST(n AS DOUBLE) / na, 6) AS share
+         |FROM m JOIN t ON m.actual = t.actual
+         |ORDER BY m.actual, m.predicted""".stripMargin,
 
     "ta_collocations" ->
       """WITH d AS (SELECT string_split(lower(text), ' ') AS t FROM documents),
