@@ -191,6 +191,34 @@ object Relational3 {
         .orderBy("event_type")
     }),
 
+    // Freshness/staleness profile per event type — the standing ops
+    // monitor of a production ingest ("which feed stopped?"): last event
+    // time, staleness vs the corpus watermark (exact integer µs), and
+    // trailing 24h/7d row counts measured FROM the corpus watermark (not
+    // wall clock — deterministic and oracle-checkable). ONE keyed
+    // aggregate with conditional counts; the watermark rides a one-row
+    // broadcast joined before aggregation so the trailing predicates are
+    // map-side.
+    "prof_freshness" -> ((s, dir) => {
+      val ev = load(s, dir, "events")
+        .select(col("event_type"), unix_micros(col("ts")).as("us"))
+      val wm = ev.groupBy().agg(max("us").as("wm"))
+      ev.crossJoin(broadcast(wm))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_rows"),
+          max("us").as("last_us"),
+          sum(when(col("us") >= col("wm") - 86400000000L, 1L).otherwise(0L))
+            .as("n_last_24h"),
+          sum(when(col("us") >= col("wm") - 7L * 86400000000L, 1L).otherwise(0L))
+            .as("n_last_7d"),
+          max("wm").as("wm"))
+        .select(col("event_type"), col("n_rows"),
+          timestamp_micros(col("last_us")).as("last_ts"),
+          (col("wm") - col("last_us")).as("staleness_us"),
+          col("n_last_24h"), col("n_last_7d"))
+        .orderBy("event_type")
+    }),
+
     // Candidate-key discovery (the data-profiling staple behind "what can
     // I join/dedup on"): for each candidate column set over events, the
     // exact distinct count vs the row count and a uniqueness verdict.
@@ -1084,6 +1112,17 @@ object Relational3 {
         |        sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
         |             / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))), 6) AS lambda
         |FROM a ORDER BY type_a, type_b""".stripMargin,
+
+    "prof_freshness" ->
+      """WITH wm AS (SELECT max(epoch_us(ts)) AS wm FROM events)
+        |SELECT event_type, count(*) AS n_rows,
+        |  make_timestamp(max(epoch_us(ts))) AS last_ts,
+        |  CAST(max(wm) - max(epoch_us(ts)) AS BIGINT) AS staleness_us,
+        |  CAST(sum(CASE WHEN epoch_us(ts) >= wm - 86400000000 THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_last_24h,
+        |  CAST(sum(CASE WHEN epoch_us(ts) >= wm - 7 * 86400000000 THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_last_7d
+        |FROM events, wm GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "prof_keys" ->
       """WITH n AS (SELECT count(*) AS n_rows FROM events),
