@@ -96,6 +96,10 @@ object Dedup {
   /** dd_cdc: boundary divisor — trigram hash ≡ 0 (mod CdcD) opens a chunk,
     * so the expected chunk length is CdcD tokens. */
   private val CdcD = 8L
+  /** dd_winnow: selection-window width over consecutive 3-gram hashes —
+    * guarantees shared substrings of ≥ WinnowW+2 tokens share a
+    * fingerprint. The position tie-encode assumes docs < 2^20 tokens. */
+  private val WinnowW = 4
 
   private def toks(c: Column): Column = split(lower(c), " ")
 
@@ -352,6 +356,41 @@ object Dedup {
             .as("docs"))
         .where(col("n_docs") >= 2)
         .orderBy("chunk_hash")
+    }),
+
+    // Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the
+    // MOSS algorithm): from each window of WinnowW consecutive 3-gram
+    // hashes select the minimum (rightmost on ties — the SWA rule that
+    // guarantees any shared substring of length ≥ W+2 tokens shares a
+    // fingerprint), dedupe selections per doc, and emit fingerprints
+    // shared by 2+ docs. The tie rule is INTEGER-ENCODED — key =
+    // h·2²⁰ + (2²⁰−1−p), so a plain min() implements (min h, rightmost
+    // p) identically on both engines with no struct comparison. Doc-
+    // keyed selection windows + ONE fingerprint-hash shuffle.
+    "dd_winnow" -> ((s, dir) => {
+      val t = toks(col("text"))
+      val grams = load(s, dir, "documents")
+        .select(col("doc_id"), posexplode(t).as(Seq("p0", "tok")),
+          t.as("ts"), size(t).as("n"))
+        .where(col("p0") <= col("n") - 3)
+        .select(col("doc_id"), col("p0").as("p"), (col("n") - 2).as("m"),
+          hash32(concat_ws(" ", col("tok"),
+            element_at(col("ts"), col("p0") + 2),
+            element_at(col("ts"), col("p0") + 3))).as("h"))
+      val key = col("h") * lit(1L << 20) + (lit((1L << 20) - 1) - col("p"))
+      val wSel = Window.partitionBy("doc_id").orderBy("p")
+        .rowsBetween(0, WinnowW - 1)
+      val sel = grams
+        .withColumn("k", min(key).over(wSel))
+        .where(col("p") <= col("m") - WinnowW) // full windows only
+        .select(col("doc_id"), expr(s"k div ${1L << 20}").as("fp"))
+        .distinct()
+      sel.groupBy("fp")
+        .agg(countDistinct("doc_id").as("n_docs"),
+          concat_ws(" ", sort_array(collect_set(col("doc_id").cast("string"))))
+            .as("docs"))
+        .where(col("n_docs") >= 2)
+        .orderBy("fp")
     }),
 
     // Exact dedup: group by content hash of the normalized text; keep the
@@ -782,6 +821,34 @@ object Dedup {
       |comp AS (SELECT src AS doc_id, min(dst) AS lbl FROM reach GROUP BY src)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "dd_winnow" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
+         |g AS (
+         |  SELECT doc_id, unnest(range(len(ts) - 2)) AS p, ts,
+         |    len(ts) - 2 AS m
+         |  FROM tok WHERE len(ts) >= 3),
+         |hh AS (
+         |  SELECT doc_id, p, m,
+         |    ${hash32Sql("ts[p + 1] || ' ' || ts[p + 2] || ' ' || ts[p + 3]")}
+         |      AS h
+         |  FROM g),
+         |kk AS (SELECT doc_id, p, m,
+         |         h * ${1L << 20} + (${(1L << 20) - 1} - p) AS key FROM hh),
+         |w AS (
+         |  SELECT doc_id, p, m,
+         |    min(key) OVER (PARTITION BY doc_id ORDER BY p
+         |      ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING) AS k
+         |  FROM kk),
+         |sel AS (
+         |  SELECT DISTINCT doc_id, k // ${1L << 20} AS fp
+         |  FROM w WHERE p <= m - $WinnowW)
+         |SELECT fp, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  string_agg(DISTINCT CAST(doc_id AS VARCHAR), ' '
+         |             ORDER BY CAST(doc_id AS VARCHAR)) AS docs
+         |FROM sel GROUP BY fp HAVING count(DISTINCT doc_id) >= 2
+         |ORDER BY fp""".stripMargin,
+
     "dd_cdc" ->
       s"""WITH tok AS (
          |  SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),

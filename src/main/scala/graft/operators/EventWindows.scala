@@ -337,6 +337,37 @@ object EventWindows {
     // day-scale k=0 frame. collect_set is bounded by the corpus day span
     // (a decade ≈ 3.7k entries); for multi-year deployments swap in the
     // two-pass min-day + co-partitioned join form — same downstream.
+    // Longest consecutive-day activity streak per user (the gamification
+    // /habit metric): gaps-and-islands over each user's DISTINCT active
+    // days — day − rank is constant within a run of consecutive days, so
+    // one user-keyed dedup, one rank window, and one two-level rollup
+    // yield current streak length, longest streak, and its start day.
+    // All integer day arithmetic; user_id is a data-scale key.
+    "ev_streaks" -> ((s, dir) => {
+      val days = load(s, dir, "events")
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 86400000000").as("d"))
+        .distinct()
+      val w = Window.partitionBy("user_id").orderBy("d")
+      val runs = days
+        .withColumn("grp", col("d") - row_number().over(w))
+        .groupBy("user_id", "grp")
+        .agg(count(lit(1)).as("len"), min("d").as("start_d"), max("d").as("end_d"))
+      val best = Window.partitionBy("user_id")
+        .orderBy(col("len").desc, col("start_d"))
+      runs
+        .withColumn("rn", row_number().over(best))
+        .withColumn("last_d", max("end_d").over(Window.partitionBy("user_id")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .where(col("rn") === 1)
+        .select(col("user_id"), col("len").as("longest_streak"),
+          timestamp_micros(col("start_d") * 86400000000L).cast("date")
+            .as("streak_start"),
+          timestamp_micros(col("last_d") * 86400000000L).cast("date")
+            .as("last_active_day"))
+        .orderBy("user_id")
+    }),
+
     // Inter-arrival-time distribution per event type (the burstiness /
     // rate-stability readout behind capacity planning and anomaly
     // baselines): gap to the previous same-type event, log2-bucketed
@@ -723,6 +754,27 @@ object EventWindows {
     }))
 
   val oracle: Map[String, String] = Map(
+    "ev_streaks" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS d FROM events),
+        |runs AS (
+        |  SELECT user_id, d - row_number() OVER (PARTITION BY user_id ORDER BY d)
+        |      AS grp, d
+        |  FROM days),
+        |r AS (
+        |  SELECT user_id, grp, count(*) AS len, min(d) AS start_d, max(d) AS end_d
+        |  FROM runs GROUP BY 1, 2),
+        |b AS (
+        |  SELECT user_id, len, start_d,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY len DESC, start_d) AS rn,
+        |    max(end_d) OVER (PARTITION BY user_id) AS last_d
+        |  FROM r)
+        |SELECT user_id, len AS longest_streak,
+        |  CAST(make_timestamp(start_d * 86400000000) AS DATE) AS streak_start,
+        |  CAST(make_timestamp(last_d * 86400000000) AS DATE) AS last_active_day
+        |FROM b WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
     "ev_interarrival" ->
       """WITH e AS (
         |  SELECT event_type, ts, event_id, epoch_us(ts) AS us FROM events),
