@@ -392,6 +392,71 @@ object StatefulOps {
         })
   }
 
+  /** Funnel-advance record from [[FunnelProcessor]]: the user reached
+    * `stage` (1 = signup, 2 = click-after-signup, 3 = purchase-after-
+    * click) at `ts`. */
+  case class FunnelStage(user_id: Long, stage: Int, ts: java.sql.Timestamp)
+
+  /** The STREAMING twin of the batch `ev_funnel` operator: per-user
+    * ordered-progression state (first signup → first later click → first
+    * later purchase) as one ValueState triple, emitting a row whenever a
+    * user ADVANCES a stage. On an event-time-ordered feed the greedy
+    * online progression equals the batch min-ts chain exactly, so the
+    * per-stage user counts (users whose final stage ≥ k) match the
+    * oracle-checked ev_funnel rows across micro-batches — StatefulOpsSpec
+    * pins it. State is three longs per user forever; users hash across
+    * executors. */
+  class FunnelProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, java.sql.Timestamp, String), FunnelStage] {
+    @transient private var st:
+        org.apache.spark.sql.streaming.ValueState[(Long, Long, Long)] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long, Long)]("funnel",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(
+        user: Long, rows: Iterator[(Long, java.sql.Timestamp, String)],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[FunnelStage] = {
+      val Unset = Long.MinValue
+      var (t1, t2, t3) =
+        if (st.exists) st.get() else (Unset, Unset, Unset)
+      // full-microsecond instants: getTime() is ms-truncated and the
+      // batch chain compares complete timestamps
+      def micros(ts: java.sql.Timestamp): Long =
+        Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+      val out = Vector.newBuilder[FunnelStage]
+      for ((_, ts, tpe) <- rows.toVector.sortBy(r => micros(r._2))) {
+        val us = micros(ts)
+        if (tpe == "signup" && t1 == Unset) {
+          t1 = us; out += FunnelStage(user, 1, ts)
+        } else if (tpe == "click" && t1 != Unset && t2 == Unset && us > t1) {
+          t2 = us; out += FunnelStage(user, 2, ts)
+        } else if (tpe == "purchase" && t2 != Unset && t3 == Unset && us > t2) {
+          t3 = us; out += FunnelStage(user, 3, ts)
+        }
+      }
+      st.update((t1, t2, t3))
+      out.result().iterator
+    }
+  }
+
+  /** `(user_id, ts, event_type)` → funnel-advance rows. Requires RocksDB
+    * (transformWithState). */
+  def funnelProgress(ds: Dataset[(Long, java.sql.Timestamp, String)])
+      : Dataset[FunnelStage] = {
+    implicit val enc: Encoder[FunnelStage] = Encoders.product[FunnelStage]
+    ds.groupByKey(_._1)(Encoders.scalaLong)
+      .transformWithState(new FunnelProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append(),
+        enc)
+  }
+
   /** Per-key heavy-hitter estimate from [[MisraGriesProcessor]]. */
   case class HeavyHitter(key: String, item: String, est: Long)
 

@@ -270,6 +270,40 @@ class StatefulOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming funnelProgress equals the batch ev_funnel stage counts") {
+    // Per-user greedy progression (first signup → first later click →
+    // first later purchase) fed the real events in event-time order
+    // across micro-batches: users whose final stage >= k must equal the
+    // oracle-checked batch ev_funnel's per-stage user counts.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      import org.apache.spark.sql.functions.col
+      val dir = "/root/testdata/sf0.001"
+      val evs = graft.Tables.load(spark, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_type"))
+        .orderBy("ts", "event_id")
+        .as[(Long, java.sql.Timestamp, String)].collect()
+      val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+      val q = StatefulOps.funnelProgress(mem.toDS())
+        .writeStream.outputMode("append")
+        .format("memory").queryName("sfunnel_out").start()
+      try {
+        evs.grouped(math.max(1, evs.length / 5))
+          .foreach { b => mem.addData(b.toSeq); q.processAllAvailable() }
+        val finalStage = spark.table("sfunnel_out")
+          .as[StatefulOps.FunnelStage].collect()
+          .groupBy(_.user_id).map { case (u, rs) => u -> rs.map(_.stage).max }
+        val streamedCounts = (1 to 3).map(k =>
+          k.toLong -> finalStage.count(_._2 >= k).toLong).toMap
+        val batch = SparkEntry.queries("ev_funnel")(spark, dir).collect()
+          .map(r => r.getLong(0) -> r.getLong(2)).toMap
+        assert(streamedCounts == batch,
+          s"stream $streamedCounts vs batch $batch")
+      } finally q.stop()
+    }
+  }
+
   test("Misra-Gries heavy hitters: exact when k covers the item domain, bounded otherwise") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
