@@ -337,6 +337,42 @@ object EventWindows {
     // day-scale k=0 frame. collect_set is bounded by the corpus day span
     // (a decade ≈ 3.7k entries); for multi-year deployments swap in the
     // two-pass min-day + co-partitioned join form — same downstream.
+    // Weekly growth accounting — the active-user decomposition every
+    // growth team reports: each week's actives split into new (first
+    // week ever), retained (active the prior week), resurrected
+    // (returned after a gap), plus churned = prior WAU − retained. All
+    // integer week indexes (epoch-day div 7 — engine-exact; weekly
+    // granularity so the one-month corpus exercises every class); one
+    // (user, week) dedup, a user-keyed lag for classification, one
+    // week-scale rollup, and the churn lag rides the weeks frame above
+    // the aggregate.
+    "ev_growth_acct" -> ((s, dir) => {
+      val um = load(s, dir, "events")
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 86400000000 div 7").as("m"))
+        .distinct()
+      val w = Window.partitionBy("user_id").orderBy("m")
+      val cls = um.withColumn("prev", lag("m", 1).over(w))
+        .withColumn("new_", (col("prev").isNull).cast("long"))
+        .withColumn("ret", (col("prev") === col("m") - 1).cast("long"))
+      val byMonth = cls.groupBy("m")
+        .agg(count(lit(1)).as("mau"),
+          sum("new_").as("new_users"),
+          sum(coalesce(col("ret"), lit(0L))).as("retained"))
+        .withColumn("resurrected",
+          col("mau") - col("new_users") - col("retained"))
+      val wM = Window.orderBy("m")
+      byMonth
+        .withColumn("churned",
+          coalesce(lag("mau", 1).over(wM), lit(0L)) - col("retained"))
+        .select(
+          timestamp_micros(col("m") * 7L * 86400000000L).cast("date")
+            .as("week_start"),
+          col("mau").as("wau"), col("new_users"), col("retained"),
+          col("resurrected"), col("churned"))
+        .orderBy("week_start")
+    }),
+
     // Longest consecutive-day activity streak per user (the gamification
     // /habit metric): gaps-and-islands over each user's DISTINCT active
     // days — day − rank is constant within a run of consecutive days, so
@@ -754,6 +790,29 @@ object EventWindows {
     }))
 
   val oracle: Map[String, String] = Map(
+    "ev_growth_acct" ->
+      """WITH um AS (
+        |  SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 86400000000 // 7 AS m
+        |  FROM events),
+        |c AS (
+        |  SELECT user_id, m, lag(m, 1) OVER (PARTITION BY user_id ORDER BY m)
+        |    AS prev
+        |  FROM um),
+        |bm AS (
+        |  SELECT m, count(*) AS mau,
+        |    CAST(sum(CASE WHEN prev IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS new_users,
+        |    CAST(sum(CASE WHEN prev = m - 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS retained
+        |  FROM c GROUP BY 1)
+        |SELECT CAST(make_timestamp(m * 7 * 86400000000) AS DATE) AS week_start,
+        |  mau AS wau, new_users, retained,
+        |  mau - new_users - retained AS resurrected,
+        |  CAST(coalesce(lag(mau, 1) OVER (ORDER BY m), 0) - retained AS BIGINT)
+        |    AS churned
+        |FROM bm ORDER BY week_start""".stripMargin,
+
     "ev_streaks" ->
       """WITH days AS (
         |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS d FROM events),
