@@ -41,6 +41,9 @@ object TextAnalysis {
   /** ta_zipf_fit: how many top ranks per source enter the OLS fit. */
   private val ZipfTopR = 200L
 
+  /** ta_feature_hash: hashed feature-space width. */
+  private val FhDim = 64L
+
   // PII patterns, restricted to the Java-regex ∩ RE2 common subset so the
   // DuckDB oracle evaluates them identically (greedy classes + \b only; no
   // backrefs, no lookaround).
@@ -673,6 +676,38 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // Feature hashing (the Weinberger et al. 2009 hashing trick): each
+    // doc's tf·idf mass folded into a fixed FhDim-dimensional space by
+    // term hash, with the ± sign from a second hash bit (the trick that
+    // keeps hash collisions unbiased) — the vocabulary-free featurizer
+    // that needs NO fitted dictionary, which is exactly why it survives
+    // 100 TB streaming ingest where a vocab build cannot. Emitted as
+    // (doc, dim, weight) rows; per-cell sums fold in term order (the
+    // ta_unigram_ppl template) and idf = ln(N/df) is the identical
+    // double tree cross-engine. One (doc, term) tf agg + term-keyed df
+    // join + one (doc, dim) fold agg.
+    "ta_feature_hash" -> ((s, dir) => {
+      val tf = load(s, dir, "documents")
+        .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .localCheckpoint()
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val n = tf.groupBy().agg(countDistinct("doc_id").cast("double").as("n"))
+      val h = graft.Exact.hash32(col("term"))
+      val dim = (h % FhDim).cast("long")
+      tf.join(df, "term").crossJoin(broadcast(n))
+        .withColumn("h", h)
+        .select(col("doc_id"), col("term"), dim.as("dim"),
+          (when(expr(s"(h div $FhDim) % 2 = 0"), lit(1.0)).otherwise(lit(-1.0)) *
+            col("tf") * log(col("n") / col("df"))).as("c"))
+        .groupBy("doc_id", "dim")
+        .agg(round(aggregate(
+            transform(array_sort(collect_list(struct(col("term"), col("c")))),
+              x => x.getField("c")),
+            lit(0.0), (acc, x) => acc + x), 6).as("weight"))
+        .orderBy("doc_id", "dim")
+    }),
+
     // Language-ID confusion matrix — the model-evaluation view of
     // ta_langid against the labeled lang column: per (actual, predicted)
     // cell the count and the within-actual share (the per-class recall
@@ -1081,6 +1116,25 @@ object TextAnalysis {
         |        + 11.8 * (CAST(syllables AS DOUBLE) / CAST(words AS DOUBLE))
         |        - 15.59, 6) AS fk_grade
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "ta_feature_hash" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM (
+         |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+         |    FROM documents)
+         |  GROUP BY 1, 2),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM tf),
+         |c AS (
+         |  SELECT doc_id, tf.term,
+         |    ${graft.Exact.hash32Sql("tf.term")} % $FhDim AS dim,
+         |    (CASE WHEN (${graft.Exact.hash32Sql("tf.term")} // $FhDim) % 2 = 0
+         |      THEN 1.0 ELSE -1.0 END)
+         |      * tf.tf * ln(n / df.df) AS c
+         |  FROM tf JOIN df USING (term) CROSS JOIN n)
+         |SELECT doc_id, CAST(dim AS BIGINT) AS dim,
+         |  round(list_sum(list(c ORDER BY term)), 6) AS weight
+         |FROM c GROUP BY doc_id, dim ORDER BY doc_id, dim""".stripMargin,
 
     "ta_zipf_fit" ->
       s"""WITH cf AS (
