@@ -29,6 +29,8 @@ object Relational2 {
 
   /** samp_temperature: expected total docs drawn (the token/doc budget). */
   private val SampTempTarget = 1000.0
+  /** samp_epoch_plan: global token budget to schedule across sources. */
+  private val EpochBudget = 100000.0
 
   val queries: Map[String, Q] = Map(
     // ROLLUP over the region/nation hierarchy with explicit grouping flags.
@@ -276,6 +278,36 @@ object Relational2 {
           .otherwise(col("idx").cast("double") / (col("n") - 1L).cast("double"))
           .as("prank"))
         .orderBy("c_custkey")
+    }),
+
+    // Epoch-schedule planning for a token budget (the data-mixing table a
+    // pretraining run is configured from): per source, its token count,
+    // its temperature-scaled mix share (∝ n^(1/2), the samp_temperature
+    // rule), the token allocation under a global budget, and the
+    // effective epoch count allocation/n — the number that flags which
+    // sources will be over-repeated (epochs ≫ 1) before any tokens are
+    // spent. One corpus (source) aggregate; the share denominator folds
+    // in source order (the samp_temperature parity template) and rides a
+    // one-row broadcast; √ is IEEE-exact, round(6) guards.
+    "samp_epoch_plan" -> ((s, dir) => {
+      val src = load(s, dir, "documents")
+        .select(col("source"),
+          size(filter(split(lower(col("text")), " "), w => w =!= ""))
+            .cast("long").as("toks"))
+        .groupBy("source").agg(sum("toks").as("n_tokens"))
+      val denom = src.groupBy()
+        .agg(aggregate(
+          transform(array_sort(collect_list(struct(col("source"),
+            sqrt(col("n_tokens").cast("double")).as("r")))),
+            x => x.getField("r")),
+          lit(0.0), (acc, x) => acc + x).as("z"))
+      val share = sqrt(col("n_tokens").cast("double")) / col("z")
+      src.crossJoin(broadcast(denom))
+        .select(col("source"), col("n_tokens"),
+          round(share, 6).as("mix_share"),
+          round(share * EpochBudget, 6).as("alloc_tokens"),
+          round(share * EpochBudget / col("n_tokens"), 6).as("epochs"))
+        .orderBy("source")
     }),
 
     // Value-navigation window semantics (first/last/nth_value + cume_dist)
@@ -647,6 +679,22 @@ object Relational2 {
         .orderBy("o_orderkey")))
 
   val oracle: Map[String, String] = Map(
+    "samp_epoch_plan" ->
+      s"""WITH src AS (
+         |  SELECT source,
+         |    CAST(sum(len(list_filter(string_split(lower(text), ' '),
+         |      w -> w <> ''))) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY 1),
+         |z AS (SELECT list_sum(list(sqrt(CAST(n_tokens AS DOUBLE))
+         |        ORDER BY source)) AS z FROM src)
+         |SELECT source, n_tokens,
+         |  round(sqrt(CAST(n_tokens AS DOUBLE)) / z, 6) AS mix_share,
+         |  round(sqrt(CAST(n_tokens AS DOUBLE)) / z * $EpochBudget, 6)
+         |    AS alloc_tokens,
+         |  round(sqrt(CAST(n_tokens AS DOUBLE)) / z * $EpochBudget / n_tokens, 6)
+         |    AS epochs
+         |FROM src, z ORDER BY source""".stripMargin,
+
     "g1_rollup" ->
       """SELECT coalesce(r_name, '') AS region, coalesce(n_name, '') AS nation,
         |  CAST(GROUPING(r_name) AS INT) AS g_r, CAST(GROUPING(n_name) AS INT) AS g_n,

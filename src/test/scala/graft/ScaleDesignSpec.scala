@@ -353,6 +353,7 @@ class ScaleDesignSpec extends AnyFunSuite {
       "ev_streaks" -> 3, // (user,day) dedup agg + user-keyed run windows/rollup + oracle sort
       "ev_growth_acct" -> 4, // (user,week) dedup agg + user-keyed lag + week rollup + oracle sort; churn lag rides the weeks frame above the aggregate
       "ta_feature_hash" -> 5, // (doc,term) tf agg behind localCheckpoint + df rollup + term join + (doc,dim) fold agg + oracle sort; N rides a one-row broadcast
+      "samp_epoch_plan" -> 3, // ONE per-source token agg + one-row fold denominator + oracle sort; shares map-side under the broadcast
       "emb_matryoshka" -> 3, // both rank windows ride the ONE checkpointed broadcast-query scoring scan ((q,pscore) + (q,fscore) exchanges) + oracle sort; full top-k joins back as a broadcast
       "ev_rfm" -> 7, // per-user agg behind localCheckpoint + 3 metric histograms + 3 single-partition cum windows on value-domain frames (above aggregates, tiny) — thresholds ride one-row broadcasts; + oracle sort
       "ta_jsd_drift" -> 5, // (source,term) tf agg behind localCheckpoint + term rollup + (term,source) grid join + per-source fold agg + oracle sort; source/corpus totals ride broadcasts
