@@ -333,6 +333,11 @@ object Dedup {
       val tok = load(s, dir, "documents")
         .select(col("doc_id"), posexplode(t).as(Seq("p", "tok")),
           t.as("ts"), size(t).as("n"))
+        // Sign-free boundary test: hash32 is md5-derived, non-negative and
+        // < 2^32 BY CONSTRUCTION on both engines (ScaleDesignSpec pins the
+        // range over real trigrams), so `% CdcD = 0` never touches the
+        // engines' negative-% conventions — and a divisibility test agrees
+        // under truncated % regardless. No silent boundary shift possible.
         .withColumn("bnd",
           when(col("p") >= 1 && col("p") <= col("n") - 3 &&
             hash32(concat_ws(" ", element_at(col("ts"), col("p") + 1),

@@ -57,13 +57,18 @@ object EventWindows {
     // keeps integer power sums (count/sum/sum-of-squares — exact on any
     // partitioning), and z = (c·n − cs)/√(n·css − cs²) is division-free
     // until one sqrt + one divide over identical integers — bit-identical
-    // cross-engine before the round(6) guard. Integer bounds: the
-    // squared-cents sum css and the discriminant n·css − cs² accumulate
-    // in DECIMAL(38,0) (DuckDB: HUGEINT) — the ev_cumsum/a13_moments
-    // house pattern — so NO value domain can wrap either engine: both
-    // stay exact to 38 digits and fail loudly (never silently diverge)
-    // beyond. Only c·n − cs stays int64: |c| ≤ 1e16 cents would be
-    // needed to wrap it, far past the DECIMAL(18,2) ingest domain.
+    // cross-engine before the round(6) guard. Integer bounds (the int64
+    // envelope, derived from the TestdataContractSpec pin |value| < 1e5,
+    // i.e. |c| < 1e7 cents): c² < 1e14, css ≤ AnomWin·c² = 1e16,
+    // n·css ≤ 1e18, |cs| ≤ AnomWin·c = 1e9 so cs² ≤ 1e18 — every term
+    // sits ≥ 9× inside int64's 9.2e18, so Spark accumulates css and the
+    // discriminant in plain longs (the round-10 DECIMAL(38,0) form cost
+    // ~1.9× for overflow headroom the pinned domain already rules out).
+    // The DuckDB oracle still sums css/disc in HUGEINT: if the envelope
+    // ever broke, Spark would wrap where DuckDB stays exact and the hash
+    // gate fails LOUDLY — the divergence guard is the contract pin plus
+    // the cross-engine mismatch, never a silent agreement-in-error.
+    // c·n − cs itself needs |c| ≤ 1e16 to wrap, far past the domain.
     //
     // Scale shape: event_type has a handful of values, so a plain
     // per-type window would funnel each type's whole timeline through one
@@ -90,10 +95,8 @@ object EventWindows {
       val stats = dup
         .withColumn("n", count(lit(1)).over(w))
         .withColumn("cs", sum(col("c")).over(w))
-        .withColumn("css",
-          sum(col("c").cast("decimal(38,0)") * col("c")).over(w))
-      val disc = col("n") * col("css") -
-        col("cs").cast("decimal(38,0)") * col("cs")
+        .withColumn("css", sum(col("c") * col("c")).over(w))
+      val disc = col("n") * col("css") - col("cs") * col("cs")
       val zRaw = (col("c") * col("n") - col("cs")).cast("double") /
         sqrt(disc.cast("double"))
       stats
@@ -430,10 +433,14 @@ object EventWindows {
         .withColumn("pus", lag("us", 1).over(w))
         .where(col("own") && col("pus").isNotNull)
         .withColumn("gap_s", expr("(us - pus) div 1000000"))
-      // floor(log2(g)) for g >= 1 as bit length − 1 (integer); g = 0 (two
-      // events in the same second) gets its own bucket −1.
+      // floor(log2(g)) for g >= 1 computed as INTEGER bit length − 1
+      // (length of the minimal binary rendering: Spark conv(g,10,2),
+      // DuckDB bin(g) — both verified minimal for positive BIGINT), not
+      // ln(g)/ln(2): a float log is a platform libm identity at exact
+      // power-of-two boundaries, while the bit length is the a-series
+      // integer discipline. g = 0 (same-second events) gets bucket −1.
       val bucket = when(col("gap_s") <= 0, lit(-1L))
-        .otherwise(floor(log2(col("gap_s"))).cast("long"))
+        .otherwise((length(conv(col("gap_s"), 10, 2)) - 1).cast("long"))
       gaps.select(col("event_type"), bucket.as("log2_bucket"), col("gap_s"))
         .groupBy("event_type", "log2_bucket")
         .agg(count(lit(1)).as("n"),
@@ -607,12 +614,23 @@ object EventWindows {
     // aggregate (recency as the integer last-active epoch day — later =
     // better, so all three metrics score "higher is better" uniformly),
     // and the quintile boundaries are NOT a user-scale rank window: each
-    // metric builds a distinct-value histogram with a cumulative count
-    // (value-domain-scale frames above aggregates), picks the four
-    // 20/40/60/80% thresholds by the integer test 5·cum ≥ k·n (no
-    // division), and broadcasts them back as ONE row. score = 1 + #
-    // thresholds strictly below the user's value — pure integer compares,
-    // bit-identical cross-engine; monetary stays exact in integer cents.
+    // threshold t_k is the exact order statistic at rank ⌈k·n/5⌉, found
+    // by the a15_quantile_2phase bucket-then-refine ladder so NO frame
+    // ever scales with the metric's value domain. Phase 1 buckets each
+    // metric into ≤ 65537 ADAPTIVE-width buckets (width from a one-row
+    // min/max — the KeyedRank span discipline; monetary's distinct-cents
+    // domain grows toward USER cardinality at 100×, which is why the
+    // round-10 distinct-value histogram + unpartitioned cum window was a
+    // single-task trap), a cumulative count over the bounded bucket
+    // histogram locates each target rank's bucket, and phase 2 rescans
+    // ONLY the located buckets (broadcast join) to extract the exact
+    // k-th value with an in-bucket row_number. Thresholds broadcast back
+    // as ONE row; score = 1 + # thresholds strictly below the user's
+    // value — pure integer compares, bit-identical cross-engine;
+    // monetary stays exact in integer cents. The DuckDB oracle keeps the
+    // definitional distinct-value-histogram form (min v: 5·cum(v) ≥ k·n)
+    // — an independent formulation of the same order statistic, so the
+    // hash gate checks the ladder against the textbook definition.
     "ev_rfm" -> ((s, dir) => {
       val users = load(s, dir, "events")
         .select(col("user_id"),
@@ -624,14 +642,34 @@ object EventWindows {
         .localCheckpoint()
       val nU = users.count()
       def thresholds(metric: String): DataFrame = {
-        val h = users.groupBy(col(metric).as("v")).agg(count(lit(1)).as("m"))
-        val wCum = Window.orderBy("v")
-          .rowsBetween(Window.unboundedPreceding, 0)
-        val cum = h.withColumn("cum", sum("m").over(wCum))
+        import s.implicits._
+        val mm = users.groupBy()
+          .agg(min(col(metric)).as("lo"), max(col(metric)).as("hi"))
+        // Adaptive integer bucket width: ≤ 65537 buckets whatever the
+        // span; all arithmetic is exact long (metric − lo ≥ 0 always).
+        val withB = users.select(col(metric).as("x"))
+          .crossJoin(broadcast(mm))
+          .withColumn("bk",
+            expr("(x - lo) div greatest(1, (hi - lo) div 65536 + 1)"))
+        val cum = withB.groupBy("bk").agg(count(lit(1)).as("cnt"))
+          .withColumn("cumhi", sum("cnt").over(
+            Window.orderBy("bk").rowsBetween(Window.unboundedPreceding, 0)))
+        // t_k = order statistic at rank r = ⌈k·n/5⌉ (≡ min v with
+        // 5·cum(v) ≥ k·n, the oracle's definitional form).
+        val tgt = (1 to 4).map(k => (k.toLong, (k.toLong * nU + 4L) / 5L))
+          .toDF("k", "r")
+        val located = cum.join(broadcast(tgt), col("cumhi") >= col("r"))
+          .groupBy("k", "r")
+          .agg(min(struct(col("bk"), col("cumhi"), col("cnt"))).as("t"))
+          .select(col("k"), col("r"), col("t.bk").as("bk"),
+            (col("t.cumhi") - col("t.cnt")).as("below"))
         val ts = (1 to 4).map(k =>
-          min(when(col("cum") * 5 >= lit(k.toLong * nU), col("v")))
-            .as(s"${metric}_t$k"))
-        cum.groupBy().agg(ts.head, ts.tail: _*)
+          min(when(col("k") === k, col("x"))).as(s"${metric}_t$k"))
+        withB.join(broadcast(located), "bk")
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("k", "bk").orderBy("x")))
+          .where(col("rn") === col("r") - col("below"))
+          .groupBy().agg(ts.head, ts.tail: _*)
       }
       def score(metric: String): org.apache.spark.sql.Column =
         (1 to 4).map(k =>
@@ -845,7 +883,7 @@ object EventWindows {
         |b AS (
         |  SELECT event_type,
         |    CASE WHEN gap_s <= 0 THEN -1
-        |         ELSE CAST(floor(log2(gap_s)) AS BIGINT) END AS log2_bucket,
+        |         ELSE CAST(length(bin(gap_s)) - 1 AS BIGINT) END AS log2_bucket,
         |    gap_s
         |  FROM g WHERE gap_s IS NOT NULL)
         |SELECT event_type, log2_bucket, count(*) AS n,

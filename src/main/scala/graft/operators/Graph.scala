@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables.load
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Graph analytics over a derived co-purchase graph (round 6).
@@ -213,18 +213,28 @@ object Graph {
           .select(col("node"),
             expr(s"CAST($c AS DECIMAL(38,0)) * $HitsUnit div t").as(c))
       }
+      // Half-round sums accumulate in DECIMAL(38,0) mirroring DuckDB's
+      // HUGEINT: per-node scores are ≤ HitsUnit (1e12) post-norm, so an
+      // int64 sum would silently wrap at in/out-degree ≳ 9.2e6 on Spark
+      // while DuckDB stays exact — the ev_anomaly "fail loudly, never
+      // silently diverge" discipline. Widening only the sum keeps the
+      // per-node scores long (IntegralDivide output) everywhere else.
+      def dsum(c: String): Column = sum(col(c).cast("decimal(38,0)"))
+      def fill0(df: DataFrame, c: String): DataFrame =
+        df.select(col("node"),
+          coalesce(col(c), lit(0).cast("decimal(38,0)")).as(c))
       var auth = nodes.select(col("node"), lit(HitsUnit).as("a"))
       var hub: DataFrame = null
       for (_ <- 1 to HitsIters) {
         val hp = e.join(auth, e("dst") === auth("node"))
-          .groupBy(col("src").as("node")).agg(sum("a").as("h"))
+          .groupBy(col("src").as("node")).agg(dsum("a").as("h"))
         hub = norm(
-          nodes.join(hp, Seq("node"), "left").na.fill(0L, Seq("h")), "h")
+          fill0(nodes.join(hp, Seq("node"), "left"), "h"), "h")
           .localCheckpoint()
         val ap = e.join(hub, e("src") === hub("node"))
-          .groupBy(col("dst").as("node")).agg(sum("h").as("a"))
+          .groupBy(col("dst").as("node")).agg(dsum("h").as("a"))
         auth = norm(
-          nodes.join(ap, Seq("node"), "left").na.fill(0L, Seq("a")), "a")
+          fill0(nodes.join(ap, Seq("node"), "left"), "a"), "a")
           .localCheckpoint()
       }
       hub.join(auth, "node")
@@ -413,19 +423,19 @@ object Graph {
         val aPrev = if (i == 1) "a0" else s"an${i - 1}"
         s"""hp$i AS MATERIALIZED (
            |  SELECT n.node, coalesce(x.s, 0) AS h FROM nodes n LEFT JOIN (
-           |    SELECT e.pa AS node, CAST(sum($aPrev.a) AS BIGINT) AS s
+           |    SELECT e.pa AS node, sum($aPrev.a) AS s
            |    FROM e JOIN $aPrev ON e.pb = $aPrev.node GROUP BY 1) x
            |    USING (node)),
-           |ht$i AS (SELECT CAST(sum(h) AS BIGINT) AS t FROM hp$i),
+           |ht$i AS (SELECT sum(h) AS t FROM hp$i),
            |hn$i AS MATERIALIZED (
            |  SELECT node, (CAST(h AS HUGEINT) * $HitsUnit) // t AS h
            |  FROM hp$i, ht$i),
            |ap$i AS MATERIALIZED (
            |  SELECT n.node, coalesce(x.s, 0) AS a FROM nodes n LEFT JOIN (
-           |    SELECT e.pb AS node, CAST(sum(hn$i.h) AS BIGINT) AS s
+           |    SELECT e.pb AS node, sum(hn$i.h) AS s
            |    FROM e JOIN hn$i ON e.pa = hn$i.node GROUP BY 1) x
            |    USING (node)),
-           |at$i AS (SELECT CAST(sum(a) AS BIGINT) AS t FROM ap$i),
+           |at$i AS (SELECT sum(a) AS t FROM ap$i),
            |an$i AS MATERIALIZED (
            |  SELECT node, (CAST(a AS HUGEINT) * $HitsUnit) // t AS a
            |  FROM ap$i, at$i)""".stripMargin

@@ -260,7 +260,12 @@ object Relational3 {
     "samp_quality_budget" -> ((s, dir) => {
       graft.plans.TopKAgg.register(s)
       val ws = filter(split(lower(col("text")), " "), w => w =!= "")
+      // size(ws) = 0 guard: a whitespace-only doc would make TTR 0.0/0 —
+      // NaN on Spark, engine-dependent in DuckDB — and NaN sorts
+      // differently in the two rank orders (the ta_bpe_apply empty-doc
+      // lesson). Filter on BOTH engines so the divisor is never zero.
       val d = load(s, dir, "documents")
+        .where(size(ws) > 0)
         .select(col("source"), col("doc_id"),
           (size(array_distinct(ws)).cast("double") / size(ws)).as("ttr"))
       val counts = d.groupBy("source").agg(count(lit(1)).as("ns"))
@@ -1042,7 +1047,8 @@ object Relational3 {
 
     "zorder_key" ->
       s"""SELECT event_id,
-         |  ${graft.functions.ZOrder.zkeySql(s"(user_id % ${1 << ZBits})",
+         |  ${graft.functions.ZOrder.zkeySql(
+              s"((user_id % ${1 << ZBits} + ${1 << ZBits}) % ${1 << ZBits})",
               "CAST(json_extract_string(props, '$.k') AS BIGINT)", ZBits)} AS zkey
          |FROM events ORDER BY event_id""".stripMargin,
 
@@ -1150,7 +1156,8 @@ object Relational3 {
          |  FROM (SELECT source, doc_id,
          |          list_filter(string_split(lower(text), ' '), w -> w <> '')
          |            AS ws
-         |        FROM documents)),
+         |        FROM documents)
+         |  WHERE len(ws) > 0),
          |c AS (SELECT source, count(*) AS ns FROM d GROUP BY 1),
          |t AS (SELECT CAST(sum(ns) AS BIGINT) AS nt FROM c),
          |a AS (SELECT source,
@@ -1235,7 +1242,7 @@ object Relational3 {
 
     "a24_cramers_v" ->
       """WITH cells AS (
-        |  SELECT event_type, user_id % 4 AS seg, count(*) AS o
+        |  SELECT event_type, (user_id % 4 + 4) % 4 AS seg, count(*) AS o
         |  FROM events GROUP BY 1, 2),
         |rt AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY 1),
         |ct AS (SELECT seg, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY 1),
@@ -1260,7 +1267,7 @@ object Relational3 {
 
     "a19_chi2_indep" ->
       """WITH cells AS (
-        |  SELECT event_type, user_id % 4 AS seg, count(*) AS o
+        |  SELECT event_type, (user_id % 4 + 4) % 4 AS seg, count(*) AS o
         |  FROM events GROUP BY 1, 2),
         |rt AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY 1),
         |ct AS (SELECT seg, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY 1),

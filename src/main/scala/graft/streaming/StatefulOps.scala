@@ -430,7 +430,14 @@ object StatefulOps {
       def micros(ts: java.sql.Timestamp): Long =
         Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
       val out = Vector.newBuilder[FunnelStage]
-      for ((_, ts, tpe) <- rows.toVector.sortBy(r => micros(r._2))) {
+      // Deterministic batch order: (micros, sub-µs nanos, type). The
+      // strict us > t1/t2 guards make same-instant events inert for stage
+      // COUNTS either way, but the emitted FunnelStage row for tied first
+      // events (e.g. two clicks in the same µs whose Timestamps differ at
+      // ns precision) must not depend on arrival order across
+      // re-executions — the anomaly processor's (ts, event_id) discipline.
+      for ((_, ts, tpe) <- rows.toVector
+             .sortBy(r => (micros(r._2), r._2.getNanos, r._3))) {
         val us = micros(ts)
         if (tpe == "signup" && t1 == Unset) {
           t1 = us; out += FunnelStage(user, 1, ts)
