@@ -23,7 +23,7 @@ object EventWindows {
 
   type Q = (SparkSession, String) => DataFrame
 
-  private val GapUs = 1800L * 1000000L // 30 minutes
+  private[graft] val GapUs = 1800L * 1000000L // 30 minutes
 
   // ev_anomaly: trailing window length (rows), warm-up floor, z threshold,
   // and the per-(type, chunk) partition size for the bounded-window form.

@@ -510,6 +510,91 @@ object StatefulOps {
     }
   }
 
+  /** One 3-step path occurrence inside a CLOSED session, from
+    * [[SessionPathProcessor]]. */
+  case class SessionPath(user_id: Long, path: String)
+
+  /** Session-path input: `event_type == "__flush"` closes the user's
+    * pending session without joining it (the end-of-stream signal the
+    * batch query gets for free by seeing the whole history). */
+  case class PathEv(user_id: Long, ts: java.sql.Timestamp, event_id: Long,
+                    event_type: String)
+
+  /** The STREAMING twin of the batch `ev_path` operator — the last
+    * batch family (path/funnel mining) without a stateful counterpart.
+    * Per-user state is the CURRENT session only: a ListState of event
+    * types plus the last event-time micro-instant. An arriving event
+    * whose gap from the last is ≥ gapUs CLOSES the session — every
+    * consecutive 3-step path `a>b>c` of the closed session is emitted,
+    * mirroring the batch sessionize → trigram explode exactly — then
+    * starts the next one. On an event-time-ordered feed the emitted
+    * path multiset equals the batch `ev_path` pre-limit rows
+    * (StatefulOpsSpec pins the full top-N result). State is bounded by
+    * the longest single session (gap-bounded in practice), NOT stream
+    * length; users hash across executors. Session closure for a key
+    * that never speaks again comes from the `"__flush"` sentinel here
+    * (TimeMode.None keeps the processor synchronous-test-friendly); the
+    * watermark-timer variant of the same closure is pinned separately
+    * by the sessionizer timer test — production deployments register an
+    * event-time timer at last+gap instead of the sentinel. */
+  class SessionPathProcessor(gapUs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, PathEv, SessionPath] {
+    @transient private var types:
+        org.apache.spark.sql.streaming.ListState[String] = _
+    @transient private var lastUs:
+        org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      types = getHandle.getListState[String]("sess_types", Encoders.STRING,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      lastUs = getHandle.getValueState[Long]("sess_last", Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    override def handleInputRows(
+        user: Long, rows: Iterator[PathEv],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[SessionPath] = {
+      def micros(ts: java.sql.Timestamp): Long =
+        Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+      val out = Vector.newBuilder[SessionPath]
+      def close(): Unit = {
+        val t = types.get().toVector
+        if (t.length >= 3)
+          for (i <- 0 to t.length - 3)
+            out += SessionPath(user, s"${t(i)}>${t(i + 1)}>${t(i + 2)}")
+        types.clear()
+      }
+      // Deterministic batch order: (micros, event_id) — the batch
+      // sessionizer's exact sort key.
+      for (e <- rows.toVector.sortBy(r => (micros(r.ts), r.event_id))) {
+        if (e.event_type == "__flush") { close(); lastUs.clear() }
+        else {
+          val us = micros(e.ts)
+          if (lastUs.exists() && us - lastUs.get() >= gapUs) close()
+          types.appendValue(e.event_type)
+          lastUs.update(us)
+        }
+      }
+      out.result().iterator
+    }
+  }
+
+  /** `PathEv` stream → per-session 3-step path occurrences. Requires
+    * RocksDB (transformWithState). */
+  def sessionPaths(ds: Dataset[PathEv],
+                   gapUs: Long = graft.operators.EventWindows.GapUs)
+      : Dataset[SessionPath] = {
+    implicit val enc: Encoder[SessionPath] = Encoders.product[SessionPath]
+    ds.groupByKey(_.user_id)(Encoders.scalaLong)
+      .transformWithState(new SessionPathProcessor(gapUs),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append(),
+        enc)
+  }
+
   /** `(key, item)` events → per-key Misra–Gries top items (≤ k counters). */
   def heavyHitters(ds: Dataset[(String, String)], k: Int): Dataset[HeavyHitter] = {
     implicit val enc: Encoder[HeavyHitter] = Encoders.product[HeavyHitter]

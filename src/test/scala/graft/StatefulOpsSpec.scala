@@ -304,6 +304,50 @@ class StatefulOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming sessionPaths equals the batch ev_path oracle result") {
+    // The last unpaired batch family: per-user session-path mining. Feed
+    // the real sf0.001 events in event-time order across micro-batches,
+    // then a "__flush" sentinel per user (the end-of-stream closure the
+    // batch query sees for free; production uses an event-time timer at
+    // last+gap — the sessionizer timer test pins that mechanism). The
+    // emitted 3-step path multiset, counted and cut to the same
+    // (n desc, path) top-N, must equal the DuckDB-oracle-checked batch
+    // ev_path rows EXACTLY.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      import org.apache.spark.sql.functions.col
+      val dir = "/root/testdata/sf0.001"
+      val evs = graft.Tables.load(spark, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .orderBy("ts", "event_id")
+        .as[StatefulOps.PathEv].collect()
+      val flush = evs.map(_.user_id).distinct.map(u =>
+        StatefulOps.PathEv(u, new java.sql.Timestamp(0L), 0L, "__flush"))
+      val mem = MemoryStream[StatefulOps.PathEv]
+      val q = StatefulOps.sessionPaths(mem.toDS())
+        .writeStream.outputMode("append")
+        .format("memory").queryName("spath_out").start()
+      try {
+        evs.grouped(math.max(1, evs.length / 5))
+          .foreach { b => mem.addData(b.toSeq); q.processAllAvailable() }
+        mem.addData(flush.toSeq); q.processAllAvailable()
+        val batch = SparkEntry.queries("ev_path")(spark, dir).collect()
+          .map(r => (r.getString(0), r.getLong(1)))
+        val streamed = spark.table("spath_out")
+          .as[StatefulOps.SessionPath].collect()
+          .groupBy(_.path).map { case (p, rs) => (p, rs.length.toLong) }
+          .toSeq.sortBy { case (p, n) => (-n, p) }
+          .take(batch.length)
+        assert(streamed.length == batch.length,
+          s"stream produced ${streamed.length} paths vs batch ${batch.length}")
+        assert(streamed.sameElements(batch),
+          s"top paths diverge:\nstream ${streamed.take(5).mkString(", ")}\n" +
+            s"batch ${batch.take(5).mkString(", ")}")
+      } finally q.stop()
+    }
+  }
+
   test("Misra-Gries heavy hitters: exact when k covers the item domain, bounded otherwise") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
