@@ -23,9 +23,22 @@ import java.nio.ByteBuffer
 object Mp4 {
 
   /** Parsed container metadata: dimensions from `tkhd` (16.16 fixed
-    * point), frame count from `stsz.sample_count`, major brand from
-    * `ftyp`. */
-  final case class Meta(width: Int, height: Int, nFrames: Int, brand: String)
+    * point), frame count + uniform sample size from `stsz`, the first
+    * chunk's absolute file offset from `stco`, the `mdat` payload extent,
+    * major brand from `ftyp`. The last three only exist inside the byte
+    * tree — surfacing them lets the oracle check the OFFSET CHAIN (which
+    * depends on every box's byte size), not just the logical metadata. */
+  final case class Meta(width: Int, height: Int, nFrames: Int, brand: String,
+                        sampleSize: Int = 0, chunkOffset: Long = 0L,
+                        mdatBytes: Long = 0L)
+
+  /** Container bytes that precede the mdat payload (`ftyp` + the
+    * fixed-width single-track `moov` + the mdat header) — a writer
+    * CONSTANT because every box this writer emits is fixed-width.
+    * Derived from the writer itself (not hand-summed box arithmetic) so
+    * the mm_mp4_atoms oracle can predict stco/file offsets from the same
+    * code that wrote the bytes; Mp4Spec pins the two stay consistent. */
+  lazy val HeaderBytes: Int = write(1, 1, 1, Array[Byte](0)).length - 1
 
   private val Timescale = 1000
   private val FrameDur = 40 // 25 fps in mvhd/mdhd timescale units
@@ -146,7 +159,8 @@ object Mp4 {
   def parse(bytes: Array[Byte]): Meta = {
     val b = ByteBuffer.wrap(bytes)
     var brand: String = null
-    var width, height, nFrames = -1
+    var width, height, nFrames, sampleSize = -1
+    var chunkOffset, mdatBytes = -1L
     walk(b, 0, bytes.length) { (tpe, s, e) =>
       tpe match {
         case "ftyp" =>
@@ -160,14 +174,19 @@ object Mp4 {
           width = b.getInt(dimOff) >>> 16 // 16.16 fixed -> integer part
           height = b.getInt(dimOff + 4) >>> 16
         case "stsz" =>
+          sampleSize = b.getInt(s + 4) // uniform size (0 = per-sample table)
           nFrames = b.getInt(s + 8) // after version/flags + sample_size
-        case _ => () // mdat and other leaves: metadata never reads them
+        case "stco" =>
+          chunkOffset = b.getInt(s + 8).toLong & 0xffffffffL // first entry
+        case "mdat" =>
+          mdatBytes = (e - s).toLong
+        case _ => () // other leaves: metadata never reads them
       }
       if (e > bytes.length) throw new IllegalArgumentException("overrun")
     }
     if (brand == null || width < 0 || nFrames < 0)
       throw new IllegalArgumentException(
         "not a parseable MP4: missing ftyp/tkhd/stsz")
-    Meta(width, height, nFrames, brand)
+    Meta(width, height, nFrames, brand, sampleSize, chunkOffset, mdatBytes)
   }
 }

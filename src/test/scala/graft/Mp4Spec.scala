@@ -11,8 +11,28 @@ class Mp4Spec extends AnyFunSuite {
   test("write→parse round-trips dimensions, frame count, and brand") {
     for ((w, h, n) <- Seq((64, 64, 1), (640, 380, 7), (65, 381, 3))) {
       val payload = Array.tabulate[Byte](199)(i => (i * 7).toByte)
-      val m = Mp4.parse(Mp4.write(w, h, n, payload))
-      assert(m == Mp4.Meta(w, h, n, "isom"), s"round trip failed for $w×$h×$n")
+      val bytes = Mp4.write(w, h, n, payload)
+      val m = Mp4.parse(bytes)
+      assert(m == Mp4.Meta(w, h, n, "isom",
+        sampleSize = math.max(1, payload.length / n),
+        chunkOffset = (bytes.length - payload.length).toLong,
+        mdatBytes = payload.length.toLong),
+        s"round trip failed for $w×$h×$n")
+    }
+  }
+
+  test("HeaderBytes is the writer's real pre-payload extent (offset-chain pin)") {
+    // mm_mp4_atoms' oracle predicts stco/file offsets as HeaderBytes +
+    // arithmetic; this pins that the constant IS the byte extent the
+    // writer emits before the mdat payload, for several payload sizes
+    // (the moov must be fixed-width for the constant to be one at all).
+    for (len <- Seq(1, 17, 997)) {
+      val payload = Array.tabulate[Byte](len)(i => i.toByte)
+      val bytes = Mp4.write(33, 44, 1 + len % 7, payload)
+      assert(bytes.length == Mp4.HeaderBytes + len,
+        s"header extent drifted at payload $len")
+      assert(Mp4.parse(bytes).chunkOffset == Mp4.HeaderBytes.toLong,
+        s"stco disagrees with HeaderBytes at payload $len")
     }
   }
 
