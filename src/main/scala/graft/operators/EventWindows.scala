@@ -49,6 +49,10 @@ object EventWindows {
   /** ev_path: how many top 3-step session paths to keep. */
   private val PathTopN = 20
 
+  /** ev_kaplan_meier: users last seen within this many days of the
+    * corpus horizon are right-censored (still alive), not churned. */
+  private val KmCensorDays = 7L
+
   val queries: Map[String, Q] = Map(
     // Rolling z-score anomaly flags per event type: each event scored
     // against the trailing AnomWin-row window (inclusive of itself) on its
@@ -688,6 +692,86 @@ object EventWindows {
         .orderBy("user_id")
     }),
 
+    // Cohort LTV curves — the revenue-weighted companion of ev_retention
+    // (the table under every "payback period" decision): users cohort by
+    // first-active epoch week, revenue accrues per (user, week) in exact
+    // integer cents, and each cohort's curve is cumulative revenue (and
+    // revenue per cohort user) by age. Scale shape: ONE (user, week)
+    // keyed agg; the cohort-week window is user-keyed (data-scale key);
+    // the curve agg and its per-cohort cumulative window ride the
+    // cohorts×ages frame above aggregates; cohort sizes come back as a
+    // broadcast. All integer until the three final /100 divisions,
+    // round(6).
+    "ev_ltv" -> ((s, dir) => {
+      val uw = load(s, dir, "events")
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 604800000000").as("w"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("c"))
+        .groupBy("user_id", "w").agg(sum("c").as("wc"))
+      val aged = uw
+        .withColumn("cw", min("w").over(Window.partitionBy("user_id")))
+        .withColumn("age", col("w") - col("cw"))
+        .localCheckpoint() // feeds the curve agg AND the cohort-size agg
+      val curve = aged.groupBy("cw", "age")
+        .agg(sum("wc").as("rev_c"), count(lit(1)).as("active_users"))
+      val sizes = aged.where(col("age") === 0)
+        .groupBy("cw").agg(count(lit(1)).as("cohort_users"))
+      val wAge = Window.partitionBy("cw").orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      curve.join(broadcast(sizes), "cw")
+        .withColumn("cum_c", sum("rev_c").over(wAge))
+        .select(
+          to_date(timestamp_micros(col("cw") * 604800000000L)).as("week_start"),
+          col("age").as("age_week"), col("cohort_users"), col("active_users"),
+          round(col("rev_c").cast("double") / 100.0, 6).as("rev"),
+          round(col("cum_c").cast("double") / 100.0, 6).as("cum_rev"),
+          round(col("cum_c").cast("double") / 100.0 / col("cohort_users"), 6)
+            .as("cum_rev_per_user"))
+        .orderBy("week_start", "age_week")
+    }),
+
+    // Kaplan–Meier survival over user activity lifetimes — the estimator
+    // behind every churn/"retention half-life" curve, with CENSORING
+    // done right (the naive mean-lifetime number silently treats
+    // still-active users as churned): duration = last−first active day;
+    // users last seen within KmCensorDays of the corpus horizon are
+    // right-censored, everyone else is an observed churn. S(t) =
+    // Π_{t'≤t} (n_risk−deaths)/n_risk over the DURATION HISTOGRAM.
+    // Exactness: deaths/censored/n_risk are integer counts; each factor
+    // and the left-fold product are identical double expressions on both
+    // engines (the a24 ordered-fold discipline), round(6) at the end.
+    // Scale: ONE user-keyed agg; the histogram, its desc-cum risk
+    // window, and the prefix-product explode all ride the day-span-scale
+    // duration frame above aggregates — nothing scales with users.
+    "ev_kaplan_meier" -> ((s, dir) => {
+      val users = load(s, dir, "events")
+        .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("d"))
+        .groupBy("user_id").agg(min("d").as("f"), max("d").as("l"))
+      val hz = users.groupBy().agg(max("l").as("h"))
+      val lab = users.crossJoin(broadcast(hz))
+        .select((col("l") - col("f")).as("dur"),
+          (col("l") <= col("h") - KmCensorDays).cast("long").as("died"))
+      val hist = lab.groupBy("dur")
+        .agg(sum("died").as("deaths"),
+          (count(lit(1)) - sum("died")).as("censored"))
+      val wR = Window.orderBy(col("dur").desc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val risk = hist.withColumn("n_risk",
+        sum(col("deaths") + col("censored")).over(wR))
+      val factors = transform(col("arr"), x =>
+        (x.getField("n_risk") - x.getField("deaths")).cast("double") /
+          x.getField("n_risk").cast("double"))
+      risk.groupBy()
+        .agg(array_sort(collect_list(struct(
+          col("dur"), col("deaths"), col("censored"), col("n_risk")))).as("arr"))
+        .select(col("arr"), posexplode(col("arr")).as(Seq("i", "r")))
+        .select(col("r.dur").as("duration_days"), col("r.n_risk").as("n_risk"),
+          col("r.deaths").as("deaths"), col("r.censored").as("censored"),
+          round(aggregate(slice(factors, lit(1), col("i") + 1),
+            lit(1.0), (acc, x) => acc * x), 6).as("survival"))
+        .orderBy("duration_days")
+    }),
+
     "ev_retention" -> ((s, dir) => {
       val counts = load(s, dir, "events")
         .select(col("user_id"), to_date(col("ts")).as("day"))
@@ -1205,6 +1289,66 @@ object EventWindows {
         |  round(CAST(sum(direct) AS DOUBLE) / count(*), 6) AS stickiness
         |FROM dd GROUP BY d HAVING max(direct) = 1
         |ORDER BY d""".stripMargin,
+
+    "ev_kaplan_meier" ->
+      s"""WITH u AS (
+         |  SELECT user_id, min(d) AS f, max(d) AS l
+         |  FROM (SELECT user_id, epoch_us(ts) // 86400000000 AS d FROM events)
+         |  GROUP BY 1),
+         |h AS (SELECT max(l) AS h FROM u),
+         |lab AS (
+         |  SELECT l - f AS dur, CAST(l <= h - $KmCensorDays AS BIGINT) AS died
+         |  FROM u, h),
+         |hist AS (
+         |  SELECT dur, CAST(sum(died) AS BIGINT) AS deaths,
+         |    CAST(count(*) - sum(died) AS BIGINT) AS censored
+         |  FROM lab GROUP BY 1),
+         |r AS (
+         |  SELECT *, CAST(sum(deaths + censored) OVER (ORDER BY dur DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS n_risk
+         |  FROM hist),
+         |arr AS (
+         |  SELECT list(struct_pack(dur := dur, deaths := deaths,
+         |    censored := censored, n_risk := n_risk) ORDER BY dur) AS a
+         |  FROM r),
+         |idx AS (SELECT unnest(range(1, len(a) + 1)) AS i, a FROM arr)
+         |SELECT a[i].dur AS duration_days, a[i].n_risk AS n_risk,
+         |  a[i].deaths AS deaths, a[i].censored AS censored,
+         |  round(list_reduce(
+         |    list_prepend(CAST(1.0 AS DOUBLE), list_transform(a[1:i],
+         |      x -> CAST(x.n_risk - x.deaths AS DOUBLE)
+         |           / CAST(x.n_risk AS DOUBLE))),
+         |    (p, q) -> p * q), 6) AS survival
+         |FROM idx ORDER BY duration_days""".stripMargin,
+
+    "ev_ltv" ->
+      """WITH uw AS (
+        |  SELECT user_id, epoch_us(ts) // 604800000000 AS w,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS wc
+        |  FROM events GROUP BY 1, 2),
+        |a AS (
+        |  SELECT user_id, w, wc, min(w) OVER (PARTITION BY user_id) AS cw
+        |  FROM uw),
+        |curve AS (
+        |  SELECT cw, w - cw AS age, CAST(sum(wc) AS BIGINT) AS rev_c,
+        |    count(*) AS active_users
+        |  FROM a GROUP BY 1, 2),
+        |sz AS (SELECT cw, count(*) AS cohort_users FROM a WHERE w = cw
+        |       GROUP BY 1),
+        |c2 AS (
+        |  SELECT cw, age, cohort_users, active_users, rev_c,
+        |    CAST(sum(rev_c) OVER (PARTITION BY cw ORDER BY age
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_c
+        |  FROM curve JOIN sz USING (cw))
+        |SELECT CAST(make_timestamp(cw * 604800000000) AS DATE) AS week_start,
+        |  age AS age_week, cohort_users, active_users,
+        |  round(CAST(rev_c AS DOUBLE) / 100.0, 6) AS rev,
+        |  round(CAST(cum_c AS DOUBLE) / 100.0, 6) AS cum_rev,
+        |  round(CAST(cum_c AS DOUBLE) / 100.0 / cohort_users, 6)
+        |    AS cum_rev_per_user
+        |FROM c2 ORDER BY week_start, age_week""".stripMargin,
 
     "ev_retention" ->
       """WITH per AS (

@@ -576,6 +576,70 @@ object Relational3 {
             .as("cramers_v"))
     }),
 
+    // Spearman rank correlation (tie-corrected) between hour-of-day and
+    // value — the monotone-association diagnostic behind "do high-value
+    // events cluster late in the day". Rank arithmetic is ALL-INTEGER
+    // via the a16_gini doubling trick: the tie-averaged rank of value v
+    // with multiplicity m after cumBefore smaller rows is
+    // (2·cumBefore + m + 1)/2, so DOUBLED ranks are integers; and since
+    // the mean doubled rank is exactly n+1, centered sums need no n·Σ−Σ²
+    // correction: ρ = Σm·X'Y'/√(Σm·X'²·Σm·Y'²) with X' = R−(n+1). Every
+    // sum accumulates decimal(38,0)/HUGEINT (|X'| ≤ n keeps Σm·X'² ≤ n³
+    // — exact to n ≈ 4.6e12 events, past 100 TB); the one sqrt/divide is
+    // an identical double expression, round(6). Scale: ONE corpus
+    // (hour, cents) agg; hour ranks ride a 24-row frame; cents ranks use
+    // the ev_rfm bucket LADDER (≤65537 adaptive buckets: bucket offsets
+    // from an unpartitioned window over the bucket histogram, in-bucket
+    // prefixes partitioned by bucket) so NO unpartitioned window touches
+    // the unbounded cents domain; Σxy joins the joint histogram to the
+    // rank frames (24-row broadcast + cents-keyed join of domain-scale
+    // frames).
+    "a25_spearman" -> ((s, dir) => {
+      val j = load(s, dir, "events")
+        .select(hour(col("ts")).cast("long").as("h"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("c"))
+        .groupBy("h", "c").agg(count(lit(1)).as("m"))
+        .localCheckpoint()
+      val n1 = j.groupBy().agg(sum("m").as("n"))
+      val wH = Window.orderBy("h").rowsBetween(Window.unboundedPreceding, -1)
+      val rh = j.groupBy("h").agg(sum("m").as("mh"))
+        .withColumn("rh",
+          lit(2L) * coalesce(sum("mh").over(wH), lit(0L)) + col("mh") + 1)
+      val mc = j.groupBy("c").agg(sum("m").as("mc")).localCheckpoint()
+      val mm = mc.groupBy().agg(min("c").as("lo"), max("c").as("hi"))
+      val withB = mc.crossJoin(broadcast(mm))
+        .withColumn("bk",
+          expr("(c - lo) div greatest(1, (hi - lo) div 65536 + 1)"))
+      val off = withB.groupBy("bk").agg(sum("mc").as("bm"))
+        .withColumn("off", coalesce(sum("bm").over(
+          Window.orderBy("bk").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+        .select("bk", "off")
+      val wC = Window.partitionBy("bk").orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val rc = withB.join(broadcast(off), "bk")
+        .withColumn("rc",
+          lit(2L) * (col("off") + coalesce(sum("mc").over(wC), lit(0L))) +
+            col("mc") + 1)
+        .select("c", "mc", "rc")
+      val d38 = (x: org.apache.spark.sql.Column) => x.cast("decimal(38,0)")
+      def ctr(r: org.apache.spark.sql.Column) = r - col("n") - 1
+      val sxx = rh.crossJoin(broadcast(n1))
+        .agg(sum(d38(col("mh")) * ctr(col("rh")) * ctr(col("rh"))).as("sxx"))
+      val syy = rc.crossJoin(broadcast(n1))
+        .agg(sum(d38(col("mc")) * ctr(col("rc")) * ctr(col("rc"))).as("syy"))
+      val sxy = j.join(broadcast(rh.select("h", "rh")), "h")
+        .join(rc.select("c", "rc"), "c")
+        .crossJoin(broadcast(n1))
+        .agg(sum(d38(col("m")) * ctr(col("rh")) * ctr(col("rc"))).as("sxy"))
+      sxx.crossJoin(broadcast(syy)).crossJoin(broadcast(sxy))
+        .crossJoin(broadcast(n1))
+        .select(col("n"), col("sxy"), col("sxx"), col("syy"),
+          round(col("sxy").cast("double") /
+            sqrt(col("sxx").cast("double") * col("syy").cast("double")), 6)
+            .as("rho"))
+    }),
+
     // Benford first-digit audit over the event values — the fraud/quality
     // screen for "does this metric look organically generated": observed
     // share of each leading significant digit of the integer cents vs the
@@ -1281,6 +1345,38 @@ object Relational3 {
         |        6) AS resid
         |FROM cells JOIN rt USING (event_type) JOIN ct USING (seg), nt
         |ORDER BY event_type, seg""".stripMargin,
+
+    "a25_spearman" ->
+      """WITH e AS (
+        |  SELECT CAST(extract(hour FROM ts) AS BIGINT) AS h,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+        |  FROM events),
+        |j AS (SELECT h, c, count(*) AS m FROM e GROUP BY 1, 2),
+        |n1 AS (SELECT CAST(sum(m) AS BIGINT) AS n FROM j),
+        |rh AS (
+        |  SELECT h, mh,
+        |    2 * coalesce(CAST(sum(mh) OVER (ORDER BY h
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+        |      + mh + 1 AS rh
+        |  FROM (SELECT h, CAST(sum(m) AS BIGINT) AS mh FROM j GROUP BY 1)),
+        |rc AS (
+        |  SELECT c, mc,
+        |    2 * coalesce(CAST(sum(mc) OVER (ORDER BY c
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+        |      + mc + 1 AS rc
+        |  FROM (SELECT c, CAST(sum(m) AS BIGINT) AS mc FROM j GROUP BY 1)),
+        |sxx AS (SELECT sum(CAST(mh AS HUGEINT) * (rh - n - 1) * (rh - n - 1))
+        |          AS sxx FROM rh, n1),
+        |syy AS (SELECT sum(CAST(mc AS HUGEINT) * (rc - n - 1) * (rc - n - 1))
+        |          AS syy FROM rc, n1),
+        |sxy AS (
+        |  SELECT sum(CAST(m AS HUGEINT) * (rh.rh - n - 1) * (rc.rc - n - 1))
+        |    AS sxy
+        |  FROM j JOIN rh USING (h) JOIN rc USING (c), n1)
+        |SELECT n, sxy, sxx, syy,
+        |  round(CAST(sxy AS DOUBLE)
+        |        / sqrt(CAST(sxx AS DOUBLE) * CAST(syy AS DOUBLE)), 6) AS rho
+        |FROM n1, sxx, syy, sxy""".stripMargin,
 
     "a20_benford" ->
       """WITH d AS (

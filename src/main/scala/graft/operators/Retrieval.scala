@@ -394,6 +394,53 @@ object Retrieval {
         .orderBy("rank")
     }),
 
+    // Mean-average-precision@k for the same dense run ir_ndcg scores —
+    // the binary-relevance complement of graded nDCG (MAP is the metric
+    // sweep every retrieval eval reports alongside nDCG; rel = doc
+    // contains ≥1 query term). AP@k = Σ_{positions with a relevant doc}
+    // P@pos / min(R, k), R = total relevant in the corpus (one-row
+    // broadcast). Every running sum rides the k-row frame above the
+    // TakeOrdered cut; P@pos and the AP fold are identical integer-ratio
+    // double expressions on both engines, round(6).
+    "ir_map" -> ((s, dir) => {
+      graft.plans.ArrayExprs.register(s)
+      import graft.plans.ArrayExprs.dotProduct
+      val rel = load(s, dir, "documents")
+        .select(col("doc_id"),
+          (QueryTerms.map(t => array_contains(toks(col("text")), t).cast("long"))
+            .reduce(_ + _) >= 1).cast("long").as("relevant"))
+        .localCheckpoint()
+      val totRel = rel.groupBy().agg(sum("relevant").as("r"))
+      val e = load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").as("v"))
+        .withColumn("nrm", sqrt(dotProduct(col("v"), col("v"))))
+      val q = e.where(col("vec_id") === 0)
+        .select(col("v").as("qv"), col("nrm").as("qnrm"))
+      val dense = e.crossJoin(broadcast(q))
+        .where(col("vec_id") =!= 0)
+        .select(col("vec_id").as("doc_id"),
+          round(dotProduct(col("qv"), col("v")) / (col("qnrm") * col("nrm")), 6)
+            .as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(NdcgK)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      val wCum = Window.orderBy("rank")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      dense.join(rel, "doc_id").crossJoin(broadcast(totRel))
+        .withColumn("cum_rel", sum("relevant").over(wCum))
+        .withColumn("prec",
+          col("cum_rel").cast("double") / col("rank").cast("double"))
+        .withColumn("ap_num",
+          sum(col("relevant").cast("double") * col("prec")).over(wCum))
+        .select(col("rank"), col("doc_id"), col("relevant"), col("cum_rel"),
+          round(col("prec"), 6).as("prec_at_k"),
+          round(col("ap_num") /
+            least(col("r"), lit(NdcgK.toLong)).cast("double"), 6)
+            .as("running_ap"))
+        .orderBy("rank")
+    }),
+
     "ir_rrf" -> ((s, dir) => {
       graft.plans.ArrayExprs.register(s)
       import graft.plans.ArrayExprs.dotProduct
@@ -516,6 +563,39 @@ object Retrieval {
          |  FROM rows_)
          |SELECT rank, doc_id, rel, round(dcg, 6) AS dcg, round(idcg, 6) AS idcg,
          |  round(dcg / idcg, 6) AS ndcg
+         |FROM c ORDER BY rank""".stripMargin
+    },
+
+    "ir_map" -> {
+      val relExpr = QueryTerms
+        .map(t => s"CAST(list_contains(string_split(lower(text), ' '), '$t') AS BIGINT)")
+        .mkString(" + ")
+      s"""WITH rel AS (
+         |  SELECT doc_id, CAST(($relExpr) >= 1 AS BIGINT) AS relevant
+         |  FROM documents),
+         |tr AS (SELECT CAST(sum(relevant) AS BIGINT) AS r FROM rel),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |dense AS (
+         |  SELECT e.vec_id AS doc_id,
+         |    round(list_cosine_similarity(qv, v), 6) AS score
+         |  FROM e, q WHERE e.vec_id <> 0
+         |  ORDER BY score DESC, doc_id LIMIT $NdcgK),
+         |rk AS (
+         |  SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+         |    AS BIGINT) AS rank
+         |  FROM dense),
+         |c AS (
+         |  SELECT rank, rk.doc_id, rel.relevant, r,
+         |    CAST(sum(relevant) OVER w AS BIGINT) AS cum_rel,
+         |    CAST(sum(relevant) OVER w AS DOUBLE) / CAST(rank AS DOUBLE) AS prec
+         |  FROM rk JOIN rel ON rk.doc_id = rel.doc_id CROSS JOIN tr
+         |  WINDOW w AS (ORDER BY rank
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |SELECT rank, doc_id, relevant, cum_rel, round(prec, 6) AS prec_at_k,
+         |  round(sum(CAST(relevant AS DOUBLE) * prec) OVER (ORDER BY rank
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    / CAST(least(r, $NdcgK) AS DOUBLE), 6) AS running_ap
          |FROM c ORDER BY rank""".stripMargin
     },
 

@@ -477,6 +477,53 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // Interpolated Kneser–Ney bigram scoring (Kneser & Ney 1995; the
+    // smoothing inside KenLM and every serious count-based LM — the
+    // quality signal "how surprising is this doc under a KN bigram
+    // model"): p(w|v) = (c(vw)−D)⁺/c(v) + D·N₁₊(v·)/c(v) · N₁₊(·w)/B,
+    // with discount D = 0.75 and the CONTINUATION counts (how many
+    // distinct contexts a word follows / precedes) that distinguish KN
+    // from the add-one smoothing of ta_bigram_ppl. Exactness: all five
+    // count tables are exact integers; p is ONE identical double
+    // expression on both engines; per-doc ln sums fold in sorted bigram
+    // order (the ta_unigram_ppl parity template), round(6). In-corpus
+    // docs guarantee c(vw) ≥ 1, so the discounted term never needs a
+    // zero branch. Scale: the ta_bigram_ppl chain + two more
+    // vocabulary-scale keyed aggregates/joins (w1/w2 continuation
+    // tables); the type total B rides a one-row broadcast.
+    "ta_kn_bigram" -> ((s, dir) => {
+      val t = toks(col("text"))
+      val n = size(t)
+      val bigrams = zip_with(slice(t, lit(1), n - 1), slice(t, lit(2), n - 1),
+        (a, b) => concat_ws(" ", a, b))
+      val tf = load(s, dir, "documents")
+        .where(n >= 2)
+        .select(col("doc_id"), explode(bigrams).as("bg"))
+        .groupBy("doc_id", "bg").agg(count(lit(1)).as("tf"))
+      val cf = tf.groupBy("bg").agg(sum(col("tf")).as("cf"))
+      val ctx = cf.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+        .agg(sum(col("cf")).as("ctx"), count(lit(1)).as("n1v"))
+      val cont = cf.groupBy(substring_index(col("bg"), " ", -1).as("w2"))
+        .agg(count(lit(1)).as("n1w"))
+      val btypes = cf.groupBy().agg(count(lit(1)).cast("double").as("bt"))
+      val p = greatest(col("cf") - lit(0.75), lit(0.0)) / col("ctx") +
+        (lit(0.75) * col("n1v") / col("ctx")) * (col("n1w") / col("bt"))
+      val contrib = tf.join(cf, "bg")
+        .join(ctx, substring_index(col("bg"), " ", 1) === col("w1"))
+        .join(cont, substring_index(col("bg"), " ", -1) === col("w2"))
+        .crossJoin(broadcast(btypes))
+        .select(col("doc_id"), col("bg"), col("tf"),
+          (col("tf") * log(p)).as("lp"))
+      contrib.groupBy("doc_id")
+        .agg(round(
+          -aggregate(
+            transform(array_sort(collect_list(struct(col("bg"), col("lp")))),
+              x => x.getField("lp")),
+            lit(0.0), (acc, x) => acc + x)
+            / sum(col("tf")), 6).as("kn_nll"))
+        .orderBy("doc_id")
+    }),
+
     // Shannon entropy of each document's word distribution — a lexical-
     // diversity quality signal (near-zero = one token repeated; high =
     // diverse vocabulary; boilerplate and keyword-stuffed spam sit low).
@@ -1209,6 +1256,37 @@ object TextAnalysis {
         |  FROM tf JOIN cf USING (term) CROSS JOIN vn)
         |SELECT doc_id,
         |  round(-list_sum(list(lp ORDER BY term)) / sum(tf), 6) AS nll
+        |FROM contrib GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "ta_kn_bigram" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+        |  WHERE len(string_split(lower(text), ' ')) >= 2),
+        |bgr AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bg
+        |  FROM d),
+        |tf AS (SELECT doc_id, bg, count(*) AS tf FROM bgr GROUP BY doc_id, bg),
+        |cf AS (SELECT bg, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY bg),
+        |ctx AS (SELECT split_part(bg, ' ', 1) AS w1,
+        |          CAST(sum(cf) AS BIGINT) AS ctx,
+        |          CAST(count(*) AS BIGINT) AS n1v
+        |        FROM cf GROUP BY 1),
+        |cont AS (SELECT split_part(bg, ' ', 2) AS w2,
+        |           CAST(count(*) AS BIGINT) AS n1w
+        |         FROM cf GROUP BY 1),
+        |bt AS (SELECT CAST(count(*) AS DOUBLE) AS bt FROM cf),
+        |contrib AS (
+        |  SELECT doc_id, tf.bg AS bg, tf,
+        |    tf * ln(greatest(cf - 0.75, 0.0) / ctx
+        |            + (0.75 * n1v / ctx) * (n1w / bt)) AS lp
+        |  FROM tf JOIN cf ON tf.bg = cf.bg
+        |  JOIN ctx ON split_part(tf.bg, ' ', 1) = ctx.w1
+        |  JOIN cont ON split_part(tf.bg, ' ', 2) = cont.w2
+        |  CROSS JOIN bt)
+        |SELECT doc_id,
+        |  round(-list_sum(list(lp ORDER BY bg)) / CAST(sum(tf) AS BIGINT), 6)
+        |    AS kn_nll
         |FROM contrib GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "ta_bigram_ppl" ->

@@ -579,6 +579,7 @@ class ScaleDesignSpec extends AnyFunSuite {
       "bk", "b",              // bucket ids (adaptive / fixed-width ladders)
       "__gi_pid",             // GlobalIndex per-partition counter
       "m", "active_days",     // calendar-span frames
+      "dur",                  // ev_kaplan_meier durations — ≤ day-span
       "day", "d", "h", "hour", "digit", "p",
       "rank", "rn",           // already cut by a limit upstream
       "term", "w",            // vocabulary-scale IR stats
