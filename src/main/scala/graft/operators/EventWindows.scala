@@ -453,6 +453,92 @@ object EventWindows {
         .orderBy("event_type", "log2_bucket")
     }),
 
+    // Lag-1 autocorrelation of the per-type daily totals — the "is
+    // yesterday predictive of today" number behind every forecasting
+    // go/no-go, computed as Pearson r over consecutive-day pairs on the
+    // COMPLETE calendar spine (absent days are true zeros — the
+    // ev_forecast_sn calendar lesson). Exactness: daily totals are
+    // integer cents, the six pair sums accumulate decimal(38,0)/HUGEINT,
+    // and r is one identical num/√·/√· double expression, round(6);
+    // zero-variance series yield NULL on both engines (nullif-style
+    // guard), never a NaN-ordering hazard. Scale: one corpus (type, day)
+    // agg; spine, lag, and sums ride the types×days metadata frame.
+    "ev_autocorr" -> ((s, dir) => {
+      val d = load(s, dir, "events")
+        .select(col("event_type"), to_date(col("ts")).as("d"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("c"))
+        .groupBy("event_type", "d").agg(sum("c").as("sc"))
+        .localCheckpoint()
+      val spine = d.groupBy("event_type")
+        .agg(min("d").as("mn"), max("d").as("mx"))
+        .select(col("event_type"), explode(sequence(col("mn"), col("mx"))).as("d"))
+      val w = Window.partitionBy("event_type").orderBy("d")
+      val dec = (x: org.apache.spark.sql.Column) => x.cast("decimal(38,0)")
+      val f = spine.join(d, Seq("event_type", "d"), "left")
+        .na.fill(0L, Seq("sc"))
+        .withColumn("px", lag("sc", 1).over(w))
+        .where(col("px").isNotNull)
+      val g = f.groupBy("event_type").agg(count(lit(1)).as("n"),
+        sum(dec(col("px"))).as("sx"), sum(dec(col("sc"))).as("sy"),
+        sum(dec(col("px")) * col("px")).as("sxx"),
+        sum(dec(col("sc")) * col("sc")).as("syy"),
+        sum(dec(col("px")) * col("sc")).as("sxy"))
+      val dx = g("n") * col("sxx") - col("sx") * col("sx")
+      val dy = g("n") * col("syy") - col("sy") * col("sy")
+      g.select(col("event_type"), col("n").as("n_pairs"),
+          round(when(dx > 0 && dy > 0,
+            (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              sqrt(dx.cast("double")) / sqrt(dy.cast("double"))), 6)
+            .as("r_lag1"))
+        .orderBy("event_type")
+    }),
+
+    // CUSUM change-point detection over the per-type daily totals — the
+    // sequential monitoring statistic (Page 1954) behind "when did this
+    // metric shift". The max(0, C+x−μ) recurrence has the closed form
+    // C_t = P_t − min(0, min_{u≤t} P_u) with P the prefix sum of
+    // deviations — so the whole detector is a prefix-sum window plus a
+    // running-min window, NO sequential fold. Division-free: deviations
+    // scale by n (n·x_t − S instead of x_t − S/n), keeping every value
+    // an exact integer in decimal(38,0)/HUGEINT; the change point is
+    // the argmax day of C (ties → earliest, via one min-struct agg).
+    // Scale: one corpus (type, day) agg; spine, windows, and the argmax
+    // ride the types×days metadata frame; per-type totals join back
+    // broadcast. (Named _cp — change point — to keep visual distance
+    // from ev_cumsum, the running-total ladder.)
+    "ev_cusum_cp" -> ((s, dir) => {
+      val d = load(s, dir, "events")
+        .select(col("event_type"), to_date(col("ts")).as("d"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("c"))
+        .groupBy("event_type", "d").agg(sum("c").as("sc"))
+        .localCheckpoint()
+      val spine = d.groupBy("event_type")
+        .agg(min("d").as("mn"), max("d").as("mx"))
+        .select(col("event_type"), explode(sequence(col("mn"), col("mx"))).as("d"))
+      val f = spine.join(d, Seq("event_type", "d"), "left")
+        .na.fill(0L, Seq("sc")).localCheckpoint()
+      val tot = f.groupBy(col("event_type").as("tt"))
+        .agg(count(lit(1)).as("n"), sum("sc").as("s"))
+      val wCum = Window.partitionBy("event_type").orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val dev = (col("sc").cast("decimal(38,0)") * col("n") - col("s"))
+      val cusum = f.join(broadcast(tot), col("event_type") === col("tt"))
+        .withColumn("p", sum(dev).over(wCum))
+        .withColumn("rmin", min(col("p")).over(wCum))
+        .withColumn("cu", col("p") - least(col("rmin"), lit(0).cast("decimal(38,0)")))
+      cusum.groupBy("event_type")
+        .agg(max("n").as("n_days"),
+          max(struct(col("cu").as("c"),
+            (lit(0L) - datediff(col("d"), lit("1970-01-01").cast("date")))
+              .as("nd"),
+            col("d").as("day"))).as("t"))
+        .select(col("event_type"), col("n_days"),
+          col("t.day").as("change_day"), col("t.c").as("cusum_scaled"),
+          round(col("t.c").cast("double") / col("n_days") / 100.0, 6)
+            .as("cusum_mean_excess"))
+        .orderBy("event_type")
+    }),
+
     // Seasonal-naive forecast backtest (the baseline every real
     // forecasting deployment must beat, and the denominator of the MASE
     // metric): per event type, forecast each day's value total as the
@@ -973,6 +1059,73 @@ object EventWindows {
         |SELECT event_type, log2_bucket, count(*) AS n,
         |  round(CAST(sum(gap_s) AS DOUBLE) / count(*), 6) AS mean_gap_s
         |FROM b GROUP BY 1, 2 ORDER BY event_type, log2_bucket""".stripMargin,
+
+    "ev_autocorr" ->
+      """WITH d AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sc
+        |  FROM events GROUP BY 1, 2),
+        |rng AS (SELECT event_type, min(d) AS mn, max(d) AS mx FROM d GROUP BY 1),
+        |spine AS (
+        |  SELECT event_type, CAST(unnest(generate_series(mn, mx,
+        |    INTERVAL 1 DAY)) AS DATE) AS d
+        |  FROM rng),
+        |f AS (
+        |  SELECT s.event_type, s.d, coalesce(d.sc, 0) AS sc,
+        |    lag(coalesce(d.sc, 0), 1) OVER (PARTITION BY s.event_type
+        |      ORDER BY s.d) AS px
+        |  FROM spine s LEFT JOIN d ON s.event_type = d.event_type AND s.d = d.d),
+        |g AS (
+        |  SELECT event_type, count(*) AS n,
+        |    sum(CAST(px AS HUGEINT)) AS sx, sum(CAST(sc AS HUGEINT)) AS sy,
+        |    sum(CAST(px AS HUGEINT) * px) AS sxx,
+        |    sum(CAST(sc AS HUGEINT) * sc) AS syy,
+        |    sum(CAST(px AS HUGEINT) * sc) AS sxy
+        |  FROM f WHERE px IS NOT NULL GROUP BY 1)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
+        |  round(CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+        |    THEN CAST(n * sxy - sx * sy AS DOUBLE)
+        |         / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+        |         / sqrt(CAST(n * syy - sy * sy AS DOUBLE)) END, 6) AS r_lag1
+        |FROM g ORDER BY event_type""".stripMargin,
+
+    "ev_cusum_cp" ->
+      """WITH d AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sc
+        |  FROM events GROUP BY 1, 2),
+        |rng AS (SELECT event_type, min(d) AS mn, max(d) AS mx FROM d GROUP BY 1),
+        |spine AS (
+        |  SELECT event_type, CAST(unnest(generate_series(mn, mx,
+        |    INTERVAL 1 DAY)) AS DATE) AS d
+        |  FROM rng),
+        |f AS (
+        |  SELECT s.event_type, s.d, coalesce(d.sc, 0) AS sc
+        |  FROM spine s LEFT JOIN d ON s.event_type = d.event_type AND s.d = d.d),
+        |tot AS (SELECT event_type, count(*) AS n, CAST(sum(sc) AS BIGINT) AS s
+        |        FROM f GROUP BY 1),
+        |p1 AS (
+        |  SELECT f.event_type, f.d, n,
+        |    sum(CAST(sc AS HUGEINT) * n - s) OVER (PARTITION BY f.event_type
+        |      ORDER BY f.d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS p
+        |  FROM f JOIN tot USING (event_type)),
+        |p2 AS (
+        |  SELECT event_type, d, n, p,
+        |    min(p) OVER (PARTITION BY event_type ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rmin
+        |  FROM p1),
+        |cu AS (SELECT event_type, d, n, p - least(rmin, 0) AS cu FROM p2),
+        |am AS (
+        |  SELECT event_type, CAST(max(n) AS BIGINT) AS n_days,
+        |    max(struct_pack(c := cu, nd := -(d - DATE '1970-01-01'),
+        |      day := d)) AS t
+        |  FROM cu GROUP BY 1)
+        |SELECT event_type, n_days, struct_extract(t, 'day') AS change_day,
+        |  struct_extract(t, 'c') AS cusum_scaled,
+        |  round(CAST(struct_extract(t, 'c') AS DOUBLE) / n_days / 100.0, 6)
+        |    AS cusum_mean_excess
+        |FROM am ORDER BY event_type""".stripMargin,
 
     "ev_forecast_sn" ->
       """WITH d AS (

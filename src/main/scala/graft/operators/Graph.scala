@@ -35,6 +35,11 @@ object Graph {
 
   private val MinSupport = 2
 
+  /** gr_labelprop: fixed synchronous min-label rounds (≥ the co-purchase
+    * graph's observed diameter at every tested SF; the fixed budget IS
+    * the operator contract — see the query doc). */
+  private val LabelPropRounds = 12
+
   /** Undirected co-purchase edges (pa < pb), support >= MinSupport. */
   private def edges(s: SparkSession, dir: String): DataFrame = {
     val items = load(s, dir, "lineitem")
@@ -242,6 +247,65 @@ object Graph {
         .orderBy("node")
     }),
 
+    // Degree assortativity — the Pearson correlation of endpoint degrees
+    // over the symmetrized edge list (Newman 2002's mixing coefficient in
+    // its plain-degree form): positive = hubs link hubs (social shape),
+    // negative = hubs link leaves (infrastructure shape) — the one-number
+    // summary that predicts how the graph responds to hub removal.
+    // Symmetry makes Sy=Sx and Syy=Sxx, so three decimal(38,0)/HUGEINT
+    // sums suffice and r = (n·Σxy − Sx²)/(n·Σxx − Sx²) is one identical
+    // double expression, round(6); a degree-regular graph (zero
+    // variance) yields NULL on both engines. Scale: one degree agg + two
+    // node-keyed joins + one global agg — never materializes anything
+    // beyond the edge list.
+    "gr_assortativity" -> ((s, dir) => {
+      val e = edges(s, dir)
+      val sym = e.select(col("pa").as("x"), col("pb").as("y"))
+        .unionAll(e.select(col("pb").as("x"), col("pa").as("y")))
+        .localCheckpoint()
+      val deg = sym.groupBy(col("x").as("node")).agg(count(lit(1)).as("deg"))
+      val d38 = (x: Column) => x.cast("decimal(38,0)")
+      val g = sym
+        .join(deg.select(col("node").as("x"), col("deg").as("dx")), "x")
+        .join(deg.select(col("node").as("y"), col("deg").as("dy")), "y")
+        .groupBy().agg(count(lit(1)).as("n"),
+          sum(d38(col("dx"))).as("sx"),
+          sum(d38(col("dx")) * col("dx")).as("sxx"),
+          sum(d38(col("dx")) * col("dy")).as("sxy"))
+      val den = col("n") * col("sxx") - col("sx") * col("sx")
+      g.select(col("n").as("n_pairs"),
+        round(when(den > 0,
+          (col("n") * col("sxy") - col("sx") * col("sx")).cast("double") /
+            den.cast("double")), 6).as("r_assort"))
+    }),
+
+    // Synchronous min-label propagation, LabelPropRounds unrolled rounds
+    // — the fixed-budget connected-components approximation a
+    // 1000-executor cluster actually runs when full convergence is not
+    // worth the iteration count (labels converge to per-component minima
+    // once rounds ≥ diameter; the OPERATOR's contract is the fixed
+    // round count, so the DuckDB oracle is the identical unrolled
+    // computation — the gr_hits discipline). Each round is one keyed
+    // neighbor-min agg + one left join, behind a localCheckpoint so the
+    // lineage never compounds; every shuffle keys on a node id.
+    "gr_labelprop" -> ((s, dir) => {
+      val e = edges(s, dir)
+      val sym = e.select(col("pa").as("src"), col("pb").as("dst"))
+        .unionAll(e.select(col("pb").as("src"), col("pa").as("dst")))
+        .localCheckpoint()
+      var lab = sym.select(col("src").as("node")).distinct()
+        .select(col("node"), col("node").as("lbl")).localCheckpoint()
+      for (_ <- 1 to LabelPropRounds) {
+        val nbr = sym.join(lab, sym("src") === lab("node"))
+          .groupBy(col("dst").as("node")).agg(min("lbl").as("nl"))
+        lab = lab.join(nbr, Seq("node"), "left")
+          .select(col("node"),
+            least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"))
+          .localCheckpoint()
+      }
+      lab.orderBy("node")
+    }),
+
     "gr_pagerank" -> ((s, dir) => {
       val e = edges(s, dir)
       val e2 = e.select(col("pa").as("src"), col("pb").as("dst"))
@@ -447,6 +511,49 @@ object Graph {
          |SELECT node, CAST(hn$HitsIters.h AS BIGINT) AS hub_fp,
          |  CAST(an$HitsIters.a AS BIGINT) AS auth_fp
          |FROM hn$HitsIters JOIN an$HitsIters USING (node)
+         |ORDER BY node""".stripMargin
+    },
+
+    "gr_assortativity" ->
+      s"""WITH $EdgeSql,
+         |sym AS (SELECT pa AS x, pb AS y FROM e
+         |        UNION ALL SELECT pb, pa FROM e),
+         |deg AS (SELECT x AS node, count(*) AS deg FROM sym GROUP BY 1),
+         |pr AS (
+         |  SELECT dx.deg AS dx, dy.deg AS dy
+         |  FROM sym JOIN deg dx ON sym.x = dx.node
+         |  JOIN deg dy ON sym.y = dy.node),
+         |g AS (
+         |  SELECT count(*) AS n, sum(CAST(dx AS HUGEINT)) AS sx,
+         |    sum(CAST(dx AS HUGEINT) * dx) AS sxx,
+         |    sum(CAST(dx AS HUGEINT) * dy) AS sxy
+         |  FROM pr)
+         |SELECT CAST(n AS BIGINT) AS n_pairs,
+         |  round(CASE WHEN n * sxx - sx * sx > 0
+         |    THEN CAST(n * sxy - sx * sx AS DOUBLE)
+         |         / CAST(n * sxx - sx * sx AS DOUBLE) END, 6) AS r_assort
+         |FROM g""".stripMargin,
+
+    // Generated: LabelPropRounds unrolled (neighbor-min, least-merge) CTE
+    // pairs, MATERIALIZED (the gr_hits planner lesson) — the identical
+    // fixed-round computation the Spark unroll runs.
+    "gr_labelprop" -> {
+      val rounds = (1 to LabelPropRounds).map { i =>
+        val prev = if (i == 1) "l0" else s"l${i - 1}"
+        s"""n$i AS MATERIALIZED (
+           |  SELECT sym.dst AS node, min($prev.lbl) AS nl
+           |  FROM sym JOIN $prev ON sym.src = $prev.node GROUP BY 1),
+           |l$i AS MATERIALIZED (
+           |  SELECT l.node, least(l.lbl, coalesce(n.nl, l.lbl)) AS lbl
+           |  FROM $prev l LEFT JOIN n$i n USING (node))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $EdgeSql,
+         |sym AS (SELECT pa AS src, pb AS dst FROM e
+         |        UNION ALL SELECT pb, pa FROM e),
+         |l0 AS (SELECT node, node AS lbl
+         |       FROM (SELECT DISTINCT src AS node FROM sym)),
+         |$rounds
+         |SELECT node, CAST(lbl AS BIGINT) AS lbl FROM l$LabelPropRounds
          |ORDER BY node""".stripMargin
     },
 
