@@ -733,32 +733,15 @@ object EventWindows {
       val nU = users.count()
       def thresholds(metric: String): DataFrame = {
         import s.implicits._
-        val mm = users.groupBy()
-          .agg(min(col(metric)).as("lo"), max(col(metric)).as("hi"))
-        // Adaptive integer bucket width: ≤ 65537 buckets whatever the
-        // span; all arithmetic is exact long (metric − lo ≥ 0 always).
-        val withB = users.select(col(metric).as("x"))
-          .crossJoin(broadcast(mm))
-          .withColumn("bk",
-            expr("(x - lo) div greatest(1, (hi - lo) div 65536 + 1)"))
-        val cum = withB.groupBy("bk").agg(count(lit(1)).as("cnt"))
-          .withColumn("cumhi", sum("cnt").over(
-            Window.orderBy("bk").rowsBetween(Window.unboundedPreceding, 0)))
         // t_k = order statistic at rank r = ⌈k·n/5⌉ (≡ min v with
-        // 5·cum(v) ≥ k·n, the oracle's definitional form).
+        // 5·cum(v) ≥ k·n, the oracle's definitional form), via the
+        // shared bucket-then-refine ladder.
         val tgt = (1 to 4).map(k => (k.toLong, (k.toLong * nU + 4L) / 5L))
           .toDF("k", "r")
-        val located = cum.join(broadcast(tgt), col("cumhi") >= col("r"))
-          .groupBy("k", "r")
-          .agg(min(struct(col("bk"), col("cumhi"), col("cnt"))).as("t"))
-          .select(col("k"), col("r"), col("t.bk").as("bk"),
-            (col("t.cumhi") - col("t.cnt")).as("below"))
         val ts = (1 to 4).map(k =>
-          min(when(col("k") === k, col("x"))).as(s"${metric}_t$k"))
-        withB.join(broadcast(located), "bk")
-          .withColumn("rn", row_number().over(
-            Window.partitionBy("k", "bk").orderBy("x")))
-          .where(col("rn") === col("r") - col("below"))
+          min(when(col("k") === k, col("value"))).as(s"${metric}_t$k"))
+        graft.plans.QuantileLadder
+          .orderStats(users.select(col(metric)), metric, tgt)
           .groupBy().agg(ts.head, ts.tail: _*)
       }
       def score(metric: String): org.apache.spark.sql.Column =
@@ -856,6 +839,54 @@ object EventWindows {
           round(aggregate(slice(factors, lit(1), col("i") + 1),
             lit(1.0), (acc, x) => acc * x), 6).as("survival"))
         .orderBy("duration_days")
+    }),
+
+    // Decile lift/gains table — the model-evaluation summary behind
+    // every targeting decision ("is activity a useful purchase
+    // predictor?"): score users by event frequency, cut into ten
+    // quantile deciles, and report each decile's conversion rate, lift
+    // over the base rate, and cumulative capture reading from the top
+    // decile down (the gains curve). Decile boundaries are exact order
+    // statistics at ranks ⌈j·n/10⌉ from the shared QuantileLadder — no
+    // user-scale rank window, no ntile over the population; decile
+    // assignment is 9 broadcast integer compares. Lift and capture are
+    // integer-ratio double expressions over the 10-row decile histogram
+    // (+ its desc-cumulative window), round(6).
+    "ev_decile_lift" -> ((s, dir) => {
+      import s.implicits._
+      val users = load(s, dir, "events")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("freq"),
+          max((col("event_type") === "purchase").cast("long")).as("conv"))
+        .localCheckpoint()
+      val nU = users.count()
+      val tgt = (1 to 9).map(j => (j.toLong, (j.toLong * nU + 9L) / 10L))
+        .toDF("k", "r")
+      val ts = (1 to 9).map(j =>
+        min(when(col("k") === j, col("value"))).as(s"t$j"))
+      val thr = graft.plans.QuantileLadder
+        .orderStats(users.select(col("freq")), "freq", tgt)
+        .groupBy().agg(ts.head, ts.tail: _*)
+      val decile = (1 to 9).map(j =>
+        (col("freq") > col(s"t$j")).cast("long")).reduce(_ + _) + 1
+      val hist = users.crossJoin(broadcast(thr))
+        .select(col("user_id"), col("conv"), decile.as("decile"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_users"), sum("conv").as("n_conv"))
+        .localCheckpoint()
+      val tot = hist.groupBy()
+        .agg(sum("n_users").as("tu"), sum("n_conv").as("tc"))
+      val wTop = Window.orderBy(col("decile").desc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      hist.crossJoin(broadcast(tot))
+        .withColumn("cum_conv", sum("n_conv").over(wTop))
+        .select(col("decile"), col("n_users"), col("n_conv"),
+          round(col("n_conv").cast("double") / col("n_users"), 6).as("rate"),
+          round(col("n_conv").cast("double") / col("n_users") /
+            (col("tc").cast("double") / col("tu")), 6).as("lift"),
+          round(col("cum_conv").cast("double") / col("tc"), 6)
+            .as("cum_capture"))
+        .orderBy(col("decile").desc)
     }),
 
     "ev_retention" -> ((s, dir) => {
@@ -1237,6 +1268,38 @@ object EventWindows {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         |    AS cum_users
         |FROM h, t ORDER BY active_days""".stripMargin,
+
+    "ev_decile_lift" -> {
+      val thrs = (1 to 9).map(j =>
+        s"min(CASE WHEN cum * 10 >= $j * (SELECT nu FROM n) THEN v END) AS t$j")
+        .mkString(", ")
+      val dec = (1 to 9).map(j => s"CAST(freq > t$j AS BIGINT)")
+        .mkString(" + ") + " + 1"
+      s"""WITH u AS (
+         |  SELECT user_id, count(*) AS freq,
+         |    max(CAST(event_type = 'purchase' AS BIGINT)) AS conv
+         |  FROM events GROUP BY 1),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS nu FROM u),
+         |h AS (SELECT freq AS v, count(*) AS m FROM u GROUP BY 1),
+         |c AS (SELECT v, sum(m) OVER (ORDER BY v
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |      FROM h),
+         |t AS (SELECT $thrs FROM c),
+         |d AS (SELECT user_id, conv, $dec AS decile FROM u, t),
+         |hist AS (SELECT decile, count(*) AS n_users,
+         |           CAST(sum(conv) AS BIGINT) AS n_conv
+         |         FROM d GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n_users) AS BIGINT) AS tu,
+         |          CAST(sum(n_conv) AS BIGINT) AS tc FROM hist)
+         |SELECT decile, n_users, n_conv,
+         |  round(CAST(n_conv AS DOUBLE) / n_users, 6) AS rate,
+         |  round(CAST(n_conv AS DOUBLE) / n_users
+         |        / (CAST(tc AS DOUBLE) / tu), 6) AS lift,
+         |  round(CAST(sum(n_conv) OVER (ORDER BY decile DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         |    / tc, 6) AS cum_capture
+         |FROM hist, tot ORDER BY decile DESC""".stripMargin
+    },
 
     "ev_rfm" -> {
       def thr(metric: String) =

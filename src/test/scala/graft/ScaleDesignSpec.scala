@@ -580,6 +580,7 @@ class ScaleDesignSpec extends AnyFunSuite {
       "__gi_pid",             // GlobalIndex per-partition counter
       "m", "active_days",     // calendar-span frames
       "dur",                  // ev_kaplan_meier durations — ≤ day-span
+      "decile",               // ev_decile_lift — 10 values by construction
       "day", "d", "h", "hour", "digit", "p",
       "rank", "rn",           // already cut by a limit upstream
       "term", "w",            // vocabulary-scale IR stats
