@@ -539,6 +539,53 @@ object EventWindows {
         .orderBy("event_type")
     }),
 
+    // Mann–Kendall trend test per type over the daily totals — the
+    // nonparametric "is this metric trending" answer (no normality or
+    // linearity assumption; the standard first question to a monitoring
+    // series). S = Σ_{i<j} sgn(x_j − x_i) over the complete calendar
+    // spine; Var carries the tie correction (n(n−1)(2n+5) −
+    // Σ t(t−1)(2t+5))/18; z applies the ±1 continuity correction.
+    // Exactness: S and both variance numerators are exact integers
+    // (decimal(38,0)/HUGEINT); z is one identical double expression,
+    // round(6), NULL when Var = 0 (constant series). Scale: the pair
+    // explode is the day-span² frame per type — METADATA-scale (the
+    // a17_mwu histogram-pairs argument: 10 years = 3650 days = 13M
+    // pairs per type, independent of event count); everything else is
+    // one corpus (type, day) agg.
+    "ev_mk_trend" -> ((s, dir) => {
+      val d = load(s, dir, "events")
+        .select(col("event_type"), to_date(col("ts")).as("d"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("c"))
+        .groupBy("event_type", "d").agg(sum("c").as("sc"))
+        .localCheckpoint()
+      val spine = d.groupBy("event_type")
+        .agg(min("d").as("mn"), max("d").as("mx"))
+        .select(col("event_type"), explode(sequence(col("mn"), col("mx"))).as("d"))
+      val f = spine.join(d, Seq("event_type", "d"), "left")
+        .na.fill(0L, Seq("sc")).localCheckpoint()
+      val a = f.select(col("event_type"), col("d").as("da"), col("sc").as("xa"))
+      val b = f.select(col("event_type"), col("d").as("db"), col("sc").as("xb"))
+      val sS = a.join(b, Seq("event_type")).where(col("da") < col("db"))
+        .groupBy("event_type")
+        .agg(sum(signum(col("xb") - col("xa")).cast("long")).as("s_stat"))
+      val dec = (x: org.apache.spark.sql.Column) => x.cast("decimal(38,0)")
+      val ties = f.groupBy("event_type", "sc").agg(count(lit(1)).as("m"))
+        .groupBy("event_type")
+        .agg(sum("m").as("n"),
+          sum(dec(col("m")) * (col("m") - 1) * (col("m") * 2 + 5)).as("tt"))
+      val varNum = dec(col("n")) * (col("n") - 1) * (col("n") * 2 + 5) - col("tt")
+      val zNum = when(col("s_stat") > 0, col("s_stat") - 1)
+        .when(col("s_stat") < 0, col("s_stat") + 1)
+        .otherwise(lit(0L))
+      sS.join(ties, "event_type")
+        .select(col("event_type"), col("n").as("n_days"), col("s_stat"),
+          varNum.as("var_num18"),
+          round(when(varNum > 0,
+            zNum.cast("double") /
+              sqrt(varNum.cast("double") / 18.0)), 6).as("z"))
+        .orderBy("event_type")
+    }),
+
     // Seasonal-naive forecast backtest (the baseline every real
     // forecasting deployment must beat, and the denominator of the MASE
     // metric): per event type, forecast each day's value total as the
@@ -1090,6 +1137,41 @@ object EventWindows {
         |SELECT event_type, log2_bucket, count(*) AS n,
         |  round(CAST(sum(gap_s) AS DOUBLE) / count(*), 6) AS mean_gap_s
         |FROM b GROUP BY 1, 2 ORDER BY event_type, log2_bucket""".stripMargin,
+
+    "ev_mk_trend" ->
+      """WITH d AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sc
+        |  FROM events GROUP BY 1, 2),
+        |rng AS (SELECT event_type, min(d) AS mn, max(d) AS mx FROM d GROUP BY 1),
+        |spine AS (
+        |  SELECT event_type, CAST(unnest(generate_series(mn, mx,
+        |    INTERVAL 1 DAY)) AS DATE) AS d
+        |  FROM rng),
+        |f AS (
+        |  SELECT s.event_type, s.d, coalesce(d.sc, 0) AS sc
+        |  FROM spine s LEFT JOIN d ON s.event_type = d.event_type AND s.d = d.d),
+        |ss AS (
+        |  SELECT a.event_type,
+        |    CAST(sum(sign(b.sc - a.sc)) AS BIGINT) AS s_stat
+        |  FROM f a JOIN f b ON a.event_type = b.event_type AND a.d < b.d
+        |  GROUP BY 1),
+        |ties AS (
+        |  SELECT event_type, CAST(sum(m) AS BIGINT) AS n,
+        |    sum(CAST(m AS HUGEINT) * (m - 1) * (2 * m + 5)) AS tt
+        |  FROM (SELECT event_type, sc, count(*) AS m FROM f GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |g AS (
+        |  SELECT ss.event_type, n, s_stat,
+        |    CAST(n AS HUGEINT) * (n - 1) * (2 * n + 5) - tt AS var_num18,
+        |    CASE WHEN s_stat > 0 THEN s_stat - 1
+        |         WHEN s_stat < 0 THEN s_stat + 1 ELSE 0 END AS znum
+        |  FROM ss JOIN ties USING (event_type))
+        |SELECT event_type, n AS n_days, s_stat, var_num18,
+        |  round(CASE WHEN var_num18 > 0
+        |    THEN CAST(znum AS DOUBLE) / sqrt(CAST(var_num18 AS DOUBLE) / 18.0)
+        |    END, 6) AS z
+        |FROM g ORDER BY event_type""".stripMargin,
 
     "ev_autocorr" ->
       """WITH d AS (

@@ -297,6 +297,45 @@ object TextAnalysis {
     // touches only the (vocab-sized) count tables, never corpus rows, and
     // the two corpus totals ride one-row broadcasts. ln() parity follows
     // the ta_keywords rule: identical double expression tree + round(6).
+    // "Fightin' Words" (Monroe, Colaresi & Quinn 2008): which terms
+    // distinguish one half of the corpus from the other, scored by the
+    // log-odds ratio with an informative Dirichlet prior and its
+    // z-standardization — the statistically honest replacement for the
+    // naive tf-ratio "trending terms" list (rare terms don't dominate,
+    // because the prior shrinks them and the variance term widens).
+    // Groups are the deterministic doc_id-parity split; α = 0.01 per
+    // term, A = α·V. Exactness: all counts are exact integers; δ and z
+    // are ONE identical double expression chain on both engines,
+    // round(6); the two 25-term cuts use the (z, term) total order so
+    // ties cannot straddle the boundary differently. Scale: two corpus
+    // token aggs (term × group counts, group totals) + a one-row
+    // broadcast; both cuts are TakeOrdered over the vocabulary frame.
+    "ta_fightin_words" -> ((s, dir) => {
+      val tok = load(s, dir, "documents")
+        .select((col("doc_id") % 2 === 0).cast("long").as("g"),
+          explode(toks(col("text"))).as("w"))
+      val tc = tok.groupBy("w")
+        .agg(sum(when(col("g") === 1, 1L).otherwise(0L)).as("c1"),
+          sum(when(col("g") === 0, 1L).otherwise(0L)).as("c2"))
+        .localCheckpoint()
+      val tot = tc.groupBy().agg(sum("c1").as("n1"), sum("c2").as("n2"),
+        count(lit(1)).cast("double").as("v"))
+      val a = lit(0.01)
+      val bigA = a * col("v")
+      val delta =
+        log((col("c1") + a) / (col("n1") + bigA - col("c1") - a)) -
+          log((col("c2") + a) / (col("n2") + bigA - col("c2") - a))
+      val z = delta / sqrt(lit(1.0) / (col("c1") + a) +
+        lit(1.0) / (col("c2") + a))
+      val scored = tc.crossJoin(broadcast(tot))
+        .select(col("w").as("term"), col("c1"), col("c2"),
+          round(z, 6).as("z"))
+        .localCheckpoint()
+      scored.orderBy(col("z").desc, col("term")).limit(25)
+        .unionAll(scored.orderBy(col("z").asc, col("term")).limit(25))
+        .orderBy(col("z").desc, col("term"))
+    }),
+
     "ta_collocations" -> ((s, dir) => {
       val t = toks(col("text"))
       val n = size(t)
@@ -1060,6 +1099,30 @@ object TextAnalysis {
          |  round(CAST(n AS DOUBLE) / na, 6) AS share
          |FROM m JOIN t ON m.actual = t.actual
          |ORDER BY m.actual, m.predicted""".stripMargin,
+
+    "ta_fightin_words" ->
+      """WITH tok AS (
+        |  SELECT CAST(doc_id % 2 = 0 AS BIGINT) AS g,
+        |    unnest(string_split(lower(text), ' ')) AS w
+        |  FROM documents),
+        |tc AS (
+        |  SELECT w, CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        |  FROM tok GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+        |          CAST(sum(c2) AS BIGINT) AS n2,
+        |          CAST(count(*) AS DOUBLE) AS v
+        |        FROM tc),
+        |s AS (
+        |  SELECT w AS term, c1, c2,
+        |    round((ln((c1 + 0.01) / (n1 + 0.01 * v - c1 - 0.01))
+        |           - ln((c2 + 0.01) / (n2 + 0.01 * v - c2 - 0.01)))
+        |          / sqrt(1.0 / (c1 + 0.01) + 1.0 / (c2 + 0.01)), 6) AS z
+        |  FROM tc, tot),
+        |top AS (SELECT * FROM s ORDER BY z DESC, term LIMIT 25),
+        |bot AS (SELECT * FROM s ORDER BY z ASC, term LIMIT 25)
+        |SELECT * FROM (SELECT * FROM top UNION ALL SELECT * FROM bot)
+        |ORDER BY z DESC, term""".stripMargin,
 
     "ta_collocations" ->
       """WITH d AS (SELECT string_split(lower(text), ' ') AS t FROM documents),
