@@ -59,6 +59,7 @@ object Relational3 {
   private val ErMaxDist = 2 // er_fuzzy_match Levenshtein accept threshold
   private val SkyBucketW = 1000L // q_skyline price-bucket width, cents
   private val QualityBudget = 100L // samp_quality_budget: global doc budget
+  private val SaltR = 8 // j10_salted_join: salt fan-out per dimension row
 
   val queries: Map[String, Q] = Map(
     // Exact distinct-count over a skewed key via explicit two-phase
@@ -295,6 +296,42 @@ object Relational3 {
     // a handful of intervals, so no bucket machinery is needed (contrast
     // j7_range_bin, whose range join has NO equi-key). Time-in-state is
     // exact integer µs.
+    // Manually SALTED skew join — the static-plan complement of the
+    // AQE-skew-split pin in ScaleDesignSpec: when one join key carries
+    // most of the rows (event_type has a handful of values, so a plain
+    // type-keyed shuffle join lands whole types on single tasks), the
+    // standard fix is to EXPLODE the small dimension SaltR× and key the
+    // fact side by (key, deterministic_salt) — every task then holds at
+    // most 1/SaltR of a hot key. The salt is pmod(event_id, R) — content
+    // -derived, NOT random (the RNG-free sampling discipline), so the
+    // plan is deterministic and the DuckDB oracle is simply the UNSALTED
+    // join: a hash match proves the salted form computes identical
+    // semantics. The per-(type, salt) partial aggregate then rolls up
+    // per type — the classic two-phase rollup riding the salted
+    // partitioning. A plan pin asserts the salt column reaches the join
+    // keys.
+    "j10_salted_join" -> ((s, dir) => {
+      val dim = load(s, dir, "events")
+        .select(col("event_type")).distinct()
+        .select(col("event_type"),
+          (graft.Exact.hash32(col("event_type")) % 1000).as("tcode"))
+      val saltedDim = dim.select(col("event_type"), col("tcode"),
+        explode(sequence(lit(0L), lit(SaltR - 1L))).as("salt"))
+      val fact = load(s, dir, "events")
+        .select(col("event_type"), col("event_id"), col("value"),
+          pmod(col("event_id"), lit(SaltR.toLong)).as("salt"))
+      fact.join(saltedDim, Seq("event_type", "salt"))
+        .groupBy("event_type", "salt")
+        .agg(count(lit(1)).as("pn"), sum(graft.Exact.dec(col("value"))).as("pv"),
+          max("tcode").as("tcode"))
+        .groupBy("event_type")
+        .agg(sum("pn").as("n"), sum("pv").cast("double").as("total_value"),
+          max("tcode").as("tcode"))
+        .select(col("event_type"), col("n"),
+          round(col("total_value"), 2).as("total_value"), col("tcode"))
+        .orderBy("event_type")
+    }),
+
     "j8_temporal_join" -> ((s, dir) => {
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
       val dim = load(s, dir, "events")
@@ -1234,6 +1271,20 @@ object Relational3 {
          |SELECT r.source, rank, doc_id, round(ttr, 6) AS ttr
          |FROM r JOIN a ON r.source = a.source
          |WHERE rank <= alloc ORDER BY r.source, rank""".stripMargin,
+
+    // The UNSALTED join — identical semantics is exactly what the salted
+    // plan must prove.
+    "j10_salted_join" ->
+      s"""WITH dim AS (
+         |  SELECT event_type,
+         |    ${graft.Exact.hash32Sql("event_type")} % 1000 AS tcode
+         |  FROM (SELECT DISTINCT event_type FROM events)),
+         |f AS (
+         |  SELECT event_type, count(*) AS n,
+         |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         |  FROM events GROUP BY 1)
+         |SELECT f.event_type, n, round(total_value, 2) AS total_value, tcode
+         |FROM f JOIN dim USING (event_type) ORDER BY event_type""".stripMargin,
 
     "j8_temporal_join" ->
       """WITH w AS (

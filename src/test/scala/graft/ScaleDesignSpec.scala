@@ -611,6 +611,30 @@ class ScaleDesignSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
   }
 
+  test("j10_salted_join keys every join on the salt column") {
+    // The manual skew-salt only works if the salt actually reaches the
+    // join keys — a refactor that drops it from the join condition
+    // silently reverts to the hot-key shuffle. (At this dim size
+    // Catalyst broadcasts the salted side; at scale the same plan
+    // shuffles by (type, salt) — the keys are the contract either way.)
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = SparkEntry.queries("j10_salted_join")(
+        spark, "/root/testdata/sf0.001").queryExecution.executedPlan
+      val joins = plan.collect {
+        case j: SortMergeJoinExec => j.leftKeys
+        case j: ShuffledHashJoinExec => j.leftKeys
+        case j: BroadcastHashJoinExec => j.leftKeys
+      }
+      assert(joins.nonEmpty, s"salted join vanished from the plan:\n$plan")
+      for (keys <- joins)
+        assert(keys.exists(_.references.exists(_.name == "salt")),
+          s"join lost the salt key: $keys")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
   test("hash32 stays in [0, 2^32): modulo tests are sign-free on both engines") {
     // dd_cdc sets chunk boundaries by `hash32(trigram) % CdcD = 0` and
     // dd_winnow packs `h·2^20 + (2^20−1−p)` assuming h ≥ 0. Scala/Spark
