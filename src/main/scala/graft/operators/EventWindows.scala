@@ -1046,6 +1046,30 @@ object EventWindows {
         .orderBy("event_type")
     }),
 
+    // Per-user behavioral entropy — the "diversity of behavior" feature
+    // (H = ln n − Σ m·ln m / n over the user's event-type mix): bots and
+    // single-purpose accounts sit near 0, organic users spread. One
+    // corpus (user, type) agg + one user agg; the m·ln m sum folds in
+    // type order (the ta_entropy parity template), round(6). Both
+    // shuffles key on user_id — data-scale keys, embarrassingly
+    // parallel.
+    "ev_user_entropy" -> ((s, dir) => {
+      val m = load(s, dir, "events")
+        .groupBy("user_id", "event_type").agg(count(lit(1)).as("m"))
+      val sMlnM = aggregate(
+        transform(array_sort(collect_list(struct(col("event_type"), col("m")))),
+          x => x.getField("m").cast("double") *
+            log(x.getField("m").cast("double"))),
+        lit(0.0), (acc, x) => acc + x)
+      m.groupBy("user_id")
+        .agg(sum("m").as("n_events"), count(lit(1)).as("n_types"),
+          sMlnM.as("s"))
+        .select(col("user_id"), col("n_events"), col("n_types"),
+          round(log(col("n_events")) - col("s") / col("n_events"), 6)
+            .as("entropy"))
+        .orderBy("user_id")
+    }),
+
     "ev_ab_test" -> ((s, dir) => {
       val perUser = load(s, dir, "events")
         .groupBy("user_id")
@@ -1137,6 +1161,19 @@ object EventWindows {
         |SELECT event_type, log2_bucket, count(*) AS n,
         |  round(CAST(sum(gap_s) AS DOUBLE) / count(*), 6) AS mean_gap_s
         |FROM b GROUP BY 1, 2 ORDER BY event_type, log2_bucket""".stripMargin,
+
+    "ev_user_entropy" ->
+      """WITH m AS (
+        |  SELECT user_id, event_type, count(*) AS m FROM events GROUP BY 1, 2),
+        |g AS (
+        |  SELECT user_id, CAST(sum(m) AS BIGINT) AS n_events,
+        |    CAST(count(*) AS BIGINT) AS n_types,
+        |    list_sum(list(CAST(m AS DOUBLE) * ln(CAST(m AS DOUBLE))
+        |      ORDER BY event_type)) AS s
+        |  FROM m GROUP BY 1)
+        |SELECT user_id, n_events, n_types,
+        |  round(ln(n_events) - s / n_events, 6) AS entropy
+        |FROM g ORDER BY user_id""".stripMargin,
 
     "ev_mk_trend" ->
       """WITH d AS (

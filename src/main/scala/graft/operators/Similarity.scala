@@ -131,6 +131,38 @@ object Similarity {
     // cosine, so binning is a floor over identical doubles — engine-
     // exact. Counts + share; share's denominator rides a one-row
     // broadcast.
+    // Binary-signature (sign-bit) Hamming retrieval — the 1-bit
+    // quantization every production vector store ships as its cheap
+    // first-pass filter (32× smaller than float32, XOR+popcount per
+    // comparison): each 64-dim embedding packs into TWO long words (32
+    // sign bits each via a Horner fold — 64 bits in one long would wrap
+    // int64 on Spark while DuckDB RAISES, the ev_anomaly divergence
+    // lesson, so the packing stays at 32 exact bits per word), distance
+    // = bit_count(hi⊕hi') + bit_count(lo⊕lo'), top-k by (distance,
+    // vec_id). All-integer end to end — no float-parity surface at all.
+    // Scale: signatures are map-side; the single-query top-k is a
+    // TakeOrdered over 2-long rows (the production shape for query
+    // eval); corpus-vs-corpus runs would band the signature prefix like
+    // dd_simhash_hamming.
+    "ann_hamming" -> ((s, dir) => {
+      def pack(sl: Column): Column =
+        aggregate(transform(sl, x => (x > 0).cast("long")),
+          lit(0L), (acc, b) => acc * 2 + b)
+      val e = load(s, dir, "embeddings")
+        .select(col("vec_id"),
+          pack(slice(col("embedding"), 1, 32)).as("hi"),
+          pack(slice(col("embedding"), 33, 32)).as("lo"))
+      val q = e.where(col("vec_id") === 0)
+        .select(col("hi").as("qhi"), col("lo").as("qlo"))
+      e.crossJoin(broadcast(q))
+        .where(col("vec_id") =!= 0)
+        .select(col("vec_id"),
+          (bit_count(expr("hi ^ qhi")) + bit_count(expr("lo ^ qlo")))
+            .cast("long").as("hamming"))
+        .orderBy(col("hamming"), col("vec_id"))
+        .limit(TopK * 2)
+    }),
+
     "emb_cos_hist" -> ((s, dir) => {
       val pairs = queries("ann_lsh")(s, dir)
         .select(floor(col("score") * 10).cast("long").as("bin"))
@@ -226,6 +258,23 @@ object Similarity {
     }))
 
   val oracle: Map[String, String] = Map(
+    "ann_hamming" ->
+      s"""WITH e AS (
+         |  SELECT vec_id,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(embedding[1:32],
+         |        x -> CAST(x > 0 AS BIGINT))), (a, b) -> a * 2 + b) AS hi,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(embedding[33:64],
+         |        x -> CAST(x > 0 AS BIGINT))), (a, b) -> a * 2 + b) AS lo
+         |  FROM embeddings),
+         |q AS (SELECT hi AS qhi, lo AS qlo FROM e WHERE vec_id = 0)
+         |SELECT vec_id,
+         |  CAST(bit_count(xor(hi, qhi)) + bit_count(xor(lo, qlo)) AS BIGINT)
+         |    AS hamming
+         |FROM e, q WHERE vec_id <> 0
+         |ORDER BY hamming, vec_id LIMIT ${TopK * 2}""".stripMargin,
+
     "emb_cos_hist" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |h AS (SELECT vec_id, v, ${bucketSql("v")} AS bucket FROM e),

@@ -297,6 +297,61 @@ object TextAnalysis {
     // touches only the (vocab-sized) count tables, never corpus rows, and
     // the two corpus totals ride one-row broadcasts. ln() parity follows
     // the ta_keywords rule: identical double expression tree + round(6).
+    // Heaps'-law vocabulary-growth fit (V = k·N^β) — the scaling curve
+    // behind tokenizer-vocab and dedup-budget decisions on a growing
+    // corpus: how fast does NEW vocabulary arrive as tokens accumulate?
+    // The corpus orders by doc_id and checkpoints at ≤21 id-buckets
+    // (adaptive width from a one-row min/max — the ladder discipline);
+    // V at each checkpoint counts terms whose FIRST bucket is ≤ b (one
+    // vocab-scale min agg — never a cumulative distinct over data), N is
+    // the token prefix sum; the log-log least-squares fit folds its four
+    // sums in bucket order over the ≤21-point frame (sorted-fold parity
+    // discipline), so β and k are identical double expressions,
+    // round(6). Scale: one token explode + one vocab agg; everything
+    // after rides the bucket frame.
+    "ta_heaps_fit" -> ((s, dir) => {
+      val t = toks(col("text"))
+      val docs = load(s, dir, "documents").select(col("doc_id"), t.as("t"))
+      val mm = docs.groupBy().agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
+      val bk = expr("(doc_id - lo) div greatest(1, (hi - lo) div 20 + 1)")
+      val withB = docs.crossJoin(broadcast(mm))
+        .select(bk.as("b"), col("t")).localCheckpoint()
+      val tokN = withB.select(col("b"), size(col("t")).as("nt"))
+        .groupBy("b").agg(sum("nt").as("bn"))
+      val newV = withB.select(col("b"), explode(col("t")).as("w"))
+        .groupBy("w").agg(min("b").as("fb"))
+        .groupBy(col("fb").as("b")).agg(count(lit(1)).as("bv"))
+      val wB = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+      val pts = tokN.join(newV, Seq("b"), "left").na.fill(0L, Seq("bv"))
+        .withColumn("nn", sum("bn").over(wB))
+        .withColumn("vv", sum("bv").over(wB))
+        .where(col("nn") > 0 && col("vv") > 0)
+        .select(col("b"), col("nn"), col("vv"),
+          log(col("nn").cast("double")).as("x"),
+          log(col("vv").cast("double")).as("y"))
+      def fld(f: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+        aggregate(transform(col("a"), f), lit(0.0), (acc, x) => acc + x)
+      val one = pts.groupBy()
+        .agg(array_sort(collect_list(struct(col("b"), col("x"), col("y"))))
+          .as("a"),
+          max("nn").as("n_total"), max("vv").as("v_total"))
+      val kk = size(col("a")).cast("double")
+      val sx = fld(_.getField("x"))
+      val sy = fld(_.getField("y"))
+      val sxx = fld(r => r.getField("x") * r.getField("x"))
+      val sxy = fld(r => r.getField("x") * r.getField("y"))
+      val beta = (kk * sxy - sx * sy) / (kk * sxx - sx * sx)
+      // + 0.0 canon: the synthetic corpus saturates its vocabulary in
+      // the first bucket, so the slope numerator is a ±ulp around zero
+      // and round(·,6) keeps IEEE −0.0 — which hashes differently from
+      // +0.0. Adding 0.0 maps −0.0 → +0.0 on both engines (and is a
+      // no-op for every other value).
+      one.select(size(col("a")).cast("long").as("n_points"),
+          col("n_total"), col("v_total"),
+          (round(beta, 6) + lit(0.0)).as("beta"),
+          (round(exp((sy - beta * sx) / kk), 6) + lit(0.0)).as("k_heaps"))
+    }),
+
     // "Fightin' Words" (Monroe, Colaresi & Quinn 2008): which terms
     // distinguish one half of the corpus from the other, scored by the
     // log-odds ratio with an informative Dirichlet prior and its
@@ -1099,6 +1154,48 @@ object TextAnalysis {
          |  round(CAST(n AS DOUBLE) / na, 6) AS share
          |FROM m JOIN t ON m.actual = t.actual
          |ORDER BY m.actual, m.predicted""".stripMargin,
+
+    "ta_heaps_fit" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+        |mm AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM docs),
+        |wb AS (
+        |  SELECT (doc_id - lo) // greatest(1, (hi - lo) // 20 + 1) AS b, t
+        |  FROM docs, mm),
+        |tokn AS (SELECT b, CAST(sum(len(t)) AS BIGINT) AS bn FROM wb GROUP BY 1),
+        |newv AS (
+        |  SELECT fb AS b, count(*) AS bv
+        |  FROM (SELECT w, min(b) AS fb
+        |        FROM (SELECT b, unnest(t) AS w FROM wb) GROUP BY 1)
+        |  GROUP BY 1),
+        |pts AS (
+        |  SELECT b,
+        |    CAST(sum(bn) OVER w AS BIGINT) AS nn,
+        |    CAST(sum(coalesce(bv, 0)) OVER w AS BIGINT) AS vv
+        |  FROM tokn LEFT JOIN newv USING (b)
+        |  WINDOW w AS (ORDER BY b
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |pl AS (
+        |  SELECT b, nn, vv, ln(CAST(nn AS DOUBLE)) AS x,
+        |    ln(CAST(vv AS DOUBLE)) AS y
+        |  FROM pts WHERE nn > 0 AND vv > 0),
+        |one AS (
+        |  SELECT list(struct_pack(b := b, x := x, y := y) ORDER BY b) AS a,
+        |    CAST(max(nn) AS BIGINT) AS n_total, CAST(max(vv) AS BIGINT) AS v_total
+        |  FROM pl),
+        |f AS (
+        |  SELECT CAST(len(a) AS BIGINT) AS n_points, n_total, v_total,
+        |    CAST(len(a) AS DOUBLE) AS kk,
+        |    list_sum(list_transform(a, r -> r.x)) AS sx,
+        |    list_sum(list_transform(a, r -> r.y)) AS sy,
+        |    list_sum(list_transform(a, r -> r.x * r.x)) AS sxx,
+        |    list_sum(list_transform(a, r -> r.x * r.y)) AS sxy
+        |  FROM one)
+        |SELECT n_points, n_total, v_total,
+        |  round((kk * sxy - sx * sy) / (kk * sxx - sx * sx), 6) + 0.0 AS beta,
+        |  round(exp((sy - ((kk * sxy - sx * sy) / (kk * sxx - sx * sx)) * sx)
+        |        / kk), 6) + 0.0 AS k_heaps
+        |FROM f""".stripMargin,
 
     "ta_fightin_words" ->
       """WITH tok AS (
