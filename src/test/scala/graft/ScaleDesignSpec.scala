@@ -355,6 +355,29 @@ class ScaleDesignSpec extends AnyFunSuite {
       "ta_feature_hash" -> 5, // (doc,term) tf agg behind localCheckpoint + df rollup + term join + (doc,dim) fold agg + oracle sort; N rides a one-row broadcast
       "samp_epoch_plan" -> 3, // ONE per-source token agg + one-row fold denominator + oracle sort; shares map-side under the broadcast
       "emb_matryoshka" -> 3, // both rank windows ride the ONE checkpointed broadcast-query scoring scan ((q,pscore) + (q,fscore) exchanges) + oracle sort; full top-k joins back as a broadcast
+      // round-11 additions (measured AQE-off via graft.ExplainPlan).
+      // Checkpoint caveat: exchanges that run INSIDE an eager
+      // localCheckpoint (ta_fightin_words' term agg, gr_labelprop's
+      // rounds) don't appear in the final plan — the budget pins the
+      // post-checkpoint residue, the per-round shapes are pinned by
+      // their own docs/oracles.
+      "ir_map" -> 2, // rel agg behind checkpoint + k-row rank/cum windows + sort
+      "ev_ltv" -> 4, // (user,week) agg + user window + curve agg + cohort-age window/sort; sizes broadcast
+      "ev_kaplan_meier" -> 5, // user agg + duration histogram + desc-risk window + one-row collect + explode sort — all day-span frames after the user agg
+      "a25_spearman" -> 20, // joint (h,c) agg behind checkpoint; the rest are 24-row/bucket/one-row frames: hour cum, bucket histogram + offsets + in-bucket prefix (the ladder), three sum aggs + the c-keyed rank join — every exchange after the checkpoint is metadata-scale
+      "ta_kn_bigram" -> 8, // ta_bigram_ppl's 7 + the w2 continuation agg/join; type total broadcast
+      "ev_autocorr" -> 2, // (type,day) agg behind checkpoint + spine lag window + sort
+      "ev_cusum_cp" -> 1, // spine windows ride the checkpointed day frame; final agg/sort
+      "gr_assortativity" -> 2, // degree agg + global sum agg above the checkpointed sym edges
+      "gr_labelprop" -> 1, // final sort only — the 12 rounds run inside per-round localCheckpoints (the gr_shortest_path discipline)
+      "ev_decile_lift" -> 2, // ladder + decile histogram ride checkpoints/broadcasts; final cum window + sort
+      "ta_fightin_words" -> 0, // term agg inside the checkpoint; both cuts are TakeOrdered
+      "ev_mk_trend" -> 1, // day-span² pair join rides the checkpointed spine; one rollup
+      "j10_salted_join" -> 4, // dim distinct + salted partial agg + type rollup + sort (dim broadcast at this size)
+      "ann_hamming" -> 0, // map-side signatures + TakeOrdered — no exchange at all
+      "ev_user_entropy" -> 3, // (user,type) agg + user agg + sort — all user-keyed
+      "ta_heaps_fit" -> 4, // bucket token agg + first-bucket vocab agg + 21-row cum window + one-row fold
+      "mm_mp4_atoms" -> 1, // per-row parse + oracle sort
       // round-11 rewrite: the distinct-value histograms became the
       // a15_quantile_2phase bucket-then-refine ladder (monetary's
       // distinct-cents domain grows toward user scale — the round-10
