@@ -1046,6 +1046,78 @@ object EventWindows {
         .orderBy("event_type")
     }),
 
+    // Difference-in-differences estimator — the quasi-experimental
+    // effect measure when you can't randomize at event time: treatment
+    // group = the ev_ab_test hash split (content-derived, RNG-free),
+    // periods = first/second half of the corpus span (one-row
+    // broadcast midpoint). DiD = (m_t2 − m_t1) − (m_c2 − m_c1) over
+    // the four cell means. Exactness: cell sums are exact integer
+    // cents (decimal/HUGEINT), cells pivot via min-over-case (never
+    // order-sensitive first()), and the means/DiD are identical double
+    // expressions, round(6). Scale: ONE corpus (group, period) agg; the
+    // pivot rides the 4-row cell frame.
+    "ev_did" -> ((s, dir) => {
+      val ev = load(s, dir, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("c"))
+      val mid = ev.groupBy().agg(expr("(min(us) + max(us)) div 2").as("mid"))
+      val cells = ev.crossJoin(broadcast(mid))
+        .select(
+          (graft.Exact.hash32(col("user_id").cast("string")) % 2 === 0)
+            .cast("long").as("treat"),
+          (col("us") >= col("mid")).cast("long").as("p2"), col("c"))
+        .groupBy("treat", "p2")
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("sc"))
+      def cell(t: Int, p: Int, c: String) =
+        min(when(col("treat") === t && col("p2") === p, col(c)))
+      val m = (t: Int, p: Int) =>
+        col(s"sc_$t$p").cast("double") / col(s"n_$t$p") / 100.0
+      cells.groupBy().agg(
+          cell(1, 0, "n").as("n_10"), cell(1, 1, "n").as("n_11"),
+          cell(0, 0, "n").as("n_00"), cell(0, 1, "n").as("n_01"),
+          cell(1, 0, "sc").as("sc_10"), cell(1, 1, "sc").as("sc_11"),
+          cell(0, 0, "sc").as("sc_00"), cell(0, 1, "sc").as("sc_01"))
+        .select(
+          col("n_10").as("n_treat_pre"), col("n_11").as("n_treat_post"),
+          col("n_00").as("n_ctrl_pre"), col("n_01").as("n_ctrl_post"),
+          round(m(1, 0), 6).as("mean_treat_pre"),
+          round(m(1, 1), 6).as("mean_treat_post"),
+          round(m(0, 0), 6).as("mean_ctrl_pre"),
+          round(m(0, 1), 6).as("mean_ctrl_post"),
+          round((m(1, 1) - m(1, 0)) - (m(0, 1) - m(0, 0)), 6).as("did"))
+    }),
+
+    // Time-to-convert quantiles — the latency distribution of the
+    // signup→purchase funnel edge (p25/p50/p75/p90 of seconds between a
+    // user's first signup and their first LATER purchase), the number
+    // under "how long until activation". Pairing is the ev_funnel greedy
+    // chain (user-keyed window carries first-signup; purchases after it
+    // aggregate to the first conversion); the quantiles are exact order
+    // statistics from the shared QuantileLadder — converter counts can
+    // reach user scale, so no population rank window. All-integer until
+    // none: seconds are integer, ranks are integer, output is integer.
+    "ev_ttc_quantiles" -> ((s, dir) => {
+      import s.implicits._
+      val ev = load(s, dir, "events")
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      val w = Window.partitionBy("user_id")
+      val conv = ev
+        .withColumn("s",
+          min(when(col("event_type") === "signup", col("us"))).over(w))
+        .where(col("event_type") === "purchase" && col("s").isNotNull &&
+          col("us") > col("s"))
+        .groupBy("user_id").agg(min("us").as("p"), min("s").as("s"))
+        .select(expr("(p - s) div 1000000").as("dt"))
+        .localCheckpoint()
+      val n = conv.count()
+      val tgt = Seq(25L, 50L, 75L, 90L).map(p => (p, (p * n + 99L) / 100L))
+        .toDF("k", "r")
+      graft.plans.QuantileLadder.orderStats(conv, "dt", tgt)
+        .select(col("k").as("pctile"), col("r").as("rank"),
+          col("value").as("ttc_s"), lit(n).as("n_converters"))
+        .orderBy("pctile")
+    }),
+
     // Per-user behavioral entropy — the "diversity of behavior" feature
     // (H = ln n − Σ m·ln m / n over the user's event-type mix): bots and
     // single-purpose accounts sit near 0, organic users spread. One
@@ -1161,6 +1233,63 @@ object EventWindows {
         |SELECT event_type, log2_bucket, count(*) AS n,
         |  round(CAST(sum(gap_s) AS DOUBLE) / count(*), 6) AS mean_gap_s
         |FROM b GROUP BY 1, 2 ORDER BY event_type, log2_bucket""".stripMargin,
+
+    "ev_did" ->
+      s"""WITH e AS (
+         |  SELECT user_id, epoch_us(ts) AS us,
+         |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+         |  FROM events),
+         |mid AS (SELECT (min(us) + max(us)) // 2 AS mid FROM e),
+         |cells AS (
+         |  SELECT CAST(${graft.Exact.hash32Sql("CAST(user_id AS VARCHAR)")}
+         |           % 2 = 0 AS BIGINT) AS treat,
+         |    CAST(us >= mid AS BIGINT) AS p2,
+         |    count(*) AS n, CAST(sum(c) AS BIGINT) AS sc
+         |  FROM e, mid GROUP BY 1, 2),
+         |p AS (
+         |  SELECT
+         |    min(CASE WHEN treat = 1 AND p2 = 0 THEN n END) AS n_10,
+         |    min(CASE WHEN treat = 1 AND p2 = 1 THEN n END) AS n_11,
+         |    min(CASE WHEN treat = 0 AND p2 = 0 THEN n END) AS n_00,
+         |    min(CASE WHEN treat = 0 AND p2 = 1 THEN n END) AS n_01,
+         |    min(CASE WHEN treat = 1 AND p2 = 0 THEN sc END) AS sc_10,
+         |    min(CASE WHEN treat = 1 AND p2 = 1 THEN sc END) AS sc_11,
+         |    min(CASE WHEN treat = 0 AND p2 = 0 THEN sc END) AS sc_00,
+         |    min(CASE WHEN treat = 0 AND p2 = 1 THEN sc END) AS sc_01
+         |  FROM cells)
+         |SELECT n_10 AS n_treat_pre, n_11 AS n_treat_post,
+         |  n_00 AS n_ctrl_pre, n_01 AS n_ctrl_post,
+         |  round(CAST(sc_10 AS DOUBLE) / n_10 / 100.0, 6) AS mean_treat_pre,
+         |  round(CAST(sc_11 AS DOUBLE) / n_11 / 100.0, 6) AS mean_treat_post,
+         |  round(CAST(sc_00 AS DOUBLE) / n_00 / 100.0, 6) AS mean_ctrl_pre,
+         |  round(CAST(sc_01 AS DOUBLE) / n_01 / 100.0, 6) AS mean_ctrl_post,
+         |  round((CAST(sc_11 AS DOUBLE) / n_11 / 100.0
+         |         - CAST(sc_10 AS DOUBLE) / n_10 / 100.0)
+         |        - (CAST(sc_01 AS DOUBLE) / n_01 / 100.0
+         |           - CAST(sc_00 AS DOUBLE) / n_00 / 100.0), 6) AS did
+         |FROM p""".stripMargin,
+
+    "ev_ttc_quantiles" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |su AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'signup' THEN us END) AS s
+        |  FROM e GROUP BY 1),
+        |conv AS (
+        |  SELECT e.user_id, (min(us) - min(s)) // 1000000 AS dt
+        |  FROM e JOIN su USING (user_id)
+        |  WHERE event_type = 'purchase' AND s IS NOT NULL AND us > s
+        |  GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM conv),
+        |r AS (SELECT dt, CAST(row_number() OVER (ORDER BY dt) AS BIGINT)
+        |        AS rn
+        |      FROM conv),
+        |t AS (SELECT CAST(unnest([25, 50, 75, 90]) AS BIGINT) AS p)
+        |SELECT p AS pctile, CAST((p * n + 99) // 100 AS BIGINT) AS rank,
+        |  dt AS ttc_s, n AS n_converters
+        |FROM t CROSS JOIN n JOIN r ON rn = (p * n + 99) // 100
+        |ORDER BY pctile""".stripMargin,
 
     "ev_user_entropy" ->
       """WITH m AS (
