@@ -60,6 +60,7 @@ object Relational3 {
   private val SkyBucketW = 1000L // q_skyline price-bucket width, cents
   private val QualityBudget = 100L // samp_quality_budget: global doc budget
   private val SaltR = 8 // j10_salted_join: salt fan-out per dimension row
+  private val NeymanBudget = 200 // samp_neyman: global sample budget
 
   val queries: Map[String, Q] = Map(
     // Exact distinct-count over a skewed key via explicit two-phase
@@ -244,6 +245,87 @@ object Relational3 {
         Seq("user_id", "event_type", "ts"))
         .map(probe).reduce(_ unionAll _)
         .orderBy("key_cols")
+    }),
+
+    // Functional-dependency discovery — the profiling probe behind
+    // "which columns determine which" (schema inference, normalization
+    // audits, silent-denormalization detection): for each candidate
+    // det → dep pair, the number of determinant groups, how many carry
+    // >1 distinct dependent (violations), the worst fan-out, and the
+    // holds verdict. Each probe is the prof_keys skew-safe shape — a
+    // distinct (det, dep) agg then a keyed count, NEVER a per-group
+    // count-distinct Expand — over one localCheckpointed scan shared by
+    // all probes. All-integer output.
+    "prof_fds" -> ((s, dir) => {
+      val ev = load(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .localCheckpoint()
+      def probe(det: String, dep: String): DataFrame =
+        ev.select(col(det).cast("string").as("d"),
+            col(dep).cast("string").as("p"))
+          .distinct()
+          .groupBy("d").agg(count(lit(1)).as("k"))
+          .groupBy()
+          .agg(count(lit(1)).as("n_groups"),
+            sum((col("k") > 1).cast("long")).as("n_violating"),
+            max("k").as("max_distinct"))
+          .select(lit(s"$det->$dep").as("fd"), col("n_groups"),
+            col("n_violating"), col("max_distinct"),
+            (col("n_violating") === 0).cast("long").as("holds"))
+      Seq("event_id" -> "user_id", "event_id" -> "event_type",
+        "user_id" -> "event_type", "event_type" -> "user_id")
+        .map { case (a, b) => probe(a, b) }.reduce(_ unionAll _)
+        .orderBy("fd")
+    }),
+
+    // Neyman-allocation stratified sampling — the survey-design optimum
+    // (allocate budget ∝ N_h·σ_h, so volatile strata get more samples
+    // per head): per-type σ comes from exact integer power sums (the
+    // a13_moments identity, decimal/HUGEINT discriminant), the weight
+    // total folds in stratum order, shares round(9) BEFORE the floor so
+    // an ulp can never flip an allocation boundary, and each stratum's
+    // quota fills by content-stable hash order on the TopKAgg bounded
+    // heap (the samp_quality_budget shape — map-side partials, ≤ budget
+    // rows per stratum per partition cross the wire; no per-stratum
+    // rank window over data rows). RNG-free and reproducible on any
+    // cluster.
+    "samp_neyman" -> ((s, dir) => {
+      graft.plans.TopKAgg.register(s)
+      val ev = load(s, dir, "events")
+        .select(col("event_type"), col("event_id"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("c"))
+        .localCheckpoint()
+      val d38 = (x: org.apache.spark.sql.Column) => x.cast("decimal(38,0)")
+      val stats = ev.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("c").as("cs"),
+          sum(d38(col("c")) * col("c")).as("css"))
+        .withColumn("sigma", sqrt(
+          (d38(col("n")) * col("css") - d38(col("cs")) * col("cs"))
+            .cast("double") /
+            (col("n").cast("double") * (col("n") - 1).cast("double"))))
+        .withColumn("w", col("n").cast("double") * col("sigma"))
+      val tot = stats.groupBy().agg(
+        aggregate(transform(
+          array_sort(collect_list(struct(col("event_type"), col("w")))),
+          x => x.getField("w")), lit(0.0), (acc, x) => acc + x).as("tw"))
+      val alloc = stats.crossJoin(broadcast(tot))
+        .select(col("event_type"), col("n"),
+          least(col("n"), greatest(lit(1L),
+            floor(round(lit(NeymanBudget) * col("w") / col("tw"), 9))
+              .cast("long"))).as("alloc"))
+      ev.withColumn("h",
+          graft.Exact.hash32(col("event_id").cast("string")))
+        .groupBy("event_type")
+        .agg(graft.plans.TopKAgg.topkTriples(
+          -col("h").cast("double"), col("event_id"), col("c").cast("double"),
+          NeymanBudget).as("top"))
+        .select(col("event_type"), posexplode(col("top")).as(Seq("ord", "t")))
+        .join(broadcast(alloc), "event_type")
+        .where(col("ord") < col("alloc"))
+        .select(col("event_type"), col("n").as("n_stratum"), col("alloc"),
+          (col("ord") + 1).cast("long").as("rank"),
+          col("t.id").as("event_id"))
+        .orderBy("event_type", "rank")
     }),
 
     // Quality-budgeted selection — the data-selection step that closes
@@ -1249,6 +1331,60 @@ object Relational3 {
         |SELECT key_cols, n_distinct, n_rows,
         |  CAST(n_distinct = n_rows AS BIGINT) AS is_unique
         |FROM u, n ORDER BY key_cols""".stripMargin,
+
+    "prof_fds" -> {
+      val probes = Seq("event_id" -> "user_id", "event_id" -> "event_type",
+        "user_id" -> "event_type", "event_type" -> "user_id")
+      val ctes = probes.zipWithIndex.map { case ((det, dep), i) =>
+        s"""p$i AS (
+           |  SELECT '$det->$dep' AS fd, count(*) AS n_groups,
+           |    CAST(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_violating,
+           |    CAST(max(k) AS BIGINT) AS max_distinct
+           |  FROM (SELECT d, count(*) AS k
+           |        FROM (SELECT DISTINCT CAST($det AS VARCHAR) AS d,
+           |                CAST($dep AS VARCHAR) AS p FROM events)
+           |        GROUP BY 1))""".stripMargin
+      }.mkString(",\n")
+      val union = probes.indices.map(i => s"SELECT * FROM p$i")
+        .mkString(" UNION ALL ")
+      s"""WITH $ctes
+         |SELECT fd, n_groups, n_violating, max_distinct,
+         |  CAST(n_violating = 0 AS BIGINT) AS holds
+         |FROM ($union) ORDER BY fd""".stripMargin
+    },
+
+    "samp_neyman" ->
+      s"""WITH e AS (
+         |  SELECT event_type, event_id,
+         |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+         |  FROM events),
+         |st AS (
+         |  SELECT event_type, count(*) AS n, CAST(sum(c) AS BIGINT) AS cs,
+         |    sum(CAST(c AS HUGEINT) * c) AS css
+         |  FROM e GROUP BY 1),
+         |w AS (
+         |  SELECT event_type, n, CAST(n AS DOUBLE) *
+         |    sqrt(CAST(CAST(n AS HUGEINT) * css - CAST(cs AS HUGEINT) * cs
+         |              AS DOUBLE)
+         |         / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))) AS w
+         |  FROM st),
+         |t AS (SELECT list_sum(list(w ORDER BY event_type)) AS tw FROM w),
+         |al AS (
+         |  SELECT event_type, n,
+         |    least(n, greatest(1,
+         |      CAST(floor(round($NeymanBudget * w / tw, 9)) AS BIGINT)))
+         |      AS alloc
+         |  FROM w, t),
+         |r AS (
+         |  SELECT event_type, event_id,
+         |    CAST(row_number() OVER (PARTITION BY event_type
+         |      ORDER BY ${graft.Exact.hash32Sql("CAST(event_id AS VARCHAR)")},
+         |        event_id) AS BIGINT) AS rank
+         |  FROM e)
+         |SELECT r.event_type, n AS n_stratum, alloc, rank, event_id
+         |FROM r JOIN al USING (event_type)
+         |WHERE rank <= alloc ORDER BY event_type, rank""".stripMargin,
 
     "samp_quality_budget" ->
       s"""WITH d AS (
