@@ -378,6 +378,10 @@ class ScaleDesignSpec extends AnyFunSuite {
       "ev_user_entropy" -> 3, // (user,type) agg + user agg + sort — all user-keyed
       "ta_heaps_fit" -> 4, // bucket token agg + first-bucket vocab agg + 21-row cum window + one-row fold
       "mm_mp4_atoms" -> 1, // per-row parse + oracle sort
+      "ev_did" -> 3, // one (group, period) agg + 4-row pivot; midpoint broadcast
+      "ev_ttc_quantiles" -> 5, // funnel pairing window + converter agg behind checkpoint + ladder (bucket agg, bounded cum, refine) + sort
+      "prof_fds" -> 12, // 4 probes × (distinct pair agg + keyed count + rollup) over one checkpointed scan
+      "samp_neyman" -> 5, // stratum moments agg + heap topk agg + explode sort; weights/allocations ride broadcasts
       // round-11 rewrite: the distinct-value histograms became the
       // a15_quantile_2phase bucket-then-refine ladder (monetary's
       // distinct-cents domain grows toward user scale — the round-10
