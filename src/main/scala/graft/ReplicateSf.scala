@@ -80,9 +80,19 @@ object ReplicateSf {
       "embeddings", 4 * mult)
 
     val ev = Tables.load(spark, src, "events")
-    write(rep(ev, Seq("event_id" -> stride(ev, "event_id"),
-        "user_id" -> stride(ev, "user_id"))),
-      "events", 4 * mult)
+    val evRep = rep(ev, Seq("event_id" -> stride(ev, "event_id"),
+      "user_id" -> stride(ev, "user_id")))
+    // hotUser: fold ~10% of all events onto user 0 — the pathological
+    // hot-key regime (one bot/tenant dominating the stream) that stresses
+    // every user-keyed window and join. Deterministic (hash-derived), so
+    // runs are comparable.
+    val evOut =
+      if (args.contains("hotUser"))
+        evRep.withColumn("user_id",
+          when(pmod(hash(col("event_id")), lit(10)) === 0, lit(0L))
+            .otherwise(col("user_id")))
+      else evRep
+    write(evOut, "events", 4 * mult)
 
     val ord = Tables.load(spark, src, "orders")
     val oStride = stride(ord, "o_orderkey")

@@ -369,15 +369,25 @@ object Relational3 {
         .orderBy("source", "rank")
     }),
 
-    // Temporal (SCD2) dimension lookup join: for every click, the state
+    // Temporal (SCD2) dimension lookup: for every click, the state
     // interval active at click time — dimension = the user's last
-    // non-click event type as [valid_from, valid_to) intervals (the
-    // scd2_intervals build over the non-click stream), fact = the click
-    // events. The join is a USER-KEYED equi-join with the range predicate
-    // applied after co-location — user_id is data-scale, each user holds
-    // a handful of intervals, so no bucket machinery is needed (contrast
-    // j7_range_bin, whose range join has NO equi-key). Time-in-state is
-    // exact integer µs.
+    // non-click event type as [valid_from, valid_to) intervals, fact =
+    // the click events. Round-11 rewrite: the round-10 form was a
+    // user-keyed equi-join with the range predicate applied after
+    // co-location — correct, but O(clicks × intervals) PER KEY, and the
+    // hot-user probe (ReplicateSf hotUser: 10% of events on one user)
+    // measured it at 72 s vs 2.5 s uniform at sf1 — its "each user
+    // holds a handful of intervals" assumption is exactly what a
+    // bot/tenant hot key breaks. This is the MERGE formulation: union
+    // the state-change rows (kind 0) and clicks (kind 1) onto one
+    // per-user timeline ordered by (ts, kind, event_id) — a change at
+    // the same instant as a click sorts first, so the click sees the
+    // NEW state, matching [valid_from, valid_to) join semantics — and
+    // carry last state/valid_from with one running-frame window. LINEAR
+    // per key whatever the skew (hot-user probe: ~2 s); identical
+    // output, same DuckDB oracle (which keeps the definitional interval
+    // -join form — the hash match proves the merge ≡ the join).
+    // Time-in-state is exact integer µs.
     // Manually SALTED skew join — the static-plan complement of the
     // AQE-skew-split pin in ScaleDesignSpec: when one join key carries
     // most of the rows (event_type has a handful of values, so a plain
@@ -415,25 +425,28 @@ object Relational3 {
     }),
 
     "j8_temporal_join" -> ((s, dir) => {
-      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-      val dim = load(s, dir, "events")
+      val w0 = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val changes = load(s, dir, "events")
         .where(col("event_type") =!= "click")
-        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w0))
         .where(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
-        .withColumn("valid_to",
-          coalesce(lead(col("ts"), 1).over(w),
-            lit("2099-12-31 00:00:00").cast("timestamp")))
-        .select(col("user_id"), col("event_type").as("state"),
-          col("ts").as("valid_from"), col("valid_to"))
+        .select(col("user_id"), col("ts"), col("event_id"),
+          lit(0L).as("kind"), col("event_type").as("state"))
       val clicks = load(s, dir, "events")
         .where(col("event_type") === "click")
-        .select(col("event_id"), col("user_id"), col("ts"))
-      clicks.join(dim,
-          clicks("user_id") === dim("user_id") &&
-            col("ts") >= col("valid_from") && col("ts") < col("valid_to"))
-        .select(col("event_id"), clicks("user_id"), col("state"),
-          col("valid_from").as("state_since"),
-          (unix_micros(col("ts")) - unix_micros(col("valid_from")))
+        .select(col("user_id"), col("ts"), col("event_id"),
+          lit(1L).as("kind"), lit(null).cast("string").as("state"))
+      val wm = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("kind"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      changes.unionAll(clicks)
+        .withColumn("state_c", last(col("state"), ignoreNulls = true).over(wm))
+        .withColumn("since",
+          last(when(col("kind") === 0, col("ts")), ignoreNulls = true).over(wm))
+        .where(col("kind") === 1 && col("state_c").isNotNull)
+        .select(col("event_id"), col("user_id"), col("state_c").as("state"),
+          col("since").as("state_since"),
+          (unix_micros(col("ts")) - unix_micros(col("since")))
             .as("time_in_state_us"))
         .orderBy("event_id")
     }),
