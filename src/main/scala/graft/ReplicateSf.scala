@@ -67,7 +67,16 @@ object ReplicateSf {
       if (growParts) {
         val p = Tables.load(spark, src, "part")
         val st = stride(p, "p_partkey")
-        write(rep(p, Seq("p_partkey" -> st)), "part", mult)
+        // Replica-suffix p_name: a grown catalog has NEW product names,
+        // not mult× copies of the same ones — without this the er_
+        // fuzzy-match family would see mult× artificial name-collision
+        // inflation (sorted-neighborhood candidates explode on exact
+        // duplicate keys, which is a data artifact, not a plan property).
+        val named = rep(p, Seq("p_partkey" -> st)).withColumn("p_name",
+          concat(col("p_name"), lit(" r"),
+            ((col("p_partkey") - pmod(col("p_partkey"), lit(st))) / st)
+              .cast("long")))
+        write(named, "part", mult)
         Some(st)
       } else None
 
@@ -86,12 +95,21 @@ object ReplicateSf {
     // hot-key regime (one bot/tenant dominating the stream) that stresses
     // every user-keyed window and join. Deterministic (hash-derived), so
     // runs are comparable.
-    val evOut =
+    val evHotU =
       if (args.contains("hotUser"))
         evRep.withColumn("user_id",
           when(pmod(hash(col("event_id")), lit(10)) === 0, lit(0L))
             .otherwise(col("user_id")))
       else evRep
+    // hotType: ~50% of events become one type — the low-cardinality
+    // dimension collapse that a plain per-type window cannot survive
+    // (the regime the KeyedRank chunk/strip machinery exists for).
+    val evOut =
+      if (args.contains("hotType"))
+        evHotU.withColumn("event_type",
+          when(pmod(hash(col("event_id")), lit(2)) === 0, lit("click"))
+            .otherwise(col("event_type")))
+      else evHotU
     write(evOut, "events", 4 * mult)
 
     val ord = Tables.load(spark, src, "orders")

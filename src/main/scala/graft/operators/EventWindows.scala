@@ -856,6 +856,10 @@ object EventWindows {
     // Exactness: deaths/censored/n_risk are integer counts; each factor
     // and the left-fold product are identical double expressions on both
     // engines (the a24 ordered-fold discipline), round(6) at the end.
+    // The running products come from ONE carried fold over the factor
+    // array (p_i = p_{i-1} * f_i — the same association order the
+    // DuckDB per-row PRODUCT fold uses, so doubles stay bit-identical),
+    // not a per-row slice+fold, which would be O(T²) in slice work.
     // Scale: ONE user-keyed agg; the histogram, its desc-cum risk
     // window, and the prefix-product explode all ride the day-span-scale
     // duration frame above aggregates — nothing scales with users.
@@ -877,14 +881,25 @@ object EventWindows {
       val factors = transform(col("arr"), x =>
         (x.getField("n_risk") - x.getField("deaths")).cast("double") /
           x.getField("n_risk").cast("double"))
+      // Running products in ONE carried fold: acc = (product so far,
+      // prefix-product array); p_i = p_{i-1} * f_i is the same
+      // association order as a per-row left fold over factors[0..i],
+      // so the doubles are bit-identical to the slice form it replaces.
+      val prefix = aggregate(factors,
+        struct(lit(1.0).as("p"), array().cast("array<double>").as("ps")),
+        (acc, x) => struct((acc.getField("p") * x).as("p"),
+          concat(acc.getField("ps"), array(acc.getField("p") * x)).as("ps")),
+        acc => acc.getField("ps"))
       risk.groupBy()
         .agg(array_sort(collect_list(struct(
           col("dur"), col("deaths"), col("censored"), col("n_risk")))).as("arr"))
-        .select(col("arr"), posexplode(col("arr")).as(Seq("i", "r")))
-        .select(col("r.dur").as("duration_days"), col("r.n_risk").as("n_risk"),
-          col("r.deaths").as("deaths"), col("r.censored").as("censored"),
-          round(aggregate(slice(factors, lit(1), col("i") + 1),
-            lit(1.0), (acc, x) => acc * x), 6).as("survival"))
+        .select(posexplode(arrays_zip(col("arr"), prefix.as("surv")))
+          .as(Seq("i", "z")))
+        .select(col("z.arr.dur").as("duration_days"),
+          col("z.arr.n_risk").as("n_risk"),
+          col("z.arr.deaths").as("deaths"),
+          col("z.arr.censored").as("censored"),
+          round(col("z.surv"), 6).as("survival"))
         .orderBy("duration_days")
     }),
 

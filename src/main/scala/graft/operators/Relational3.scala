@@ -1112,36 +1112,26 @@ object Relational3 {
     // Exact global multi-quantile (p25/p50/p75/p90/p99) the 100 TB way —
     // the WIDE-domain complement of a14_winsorize's full histogram: when
     // the value domain is too wide to histogram per distinct value
-    // (l_extendedprice spans ~10M distinct cents), phase 1 histograms
-    // COARSE $1000 buckets (domain/1000-scale frame), a cumulative count
-    // over that tiny frame locates the bucket holding each target rank
-    // k = ⌈p·n/100⌉ (pure integer arithmetic), and phase 2 re-scans ONLY
-    // the ≤5 located buckets (broadcast semi-join pruning the scan) to
-    // extract the exact k-th order statistic with an in-bucket
-    // row_number. No global sort, no percentile() over data rows, and
-    // the only data-scale shuffles are the bucket histogram and the
-    // located-bucket rescan.
+    // (l_extendedprice spans ~10M distinct cents), the shared
+    // QuantileLadder bucket-then-refine ladder (plans/QuantileLadder —
+    // also under ev_rfm and ev_decile_lift) locates each target rank
+    // k = ⌈p·n/100⌉ (pure integer arithmetic) in an adaptive-width
+    // bucket histogram and re-scans ONLY the located buckets. No global
+    // sort, no percentile() over data rows, and the only data-scale
+    // shuffles are the bucket histogram and the located-bucket rescan.
+    // The order statistic is bucketing-independent (exact rank
+    // extraction), so unifying the ladder leaves the oracle untouched.
     "a15_quantile_2phase" -> ((s, dir) => {
       val cents = round(col("l_extendedprice") * 100).cast("long")
       val li = load(s, dir, "lineitem").select(cents.as("c"))
-      val withB = li.withColumn("bk", floor(col("c") / 100000L).cast("long"))
-      val cum = withB.groupBy("bk").agg(count(lit(1)).as("cnt"))
-        .withColumn("cumhi", sum(col("cnt")).over(
-          Window.orderBy("bk").rowsBetween(Window.unboundedPreceding, 0)))
       val qs = Seq(25, 50, 75, 90, 99)
       val tgt = li.agg(count(lit(1)).as("n"))
-        .select(explode(array(qs.map(p => lit(p.toLong)): _*)).as("p"), col("n"))
-        .withColumn("k", floor((col("p") * col("n") + lit(99)) / 100).cast("long"))
-      val located = cum.join(broadcast(tgt), col("cumhi") >= col("k"))
-        .groupBy("p", "k")
-        .agg(min(struct(col("bk"), col("cumhi"), col("cnt"))).as("t"))
-        .select(col("p"), col("k"), col("t.bk").as("bk"),
-          (col("t.cumhi") - col("t.cnt")).as("below"))
-      withB.join(broadcast(located), "bk")
-        .withColumn("r", row_number().over(
-          Window.partitionBy("p", "bk").orderBy("c")))
-        .where(col("r") === col("k") - col("below"))
-        .select(col("p"), (col("c").cast("double") / 100.0).as("value"))
+        .select(explode(array(qs.map(p => lit(p.toLong)): _*)).as("k"), col("n"))
+        .select(col("k"),
+          floor((col("k") * col("n") + lit(99)) / 100).cast("long").as("r"))
+      graft.plans.QuantileLadder.orderStats(li, "c", tgt)
+        .select(col("k").as("p"),
+          (col("value").cast("double") / 100.0).as("value"))
         .orderBy("p")
     }),
 

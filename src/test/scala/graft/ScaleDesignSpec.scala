@@ -303,7 +303,7 @@ class ScaleDesignSpec extends AnyFunSuite {
       "samp_stratified" -> 2,
       // round-9 additions
       "ev_cumsum" -> 4, // bucket-sum agg + tiny offset window + (type,hour) prefix window + oracle sort; offsets broadcast back
-      "a15_quantile_2phase" -> 5, // coarse histogram agg + tiny cum window + located-bucket rescan window + count + oracle sort; target buckets broadcast
+      "a15_quantile_2phase" -> 6, // QuantileLadder (round-11 unification): one-row min/max rollup (adaptive width) + bucket histogram agg + tiny cum window + located-bucket rescan window + count + oracle sort; min/max + target buckets broadcast
       "ta_dup_ngram_chars" -> 3, // (doc,n,gram) agg + doc rollup + oracle sort — both gram sizes in ONE scan/explode
       "dd_containment" -> 5, // distinct shingle agg + size agg + bucket-pair explode agg + size join + sort (ReuseExchange shares the distinct chain)
       "ev_retention" -> 4, // one user agg (min day + bounded day set) + cohort/offset agg + broadcast k=0 base + sort
@@ -342,7 +342,7 @@ class ScaleDesignSpec extends AnyFunSuite {
       "ir_ndcg" -> 2, // dense TakeOrdered + rel join agg; running dcg/idcg windows ride the k-row frame; grade histogram broadcasts
       "rec_next_item" -> 4, // ONE user-keyed window chain behind localCheckpoint + model agg + eval agg + oracle sort; predictions broadcast
       "samp_quality_budget" -> 5, // TTR map-side + source-count agg + one-row total + bounded heap agg + oracle sort; allocations broadcast
-      "j8_temporal_join" -> 2, // ONE user-keyed window chain builds the intervals; the lookup is a user-keyed equi-join with the range predicate post-colocation + oracle sort
+      "j8_temporal_join" -> 3, // merge form (round-11 hot-user de-skew): union change-rows+clicks scan, ONE user-keyed exchange feeds both last-state windows, + oracle sort — linear per key, no interval join
       "emb_recall" -> 8, // the full ann_ivf chain (assign window + probe window + cell join + dedup agg + rank cut) + truth rank window + hit agg + oracle sort; truth/seed frames broadcast
       "prof_keys" -> 8, // four candidate-key probes over the checkpointed scan, each a keyed agg + one-row rollup (the skew_distinct_2phase shape, no Expand)
       "a24_cramers_v" -> 5, // the a19 cell agg behind localCheckpoint + r/c/dims rollups + chi2 fold agg; all post-checkpoint frames are types×4
