@@ -532,8 +532,16 @@ object EventWindows {
             (lit(0L) - datediff(col("d"), lit("1970-01-01").cast("date")))
               .as("nd"),
             col("d").as("day"))).as("t"))
+        // Output-type discipline (gr_hits pattern): C accumulates
+        // decimal(38,0) internally, the OUTPUT is BIGINT. Bound:
+        // |C| ≤ 2·n²·max|daily cents| — at sf1 (1M events, ≤1e5-cent
+        // values, ~365-day span) that is ~1.5e13, and int64 headroom
+        // survives another ~500× in event volume; the internal decimal
+        // stays exact far beyond that. Raw DECIMAL outputs diverge in
+        // the driver's hash canonicalization (round-11 red).
         .select(col("event_type"), col("n_days"),
-          col("t.day").as("change_day"), col("t.c").as("cusum_scaled"),
+          col("t.day").as("change_day"),
+          col("t.c").cast("long").as("cusum_scaled"),
           round(col("t.c").cast("double") / col("n_days") / 100.0, 6)
             .as("cusum_mean_excess"))
         .orderBy("event_type")
@@ -577,9 +585,16 @@ object EventWindows {
       val zNum = when(col("s_stat") > 0, col("s_stat") - 1)
         .when(col("s_stat") < 0, col("s_stat") + 1)
         .otherwise(lit(0L))
+      // Output-type discipline (gr_hits pattern, Graph.scala:511): the
+      // variance numerator accumulates decimal(38,0) internally but the
+      // OUTPUT column is BIGINT — n here is the day-span (n = 3650 days
+      // for 10 years gives n(n-1)(2n+5) ≈ 9.7e10; int64 holds to
+      // n ≈ 1.66e6 days ≈ 4500 years), so the cast can never overflow
+      // on any calendar-bounded input. Raw DECIMAL outputs diverge in
+      // the driver's cross-engine hash canonicalization (round-11 red).
       sS.join(ties, "event_type")
         .select(col("event_type"), col("n").as("n_days"), col("s_stat"),
-          varNum.as("var_num18"),
+          varNum.cast("long").as("var_num18"),
           round(when(varNum > 0,
             zNum.cast("double") /
               sqrt(varNum.cast("double") / 18.0)), 6).as("z"))
@@ -1344,7 +1359,8 @@ object EventWindows {
         |  GROUP BY 1),
         |g AS (
         |  SELECT ss.event_type, n, s_stat,
-        |    CAST(n AS HUGEINT) * (n - 1) * (2 * n + 5) - tt AS var_num18,
+        |    CAST(CAST(n AS HUGEINT) * (n - 1) * (2 * n + 5) - tt
+        |      AS BIGINT) AS var_num18,
         |    CASE WHEN s_stat > 0 THEN s_stat - 1
         |         WHEN s_stat < 0 THEN s_stat + 1 ELSE 0 END AS znum
         |  FROM ss JOIN ties USING (event_type))
@@ -1416,7 +1432,7 @@ object EventWindows {
         |      day := d)) AS t
         |  FROM cu GROUP BY 1)
         |SELECT event_type, n_days, struct_extract(t, 'day') AS change_day,
-        |  struct_extract(t, 'c') AS cusum_scaled,
+        |  CAST(struct_extract(t, 'c') AS BIGINT) AS cusum_scaled,
         |  round(CAST(struct_extract(t, 'c') AS DOUBLE) / n_days / 100.0, 6)
         |    AS cusum_mean_excess
         |FROM am ORDER BY event_type""".stripMargin,

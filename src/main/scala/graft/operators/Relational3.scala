@@ -764,9 +764,20 @@ object Relational3 {
         .join(rc.select("c", "rc"), "c")
         .crossJoin(broadcast(n1))
         .agg(sum(d38(col("m")) * ctr(col("rh")) * ctr(col("rc"))).as("sxy"))
+      // Output-type discipline (gr_hits pattern, Graph.scala:511): the
+      // three sums accumulate decimal(38,0)/HUGEINT internally but the
+      // OUTPUT columns are BIGINT — bound Σm·X'² ≤ n³ (doubled ranks,
+      // |X'| ≤ n), so int64 holds to n ≈ 2.09e6 events (sf1 replicated
+      // is n = 1e6, 9× headroom; beyond that drop the raw sums and emit
+      // rho only — the internal accumulation stays exact regardless).
+      // Raw DECIMAL outputs diverge in the driver's cross-engine hash
+      // canonicalization (round-11 red rows were exactly the 3 queries
+      // emitting decimal128).
       sxx.crossJoin(broadcast(syy)).crossJoin(broadcast(sxy))
         .crossJoin(broadcast(n1))
-        .select(col("n"), col("sxy"), col("sxx"), col("syy"),
+        .select(col("n"), col("sxy").cast("long").as("sxy"),
+          col("sxx").cast("long").as("sxx"),
+          col("syy").cast("long").as("syy"),
           round(col("sxy").cast("double") /
             sqrt(col("sxx").cast("double") * col("syy").cast("double")), 6)
             .as("rho"))
@@ -1563,7 +1574,8 @@ object Relational3 {
         |  SELECT sum(CAST(m AS HUGEINT) * (rh.rh - n - 1) * (rc.rc - n - 1))
         |    AS sxy
         |  FROM j JOIN rh USING (h) JOIN rc USING (c), n1)
-        |SELECT n, sxy, sxx, syy,
+        |SELECT n, CAST(sxy AS BIGINT) AS sxy, CAST(sxx AS BIGINT) AS sxx,
+        |  CAST(syy AS BIGINT) AS syy,
         |  round(CAST(sxy AS DOUBLE)
         |        / sqrt(CAST(sxx AS DOUBLE) * CAST(syy AS DOUBLE)), 6) AS rho
         |FROM n1, sxx, syy, sxy""".stripMargin,
