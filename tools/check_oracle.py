@@ -62,6 +62,26 @@ def main():
         except Exception as e:
             failures.append((name, f"oracle SQL failed: {str(e)[:200]}"))
             continue
+        # Output-type discipline (round-12 pin, the round-11 red class): NO
+        # result column may be DECIMAL/HUGEINT on EITHER engine. Both sides
+        # arrive here via arrow, where duck HUGEINT and spark decimal(38,0)
+        # symmetrically land as decimal128 and compare clean — but the
+        # DRIVER's canonicalization takes duckdb .df() (HUGEINT → float64)
+        # against spark parquet (decimal → object), hashing "x.0" vs "x":
+        # exactly the a25_spearman/ev_cusum_cp/ev_mk_trend round-11 reds,
+        # invisible to the value compare below. DECIMAL is for internal
+        # accumulation only; final selects CAST to BIGINT/DOUBLE (the
+        # gr_hits discipline). Scala-side twin: QuerySchemaShapeSpec.
+        dec_cols = (
+            [f"spark.{f.name}:{f.type}" for f in got.schema
+             if "decimal" in str(f.type)] +
+            [f"duck.{f.name}:{f.type}" for f in exp.schema
+             if "decimal" in str(f.type)])
+        if dec_cols:
+            failures.append(
+                (name, "DECIMAL output column (driver-hash-unsafe, CAST "
+                       "the final select): " + ", ".join(dec_cols)))
+            continue
         g_cols, e_cols = sorted(got.column_names), sorted(exp.column_names)
         if g_cols != e_cols:
             failures.append((name, f"schema: spark={g_cols} duck={e_cols}"))
