@@ -299,10 +299,17 @@ object Relational3 {
       val stats = ev.groupBy("event_type")
         .agg(count(lit(1)).as("n"), sum("c").as("cs"),
           sum(d38(col("c")) * col("c")).as("css"))
-        .withColumn("sigma", sqrt(
+        // n = 1 guard (round-12, advisor-flagged): a single-event stratum
+        // makes the sample variance 0/0 = NaN, which poisons the weight
+        // TOTAL and hence every stratum's allocation — and asymmetrically
+        // (Spark floor(NaN)→cast = 0 silently; DuckDB errors the CAST).
+        // Degenerate strata carry no dispersion signal: weight 0 (they
+        // still receive the greatest(1,·) floor allocation below).
+        .withColumn("sigma", when(col("n") > 1, sqrt(
           (d38(col("n")) * col("css") - d38(col("cs")) * col("cs"))
             .cast("double") /
             (col("n").cast("double") * (col("n") - 1).cast("double"))))
+          .otherwise(lit(0.0)))
         .withColumn("w", col("n").cast("double") * col("sigma"))
       val tot = stats.groupBy().agg(
         aggregate(transform(
@@ -311,8 +318,9 @@ object Relational3 {
       val alloc = stats.crossJoin(broadcast(tot))
         .select(col("event_type"), col("n"),
           least(col("n"), greatest(lit(1L),
-            floor(round(lit(NeymanBudget) * col("w") / col("tw"), 9))
-              .cast("long"))).as("alloc"))
+            when(col("tw") > 0,
+              floor(round(lit(NeymanBudget) * col("w") / col("tw"), 9))
+                .cast("long")).otherwise(lit(0L)))).as("alloc"))
       ev.withColumn("h",
           graft.Exact.hash32(col("event_id").cast("string")))
         .groupBy("event_type")
@@ -1384,16 +1392,18 @@ object Relational3 {
          |  FROM e GROUP BY 1),
          |w AS (
          |  SELECT event_type, n, CAST(n AS DOUBLE) *
-         |    sqrt(CAST(CAST(n AS HUGEINT) * css - CAST(cs AS HUGEINT) * cs
-         |              AS DOUBLE)
-         |         / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))) AS w
+         |    CASE WHEN n > 1 THEN
+         |      sqrt(CAST(CAST(n AS HUGEINT) * css - CAST(cs AS HUGEINT) * cs
+         |                AS DOUBLE)
+         |           / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))
+         |    ELSE 0.0 END AS w
          |  FROM st),
          |t AS (SELECT list_sum(list(w ORDER BY event_type)) AS tw FROM w),
          |al AS (
          |  SELECT event_type, n,
-         |    least(n, greatest(1,
-         |      CAST(floor(round($NeymanBudget * w / tw, 9)) AS BIGINT)))
-         |      AS alloc
+         |    least(n, greatest(1, CASE WHEN tw > 0 THEN
+         |      CAST(floor(round($NeymanBudget * w / tw, 9)) AS BIGINT)
+         |      ELSE 0 END)) AS alloc
          |  FROM w, t),
          |r AS (
          |  SELECT event_type, event_id,

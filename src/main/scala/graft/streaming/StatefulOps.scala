@@ -595,6 +595,102 @@ object StatefulOps {
         enc)
   }
 
+  /** One matched signup→purchase-without-error pattern inside a CLOSED
+    * session, from [[SessionPatternProcessor]] — the exact batch
+    * `ev_pattern` output row. */
+  case class PatternMatch(user_id: Long, sess: Long, signup_pos: Long,
+                          purchase_pos: Long, steps_between: Long,
+                          latency_us: Long)
+
+  /** The STREAMING twin of the batch `ev_pattern` operator (round-12:
+    * closes the funnel/pattern family — `funnelProgress` paired
+    * ev_funnel in round 10, `sessionPaths` paired ev_path in round 11).
+    * Per-user state is the CURRENT session's (event_type, event-time µs)
+    * list plus the last event instant and a session ordinal. A gap ≥
+    * gapUs (or the `"__flush"` sentinel) CLOSES the session: the closed
+    * event list is scanned for the FIRST signup, the FIRST purchase
+    * after it, and any error strictly between — emitting the batch row
+    * (user, sess, positions, steps_between, latency_us) only for clean
+    * matches, with `sess` numbered exactly like the batch cumulative
+    * new-session counter. On an event-time-ordered feed the emitted row
+    * set equals the batch `ev_pattern` result (StatefulOpsSpec pins it).
+    * State is bounded by the longest single session, NOT stream length;
+    * users hash across executors. Production closure uses an event-time
+    * timer at last+gap (the sessionizer timer test's mechanism);
+    * TimeMode.None + sentinel keeps this synchronous-test-friendly. */
+  class SessionPatternProcessor(gapUs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, PathEv, PatternMatch] {
+    @transient private var evs:
+        org.apache.spark.sql.streaming.ListState[(String, Long)] = _
+    @transient private var lastUs:
+        org.apache.spark.sql.streaming.ValueState[Long] = _
+    @transient private var sessIdx:
+        org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      evs = getHandle.getListState[(String, Long)]("pat_evs",
+        Encoders.product[(String, Long)],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      lastUs = getHandle.getValueState[Long]("pat_last", Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      sessIdx = getHandle.getValueState[Long]("pat_sess", Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    override def handleInputRows(
+        user: Long, rows: Iterator[PathEv],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[PatternMatch] = {
+      def micros(ts: java.sql.Timestamp): Long =
+        Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+      val out = Vector.newBuilder[PatternMatch]
+      def close(): Unit = {
+        val t = evs.get().toVector
+        if (t.nonEmpty) {
+          val sess = if (sessIdx.exists()) sessIdx.get() else 1L
+          // FIRST signup; FIRST purchase strictly after it; no error
+          // strictly between — the batch min-struct/anti-count semantics
+          // over 1-based in-session positions.
+          val ps = t.indexWhere(_._1 == "signup")
+          if (ps >= 0) {
+            val pe = t.indexWhere(_._1 == "purchase", ps + 1)
+            if (pe >= 0 &&
+                !t.slice(ps + 1, pe).exists(_._1 == "error"))
+              out += PatternMatch(user, sess, ps + 1L, pe + 1L,
+                (pe - ps - 1).toLong, t(pe)._2 - t(ps)._2)
+          }
+          sessIdx.update(sess + 1L)
+          evs.clear()
+        }
+      }
+      for (e <- rows.toVector.sortBy(r => (micros(r.ts), r.event_id))) {
+        if (e.event_type == "__flush") { close(); lastUs.clear() }
+        else {
+          val us = micros(e.ts)
+          if (lastUs.exists() && us - lastUs.get() >= gapUs) close()
+          evs.appendValue((e.event_type, us))
+          lastUs.update(us)
+        }
+      }
+      out.result().iterator
+    }
+  }
+
+  /** `PathEv` stream → per-session signup→purchase pattern matches.
+    * Requires RocksDB (transformWithState). */
+  def sessionPatterns(ds: Dataset[PathEv],
+                      gapUs: Long = graft.operators.EventWindows.GapUs)
+      : Dataset[PatternMatch] = {
+    implicit val enc: Encoder[PatternMatch] = Encoders.product[PatternMatch]
+    ds.groupByKey(_.user_id)(Encoders.scalaLong)
+      .transformWithState(new SessionPatternProcessor(gapUs),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append(),
+        enc)
+  }
+
   /** `(key, item)` events → per-key Misra–Gries top items (≤ k counters). */
   def heavyHitters(ds: Dataset[(String, String)], k: Int): Dataset[HeavyHitter] = {
     implicit val enc: Encoder[HeavyHitter] = Encoders.product[HeavyHitter]

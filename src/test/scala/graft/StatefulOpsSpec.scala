@@ -348,6 +348,49 @@ class StatefulOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming sessionPatterns equals the batch ev_pattern oracle result") {
+    // Round-12: the last funnel/pattern-family pairing (funnelProgress ↔
+    // ev_funnel r10, sessionPaths ↔ ev_path r11). Feed the real sf0.001
+    // events in event-time order across micro-batches, flush pending
+    // sessions, and the emitted (user, sess, positions, steps, latency)
+    // rows must equal the DuckDB-oracle-checked batch ev_pattern result
+    // EXACTLY — including the batch's cumulative session numbering.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      import org.apache.spark.sql.functions.col
+      val dir = "/root/testdata/sf0.001"
+      val evs = graft.Tables.load(spark, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .orderBy("ts", "event_id")
+        .as[StatefulOps.PathEv].collect()
+      val flush = evs.map(_.user_id).distinct.map(u =>
+        StatefulOps.PathEv(u, new java.sql.Timestamp(0L), 0L, "__flush"))
+      val mem = MemoryStream[StatefulOps.PathEv]
+      val q = StatefulOps.sessionPatterns(mem.toDS())
+        .writeStream.outputMode("append")
+        .format("memory").queryName("spat_out").start()
+      try {
+        evs.grouped(math.max(1, evs.length / 5))
+          .foreach { b => mem.addData(b.toSeq); q.processAllAvailable() }
+        mem.addData(flush.toSeq); q.processAllAvailable()
+        val batch = SparkEntry.queries("ev_pattern")(spark, dir).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getLong(4), r.getLong(5))).toSeq
+        val streamed = spark.table("spat_out")
+          .as[StatefulOps.PatternMatch].collect()
+          .map(m => (m.user_id, m.sess, m.signup_pos, m.purchase_pos,
+            m.steps_between, m.latency_us))
+          .toSeq.sorted
+        assert(streamed.length == batch.length,
+          s"stream ${streamed.length} matches vs batch ${batch.length}")
+        assert(streamed == batch.sorted,
+          s"pattern rows diverge:\nstream ${streamed.take(5).mkString(", ")}\n" +
+            s"batch ${batch.take(5).mkString(", ")}")
+      } finally q.stop()
+    }
+  }
+
   test("Misra-Gries heavy hitters: exact when k covers the item domain, bounded otherwise") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
