@@ -601,6 +601,103 @@ object EventWindows {
         .orderBy("event_type")
     }),
 
+    // Theil–Sen robust trend slope per type over the daily totals — the
+    // magnitude companion to ev_mk_trend (MK answers "is there a trend";
+    // Theil–Sen answers "how steep", with a 29.3% breakdown point —
+    // Theil 1950 / Sen 1968). The estimator is the MEDIAN of all
+    // pairwise slopes (sc_b − sc_a)/(db − da) over the complete calendar
+    // spine. Exactness: the pair frame carries integer (dy, dx); the one
+    // double division is IEEE-correctly-rounded identically on both
+    // engines, and median SELECTION is deterministic — row_number over
+    // (slope, da, db) with the integer day pair breaking double ties —
+    // so round(6) touches only the emitted value. Scale: the pair
+    // explode is the day-span² METADATA frame per type (the ev_mk_trend
+    // argument: 10 years = 13M pairs per type, independent of event
+    // count); the selection window partitions per type over that same
+    // bounded frame.
+    "ev_theil_sen" -> ((s, dir) => {
+      val d = load(s, dir, "events")
+        .select(col("event_type"), to_date(col("ts")).as("d"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("c"))
+        .groupBy("event_type", "d").agg(sum("c").as("sc"))
+        .localCheckpoint()
+      val spine = d.groupBy("event_type")
+        .agg(min("d").as("mn"), max("d").as("mx"))
+        .select(col("event_type"), explode(sequence(col("mn"), col("mx"))).as("d"))
+      val f = spine.join(d, Seq("event_type", "d"), "left")
+        .na.fill(0L, Seq("sc")).localCheckpoint()
+      val a = f.select(col("event_type"), col("d").as("da"), col("sc").as("xa"))
+      val b = f.select(col("event_type"), col("d").as("db"), col("sc").as("xb"))
+      val pairs = a.join(b, Seq("event_type")).where(col("da") < col("db"))
+        .select(col("event_type"), col("da"), col("db"),
+          ((col("xb") - col("xa")).cast("double") /
+            datediff(col("db"), col("da")).cast("double")).as("slope"))
+      val np = pairs.groupBy(col("event_type").as("tt"))
+        .agg(count(lit(1)).as("n_pairs"))
+      val wSel = Window.partitionBy("event_type")
+        .orderBy(col("slope"), col("da"), col("db"))
+      pairs.withColumn("rn", row_number().over(wSel))
+        .join(broadcast(np), col("event_type") === col("tt"))
+        .where(col("rn") ===
+          floor((col("n_pairs") + 1) / 2).cast("long")) // exact lower median
+        .select(col("event_type"), col("n_pairs"),
+          round(col("slope"), 6).as("slope_cents_per_day"))
+        .orderBy("event_type")
+    }),
+
+    // Wald–Wolfowitz runs test per type on the daily totals — the
+    // randomness screen that catches regime stickiness a trend test
+    // misses (long runs above/below the median ⇒ autocorrelated or
+    // shifted process even when the MK slope is flat). Days EQUAL to the
+    // median are discarded (the standard convention); runs count R is
+    // 1 + Σ sign changes over the surviving day-ordered sequence. The
+    // reference median is the exact lower median of the daily totals
+    // (row_number over (sc, d) — integer sort, deterministic tiebreak).
+    // Exactness: n_above/n_below/R are integers; z = (R − μ)/σ with
+    // μ = 2·n1·n2/N + 1 and σ² = 2·n1·n2·(2·n1·n2 − N)/(N²(N−1)) is one
+    // identical double expression, round(6), NULL when either side is
+    // empty or σ² = 0. Scale: everything above the daily agg rides the
+    // types×days metadata frame.
+    "ev_runs_test" -> ((s, dir) => {
+      val d = load(s, dir, "events")
+        .select(col("event_type"), to_date(col("ts")).as("d"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("c"))
+        .groupBy("event_type", "d").agg(sum("c").as("sc"))
+        .localCheckpoint()
+      val spine = d.groupBy("event_type")
+        .agg(min("d").as("mn"), max("d").as("mx"))
+        .select(col("event_type"), explode(sequence(col("mn"), col("mx"))).as("d"))
+      val f = spine.join(d, Seq("event_type", "d"), "left")
+        .na.fill(0L, Seq("sc")).localCheckpoint()
+      val wMed = Window.partitionBy("event_type").orderBy("sc", "d")
+      val nDays = f.groupBy(col("event_type").as("tt"))
+        .agg(count(lit(1)).as("nd"))
+      val med = f.withColumn("rn", row_number().over(wMed))
+        .join(broadcast(nDays), col("event_type") === col("tt"))
+        .where(col("rn") === floor((col("nd") + 1) / 2).cast("long"))
+        .select(col("event_type"), col("sc").as("med"))
+      val wOrd = Window.partitionBy("event_type").orderBy("d")
+      val seq0 = f.join(broadcast(med), "event_type")
+        .where(col("sc") =!= col("med"))
+        .withColumn("above", (col("sc") > col("med")).cast("long"))
+        .withColumn("prev", lag("above", 1).over(wOrd))
+      val g = seq0.groupBy("event_type")
+        .agg(sum("above").as("n_above"),
+          sum(lit(1L) - col("above")).as("n_below"),
+          (sum(when(col("prev").isNull || col("prev") =!= col("above"), 1L)
+            .otherwise(0L))).as("runs"))
+      val n1 = col("n_above").cast("double")
+      val n2 = col("n_below").cast("double")
+      val nn = n1 + n2
+      val mu = lit(2.0) * n1 * n2 / nn + 1.0
+      val s2 = lit(2.0) * n1 * n2 * (lit(2.0) * n1 * n2 - nn) /
+        (nn * nn * (nn - 1))
+      g.select(col("event_type"), col("n_above"), col("n_below"), col("runs"),
+          round(when(col("n_above") > 0 && col("n_below") > 0 && s2 > 0,
+            (col("runs").cast("double") - mu) / sqrt(s2)), 6).as("z"))
+        .orderBy("event_type")
+    }),
+
     // Seasonal-naive forecast backtest (the baseline every real
     // forecasting deployment must beat, and the denominator of the MASE
     // metric): per event type, forecast each day's value total as the
@@ -1367,6 +1464,80 @@ object EventWindows {
         |SELECT event_type, n AS n_days, s_stat, var_num18,
         |  round(CASE WHEN var_num18 > 0
         |    THEN CAST(znum AS DOUBLE) / sqrt(CAST(var_num18 AS DOUBLE) / 18.0)
+        |    END, 6) AS z
+        |FROM g ORDER BY event_type""".stripMargin,
+
+    "ev_theil_sen" ->
+      """WITH d AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sc
+        |  FROM events GROUP BY 1, 2),
+        |rng AS (SELECT event_type, min(d) AS mn, max(d) AS mx FROM d GROUP BY 1),
+        |spine AS (
+        |  SELECT event_type, CAST(unnest(generate_series(mn, mx,
+        |    INTERVAL 1 DAY)) AS DATE) AS d
+        |  FROM rng),
+        |f AS (
+        |  SELECT s.event_type, s.d, coalesce(d.sc, 0) AS sc
+        |  FROM spine s LEFT JOIN d ON s.event_type = d.event_type AND s.d = d.d),
+        |p AS (
+        |  SELECT a.event_type, a.d AS da, b.d AS db,
+        |    CAST(b.sc - a.sc AS DOUBLE) / CAST(b.d - a.d AS DOUBLE) AS slope
+        |  FROM f a JOIN f b ON a.event_type = b.event_type AND a.d < b.d),
+        |np AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs
+        |       FROM p GROUP BY 1),
+        |r AS (SELECT event_type, slope, row_number() OVER (
+        |        PARTITION BY event_type ORDER BY slope, da, db) AS rn
+        |      FROM p)
+        |SELECT r.event_type, n_pairs,
+        |  round(slope, 6) AS slope_cents_per_day
+        |FROM r JOIN np USING (event_type)
+        |WHERE rn = (n_pairs + 1) // 2
+        |ORDER BY event_type""".stripMargin,
+
+    "ev_runs_test" ->
+      """WITH d AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sc
+        |  FROM events GROUP BY 1, 2),
+        |rng AS (SELECT event_type, min(d) AS mn, max(d) AS mx FROM d GROUP BY 1),
+        |spine AS (
+        |  SELECT event_type, CAST(unnest(generate_series(mn, mx,
+        |    INTERVAL 1 DAY)) AS DATE) AS d
+        |  FROM rng),
+        |f AS (
+        |  SELECT s.event_type, s.d, coalesce(d.sc, 0) AS sc
+        |  FROM spine s LEFT JOIN d ON s.event_type = d.event_type AND s.d = d.d),
+        |nd AS (SELECT event_type, count(*) AS n FROM f GROUP BY 1),
+        |med AS (
+        |  SELECT f.event_type, sc AS med FROM (
+        |    SELECT event_type, sc, row_number() OVER (
+        |      PARTITION BY event_type ORDER BY sc, d) AS rn
+        |    FROM f) f JOIN nd USING (event_type)
+        |  WHERE rn = (n + 1) // 2),
+        |sq AS (
+        |  SELECT f.event_type, d,
+        |    CASE WHEN sc > med THEN 1 ELSE 0 END AS above,
+        |    lag(CASE WHEN sc > med THEN 1 ELSE 0 END, 1) OVER (
+        |      PARTITION BY f.event_type ORDER BY d) AS prev
+        |  FROM f JOIN med ON f.event_type = med.event_type
+        |  WHERE sc <> med),
+        |g AS (
+        |  SELECT event_type, CAST(sum(above) AS BIGINT) AS n_above,
+        |    CAST(sum(1 - above) AS BIGINT) AS n_below,
+        |    CAST(sum(CASE WHEN prev IS NULL OR prev <> above THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS runs
+        |  FROM sq GROUP BY 1)
+        |SELECT event_type, n_above, n_below, runs,
+        |  round(CASE WHEN n_above > 0 AND n_below > 0 AND
+        |      2.0 * n_above * n_below * (2.0 * n_above * n_below
+        |        - (n_above + n_below)) > 0
+        |    THEN (CAST(runs AS DOUBLE)
+        |          - (2.0 * n_above * n_below / (n_above + n_below) + 1.0))
+        |      / sqrt(2.0 * n_above * n_below
+        |          * (2.0 * n_above * n_below - (n_above + n_below))
+        |          / (CAST(n_above + n_below AS DOUBLE)
+        |             * (n_above + n_below) * (n_above + n_below - 1)))
         |    END, 6) AS z
         |FROM g ORDER BY event_type""".stripMargin,
 
