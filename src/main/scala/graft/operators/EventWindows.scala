@@ -547,6 +547,38 @@ object EventWindows {
         .orderBy("event_type")
     }),
 
+    // Local-peak detection over the per-type daily totals — the
+    // monitoring primitive behind "which days spiked?": a day is a peak
+    // when its total STRICTLY exceeds both calendar neighbors (strict on
+    // both sides, so plateaus are not peaks and the verdict is
+    // deterministic), with prominence = cnt − max(prev, next). Shape:
+    // one (type, day) agg, the shared zero-filled calendar spine, one
+    // lag/lead pass over the spine (rows per partition bounded by the
+    // calendar — the ev_cusum_cp window provenance), one filter.
+    // All-integer output; endpoints (no neighbor) are excluded on both
+    // engines by the NOT NULL guard.
+    "ev_peak_detect" -> ((s, dir) => {
+      val d = load(s, dir, "events")
+        .select(col("event_type"), to_date(col("ts")).as("d"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("c"))
+        .groupBy("event_type", "d").agg(sum("c").as("sc"))
+        .localCheckpoint()
+      val spine = d.groupBy("event_type")
+        .agg(min("d").as("mn"), max("d").as("mx"))
+        .select(col("event_type"), explode(sequence(col("mn"), col("mx"))).as("d"))
+      val f = spine.join(d, Seq("event_type", "d"), "left")
+        .na.fill(0L, Seq("sc"))
+      val w = Window.partitionBy("event_type").orderBy("d")
+      f.withColumn("prev", lag("sc", 1).over(w))
+        .withColumn("nxt", lead("sc", 1).over(w))
+        .where(col("prev").isNotNull && col("nxt").isNotNull &&
+          col("sc") > col("prev") && col("sc") > col("nxt"))
+        .select(col("event_type"), col("d").as("day"), col("sc").as("cents"),
+          col("prev").as("prev_cents"), col("nxt").as("next_cents"),
+          (col("sc") - greatest(col("prev"), col("nxt"))).as("prominence"))
+        .orderBy("event_type", "day")
+    }),
+
     // Mann–Kendall trend test per type over the daily totals — the
     // nonparametric "is this metric trending" answer (no normality or
     // linearity assumption; the standard first question to a monitoring
@@ -636,8 +668,10 @@ object EventWindows {
         .agg(count(lit(1)).as("n_pairs"))
       val wSel = Window.partitionBy("event_type")
         .orderBy(col("slope"), col("da"), col("db"))
-      pairs.withColumn("rn", row_number().over(wSel))
-        .join(broadcast(np), col("event_type") === col("tt"))
+      // join below the window (see ev_runs_test): the selection window
+      // rides the pair metadata frame above the n_pairs aggregate.
+      pairs.join(broadcast(np), col("event_type") === col("tt"))
+        .withColumn("rn", row_number().over(wSel))
         .where(col("rn") ===
           floor((col("n_pairs") + 1) / 2).cast("long")) // exact lower median
         .select(col("event_type"), col("n_pairs"),
@@ -672,8 +706,12 @@ object EventWindows {
       val wMed = Window.partitionBy("event_type").orderBy("sc", "d")
       val nDays = f.groupBy(col("event_type").as("tt"))
         .agg(count(lit(1)).as("nd"))
-      val med = f.withColumn("rn", row_number().over(wMed))
-        .join(broadcast(nDays), col("event_type") === col("tt"))
+      // broadcast-join the per-type day count BELOW the median-rank window
+      // so the plan shows what is true — the window runs above aggregated
+      // (type, day) metadata, not row-level data (the checkpointed spine
+      // otherwise hides its aggregate from the ScaleDesignSpec sweep).
+      val med = f.join(broadcast(nDays), col("event_type") === col("tt"))
+        .withColumn("rn", row_number().over(wMed))
         .where(col("rn") === floor((col("nd") + 1) / 2).cast("long"))
         .select(col("event_type"), col("sc").as("med"))
       val wOrd = Window.partitionBy("event_type").orderBy("d")
@@ -696,6 +734,60 @@ object EventWindows {
           round(when(col("n_above") > 0 && col("n_below") > 0 && s2 > 0,
             (col("runs").cast("double") - mu) / sqrt(s2)), 6).as("z"))
         .orderBy("event_type")
+    }),
+
+    // Kendall τ-b cross-association between every PAIR of event types'
+    // daily total series — "do clicks and purchases co-move day to
+    // day?", the rank-based twin of a Pearson cross-correlation that
+    // survives outliers and level shifts. Both series ride ONE shared
+    // zero-filled calendar (a global [min, max] spine, so every pair
+    // compares the same day set); S = Σ_{i<j} sign(Δx)·sign(Δy) and the
+    // tie-corrected denominator pieces n0 = C(n,2), n1/n2 = Σ C(t,2)
+    // from the per-series value histograms are ALL integers (the
+    // ev_mk_trend discipline — n0·(n0−n1) products stay int64 to day
+    // spans of ~4M days), and only the final τ-b is a double, round(6),
+    // NULL when a series is constant. Scale: everything above the daily
+    // agg rides the types²×days² metadata frame — day-pair joins are
+    // (type-pair)-keyed over calendar-bounded frames, never fact rows.
+    "ev_kendall_xcorr" -> ((s, dir) => {
+      val d = load(s, dir, "events")
+        .select(col("event_type"), to_date(col("ts")).as("d"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("c"))
+        .groupBy("event_type", "d").agg(sum("c").as("sc"))
+        .localCheckpoint()
+      val rng = d.groupBy().agg(min("d").as("mn"), max("d").as("mx"))
+      val spine = d.select("event_type").distinct()
+        .crossJoin(broadcast(rng))
+        .select(col("event_type"), explode(sequence(col("mn"), col("mx"))).as("d"))
+      val f = spine.join(d, Seq("event_type", "d"), "left")
+        .na.fill(0L, Seq("sc")).localCheckpoint()
+      val pt = f.select(col("event_type").as("t1"), col("d"), col("sc").as("x"))
+        .join(f.select(col("event_type").as("t2"), col("d"), col("sc").as("y")), "d")
+        .where(col("t1") < col("t2"))
+        .localCheckpoint()
+      val a = pt.select(col("t1"), col("t2"), col("d").as("da"),
+        col("x").as("xa"), col("y").as("ya"))
+      val b = pt.select(col("t1"), col("t2"), col("d").as("db"),
+        col("x").as("xb"), col("y").as("yb"))
+      val sS = a.join(b, Seq("t1", "t2")).where(col("da") < col("db"))
+        .groupBy("t1", "t2")
+        .agg(sum((signum(col("xb") - col("xa")) *
+          signum(col("yb") - col("ya"))).cast("long")).as("s_stat"),
+          count(lit(1)).as("n0"))
+      val nd = pt.groupBy("t1", "t2").agg(count(lit(1)).as("n_days"))
+      val tx = f.groupBy(col("event_type").as("t"), col("sc"))
+        .agg(count(lit(1)).as("m"))
+        .groupBy("t").agg(sum(col("m") * (col("m") - 1)).as("nt2"))
+      val den = (col("n0") - expr("ntx2 div 2")) *
+        (col("n0") - expr("nty2 div 2"))
+      sS.join(nd, Seq("t1", "t2"))
+        .join(broadcast(tx.select(col("t").as("t1"), col("nt2").as("ntx2"))), "t1")
+        .join(broadcast(tx.select(col("t").as("t2"), col("nt2").as("nty2"))), "t2")
+        .select(col("t1"), col("t2"), col("n_days"), col("s_stat"),
+          round(when(den > 0,
+            col("s_stat").cast("double") / sqrt(den.cast("double"))), 6)
+            .as("tau_b"))
+        .orderBy("t1", "t2")
     }),
 
     // Seasonal-naive forecast backtest (the baseline every real
@@ -1607,6 +1699,71 @@ object EventWindows {
         |  round(CAST(struct_extract(t, 'c') AS DOUBLE) / n_days / 100.0, 6)
         |    AS cusum_mean_excess
         |FROM am ORDER BY event_type""".stripMargin,
+
+    "ev_kendall_xcorr" ->
+      """WITH d AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sc
+        |  FROM events GROUP BY 1, 2),
+        |rng AS (SELECT min(d) AS mn, max(d) AS mx FROM d),
+        |spine AS (
+        |  SELECT event_type, CAST(unnest(generate_series(mn, mx,
+        |    INTERVAL 1 DAY)) AS DATE) AS d
+        |  FROM (SELECT DISTINCT event_type FROM d) CROSS JOIN rng),
+        |f AS MATERIALIZED (
+        |  SELECT s.event_type, s.d, coalesce(d.sc, 0) AS sc
+        |  FROM spine s LEFT JOIN d ON s.event_type = d.event_type AND s.d = d.d),
+        |pt AS MATERIALIZED (
+        |  SELECT a.event_type AS t1, b.event_type AS t2, a.d,
+        |    a.sc AS x, b.sc AS y
+        |  FROM f a JOIN f b ON a.d = b.d AND a.event_type < b.event_type),
+        |s AS (
+        |  SELECT p.t1, p.t2,
+        |    CAST(sum(CAST(sign(q.x - p.x) * sign(q.y - p.y) AS BIGINT))
+        |      AS BIGINT) AS s_stat,
+        |    count(*) AS n0
+        |  FROM pt p JOIN pt q
+        |    ON p.t1 = q.t1 AND p.t2 = q.t2 AND p.d < q.d
+        |  GROUP BY 1, 2),
+        |nd AS (SELECT t1, t2, count(*) AS n_days FROM pt GROUP BY 1, 2),
+        |tx AS (
+        |  SELECT event_type AS t, CAST(sum(m * (m - 1)) AS BIGINT) AS nt2
+        |  FROM (SELECT event_type, sc, count(*) AS m FROM f GROUP BY 1, 2)
+        |  GROUP BY 1)
+        |SELECT s.t1, s.t2, CAST(n_days AS BIGINT) AS n_days, s_stat,
+        |  round(CASE
+        |    WHEN (n0 - ntx.nt2 // 2) * (n0 - nty.nt2 // 2) > 0
+        |    THEN CAST(s_stat AS DOUBLE)
+        |      / sqrt(CAST((n0 - ntx.nt2 // 2) * (n0 - nty.nt2 // 2) AS DOUBLE))
+        |    END, 6) AS tau_b
+        |FROM s JOIN nd USING (t1, t2)
+        |JOIN tx ntx ON s.t1 = ntx.t
+        |JOIN tx nty ON s.t2 = nty.t
+        |ORDER BY t1, t2""".stripMargin,
+
+    "ev_peak_detect" ->
+      """WITH d AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sc
+        |  FROM events GROUP BY 1, 2),
+        |rng AS (SELECT event_type, min(d) AS mn, max(d) AS mx FROM d GROUP BY 1),
+        |spine AS (
+        |  SELECT event_type, CAST(unnest(generate_series(mn, mx,
+        |    INTERVAL 1 DAY)) AS DATE) AS d
+        |  FROM rng),
+        |f AS (
+        |  SELECT s.event_type, s.d, coalesce(d.sc, 0) AS sc
+        |  FROM spine s LEFT JOIN d ON s.event_type = d.event_type AND s.d = d.d),
+        |l AS (
+        |  SELECT event_type, d, sc,
+        |    lag(sc) OVER w AS prev, lead(sc) OVER w AS nxt
+        |  FROM f WINDOW w AS (PARTITION BY event_type ORDER BY d))
+        |SELECT event_type, d AS day, sc AS cents, prev AS prev_cents,
+        |  nxt AS next_cents,
+        |  CAST(sc - greatest(prev, nxt) AS BIGINT) AS prominence
+        |FROM l
+        |WHERE prev IS NOT NULL AND nxt IS NOT NULL AND sc > prev AND sc > nxt
+        |ORDER BY event_type, day""".stripMargin,
 
     "ev_forecast_sn" ->
       """WITH d AS (

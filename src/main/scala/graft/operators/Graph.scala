@@ -40,6 +40,26 @@ object Graph {
     * the operator contract — see the query doc). */
   private val LabelPropRounds = 12
 
+  /** Shared by gr_labelprop / gr_modularity: the fixed-round synchronous
+    * min-label propagation. Returns (final labels, symmetrized edges). */
+  private def labelLoop(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val e = edges(s, dir)
+    val sym = e.select(col("pa").as("src"), col("pb").as("dst"))
+      .unionAll(e.select(col("pb").as("src"), col("pa").as("dst")))
+      .localCheckpoint()
+    var lab = sym.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl")).localCheckpoint()
+    for (_ <- 1 to LabelPropRounds) {
+      val nbr = sym.join(lab, sym("src") === lab("node"))
+        .groupBy(col("dst").as("node")).agg(min("lbl").as("nl"))
+      lab = lab.join(nbr, Seq("node"), "left")
+        .select(col("node"),
+          least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+    }
+    (lab, sym)
+  }
+
   /** Undirected co-purchase edges (pa < pb), support >= MinSupport. */
   private def edges(s: SparkSession, dir: String): DataFrame = {
     val items = load(s, dir, "lineitem")
@@ -172,6 +192,46 @@ object Graph {
         .orderBy(col("n_tri").desc, col("node"))
     }),
 
+    // Local clustering coefficient (Watts & Strogatz 1998) — per node,
+    // the fraction of its neighbor pairs that are themselves connected:
+    // cc = 2·T(v) / (d(v)·(d(v)−1)). Reuses the degree-oriented triangle
+    // pipeline above verbatim (each triangle found exactly once, wedge
+    // fan-out bounded by Σ outdeg² = O(m^1.5) under any skew), then one
+    // node-keyed left join back to the degree table; degree-<2 nodes
+    // have no defined coefficient and are excluded. Numerator and
+    // denominator are pure integers (d ≤ n keeps d·(d−1) int64-safe to
+    // ~3e9-node graphs); the single double division is the identical
+    // expression on both engines, round(6).
+    "gr_clustering" -> ((s, dir) => {
+      val e = edges(s, dir).cache()
+      val deg = e.select(col("pa").as("node")).unionAll(e.select(col("pb").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("d"))
+      val keyed = deg.select(col("node"), struct(col("d"), col("node")).as("k"))
+      val withK = e
+        .join(keyed.select(col("node").as("na"), col("k").as("ka")), col("pa") === col("na"))
+        .join(keyed.select(col("node").as("nb"), col("k").as("kb")), col("pb") === col("nb"))
+      val o = withK.select(
+        when(col("ka") < col("kb"), col("pa")).otherwise(col("pb")).as("lo"),
+        when(col("ka") < col("kb"), col("pb")).otherwise(col("pa")).as("hi"),
+        when(col("ka") < col("kb"), col("kb")).otherwise(col("ka")).as("khi"))
+      val wedges = o.as("e1")
+        .join(o.as("e2"), col("e1.lo") === col("e2.lo") && col("e1.khi") < col("e2.khi"))
+        .select(col("e1.lo").as("u"), col("e1.hi").as("v"), col("e2.hi").as("w"))
+      val tris = wedges
+        .join(o.as("e3"), col("v") === col("e3.lo") && col("w") === col("e3.hi"))
+        .select(col("u"), col("v"), col("w"))
+      val tcnt = tris
+        .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("n_tri"))
+      deg.where(col("d") >= 2)
+        .join(tcnt, Seq("node"), "left")
+        .na.fill(0L, Seq("n_tri"))
+        .select(col("node"), col("d").as("deg"), col("n_tri"),
+          round((col("n_tri") * 2).cast("double") /
+            (col("d") * (col("d") - 1)).cast("double"), 6).as("cc"))
+        .orderBy("node")
+    }),
+
     // Fixed-point PageRank (5 iterations, d = 0.85) over the undirected
     // co-purchase graph. Reproducibility trick: ranks live in integer
     // 1e-12 units and every operation is integral (`div`), so contribution
@@ -288,22 +348,37 @@ object Graph {
     // computation — the gr_hits discipline). Each round is one keyed
     // neighbor-min agg + one left join, behind a localCheckpoint so the
     // lineage never compounds; every shuffle keys on a node id.
-    "gr_labelprop" -> ((s, dir) => {
-      val e = edges(s, dir)
-      val sym = e.select(col("pa").as("src"), col("pb").as("dst"))
-        .unionAll(e.select(col("pb").as("src"), col("pa").as("dst")))
-        .localCheckpoint()
-      var lab = sym.select(col("src").as("node")).distinct()
-        .select(col("node"), col("node").as("lbl")).localCheckpoint()
-      for (_ <- 1 to LabelPropRounds) {
-        val nbr = sym.join(lab, sym("src") === lab("node"))
-          .groupBy(col("dst").as("node")).agg(min("lbl").as("nl"))
-        lab = lab.join(nbr, Seq("node"), "left")
-          .select(col("node"),
-            least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"))
-          .localCheckpoint()
-      }
-      lab.orderBy("node")
+    "gr_labelprop" -> ((s, dir) => labelLoop(s, dir)._1.orderBy("node")),
+
+    // Newman modularity of the gr_labelprop partition (Newman & Girvan
+    // 2004): per community, Q_c = e_c/m − (Σdeg_c / 2m)² — the one-number
+    // audit of whether the fixed-round communities are better than
+    // chance. Everything before the final ratio is integral (edge and
+    // degree counts; Σdeg_c ≤ 2m keeps int64 to ~4.6e18 edge-endpoints),
+    // and the two double ratios are written as the same explicit
+    // multiply on both engines (no pow), round(6). Shape: the labelLoop
+    // node-keyed rounds + two label-keyed aggregates + one broadcast
+    // 1-row m — no shuffle beyond the label key.
+    "gr_modularity" -> ((s, dir) => {
+      val (lab, sym) = labelLoop(s, dir)
+      val e = sym.where(col("src") < col("dst"))
+      val m = e.groupBy().agg(count(lit(1)).as("m"))
+      val internal = e
+        .join(lab.select(col("node").as("src"), col("lbl").as("la")), "src")
+        .join(lab.select(col("node").as("dst"), col("lbl").as("lb")), "dst")
+        .where(col("la") === col("lb"))
+        .groupBy(col("la").as("lbl")).agg(count(lit(1)).as("n_internal"))
+      val degSum = sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
+        .join(lab, "node")
+        .groupBy("lbl").agg(count(lit(1)).as("n_nodes"), sum("d").as("deg_sum"))
+      val half = col("deg_sum").cast("double") / (col("m").cast("double") * 2)
+      degSum.join(internal, Seq("lbl"), "left")
+        .na.fill(0L, Seq("n_internal"))
+        .crossJoin(broadcast(m))
+        .select(col("lbl"), col("n_nodes"), col("n_internal"), col("deg_sum"),
+          round(col("n_internal").cast("double") / col("m") - half * half, 6)
+            .as("q_contrib"))
+        .orderBy("lbl")
     }),
 
     "gr_pagerank" -> ((s, dir) => {
@@ -379,6 +454,25 @@ object Graph {
        |  FROM items a JOIN items b
        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
        |  GROUP BY 1, 2 HAVING count(*) >= $MinSupport)""".stripMargin
+
+  /** Shared labelprop CTE chain (sym + l0 + the unrolled rounds) for the
+    * gr_labelprop / gr_modularity oracles. */
+  private lazy val labelSql: String = {
+    val rounds = (1 to LabelPropRounds).map { i =>
+      val prev = if (i == 1) "l0" else s"l${i - 1}"
+      s"""n$i AS MATERIALIZED (
+         |  SELECT sym.dst AS node, min($prev.lbl) AS nl
+         |  FROM sym JOIN $prev ON sym.src = $prev.node GROUP BY 1),
+         |l$i AS MATERIALIZED (
+         |  SELECT l.node, least(l.lbl, coalesce(n.nl, l.lbl)) AS lbl
+         |  FROM $prev l LEFT JOIN n$i n USING (node))""".stripMargin
+    }.mkString(",\n")
+    s"""sym AS (SELECT pa AS src, pb AS dst FROM e
+       |        UNION ALL SELECT pb, pa FROM e),
+       |l0 AS (SELECT node, node AS lbl
+       |       FROM (SELECT DISTINCT src AS node FROM sym)),
+       |$rounds""".stripMargin
+  }
 
   /** Unrolled fixed-point PageRank iterations for the oracle. */
   private def prIterSql(prev: String, cur: String): String =
@@ -514,6 +608,41 @@ object Graph {
          |ORDER BY node""".stripMargin
     },
 
+    "gr_clustering" ->
+      s"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |e AS (
+         |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+         |  FROM items a JOIN items b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |  GROUP BY 1, 2 HAVING count(*) >= $MinSupport),
+         |deg AS (
+         |  SELECT node, count(*) AS d FROM (
+         |    SELECT pa AS node FROM e UNION ALL SELECT pb AS node FROM e)
+         |  GROUP BY node),
+         |o AS (
+         |  SELECT CASE WHEN ka.k < kb.k THEN pa ELSE pb END AS lo,
+         |         CASE WHEN ka.k < kb.k THEN pb ELSE pa END AS hi,
+         |         CASE WHEN ka.k < kb.k THEN kb.k ELSE ka.k END AS khi
+         |  FROM e
+         |  JOIN (SELECT node, row(d, node) AS k FROM deg) ka ON pa = ka.node
+         |  JOIN (SELECT node, row(d, node) AS k FROM deg) kb ON pb = kb.node),
+         |tris AS (
+         |  SELECT e1.lo AS u, e1.hi AS v, e2.hi AS w
+         |  FROM o e1 JOIN o e2 ON e1.lo = e2.lo AND e1.khi < e2.khi
+         |  JOIN o e3 ON e3.lo = e1.hi AND e3.hi = e2.hi),
+         |tc AS (
+         |  SELECT node, count(*) AS n_tri FROM (
+         |    SELECT u AS node FROM tris
+         |    UNION ALL SELECT v AS node FROM tris
+         |    UNION ALL SELECT w AS node FROM tris)
+         |  GROUP BY node)
+         |SELECT d.node, CAST(d.d AS BIGINT) AS deg,
+         |  CAST(coalesce(tc.n_tri, 0) AS BIGINT) AS n_tri,
+         |  round(CAST(coalesce(tc.n_tri, 0) * 2 AS DOUBLE)
+         |    / CAST(d.d * (d.d - 1) AS DOUBLE), 6) AS cc
+         |FROM deg d LEFT JOIN tc USING (node)
+         |WHERE d.d >= 2 ORDER BY node""".stripMargin,
+
     "gr_assortativity" ->
       s"""WITH $EdgeSql,
          |sym AS (SELECT pa AS x, pb AS y FROM e
@@ -537,25 +666,33 @@ object Graph {
     // Generated: LabelPropRounds unrolled (neighbor-min, least-merge) CTE
     // pairs, MATERIALIZED (the gr_hits planner lesson) — the identical
     // fixed-round computation the Spark unroll runs.
-    "gr_labelprop" -> {
-      val rounds = (1 to LabelPropRounds).map { i =>
-        val prev = if (i == 1) "l0" else s"l${i - 1}"
-        s"""n$i AS MATERIALIZED (
-           |  SELECT sym.dst AS node, min($prev.lbl) AS nl
-           |  FROM sym JOIN $prev ON sym.src = $prev.node GROUP BY 1),
-           |l$i AS MATERIALIZED (
-           |  SELECT l.node, least(l.lbl, coalesce(n.nl, l.lbl)) AS lbl
-           |  FROM $prev l LEFT JOIN n$i n USING (node))""".stripMargin
-      }.mkString(",\n")
+    "gr_labelprop" ->
       s"""WITH $EdgeSql,
-         |sym AS (SELECT pa AS src, pb AS dst FROM e
-         |        UNION ALL SELECT pb, pa FROM e),
-         |l0 AS (SELECT node, node AS lbl
-         |       FROM (SELECT DISTINCT src AS node FROM sym)),
-         |$rounds
+         |$labelSql
          |SELECT node, CAST(lbl AS BIGINT) AS lbl FROM l$LabelPropRounds
-         |ORDER BY node""".stripMargin
-    },
+         |ORDER BY node""".stripMargin,
+
+    "gr_modularity" ->
+      s"""WITH $EdgeSql,
+         |$labelSql,
+         |lab AS (SELECT node, lbl FROM l$LabelPropRounds),
+         |m AS (SELECT count(*) AS m FROM e),
+         |deg AS (SELECT src AS node, count(*) AS d FROM sym GROUP BY 1),
+         |ds AS (
+         |  SELECT lbl, count(*) AS n_nodes, CAST(sum(d) AS BIGINT) AS deg_sum
+         |  FROM deg JOIN lab USING (node) GROUP BY 1),
+         |intl AS (
+         |  SELECT la.lbl AS lbl, count(*) AS n_internal
+         |  FROM e JOIN lab la ON e.pa = la.node JOIN lab lb ON e.pb = lb.node
+         |  WHERE la.lbl = lb.lbl GROUP BY 1)
+         |SELECT ds.lbl, CAST(n_nodes AS BIGINT) AS n_nodes,
+         |  CAST(coalesce(n_internal, 0) AS BIGINT) AS n_internal, deg_sum,
+         |  round(CAST(coalesce(n_internal, 0) AS DOUBLE) / m
+         |    - (CAST(deg_sum AS DOUBLE) / (CAST(m AS DOUBLE) * 2))
+         |      * (CAST(deg_sum AS DOUBLE) / (CAST(m AS DOUBLE) * 2)), 6)
+         |    AS q_contrib
+         |FROM ds LEFT JOIN intl USING (lbl) CROSS JOIN m
+         |ORDER BY lbl""".stripMargin,
 
     "gr_pagerank" -> {
       val iters = (1 to PrIters)

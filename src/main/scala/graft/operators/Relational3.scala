@@ -55,6 +55,20 @@ object Relational3 {
   private val LineSize = 12 // tokens per dd_line_filter pseudo-line
   private val LineDfMax = 3 // dd_line_filter: drop chunks in >= this many docs
   private val ZBits = 10 // zorder_key interleave width per dimension
+  /** prof_inclusion candidate (child table, child col, parent table,
+    * parent col) pairs — the five real TPC-H FKs + three reverse probes.
+    * Shared by the Spark side and the generated oracle so the dep labels
+    * can never drift. */
+  private val IncPairs = Seq(
+    ("customer", "c_custkey", "orders", "o_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("orders", "o_orderkey", "lineitem", "l_orderkey"),
+    ("part", "p_partkey", "lineitem", "l_partkey"))
+
   private val ErWindow = 5 // er_fuzzy_match sorted-neighborhood width
   private val ErMaxDist = 2 // er_fuzzy_match Levenshtein accept threshold
   private val SkyBucketW = 1000L // q_skyline price-bucket width, cents
@@ -276,6 +290,34 @@ object Relational3 {
         "user_id" -> "event_type", "event_type" -> "user_id")
         .map { case (a, b) => probe(a, b) }.reduce(_ unionAll _)
         .orderBy("fd")
+    }),
+
+    // Inclusion-dependency discovery (the FK-candidate profiling probe,
+    // De Marchi et al. 2002 "Efficient Algorithms for Mining Inclusion
+    // Dependencies"): for each candidate child-column ⊆ parent-column
+    // pair, the child's distinct-value count, how many of those values
+    // are absent from the parent, and the holds verdict — the probe that
+    // recovers a lake's undeclared foreign keys. Shape per pair: one
+    // DISTINCT per side (keyed hash agg — the fact table reduces to its
+    // key cardinality before anything joins), one left-anti join on the
+    // value, two one-row aggregates. Never a count-distinct Expand,
+    // never a row-level join between fact tables. All-integer output;
+    // the pair list covers the five real TPC-H FKs plus three reverse
+    // probes so both verdicts are exercised.
+    "prof_inclusion" -> ((s, dir) => {
+      def probe(ct: String, cc: String, pt: String, pc: String): DataFrame = {
+        val c = load(s, dir, ct).select(col(cc).as("k")).distinct()
+        val p = load(s, dir, pt).select(col(pc).as("k")).distinct()
+        val miss = c.join(p, Seq("k"), "left_anti")
+          .groupBy().agg(count(lit(1)).as("n_missing"))
+        c.groupBy().agg(count(lit(1)).as("n_distinct"))
+          .crossJoin(broadcast(miss))
+          .select(lit(s"$ct.$cc<=$pt.$pc").as("dep"), col("n_distinct"),
+            col("n_missing"), (col("n_missing") === 0).cast("long").as("included"))
+      }
+      IncPairs.map { case (ct, cc, pt, pc) => probe(ct, cc, pt, pc) }
+        .reduce(_ unionAll _)
+        .orderBy("dep")
     }),
 
     // Neyman-allocation stratified sampling — the survey-design optimum
@@ -1379,6 +1421,22 @@ object Relational3 {
          |SELECT fd, n_groups, n_violating, max_distinct,
          |  CAST(n_violating = 0 AS BIGINT) AS holds
          |FROM ($union) ORDER BY fd""".stripMargin
+    },
+
+    "prof_inclusion" -> {
+      val probes = IncPairs.map { case (ct, cc, pt, pc) =>
+        s"""SELECT '$ct.$cc<=$pt.$pc' AS dep,
+           |  CAST(count(*) AS BIGINT) AS n_distinct,
+           |  CAST(sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_missing,
+           |  CAST(sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) = 0 AS BIGINT)
+           |    AS included
+           |FROM (SELECT DISTINCT $cc AS k FROM $ct) c
+           |LEFT JOIN (SELECT DISTINCT $pc AS k FROM $pt) p USING (k)""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""SELECT * FROM (
+         |$probes
+         |) ORDER BY dep""".stripMargin
     },
 
     "samp_neyman" ->

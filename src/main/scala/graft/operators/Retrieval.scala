@@ -67,6 +67,19 @@ object Retrieval {
   /** ir_ndcg: evaluation cutoff. */
   private val NdcgK = 10
 
+  /** ir_mrr: per-query retrieval depth for the reciprocal-rank sweep. */
+  private val MrrK = 20
+
+  /** ir_rbo: evaluation depth and persistence (Webber et al. 2010's p —
+    * 0.9 ≈ "the reader's attention halves every ~7 ranks"). The geometric
+    * weights (1−p)·p^(d−1) are PRECOMPUTED in Scala and injected into both
+    * engines as round-trip double literals (the ann_mmr literal-parity
+    * trick), so no cross-libm pow() sits in the compared expressions. */
+  private val RboK = 20
+  private val RboP = 0.9
+  private val RboWeights: Seq[(Long, Double)] =
+    (1 to RboK).map(d => (d.toLong, (1 - RboP) * math.pow(RboP, d - 1)))
+
   /** The ir_bm25 plan (shared with ir_rrf's lexical leg): top-[[TopN]] docs
     * for [[QueryTerms]] by rounded BM25 score, ordered (score desc, doc_id).
     * Two scans of documents, one broadcast stats row, TakeOrdered cut. */
@@ -441,6 +454,100 @@ object Retrieval {
         .orderBy("rank")
     }),
 
+    // Mean reciprocal rank over a multi-query eval sweep — each of the
+    // |QueryTerms| terms runs as its own single-term lexical query (rank
+    // by term frequency, doc_id tiebreak) and relevance is the PHRASE
+    // judgment (doc contains the adjacent [[PhraseQuery]] — the "true
+    // intent" behind the partial queries), so the first-relevant rank
+    // genuinely varies by query (12/9/1 at sf0.01). The per-query
+    // top-[[MrrK]] comes from the k-bounded TopKPairs heap (map-side
+    // partial agg: at most k pairs per term per partition cross the
+    // shuffle — never a per-term window over a full posting list, the
+    // o4_topk_heap scale path); tf is integral so the heap's double
+    // score is exact and the (tf desc, doc_id asc) order matches the
+    // oracle's row_number. MRR is the sorted-sequential fold of the |Q|
+    // reciprocal ranks (the oracle's list_sum ORDER BY twin), one
+    // broadcast row; a query with no relevant doc in the top k
+    // contributes rr = 0 on both engines.
+    "ir_mrr" -> ((s, dir) => {
+      graft.plans.TopKAgg.register(s)
+      val docs = load(s, dir, "documents")
+      val tf = docs
+        .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+        .where(col("term").isin(QueryTerms: _*))
+        .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+      val topk = tf.groupBy("term")
+        .agg(graft.plans.TopKAgg
+          .topkPairs(col("tf").cast("double"), col("doc_id"), MrrK).as("top"))
+        .select(col("term").as("qterm"), posexplode(col("top")).as(Seq("pos", "pair")))
+        .select(col("qterm"), (col("pos") + 1).cast("long").as("rank"),
+          col("pair.id").as("doc_id"))
+      val rel = docs.select(col("doc_id"),
+        (instr(lower(col("text")), PhraseQuery) > 0).cast("long").as("rel3"))
+      val perq = topk.join(rel, "doc_id")
+        .groupBy("qterm")
+        .agg(min(when(col("rel3") === 1, col("rank"))).as("first_rel_rank"))
+        .withColumn("rr",
+          round(coalesce(lit(1.0) / col("first_rel_rank"), lit(0.0)), 6))
+      val m = perq
+        .agg(sort_array(collect_list(struct(col("qterm"), col("rr")))).as("a"))
+        .select((aggregate(col("a"), lit(0.0), (acc, x) => acc + x.getField("rr")) /
+          lit(QueryTerms.size.toDouble)).as("mrr"))
+      perq.crossJoin(broadcast(m))
+        .select(col("qterm"), col("first_rel_rank"), col("rr"),
+          round(col("mrr"), 6).as("mrr"))
+        .orderBy("qterm")
+    }),
+
+    // Rank-biased overlap (Webber, Moffat & Zobel 2010) between the
+    // lexical (BM25) and dense (cosine) top-[[RboK]] lists — the
+    // list-similarity eval that tells you whether two retrieval systems
+    // agree where it matters (the top), weighting depth d by p^(d−1).
+    // A doc enters the overlap at depth max(rank_lex, rank_dense), so
+    // X_d is one count over the joined k-row lists per depth and the
+    // whole computation above the two retrieval cuts rides k-row
+    // metadata frames. Output: per-depth overlap, agreement X_d/d, and
+    // the running RBO@d (row d = k is the score). The geometric weights
+    // arrive as shared Scala-computed literals (see [[RboWeights]]);
+    // every other number is an integer or an integer ratio, round(6).
+    "ir_rbo" -> ((s, dir) => {
+      graft.plans.ArrayExprs.register(s)
+      import graft.plans.ArrayExprs.dotProduct
+      val wA = Window.orderBy(col("score").desc, col("doc_id"))
+      val lex = bm25Top(s, dir).limit(RboK)
+        .withColumn("ra", row_number().over(wA).cast("long"))
+        .select(col("doc_id"), col("ra"))
+      val e = load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").as("v"))
+        .withColumn("nrm", sqrt(dotProduct(col("v"), col("v"))))
+      val q = e.where(col("vec_id") === 0)
+        .select(col("v").as("qv"), col("nrm").as("qnrm"))
+      val dense = e.crossJoin(broadcast(q))
+        .where(col("vec_id") =!= 0)
+        .select(col("vec_id").as("doc_id"),
+          round(dotProduct(col("qv"), col("v")) / (col("qnrm") * col("nrm")), 6)
+            .as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(RboK)
+        .withColumn("rb", row_number().over(wA).cast("long"))
+        .select(col("doc_id"), col("rb"))
+      val entered = lex.join(dense, "doc_id")
+        .select(greatest(col("ra"), col("rb")).as("md"))
+      val depth = s.createDataFrame(RboWeights).toDF("dpt", "wt")
+      val xd = depth.join(broadcast(entered), col("md") <= col("dpt"), "left")
+        .groupBy("dpt", "wt").agg(count(col("md")).as("x_d"))
+      val wCum = Window.orderBy("dpt")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      xd.withColumn("agreement",
+          col("x_d").cast("double") / col("dpt").cast("double"))
+        .withColumn("rbo_at_d",
+          sum(col("wt") * col("x_d").cast("double") /
+            col("dpt").cast("double")).over(wCum))
+        .select(col("dpt"), col("x_d"), round(col("agreement"), 6).as("agreement"),
+          round(col("rbo_at_d"), 6).as("rbo_at_d"))
+        .orderBy("dpt")
+    }),
+
     "ir_rrf" -> ((s, dir) => {
       graft.plans.ArrayExprs.register(s)
       import graft.plans.ArrayExprs.dotProduct
@@ -599,6 +706,39 @@ object Retrieval {
          |FROM c ORDER BY rank""".stripMargin
     },
 
+    "ir_mrr" -> {
+      val terms = QueryTerms.map(t => s"'$t'").mkString(", ")
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+         |  FROM documents),
+         |tf AS (
+         |  SELECT term, doc_id, count(*) AS tf FROM tok
+         |  WHERE term IN ($terms) GROUP BY 1, 2),
+         |rk AS (
+         |  SELECT term AS qterm, doc_id,
+         |    CAST(row_number() OVER (PARTITION BY term
+         |      ORDER BY tf DESC, doc_id) AS BIGINT) AS rank
+         |  FROM tf),
+         |topk AS (SELECT * FROM rk WHERE rank <= $MrrK),
+         |rel AS (
+         |  SELECT doc_id,
+         |    CAST(contains(lower(text), '$PhraseQuery') AS BIGINT) AS rel3
+         |  FROM documents),
+         |perq AS (
+         |  SELECT qterm,
+         |    CAST(min(CASE WHEN rel3 = 1 THEN rank END) AS BIGINT) AS first_rel_rank
+         |  FROM topk JOIN rel USING (doc_id) GROUP BY 1),
+         |pr AS (
+         |  SELECT qterm, first_rel_rank,
+         |    round(coalesce(CAST(1 AS DOUBLE) / first_rel_rank,
+         |      CAST(0 AS DOUBLE)), 6) AS rr
+         |  FROM perq),
+         |m AS (SELECT list_sum(list(rr ORDER BY qterm))
+         |        / CAST(${QueryTerms.size} AS DOUBLE) AS mrr FROM pr)
+         |SELECT qterm, first_rel_rank, rr, round(mrr, 6) AS mrr
+         |FROM pr CROSS JOIN m ORDER BY qterm""".stripMargin
+    },
+
     // The full RM3 chain as CTEs: feedback top-10 (nested BM25 subquery),
     // relevance-model folds ordered by doc/term, expansion cut, weighted
     // re-score — every double expression the mirror of the Spark side,
@@ -691,6 +831,35 @@ object Retrieval {
          |FROM d CROSS JOIN c
          |WHERE $anyHit
          |ORDER BY score DESC, doc_id LIMIT $TopN""".stripMargin
+    },
+
+    "ir_rbo" -> {
+      val vals = RboWeights.map { case (d, w) =>
+        s"($d, CAST('$w' AS DOUBLE))"
+      }.mkString(", ")
+      s"""WITH lexall AS (SELECT doc_id, score FROM ($bm25OracleSql)
+         |  ORDER BY score DESC, doc_id LIMIT $RboK),
+         |lex AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC,
+         |    doc_id) AS BIGINT) AS ra FROM lexall),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |dense AS (
+         |  SELECT e.vec_id AS doc_id,
+         |    round(list_cosine_similarity(qv, v), 6) AS score
+         |  FROM e, q WHERE e.vec_id <> 0
+         |  ORDER BY score DESC, doc_id LIMIT $RboK),
+         |db AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC,
+         |    doc_id) AS BIGINT) AS rb FROM dense),
+         |j AS (SELECT greatest(ra, rb) AS md FROM lex JOIN db USING (doc_id)),
+         |w(dpt, wt) AS (VALUES $vals),
+         |xd AS (
+         |  SELECT dpt, wt, CAST(count(j.md) AS BIGINT) AS x_d
+         |  FROM w LEFT JOIN j ON j.md <= w.dpt GROUP BY 1, 2)
+         |SELECT CAST(dpt AS BIGINT) AS dpt, x_d,
+         |  round(CAST(x_d AS DOUBLE) / dpt, 6) AS agreement,
+         |  round(sum(wt * CAST(x_d AS DOUBLE) / dpt) OVER (ORDER BY dpt
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS rbo_at_d
+         |FROM xd ORDER BY dpt""".stripMargin
     },
 
     "ir_rrf" ->

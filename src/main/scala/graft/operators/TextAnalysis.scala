@@ -879,6 +879,41 @@ object TextAnalysis {
     // frame (above an aggregate — metadata territory); every Σ of
     // ln-doubles folds in rank order (the ta_unigram_ppl template) and
     // the OLS closed forms are identical expression trees, round(6).
+    // Lexical-diversity indices per source: Yule's characteristic K
+    // (Yule 1944, K = 1e4·(Σc² − N)/N²) and Simpson's diversity
+    // D = (Σc² − N)/(N·(N−1)) — the repetition/richness summary a corpus
+    // audit reports next to TTR (ta_vocab_profile), but size-INVARIANT,
+    // so sources of different volume are comparable. Shape: one token
+    // explode + per-(source, term) count + one per-source agg — linear
+    // in corpus tokens, keyed shuffles only. Σc² accumulates in
+    // decimal(38,0)/HUGEINT (a hot term's c² would wrap int64 silently
+    // on Spark while DuckDB stays exact — the gr_hits discipline) and
+    // the OUTPUT casts to BIGINT: c ≤ N and Σc² ≤ N², so the cast is
+    // safe to N ≈ 3e9 tokens per source, far past any per-source slice
+    // of a 100 TB corpus shard. The two double ratios are identical
+    // guarded expressions on both engines, round(6).
+    "ta_yule_k" -> ((s, dir) => {
+      load(s, dir, "documents")
+        .select(col("source"), explode(toks(col("text"))).as("term"))
+        .groupBy("source", "term").agg(count(lit(1)).as("c"))
+        .groupBy("source")
+        .agg(sum(col("c")).as("n"), count(lit(1)).as("v"),
+          sum(col("c").cast("decimal(38,0)") * col("c")).as("s2d"))
+        .select(col("source"), col("n"), col("v"),
+          col("s2d").cast("long").as("s2"))
+        .select(col("source"), col("n").as("n_tokens"), col("v").as("n_types"),
+          col("s2").as("sum_f2"),
+          round(when(col("n") > 0,
+            lit(1e4) * (col("s2") - col("n")).cast("double") /
+              (col("n").cast("double") * col("n").cast("double"))), 6)
+            .as("yule_k"),
+          round(when(col("n") > 1,
+            (col("s2") - col("n")).cast("double") /
+              (col("n").cast("double") * (col("n") - 1).cast("double"))), 6)
+            .as("simpson_d"))
+        .orderBy("source")
+    }),
+
     "ta_zipf_fit" -> ((s, dir) => {
       val cf = load(s, dir, "documents")
         .select(col("source"), explode(toks(col("text"))).as("term"))
@@ -1346,6 +1381,23 @@ object TextAnalysis {
          |SELECT doc_id, CAST(dim AS BIGINT) AS dim,
          |  round(list_sum(list(c ORDER BY term)), 6) AS weight
          |FROM c GROUP BY doc_id, dim ORDER BY doc_id, dim""".stripMargin,
+
+    "ta_yule_k" ->
+      """WITH tok AS (
+        |  SELECT source, unnest(string_split(lower(text), ' ')) AS term
+        |  FROM documents),
+        |tf AS (SELECT source, term, count(*) AS c FROM tok GROUP BY 1, 2),
+        |g AS (
+        |  SELECT source, CAST(sum(c) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS v,
+        |    CAST(sum(CAST(c AS HUGEINT) * c) AS BIGINT) AS s2
+        |  FROM tf GROUP BY 1)
+        |SELECT source, n AS n_tokens, v AS n_types, s2 AS sum_f2,
+        |  round(CASE WHEN n > 0 THEN 1e4 * CAST(s2 - n AS DOUBLE)
+        |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) END, 6) AS yule_k,
+        |  round(CASE WHEN n > 1 THEN CAST(s2 - n AS DOUBLE)
+        |    / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) END, 6) AS simpson_d
+        |FROM g ORDER BY source""".stripMargin,
 
     "ta_zipf_fit" ->
       s"""WITH cf AS (

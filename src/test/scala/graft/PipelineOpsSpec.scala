@@ -467,6 +467,87 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("gr_clustering: coefficients bounded, triangle-participation identity") {
+    // cc = 2T/(d(d−1)) ∈ [0, 1] by definition (T ≤ C(d,2) neighbor
+    // pairs), and the per-node participation counts must agree with the
+    // independent gr_triangles output — every node in ≥1 triangle has
+    // degree ≥ 2, so the deg-filtered frame loses none of them and the
+    // two sums match exactly (each a multiple of 3: one participation
+    // per corner per triangle).
+    val cc = operators.Graph.queries("gr_clustering")(spark, dir).collect()
+    assert(cc.nonEmpty)
+    assert(cc.forall { r =>
+      val c = r.getDouble(3); c >= 0.0 && c <= 1.0 },
+      "a clustering coefficient left [0, 1]")
+    assert(cc.forall { r => r.getLong(2) * 2 <= r.getLong(1) * (r.getLong(1) - 1) },
+      "n_tri exceeded the neighbor-pair bound C(d, 2)")
+    val part = cc.map(_.getLong(2)).sum
+    val tri = operators.Graph.queries("gr_triangles")(spark, dir)
+      .agg(sum("n_tri")).collect()(0).getLong(0)
+    assert(part == tri, s"participation sums diverged: $part vs $tri")
+    assert(part % 3 == 0, s"participation sum $part is not a multiple of 3")
+  }
+
+  test("ir_mrr: ranks in cut, rr is the reciprocal, mrr is the mean") {
+    val rows = operators.Retrieval.queries("ir_mrr")(spark, dir).collect()
+    assert(rows.length == 3, "one row per query term")
+    for (r <- rows if !r.isNullAt(1)) {
+      val frr = r.getLong(1)
+      assert(frr >= 1 && frr <= 20, s"first_rel_rank $frr outside the k=20 cut")
+      assert(math.abs(r.getDouble(2) - 1.0 / frr) < 1e-6, "rr != 1/first_rel_rank")
+    }
+    val meanRr = rows.map(_.getDouble(2)).sum / rows.length
+    assert(math.abs(rows.head.getDouble(3) - meanRr) < 1e-6,
+      "mrr is not the mean reciprocal rank")
+  }
+
+  test("ta_yule_k: diversity indices bounded, counts consistent") {
+    val rows = operators.TextAnalysis.queries("ta_yule_k")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (n, v, s2) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(v <= n, "more types than tokens")
+      assert(s2 >= n, "Σc² < N is impossible (c ≥ 1 per type)")
+      assert(s2 <= n * n, "Σc² > N² is impossible")
+      assert(r.getDouble(4) >= 0.0, "Yule's K negative")
+      val d = r.getDouble(5)
+      assert(d >= 0.0 && d < 1.0, s"Simpson D $d outside [0, 1)")
+    }
+  }
+
+  test("prof_inclusion: the five declared FKs hold; reverse probes report misses") {
+    val rows = operators.Relational3.queries("prof_inclusion")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows.size == 8)
+    val realFks = Seq(
+      "customer.c_custkey<=orders.o_custkey",
+      "customer.c_nationkey<=nation.n_nationkey",
+      "lineitem.l_orderkey<=orders.o_orderkey",
+      "lineitem.l_partkey<=part.p_partkey",
+      "lineitem.l_suppkey<=supplier.s_suppkey")
+    for (fk <- realFks) {
+      val (_, miss, inc) = rows(fk)
+      assert(miss == 0 && inc == 1, s"$fk unexpectedly violated: $miss missing")
+    }
+    // verdict consistency on every row: included ⇔ n_missing = 0, and
+    // n_missing never exceeds the child's distinct count
+    for ((dep, (nd, miss, inc)) <- rows) {
+      assert((inc == 1) == (miss == 0), s"$dep verdict inconsistent")
+      assert(miss <= nd, s"$dep reports more misses than distinct values")
+    }
+  }
+
+  test("ev_peak_detect: every reported peak strictly exceeds both neighbors") {
+    val rows = operators.EventWindows.queries("ev_peak_detect")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (c, p, n, prom) = (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(c > p && c > n, "a non-peak row was reported")
+      assert(prom == c - math.max(p, n) && prom >= 1, "prominence wrong")
+    }
+  }
+
   test("ta_bpe_train: full merge table, non-increasing counts, chain passes suffice") {
     val m = operators.TextAnalysis.queries("ta_bpe_train")(spark, dir).collect()
     assert(m.length == 6, "one row per merge round")
