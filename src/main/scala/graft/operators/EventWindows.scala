@@ -736,6 +736,57 @@ object EventWindows {
         .orderBy("event_type")
     }),
 
+    // Holt double-exponential smoothing (level + trend, Holt 1957) over
+    // the per-type daily totals, with a one-step-ahead SSE backtest and
+    // a 7-day-ahead forecast — the trend-aware upgrade of ev_ewma that a
+    // capacity planner actually runs. The recursion l′ = α·x + (1−α)(l+b),
+    // b′ = β(l′−l) + (1−β)b cannot unroll into window sums, so the
+    // per-type day series (calendar-bounded — metadata scale, the same
+    // class as every spine query) folds SEQUENTIALLY through one
+    // `aggregate` higher-order expression with a (l, b, sse) struct
+    // state; the DuckDB oracle runs the textbook recursive CTE over the
+    // day index — the identical arithmetic in the identical order, so
+    // the doubles match bit-for-bit (α = 0.5, β = 0.25 are dyadic).
+    // NOTE: DuckDB 1.0's list_reduce is NOT usable here — struct_pack
+    // fields evaluate sequentially with `acc` rebound mid-struct, so a
+    // fold state with interdependent fields silently computes the wrong
+    // recursion; the recursive CTE sidesteps the footgun.
+    "ev_holt" -> ((s, dir) => {
+      val d = load(s, dir, "events")
+        .select(col("event_type"), to_date(col("ts")).as("d"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("c"))
+        .groupBy("event_type", "d").agg(sum("c").as("sc"))
+        .localCheckpoint()
+      val spine = d.groupBy("event_type")
+        .agg(min("d").as("mn"), max("d").as("mx"))
+        .select(col("event_type"), explode(sequence(col("mn"), col("mx"))).as("d"))
+      val f = spine.join(d, Seq("event_type", "d"), "left")
+        .na.fill(0L, Seq("sc"))
+      val arr = f.groupBy("event_type")
+        .agg(sort_array(collect_list(struct(col("d"),
+          (col("sc").cast("double") / 100).as("v")))).as("a"))
+        .select(col("event_type"), size(col("a")).cast("long").as("n_days"),
+          transform(col("a"), x => x.getField("v")).as("xs"))
+      val init = struct(element_at(col("xs"), 1).as("l"),
+        lit(0.0).as("b"), lit(0.0).as("sse"))
+      val folded = arr.select(col("event_type"), col("n_days"),
+        aggregate(slice(col("xs"), lit(2), size(col("xs")) - 1), init,
+          (acc, x) => {
+            val l0 = acc.getField("l"); val b0 = acc.getField("b")
+            val l2 = lit(0.5) * x + lit(0.5) * (l0 + b0)
+            val err = x - (l0 + b0)
+            struct(l2.as("l"),
+              (lit(0.25) * (l2 - l0) + lit(0.75) * b0).as("b"),
+              (acc.getField("sse") + err * err).as("sse"))
+          }).as("st"))
+      folded.select(col("event_type"), col("n_days"),
+        round(col("st.l"), 6).as("level"),
+        round(col("st.b"), 6).as("trend"),
+        round(col("st.l") + lit(7.0) * col("st.b"), 6).as("forecast_7d"),
+        round(col("st.sse"), 6).as("sse"))
+        .orderBy("event_type")
+    }),
+
     // Kendall τ-b cross-association between every PAIR of event types'
     // daily total series — "do clicks and purchases co-move day to
     // day?", the rank-based twin of a Pearson cross-correlation that
@@ -1699,6 +1750,50 @@ object EventWindows {
         |  round(CAST(struct_extract(t, 'c') AS DOUBLE) / n_days / 100.0, 6)
         |    AS cusum_mean_excess
         |FROM am ORDER BY event_type""".stripMargin,
+
+    // Textbook recursion as a recursive CTE over the day index (NOT
+    // list_reduce — see the Spark-side scaladoc for the DuckDB 1.0
+    // struct_pack sequential-eval footgun). l2 is written out twice in
+    // the b update exactly as the Spark fold's expression tree computes
+    // it, so the double stream is identical.
+    "ev_holt" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sc
+        |  FROM events GROUP BY 1, 2),
+        |rng AS (SELECT event_type, min(d) AS mn, max(d) AS mx FROM d GROUP BY 1),
+        |spine AS (
+        |  SELECT event_type, CAST(unnest(generate_series(mn, mx,
+        |    INTERVAL 1 DAY)) AS DATE) AS d
+        |  FROM rng),
+        |f AS (
+        |  SELECT s.event_type, s.d, coalesce(d.sc, 0) AS sc
+        |  FROM spine s LEFT JOIN d ON s.event_type = d.event_type AND s.d = d.d),
+        |idx AS MATERIALIZED (
+        |  SELECT event_type,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY d)
+        |      AS BIGINT) AS i,
+        |    CAST(sc AS DOUBLE) / 100 AS v
+        |  FROM f),
+        |n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+        |      FROM idx GROUP BY 1),
+        |rec(event_type, i, l, b, sse) AS (
+        |  SELECT event_type, i, v, 0.0::DOUBLE, 0.0::DOUBLE
+        |  FROM idx WHERE i = 1
+        |  UNION ALL
+        |  SELECT r.event_type, x.i,
+        |    0.5::DOUBLE * x.v + 0.5::DOUBLE * (r.l + r.b),
+        |    0.25::DOUBLE * ((0.5::DOUBLE * x.v + 0.5::DOUBLE * (r.l + r.b))
+        |      - r.l) + 0.75::DOUBLE * r.b,
+        |    r.sse + (x.v - (r.l + r.b)) * (x.v - (r.l + r.b))
+        |  FROM rec r JOIN idx x
+        |    ON x.event_type = r.event_type AND x.i = r.i + 1)
+        |SELECT r.event_type AS event_type, n.n_days, round(r.l, 6) AS level,
+        |  round(r.b, 6) AS trend,
+        |  round(r.l + 7.0::DOUBLE * r.b, 6) AS forecast_7d,
+        |  round(r.sse, 6) AS sse
+        |FROM rec r JOIN n ON r.event_type = n.event_type AND r.i = n.n_days
+        |ORDER BY event_type""".stripMargin,
 
     "ev_kendall_xcorr" ->
       """WITH d AS (

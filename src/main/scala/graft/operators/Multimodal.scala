@@ -5,7 +5,7 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import javax.imageio.ImageIO
 
 import graft.Tables.load
-import graft.functions.Mp4
+import graft.functions.{Mp4, Png}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.util.LongAccumulator
@@ -90,6 +90,10 @@ object Multimodal {
   /** Deterministic video track spec from the source text's UTF-8 byte
     * length — mirrored by the SQL oracle; the values round-trip through
     * a real MP4 box tree, not arithmetic at decode time. */
+  /** mm_png_chunks geometry (small rasters keep raw ≤ ~20 KB/row). */
+  private def pngW(textBytes: Long): Int = 8 + (textBytes % 97).toInt
+  private def pngH(textBytes: Long): Int = 8 + ((textBytes * 31) % 53).toInt
+
   private def vidWidth(textBytes: Long): Int = 64 + (textBytes % 577).toInt
   private def vidHeight(textBytes: Long): Int = 64 + ((textBytes * 31) % 317).toInt
   private def vidFrames(textBytes: Long): Int = 1 + (textBytes % 7).toInt
@@ -324,6 +328,36 @@ object Multimodal {
         .orderBy("media_id")
     }),
 
+    // CHUNK-TREE extraction from a house-written PNG container — the
+    // image-side twin of mm_mp4_atoms: graft.functions.Png.write emits a
+    // real truecolor PNG (signature/IHDR/IDAT/IEND, stored-deflate zlib,
+    // per-chunk CRC32) and Png.parse walks the physical chunk frames,
+    // RECOMPUTING every CRC and surfacing the values only the byte
+    // layout determines — the first-IDAT offset, the zlib stream extent,
+    // the integrity count. Stored blocks make every length/offset a pure
+    // function of the (width, height) formulas, so the oracle predicts
+    // the whole chain arithmetically; crc_ok = n_chunks proves the
+    // writer's CRCs and the parser's recomputation agree on the real
+    // bytes (MultimodalSpec additionally round-trips through ImageIO to
+    // prove third-party decodability, pixel-exact). Per-row, map-side.
+    "mm_png_chunks" -> ((s, dir) => {
+      import s.implicits._
+      load(s, dir, "documents").where(col("doc_id") % 3 === 0)
+        .select(col("doc_id").as("media_id"),
+          encode(col("text"), "UTF-8").as("media"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, payload) =>
+          val bytes = Png.write(
+            pngW(payload.length.toLong), pngH(payload.length.toLong), payload)
+          val m = Png.parse(bytes)
+          (id, m.width, m.height, m.bitDepth, m.colorType, m.nChunks,
+            m.crcOk, m.idatBytes, m.idatOffset, m.fileBytes)
+        })
+        .toDF("media_id", "width", "height", "bit_depth", "color_type",
+          "n_chunks", "crc_ok", "idat_bytes", "idat_offset", "file_bytes")
+        .orderBy("media_id")
+    }),
+
     // PIXEL-level resize — the step beyond header metadata: decode the
     // real PNG raster, nearest-neighbor downsample to 8×8 (sample at
     // (i·W div 8, j·H div 8)), and emit per-channel sums of the 64
@@ -454,6 +488,32 @@ object Multimodal {
            |  CAST($hdr + len AS BIGINT) AS file_bytes
            |FROM d ORDER BY media_id""".stripMargin
     },
+
+    // The PNG offset chain: stored-deflate blocks make every chunk
+    // length a pure function of the (w, h) formulas — raw = h·(1+3w),
+    // idat = 2 + ⌈raw/65535⌉·5 + raw + 4, first IDAT at 8 (sig) + 25
+    // (IHDR frame) = 33 — and the parser's recomputed-CRC count must
+    // equal the chunk count on every row.
+    "mm_png_chunks" ->
+      """WITH d AS (
+        |  SELECT doc_id AS media_id, octet_length(encode(text)) AS len
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |g AS (
+        |  SELECT media_id,
+        |    8 + len % 97 AS w, 8 + (len * 31) % 53 AS h
+        |  FROM d),
+        |r AS (
+        |  SELECT media_id, w, h,
+        |    2 + greatest(1, (h * (1 + 3 * w) + 65534) // 65535) * 5
+        |      + h * (1 + 3 * w) + 4 AS idat
+        |  FROM g)
+        |SELECT media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(8 AS INT) AS bit_depth, CAST(2 AS INT) AS color_type,
+        |  CAST(3 AS INT) AS n_chunks, CAST(3 AS INT) AS crc_ok,
+        |  CAST(idat AS BIGINT) AS idat_bytes,
+        |  CAST(33 AS BIGINT) AS idat_offset,
+        |  CAST(8 + 25 + (12 + idat) + 12 AS BIGINT) AS file_bytes
+        |FROM r ORDER BY media_id""".stripMargin,
 
     // Recomputes the 64 nearest-neighbor-sampled pattern pixels per png
     // doc arithmetically — exact because PNG is lossless and `pix` is a

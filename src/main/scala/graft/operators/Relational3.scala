@@ -776,6 +776,67 @@ object Relational3 {
     // the unbounded cents domain; Σxy joins the joint histogram to the
     // rank frames (24-row broadcast + cents-keyed join of domain-scale
     // frames).
+    // Brown–Forsythe homogeneity-of-variance test (Levene 1960 with
+    // Brown & Forsythe 1974's median centering — the robust "are these
+    // groups equally volatile?" screen that gates every pooled-variance
+    // method): W = ((N−k)/(k−1)) · Σ n_i(z̄_i−z̄)² / Σ_i Σ_j (z_ij−z̄_i)²
+    // over z = |x − median_i|. Exactness: per-type medians come off the
+    // value HISTOGRAM (cum-count over the (type, cents) agg — the a17_mwu
+    // shape, so the rank scan is histogram-scale, and the window sits
+    // above an Aggregate; the cum column is computed BEFORE the reuse
+    // checkpoint so the plan keeps that provenance visible — a
+    // checkpoint-then-window would erase the Aggregate and read as a
+    // row-level single-type-task window); z, Σm·z, Σm·z² are integers
+    // (decimal-widened,
+    // BIGINT out — z ≤ 1e5 cents keeps Σm·z² under int64 to ~9e8 rows
+    // per type, document-bounded at every testable SF); the ONE
+    // order-sensitive double reduction (Σ s1_i²/n_i) folds in sorted
+    // type order on both engines (the ir_mrr list_sum discipline); the
+    // between/within split uses the expanded identity Σn_i(z̄_i−z̄)² =
+    // Σs1_i²/n_i − S1²/N so no per-group grand-mean join is needed.
+    "a22_levene_bf" -> ((s, dir) => {
+      val d38 = (x: org.apache.spark.sql.Column) => x.cast("decimal(38,0)")
+      val wCum = Window.partitionBy("event_type").orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val h = load(s, dir, "events")
+        .select(col("event_type"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("c"))
+        .groupBy("event_type", "c").agg(count(lit(1)).as("m"))
+        .withColumn("cum", sum("m").over(wCum))
+        .localCheckpoint()
+      val nt = h.groupBy("event_type").agg(max("cum").as("n"))
+      val med = h.join(broadcast(nt), "event_type")
+        .where(col("cum") >= expr("(n + 1) div 2"))
+        .groupBy("event_type").agg(min("c").as("med"))
+      val g = h.join(broadcast(med), "event_type")
+        .select(col("event_type"), col("m"), abs(col("c") - col("med")).as("z"))
+        .groupBy("event_type")
+        .agg(sum("m").as("n"), sum(d38(col("m")) * col("z")).as("s1d"),
+          sum(d38(col("m")) * col("z") * col("z")).as("s2d"))
+        .select(col("event_type"), col("n"), col("s1d").cast("long").as("s1"),
+          col("s2d").cast("long").as("s2"))
+      val tot = g.agg(sum("n").as("nn"), sum("s1").as("st1"),
+        sum("s2").as("st2"), count(lit(1)).as("k"),
+        aggregate(
+          sort_array(collect_list(struct(col("event_type"), col("n"), col("s1")))),
+          lit(0.0), (acc, x) => acc +
+            x.getField("s1").cast("double") * x.getField("s1").cast("double") /
+              x.getField("n").cast("double")).as("aa"))
+      val num = col("aa") -
+        col("st1").cast("double") * col("st1").cast("double") /
+          col("nn").cast("double")
+      val den = col("st2").cast("double") - col("aa")
+      g.crossJoin(broadcast(tot))
+        .select(col("event_type"), col("n"), col("s1").as("sum_absdev"),
+          col("s2").as("sum_absdev_sq"),
+          round(col("s1").cast("double") / col("n").cast("double"), 6)
+            .as("zbar_ad"),
+          round(when(den > 0,
+            (col("nn") - col("k")).cast("double") /
+              (col("k") - 1).cast("double") * num / den), 6).as("bf_w"))
+        .orderBy("event_type")
+    }),
+
     "a25_spearman" -> ((s, dir) => {
       val j = load(s, dir, "events")
         .select(hour(col("ts")).cast("long").as("h"),
@@ -1619,6 +1680,43 @@ object Relational3 {
         |        6) AS resid
         |FROM cells JOIN rt USING (event_type) JOIN ct USING (seg), nt
         |ORDER BY event_type, seg""".stripMargin,
+
+    "a22_levene_bf" ->
+      """WITH h AS (
+        |  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS c,
+        |    count(*) AS m
+        |  FROM events GROUP BY 1, 2),
+        |nt AS (SELECT event_type, CAST(sum(m) AS BIGINT) AS n
+        |       FROM h GROUP BY 1),
+        |cm AS (
+        |  SELECT h.event_type, c, m, n,
+        |    sum(m) OVER (PARTITION BY h.event_type ORDER BY c
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM h JOIN nt USING (event_type)),
+        |med AS (SELECT event_type, min(c) AS med FROM cm
+        |        WHERE cum >= (n + 1) // 2 GROUP BY 1),
+        |z AS (
+        |  SELECT h.event_type, m, abs(c - med) AS z
+        |  FROM h JOIN med USING (event_type)),
+        |g AS (
+        |  SELECT event_type, CAST(sum(m) AS BIGINT) AS n,
+        |    CAST(sum(CAST(m AS HUGEINT) * z) AS BIGINT) AS s1,
+        |    CAST(sum(CAST(m AS HUGEINT) * z * z) AS BIGINT) AS s2
+        |  FROM z GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(s1) AS BIGINT) AS st1,
+        |    CAST(sum(s2) AS BIGINT) AS st2, count(*) AS k,
+        |    list_sum(list(CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+        |      / CAST(n AS DOUBLE) ORDER BY event_type)) AS aa
+        |  FROM g)
+        |SELECT g.event_type, g.n, s1 AS sum_absdev, s2 AS sum_absdev_sq,
+        |  round(CAST(s1 AS DOUBLE) / CAST(g.n AS DOUBLE), 6) AS zbar_ad,
+        |  round(CASE WHEN CAST(st2 AS DOUBLE) - aa > 0 THEN
+        |    CAST(nn - k AS DOUBLE) / CAST(k - 1 AS DOUBLE)
+        |    * (aa - CAST(st1 AS DOUBLE) * CAST(st1 AS DOUBLE)
+        |         / CAST(nn AS DOUBLE))
+        |    / (CAST(st2 AS DOUBLE) - aa) END, 6) AS bf_w
+        |FROM g CROSS JOIN tot ORDER BY event_type""".stripMargin,
 
     "a25_spearman" ->
       """WITH e AS (

@@ -70,6 +70,12 @@ object Retrieval {
   /** ir_mrr: per-query retrieval depth for the reciprocal-rank sweep. */
   private val MrrK = 20
 
+  /** ir_err: (2^g − 1) for the 4-value grade domain, as a branch table —
+    * the same integers the oracle's (1 << rel) − 1 produces. */
+  private def twoPowMinus1(g: Column): Column =
+    when(g === 0, lit(0L)).when(g === 1, lit(1L))
+      .when(g === 2, lit(3L)).otherwise(lit(7L))
+
   /** ir_rbo: evaluation depth and persistence (Webber et al. 2010's p —
     * 0.9 ≈ "the reader's attention halves every ~7 ranks"). The geometric
     * weights (1−p)·p^(d−1) are PRECOMPUTED in Scala and injected into both
@@ -407,6 +413,59 @@ object Retrieval {
         .orderBy("rank")
     }),
 
+    // Expected reciprocal rank (Chapelle et al. 2009) for the same dense
+    // run and graded judgments as ir_ndcg — the cascade-model metric
+    // (user scans down, stops with probability R_r = (2^g − 1)/2^gmax)
+    // that completes the eval suite next to nDCG/MAP/MRR/RBO. The k-row
+    // ranked list folds SEQUENTIALLY through one `aggregate` expression
+    // with a (p, err) state — err′ = err + p·R_r/r, p′ = p·(1−R_r) — and
+    // the oracle runs the identical recursion as a recursive CTE over
+    // the rank index (NOT list_reduce; the ev_holt scaladoc's DuckDB 1.0
+    // struct-rebinding footgun). R_r values are dyadic ((2^g−1)/8 for
+    // g ≤ 3), so every fold step is the same exact double on both
+    // engines. Single-row output: ERR@k, the residual continue mass,
+    // and the relevant-in-list count.
+    "ir_err" -> ((s, dir) => {
+      graft.plans.ArrayExprs.register(s)
+      import graft.plans.ArrayExprs.dotProduct
+      val rel = load(s, dir, "documents")
+        .select(col("doc_id"),
+          QueryTerms.map(t => array_contains(toks(col("text")), t).cast("long"))
+            .reduce(_ + _).as("rel"))
+        .localCheckpoint()
+      val e = load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").as("v"))
+        .withColumn("nrm", sqrt(dotProduct(col("v"), col("v"))))
+      val q = e.where(col("vec_id") === 0)
+        .select(col("v").as("qv"), col("nrm").as("qnrm"))
+      val dense = e.crossJoin(broadcast(q))
+        .where(col("vec_id") =!= 0)
+        .select(col("vec_id").as("doc_id"),
+          round(dotProduct(col("qv"), col("v")) / (col("qnrm") * col("nrm")), 6)
+            .as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(NdcgK)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      val lst = dense.join(rel, "doc_id")
+        .agg(sort_array(collect_list(struct(col("rank"), col("rel")))).as("a"),
+          sum((col("rel") > 0).cast("long")).as("n_rel"))
+      val init = struct(lit(1.0).as("p"), lit(0.0).as("err"))
+      lst.select(
+          aggregate(col("a"), init, (acc, x) => {
+            val rr = twoPowMinus1(x.getField("rel")).cast("double") / lit(8.0)
+            struct(
+              (acc.getField("p") * (lit(1.0) - rr)).as("p"),
+              (acc.getField("err") +
+                acc.getField("p") * rr / x.getField("rank").cast("double"))
+                .as("err"))
+          }).as("st"), col("n_rel"))
+        .select(lit(NdcgK.toLong).as("k"),
+          round(col("st.err"), 6).as("err_at_k"),
+          round(col("st.p"), 6).as("residual_p"),
+          col("n_rel"))
+    }),
+
     // Mean-average-precision@k for the same dense run ir_ndcg scores —
     // the binary-relevance complement of graded nDCG (MAP is the metric
     // sweep every retrieval eval reports alongside nDCG; rel = doc
@@ -671,6 +730,38 @@ object Retrieval {
          |SELECT rank, doc_id, rel, round(dcg, 6) AS dcg, round(idcg, 6) AS idcg,
          |  round(dcg / idcg, 6) AS ndcg
          |FROM c ORDER BY rank""".stripMargin
+    },
+
+    "ir_err" -> {
+      val relExpr = QueryTerms
+        .map(t => s"CAST(list_contains(string_split(lower(text), ' '), '$t') AS BIGINT)")
+        .mkString(" + ")
+      s"""WITH RECURSIVE rel AS (
+         |  SELECT doc_id, $relExpr AS rel FROM documents),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |dense AS (
+         |  SELECT e.vec_id AS doc_id,
+         |    round(list_cosine_similarity(qv, v), 6) AS score
+         |  FROM e, q WHERE e.vec_id <> 0
+         |  ORDER BY score DESC, doc_id LIMIT $NdcgK),
+         |rl AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY score DESC, dense.doc_id)
+         |    AS BIGINT) AS rank, rel
+         |  FROM dense JOIN rel ON dense.doc_id = rel.doc_id),
+         |nr AS (SELECT CAST(sum(CAST(rel > 0 AS BIGINT)) AS BIGINT) AS n_rel,
+         |         count(*) AS kk FROM rl),
+         |rec(i, p, err) AS (
+         |  SELECT CAST(0 AS BIGINT), 1.0::DOUBLE, 0.0::DOUBLE
+         |  UNION ALL
+         |  SELECT rl.rank,
+         |    rec.p * (1 - CAST((1 << rel) - 1 AS DOUBLE) / 8),
+         |    rec.err + rec.p * (CAST((1 << rel) - 1 AS DOUBLE) / 8)
+         |      / CAST(rl.rank AS DOUBLE)
+         |  FROM rec JOIN rl ON rl.rank = rec.i + 1)
+         |SELECT CAST($NdcgK AS BIGINT) AS k, round(err, 6) AS err_at_k,
+         |  round(p, 6) AS residual_p, n_rel
+         |FROM rec, nr WHERE rec.i = kk""".stripMargin
     },
 
     "ir_map" -> {

@@ -548,6 +548,63 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ev_holt: the aggregate fold equals a plain-Scala Holt recursion") {
+    // The query's correctness hinges on Spark's `aggregate` higher-order
+    // expression folding left-to-right with a clean (non-rebinding)
+    // accumulator — the exact property DuckDB 1.0's list_reduce LACKS
+    // (see the query scaladoc). Recompute the recursion in plain Scala
+    // from the same zero-filled daily series and demand bit-equality
+    // before rounding kills the evidence.
+    import org.apache.spark.sql.expressions.Window
+    val d = graft.Tables.load(spark, dir, "events")
+      .select(col("event_type"), to_date(col("ts")).as("d"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("c"))
+      .groupBy("event_type", "d").agg(sum("c").as("sc"))
+    val spine = d.groupBy("event_type")
+      .agg(min("d").as("mn"), max("d").as("mx"))
+      .select(col("event_type"), explode(sequence(col("mn"), col("mx"))).as("dd"))
+    val series = spine.join(d,
+        spine("event_type") === d("event_type") && col("dd") === col("d"), "left")
+      .select(spine("event_type"), col("dd"),
+        coalesce(col("sc"), lit(0L)).as("sc"))
+      .orderBy("event_type", "dd").collect()
+      .groupBy(_.getString(0)).view
+      .mapValues(_.sortBy(_.getDate(1).toString).map(_.getLong(2) / 100.0).toSeq)
+    val got = operators.EventWindows.queries("ev_holt")(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(5))).toMap
+    for ((tpe, xs) <- series) {
+      var l = xs.head; var b = 0.0; var sse = 0.0
+      for (x <- xs.tail) {
+        val err = x - (l + b)
+        val l2 = 0.5 * x + 0.5 * (l + b)
+        b = 0.25 * (l2 - l) + 0.75 * b
+        l = l2
+        sse += err * err
+      }
+      val (n, gl, gb, gsse) = got(tpe)
+      assert(n == xs.length)
+      assert(math.abs(gl - l) < 5e-7 && math.abs(gb - b) < 5e-7,
+        s"$tpe: fold ($gl, $gb) != scala ($l, $b)")
+      assert(math.abs(gsse - sse) < 5e-6, s"$tpe: sse $gsse != $sse")
+    }
+  }
+
+  test("a22_levene_bf: W nonnegative, per-group stats self-consistent") {
+    val rows = operators.Relational3.queries("a22_levene_bf")(spark, dir).collect()
+    assert(rows.length >= 2)
+    val w = rows.head.getDouble(5)
+    assert(rows.forall(r => r.getDouble(5) == w), "bf_w differs across rows")
+    assert(w >= 0.0, s"Brown-Forsythe W is negative: $w")
+    for (r <- rows) {
+      val (n, s1, s2) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(math.abs(r.getDouble(4) - s1.toDouble / n) < 1e-6)
+      // Cauchy-Schwarz: (Σm·z)² ≤ N · Σm·z²
+      assert(BigInt(s1) * BigInt(s1) <= BigInt(n) * BigInt(s2),
+        "absdev moments violate Cauchy-Schwarz")
+    }
+  }
+
   test("ta_bpe_train: full merge table, non-increasing counts, chain passes suffice") {
     val m = operators.TextAnalysis.queries("ta_bpe_train")(spark, dir).collect()
     assert(m.length == 6, "one row per merge round")
