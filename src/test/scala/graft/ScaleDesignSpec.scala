@@ -401,6 +401,21 @@ class ScaleDesignSpec extends AnyFunSuite {
       "emb_knn_label" -> 7, // the ann_ivf chain (assign window + probe window + cell-keyed candidate join + score dedup agg) + vote agg + oracle sort; seeds broadcast
       "ta_nb_langid" -> 8, // (doc,lang,term) tf agg + term-keyed pivot agg + term-keyed contrib join + per-doc fold agg + oracle sort; class/vocab/prior stats ride one-row broadcasts
       "ta_bpe_train" -> 1, // final 6-row sort only: the corpus word histogram + per-round pair argmaxes run inside the driver loop's own collects (vocab-scale frames behind localCheckpoint)
+      // round-12 wave (measured AQE-off)
+      "gr_clustering" -> 3, // the degree-oriented triangle pipeline's per-node agg + degree join + oracle sort; wedge fan-out bounded by Σoutdeg²
+      "gr_modularity" -> 7, // labelLoop's node-keyed rounds ride per-round checkpoints; two label-keyed aggs + community rollup + oracle sort; 1-row m broadcast
+      "ir_mrr" -> 4, // per-query tf agg + k-bounded heap cut + rank join + 1-row fold; per-query lists are k-row frames
+      "ir_rbo" -> 3, // two top-k cuts + depth-joined overlap counts — everything above the cuts is a k-row metadata frame
+      "prof_inclusion" -> 40, // 8 FK probes × (per-side DISTINCT aggs + value anti-join + 1-row rollups) — every exchange over key-cardinality frames, never a fact-table row join
+      "ta_yule_k" -> 3, // term histogram agg + frequency-of-frequencies agg + 1-row moment fold; vocabulary-scale throughout
+      "ev_kendall_xcorr" -> 4, // (type,day) agg + types²×days² pair-join frame + concordance rollup + oracle sort — calendar-bounded metadata after the daily agg
+      "ev_peak_detect" -> 2, // daily spine agg + calendar-bounded lag/lead window + oracle sort share an exchange
+      "ev_theil_sen" -> 1, // day-span² pair frame rides the checkpointed daily spine; one median rollup
+      "ev_runs_test" -> 1, // same checkpointed-spine shape: sign runs fold over the calendar frame
+      "ev_holt" -> 2, // daily spine agg + per-type collect_list agg; the Holt recursion folds inside one aggregate expression, no window
+      "a22_levene_bf" -> 2, // (type,cents) histogram + its cum window computed BEFORE the reuse checkpoint; median join and absdev moments ride broadcasts off the checkpointed frame
+      "ir_err" -> 1, // the ir_ndcg dense cut (TakeOrdered) + 1-row list agg; the cascade folds inside one aggregate expression
+      "mm_png_chunks" -> 1, // per-row write/parse is map-side; oracle sort only
       "emb_pca_power" -> 1) // result sort only: the Gramian build's pair-explode agg runs inside the query's own collect (the MLlib design — d×d is model-scale), output is a 64-row local relation
     val aqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
