@@ -261,6 +261,60 @@ object Relational3 {
         .orderBy("key_cols")
     }),
 
+    // HyperLogLog distinct-count sketch (Flajolet et al. 2007), p = 12
+    // (4096 registers), per event type — THE cardinality pattern at
+    // 100 TB: one map pass computes (bucket, rho) per row, a 4096-row-
+    // per-type partial-aggregating max builds the registers, and the
+    // estimate folds from the register table; the data-scale shuffle of
+    // an exact distinct never happens. Fully deterministic and hence
+    // oracle-checkable: the hash is the house md5-derived [[hash32]]
+    // (bucket = top 12 bits, rho = leading-zero count of the low 20 bits
+    // + 1 via 21 − length(bin(rem)) — pure integer string length, no
+    // log2 boundary risk). The harmonic denominator Σ 2^−M_j is EXACT
+    // dyadic double arithmetic (terms ≥ 2^−21, total < 2^12 — a 33-bit
+    // span, inside the 53-bit mantissa), so every partial sum is exact
+    // and summation ORDER is irrelevant — the one float reduction in
+    // the query needs no fold discipline. 2^−mx is written 1/(1<<mx)
+    // (integer shift then exact division), never pow(). The linear-
+    // counting branch (raw ≤ 2.5m with empty registers) uses ln, the
+    // ta_entropy cross-engine precedent. sum_rho is the integer
+    // register checksum — hash parity over all 4096 registers without
+    // emitting them. n_exact (skew-safe distinct-then-count) makes the
+    // sketch self-auditing via rel_err.
+    "prof_hll" -> ((s, dir) => {
+      val regs = load(s, dir, "events")
+        .select(col("event_type"),
+          graft.Exact.hash32(concat(lit("u:"), col("user_id").cast("string")))
+            .as("h32"))
+        .select(col("event_type"), expr("h32 div 1048576").as("bk"),
+          expr("h32 % 1048576").as("rem"))
+        .select(col("event_type"), col("bk"),
+          when(col("rem") === 0, lit(21L))
+            .otherwise(lit(21L) - length(bin(col("rem")))).as("rho"))
+        .groupBy("event_type", "bk").agg(max("rho").as("mx"))
+      val sk = regs.groupBy("event_type")
+        .agg(count(lit(1)).as("nz"), sum("mx").as("sum_rho"),
+          sum(expr("1.0 / cast(shiftleft(1L, cast(mx as int)) as double)"))
+            .as("sneg"))
+      val ex = load(s, dir, "events")
+        .select(col("event_type"), col("user_id")).distinct()
+        .groupBy("event_type").agg(count(lit(1)).as("n_exact"))
+      val alphaM2 = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(4096.0)) *
+        lit(4096.0) * lit(4096.0)
+      val denom = (lit(4096L) - col("nz")).cast("double") + col("sneg")
+      val raw = alphaM2 / denom
+      val v = lit(4096L) - col("nz")
+      val est = when(raw <= lit(10240.0) && v > 0,
+        lit(4096.0) * log(lit(4096.0) / v.cast("double"))).otherwise(raw)
+      sk.join(broadcast(ex), "event_type")
+        .select(col("event_type"), lit(4096L).as("m_regs"),
+          v.as("zero_regs"), col("sum_rho"), col("n_exact"),
+          round(est, 6).as("hll_est"),
+          round((est - col("n_exact").cast("double")) /
+            col("n_exact").cast("double"), 6).as("rel_err"))
+        .orderBy("event_type")
+    }),
+
     // Functional-dependency discovery — the profiling probe behind
     // "which columns determine which" (schema inference, normalization
     // audits, silent-denormalization detection): for each candidate
@@ -834,6 +888,71 @@ object Relational3 {
           round(when(den > 0,
             (col("nn") - col("k")).cast("double") /
               (col("k") - 1).cast("double") * num / den), 6).as("bf_w"))
+        .orderBy("event_type")
+    }),
+
+    // Kruskal–Wallis H (1952) across ALL event types at once — the
+    // k-group extension of a17_mwu's two-sample test ("did ANY type's
+    // value distribution shift?"), with the standard tie correction
+    // H' = H / (1 − ΣT/(N³−N)). Same exactness machinery as the rest of
+    // the rank battery: ONE (type, cents) histogram; POOLED midranks
+    // come off the a25_spearman bucket ladder (offsets over ≤65537
+    // bucket sums + in-bucket cum, so no unpartitioned window ever
+    // touches the unbounded cents domain); doubled midranks 2·cum+m+1
+    // keep every rank sum integral (decimal-widened, BIGINT out —
+    // R2_i ≤ 2N² and ΣT ≤ N³ hold int64 to N ≈ 2e6 / 2e6, the
+    // a25_spearman headroom argument); the ONE order-sensitive double
+    // reduction (Σ R2_i²/n_i, where H = 3/(N(N+1))·Σ − 3(N+1) after the
+    // doubled-rank substitution) folds in sorted type order on both
+    // engines (the ir_mrr list_sum discipline).
+    "a23_kruskal" -> ((s, dir) => {
+      val d38 = (x: org.apache.spark.sql.Column) => x.cast("decimal(38,0)")
+      val h = load(s, dir, "events")
+        .select(col("event_type"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("c"))
+        .groupBy("event_type", "c").agg(count(lit(1)).as("m"))
+        .localCheckpoint()
+      val mc = h.groupBy("c").agg(sum("m").as("mc")).localCheckpoint()
+      val mm = mc.groupBy().agg(min("c").as("lo"), max("c").as("hi"))
+      val withB = mc.crossJoin(broadcast(mm))
+        .withColumn("bk",
+          expr("(c - lo) div greatest(1, (hi - lo) div 65536 + 1)"))
+      val off = withB.groupBy("bk").agg(sum("mc").as("bm"))
+        .withColumn("off", coalesce(sum("bm").over(
+          Window.orderBy("bk").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+        .select("bk", "off")
+      val wC = Window.partitionBy("bk").orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val rc = withB.join(broadcast(off), "bk")
+        .withColumn("r2",
+          lit(2L) * (col("off") + coalesce(sum("mc").over(wC), lit(0L))) +
+            col("mc") + 1)
+        .select("c", "r2")
+      val g = h.join(rc, "c")
+        .groupBy("event_type")
+        .agg(sum("m").as("n_i"), sum(d38(col("m")) * col("r2")).as("r2d"))
+        .select(col("event_type"), col("n_i"),
+          col("r2d").cast("long").as("rank2_sum"))
+      val tie = mc.groupBy()
+        .agg(sum(d38(col("mc")) * col("mc") * col("mc") - col("mc")).as("t3d"),
+          sum("mc").as("n"))
+        .select(col("t3d").cast("long").as("t3"), col("n"))
+      val tot = g.agg(count(lit(1)).as("k"),
+        aggregate(
+          sort_array(collect_list(struct(col("event_type"), col("n_i"),
+            col("rank2_sum")))),
+          lit(0.0), (acc, x) => acc +
+            x.getField("rank2_sum").cast("double") *
+              x.getField("rank2_sum").cast("double") /
+              x.getField("n_i").cast("double")).as("aa"))
+      val nD = col("n").cast("double")
+      val hStat = lit(3.0) * col("aa") / (nD * (nD + 1)) - lit(3.0) * (nD + 1)
+      val corr = lit(1.0) - col("t3").cast("double") / (nD * nD * nD - nD)
+      g.crossJoin(broadcast(tie)).crossJoin(broadcast(tot))
+        .select(col("event_type"), col("n_i"), col("rank2_sum"),
+          round(hStat, 6).as("h_stat"),
+          round(when(corr > 0, hStat / corr), 6).as("h_tie"))
         .orderBy("event_type")
     }),
 
@@ -1462,6 +1581,46 @@ object Relational3 {
         |  CAST(n_distinct = n_rows AS BIGINT) AS is_unique
         |FROM u, n ORDER BY key_cols""".stripMargin,
 
+    // Identical register construction off the same md5-derived hash;
+    // the harmonic sum is exact dyadic arithmetic (see the Spark-side
+    // scaladoc) so no ordered-fold discipline is needed.
+    "prof_hll" ->
+      s"""WITH h AS (
+         |  SELECT event_type,
+         |    ${graft.Exact.hash32Sql("'u:' || CAST(user_id AS VARCHAR)")} AS h32
+         |  FROM events),
+         |r AS (
+         |  SELECT event_type, h32 // 1048576 AS bk,
+         |    CASE WHEN h32 % 1048576 = 0 THEN 21
+         |         ELSE 21 - length(bin(h32 % 1048576)) END AS rho
+         |  FROM h),
+         |regs AS (SELECT event_type, bk, max(rho) AS mx
+         |         FROM r GROUP BY 1, 2),
+         |sk AS (
+         |  SELECT event_type, count(*) AS nz,
+         |    CAST(sum(mx) AS BIGINT) AS sum_rho,
+         |    sum(1.0 / CAST(1 << CAST(mx AS INT) AS DOUBLE)) AS sneg
+         |  FROM regs GROUP BY 1),
+         |ex AS (
+         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_exact
+         |  FROM (SELECT DISTINCT event_type, user_id FROM events)
+         |  GROUP BY 1),
+         |est AS (
+         |  SELECT sk.event_type, 4096 - nz AS v, sum_rho, n_exact,
+         |    CASE WHEN 0.7213 / (1.0 + 1.079 / 4096.0) * 4096.0 * 4096.0
+         |             / (CAST(4096 - nz AS DOUBLE) + sneg) <= 10240.0
+         |           AND 4096 - nz > 0
+         |      THEN 4096.0 * ln(4096.0 / CAST(4096 - nz AS DOUBLE))
+         |      ELSE 0.7213 / (1.0 + 1.079 / 4096.0) * 4096.0 * 4096.0
+         |             / (CAST(4096 - nz AS DOUBLE) + sneg) END AS e
+         |  FROM sk JOIN ex USING (event_type))
+         |SELECT event_type, CAST(4096 AS BIGINT) AS m_regs,
+         |  CAST(v AS BIGINT) AS zero_regs, sum_rho, n_exact,
+         |  round(e, 6) AS hll_est,
+         |  round((e - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE), 6)
+         |    AS rel_err
+         |FROM est ORDER BY event_type""".stripMargin,
+
     "prof_fds" -> {
       val probes = Seq("event_id" -> "user_id", "event_id" -> "event_type",
         "user_id" -> "event_type", "event_type" -> "user_id")
@@ -1717,6 +1876,48 @@ object Relational3 {
         |         / CAST(nn AS DOUBLE))
         |    / (CAST(st2 AS DOUBLE) - aa) END, 6) AS bf_w
         |FROM g CROSS JOIN tot ORDER BY event_type""".stripMargin,
+
+    // Pooled doubled midranks straight off the value histogram (the
+    // ladder is a Spark-partitioning device; the arithmetic is the
+    // plain cum-before form here), HUGEINT accumulation with BIGINT
+    // output, and the Σ R2_i²/n_i fold ordered by event_type.
+    "a23_kruskal" ->
+      """WITH h AS (
+        |  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS c,
+        |    count(*) AS m
+        |  FROM events GROUP BY 1, 2),
+        |mc AS (SELECT c, CAST(sum(m) AS BIGINT) AS mc FROM h GROUP BY 1),
+        |rc AS (
+        |  SELECT c, mc,
+        |    2 * coalesce(sum(mc) OVER (ORDER BY c
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      + mc + 1 AS r2
+        |  FROM mc),
+        |g AS (
+        |  SELECT event_type, CAST(sum(m) AS BIGINT) AS n_i,
+        |    CAST(sum(CAST(m AS HUGEINT) * r2) AS BIGINT) AS rank2_sum
+        |  FROM h JOIN rc USING (c) GROUP BY 1),
+        |tie AS (
+        |  SELECT CAST(sum(CAST(mc AS HUGEINT) * mc * mc - mc) AS BIGINT) AS t3,
+        |    CAST(sum(mc) AS BIGINT) AS n
+        |  FROM mc),
+        |tot AS (
+        |  SELECT count(*) AS k,
+        |    list_sum(list(CAST(rank2_sum AS DOUBLE) * CAST(rank2_sum AS DOUBLE)
+        |      / CAST(n_i AS DOUBLE) ORDER BY event_type)) AS aa
+        |  FROM g)
+        |SELECT g.event_type, n_i, rank2_sum,
+        |  round(3.0 * aa / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1))
+        |    - 3.0 * (CAST(n AS DOUBLE) + 1), 6) AS h_stat,
+        |  round(CASE WHEN 1.0 - CAST(t3 AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |         - CAST(n AS DOUBLE)) > 0 THEN
+        |    (3.0 * aa / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1))
+        |      - 3.0 * (CAST(n AS DOUBLE) + 1))
+        |    / (1.0 - CAST(t3 AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |         - CAST(n AS DOUBLE))) END, 6) AS h_tie
+        |FROM g CROSS JOIN tie CROSS JOIN tot ORDER BY event_type""".stripMargin,
 
     "a25_spearman" ->
       """WITH e AS (

@@ -590,6 +590,72 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("a23_kruskal: H matches a plain-Scala pooled-midrank recomputation") {
+    // Recompute Kruskal-Wallis from the raw cents values with a direct
+    // sort + midrank assignment — no histograms, no bucket ladder — and
+    // demand the engine's laddered rank sums and H agree.
+    val rows = operators.Relational3.queries("a23_kruskal")(spark, dir).collect()
+    val data = graft.Tables.load(spark, dir, "events")
+      .select(col("event_type"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val n = data.length.toLong
+    // midrank of value v = (#less) + (#equal + 1) / 2; doubled = 2*#less + #equal + 1
+    val byC = data.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val sortedC = byC.keys.toArray.sorted
+    val cumBefore = sortedC.scanLeft(0L)((a, c) => a + byC(c)).init
+    val r2ByC = sortedC.zip(cumBefore).map { case (c, cb) =>
+      c -> (2 * cb + byC(c) + 1) }.toMap
+    val groups = data.groupBy(_._1)
+    val want = groups.view.mapValues { vs =>
+      (vs.length.toLong, vs.map(v => BigInt(r2ByC(v._2))).sum)
+    }.toMap
+    var aa = 0.0
+    for (t <- want.keys.toSeq.sorted) {
+      val (ni, r2) = want(t)
+      aa += r2.toDouble * r2.toDouble / ni.toDouble
+    }
+    val hWant = 3.0 * aa / (n.toDouble * (n + 1)) - 3.0 * (n + 1)
+    val t3 = byC.values.map(m => BigInt(m) * m * m - m).sum
+    val hTieWant = hWant / (1.0 - t3.toDouble / (n.toDouble * n * n - n))
+    for (r <- rows) {
+      val (ni, r2) = want(r.getString(0))
+      assert(r.getLong(1) == ni && BigInt(r.getLong(2)) == r2,
+        s"${r.getString(0)}: rank sums diverge")
+      assert(math.abs(r.getDouble(3) - hWant) < 5e-7, s"H ${r.getDouble(3)} != $hWant")
+      assert(math.abs(r.getDouble(4) - hTieWant) < 5e-7)
+    }
+    assert(hWant >= 0.0 || math.abs(hWant) < 1e-9, "H must be ~nonnegative")
+  }
+
+  test("prof_hll: registers match a plain-Scala HLL; error inside the p=12 envelope") {
+    val rows = operators.Relational3.queries("prof_hll")(spark, dir).collect()
+    val pairs = graft.Tables.load(spark, dir, "events")
+      .select(col("event_type"), col("user_id")).distinct()
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h32(s: String): Long = {
+      val d = md.digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    for (r <- rows) {
+      val tpe = r.getString(0)
+      val regs = scala.collection.mutable.Map.empty[Long, Long]
+      for ((t, u) <- pairs if t == tpe) {
+        val h = h32(s"u:$u")
+        val bk = h / 1048576; val rem = h % 1048576
+        val rho = if (rem == 0) 21L
+          else 21L - java.lang.Long.toBinaryString(rem).length
+        if (rho > regs.getOrElse(bk, 0L)) regs(bk) = rho
+      }
+      assert(r.getLong(2) == 4096L - regs.size, s"$tpe zero_regs")
+      assert(r.getLong(3) == regs.values.sum, s"$tpe register checksum")
+      // the standard error of HLL at m=4096 is 1.04/sqrt(m) = 1.6%;
+      // allow 4 sigma
+      assert(math.abs(r.getDouble(6)) < 0.065, s"$tpe rel_err ${r.getDouble(6)}")
+    }
+  }
+
   test("a22_levene_bf: W nonnegative, per-group stats self-consistent") {
     val rows = operators.Relational3.queries("a22_levene_bf")(spark, dir).collect()
     assert(rows.length >= 2)

@@ -416,6 +416,8 @@ class ScaleDesignSpec extends AnyFunSuite {
       "a22_levene_bf" -> 2, // (type,cents) histogram + its cum window computed BEFORE the reuse checkpoint; median join and absdev moments ride broadcasts off the checkpointed frame
       "ir_err" -> 1, // the ir_ndcg dense cut (TakeOrdered) + 1-row list agg; the cascade folds inside one aggregate expression
       "mm_png_chunks" -> 1, // per-row write/parse is map-side; oracle sort only
+      "a23_kruskal" -> 15, // (type,cents) histogram + pooled-cents rollup behind checkpoints + the a25 bucket ladder (offsets + in-bucket cum) + rank join + per-type agg + tie/fold one-row aggs + oracle sort — every exchange histogram- or bucket-bounded
+      "prof_hll" -> 5, // register max-agg (map-side partial combine, ≤ types×4096 rows cross the wire) + per-type fold + the exact-distinct companion's distinct-then-count pair + oracle sort
       "emb_pca_power" -> 1) // result sort only: the Gramian build's pair-explode agg runs inside the query's own collect (the MLlib design — d×d is model-scale), output is a 64-row local relation
     val aqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
