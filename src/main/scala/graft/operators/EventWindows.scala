@@ -1412,6 +1412,74 @@ object EventWindows {
         .orderBy("user_id")
     }),
 
+    // Poisson bootstrap CI for the per-type mean value (Chamandy et al.
+    // 2012, "Estimating Uncertainty for Massive Data Streams" — THE
+    // resampling scheme that distributes: instead of drawing n rows with
+    // replacement (a global operation), each row independently carries a
+    // Poisson(1) weight per resample, so the whole bootstrap is one
+    // map pass + a (type, b) partial-aggregating shuffle of B·types tiny
+    // keys; the ×B work is map-side CPU, never data movement). Fully
+    // deterministic and hence oracle-checkable: the per-(row, b) uniform
+    // is a multiplicative mix of the house md5 hash by a per-resample
+    // multiplier — u = (h · ((b·2654435761) % M + 1)) % M, normalized,
+    // with M = 2³¹−1 (products ≤ 4.7e18, int64-safe). The multiplier
+    // must VARY nonlinearly with b: the first-cut additive form
+    // u_b = ((h+b)·48271) % M made consecutive resamples lattice shifts
+    // of each other by 48271/M ≈ 2e-5 — 200 near-identical weightings
+    // whose shared accidental corr(w, value) put the sample mean 10σ
+    // outside its own CI (caught by the containment spec, fixed by
+    // per-b multipliers; boot_se now matches the σ/√n theory) —
+    // pushed through the Poisson(1) inverse CDF as a shared-literal
+    // branch table (exact double compares, identical on both engines;
+    // weights capped at 6, P(X>6) ≈ 8e-5). Resample means are exact
+    // integer-cents ratios; the percentile bracket is nearest-rank
+    // ceil(q·B) over the sorted 200 means (both engines index the same
+    // sorted list); the boot-SE folds over the SAME sorted array (the
+    // ir_mrr ordered-reduction discipline).
+    "ev_bootstrap_ci" -> ((s, dir) => {
+      val B = 200
+      val base = load(s, dir, "events")
+        .select(col("event_type"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("c"),
+          (graft.Exact.hash32(col("event_id").cast("string")) %
+            2147483647L).as("h"))
+        .localCheckpoint()
+      val pt = base.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("c").as("sc"))
+      val u = (expr("(h * ((b * 2654435761) % 2147483647 + 1)) % 2147483647")
+        .cast("double") + lit(0.5)) / lit(2147483647.0)
+      val w = when(u < 0.36787944117144233, 0L)
+        .when(u < 0.7357588823428847, 1L)
+        .when(u < 0.9196986029286058, 2L)
+        .when(u < 0.9810118431238463, 3L)
+        .when(u < 0.9963401531726563, 4L)
+        .when(u < 0.9994058151824183, 5L)
+        .otherwise(6L)
+      val res = base
+        .select(col("event_type"), col("c"), col("h"),
+          explode(sequence(lit(0L), lit(B - 1L))).as("b"))
+        .select(col("event_type"), col("b"), col("c"), w.as("w"))
+        .groupBy("event_type", "b")
+        .agg(sum("w").as("sw"), sum(col("w") * col("c")).as("swx"))
+        .select(col("event_type"),
+          when(col("sw") > 0,
+            col("swx").cast("double") / (lit(100.0) * col("sw").cast("double")))
+            .otherwise(lit(0.0)).as("mb"))
+        .groupBy("event_type")
+        .agg(sort_array(collect_list(col("mb"))).as("arr"))
+      val mbar = aggregate(col("arr"), lit(0.0), (a, x) => a + x) / lit(B.toDouble)
+      res.join(broadcast(pt), "event_type")
+        .select(col("event_type"), col("n"),
+          round(col("sc").cast("double") /
+            (lit(100.0) * col("n").cast("double")), 6).as("mean_val"),
+          round(element_at(col("arr"), 5), 6).as("ci_lo"),
+          round(element_at(col("arr"), 195), 6).as("ci_hi"),
+          round(sqrt(aggregate(col("arr"), lit(0.0),
+            (a, x) => a + (x - mbar) * (x - mbar)) / lit((B - 1).toDouble)), 6)
+            .as("boot_se"))
+        .orderBy("event_type")
+    }),
+
     "ev_ab_test" -> ((s, dir) => {
       val perUser = load(s, dir, "events")
         .groupBy("user_id")
@@ -2328,6 +2396,55 @@ object EventWindows {
         |    AS twa_value
         |FROM d WHERE dur IS NOT NULL
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Same MINSTD uniform + shared-literal Poisson(1) inverse-CDF branch
+    // table; list folds ride the sorted means list (the ir_mrr ordered-
+    // reduction discipline), bracket indices are 1-based on both engines.
+    "ev_bootstrap_ci" ->
+      s"""WITH base AS (
+         |  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS c,
+         |    ${graft.Exact.hash32Sql("CAST(event_id AS VARCHAR)")}
+         |      % 2147483647 AS h
+         |  FROM events),
+         |pt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(c) AS BIGINT) AS sc FROM base GROUP BY 1),
+         |ex AS (
+         |  SELECT event_type, c, h, b
+         |  FROM base CROSS JOIN
+         |    (SELECT unnest(generate_series(0, 199)) AS b) bs),
+         |wgt AS (
+         |  SELECT event_type, b, c,
+         |    CASE WHEN u < 0.36787944117144233 THEN 0
+         |         WHEN u < 0.7357588823428847 THEN 1
+         |         WHEN u < 0.9196986029286058 THEN 2
+         |         WHEN u < 0.9810118431238463 THEN 3
+         |         WHEN u < 0.9963401531726563 THEN 4
+         |         WHEN u < 0.9994058151824183 THEN 5
+         |         ELSE 6 END AS w
+         |  FROM (SELECT *,
+         |          (CAST((h * ((b * 2654435761) % 2147483647 + 1))
+         |             % 2147483647 AS DOUBLE) + 0.5) / 2147483647.0 AS u
+         |        FROM ex)),
+         |rs AS (SELECT event_type, b, CAST(sum(w) AS BIGINT) AS sw,
+         |         CAST(sum(w * c) AS BIGINT) AS swx
+         |       FROM wgt GROUP BY 1, 2),
+         |mbv AS (SELECT event_type,
+         |          CASE WHEN sw > 0 THEN CAST(swx AS DOUBLE)
+         |            / (100.0 * CAST(sw AS DOUBLE)) ELSE 0.0 END AS mb
+         |        FROM rs),
+         |ar AS (SELECT event_type, list(mb ORDER BY mb) AS arr
+         |       FROM mbv GROUP BY 1),
+         |st AS (SELECT event_type, arr, list_sum(arr) / 200.0 AS mbar
+         |       FROM ar)
+         |SELECT st.event_type, n,
+         |  round(CAST(sc AS DOUBLE) / (100.0 * CAST(n AS DOUBLE)), 6)
+         |    AS mean_val,
+         |  round(arr[5], 6) AS ci_lo,
+         |  round(arr[195], 6) AS ci_hi,
+         |  round(sqrt(list_sum(list_transform(arr,
+         |      x -> (x - mbar) * (x - mbar))) / 199.0), 6) AS boot_se
+         |FROM st JOIN pt ON st.event_type = pt.event_type
+         |ORDER BY st.event_type""".stripMargin,
 
     "ev_ab_test" -> {
       val h = graft.Exact.hash32Sql("CAST(user_id AS VARCHAR)")

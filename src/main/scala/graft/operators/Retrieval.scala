@@ -474,6 +474,64 @@ object Retrieval {
     // broadcast). Every running sum rides the k-row frame above the
     // TakeOrdered cut; P@pos and the AP fold are identical integer-ratio
     // double expressions on both engines, round(6).
+    // Binary preference (Buckley & Voorhees 2004) for the same dense run
+    // — the judgment-robust metric the TREC robust tracks adopted when
+    // pools are incomplete (bpref only compares judged-relevant against
+    // judged-nonrelevant ORDER, so unjudged docs can't poison it; here
+    // the whole k-list is judged, making it the list-scoped definition:
+    // R / N = relevant / nonrelevant counts IN the list). Per relevant
+    // doc at rank r: contrib = 1 − min(#nonrel above r, R) / min(R, N);
+    // bpref = Σ contrib / R. Shape: identical to ir_map — the k-row
+    // post-limit frame carries every window, the totals ride one
+    // broadcast row; the running Σ contrib is a rank-ordered prefix sum
+    // (sequential by frame definition, so the double stream is identical
+    // on both engines — the ir_map precedent).
+    "ir_bpref" -> ((s, dir) => {
+      graft.plans.ArrayExprs.register(s)
+      import graft.plans.ArrayExprs.dotProduct
+      val rel = load(s, dir, "documents")
+        .select(col("doc_id"),
+          (QueryTerms.map(t => array_contains(toks(col("text")), t).cast("long"))
+            .reduce(_ + _) >= 1).cast("long").as("relevant"))
+        .localCheckpoint()
+      val e = load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").as("v"))
+        .withColumn("nrm", sqrt(dotProduct(col("v"), col("v"))))
+      val q = e.where(col("vec_id") === 0)
+        .select(col("v").as("qv"), col("nrm").as("qnrm"))
+      val dense = e.crossJoin(broadcast(q))
+        .where(col("vec_id") =!= 0)
+        .select(col("vec_id").as("doc_id"),
+          round(dotProduct(col("qv"), col("v")) / (col("qnrm") * col("nrm")), 6)
+            .as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(NdcgK)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      val lst = dense.join(rel, "doc_id")
+      val tot = lst.groupBy()
+        .agg(sum("relevant").as("r_tot"),
+          sum(lit(1L) - col("relevant")).as("n_tot"))
+      val wPrev = Window.orderBy("rank")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wCum = Window.orderBy("rank")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      lst.crossJoin(broadcast(tot))
+        .withColumn("nonrel_above",
+          coalesce(sum(lit(1L) - col("relevant")).over(wPrev), lit(0L)))
+        .withColumn("contrib",
+          when(col("relevant") === 1 && least(col("r_tot"), col("n_tot")) > 0,
+            lit(1.0) - least(col("nonrel_above"), col("r_tot")).cast("double") /
+              least(col("r_tot"), col("n_tot")).cast("double"))
+            .otherwise(lit(0.0)))
+        .select(col("rank"), col("doc_id"), col("relevant"),
+          col("nonrel_above"),
+          round(col("contrib"), 6).as("contrib"),
+          round(sum(col("contrib")).over(wCum) /
+            col("r_tot").cast("double"), 6).as("bpref_run"))
+        .orderBy("rank")
+    }),
+
     "ir_map" -> ((s, dir) => {
       graft.plans.ArrayExprs.register(s)
       import graft.plans.ArrayExprs.dotProduct
@@ -762,6 +820,49 @@ object Retrieval {
          |SELECT CAST($NdcgK AS BIGINT) AS k, round(err, 6) AS err_at_k,
          |  round(p, 6) AS residual_p, n_rel
          |FROM rec, nr WHERE rec.i = kk""".stripMargin
+    },
+
+    "ir_bpref" -> {
+      val relExpr = QueryTerms
+        .map(t => s"CAST(list_contains(string_split(lower(text), ' '), '$t') AS BIGINT)")
+        .mkString(" + ")
+      s"""WITH rel AS (
+         |  SELECT doc_id, CAST(($relExpr) >= 1 AS BIGINT) AS relevant
+         |  FROM documents),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |dense AS (
+         |  SELECT e.vec_id AS doc_id,
+         |    round(list_cosine_similarity(qv, v), 6) AS score
+         |  FROM e, q WHERE e.vec_id <> 0
+         |  ORDER BY score DESC, doc_id LIMIT $NdcgK),
+         |rk AS (
+         |  SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+         |    AS BIGINT) AS rank
+         |  FROM dense),
+         |lst AS (SELECT rank, rk.doc_id, rel.relevant
+         |        FROM rk JOIN rel ON rk.doc_id = rel.doc_id),
+         |tot AS (SELECT CAST(sum(relevant) AS BIGINT) AS r_tot,
+         |          CAST(sum(1 - relevant) AS BIGINT) AS n_tot FROM lst),
+         |c AS (
+         |  SELECT rank, doc_id, relevant, r_tot, n_tot,
+         |    CAST(coalesce(sum(1 - relevant) OVER (ORDER BY rank
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS nonrel_above
+         |  FROM lst CROSS JOIN tot),
+         |d AS (
+         |  SELECT rank, doc_id, relevant, nonrel_above, r_tot,
+         |    CASE WHEN relevant = 1 AND least(r_tot, n_tot) > 0 THEN
+         |      1.0 - CAST(least(nonrel_above, r_tot) AS DOUBLE)
+         |        / CAST(least(r_tot, n_tot) AS DOUBLE)
+         |    ELSE 0.0 END AS contrib
+         |  FROM c)
+         |SELECT rank, doc_id, relevant, nonrel_above,
+         |  round(contrib, 6) AS contrib,
+         |  round(sum(contrib) OVER (ORDER BY rank
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    / CAST(r_tot AS DOUBLE), 6) AS bpref_run
+         |FROM d ORDER BY rank""".stripMargin
     },
 
     "ir_map" -> {

@@ -656,6 +656,52 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ev_bootstrap_ci: CI contains the sample mean, boot_se matches theory") {
+    // The containment property is the one a broken resampling scheme
+    // fails while still hash-matching a broken oracle (the first-cut
+    // additive mixer produced 200 lattice-shifted near-copies whose
+    // shared bias put the mean 10 sigma outside the CI) — pin it, plus
+    // the sigma/sqrt(n) envelope on the bootstrap SE.
+    val rows = operators.EventWindows.queries("ev_bootstrap_ci")(spark, dir).collect()
+    assert(rows.length >= 2)
+    val stats = graft.Tables.load(spark, dir, "events")
+      .select(col("event_type"), (floor(col("value") * 100 + lit(0.5)) / 100.0).as("v"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), stddev_samp(col("v")).as("sd"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    for (r <- rows) {
+      val (tpe, n, mean, lo, hi, se) = (r.getString(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(lo <= mean && mean <= hi, s"$tpe: mean $mean outside CI [$lo, $hi]")
+      assert(lo < hi, s"$tpe: degenerate CI")
+      val (nn, sd) = stats(tpe)
+      assert(nn == n)
+      val seTheory = sd / math.sqrt(nn.toDouble)
+      assert(se > 0.5 * seTheory && se < 2.0 * seTheory,
+        s"$tpe: boot_se $se vs theory $seTheory")
+    }
+  }
+
+  test("ir_bpref: running score matches a plain-Scala recomputation, ends in [0,1]") {
+    val rows = operators.Retrieval.queries("ir_bpref")(spark, dir).collect()
+      .sortBy(_.getLong(0))
+    val rels = rows.map(_.getLong(2))
+    val rTot = rels.sum; val nTot = rels.length - rTot
+    var nonrel = 0L; var acc = 0.0
+    for ((r, i) <- rows.zipWithIndex) {
+      assert(r.getLong(3) == nonrel, s"rank ${i + 1}: nonrel_above")
+      val contrib = if (rels(i) == 1 && math.min(rTot, nTot) > 0)
+        1.0 - math.min(nonrel, rTot).toDouble / math.min(rTot, nTot).toDouble
+      else 0.0
+      acc += contrib
+      assert(math.abs(r.getDouble(5) - acc / rTot) < 5e-7,
+        s"rank ${i + 1}: bpref_run ${r.getDouble(5)} != ${acc / rTot}")
+      if (rels(i) == 0) nonrel += 1
+    }
+    val fin = rows.last.getDouble(5)
+    assert(fin >= 0.0 && fin <= 1.0)
+  }
+
   test("a22_levene_bf: W nonnegative, per-group stats self-consistent") {
     val rows = operators.Relational3.queries("a22_levene_bf")(spark, dir).collect()
     assert(rows.length >= 2)

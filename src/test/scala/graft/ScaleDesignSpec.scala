@@ -418,6 +418,8 @@ class ScaleDesignSpec extends AnyFunSuite {
       "mm_png_chunks" -> 1, // per-row write/parse is map-side; oracle sort only
       "a23_kruskal" -> 15, // (type,cents) histogram + pooled-cents rollup behind checkpoints + the a25 bucket ladder (offsets + in-bucket cum) + rank join + per-type agg + tie/fold one-row aggs + oracle sort — every exchange histogram- or bucket-bounded
       "prof_hll" -> 5, // register max-agg (map-side partial combine, ≤ types×4096 rows cross the wire) + per-type fold + the exact-distinct companion's distinct-then-count pair + oracle sort
+      "ev_bootstrap_ci" -> 4, // (type,b) partial agg (≤ types×200 keys cross the wire — the x200 explode is map-side CPU only) + per-type list agg + point-estimate agg behind the checkpoint + oracle sort
+      "ir_bpref" -> 2, // the ir_map shape: dense TakeOrdered cut + k-row window frame + oracle sort; totals ride one broadcast row
       "emb_pca_power" -> 1) // result sort only: the Gramian build's pair-explode agg runs inside the query's own collect (the MLlib design — d×d is model-scale), output is a 64-row local relation
     val aqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
