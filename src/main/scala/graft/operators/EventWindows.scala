@@ -751,6 +751,53 @@ object EventWindows {
     // fields evaluate sequentially with `acc` rebound mid-struct, so a
     // fold state with interdependent fields silently computes the wrong
     // recursion; the recursive CTE sidesteps the footgun.
+    // Page–Hinkley drift detector (Page 1954, the Gama et al. 2014
+    // streaming-drift form) over each type's daily-mean series — the
+    // change-monitor a production pipeline runs on data-quality metrics:
+    // m_t = m_{t-1} + (x_t − x̄_t − δ) with x̄_t the running mean,
+    // PH_t = m_t − min_{i≤t} m_i, alarm at the first day PH > λ
+    // (δ = 0.1 value units of drift tolerance, λ = 5). Like ev_holt the
+    // recursion cannot unroll into window sums (x̄_t re-normalizes every
+    // step), so the calendar-bounded day series folds SEQUENTIALLY
+    // through one `aggregate` expression with an (i, s, m, mn, alarm)
+    // state; the oracle runs the identical recursion as a recursive CTE
+    // over the day index (NOT list_reduce — the ev_holt DuckDB 1.0
+    // struct-rebinding footgun), so the double stream matches
+    // bit-for-bit.
+    "ev_page_hinkley" -> ((s, dir) => {
+      val d = load(s, dir, "events")
+        .select(col("event_type"), to_date(col("ts")).as("d"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("c"))
+        .groupBy("event_type", "d")
+        .agg(sum("c").as("sc"), count(lit(1)).as("cnt"))
+        .localCheckpoint()
+      val arr = d.groupBy("event_type")
+        .agg(sort_array(collect_list(struct(col("d"),
+          (col("sc").cast("double") / (lit(100.0) * col("cnt").cast("double")))
+            .as("v")))).as("a"))
+        .select(col("event_type"), size(col("a")).cast("long").as("n_days"),
+          transform(col("a"), x => x.getField("v")).as("xs"))
+      val init = struct(lit(0L).as("i"), lit(0.0).as("s"), lit(0.0).as("m"),
+        lit(0.0).as("mn"), lit(0L).as("alarm"))
+      val folded = arr.select(col("event_type"), col("n_days"),
+        aggregate(col("xs"), init, (acc, x) => {
+          val i2 = acc.getField("i") + 1
+          val s2 = acc.getField("s") + x
+          val m2 = acc.getField("m") +
+            (x - s2 / i2.cast("double") - lit(0.1))
+          val mn2 = least(acc.getField("mn"), m2)
+          struct(i2.as("i"), s2.as("s"), m2.as("m"), mn2.as("mn"),
+            when(acc.getField("alarm") === 0 && m2 - mn2 > 5.0, i2)
+              .otherwise(acc.getField("alarm")).as("alarm"))
+        }).as("st"))
+      folded.select(col("event_type"), col("n_days"),
+        round(col("st.m"), 6).as("cum_dev"),
+        round(col("st.mn"), 6).as("min_dev"),
+        round(col("st.m") - col("st.mn"), 6).as("ph_stat"),
+        col("st.alarm").as("alarm_day"))
+        .orderBy("event_type")
+    }),
+
     "ev_holt" -> ((s, dir) => {
       val d = load(s, dir, "events")
         .select(col("event_type"), to_date(col("ts")).as("d"),
@@ -1818,6 +1865,49 @@ object EventWindows {
         |  round(CAST(struct_extract(t, 'c') AS DOUBLE) / n_days / 100.0, 6)
         |    AS cusum_mean_excess
         |FROM am ORDER BY event_type""".stripMargin,
+
+    // The PH recursion as a recursive CTE over the day index (the
+    // ev_holt discipline); m', mn', and the alarm CASE each write the
+    // step expression out in full so the double tree is identical.
+    "ev_page_hinkley" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS sc,
+        |    count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |idx AS MATERIALIZED (
+        |  SELECT event_type,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY d)
+        |      AS BIGINT) AS i,
+        |    CAST(sc AS DOUBLE) / (100.0 * CAST(cnt AS DOUBLE)) AS v
+        |  FROM d),
+        |n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+        |      FROM idx GROUP BY 1),
+        |rec(event_type, i, s, m, mn, alarm) AS (
+        |  SELECT event_type, CAST(0 AS BIGINT), 0.0::DOUBLE, 0.0::DOUBLE,
+        |    0.0::DOUBLE, CAST(0 AS BIGINT)
+        |  FROM n
+        |  UNION ALL
+        |  SELECT r.event_type, x.i,
+        |    r.s + x.v,
+        |    r.m + (x.v - (r.s + x.v) / CAST(x.i AS DOUBLE) - 0.1),
+        |    least(r.mn,
+        |      r.m + (x.v - (r.s + x.v) / CAST(x.i AS DOUBLE) - 0.1)),
+        |    CASE WHEN r.alarm = 0 AND
+        |        (r.m + (x.v - (r.s + x.v) / CAST(x.i AS DOUBLE) - 0.1))
+        |        - least(r.mn,
+        |            r.m + (x.v - (r.s + x.v) / CAST(x.i AS DOUBLE) - 0.1))
+        |        > 5.0
+        |      THEN x.i ELSE r.alarm END
+        |  FROM rec r JOIN idx x
+        |    ON x.event_type = r.event_type AND x.i = r.i + 1)
+        |SELECT r.event_type AS event_type, n.n_days,
+        |  round(r.m, 6) AS cum_dev, round(r.mn, 6) AS min_dev,
+        |  round(r.m - r.mn, 6) AS ph_stat, r.alarm AS alarm_day
+        |FROM rec r JOIN n
+        |  ON r.event_type = n.event_type AND r.i = n.n_days
+        |ORDER BY event_type""".stripMargin,
 
     // Textbook recursion as a recursive CTE over the day index (NOT
     // list_reduce — see the Spark-side scaladoc for the DuckDB 1.0

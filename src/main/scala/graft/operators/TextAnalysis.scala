@@ -395,6 +395,58 @@ object TextAnalysis {
         .orderBy(col("z").desc, col("term"))
     }),
 
+    // TextRank keyword extraction (Mihalcea & Tarau 2004) — the
+    // graph-based keyword scorer that needs no training data: content
+    // words (pure-alpha, length ≥ 4) become nodes, adjacent filtered
+    // tokens become weighted undirected co-occurrence edges, and 10
+    // rounds of weighted PageRank (d = 0.85) rank the vocabulary; top 20
+    // emitted. Cross-engine exactness is the gr_pagerank discipline:
+    // FIXED-POINT integer ranks (U = 1e6 per node; teleport 15U div 100;
+    // contribution (r·w) div wtot), so every round is pure int64
+    // arithmetic with order-independent sums — no float drift over 10
+    // iterations. Bound: r < Σr = |V|·U and r·w < |V|·U·w_max ≈ 1e15 at
+    // the testable vocabularies (int64 headroom ≥ 8e3; a 100 TB corpus
+    // would drop U a decade per vocabulary decade). Shape: the pair
+    // explode is map-side (zip_with over the filtered token array); each
+    // round is one vocabulary-keyed join + agg — edge-scale shuffles,
+    // never corpus-scale.
+    "ta_textrank" -> ((s, dir) => {
+      val U = 1000000L
+      val tsF = filter(toks(col("text")), x => x.rlike("^[a-z]{4,}$"))
+      val docs = load(s, dir, "documents").select(tsF.as("ts"))
+      val pg = when(size(col("ts")) >= 2,
+        zip_with(slice(col("ts"), lit(1), size(col("ts")) - 1),
+          slice(col("ts"), lit(2), size(col("ts")) - 1),
+          (a, b) => concat_ws(" ", least(a, b), greatest(a, b))))
+        .otherwise(array().cast("array<string>"))
+      val pairs = docs.select(explode(pg).as("pg"))
+        .where(split(col("pg"), " ").getItem(0) =!=
+          split(col("pg"), " ").getItem(1))
+        .groupBy("pg").agg(count(lit(1)).as("w"))
+        .select(split(col("pg"), " ").getItem(0).as("a"),
+          split(col("pg"), " ").getItem(1).as("b"), col("w"))
+        .localCheckpoint()
+      val sym = pairs.select(col("a").as("src"), col("b").as("dst"), col("w"))
+        .unionAll(pairs.select(col("b").as("src"), col("a").as("dst"), col("w")))
+      val adj = sym.groupBy("src")
+        .agg(collect_list(struct(col("dst"), col("w"))).as("nbrs"),
+          sum("w").as("wtot"))
+        .localCheckpoint()
+      var rank = adj.select(col("src").as("node"), lit(U).as("r"))
+      for (_ <- 1 to 10) {
+        rank = rank.join(adj, col("node") === col("src"))
+          .select(explode(col("nbrs")).as("nb"), col("r"), col("wtot"))
+          .select(col("nb.dst").as("dst"),
+            expr("(r * nb.w) div wtot").as("c"))
+          .groupBy("dst").agg(sum(col("c")).as("sc"))
+          .select(col("dst").as("node"),
+            (lit(15L * U / 100L) + expr("85 * sc div 100")).as("r"))
+      }
+      rank.select(col("node").as("term"), col("r").as("tr_fp"))
+        .orderBy(col("tr_fp").desc, col("term"))
+        .limit(20)
+    }),
+
     "ta_collocations" -> ((s, dir) => {
       val t = toks(col("text"))
       val n = size(t)
@@ -1259,6 +1311,40 @@ object TextAnalysis {
         |bot AS (SELECT * FROM s ORDER BY z ASC, term LIMIT 25)
         |SELECT * FROM (SELECT * FROM top UNION ALL SELECT * FROM bot)
         |ORDER BY z DESC, term""".stripMargin,
+
+    // 10 unrolled fixed-point PageRank rounds; HUGEINT internally is
+    // fine (exact), BIGINT out per the battery-wide type gate.
+    "ta_textrank" -> {
+      val rounds = (1 to 10).map { i =>
+        s"""r$i AS (
+           |  SELECT adj.dst AS node,
+           |    150000 + 85 * sum((r.r * adj.w) // adj.wtot) // 100 AS r
+           |  FROM r${i - 1} r JOIN adj ON adj.src = r.node GROUP BY 1)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH d AS (SELECT list_filter(string_split(lower(text), ' '),
+         |             x -> regexp_full_match(x, '[a-z]{4,}')) AS ts
+         |           FROM documents),
+         |pg0 AS (SELECT unnest(list_transform(range(1, greatest(len(ts), 1)),
+         |          i -> least(ts[i], ts[i+1]) || ' ' || greatest(ts[i], ts[i+1])))
+         |          AS pg
+         |        FROM d),
+         |pw AS (SELECT pg, count(*) AS w FROM pg0
+         |       WHERE string_split(pg, ' ')[1] <> string_split(pg, ' ')[2]
+         |       GROUP BY 1),
+         |ed AS (SELECT string_split(pg, ' ')[1] AS src,
+         |         string_split(pg, ' ')[2] AS dst, w FROM pw
+         |       UNION ALL
+         |       SELECT string_split(pg, ' ')[2], string_split(pg, ' ')[1], w
+         |       FROM pw),
+         |wt AS (SELECT src, CAST(sum(w) AS BIGINT) AS wtot FROM ed GROUP BY 1),
+         |adj AS (SELECT ed.src, ed.dst, ed.w, wt.wtot
+         |        FROM ed JOIN wt USING (src)),
+         |r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS r FROM wt),
+         |$rounds
+         |SELECT node AS term, CAST(r AS BIGINT) AS tr_fp FROM r10
+         |ORDER BY tr_fp DESC, term LIMIT 20""".stripMargin
+    },
 
     "ta_collocations" ->
       """WITH d AS (SELECT string_split(lower(text), ' ') AS t FROM documents),

@@ -702,6 +702,37 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(fin >= 0.0 && fin <= 1.0)
   }
 
+  test("ev_page_hinkley: the fold equals a plain-Scala PH recursion") {
+    val d = graft.Tables.load(spark, dir, "events")
+      .select(col("event_type"), to_date(col("ts")).as("d"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("c"))
+      .groupBy("event_type", "d")
+      .agg(sum("c").as("sc"), count(lit(1)).as("cnt"))
+      .orderBy("event_type", "d").collect()
+      .groupBy(_.getString(0)).view
+      .mapValues(_.sortBy(_.getDate(1).toString)
+        .map(r => r.getLong(2).toDouble / (100.0 * r.getLong(3))).toSeq)
+    val got = operators.EventWindows.queries("ev_page_hinkley")(spark, dir)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(4), r.getLong(5))).toMap
+    for ((tpe, xs) <- d) {
+      var s = 0.0; var m = 0.0; var mn = 0.0; var alarm = 0L; var i = 0L
+      for (x <- xs) {
+        i += 1; s += x
+        m += x - s / i - 0.1
+        mn = math.min(mn, m)
+        if (alarm == 0 && m - mn > 5.0) alarm = i
+      }
+      val (n, gm, gph, galarm) = got(tpe)
+      assert(n == xs.length)
+      assert(math.abs(gm - m) < 5e-7, s"$tpe: cum_dev $gm != $m")
+      assert(math.abs(gph - (m - mn)) < 5e-7)
+      assert(galarm == alarm, s"$tpe: alarm $galarm != $alarm")
+      assert(gph >= 0.0)
+    }
+  }
+
   test("a22_levene_bf: W nonnegative, per-group stats self-consistent") {
     val rows = operators.Relational3.queries("a22_levene_bf")(spark, dir).collect()
     assert(rows.length >= 2)
@@ -715,6 +746,39 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(BigInt(s1) * BigInt(s1) <= BigInt(n) * BigInt(s2),
         "absdev moments violate Cauchy-Schwarz")
     }
+  }
+
+  test("ta_textrank: fixed-point ranks equal a plain-Scala weighted PageRank") {
+    // Rebuild the co-occurrence graph and run the identical 10-round
+    // integer recursion in plain Scala maps — every emitted rank must be
+    // bit-equal (fixed-point arithmetic leaves no tolerance to hide in).
+    val got = operators.TextAnalysis.queries("ta_textrank")(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .select(col("text")).collect().map(_.getString(0))
+    val w = scala.collection.mutable.Map.empty[(String, String), Long]
+    for (d <- docs) {
+      val ts = d.toLowerCase.split(" ").filter(_.matches("^[a-z]{4,}$"))
+      for (i <- 0 until ts.length - 1 if ts(i) != ts(i + 1)) {
+        val k = if (ts(i) < ts(i + 1)) (ts(i), ts(i + 1)) else (ts(i + 1), ts(i))
+        w(k) = w.getOrElse(k, 0L) + 1
+      }
+    }
+    val adj = scala.collection.mutable.Map.empty[String, List[(String, Long)]]
+    for (((a, b), c) <- w) {
+      adj(a) = (b, c) :: adj.getOrElse(a, Nil)
+      adj(b) = (a, c) :: adj.getOrElse(b, Nil)
+    }
+    val wtot = adj.view.mapValues(_.map(_._2).sum).toMap
+    var rank = adj.keys.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 10) {
+      val nxt = scala.collection.mutable.Map.empty[String, Long]
+      for ((src, nbrs) <- adj; (dst, ww) <- nbrs)
+        nxt(dst) = nxt.getOrElse(dst, 0L) + rank(src) * ww / wtot(src)
+      rank = nxt.view.mapValues(sc => 150000L + 85L * sc / 100L).toMap
+    }
+    val want = rank.toSeq.sortBy { case (t, r) => (-r, t) }.take(20)
+    assert(got.toSeq == want, s"top-20 diverges:\n got ${got.toSeq}\nwant $want")
   }
 
   test("ta_bpe_train: full merge table, non-increasing counts, chain passes suffice") {

@@ -420,6 +420,8 @@ class ScaleDesignSpec extends AnyFunSuite {
       "prof_hll" -> 5, // register max-agg (map-side partial combine, ≤ types×4096 rows cross the wire) + per-type fold + the exact-distinct companion's distinct-then-count pair + oracle sort
       "ev_bootstrap_ci" -> 4, // (type,b) partial agg (≤ types×200 keys cross the wire — the x200 explode is map-side CPU only) + per-type list agg + point-estimate agg behind the checkpoint + oracle sort
       "ir_bpref" -> 2, // the ir_map shape: dense TakeOrdered cut + k-row window frame + oracle sort; totals ride one broadcast row
+      "ta_textrank" -> 10, // one vocabulary-keyed agg per unrolled PageRank round over the checkpointed adjacency (edge-scale, never corpus-scale); pair agg + adjacency agg ride the checkpoints, top-20 is TakeOrdered
+      "ev_page_hinkley" -> 2, // the ev_holt shape: daily agg behind the checkpoint + per-type collect_list agg; the PH recursion folds inside one aggregate expression
       "emb_pca_power" -> 1) // result sort only: the Gramian build's pair-explode agg runs inside the query's own collect (the MLlib design — d×d is model-scale), output is a 64-row local relation
     val aqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
