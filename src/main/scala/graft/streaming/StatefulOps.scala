@@ -691,6 +691,95 @@ object StatefulOps {
         enc)
   }
 
+  /** Streaming input row for the drift twin: one event with its cents
+    * value; `cents == Long.MinValue` is the per-type flush sentinel
+    * (send it in its own micro-batch, after the data, like the other
+    * sentinel-flushed twins). */
+  case class DriftEv(event_type: String, ts: java.sql.Timestamp, cents: Long)
+
+  /** Final Page–Hinkley state for a type — the batch `ev_page_hinkley`
+    * output row, emitted on flush. */
+  case class DriftState(event_type: String, n_days: Long, cum_dev: Double,
+                        min_dev: Double, ph_stat: Double, alarm_day: Long)
+
+  /** Internal PH fold state: the open day's (day, Σcents, count) plus the
+    * carried (i, s, m, mn, alarm) recursion variables. */
+  case class PhSt(curDay: Long, sc: Long, cnt: Long, i: Long, s: Double,
+                  m: Double, mn: Double, alarm: Long)
+
+  /** The STREAMING twin of the batch `ev_page_hinkley` operator — drift
+    * detection is the canonically streaming member of the events
+    * battery, so the parity claim matters most here: per type the
+    * processor accumulates the OPEN day's integer (Σcents, n) and, when
+    * a later day arrives (or the flush sentinel closes the stream),
+    * folds the closed day's mean through the identical PH recursion the
+    * batch `aggregate` expression and the DuckDB recursive CTE run —
+    * the same IEEE ops in the same order, so the emitted doubles are
+    * bit-equal to the batch rows after the same HALF_UP round(6)
+    * (StatefulOpsSpec pins exact equality on the real feed). State is
+    * ONE fixed-size record per type regardless of stream length; types
+    * hash across executors. */
+  class PageHinkleyProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, DriftEv, DriftState] {
+    @transient private var st:
+        org.apache.spark.sql.streaming.ValueState[PhSt] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[PhSt]("ph_st", Encoders.product[PhSt],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(
+        tpe: String, rows: Iterator[DriftEv],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[DriftState] = {
+      def micros(ts: java.sql.Timestamp): Long =
+        Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+      var cur = if (st.exists()) st.get()
+        else PhSt(Long.MinValue, 0L, 0L, 0L, 0.0, 0.0, 0.0, 0L)
+      def closeDay(): Unit = if (cur.curDay != Long.MinValue) {
+        // the batch expression tree, verbatim: x = sc / (100.0 * cnt);
+        // m' = m + (x - s'/i' - 0.1); mn' = min(mn, m'); first-alarm day
+        val x = cur.sc.toDouble / (100.0 * cur.cnt.toDouble)
+        val i2 = cur.i + 1
+        val s2 = cur.s + x
+        val m2 = cur.m + (x - s2 / i2.toDouble - 0.1)
+        val mn2 = math.min(cur.mn, m2)
+        val al = if (cur.alarm == 0 && m2 - mn2 > 5.0) i2 else cur.alarm
+        cur = PhSt(Long.MinValue, 0L, 0L, i2, s2, m2, mn2, al)
+      }
+      def r6(v: Double): Double =
+        BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val out = Vector.newBuilder[DriftState]
+      for (e <- rows.toVector.sortBy(r => micros(r.ts))) {
+        if (e.cents == Long.MinValue) {
+          closeDay()
+          out += DriftState(tpe, cur.i, r6(cur.m), r6(cur.mn),
+            r6(cur.m - cur.mn), cur.alarm)
+        } else {
+          val day = Math.floorDiv(micros(e.ts), 86400000000L)
+          if (cur.curDay != Long.MinValue && day != cur.curDay) closeDay()
+          cur = cur.copy(curDay = day, sc = cur.sc + e.cents,
+            cnt = cur.cnt + 1)
+        }
+      }
+      st.update(cur)
+      out.result().iterator
+    }
+  }
+
+  /** `DriftEv` stream → per-type final Page–Hinkley drift verdicts.
+    * Requires RocksDB (transformWithState). */
+  def driftMonitor(ds: Dataset[DriftEv]): Dataset[DriftState] = {
+    implicit val enc: Encoder[DriftState] = Encoders.product[DriftState]
+    ds.groupByKey(_.event_type)(Encoders.STRING)
+      .transformWithState(new PageHinkleyProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append(),
+        enc)
+  }
+
   /** `(key, item)` events → per-key Misra–Gries top items (≤ k counters). */
   def heavyHitters(ds: Dataset[(String, String)], k: Int): Dataset[HeavyHitter] = {
     implicit val enc: Encoder[HeavyHitter] = Encoders.product[HeavyHitter]

@@ -391,6 +391,47 @@ class StatefulOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming driftMonitor equals the batch ev_page_hinkley result exactly") {
+    // Drift detection is the canonically streaming op, so the twin's
+    // parity claim is the strongest one in the family: feed the real
+    // sf0.001 events in event-time order across micro-batches, flush,
+    // and the emitted per-type (n_days, cum_dev, min_dev, ph_stat,
+    // alarm_day) must equal the DuckDB-oracle-checked batch rows
+    // EXACTLY — the processor folds the identical IEEE expression tree.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      import org.apache.spark.sql.functions.{col, floor, lit}
+      val dir = "/root/testdata/sf0.001"
+      val evs = graft.Tables.load(spark, dir, "events")
+        .select(col("event_type"), col("ts"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+        .orderBy("ts", "event_type")
+        .as[StatefulOps.DriftEv].collect()
+      val flush = evs.map(_.event_type).distinct.map(t =>
+        StatefulOps.DriftEv(t, new java.sql.Timestamp(0L), Long.MinValue))
+      val mem = MemoryStream[StatefulOps.DriftEv]
+      val q = StatefulOps.driftMonitor(mem.toDS())
+        .writeStream.outputMode("append")
+        .format("memory").queryName("sdrift_out").start()
+      try {
+        evs.grouped(math.max(1, evs.length / 5))
+          .foreach { b => mem.addData(b.toSeq); q.processAllAvailable() }
+        mem.addData(flush.toSeq); q.processAllAvailable()
+        val batch = SparkEntry.queries("ev_page_hinkley")(spark, dir).collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+            r.getDouble(3), r.getDouble(4), r.getLong(5))).toSeq.sorted
+        val streamed = spark.table("sdrift_out")
+          .as[StatefulOps.DriftState].collect()
+          .map(d => (d.event_type, d.n_days, d.cum_dev, d.min_dev,
+            d.ph_stat, d.alarm_day)).toSeq.sorted
+        assert(streamed == batch,
+          s"drift rows diverge:\nstream ${streamed.mkString(", ")}\n" +
+            s"batch ${batch.mkString(", ")}")
+      } finally q.stop()
+    }
+  }
+
   test("Misra-Gries heavy hitters: exact when k covers the item domain, bounded otherwise") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
