@@ -687,6 +687,58 @@ object Dedup {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // Bloom-filter membership probe (Bloom 1970; Kirsch & Mitzenmacher
+    // 2006 double hashing) — the sketch sibling of dd_drop_list's exact
+    // anti-join and the membership member of the sketch suite
+    // (prof_hll = cardinality, prof_cms = frequency): a content
+    // blocklist (docs with doc_id % 7 = 0, keyed by text md5) builds an
+    // m = 65536-bit, k = 4 filter, every document probes it, and the
+    // exact-membership companion measures the realized false-positive
+    // rate. Fully deterministic: the k positions derive from ONE house
+    // hash32 per text — h1 = top 16 bits, h2 = 2·(h % 2^15)+1 (odd), and
+    // pos_i = (h1 + i·h2) % 65536 — so both engines set and probe
+    // identical bits. Scale shape: the bit SET is ≤ 4·|blocklist|
+    // distinct positions (here ≤ 65536 rows — broadcast), the probe is a
+    // map-side 4-row explode + broadcast semi-join; at 100 TB this is
+    // exactly how a blocklist probe avoids shuffling the corpus against
+    // the list. All-integer output plus the one derived rate.
+    "dd_bloom" -> ((s, dir) => {
+      val ks = (0 to 3).map(i =>
+        pmod(col("h1") + lit(i.toLong) * col("h2"), lit(65536L)))
+      val docs = load(s, dir, "documents")
+        .select(col("doc_id"), md5(col("text")).as("m5"),
+          graft.Exact.hash32(col("text")).as("h"))
+        .select(col("doc_id"), col("m5"), expr("h div 65536").as("h1"),
+          (expr("h % 32768") * 2 + 1).as("h2"))
+        .localCheckpoint()
+      val banned = docs.where(col("doc_id") % 7 === 0)
+      val bits = banned
+        .select(explode(array(ks: _*)).as("pos")).distinct()
+      val bannedKeys = banned.select("m5").distinct()
+      val nBits = bits.groupBy().agg(count(lit(1)).as("n_bits_set"))
+      val nBanned = bannedKeys.groupBy().agg(count(lit(1)).as("n_banned_keys"))
+      val probed = docs
+        .select(col("doc_id"), col("m5"), explode(array(ks: _*)).as("pos"))
+      val bloomHits = probed.join(broadcast(bits), Seq("pos"), "left_semi")
+        .groupBy("doc_id", "m5").agg(count(lit(1)).as("nm"))
+        .where(col("nm") === 4)
+      val exactHits = docs.join(broadcast(bannedKeys), Seq("m5"), "left_semi")
+      val joint = bloomHits.select(col("doc_id"))
+        .join(exactHits.select(col("doc_id"), lit(1L).as("ex")),
+          Seq("doc_id"), "left")
+        .agg(count(lit(1)).as("n_flagged_bloom"),
+          sum(when(col("ex").isNull, 1L).otherwise(0L)).as("n_false_pos"))
+      val tot = docs.groupBy().agg(count(lit(1)).as("n_docs"))
+      val nEx = exactHits.groupBy().agg(count(lit(1)).as("n_flagged_exact"))
+      tot.crossJoin(broadcast(nBanned)).crossJoin(broadcast(nBits))
+        .crossJoin(broadcast(joint)).crossJoin(broadcast(nEx))
+        .select(col("n_docs"), col("n_banned_keys"), col("n_bits_set"),
+          col("n_flagged_bloom"), col("n_flagged_exact"), col("n_false_pos"),
+          round(col("n_false_pos").cast("double") /
+            (col("n_docs") - col("n_flagged_exact")).cast("double"), 6)
+            .as("fp_rate"))
+    }),
+
     // The terminal dedup artifact: the composed drop list a training run
     // actually consumes — every (doc_id, reason) pair from the three
     // hygiene passes. Duplicates ride the memoized component labels (keep
@@ -826,6 +878,45 @@ object Dedup {
       |comp AS (SELECT src AS doc_id, min(dst) AS lbl FROM reach GROUP BY src)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // Identical Kirsch–Mitzenmacher positions off the same hash32; the
+    // all-4-positions-present probe is a matched-row count, never a
+    // 65536-bit bitmap.
+    "dd_bloom" -> {
+      val pos = (0 to 3).map(i => s"(h1 + $i * h2) % 65536").mkString(", ")
+      s"""WITH d AS (
+         |  SELECT doc_id, md5(text) AS m5,
+         |    ${hash32Sql("text")} AS h
+         |  FROM documents),
+         |dk AS (SELECT doc_id, m5, h // 65536 AS h1,
+         |         (h % 32768) * 2 + 1 AS h2 FROM d),
+         |banned AS (SELECT * FROM dk WHERE doc_id % 7 = 0),
+         |bits AS (SELECT DISTINCT pos FROM (
+         |  SELECT unnest([$pos]) AS pos FROM banned)),
+         |bkeys AS (SELECT DISTINCT m5 FROM banned),
+         |probed AS (SELECT doc_id, m5, unnest([$pos]) AS pos FROM dk),
+         |bloom AS (
+         |  SELECT doc_id, m5 FROM probed
+         |  WHERE pos IN (SELECT pos FROM bits)
+         |  GROUP BY 1, 2 HAVING count(*) = 4),
+         |exact AS (SELECT doc_id FROM dk
+         |          WHERE m5 IN (SELECT m5 FROM bkeys)),
+         |joint AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_flagged_bloom,
+         |    CAST(sum(CASE WHEN e.doc_id IS NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_false_pos
+         |  FROM bloom b LEFT JOIN exact e ON b.doc_id = e.doc_id)
+         |SELECT (SELECT CAST(count(*) AS BIGINT) FROM dk) AS n_docs,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM bkeys) AS n_banned_keys,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM bits) AS n_bits_set,
+         |  n_flagged_bloom,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM exact) AS n_flagged_exact,
+         |  n_false_pos,
+         |  round(CAST(n_false_pos AS DOUBLE) /
+         |    CAST((SELECT count(*) FROM dk)
+         |      - (SELECT count(*) FROM exact) AS DOUBLE), 6) AS fp_rate
+         |FROM joint""".stripMargin
+    },
+
     "dd_winnow" ->
       s"""WITH tok AS (
          |  SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),

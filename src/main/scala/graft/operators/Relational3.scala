@@ -315,6 +315,48 @@ object Relational3 {
         .orderBy("event_type")
     }),
 
+    // Count–Min frequency sketch (Cormode & Muthukrishnan 2005), d = 4
+    // rows × w = 1024 counters, keyed on user_id — the frequency member
+    // of the sketch suite (prof_hll = cardinality, dd_bloom =
+    // membership): one map pass explodes each event into its 4 (row,
+    // position) cells, a partial-aggregating count builds the 4096-cell
+    // table (THE bounded-shuffle way to approximate per-key counts at
+    // 100 TB), and the 5 true-heaviest users probe it — emitting the
+    // estimate, the truth, and the overestimate (CMS never
+    // underestimates; the oracle enforces the inequality implicitly by
+    // matching the exact min-of-cells). Deterministic: positions are
+    // Kirsch–Mitzenmacher double hashing off the same md5-derived
+    // hash32 as prof_hll (h1 = top 16 bits, h2 = 2·(h % 2^15)+1,
+    // pos_j = (h1 + j·h2) % 1024).
+    "prof_cms" -> ((s, dir) => {
+      def posJ(j: Int) =
+        pmod(col("h1") + lit(j.toLong) * col("h2"), lit(1024L))
+      val ev = load(s, dir, "events")
+        .select(col("user_id"),
+          graft.Exact.hash32(concat(lit("u:"), col("user_id").cast("string")))
+            .as("h"))
+        .select(col("user_id"), expr("h div 65536").as("h1"),
+          (expr("h % 32768") * 2 + 1).as("h2"))
+        .localCheckpoint()
+      val cells = ev.select(explode(array((0 to 3).map(j =>
+          struct(lit(j.toLong).as("j"), posJ(j).as("pos"))): _*)).as("c"))
+        .groupBy(col("c.j").as("j"), col("c.pos").as("pos"))
+        .agg(count(lit(1)).as("cnt"))
+      val top5 = ev.groupBy("user_id", "h1", "h2")
+        .agg(count(lit(1)).as("true_cnt"))
+        .orderBy(col("true_cnt").desc, col("user_id")).limit(5)
+      top5.select(col("user_id"), col("true_cnt"),
+          explode(array((0 to 3).map(j =>
+            struct(lit(j.toLong).as("j"), posJ(j).as("pos"))): _*)).as("c"))
+        .select(col("user_id"), col("true_cnt"), col("c.j").as("j"),
+          col("c.pos").as("pos"))
+        .join(broadcast(cells), Seq("j", "pos"))
+        .groupBy("user_id", "true_cnt").agg(min("cnt").as("cms_est"))
+        .select(col("user_id"), col("true_cnt"), col("cms_est"),
+          (col("cms_est") - col("true_cnt")).as("over_est"))
+        .orderBy(col("true_cnt").desc, col("user_id"))
+    }),
+
     // Functional-dependency discovery — the profiling probe behind
     // "which columns determine which" (schema inference, normalization
     // audits, silent-denormalization detection): for each candidate
@@ -1580,6 +1622,36 @@ object Relational3 {
         |SELECT key_cols, n_distinct, n_rows,
         |  CAST(n_distinct = n_rows AS BIGINT) AS is_unique
         |FROM u, n ORDER BY key_cols""".stripMargin,
+
+    // Identical Kirsch–Mitzenmacher cells; the probe is an all-integer
+    // min over the 4 matched counters.
+    "prof_cms" -> {
+      val pos = (0 to 3).map(j => s"{'j': $j, 'pos': (h1 + $j * h2) % 1024}")
+        .mkString(", ")
+      s"""WITH ev AS (
+         |  SELECT user_id,
+         |    ${graft.Exact.hash32Sql("'u:' || CAST(user_id AS VARCHAR)")} AS h
+         |  FROM events),
+         |ek AS (SELECT user_id, h // 65536 AS h1,
+         |         (h % 32768) * 2 + 1 AS h2 FROM ev),
+         |cells AS (
+         |  SELECT c.j, c.pos, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM (SELECT unnest([$pos]) AS c FROM ek)
+         |  GROUP BY 1, 2),
+         |top5 AS (
+         |  SELECT user_id, h1, h2, CAST(count(*) AS BIGINT) AS true_cnt
+         |  FROM ek GROUP BY 1, 2, 3
+         |  ORDER BY true_cnt DESC, user_id LIMIT 5),
+         |probes AS (
+         |  SELECT user_id, true_cnt, c.j AS j, c.pos AS pos
+         |  FROM (SELECT user_id, true_cnt, unnest([$pos]) AS c FROM top5))
+         |SELECT user_id, true_cnt,
+         |  CAST(min(cnt) AS BIGINT) AS cms_est,
+         |  CAST(min(cnt) - true_cnt AS BIGINT) AS over_est
+         |FROM probes JOIN cells USING (j, pos)
+         |GROUP BY user_id, true_cnt
+         |ORDER BY true_cnt DESC, user_id""".stripMargin
+    },
 
     // Identical register construction off the same md5-derived hash;
     // the harmonic sum is exact dyadic arithmetic (see the Spark-side

@@ -628,6 +628,55 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(hWant >= 0.0 || math.abs(hWant) < 1e-9, "H must be ~nonnegative")
   }
 
+  test("dd_bloom: bloom set contains the exact set; fill rate matches the bit math") {
+    val r = operators.Dedup.queries("dd_bloom")(spark, dir).collect()(0)
+    val (nDocs, nBanned, nBits, nBloom, nExact, nFp) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5))
+    // no false negatives, ever: bloom ⊇ exact
+    assert(nBloom == nExact + nFp, "bloom != exact + false positives")
+    assert(nBloom >= nExact)
+    // the filter can't set more bits than 4 per banned key, nor fewer
+    // than 4 total for a nonempty list (k distinct positions collide
+    // within a key only on h2-cycle degeneracies)
+    assert(nBits <= 4 * nBanned && nBits >= 1)
+    assert(nExact >= nDocs / 7 - 1, "every 7th doc_id must be banned")
+    // realized FP rate within 50x of the (fill)^k prediction envelope
+    val fill = nBits.toDouble / 65536.0
+    val expFp = math.pow(fill, 4) * (nDocs - nExact)
+    assert(nFp <= expFp * 50 + 3, s"fp $nFp vs predicted $expFp")
+  }
+
+  test("prof_cms: estimates never underestimate and match a plain-Scala CMS") {
+    val rows = operators.Relational3.queries("prof_cms")(spark, dir).collect()
+    assert(rows.length == 5)
+    val users = graft.Tables.load(spark, dir, "events")
+      .select(col("user_id")).collect().map(_.getLong(0))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h32(s: String): Long = {
+      val d = md.digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    val cells = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    val truth = scala.collection.mutable.Map.empty[Long, Long]
+    for (u <- users) {
+      val h = h32(s"u:$u"); val h1 = h / 65536; val h2 = (h % 32768) * 2 + 1
+      for (j <- 0L to 3L)
+        cells((j, (h1 + j * h2) % 1024)) =
+          cells.getOrElse((j, (h1 + j * h2) % 1024), 0L) + 1
+      truth(u) = truth.getOrElse(u, 0L) + 1
+    }
+    for (r <- rows) {
+      val (u, tc, est, over) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(tc == truth(u))
+      val h = h32(s"u:$u"); val h1 = h / 65536; val h2 = (h % 32768) * 2 + 1
+      val want = (0L to 3L).map(j => cells((j, (h1 + j * h2) % 1024))).min
+      assert(est == want, s"user $u: est $est != scala $want")
+      assert(over == est - tc && over >= 0, "CMS underestimated")
+    }
+  }
+
   test("prof_hll: registers match a plain-Scala HLL; error inside the p=12 envelope") {
     val rows = operators.Relational3.queries("prof_hll")(spark, dir).collect()
     val pairs = graft.Tables.load(spark, dir, "events")

@@ -422,6 +422,8 @@ class ScaleDesignSpec extends AnyFunSuite {
       "ir_bpref" -> 2, // the ir_map shape: dense TakeOrdered cut + k-row window frame + oracle sort; totals ride one broadcast row
       "ta_textrank" -> 10, // one vocabulary-keyed agg per unrolled PageRank round over the checkpointed adjacency (edge-scale, never corpus-scale); pair agg + adjacency agg ride the checkpoints, top-20 is TakeOrdered
       "ev_page_hinkley" -> 2, // the ev_holt shape: daily agg behind the checkpoint + per-type collect_list agg; the PH recursion folds inside one aggregate expression
+      "dd_bloom" -> 10, // bit-set distinct + banned-key distinct + the probe's per-doc matched-count agg + summary one-row aggs, all behind the checkpointed key scan; bits/keys ride broadcasts into the probes
+      "prof_cms" -> 2, // the 4096-cell count agg (map-side partial combine) + top-5 user agg; the probe joins the broadcast cell table
       "emb_pca_power" -> 1) // result sort only: the Gramian build's pair-explode agg runs inside the query's own collect (the MLlib design — d×d is model-scale), output is a 64-row local relation
     val aqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
