@@ -416,6 +416,45 @@ object Graph {
     // Dedup.componentLabels pattern): the loop carrier's lineage would
     // otherwise nest one join+anti-join deeper per round. Distances are
     // pure integers — bit-identical on any partitioning, any engine.
+    // Landmark closeness centrality (the Eppstein–Wang 2004 estimator):
+    // exact closeness needs all-pairs BFS — O(n·m), impossible at any
+    // scale — so production ranks nodes by distance to a FIXED landmark
+    // set (here the 4 smallest node ids — deterministic, no RNG). One
+    // multi-source BFS carries (node, landmark) pairs: per hop the
+    // frontier joins the edge list and anti-joins the settled set, so
+    // per-round work is the frontier's edge cut × 4, never |V|²; the
+    // frontier localCheckpoints each round (the gr_shortest_path
+    // discipline). Distances are pure integers; the one double is the
+    // final n_reached/Σd ratio, round(6), guarded for the Σd = 0
+    // isolated-landmark case.
+    "gr_closeness" -> ((s, dir) => {
+      val e = edges(s, dir)
+      val e2 = e.select(col("pa").as("src"), col("pb").as("dst"))
+        .unionAll(e.select(col("pb").as("src"), col("pa").as("dst")))
+        .cache()
+      val lms = e2.select(col("src").as("node")).distinct()
+        .orderBy("node").limit(LmCount)
+        .select(col("node"), col("node").as("lm"))
+      var frontier = lms.select(col("node"), col("lm"), lit(0L).as("d"))
+        .localCheckpoint()
+      var dist = frontier
+      for (hop <- 1 to LmHops) {
+        frontier = frontier.join(e2, col("node") === col("src"))
+          .select(col("dst").as("node"), col("lm")).distinct()
+          .join(dist, Seq("node", "lm"), "left_anti")
+          .select(col("node"), col("lm"), lit(hop.toLong).as("d"))
+          .localCheckpoint()
+        dist = dist.unionAll(frontier)
+      }
+      dist.groupBy("node")
+        .agg(count(lit(1)).as("n_lm"), sum("d").as("dist_sum"))
+        .select(col("node"), col("n_lm"), col("dist_sum"),
+          round(when(col("dist_sum") > 0,
+            col("n_lm").cast("double") / col("dist_sum").cast("double")), 6)
+            .as("closeness"))
+        .orderBy("node")
+    }),
+
     "gr_shortest_path" -> ((s, dir) => {
       val e = edges(s, dir)
       val e2 = e.select(col("pa").as("src"), col("pb").as("dst"))
@@ -444,6 +483,8 @@ object Graph {
   private val HitsUnit = 1000000000000L
   private val HitsIters = 5
   private val SpSeedMod = 10 // gr_shortest_path: seeds are nodes ≡ 0 (mod 10)
+  private val LmCount = 4 // gr_closeness: landmark count (smallest node ids)
+  private val LmHops = 6 // gr_closeness BFS round bound
   private val SpMaxHops = 4 // gr_shortest_path BFS round bound
 
   /** The shared DuckDB prologue: co-purchase edges both directions. */
@@ -709,6 +750,28 @@ object Graph {
          |SELECT node, CAST(r AS BIGINT) AS pr_fp FROM it$PrIters
          |ORDER BY pr_fp DESC, node""".stripMargin
     },
+
+    // Per-landmark BFS as a bounded recursive walk carrying the (node,
+    // lm) pair; min(d) per pair is the BFS distance within the hop
+    // bound (the gr_shortest_path oracle pattern).
+    "gr_closeness" ->
+      s"""WITH RECURSIVE $EdgeSql,
+         |e2 AS (SELECT pa AS src, pb AS dst FROM e
+         |       UNION ALL SELECT pb AS src, pa AS dst FROM e),
+         |lms AS (SELECT DISTINCT src AS lm FROM e2
+         |        ORDER BY lm LIMIT $LmCount),
+         |walk(node, lm, d) AS (
+         |  SELECT lm AS node, lm, 0 AS d FROM lms
+         |  UNION
+         |  SELECT e2.dst, w.lm, w.d + 1 FROM walk w JOIN e2 ON w.node = e2.src
+         |  WHERE w.d < $LmHops),
+         |md AS (SELECT node, lm, min(d) AS d FROM walk GROUP BY 1, 2)
+         |SELECT node, CAST(count(*) AS BIGINT) AS n_lm,
+         |  CAST(sum(d) AS BIGINT) AS dist_sum,
+         |  round(CASE WHEN sum(d) > 0 THEN
+         |    CAST(count(*) AS DOUBLE) / CAST(sum(d) AS DOUBLE) END, 6)
+         |    AS closeness
+         |FROM md GROUP BY node ORDER BY node""".stripMargin,
 
     "gr_shortest_path" ->
       s"""WITH RECURSIVE $EdgeSql,

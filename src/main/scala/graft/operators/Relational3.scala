@@ -998,6 +998,48 @@ object Relational3 {
         .orderBy("event_type")
     }),
 
+    // One-way ANOVA F across all event types (Fisher) — the parametric
+    // companion to a23_kruskal and the k-group extension of a21_welch_t:
+    // F = (SSB/(k−1)) / (SSW/(N−k)) with SSB = Σ s_i²/n_i − S²/N and
+    // SSW = Σ q_i − Σ s_i²/n_i (the expanded identities — no per-group
+    // grand-mean join). The cents power sums n_i, s_i = Σx, q_i = Σx²
+    // are exact integers (decimal-widened, BIGINT out — q ≤ n·1e10
+    // holds int64 to n ≈ 9e8 rows/type, the a13_moments bound); the ONE
+    // order-sensitive double reduction (Σ s_i²/n_i) folds in sorted
+    // type order on both engines (the a22_levene_bf discipline).
+    "a26_anova_f" -> ((s, dir) => {
+      val d38 = (x: org.apache.spark.sql.Column) => x.cast("decimal(38,0)")
+      val g = load(s, dir, "events")
+        .select(col("event_type"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("c"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(d38(col("c"))).as("sd"),
+          sum(d38(col("c")) * col("c")).as("qd"))
+        .select(col("event_type"), col("n"), col("sd").cast("long").as("s1"),
+          col("qd").cast("long").as("q1"))
+      val tot = g.agg(sum("n").as("nn"), sum("s1").as("st1"),
+        sum("q1").as("qt"), count(lit(1)).as("k"),
+        aggregate(
+          sort_array(collect_list(struct(col("event_type"), col("n"),
+            col("s1")))),
+          lit(0.0), (acc, x) => acc +
+            x.getField("s1").cast("double") * x.getField("s1").cast("double") /
+              x.getField("n").cast("double")).as("aa"))
+      val ssb = col("aa") -
+        col("st1").cast("double") * col("st1").cast("double") /
+          col("nn").cast("double")
+      val ssw = col("qt").cast("double") - col("aa")
+      g.crossJoin(broadcast(tot))
+        .select(col("event_type"), col("n"), col("s1").as("sum_c"),
+          col("q1").as("sum_c2"),
+          round(col("s1").cast("double") / col("n").cast("double") / 100.0, 6)
+            .as("mean_val"),
+          round(when(ssw > 0,
+            (ssb / (col("k") - 1).cast("double")) /
+              (ssw / (col("nn") - col("k")).cast("double"))), 6).as("f_stat"))
+        .orderBy("event_type")
+    }),
+
     "a25_spearman" -> ((s, dir) => {
       val j = load(s, dir, "events")
         .select(hour(col("ts")).cast("long").as("h"),
@@ -1990,6 +2032,31 @@ object Relational3 {
         |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
         |         - CAST(n AS DOUBLE))) END, 6) AS h_tie
         |FROM g CROSS JOIN tie CROSS JOIN tot ORDER BY event_type""".stripMargin,
+
+    "a26_anova_f" ->
+      """WITH g AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(CAST(floor(value * 100 + 0.5) AS BIGINT)
+        |      AS HUGEINT)) AS BIGINT) AS s1,
+        |    CAST(sum(CAST(CAST(floor(value * 100 + 0.5) AS BIGINT)
+        |      AS HUGEINT) * CAST(floor(value * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS q1
+        |  FROM events GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(s1) AS BIGINT) AS st1,
+        |    CAST(sum(q1) AS BIGINT) AS qt, count(*) AS k,
+        |    list_sum(list(CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+        |      / CAST(n AS DOUBLE) ORDER BY event_type)) AS aa
+        |  FROM g)
+        |SELECT g.event_type, g.n, s1 AS sum_c, q1 AS sum_c2,
+        |  round(CAST(s1 AS DOUBLE) / CAST(g.n AS DOUBLE) / 100.0, 6)
+        |    AS mean_val,
+        |  round(CASE WHEN CAST(qt AS DOUBLE) - aa > 0 THEN
+        |    ((aa - CAST(st1 AS DOUBLE) * CAST(st1 AS DOUBLE)
+        |        / CAST(nn AS DOUBLE)) / CAST(k - 1 AS DOUBLE))
+        |    / ((CAST(qt AS DOUBLE) - aa) / CAST(nn - k AS DOUBLE)) END, 6)
+        |    AS f_stat
+        |FROM g CROSS JOIN tot ORDER BY event_type""".stripMargin,
 
     "a25_spearman" ->
       """WITH e AS (

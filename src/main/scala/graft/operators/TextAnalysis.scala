@@ -395,6 +395,35 @@ object TextAnalysis {
         .orderBy(col("z").desc, col("term"))
     }),
 
+    // Term burstiness (Church & Gale 1995) + index of dispersion — the
+    // corpus statistic separating topical words (bursty: rare across
+    // docs, dense within them) from function words (Poisson-like):
+    // burst = cf/df (mean tf within containing docs) and the Fano
+    // factor D = Var(tf)/E(tf) over ALL docs. Everything reduces from
+    // ONE (term, doc) tf aggregate to per-term integer power sums
+    // (Σtf, Σtf² — int64-safe to Σtf² ≈ 9e18, i.e. essentially always:
+    // tf is per-doc-bounded); the D expression is the identical double
+    // tree on both engines, round(6). Top 30 by dispersion.
+    "ta_burstiness" -> ((s, dir) => {
+      val docs = load(s, dir, "documents")
+      val nDocs = docs.groupBy().agg(count(lit(1)).as("nd"))
+      val tf = docs.select(col("doc_id"), explode(toks(col("text"))).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      val st = tf.groupBy("w")
+        .agg(count(lit(1)).as("df"), sum("tf").as("cf"),
+          sum(col("tf") * col("tf")).as("cf2"))
+        .where(col("df") >= 20)
+      val mean = col("cf").cast("double") / col("nd").cast("double")
+      val ex2 = col("cf2").cast("double") / col("nd").cast("double")
+      st.crossJoin(broadcast(nDocs))
+        .select(col("w").as("term"), col("df"), col("cf"),
+          round(col("cf").cast("double") / col("df").cast("double"), 6)
+            .as("burst"),
+          round((ex2 - mean * mean) / mean, 6).as("dispersion"))
+        .orderBy(col("dispersion").desc, col("term"))
+        .limit(30)
+    }),
+
     // TextRank keyword extraction (Mihalcea & Tarau 2004) — the
     // graph-based keyword scorer that needs no training data: content
     // words (pure-alpha, length ≥ 4) become nodes, adjacent filtered
@@ -1311,6 +1340,29 @@ object TextAnalysis {
         |bot AS (SELECT * FROM s ORDER BY z ASC, term LIMIT 25)
         |SELECT * FROM (SELECT * FROM top UNION ALL SELECT * FROM bot)
         |ORDER BY z DESC, term""".stripMargin,
+
+    // Same (term, doc) tf reduction; the dispersion double tree matches
+    // the Spark expression exactly.
+    "ta_burstiness" ->
+      """WITH tf AS (
+        |  SELECT doc_id, w, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+        |    FROM documents)
+        |  GROUP BY 1, 2),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+        |st AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS df,
+        |    CAST(sum(tf) AS BIGINT) AS cf,
+        |    CAST(sum(tf * tf) AS BIGINT) AS cf2
+        |  FROM tf GROUP BY 1 HAVING count(*) >= 20)
+        |SELECT w AS term, df, cf,
+        |  round(CAST(cf AS DOUBLE) / CAST(df AS DOUBLE), 6) AS burst,
+        |  round((CAST(cf2 AS DOUBLE) / CAST(nd AS DOUBLE)
+        |      - (CAST(cf AS DOUBLE) / CAST(nd AS DOUBLE))
+        |        * (CAST(cf AS DOUBLE) / CAST(nd AS DOUBLE)))
+        |    / (CAST(cf AS DOUBLE) / CAST(nd AS DOUBLE)), 6) AS dispersion
+        |FROM st CROSS JOIN nd
+        |ORDER BY dispersion DESC, term LIMIT 30""".stripMargin,
 
     // 10 unrolled fixed-point PageRank rounds; HUGEINT internally is
     // fine (exact), BIGINT out per the battery-wide type gate.

@@ -628,6 +628,90 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(hWant >= 0.0 || math.abs(hWant) < 1e-9, "H must be ~nonnegative")
   }
 
+  test("gr_closeness: distances equal a plain-Scala landmark BFS") {
+    val got = operators.Graph.queries("gr_closeness")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // rebuild the co-purchase graph exactly as the shared edges() does
+    val items = graft.Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val e = items.as("a").join(items.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+      .agg(count(lit(1)).as("cnt")).where(col("cnt") >= 2)
+      .select("pa", "pb").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = scala.collection.mutable.Map.empty[Long, List[Long]]
+    for ((a, b) <- e) {
+      adj(a) = b :: adj.getOrElse(a, Nil); adj(b) = a :: adj.getOrElse(b, Nil)
+    }
+    val lms = adj.keys.toSeq.sorted.take(4)
+    val want = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+    for (lm <- lms) {
+      val dist = scala.collection.mutable.Map(lm -> 0L)
+      var frontier = Set(lm)
+      for (hop <- 1L to 6L) {
+        frontier = frontier.flatMap(adj.getOrElse(_, Nil))
+          .filterNot(dist.contains)
+        frontier.foreach(n => dist(n) = hop)
+      }
+      for ((n, d) <- dist) {
+        val (c, s) = want.getOrElse(n, (0L, 0L)); want(n) = (c + 1, s + d)
+      }
+    }
+    assert(got.keySet == want.keySet,
+      s"node sets differ by ${(got.keySet diff want.keySet).take(3)} / ${(want.keySet diff got.keySet).take(3)}")
+    for ((n, (c, s)) <- want)
+      assert(got(n) == (c, s), s"node $n: got ${got(n)} want ($c, $s)")
+  }
+
+  test("ta_burstiness: identities hold and the top dispersion recomputes") {
+    val rows = operators.TextAnalysis.queries("ta_burstiness")(spark, dir).collect()
+    assert(rows.nonEmpty && rows.length <= 30)
+    val nd = graft.Tables.load(spark, dir, "documents").count()
+    for (r <- rows) {
+      val (df, cf, burst, disp) =
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))
+      assert(df >= 20 && cf >= df, "tf >= 1 in every containing doc")
+      assert(burst >= 1.0 && math.abs(burst - cf.toDouble / df) < 1e-6)
+      assert(disp >= -1e-9, "Fano factor cannot be negative")
+    }
+    // recompute the top term's dispersion from raw tf values
+    val top = rows.head.getString(0)
+    val tfs = graft.Tables.load(spark, dir, "documents")
+      .select(explode(split(lower(col("text")), " ")).as("w"), col("doc_id"))
+      .where(col("w") === top).groupBy("doc_id").count()
+      .collect().map(_.getLong(1))
+    val mean = tfs.sum.toDouble / nd
+    val ex2 = tfs.map(t => t.toDouble * t).sum / nd
+    assert(math.abs(rows.head.getDouble(4) - (ex2 - mean * mean) / mean) < 1e-5)
+  }
+
+  test("a26_anova_f: F matches a plain-Scala recomputation and is nonnegative") {
+    val rows = operators.Relational3.queries("a26_anova_f")(spark, dir).collect()
+    val data = graft.Tables.load(spark, dir, "events")
+      .select(col("event_type"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val grp = data.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val k = grp.size; val nn = data.length
+    var aa = 0.0
+    for (t <- grp.keys.toSeq.sorted) {
+      val s = grp(t).map(BigInt(_)).sum
+      aa += s.toDouble * s.toDouble / grp(t).length
+    }
+    val st1 = data.map(d => BigInt(d._2)).sum
+    val qt = data.map(d => BigInt(d._2) * d._2).sum
+    val ssb = aa - st1.toDouble * st1.toDouble / nn
+    val ssw = qt.toDouble - aa
+    val fWant = (ssb / (k - 1)) / (ssw / (nn - k))
+    for (r <- rows) {
+      assert(r.getLong(1) == grp(r.getString(0)).length)
+      assert(math.abs(r.getDouble(5) - fWant) < 5e-7,
+        s"F ${r.getDouble(5)} != $fWant")
+      assert(r.getDouble(5) >= 0.0)
+    }
+  }
+
   test("dd_bloom: bloom set contains the exact set; fill rate matches the bit math") {
     val r = operators.Dedup.queries("dd_bloom")(spark, dir).collect()(0)
     val (nDocs, nBanned, nBits, nBloom, nExact, nFp) =

@@ -424,6 +424,9 @@ class ScaleDesignSpec extends AnyFunSuite {
       "ev_page_hinkley" -> 2, // the ev_holt shape: daily agg behind the checkpoint + per-type collect_list agg; the PH recursion folds inside one aggregate expression
       "dd_bloom" -> 10, // bit-set distinct + banned-key distinct + the probe's per-doc matched-count agg + summary one-row aggs, all behind the checkpointed key scan; bits/keys ride broadcasts into the probes
       "prof_cms" -> 2, // the 4096-cell count agg (map-side partial combine) + top-5 user agg; the probe joins the broadcast cell table
+      "gr_closeness" -> 2, // the (node, landmark) BFS rounds run inside per-round localCheckpoints (the gr_shortest_path discipline); final per-node agg + oracle sort
+      "ta_burstiness" -> 3, // (term,doc) tf agg + per-term power-sum agg; top-30 is TakeOrdered; nd rides a broadcast
+      "a26_anova_f" -> 3, // ONE per-type power-sum agg + the one-row ordered fold + oracle sort; totals ride a broadcast
       "emb_pca_power" -> 1) // result sort only: the Gramian build's pair-explode agg runs inside the query's own collect (the MLlib design — d×d is model-scale), output is a 64-row local relation
     val aqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
