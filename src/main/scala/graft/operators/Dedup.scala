@@ -734,8 +734,12 @@ object Dedup {
         .crossJoin(broadcast(joint)).crossJoin(broadcast(nEx))
         .select(col("n_docs"), col("n_banned_keys"), col("n_bits_set"),
           col("n_flagged_bloom"), col("n_flagged_exact"), col("n_false_pos"),
-          round(col("n_false_pos").cast("double") /
-            (col("n_docs") - col("n_flagged_exact")).cast("double"), 6)
+          // Guard the degenerate blocklist-covers-everything input (a
+          // replicated corpus reaches it): ANSI Spark errors on /0 where
+          // DuckDB would emit NULL — the samp_neyman asymmetry class.
+          round(when(col("n_docs") > col("n_flagged_exact"),
+            col("n_false_pos").cast("double") /
+              (col("n_docs") - col("n_flagged_exact")).cast("double")), 6)
             .as("fp_rate"))
     }),
 
@@ -911,9 +915,11 @@ object Dedup {
          |  n_flagged_bloom,
          |  (SELECT CAST(count(*) AS BIGINT) FROM exact) AS n_flagged_exact,
          |  n_false_pos,
-         |  round(CAST(n_false_pos AS DOUBLE) /
-         |    CAST((SELECT count(*) FROM dk)
-         |      - (SELECT count(*) FROM exact) AS DOUBLE), 6) AS fp_rate
+         |  round(CASE WHEN (SELECT count(*) FROM dk)
+         |      > (SELECT count(*) FROM exact) THEN
+         |    CAST(n_false_pos AS DOUBLE) /
+         |      CAST((SELECT count(*) FROM dk)
+         |        - (SELECT count(*) FROM exact) AS DOUBLE) END, 6) AS fp_rate
          |FROM joint""".stripMargin
     },
 
