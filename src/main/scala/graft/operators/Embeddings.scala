@@ -169,6 +169,133 @@ object Embeddings {
     * iteration the k×d centroid state is broadcast (assignment is
     * map-side) and the update is one keyed aggregation — linear at any
     * corpus size. */
+  /** The unrolled PCA power-iteration CTE chain shared by the
+    * emb_pca_power and emb_abtt oracles — ends with `q` (quantized
+    * values), `n`, `sq` (per-dim sums), `cov`, and `vfin` (the unit top
+    * principal component) in scope. Mirrors [[pcaTop]] CTE-for-step. */
+  private lazy val PcaChainSql: String = {
+    val iters = (1 to PcaSquarings).map { t =>
+      s"""m$t AS MATERIALIZED (
+         |  SELECT a.di AS di, b.dj AS dj,
+         |    list_sum(list(a.cij * b.cij ORDER BY a.cij * b.cij)) AS cij
+         |  FROM cn${t - 1} a JOIN cn${t - 1} b ON a.dj = b.di
+         |  GROUP BY 1, 2),
+         |f$t AS (SELECT sqrt(list_sum(list(cij * cij ORDER BY cij * cij))) AS f
+         |        FROM m$t),
+         |cn$t AS MATERIALIZED (SELECT di, dj, cij / f AS cij FROM m$t, f$t)""".stripMargin
+    }.mkString(",\n")
+    s"""e AS MATERIALIZED (
+       |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+       |         unnest(embedding::DOUBLE[]) AS x
+       |  FROM embeddings),
+       |stats AS (SELECT d, min(x) AS mn, max(x) AS mx FROM e GROUP BY d),
+       |q AS MATERIALIZED (
+       |  SELECT vec_id, e.d,
+       |    CAST(floor(CASE WHEN mx = mn THEN 0.0
+       |               ELSE (x - mn) / (mx - mn) * 255.0 END + 0.5) AS BIGINT) AS q
+       |  FROM e JOIN stats USING (d)),
+       |n AS (SELECT CAST(count(DISTINCT vec_id) AS DOUBLE) AS n FROM q),
+       |spp AS MATERIALIZED (
+       |  SELECT a.d AS di, b.d AS dj, sum(a.q * b.q) AS s
+       |  FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.d <= b.d
+       |  GROUP BY 1, 2),
+       |sq AS MATERIALIZED (SELECT d, sum(q) AS s FROM q GROUP BY d),
+       |covu AS MATERIALIZED (
+       |  SELECT di, dj,
+       |    CAST(spp.s AS DOUBLE) / n.n
+       |      - (CAST(si.s AS DOUBLE) / n.n) * (CAST(sj.s AS DOUBLE) / n.n) AS cij
+       |  FROM spp, n
+       |  JOIN sq si ON spp.di = si.d
+       |  JOIN sq sj ON spp.dj = sj.d),
+       |cov AS MATERIALIZED (
+       |  SELECT di, dj, cij FROM covu
+       |  UNION ALL
+       |  SELECT dj AS di, di AS dj, cij FROM covu WHERE di <> dj),
+       |f0 AS (SELECT sqrt(list_sum(list(cij * cij ORDER BY cij * cij))) AS f
+       |       FROM cov),
+       |cn0 AS MATERIALIZED (SELECT di, dj, cij / f AS cij FROM cov, f0),
+       |$iters,
+       |it0 AS (SELECT DISTINCT di AS d, 1.0 / sqrt($EmbD) AS val FROM cov),
+       |p0 AS (
+       |  SELECT c.di AS d,
+       |    list_sum(list(c.cij * v.val ORDER BY c.cij * v.val)) AS pv
+       |  FROM cn$PcaSquarings c JOIN it0 v ON c.dj = v.d GROUP BY c.di),
+       |nm AS (SELECT sqrt(list_sum(list(pv * pv ORDER BY pv * pv))) AS nrm FROM p0),
+       |vfin AS MATERIALIZED (SELECT d, pv / nrm AS val FROM p0, nm)""".stripMargin
+  }
+
+  /** Shared per-dimension min/max-quantized (0..255) vector frame —
+    * the exact-integer base emb_pca_power and emb_abtt both reduce. */
+  private def quantized(s: SparkSession, dir: String): DataFrame = {
+    val e = load(s, dir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val stats = e.select(posexplode(col("v")).as(Seq("d", "x")))
+      .groupBy("d").agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    val grid = stats.groupBy()
+      .agg(sort_array(collect_list(struct(col("d"), col("mn"), col("mx")))).as("g"))
+      .select(transform(col("g"), t => t.getField("mn")).as("mnA"),
+        transform(col("g"), t => t.getField("mx")).as("mxA"))
+    e.crossJoin(broadcast(grid))
+      .select(col("vec_id"), expr(
+        "transform(v, (x, i) -> CAST(floor(CASE WHEN mxA[i] = mnA[i] THEN 0.0 " +
+          "ELSE (x - mnA[i]) / (mxA[i] - mnA[i]) * 255.0 END + 0.5) AS BIGINT))")
+        .as("qa"))
+  }
+
+  /** Exact-Gramian top principal component of the quantized vectors —
+    * the emb_pca_power computation, factored so emb_abtt consumes the
+    * identical (n, Σq per dim, v, λ). One-pass exact Gramian: n,
+    * per-dim sums, and the 2080 upper-triangle pair sums accumulate as
+    * primitive longs per partition (GramianAgg) — no 2080-per-row pair
+    * explode ever materializes (the explode formulation measured 5.6 s
+    * at sf0.1; this is the MLlib per-partition-buffer design). Long
+    * sums equal the oracle's HUGEINT sums exactly; every float
+    * reduction folds in ascending value order (the house sorted-fold
+    * convention); convergence via [[PcaSquarings]] matrix squarings,
+    * Frobenius-normalized between squarings; sign pinned by the
+    * all-positive start vector. Returns (n, raw per-dim sums, unit v,
+    * Rayleigh λ) — all model-scale driver state. */
+  private def pcaTop(s: SparkSession, dir: String)
+      : (Double, Array[Double], Array[Double], Double) = {
+    graft.plans.GramianAgg.register(s)
+    val dim = EmbD
+    val g = quantized(s, dir)
+      .agg(graft.plans.GramianAgg.gramian(col("qa"), dim).as("g"))
+      .collect()(0).getSeq[Long](0)
+    val nD = g(0).toDouble
+    val sq = Array.tabulate(dim)(d => g(1 + d).toDouble)
+    val sppFlat = g.drop(1 + dim)
+    def triIdx(i: Int, j: Int): Int = i * dim - i * (i - 1) / 2 + (j - i)
+    val cov = Array.tabulate(dim, dim) { (i, j) =>
+      val s = (if (i <= j) sppFlat(triIdx(i, j)) else sppFlat(triIdx(j, i))).toDouble
+      s / nD - (sq(i) / nD) * (sq(j) / nD)
+    }
+    def sortedSum(xs: Seq[Double]): Double = xs.sorted.foldLeft(0.0)(_ + _)
+    def mulV(m: Array[Array[Double]], v: Array[Double]): Array[Double] =
+      Array.tabulate(dim)(d => sortedSum((0 until dim).map(j => m(d)(j) * v(j))))
+    def frobNorm(m: Array[Array[Double]]): Double =
+      math.sqrt(sortedSum(
+        (for (i <- 0 until dim; j <- 0 until dim) yield m(i)(j) * m(i)(j))))
+    def normed(m: Array[Array[Double]]): Array[Array[Double]] = {
+      val f = frobNorm(m)
+      m.map(_.map(_ / f))
+    }
+    var c = normed(cov)
+    for (_ <- 1 to PcaSquarings) {
+      val sq2 = Array.tabulate(dim, dim) { (i, j) =>
+        sortedSum((0 until dim).map(k => c(i)(k) * c(k)(j)))
+      }
+      c = normed(sq2)
+    }
+    val p0 = mulV(c, Array.fill(dim)(1.0 / math.sqrt(dim.toDouble)))
+    val nrm = math.sqrt(sortedSum(p0.map(x => x * x).toSeq))
+    val v = p0.map(_ / nrm)
+    val pf = mulV(cov, v)
+    val lam = sortedSum((0 until dim).map(d => v(d) * pf(d)))
+    (nD, sq, v, lam)
+  }
+
   private def kmeansAssigned(s: SparkSession, dir: String): DataFrame = {
     graft.plans.ArrayExprs.register(s)
     import graft.plans.ArrayExprs.dotProduct
@@ -447,64 +574,46 @@ object Embeddings {
     // vector (even matrix powers preserve the v0·e1 sign).
     "emb_pca_power" -> ((s, dir) => {
       import s.implicits._
-      val e = load(s, dir, "embeddings")
-        .select(col("vec_id"),
-          transform(col("embedding"), x => x.cast("double")).as("v"))
-      val stats = e.select(posexplode(col("v")).as(Seq("d", "x")))
-        .groupBy("d").agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
-      val grid = stats.groupBy()
-        .agg(sort_array(collect_list(struct(col("d"), col("mn"), col("mx")))).as("g"))
-        .select(transform(col("g"), t => t.getField("mn")).as("mnA"),
-          transform(col("g"), t => t.getField("mx")).as("mxA"))
-      val qa = e.crossJoin(broadcast(grid))
-        .select(col("vec_id"), expr(
-          "transform(v, (x, i) -> CAST(floor(CASE WHEN mxA[i] = mnA[i] THEN 0.0 " +
-            "ELSE (x - mnA[i]) / (mxA[i] - mnA[i]) * 255.0 END + 0.5) AS BIGINT))")
-          .as("qa"))
-      // One-pass exact Gramian: n, per-dim sums, and the 2080 upper-
-      // triangle pair sums accumulate as primitive longs per partition
-      // (GramianAgg) — no 2080-per-row pair explode ever materializes
-      // (the explode formulation measured 5.6 s at sf0.1; this is the
-      // MLlib per-partition-buffer design). Long sums equal the oracle's
-      // HUGEINT sums exactly.
-      graft.plans.GramianAgg.register(s)
-      val dim = EmbD
-      val g = qa.agg(graft.plans.GramianAgg.gramian(col("qa"), dim).as("g"))
-        .collect()(0).getSeq[Long](0)
-      val nD = g(0).toDouble
-      val sq = Array.tabulate(dim)(d => g(1 + d).toDouble)
-      val sppFlat = g.drop(1 + dim)
-      def triIdx(i: Int, j: Int): Int = i * dim - i * (i - 1) / 2 + (j - i)
-      val cov = Array.tabulate(dim, dim) { (i, j) =>
-        val s = (if (i <= j) sppFlat(triIdx(i, j)) else sppFlat(triIdx(j, i))).toDouble
-        s / nD - (sq(i) / nD) * (sq(j) / nD)
-      }
-      def sortedSum(xs: Seq[Double]): Double = xs.sorted.foldLeft(0.0)(_ + _)
-      def mulV(m: Array[Array[Double]], v: Array[Double]): Array[Double] =
-        Array.tabulate(dim)(d => sortedSum((0 until dim).map(j => m(d)(j) * v(j))))
-      def frobNorm(m: Array[Array[Double]]): Double =
-        math.sqrt(sortedSum(
-          (for (i <- 0 until dim; j <- 0 until dim) yield m(i)(j) * m(i)(j))))
-      def normed(m: Array[Array[Double]]): Array[Array[Double]] = {
-        val f = frobNorm(m)
-        m.map(_.map(_ / f))
-      }
-      var c = normed(cov)
-      for (_ <- 1 to PcaSquarings) {
-        val sq2 = Array.tabulate(dim, dim) { (i, j) =>
-          sortedSum((0 until dim).map(k => c(i)(k) * c(k)(j)))
-        }
-        c = normed(sq2)
-      }
-      val p0 = mulV(c, Array.fill(dim)(1.0 / math.sqrt(dim.toDouble)))
-      val nrm = math.sqrt(sortedSum(p0.map(x => x * x).toSeq))
-      val v = p0.map(_ / nrm)
-      val pf = mulV(cov, v)
-      val lam = sortedSum((0 until dim).map(d => v(d) * pf(d)))
+      val (_, _, v, lam) = pcaTop(s, dir)
       def r6(x: Double): Double =
         BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-      (0 until dim).map(d => (d, r6(v(d)), r6(lam)))
+      (0 until EmbD).map(d => (d, r6(v(d)), r6(lam)))
         .toDF("d", "loading", "eigval").orderBy("d")
+    }),
+
+    // All-but-the-top embedding postprocessing (Mu & Viswanath 2018):
+    // subtract the mean, remove the projection onto the top principal
+    // component — the two-line fix that measurably improves similarity
+    // tasks on anisotropic embedding spaces, and the natural consumer of
+    // the emb_pca_power machinery (the SAME quantized grid, Gramian,
+    // and squared-power iteration produce μ and v — factored into
+    // [[pcaTop]], so the two queries literally share the arithmetic).
+    // Per vector the projection p = Σ_d (q_d − μ_d)·v_d and the centered
+    // norm fold in ascending value order (the house sorted-fold
+    // convention, list(x ORDER BY x) in the oracle); the residual norm
+    // uses the unit-v identity ‖x_c − p·v‖² = ‖x_c‖² − p², clamped at 0
+    // on both engines. μ and v ride into the plan as LITERAL arrays —
+    // model-scale driver state, map-side application, no shuffle at all
+    // beyond the Gramian's own aggregation.
+    "emb_abtt" -> ((s, dir) => {
+      val (nD, mu, v, _) = pcaTop(s, dir)
+      val muL = array(mu.map(x => lit(x / nD)): _*)
+      val vL = array(v.map(lit): _*)
+      val qa = quantized(s, dir)
+      val prods = transform(col("qa"), (x, i) =>
+        (x.cast("double") - element_at(muL, i + 1)) * element_at(vL, i + 1))
+      val c2 = transform(col("qa"), (x, i) => {
+        val xc = x.cast("double") - element_at(muL, i + 1)
+        xc * xc
+      })
+      qa.select(col("vec_id"),
+          aggregate(sort_array(prods), lit(0.0), (a, x) => a + x).as("proj"),
+          aggregate(sort_array(c2), lit(0.0), (a, x) => a + x).as("n0"))
+        .select(col("vec_id"), round(col("proj"), 6).as("proj_pc1"),
+          round(sqrt(col("n0")), 6).as("nrm_centered"),
+          round(sqrt(greatest(lit(0.0), col("n0") - col("proj") * col("proj"))), 6)
+            .as("nrm_abtt"))
+        .orderBy("vec_id")
     }),
 
     // Prototypicality outliers: the EmbOutK vectors LEAST similar to
@@ -959,55 +1068,8 @@ object Embeddings {
          |FROM code0${(1 until PqM).map(m => s" JOIN code$m USING (vec_id)").mkString}
          |ORDER BY vec_id""".stripMargin,
 
-    "emb_pca_power" -> {
-      val iters = (1 to PcaSquarings).map { t =>
-        s"""m$t AS MATERIALIZED (
-           |  SELECT a.di AS di, b.dj AS dj,
-           |    list_sum(list(a.cij * b.cij ORDER BY a.cij * b.cij)) AS cij
-           |  FROM cn${t - 1} a JOIN cn${t - 1} b ON a.dj = b.di
-           |  GROUP BY 1, 2),
-           |f$t AS (SELECT sqrt(list_sum(list(cij * cij ORDER BY cij * cij))) AS f
-           |        FROM m$t),
-           |cn$t AS MATERIALIZED (SELECT di, dj, cij / f AS cij FROM m$t, f$t)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH e AS MATERIALIZED (
-         |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
-         |         unnest(embedding::DOUBLE[]) AS x
-         |  FROM embeddings),
-         |stats AS (SELECT d, min(x) AS mn, max(x) AS mx FROM e GROUP BY d),
-         |q AS MATERIALIZED (
-         |  SELECT vec_id, e.d,
-         |    CAST(floor(CASE WHEN mx = mn THEN 0.0
-         |               ELSE (x - mn) / (mx - mn) * 255.0 END + 0.5) AS BIGINT) AS q
-         |  FROM e JOIN stats USING (d)),
-         |n AS (SELECT CAST(count(DISTINCT vec_id) AS DOUBLE) AS n FROM q),
-         |spp AS MATERIALIZED (
-         |  SELECT a.d AS di, b.d AS dj, sum(a.q * b.q) AS s
-         |  FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.d <= b.d
-         |  GROUP BY 1, 2),
-         |sq AS MATERIALIZED (SELECT d, sum(q) AS s FROM q GROUP BY d),
-         |covu AS MATERIALIZED (
-         |  SELECT di, dj,
-         |    CAST(spp.s AS DOUBLE) / n.n
-         |      - (CAST(si.s AS DOUBLE) / n.n) * (CAST(sj.s AS DOUBLE) / n.n) AS cij
-         |  FROM spp, n
-         |  JOIN sq si ON spp.di = si.d
-         |  JOIN sq sj ON spp.dj = sj.d),
-         |cov AS MATERIALIZED (
-         |  SELECT di, dj, cij FROM covu
-         |  UNION ALL
-         |  SELECT dj AS di, di AS dj, cij FROM covu WHERE di <> dj),
-         |f0 AS (SELECT sqrt(list_sum(list(cij * cij ORDER BY cij * cij))) AS f
-         |       FROM cov),
-         |cn0 AS MATERIALIZED (SELECT di, dj, cij / f AS cij FROM cov, f0),
-         |$iters,
-         |it0 AS (SELECT DISTINCT di AS d, 1.0 / sqrt($EmbD) AS val FROM cov),
-         |p0 AS (
-         |  SELECT c.di AS d,
-         |    list_sum(list(c.cij * v.val ORDER BY c.cij * v.val)) AS pv
-         |  FROM cn$PcaSquarings c JOIN it0 v ON c.dj = v.d GROUP BY c.di),
-         |nm AS (SELECT sqrt(list_sum(list(pv * pv ORDER BY pv * pv))) AS nrm FROM p0),
-         |vfin AS MATERIALIZED (SELECT d, pv / nrm AS val FROM p0, nm),
+    "emb_pca_power" ->
+      s"""WITH $PcaChainSql,
          |pf AS (
          |  SELECT c.di AS d,
          |    list_sum(list(c.cij * v.val ORDER BY c.cij * v.val)) AS pv
@@ -1016,8 +1078,28 @@ object Embeddings {
          |        FROM vfin v JOIN pf p USING (d))
          |SELECT CAST(v.d AS INT) AS d, round(v.val, 6) AS loading,
          |       round(lam.l, 6) AS eigval
-         |FROM vfin v, lam ORDER BY d""".stripMargin
-    },
+         |FROM vfin v, lam ORDER BY d""".stripMargin,
+
+    // The shared PCA chain's μ and v applied per vector; the residual
+    // norm via the unit-v identity, clamped at 0 on both engines.
+    "emb_abtt" ->
+      s"""WITH $PcaChainSql,
+         |mu AS (SELECT d, CAST(s AS DOUBLE) / n.n AS mu FROM sq, n),
+         |pv AS (
+         |  SELECT q.vec_id,
+         |    list_sum(list((CAST(q.q AS DOUBLE) - mu.mu) * v.val
+         |      ORDER BY (CAST(q.q AS DOUBLE) - mu.mu) * v.val)) AS proj,
+         |    list_sum(list(
+         |      (CAST(q.q AS DOUBLE) - mu.mu) * (CAST(q.q AS DOUBLE) - mu.mu)
+         |      ORDER BY
+         |      (CAST(q.q AS DOUBLE) - mu.mu) * (CAST(q.q AS DOUBLE) - mu.mu)))
+         |      AS n0
+         |  FROM q JOIN mu USING (d) JOIN vfin v ON q.d = v.d
+         |  GROUP BY q.vec_id)
+         |SELECT vec_id, round(proj, 6) AS proj_pc1,
+         |  round(sqrt(n0), 6) AS nrm_centered,
+         |  round(sqrt(greatest(0.0, n0 - proj * proj)), 6) AS nrm_abtt
+         |FROM pv ORDER BY vec_id""".stripMargin,
 
     "ann_pq" -> annPqSql(PqM, PqSubDim, KmK),
 

@@ -628,6 +628,24 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(hWant >= 0.0 || math.abs(hWant) < 1e-9, "H must be ~nonnegative")
   }
 
+  test("emb_abtt: Pythagoras holds per row; centered projections sum to zero") {
+    val rows = operators.Embeddings.queries("emb_abtt")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    var projSum = 0.0; var maxAbs = 0.0
+    for (r <- rows) {
+      val (p, n0, n1) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      // residual ⟂ v ⇒ n0² = n1² + p² (the identity the query uses —
+      // verify it against the emitted ROUNDED values within rounding)
+      assert(math.abs(n0 * n0 - (n1 * n1 + p * p)) < 1e-2,
+        s"vec ${r.getLong(0)}: ${n0 * n0} != ${n1 * n1 + p * p}")
+      assert(n1 <= n0 + 1e-6, "removal cannot grow the norm")
+      projSum += p; maxAbs = math.max(maxAbs, math.abs(p))
+    }
+    // Σ(x−μ)·v = 0 exactly in algebra; allow float noise relative to scale
+    assert(math.abs(projSum) < 1e-3 * math.max(1.0, maxAbs * rows.length),
+      s"centered projections do not cancel: $projSum")
+  }
+
   test("gr_closeness: distances equal a plain-Scala landmark BFS") {
     val got = operators.Graph.queries("gr_closeness")(spark, dir).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
