@@ -315,6 +315,48 @@ object Relational3 {
         .orderBy("event_type")
     }),
 
+    // K-minimum-values distinct sketch (Bar-Yossef et al. 2002; the
+    // KMV/theta-sketch family) per event type — the mergeable
+    // cardinality estimator that complements prof_hll with tunable
+    // accuracy at k·8 bytes: keep the k = 256 SMALLEST distinct hash
+    // values (the TopKAgg bounded heap with negated score — only k rows
+    // per partition ever cross the wire), then D̂ = (k−1)/u_(k) with
+    // u_(k) the kth smallest hash normalized to (0,1); when fewer than
+    // k distinct hashes exist the sketch IS the exact count. n_hashes
+    // (distinct 32-bit hashes) sits beside n_exact (distinct users) so
+    // the hash-collision loss is itself visible in the output. All
+    // deterministic off the house hash32; the one double expression is
+    // shared literal-for-literal.
+    "prof_kmv" -> ((s, dir) => {
+      graft.plans.TopKAgg.register(s)
+      val hs = load(s, dir, "events")
+        .select(col("event_type"),
+          graft.Exact.hash32(concat(lit("u:"), col("user_id").cast("string")))
+            .as("h"))
+        .distinct()
+        .localCheckpoint()
+      val sk = hs.groupBy("event_type")
+        .agg(count(lit(1)).as("n_hashes"),
+          graft.plans.TopKAgg.topkPairs(
+            -col("h").cast("double"), col("h"), 256).as("arr"))
+        .select(col("event_type"), col("n_hashes"),
+          element_at(col("arr"),
+            least(size(col("arr")), lit(256)).cast("int"))
+            .getField("id").as("kth_hash"))
+      val ex = load(s, dir, "events")
+        .select(col("event_type"), col("user_id")).distinct()
+        .groupBy("event_type").agg(count(lit(1)).as("n_exact"))
+      val est = when(col("n_hashes") < 256, col("n_hashes").cast("double"))
+        .otherwise(lit(255.0) /
+          ((col("kth_hash").cast("double") + 0.5) / lit(4294967296.0)))
+      sk.join(broadcast(ex), "event_type")
+        .select(col("event_type"), col("n_hashes"), col("kth_hash"),
+          col("n_exact"), round(est, 6).as("kmv_est"),
+          round((est - col("n_exact").cast("double")) /
+            col("n_exact").cast("double"), 6).as("rel_err"))
+        .orderBy("event_type")
+    }),
+
     // Count–Min frequency sketch (Cormode & Muthukrishnan 2005), d = 4
     // rows × w = 1024 counters, keyed on user_id — the frequency member
     // of the sketch suite (prof_hll = cardinality, dd_bloom =
@@ -1664,6 +1706,41 @@ object Relational3 {
         |SELECT key_cols, n_distinct, n_rows,
         |  CAST(n_distinct = n_rows AS BIGINT) AS is_unique
         |FROM u, n ORDER BY key_cols""".stripMargin,
+
+    // The kth smallest distinct hash via a plain rank (the oracle has no
+    // partition-bottleneck constraint); identical estimator literals.
+    "prof_kmv" ->
+      s"""WITH hs AS (
+         |  SELECT DISTINCT event_type,
+         |    ${graft.Exact.hash32Sql("'u:' || CAST(user_id AS VARCHAR)")} AS h
+         |  FROM events),
+         |rk AS (
+         |  SELECT event_type, h,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+         |  FROM hs),
+         |cnt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_hashes
+         |        FROM hs GROUP BY 1),
+         |kth AS (
+         |  SELECT rk.event_type, rk.h AS kth_hash
+         |  FROM rk JOIN cnt ON rk.event_type = cnt.event_type
+         |  WHERE rk.rn = least(cnt.n_hashes, 256)),
+         |ex AS (
+         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_exact
+         |  FROM (SELECT DISTINCT event_type, user_id FROM events)
+         |  GROUP BY 1),
+         |est AS (
+         |  SELECT cnt.event_type, n_hashes, kth_hash, n_exact,
+         |    CASE WHEN n_hashes < 256 THEN CAST(n_hashes AS DOUBLE)
+         |         ELSE 255.0 / ((CAST(kth_hash AS DOUBLE) + 0.5)
+         |                       / 4294967296.0) END AS e
+         |  FROM cnt JOIN kth ON cnt.event_type = kth.event_type
+         |  JOIN ex ON cnt.event_type = ex.event_type)
+         |SELECT event_type, n_hashes, kth_hash, n_exact,
+         |  round(e, 6) AS kmv_est,
+         |  round((e - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE), 6)
+         |    AS rel_err
+         |FROM est ORDER BY event_type""".stripMargin
+    ,
 
     // Identical Kirsch–Mitzenmacher cells; the probe is an all-integer
     // min over the 4 matched counters.

@@ -780,6 +780,90 @@ object StatefulOps {
         enc)
   }
 
+  /** Streaming input row for the cardinality twin: one event's user;
+    * `user_id == Long.MinValue` is the per-type flush sentinel. */
+  case class CardEv(event_type: String, user_id: Long)
+
+  /** Final HLL verdict for a type — the batch `prof_hll` row without its
+    * exact-distinct audit columns (a stream cannot afford the exact
+    * companion; that asymmetry is the point of the sketch). */
+  case class CardState(event_type: String, m_regs: Long, zero_regs: Long,
+                       sum_rho: Long, hll_est: Double)
+
+  /** The STREAMING twin of the batch `prof_hll` operator — cardinality
+    * sketching is what HLL exists for in a stream: per type a 4096-entry
+    * MapState holds bucket → max-rho registers (each arriving user
+    * touches exactly ONE register entry — O(1) state I/O per row, state
+    * bounded at 4096 entries per type FOREVER), built from the identical
+    * md5-derived hash/bucket/rho derivation the batch query and the
+    * DuckDB oracle compute, so on flush the emitted registers and
+    * estimate are bit-equal to the batch rows (StatefulOpsSpec pins it;
+    * the harmonic denominator is exact dyadic arithmetic, so even the
+    * float is order-independent). */
+  class HllProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, CardEv, CardState] {
+    @transient private var regs:
+        org.apache.spark.sql.streaming.MapState[Long, Long] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      regs = getHandle.getMapState[Long, Long]("hll_regs",
+        Encoders.scalaLong, Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(
+        tpe: String, rows: Iterator[CardEv],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[CardState] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def h32(s: String): Long = {
+        val d = md.digest(s.getBytes("UTF-8"))
+        java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+      }
+      val out = Vector.newBuilder[CardState]
+      for (e <- rows) {
+        if (e.user_id == Long.MinValue) {
+          // flush: fold the registers through the batch expression tree
+          var nz = 0L; var sumRho = 0L; var sneg = 0.0
+          val it = regs.iterator()
+          while (it.hasNext) {
+            val kv = it.next()
+            nz += 1; sumRho += kv._2
+            sneg += 1.0 / (1L << kv._2.toInt).toDouble
+          }
+          val denom = (4096L - nz).toDouble + sneg
+          val raw = 0.7213 / (1.0 + 1.079 / 4096.0) * 4096.0 * 4096.0 / denom
+          val v = 4096L - nz
+          val est = if (raw <= 10240.0 && v > 0)
+            4096.0 * math.log(4096.0 / v.toDouble) else raw
+          def r6(x: Double): Double =
+            BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          out += CardState(tpe, 4096L, v, sumRho, r6(est))
+        } else {
+          val h = h32(s"u:${e.user_id}")
+          val bk = h / 1048576L; val rem = h % 1048576L
+          val rho = if (rem == 0) 21L
+            else 21L - java.lang.Long.toBinaryString(rem).length
+          val prev = if (regs.containsKey(bk)) regs.getValue(bk) else 0L
+          if (rho > prev) regs.updateValue(bk, rho)
+        }
+      }
+      out.result().iterator
+    }
+  }
+
+  /** `CardEv` stream → per-type HLL distinct-user verdicts on flush.
+    * Requires RocksDB (transformWithState). */
+  def cardinalitySketch(ds: Dataset[CardEv]): Dataset[CardState] = {
+    implicit val enc: Encoder[CardState] = Encoders.product[CardState]
+    ds.groupByKey(_.event_type)(Encoders.STRING)
+      .transformWithState(new HllProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append(),
+        enc)
+  }
+
   /** `(key, item)` events → per-key Misra–Gries top items (≤ k counters). */
   def heavyHitters(ds: Dataset[(String, String)], k: Int): Dataset[HeavyHitter] = {
     implicit val enc: Encoder[HeavyHitter] = Encoders.product[HeavyHitter]

@@ -779,6 +779,26 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("prof_kmv: kth hash matches a plain-Scala sort; error inside the envelope") {
+    val rows = operators.Relational3.queries("prof_kmv")(spark, dir).collect()
+    val pairs = graft.Tables.load(spark, dir, "events")
+      .select(col("event_type"), col("user_id")).distinct()
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h32(s: String): Long = {
+      val d = md.digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    for (r <- rows) {
+      val tpe = r.getString(0)
+      val hs = pairs.filter(_._1 == tpe).map(p => h32(s"u:${p._2}")).distinct.sorted
+      assert(r.getLong(1) == hs.length, s"$tpe n_hashes")
+      assert(r.getLong(2) == hs(math.min(hs.length, 256) - 1), s"$tpe kth hash")
+      // 1/sqrt(k) = 6.25% standard error; allow 4 sigma
+      assert(math.abs(r.getDouble(5)) < 0.25, s"$tpe rel_err ${r.getDouble(5)}")
+    }
+  }
+
   test("prof_hll: registers match a plain-Scala HLL; error inside the p=12 envelope") {
     val rows = operators.Relational3.queries("prof_hll")(spark, dir).collect()
     val pairs = graft.Tables.load(spark, dir, "events")

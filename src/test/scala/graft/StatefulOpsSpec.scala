@@ -432,6 +432,39 @@ class StatefulOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming cardinalitySketch equals the batch prof_hll registers exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      import org.apache.spark.sql.functions.col
+      val dir = "/root/testdata/sf0.001"
+      val evs = graft.Tables.load(spark, dir, "events")
+        .select(col("event_type"), col("user_id"))
+        .as[StatefulOps.CardEv].collect()
+      val flush = evs.map(_.event_type).distinct.map(t =>
+        StatefulOps.CardEv(t, Long.MinValue))
+      val mem = MemoryStream[StatefulOps.CardEv]
+      val q = StatefulOps.cardinalitySketch(mem.toDS())
+        .writeStream.outputMode("append")
+        .format("memory").queryName("shll_out").start()
+      try {
+        evs.grouped(math.max(1, evs.length / 4))
+          .foreach { b => mem.addData(b.toSeq); q.processAllAvailable() }
+        mem.addData(flush.toSeq); q.processAllAvailable()
+        val batch = SparkEntry.queries("prof_hll")(spark, dir).collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getDouble(5))).toSeq.sorted
+        val streamed = spark.table("shll_out")
+          .as[StatefulOps.CardState].collect()
+          .map(c => (c.event_type, c.m_regs, c.zero_regs, c.sum_rho, c.hll_est))
+          .toSeq.sorted
+        assert(streamed == batch,
+          s"HLL rows diverge:\nstream ${streamed.mkString(", ")}\n" +
+            s"batch ${batch.mkString(", ")}")
+      } finally q.stop()
+    }
+  }
+
   test("Misra-Gries heavy hitters: exact when k covers the item domain, bounded otherwise") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
