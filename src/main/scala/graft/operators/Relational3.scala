@@ -315,6 +315,47 @@ object Relational3 {
         .orderBy("event_type")
     }),
 
+    // The MERGEABILITY proof for prof_hll — the property that makes
+    // sketches work at 100 TB (Agarwal et al. 2012 "Mergeable
+    // Summaries"): build registers PER DAY (the partial-aggregation
+    // shape a partitioned ingest produces), register-wise MAX-merge
+    // across days, and estimate from the merged table. max-of-maxes
+    // equals the global max, so the merged registers — and hence the
+    // estimate — must equal prof_hll's single-pass values exactly; the
+    // query materializes the two-level plan and the spec pins the
+    // equality. Adds a days column so the merge fan-in is visible.
+    "prof_hll_merge" -> ((s, dir) => {
+      val base = load(s, dir, "events")
+        .select(col("event_type"), to_date(col("ts")).as("d"),
+          graft.Exact.hash32(concat(lit("u:"), col("user_id").cast("string")))
+            .as("h32"))
+        .select(col("event_type"), col("d"), expr("h32 div 1048576").as("bk"),
+          expr("h32 % 1048576").as("rem"))
+        .select(col("event_type"), col("d"), col("bk"),
+          when(col("rem") === 0, lit(21L))
+            .otherwise(lit(21L) - length(bin(col("rem")))).as("rho"))
+        .localCheckpoint()
+      val daily = base.groupBy("event_type", "d", "bk").agg(max("rho").as("mx"))
+      val merged = daily.groupBy("event_type", "bk").agg(max("mx").as("mx"))
+      val nDays = base.select("event_type", "d").distinct()
+        .groupBy("event_type").agg(count(lit(1)).as("n_days"))
+      val sk = merged.groupBy("event_type")
+        .agg(count(lit(1)).as("nz"), sum("mx").as("sum_rho"),
+          sum(expr("1.0 / cast(shiftleft(1L, cast(mx as int)) as double)"))
+            .as("sneg"))
+      val alphaM2 = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(4096.0)) *
+        lit(4096.0) * lit(4096.0)
+      val denom = (lit(4096L) - col("nz")).cast("double") + col("sneg")
+      val raw = alphaM2 / denom
+      val v = lit(4096L) - col("nz")
+      val est = when(raw <= lit(10240.0) && v > 0,
+        lit(4096.0) * log(lit(4096.0) / v.cast("double"))).otherwise(raw)
+      sk.join(broadcast(nDays), "event_type")
+        .select(col("event_type"), col("n_days"), v.as("zero_regs"),
+          col("sum_rho"), round(est, 6).as("hll_est"))
+        .orderBy("event_type")
+    }),
+
     // K-minimum-values distinct sketch (Bar-Yossef et al. 2002; the
     // KMV/theta-sketch family) per event type — the mergeable
     // cardinality estimator that complements prof_hll with tunable
@@ -1706,6 +1747,40 @@ object Relational3 {
         |SELECT key_cols, n_distinct, n_rows,
         |  CAST(n_distinct = n_rows AS BIGINT) AS is_unique
         |FROM u, n ORDER BY key_cols""".stripMargin,
+
+    // The same register derivation with the daily partial level made
+    // explicit; max-of-maxes merge then the shared estimator literals.
+    "prof_hll_merge" ->
+      s"""WITH h AS (
+         |  SELECT event_type, CAST(ts AS DATE) AS d,
+         |    ${graft.Exact.hash32Sql("'u:' || CAST(user_id AS VARCHAR)")} AS h32
+         |  FROM events),
+         |r AS (
+         |  SELECT event_type, d, h32 // 1048576 AS bk,
+         |    CASE WHEN h32 % 1048576 = 0 THEN 21
+         |         ELSE 21 - length(bin(h32 % 1048576)) END AS rho
+         |  FROM h),
+         |daily AS (SELECT event_type, d, bk, max(rho) AS mx
+         |          FROM r GROUP BY 1, 2, 3),
+         |merged AS (SELECT event_type, bk, max(mx) AS mx
+         |           FROM daily GROUP BY 1, 2),
+         |nd AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+         |       FROM (SELECT DISTINCT event_type, d FROM r) GROUP BY 1),
+         |sk AS (
+         |  SELECT event_type, count(*) AS nz,
+         |    CAST(sum(mx) AS BIGINT) AS sum_rho,
+         |    sum(1.0 / CAST(1 << CAST(mx AS INT) AS DOUBLE)) AS sneg
+         |  FROM merged GROUP BY 1)
+         |SELECT sk.event_type, n_days,
+         |  CAST(4096 - nz AS BIGINT) AS zero_regs, sum_rho,
+         |  round(CASE WHEN 0.7213 / (1.0 + 1.079 / 4096.0) * 4096.0 * 4096.0
+         |             / (CAST(4096 - nz AS DOUBLE) + sneg) <= 10240.0
+         |           AND 4096 - nz > 0
+         |      THEN 4096.0 * ln(4096.0 / CAST(4096 - nz AS DOUBLE))
+         |      ELSE 0.7213 / (1.0 + 1.079 / 4096.0) * 4096.0 * 4096.0
+         |             / (CAST(4096 - nz AS DOUBLE) + sneg) END, 6) AS hll_est
+         |FROM sk JOIN nd ON sk.event_type = nd.event_type
+         |ORDER BY sk.event_type""".stripMargin,
 
     // The kth smallest distinct hash via a plain rank (the oracle has no
     // partition-bottleneck constraint); identical estimator literals.

@@ -665,6 +665,57 @@ object Retrieval {
         .orderBy("dpt")
     }),
 
+    // CombSUM / CombMNZ score fusion (Fox & Shaw 1994) of the same two
+    // runs ir_rrf fuses by rank — the score-based half of the fusion
+    // family (rank fusion is robust to scale, score fusion preserves
+    // margin information; an eval suite reports both). Each run's top-N
+    // scores min-max normalize against ONE broadcast (min, max) row
+    // (degenerate max = min collapses to 1.0 on both engines); CombSUM
+    // adds the normalized scores, CombMNZ multiplies by the number of
+    // runs containing the doc. Both runs' scores are already round(6)
+    // anchors, so the normalization arithmetic is the identical double
+    // tree.
+    "ir_combsum" -> ((s, dir) => {
+      graft.plans.ArrayExprs.register(s)
+      import graft.plans.ArrayExprs.dotProduct
+      val lex = bm25Top(s, dir)
+      val lmm = lex.groupBy().agg(min("score").as("mn"), max("score").as("mx"))
+      val lexN = lex.crossJoin(broadcast(lmm))
+        .select(col("doc_id").as("id"),
+          when(col("mx") > col("mn"),
+            (col("score") - col("mn")) / (col("mx") - col("mn")))
+            .otherwise(lit(1.0)).as("nl"))
+      val e = load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").as("v"))
+        .withColumn("nrm", sqrt(dotProduct(col("v"), col("v"))))
+      val q = e.where(col("vec_id") === 0)
+        .select(col("v").as("qv"), col("nrm").as("qnrm"))
+      val dense = e.crossJoin(broadcast(q))
+        .where(col("vec_id") =!= 0)
+        .select(col("vec_id").as("id"),
+          round(dotProduct(col("qv"), col("v")) / (col("qnrm") * col("nrm")), 6)
+            .as("score"))
+        .orderBy(col("score").desc, col("id"))
+        .limit(TopN)
+      val dmm = dense.groupBy().agg(min("score").as("mn"), max("score").as("mx"))
+      val denseN = dense.crossJoin(broadcast(dmm))
+        .select(col("id"),
+          when(col("mx") > col("mn"),
+            (col("score") - col("mn")) / (col("mx") - col("mn")))
+            .otherwise(lit(1.0)).as("nd"))
+      val cs = coalesce(col("nl"), lit(0.0)) + coalesce(col("nd"), lit(0.0))
+      val nRuns = col("nl").isNotNull.cast("long") +
+        col("nd").isNotNull.cast("long")
+      lexN.join(denseN, Seq("id"), "full_outer")
+        .select(col("id").as("doc_id"),
+          col("nl").isNotNull.cast("long").as("in_lex"),
+          col("nd").isNotNull.cast("long").as("in_dense"),
+          round(cs, 6).as("combsum"),
+          round(cs * nRuns.cast("double"), 6).as("combmnz"))
+        .orderBy(col("combmnz").desc, col("doc_id"))
+        .limit(RrfTopN)
+    }),
+
     "ir_rrf" -> ((s, dir) => {
       graft.plans.ArrayExprs.register(s)
       import graft.plans.ArrayExprs.dotProduct
@@ -1053,6 +1104,52 @@ object Retrieval {
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS rbo_at_d
          |FROM xd ORDER BY dpt""".stripMargin
     },
+
+    "ir_combsum" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+         |  FROM documents),
+         |dlen AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+         |corpus AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+         |                  CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+         |           FROM dlen),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+         |       WHERE term IN ($termList) GROUP BY doc_id, term),
+         |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+         |sc AS (
+         |  SELECT tf.doc_id, tf.term,
+         |    ln((corpus.n - df.df + 0.5) / (df.df + 0.5) + 1.0) *
+         |    (tf.tf * ${K1 + 1.0}) /
+         |    (tf.tf + $K1 * (1.0 - $B + $B * dlen.dl / corpus.avgdl)) AS sc
+         |  FROM tf JOIN df USING (term) JOIN dlen USING (doc_id) CROSS JOIN corpus),
+         |lex AS (SELECT doc_id, round(list_sum(list(sc ORDER BY term)), 6) AS score
+         |        FROM sc GROUP BY doc_id
+         |        ORDER BY score DESC, doc_id LIMIT $TopN),
+         |lmm AS (SELECT min(score) AS mn, max(score) AS mx FROM lex),
+         |lexn AS (SELECT doc_id,
+         |           CASE WHEN mx > mn THEN (score - mn) / (mx - mn)
+         |                ELSE 1.0 END AS nl
+         |         FROM lex, lmm),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |dsc AS (SELECT e.vec_id AS id,
+         |               round(list_cosine_similarity(qv, v), 6) AS score
+         |        FROM e, q WHERE e.vec_id <> 0
+         |        ORDER BY score DESC, id LIMIT $TopN),
+         |dmm AS (SELECT min(score) AS mn, max(score) AS mx FROM dsc),
+         |dn AS (SELECT id,
+         |         CASE WHEN mx > mn THEN (score - mn) / (mx - mn)
+         |              ELSE 1.0 END AS nd
+         |       FROM dsc, dmm)
+         |SELECT coalesce(lexn.doc_id, dn.id) AS doc_id,
+         |  CAST(lexn.doc_id IS NOT NULL AS BIGINT) AS in_lex,
+         |  CAST(dn.id IS NOT NULL AS BIGINT) AS in_dense,
+         |  round(coalesce(nl, 0.0) + coalesce(nd, 0.0), 6) AS combsum,
+         |  round((coalesce(nl, 0.0) + coalesce(nd, 0.0)) *
+         |    CAST(CAST(lexn.doc_id IS NOT NULL AS BIGINT)
+         |       + CAST(dn.id IS NOT NULL AS BIGINT) AS DOUBLE), 6) AS combmnz
+         |FROM lexn FULL OUTER JOIN dn ON lexn.doc_id = dn.id
+         |ORDER BY combmnz DESC, doc_id LIMIT $RrfTopN""".stripMargin,
 
     "ir_rrf" ->
       s"""WITH tok AS (

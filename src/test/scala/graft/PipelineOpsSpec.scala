@@ -779,6 +779,33 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("prof_hll_merge: the merged registers equal the single-pass prof_hll") {
+    // THE mergeability property: max-of-maxes over daily partials must
+    // reproduce the one-pass registers exactly — zero tolerance.
+    val merged = operators.Relational3.queries("prof_hll_merge")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    val direct = operators.Relational3.queries("prof_hll")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(5))).toMap
+    assert(merged.keySet == direct.keySet)
+    for ((t, m) <- merged)
+      assert(m == direct(t), s"$t: merged $m != direct ${direct(t)}")
+  }
+
+  test("ir_combsum: normalization in [0,1], MNZ doubles two-run docs") {
+    val rows = operators.Retrieval.queries("ir_combsum")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (inL, inD, cs, mnz) =
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))
+      assert(inL + inD >= 1)
+      assert(cs >= -1e-9 && cs <= 2.0 + 1e-9, s"combsum $cs out of range")
+      assert(math.abs(mnz - cs * (inL + inD)) < 2e-6,
+        s"MNZ $mnz != $cs * ${inL + inD}")
+    }
+  }
+
   test("prof_kmv: kth hash matches a plain-Scala sort; error inside the envelope") {
     val rows = operators.Relational3.queries("prof_kmv")(spark, dir).collect()
     val pairs = graft.Tables.load(spark, dir, "events")

@@ -429,6 +429,8 @@ class ScaleDesignSpec extends AnyFunSuite {
       "a26_anova_f" -> 3, // ONE per-type power-sum agg + the one-row ordered fold + oracle sort; totals ride a broadcast
       "emb_abtt" -> 3, // the quantize grid agg + its broadcast back + oracle sort; μ/v arrive as driver literals (the Gramian runs inside the query's own collect, the emb_pca_power design), application is map-side
       "prof_kmv" -> 4, // distinct (type,hash) behind the checkpoint + the k-bounded heap agg (only k rows per partition cross) + the exact-distinct companion + oracle sort
+      "ir_combsum" -> 1, // two TakeOrdered cuts + broadcast (min,max) rows + broadcast-able fusion join; the one exchange is the bm25 doc-stats agg
+      "prof_hll_merge" -> 6, // the daily-partial register agg + the max-merge agg + estimator fold + the n_days distinct pair + oracle sort — all register-scale (≤ types×days×4096) behind the checkpointed derivation
       "emb_pca_power" -> 1) // result sort only: the Gramian build's pair-explode agg runs inside the query's own collect (the MLlib design — d×d is model-scale), output is a 64-row local relation
     val aqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
