@@ -751,6 +751,60 @@ object EventWindows {
     // fields evaluate sequentially with `acc` rebound mid-struct, so a
     // fold state with interdependent fields silently computes the wrong
     // recursion; the recursive CTE sidesteps the footgun.
+    // Croston's method (Croston 1972) — THE intermittent-demand
+    // forecaster (sparse series with many zero days defeat plain
+    // exponential smoothing; Croston smooths the nonzero demand SIZE z
+    // and the inter-demand INTERVAL p separately, forecast = z/p). The
+    // monitored series is each type's daily count of high-value events
+    // (value > 99.5 — the ~0.5% tail, so the series is genuinely
+    // intermittent at every SF) over the zero-filled calendar spine.
+    // α = 0.25 is dyadic; the recursion (first demand seeds z = x,
+    // p = elapsed q; later demands z' = 0.25x + 0.75z,
+    // p' = 0.25q + 0.75p, q resets to 1; zero days just grow q) folds
+    // SEQUENTIALLY through one `aggregate` expression, the oracle runs
+    // the identical recursive CTE (the ev_holt discipline — never
+    // list_reduce), so the doubles match bit-for-bit.
+    "ev_croston" -> ((s, dir) => {
+      val d = load(s, dir, "events")
+        .select(col("event_type"), to_date(col("ts")).as("d"),
+          (col("value") > 99.5).cast("long").as("hi"))
+        .groupBy("event_type", "d").agg(sum("hi").as("c"))
+        .localCheckpoint()
+      val spine = d.groupBy("event_type")
+        .agg(min("d").as("mn"), max("d").as("mx"))
+        .select(col("event_type"), explode(sequence(col("mn"), col("mx"))).as("d"))
+      val f = spine.join(d, Seq("event_type", "d"), "left")
+        .na.fill(0L, Seq("c"))
+      val arr = f.groupBy("event_type")
+        .agg(sort_array(collect_list(struct(col("d"),
+          col("c").cast("double").as("v")))).as("a"))
+        .select(col("event_type"), size(col("a")).cast("long").as("n_days"),
+          transform(col("a"), x => x.getField("v")).as("xs"))
+      val init = struct(lit(0.0).as("z"), lit(0.0).as("p"), lit(1.0).as("q"),
+        lit(0L).as("nd"))
+      val folded = arr.select(col("event_type"), col("n_days"),
+        aggregate(col("xs"), init, (acc, x) => {
+          val z0 = acc.getField("z"); val p0 = acc.getField("p")
+          val q0 = acc.getField("q"); val nd0 = acc.getField("nd")
+          struct(
+            when(x > 0,
+              when(nd0 === 0, x).otherwise(lit(0.25) * x + lit(0.75) * z0))
+              .otherwise(z0).as("z"),
+            when(x > 0,
+              when(nd0 === 0, q0).otherwise(lit(0.25) * q0 + lit(0.75) * p0))
+              .otherwise(p0).as("p"),
+            when(x > 0, lit(1.0)).otherwise(q0 + 1).as("q"),
+            when(x > 0, nd0 + 1).otherwise(nd0).as("nd"))
+        }).as("st"))
+      folded.select(col("event_type"), col("n_days"),
+        col("st.nd").as("n_demand_days"),
+        round(col("st.z"), 6).as("demand_size"),
+        round(col("st.p"), 6).as("demand_interval"),
+        round(when(col("st.p") > 0, col("st.z") / col("st.p")), 6)
+          .as("croston_forecast"))
+        .orderBy("event_type")
+    }),
+
     // Page–Hinkley drift detector (Page 1954, the Gama et al. 2014
     // streaming-drift form) over each type's daily-mean series — the
     // change-monitor a production pipeline runs on data-quality metrics:
@@ -1865,6 +1919,56 @@ object EventWindows {
         |  round(CAST(struct_extract(t, 'c') AS DOUBLE) / n_days / 100.0, 6)
         |    AS cusum_mean_excess
         |FROM am ORDER BY event_type""".stripMargin,
+
+    // The Croston recursion as a recursive CTE over the day index (the
+    // ev_holt discipline); each CASE writes the step expression in full.
+    "ev_croston" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(sum(CAST(value > 99.5 AS BIGINT)) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |rng AS (SELECT event_type, min(d) AS mn, max(d) AS mx FROM d GROUP BY 1),
+        |spine AS (
+        |  SELECT event_type, CAST(unnest(generate_series(mn, mx,
+        |    INTERVAL 1 DAY)) AS DATE) AS d
+        |  FROM rng),
+        |f AS (
+        |  SELECT s.event_type, s.d, coalesce(d.c, 0) AS c
+        |  FROM spine s LEFT JOIN d ON s.event_type = d.event_type AND s.d = d.d),
+        |idx AS MATERIALIZED (
+        |  SELECT event_type,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY d)
+        |      AS BIGINT) AS i,
+        |    CAST(c AS DOUBLE) AS v
+        |  FROM f),
+        |n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+        |      FROM idx GROUP BY 1),
+        |rec(event_type, i, z, p, q, nd) AS (
+        |  SELECT event_type, CAST(0 AS BIGINT), 0.0::DOUBLE, 0.0::DOUBLE,
+        |    1.0::DOUBLE, CAST(0 AS BIGINT)
+        |  FROM n
+        |  UNION ALL
+        |  SELECT r.event_type, x.i,
+        |    CASE WHEN x.v > 0 THEN
+        |      CASE WHEN r.nd = 0 THEN x.v
+        |           ELSE 0.25 * x.v + 0.75 * r.z END
+        |    ELSE r.z END,
+        |    CASE WHEN x.v > 0 THEN
+        |      CASE WHEN r.nd = 0 THEN r.q
+        |           ELSE 0.25 * r.q + 0.75 * r.p END
+        |    ELSE r.p END,
+        |    CASE WHEN x.v > 0 THEN 1.0::DOUBLE ELSE r.q + 1 END,
+        |    CASE WHEN x.v > 0 THEN r.nd + 1 ELSE r.nd END
+        |  FROM rec r JOIN idx x
+        |    ON x.event_type = r.event_type AND x.i = r.i + 1)
+        |SELECT r.event_type AS event_type, n.n_days,
+        |  r.nd AS n_demand_days,
+        |  round(r.z, 6) AS demand_size,
+        |  round(r.p, 6) AS demand_interval,
+        |  round(CASE WHEN r.p > 0 THEN r.z / r.p END, 6) AS croston_forecast
+        |FROM rec r JOIN n
+        |  ON r.event_type = n.event_type AND r.i = n.n_days
+        |ORDER BY event_type""".stripMargin,
 
     // The PH recursion as a recursive CTE over the day index (the
     // ev_holt discipline); m', mn', and the alarm CASE each write the

@@ -900,6 +900,42 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(fin >= 0.0 && fin <= 1.0)
   }
 
+  test("ev_croston: the fold equals a plain-Scala Croston recursion; intermittent at this SF") {
+    val d = graft.Tables.load(spark, dir, "events")
+      .select(col("event_type"), to_date(col("ts")).as("d"),
+        (col("value") > 99.5).cast("long").as("hi"))
+      .groupBy("event_type", "d").agg(sum("hi").as("c"))
+      .collect().groupBy(_.getString(0)).view
+      .mapValues(_.map(r => r.getDate(1).toString -> r.getLong(2)).toMap)
+    val got = operators.EventWindows.queries("ev_croston")(spark, dir).collect()
+    var sawZeroDay = false
+    for (r <- got) {
+      val tpe = r.getString(0)
+      val byDay = d(tpe)
+      val days = byDay.keys.toSeq.sorted
+      val all = {
+        val lo = java.time.LocalDate.parse(days.head)
+        val hi = java.time.LocalDate.parse(days.last)
+        Iterator.iterate(lo)(d0 => d0.plusDays(1))
+          .takeWhile(d0 => !d0.isAfter(hi)).toSeq
+      }
+      var z = 0.0; var p = 0.0; var q = 1.0; var nd = 0L
+      for (day <- all) {
+        val x = byDay.getOrElse(day.toString, 0L).toDouble
+        if (x > 0) {
+          z = if (nd == 0) x else 0.25 * x + 0.75 * z
+          p = if (nd == 0) q else 0.25 * q + 0.75 * p
+          q = 1.0; nd += 1
+        } else { q += 1.0; sawZeroDay = true }
+      }
+      assert(r.getLong(1) == all.length && r.getLong(2) == nd)
+      assert(math.abs(r.getDouble(3) - z) < 5e-7, s"$tpe z")
+      assert(math.abs(r.getDouble(4) - p) < 5e-7, s"$tpe p")
+      if (p > 0) assert(math.abs(r.getDouble(5) - z / p) < 5e-7)
+    }
+    assert(sawZeroDay, "the demand cut no longer yields an intermittent series")
+  }
+
   test("ev_page_hinkley: the fold equals a plain-Scala PH recursion") {
     val d = graft.Tables.load(spark, dir, "events")
       .select(col("event_type"), to_date(col("ts")).as("d"),
