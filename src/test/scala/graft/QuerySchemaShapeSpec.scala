@@ -22,6 +22,19 @@ class QuerySchemaShapeSpec extends AnyFunSuite {
   private lazy val spark = SparkTestBase.spark
   private val Dir = "/root/testdata/sf0.001"
 
+  test("every query has an oracle and every oracle has a query (nlp_* exempt)") {
+    // A queries() entry without its oracleSql twin silently downgrades
+    // the driver gate to a rows-only check — the exact failure mode the
+    // battery exists to prevent. Only the golden-pinned nlp_* family is
+    // exempt by design (SURVEY §5.4).
+    val q = SparkEntry.queries.keySet.filterNot(_.startsWith("nlp_"))
+    val o = SparkEntry.oracleSql.keySet
+    assert((q diff o).isEmpty,
+      s"queries with NO oracle (weak driver check): ${(q diff o).toSeq.sorted}")
+    assert((o diff q).isEmpty,
+      s"orphan oracles with no query: ${(o diff q).toSeq.sorted}")
+  }
+
   test("no query emits a top-level array/map/struct column") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, q) =>
