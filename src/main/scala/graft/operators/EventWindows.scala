@@ -751,6 +751,40 @@ object EventWindows {
     // fields evaluate sequentially with `acc` rebound mid-struct, so a
     // fold state with interdependent fields silently computes the wrong
     // recursion; the recursive CTE sidesteps the footgun.
+    // Syntetos–Boylan demand classification (Syntetos, Boylan & Croston
+    // 2005) — the screen that decides WHICH forecaster a series gets
+    // (smooth → exponential smoothing, intermittent → Croston, erratic/
+    // lumpy → SBA or bootstrap): ADI = periods per demand period and
+    // CV² of the nonzero demand sizes, against the published 1.32/0.49
+    // cutoffs. Same value>99.5 daily spine as ev_croston; ADI and the
+    // CV² power sums are exact integers until the two final double
+    // ratios (population variance form, identical trees both engines).
+    "ev_sbc_class" -> ((s, dir) => {
+      val d = load(s, dir, "events")
+        .select(col("event_type"), to_date(col("ts")).as("d"),
+          (col("value") > 99.5).cast("long").as("hi"))
+        .groupBy("event_type", "d").agg(sum("hi").as("c"))
+        .localCheckpoint()
+      val span = d.groupBy("event_type")
+        .agg((datediff(max("d"), min("d")) + 1).cast("long").as("n_days"))
+      val g = d.where(col("c") > 0)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("m"), sum("c").as("s1"),
+          sum(col("c") * col("c")).as("s2"))
+      val mu = col("s1").cast("double") / col("m").cast("double")
+      val cv2 = (col("s2").cast("double") / col("m").cast("double") - mu * mu) /
+        (mu * mu)
+      val adi = col("n_days").cast("double") / col("m").cast("double")
+      g.join(broadcast(span), "event_type")
+        .select(col("event_type"), col("n_days"), col("m").as("n_demand_days"),
+          round(adi, 6).as("adi"), round(cv2, 6).as("cv2"),
+          when(adi < 1.32 && cv2 < 0.49, "smooth")
+            .when(adi >= 1.32 && cv2 < 0.49, "intermittent")
+            .when(adi < 1.32, "erratic")
+            .otherwise("lumpy").as("sbc_class"))
+        .orderBy("event_type")
+    }),
+
     // Croston's method (Croston 1972) — THE intermittent-demand
     // forecaster (sparse series with many zero days defeat plain
     // exponential smoothing; Croston smooths the nonzero demand SIZE z
@@ -1919,6 +1953,48 @@ object EventWindows {
         |  round(CAST(struct_extract(t, 'c') AS DOUBLE) / n_days / 100.0, 6)
         |    AS cusum_mean_excess
         |FROM am ORDER BY event_type""".stripMargin,
+
+    "ev_sbc_class" ->
+      """WITH d AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(sum(CAST(value > 99.5 AS BIGINT)) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |span AS (
+        |  SELECT event_type,
+        |    CAST(date_diff('day', min(d), max(d)) + 1 AS BIGINT) AS n_days
+        |  FROM d GROUP BY 1),
+        |g AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS m,
+        |    CAST(sum(c) AS BIGINT) AS s1,
+        |    CAST(sum(c * c) AS BIGINT) AS s2
+        |  FROM d WHERE c > 0 GROUP BY 1)
+        |SELECT g.event_type, n_days, m AS n_demand_days,
+        |  round(CAST(n_days AS DOUBLE) / CAST(m AS DOUBLE), 6) AS adi,
+        |  round((CAST(s2 AS DOUBLE) / CAST(m AS DOUBLE)
+        |      - (CAST(s1 AS DOUBLE) / CAST(m AS DOUBLE))
+        |        * (CAST(s1 AS DOUBLE) / CAST(m AS DOUBLE)))
+        |    / ((CAST(s1 AS DOUBLE) / CAST(m AS DOUBLE))
+        |       * (CAST(s1 AS DOUBLE) / CAST(m AS DOUBLE))), 6) AS cv2,
+        |  CASE
+        |    WHEN CAST(n_days AS DOUBLE) / CAST(m AS DOUBLE) < 1.32
+        |     AND (CAST(s2 AS DOUBLE) / CAST(m AS DOUBLE)
+        |      - (CAST(s1 AS DOUBLE) / CAST(m AS DOUBLE))
+        |        * (CAST(s1 AS DOUBLE) / CAST(m AS DOUBLE)))
+        |    / ((CAST(s1 AS DOUBLE) / CAST(m AS DOUBLE))
+        |       * (CAST(s1 AS DOUBLE) / CAST(m AS DOUBLE))) < 0.49
+        |      THEN 'smooth'
+        |    WHEN CAST(n_days AS DOUBLE) / CAST(m AS DOUBLE) >= 1.32
+        |     AND (CAST(s2 AS DOUBLE) / CAST(m AS DOUBLE)
+        |      - (CAST(s1 AS DOUBLE) / CAST(m AS DOUBLE))
+        |        * (CAST(s1 AS DOUBLE) / CAST(m AS DOUBLE)))
+        |    / ((CAST(s1 AS DOUBLE) / CAST(m AS DOUBLE))
+        |       * (CAST(s1 AS DOUBLE) / CAST(m AS DOUBLE))) < 0.49
+        |      THEN 'intermittent'
+        |    WHEN CAST(n_days AS DOUBLE) / CAST(m AS DOUBLE) < 1.32
+        |      THEN 'erratic'
+        |    ELSE 'lumpy' END AS sbc_class
+        |FROM g JOIN span ON g.event_type = span.event_type
+        |ORDER BY g.event_type""".stripMargin,
 
     // The Croston recursion as a recursive CTE over the day index (the
     // ev_holt discipline); each CASE writes the step expression in full.

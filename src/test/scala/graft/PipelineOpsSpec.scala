@@ -936,6 +936,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(sawZeroDay, "the demand cut no longer yields an intermittent series")
   }
 
+  test("ev_sbc_class: the quadrant matches the published cutoffs per row") {
+    val rows = operators.EventWindows.queries("ev_sbc_class")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (nDays, m, adi, cv2, cls) = (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getString(5))
+      assert(m >= 1 && m <= nDays)
+      assert(math.abs(adi - nDays.toDouble / m) < 1e-6)
+      assert(cv2 >= -1e-9, "CV-squared cannot be negative")
+      val want =
+        if (adi < 1.32 && cv2 < 0.49) "smooth"
+        else if (adi >= 1.32 && cv2 < 0.49) "intermittent"
+        else if (adi < 1.32) "erratic" else "lumpy"
+      assert(cls == want, s"${r.getString(0)}: $cls != $want (adi $adi cv2 $cv2)")
+    }
+  }
+
   test("ev_page_hinkley: the fold equals a plain-Scala PH recursion") {
     val d = graft.Tables.load(spark, dir, "events")
       .select(col("event_type"), to_date(col("ts")).as("d"),

@@ -432,6 +432,7 @@ class ScaleDesignSpec extends AnyFunSuite {
       "ir_combsum" -> 1, // two TakeOrdered cuts + broadcast (min,max) rows + broadcast-able fusion join; the one exchange is the bm25 doc-stats agg
       "prof_hll_merge" -> 6, // the daily-partial register agg + the max-merge agg + estimator fold + the n_days distinct pair + oracle sort — all register-scale (≤ types×days×4096) behind the checkpointed derivation
       "ev_croston" -> 2, // the ev_holt spine shape: daily agg behind the checkpoint + per-type collect_list agg; the Croston recursion folds inside one aggregate expression
+      "ev_sbc_class" -> 3, // daily agg behind the checkpoint + span agg + nonzero power-sum agg — all (type, day) metadata frames
       "emb_pca_power" -> 1) // result sort only: the Gramian build's pair-explode agg runs inside the query's own collect (the MLlib design — d×d is model-scale), output is a 64-row local relation
     val aqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
