@@ -120,6 +120,13 @@ object Png {
     while (bb.remaining() >= 12) {
       val chunkOff = bb.position().toLong
       val len = bb.getInt
+      // The 4-byte length is attacker-controlled input: a corrupt or
+      // truncated buffer must fail as "corrupt PNG", not as a
+      // NegativeArraySizeException / BufferUnderflowException or a
+      // multi-GB allocation. Mirror the signature require above.
+      require(len >= 0 && len.toLong + 8 <= bb.remaining(), // type+data+crc
+        s"not a PNG: corrupt chunk length $len at offset $chunkOff " +
+          s"(${bb.remaining()} bytes remain)")
       val tpeB = new Array[Byte](4)
       bb.get(tpeB)
       val tpe = new String(tpeB, "ISO-8859-1")

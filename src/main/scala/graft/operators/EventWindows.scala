@@ -927,15 +927,25 @@ object EventWindows {
     // day?", the rank-based twin of a Pearson cross-correlation that
     // survives outliers and level shifts. Both series ride ONE shared
     // zero-filled calendar (a global [min, max] spine, so every pair
-    // compares the same day set); S = Σ_{i<j} sign(Δx)·sign(Δy) and the
-    // tie-corrected denominator pieces n0 = C(n,2), n1/n2 = Σ C(t,2)
-    // from the per-series value histograms are ALL integers (the
-    // ev_mk_trend discipline — n0·(n0−n1) products stay int64 to day
-    // spans of ~4M days), and only the final τ-b is a double, round(6),
-    // NULL when a series is constant. Scale: everything above the daily
-    // agg rides the types²×days² metadata frame — day-pair joins are
-    // (type-pair)-keyed over calendar-bounded frames, never fact rows.
+    // compares the same day set); S comes from the Knight (1966)
+    // O(n log n) formulation — sort each pair's day series by (x asc,
+    // y asc), count the strict inversions Q of the y-sequence with the
+    // merge-sort `inv_count` expression (Q = the discordant pairs
+    // exactly: x-tied pairs sort y ascending so contribute no strict
+    // inversion, and y-ties are not strict), then
+    // S = (n0 − n1 − n2 + n3) − 2Q with n0 = C(n,2) and n1/n2/n3 =
+    // Σ C(t,2) over the x-, y-, and joint-(x,y) value histograms —
+    // ALL integers (the ev_mk_trend discipline), only the final τ-b is
+    // a double, round(6), NULL when a series is constant. The oracle's
+    // all-pairs SQL computes the identical integer S, so the hash match
+    // doubles as a proof of the Knight identity on real data. Scale:
+    // the biggest frame is typePairs×days (the per-day pair join); the
+    // old day-pair self-join (typePairs×days² — ~10⁷ rows per pair on a
+    // multi-year calendar) is gone. Each pair's collected series is one
+    // calendar-bounded array row (the ev_holt collect discipline;
+    // ~4M-day span ≈ 32 MB worst case bounds it).
     "ev_kendall_xcorr" -> ((s, dir) => {
+      graft.plans.ArrayExprs.register(s)
       val d = load(s, dir, "events")
         .select(col("event_type"), to_date(col("ts")).as("d"),
           floor(col("value") * 100 + lit(0.5)).cast("long").as("c"))
@@ -951,24 +961,26 @@ object EventWindows {
         .join(f.select(col("event_type").as("t2"), col("d"), col("sc").as("y")), "d")
         .where(col("t1") < col("t2"))
         .localCheckpoint()
-      val a = pt.select(col("t1"), col("t2"), col("d").as("da"),
-        col("x").as("xa"), col("y").as("ya"))
-      val b = pt.select(col("t1"), col("t2"), col("d").as("db"),
-        col("x").as("xb"), col("y").as("yb"))
-      val sS = a.join(b, Seq("t1", "t2")).where(col("da") < col("db"))
-        .groupBy("t1", "t2")
-        .agg(sum((signum(col("xb") - col("xa")) *
-          signum(col("yb") - col("ya"))).cast("long")).as("s_stat"),
-          count(lit(1)).as("n0"))
-      val nd = pt.groupBy("t1", "t2").agg(count(lit(1)).as("n_days"))
+      val seqs = pt.groupBy("t1", "t2")
+        .agg(count(lit(1)).as("n_days"),
+          sort_array(collect_list(struct(col("x"), col("y")))).as("a"))
+        .select(col("t1"), col("t2"), col("n_days"),
+          graft.plans.ArrayExprs.invCount(
+            transform(col("a"), p => p.getField("y"))).as("q"))
+      val nxy = pt.groupBy("t1", "t2", "x", "y")
+        .agg(count(lit(1)).as("m"))
+        .groupBy("t1", "t2").agg(sum(col("m") * (col("m") - 1)).as("nxy2"))
       val tx = f.groupBy(col("event_type").as("t"), col("sc"))
         .agg(count(lit(1)).as("m"))
         .groupBy("t").agg(sum(col("m") * (col("m") - 1)).as("nt2"))
-      val den = (col("n0") - expr("ntx2 div 2")) *
-        (col("n0") - expr("nty2 div 2"))
-      sS.join(nd, Seq("t1", "t2"))
+      val n0 = expr("(n_days * (n_days - 1)) div 2")
+      val sStat = (n0 - expr("ntx2 div 2") - expr("nty2 div 2") +
+        expr("nxy2 div 2") - lit(2L) * col("q")).as("s_stat")
+      val den = (n0 - expr("ntx2 div 2")) * (n0 - expr("nty2 div 2"))
+      seqs.join(nxy, Seq("t1", "t2"))
         .join(broadcast(tx.select(col("t").as("t1"), col("nt2").as("ntx2"))), "t1")
         .join(broadcast(tx.select(col("t").as("t2"), col("nt2").as("nty2"))), "t2")
+        .withColumn("s_stat", sStat)
         .select(col("t1"), col("t2"), col("n_days"), col("s_stat"),
           round(when(den > 0,
             col("s_stat").cast("double") / sqrt(den.cast("double"))), 6)

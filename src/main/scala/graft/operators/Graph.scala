@@ -64,17 +64,46 @@ object Graph {
   private def edges(s: SparkSession, dir: String): DataFrame = {
     val items = load(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_partkey")).distinct()
-    items
-      .groupBy("l_orderkey")
-      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
-      .select(explode(expr(
-        "flatten(transform(ps, (x, i) -> " +
-          "transform(slice(ps, i + 2, size(ps) - i - 1), " +
-          "y -> struct(x AS pa, y AS pb))))")).as("pr"))
+    // the shared MaxBasket-capped pair explode (rec_* family): one
+    // adversarial mega-basket cannot detonate the edge-build task
+    Relational3.basketPairs(items)
       .groupBy(col("pr.pa").as("pa"), col("pr.pb").as("pb"))
       .agg(count(lit(1)).as("pair_orders"))
       .where(col("pair_orders") >= MinSupport)
       .select(col("pa"), col("pb"))
+  }
+
+  /** The degree-oriented triangle pipeline shared by `gr_triangles` and
+    * `gr_clustering` (the `labelLoop` precedent): orientation key
+    * k = (degree, id) as a STRUCT compared lexicographically — a strict
+    * total order for ANY id range (packed d·2^32+id arithmetic silently
+    * broke the order once ids exceeded 2^32, well below the 100 TB
+    * target). Wedges fan out from each edge's LOW-key endpoint, so the
+    * join input is Σ outdeg² = O(m^1.5) under any degree skew, and each
+    * triangle is found exactly once. Returns (degree table `node, d`,
+    * per-node triangle counts `node, n_tri`). */
+  private def nodeTriangles(e: DataFrame): (DataFrame, DataFrame) = {
+    val deg = e.select(col("pa").as("node")).unionAll(e.select(col("pb").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    val keyed = deg.select(col("node"), struct(col("d"), col("node")).as("k"))
+    val withK = e
+      .join(keyed.select(col("node").as("na"), col("k").as("ka")), col("pa") === col("na"))
+      .join(keyed.select(col("node").as("nb"), col("k").as("kb")), col("pb") === col("nb"))
+    // orient low-k -> high-k; carry the endpoint keys for the wedge order
+    val o = withK.select(
+      when(col("ka") < col("kb"), col("pa")).otherwise(col("pb")).as("lo"),
+      when(col("ka") < col("kb"), col("pb")).otherwise(col("pa")).as("hi"),
+      when(col("ka") < col("kb"), col("kb")).otherwise(col("ka")).as("khi"))
+    val wedges = o.as("e1")
+      .join(o.as("e2"), col("e1.lo") === col("e2.lo") && col("e1.khi") < col("e2.khi"))
+      .select(col("e1.lo").as("u"), col("e1.hi").as("v"), col("e2.hi").as("w"))
+    val tris = wedges
+      .join(o.as("e3"), col("v") === col("e3.lo") && col("w") === col("e3.hi"))
+      .select(col("u"), col("v"), col("w"))
+    val tcnt = tris
+      .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+    (deg, tcnt)
   }
 
   /** k-core: degree threshold and unrolled peel rounds. Peeling converges
@@ -163,66 +192,23 @@ object Graph {
     }),
 
     // Per-node triangle participation over the co-purchase graph, top
-    // nodes first. k = (degree, id) is the orientation key as a STRUCT
-    // compared lexicographically — a strict total order for ANY id range
-    // (the previous packed d*2^32+id arithmetic silently broke the order
-    // once ids exceeded 2^32, i.e. well below the 100 TB target scale).
-    "gr_triangles" -> ((s, dir) => {
-      val e = edges(s, dir).cache()
-      val deg = e.select(col("pa").as("node")).unionAll(e.select(col("pb").as("node")))
-        .groupBy("node").agg(count(lit(1)).as("d"))
-      val keyed = deg.select(col("node"), struct(col("d"), col("node")).as("k"))
-      val withK = e
-        .join(keyed.select(col("node").as("na"), col("k").as("ka")), col("pa") === col("na"))
-        .join(keyed.select(col("node").as("nb"), col("k").as("kb")), col("pb") === col("nb"))
-      // orient low-k -> high-k; carry the endpoint keys for the wedge order
-      val o = withK.select(
-        when(col("ka") < col("kb"), col("pa")).otherwise(col("pb")).as("lo"),
-        when(col("ka") < col("kb"), col("pb")).otherwise(col("pa")).as("hi"),
-        when(col("ka") < col("kb"), col("kb")).otherwise(col("ka")).as("khi"))
-      val wedges = o.as("e1")
-        .join(o.as("e2"), col("e1.lo") === col("e2.lo") && col("e1.khi") < col("e2.khi"))
-        .select(col("e1.lo").as("u"), col("e1.hi").as("v"), col("e2.hi").as("w"))
-      val tris = wedges
-        .join(o.as("e3"), col("v") === col("e3.lo") && col("w") === col("e3.hi"))
-        .select(col("u"), col("v"), col("w"))
-      tris
-        .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
-        .groupBy("node").agg(count(lit(1)).as("n_tri"))
-        .orderBy(col("n_tri").desc, col("node"))
-    }),
+    // nodes first (the shared [[nodeTriangles]] wedge pipeline).
+    "gr_triangles" -> ((s, dir) =>
+      nodeTriangles(edges(s, dir).cache())._2
+        .orderBy(col("n_tri").desc, col("node"))),
 
     // Local clustering coefficient (Watts & Strogatz 1998) — per node,
     // the fraction of its neighbor pairs that are themselves connected:
-    // cc = 2·T(v) / (d(v)·(d(v)−1)). Reuses the degree-oriented triangle
-    // pipeline above verbatim (each triangle found exactly once, wedge
-    // fan-out bounded by Σ outdeg² = O(m^1.5) under any skew), then one
+    // cc = 2·T(v) / (d(v)·(d(v)−1)). Shares [[nodeTriangles]] with
+    // gr_triangles (each triangle found exactly once, wedge fan-out
+    // bounded by Σ outdeg² = O(m^1.5) under any skew), then one
     // node-keyed left join back to the degree table; degree-<2 nodes
     // have no defined coefficient and are excluded. Numerator and
     // denominator are pure integers (d ≤ n keeps d·(d−1) int64-safe to
     // ~3e9-node graphs); the single double division is the identical
     // expression on both engines, round(6).
     "gr_clustering" -> ((s, dir) => {
-      val e = edges(s, dir).cache()
-      val deg = e.select(col("pa").as("node")).unionAll(e.select(col("pb").as("node")))
-        .groupBy("node").agg(count(lit(1)).as("d"))
-      val keyed = deg.select(col("node"), struct(col("d"), col("node")).as("k"))
-      val withK = e
-        .join(keyed.select(col("node").as("na"), col("k").as("ka")), col("pa") === col("na"))
-        .join(keyed.select(col("node").as("nb"), col("k").as("kb")), col("pb") === col("nb"))
-      val o = withK.select(
-        when(col("ka") < col("kb"), col("pa")).otherwise(col("pb")).as("lo"),
-        when(col("ka") < col("kb"), col("pb")).otherwise(col("pa")).as("hi"),
-        when(col("ka") < col("kb"), col("kb")).otherwise(col("ka")).as("khi"))
-      val wedges = o.as("e1")
-        .join(o.as("e2"), col("e1.lo") === col("e2.lo") && col("e1.khi") < col("e2.khi"))
-        .select(col("e1.lo").as("u"), col("e1.hi").as("v"), col("e2.hi").as("w"))
-      val tris = wedges
-        .join(o.as("e3"), col("v") === col("e3.lo") && col("w") === col("e3.hi"))
-        .select(col("u"), col("v"), col("w"))
-      val tcnt = tris
-        .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
-        .groupBy("node").agg(count(lit(1)).as("n_tri"))
+      val (deg, tcnt) = nodeTriangles(edges(s, dir).cache())
       deg.where(col("d") >= 2)
         .join(tcnt, Seq("node"), "left")
         .na.fill(0L, Seq("n_tri"))

@@ -55,6 +55,40 @@ object Relational3 {
   private val LineSize = 12 // tokens per dd_line_filter pseudo-line
   private val LineDfMax = 3 // dd_line_filter: drop chunks in >= this many docs
   private val ZBits = 10 // zorder_key interleave width per dimension
+
+  /** Per-basket pair fan-out cap for `rec_cooccur`/`rec_item_sim`. The
+    * map-side pair explode is O(k²) in basket size k; TPC-H baskets are
+    * ≤ 7 items, but one adversarial 10⁶-item mega-basket (a bot account,
+    * a catalog-wide "order") would detonate a single task with ~5·10¹¹
+    * pairs BEFORE any support filter can prune. The basket is therefore
+    * deterministically truncated to its `MaxBasket` smallest item keys
+    * (the set is already sorted), bounding any one task's fan-out at
+    * MaxBasket²/2 ≈ 2.1M pairs — a few MB, comfortably inside one
+    * executor task. Items beyond the cap in a pathological basket simply
+    * don't vote for pairs; every co-occurrence metric downstream is a
+    * frequency over well-formed baskets, and a 2048+-item basket carries
+    * no basket-affinity signal (it is noise by definition — the same
+    * adjudication ALS/market-basket systems apply with their own basket
+    * caps). The cap never binds on sane data; ScaleDesignSpec seeds a
+    * mega-basket and pins the bounded fan-out.
+    */
+  private[graft] val MaxBasket = 2048
+
+  /** Shared basket→ordered-pair explode for the rec_* family: ONE groupBy
+    * on the order key, then map-side generation of the (pa < pb) pairs
+    * from each order's sorted, `MaxBasket`-capped item set — never a
+    * self-join of the fact table, so the shuffle input is Σ min(k,cap)²
+    * over basket sizes k, not n². Output column: `pr` = struct(pa, pb).
+    */
+  private[graft] def basketPairs(items: DataFrame): DataFrame =
+    items
+      .groupBy("l_orderkey")
+      .agg(slice(sort_array(collect_set(col("l_partkey"))), 1, MaxBasket)
+        .as("ps"))
+      .select(explode(expr(
+        "flatten(transform(ps, (x, i) -> " +
+          "transform(slice(ps, i + 2, size(ps) - i - 1), " +
+          "y -> struct(x AS pa, y AS pb))))")).as("pr"))
   /** prof_inclusion candidate (child table, child col, parent table,
     * parent col) pairs — the five real TPC-H FKs + three reverse probes.
     * Shared by the Spark side and the generated oracle so the dep labels
@@ -1426,13 +1460,7 @@ object Relational3 {
     "rec_cooccur" -> ((s, dir) => {
       val items = load(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val pairs = items
-        .groupBy("l_orderkey")
-        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
-        .select(explode(expr(
-          "flatten(transform(ps, (x, i) -> " +
-            "transform(slice(ps, i + 2, size(ps) - i - 1), " +
-            "y -> struct(x AS pa, y AS pb))))")).as("pr"))
+      val pairs = basketPairs(items)
         .groupBy(col("pr.pa").as("pa"), col("pr.pb").as("pb"))
         .agg(count(lit(1)).as("pair_orders"))
         .where(col("pair_orders") >= 2)
@@ -1458,13 +1486,7 @@ object Relational3 {
     "rec_item_sim" -> ((s, dir) => {
       val items = load(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val pairs = items
-        .groupBy("l_orderkey")
-        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
-        .select(explode(expr(
-          "flatten(transform(ps, (x, i) -> " +
-            "transform(slice(ps, i + 2, size(ps) - i - 1), " +
-            "y -> struct(x AS pa, y AS pb))))")).as("pr"))
+      val pairs = basketPairs(items)
         .groupBy(col("pr.pa").as("pa"), col("pr.pb").as("pb"))
         .agg(count(lit(1)).as("c"))
         .where(col("c") >= 2)

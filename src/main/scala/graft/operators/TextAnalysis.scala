@@ -461,6 +461,17 @@ object TextAnalysis {
         .agg(collect_list(struct(col("dst"), col("w"))).as("nbrs"),
           sum("w").as("wtot"))
         .localCheckpoint()
+      // Runtime guard on the documented headroom bound: every round's
+      // contribution is r·w with r < Σr = |V|·U (rank mass conserved by
+      // the teleport) and w ≤ w_max, so |V|·U·w_max must stay inside
+      // int64 or the fixed-point sums would wrap on Spark while DuckDB's
+      // HUGEINT stays exact — surfacing only as an opaque hash mismatch.
+      // One metadata-scale row (already-checkpointed edge list); on a
+      // corpus that trips this, drop U a decade per vocabulary decade.
+      val b = adj.agg(count(lit(1)).as("nv"), max("wtot").as("wm")).head()
+      require(BigInt(b.getLong(0)) * U * b.getLong(1) < BigInt(Long.MaxValue),
+        s"ta_textrank fixed-point headroom exhausted: |V|=${b.getLong(0)}, " +
+          s"w_max=${b.getLong(1)}, U=$U — lower U for this vocabulary")
       var rank = adj.select(col("src").as("node"), lit(U).as("r"))
       for (_ <- 1 to 10) {
         rank = rank.join(adj, col("node") === col("src"))

@@ -1,10 +1,10 @@
 package graft.plans
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
 /** Native dot product over dense embedding arrays.
   *
@@ -85,14 +85,85 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
   override def prettyName: String = "dot_product"
 }
 
+/** Exact strict-inversion count over an array<long> — |{(i,j) : i < j,
+  * a(i) > a(j)}| — by iterative bottom-up merge sort, O(n log n).
+  *
+  * This is the Knight (1966) kernel for Kendall's τ: sort the day series
+  * by (x asc, y asc) and the strict inversions of the y-sequence are
+  * EXACTLY the discordant pairs Q, giving S = (n0 − n1 − n2 + n3) − 2Q
+  * from per-series/joint tie histograms — no all-pairs day² frame.
+  * Integer in, integer out: bit-exact against any engine's pair count.
+  *
+  * Eval-only (CodegenFallback) by design: it runs once per GROUP (one
+  * collected metadata-scale array per type-pair), never per fact row, so
+  * codegen would buy nothing — the merge itself is the work.
+  */
+case class InvCount(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"inv_count needs array<bigint>, got ${t.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData].toLongArray()
+    val n = arr.length
+    val buf = new Array[Long](n)
+    var src = arr
+    var dst = buf
+    var inv = 0L
+    var width = 1
+    while (width < n) {
+      var lo = 0
+      while (lo < n) {
+        val mid = math.min(lo + width, n)
+        val hi = math.min(lo + 2 * width, n)
+        var (i, j, k) = (lo, mid, lo)
+        while (i < mid && j < hi) {
+          // stable: equal keys take the left element first → ties are
+          // NOT counted as inversions (strict > only)
+          if (src(i) <= src(j)) { dst(k) = src(i); i += 1 }
+          else { dst(k) = src(j); j += 1; inv += (mid - i).toLong }
+          k += 1
+        }
+        while (i < mid) { dst(k) = src(i); i += 1; k += 1 }
+        while (j < hi) { dst(k) = src(j); j += 1; k += 1 }
+        lo = hi
+      }
+      val t = src; src = dst; dst = t
+      width *= 2
+    }
+    inv
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): InvCount =
+    copy(child = newChild)
+
+  override def prettyName: String = "inv_count"
+}
+
 object ArrayExprs {
-  def register(spark: SparkSession): Unit =
-    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
-      .createOrReplaceTempFunction(
-        "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "inv_count", exprs => InvCount(exprs(0)), "built-in")
+  }
 
   /** Column API; requires [[register]] on the session first. */
   def dotProduct(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.call_function("dot_product", a, b)
+
+  /** Column API; requires [[register]] on the session first. */
+  def invCount(a: Column): Column =
+    org.apache.spark.sql.functions.call_function("inv_count", a)
 }

@@ -759,6 +759,15 @@ object StatefulOps {
             r6(cur.m - cur.mn), cur.alarm)
         } else {
           val day = Math.floorDiv(micros(e.ts), 86400000000L)
+          // Monotone-day contract: rows are sorted within a micro-batch,
+          // but an out-of-order event ACROSS batches whose day precedes
+          // the open day would otherwise silently fold as a new later
+          // day and diverge from the batch result with no error. Fail
+          // loudly instead — the feed must be day-ordered per type (use
+          // a watermark+sort upstream if it is not).
+          require(cur.curDay == Long.MinValue || day >= cur.curDay,
+            s"PageHinkley feed out of order for type '$tpe': event day " +
+              s"$day arrived after open day ${cur.curDay}")
           if (cur.curDay != Long.MinValue && day != cur.curDay) closeDay()
           cur = cur.copy(curDay = day, sc = cur.sc + e.cents,
             cnt = cur.cnt + 1)

@@ -816,6 +816,27 @@ class ScaleDesignSpec extends AnyFunSuite {
     assert(r.getLong(1) < (1L << 32), s"hash32 overflowed 32 bits: ${r.getLong(1)}")
   }
 
+  test("rec_* basket pair explode is capped: a seeded mega-basket cannot " +
+    "produce an unbounded task") {
+    // The rec_cooccur/rec_item_sim fan-out is O(k²) per basket. One
+    // adversarial 10⁶-item basket at 100× data would emit ~5·10¹¹ pairs
+    // from a single task BEFORE any support filter runs. basketPairs caps
+    // each basket at its MaxBasket smallest item keys, so the worst task
+    // is bounded at MaxBasket·(MaxBasket−1)/2 pairs regardless of input.
+    import spark.implicits._
+    val cap = graft.operators.Relational3.MaxBasket
+    val mega = 3 * cap // a basket 3× over the cap
+    val items = (0 until mega).map(i => (1L, i.toLong))
+      .toDF("l_orderkey", "l_partkey")
+    val n = graft.operators.Relational3.basketPairs(items).count()
+    assert(n == cap.toLong * (cap - 1) / 2,
+      s"mega-basket fan-out not capped: $n pairs from a $mega-item basket")
+    // and the cap never binds on sane baskets: below-cap basket is exact
+    val small = (0 until 7).map(i => (2L, i.toLong))
+      .toDF("l_orderkey", "l_partkey")
+    assert(graft.operators.Relational3.basketPairs(small).count() == 21)
+  }
+
   test("partitionBy layout prunes non-matching partitions at the scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString + "/ev"
     val ev = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
