@@ -789,6 +789,186 @@ object StatefulOps {
         enc)
   }
 
+  /** Final Holt smoothing state for a type — the batch `ev_holt` output
+    * row, emitted on flush. */
+  case class HoltState(event_type: String, n_days: Long, level: Double,
+                       trend: Double, forecast_7d: Double, sse: Double)
+
+  /** Internal Holt fold state: the open day's (day, Σcents) plus the
+    * carried (n_days, l, b, sse) recursion variables. */
+  case class HoltSt(curDay: Long, sc: Long, n: Long, l: Double, b: Double,
+                    sse: Double)
+
+  /** The STREAMING twin of the batch `ev_holt` operator — the smoothing
+    * family was the last batch family without a carried-state
+    * counterpart (ev_page_hinkley's template). Per type the processor
+    * accumulates the OPEN day's integer Σcents; when a later day
+    * arrives it closes the open day through the identical Holt
+    * recursion the batch `aggregate` expression runs (l′ = 0.5x +
+    * 0.5(l+b); b′ = 0.25(l′−l) + 0.75b; sse += err² — same IEEE ops,
+    * same order), AND folds an explicit x = 0 for every calendar day in
+    * the gap — the batch op rides a zero-filled [min, max] spine, so
+    * the stream must synthesize the zero days the spine would have
+    * (Page–Hinkley, by contrast, folds observed days only). The first
+    * day seeds l = x₁ exactly like the batch init. On the flush
+    * sentinel the open day closes and the batch row emits, bit-equal
+    * after the same HALF_UP round(6) (StatefulOpsSpec pins it). State
+    * is ONE fixed-size record per type regardless of stream length. */
+  class HoltProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, DriftEv, HoltState] {
+    @transient private var st:
+        org.apache.spark.sql.streaming.ValueState[HoltSt] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[HoltSt]("holt_st", Encoders.product[HoltSt],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(
+        tpe: String, rows: Iterator[DriftEv],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[HoltState] = {
+      def micros(ts: java.sql.Timestamp): Long =
+        Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+      var cur = if (st.exists()) st.get()
+        else HoltSt(Long.MinValue, 0L, 0L, 0.0, 0.0, 0.0)
+      // fold one closed day's value through the batch expression tree
+      def fold(x: Double): Unit =
+        if (cur.n == 0) cur = cur.copy(n = 1, l = x, b = 0.0, sse = 0.0)
+        else {
+          val l2 = 0.5 * x + 0.5 * (cur.l + cur.b)
+          val err = x - (cur.l + cur.b)
+          cur = cur.copy(n = cur.n + 1, l = l2,
+            b = 0.25 * (l2 - cur.l) + 0.75 * cur.b,
+            sse = cur.sse + err * err)
+        }
+      def closeUpTo(nextDay: Long): Unit = if (cur.curDay != Long.MinValue) {
+        fold(cur.sc.toDouble / 100)
+        // zero-fill the calendar gap the batch spine would have
+        var d = cur.curDay + 1
+        while (d < nextDay) { fold(0.0); d += 1 }
+        cur = cur.copy(curDay = Long.MinValue, sc = 0L)
+      }
+      def r6(v: Double): Double =
+        BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val out = Vector.newBuilder[HoltState]
+      for (e <- rows.toVector.sortBy(r => micros(r.ts))) {
+        if (e.cents == Long.MinValue) {
+          closeUpTo(Long.MinValue) // flush: no trailing zeros past max day
+          out += HoltState(tpe, cur.n, r6(cur.l), r6(cur.b),
+            r6(cur.l + 7.0 * cur.b), r6(cur.sse))
+        } else {
+          val day = Math.floorDiv(micros(e.ts), 86400000000L)
+          require(cur.curDay == Long.MinValue || day >= cur.curDay,
+            s"Holt feed out of order for type '$tpe': event day $day " +
+              s"arrived after open day ${cur.curDay}")
+          if (cur.curDay != Long.MinValue && day != cur.curDay) closeUpTo(day)
+          cur = cur.copy(curDay = day, sc = cur.sc + e.cents)
+        }
+      }
+      st.update(cur)
+      out.result().iterator
+    }
+  }
+
+  /** `DriftEv` stream (cents = the event's integer cents) → per-type
+    * final Holt level/trend/forecast. Requires RocksDB. */
+  def holtMonitor(ds: Dataset[DriftEv]): Dataset[HoltState] = {
+    implicit val enc: Encoder[HoltState] = Encoders.product[HoltState]
+    ds.groupByKey(_.event_type)(Encoders.STRING)
+      .transformWithState(new HoltProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append(),
+        enc)
+  }
+
+  /** Final Croston state for a type — the batch `ev_croston` output row,
+    * emitted on flush (`croston_forecast` is None when the series never
+    * saw a demand day, the batch NULL). */
+  case class CrostonState(event_type: String, n_days: Long,
+                          n_demand_days: Long, demand_size: Double,
+                          demand_interval: Double,
+                          croston_forecast: Option[Double])
+
+  /** Internal Croston fold state: the open day's (day, Σhi) plus the
+    * carried (n_days, nd, z, p, q) recursion variables. */
+  case class CrostonSt(curDay: Long, c: Long, n: Long, nd: Long, z: Double,
+                       p: Double, q: Double)
+
+  /** The STREAMING twin of the batch `ev_croston` operator — Croston's
+    * intermittent-demand recursion (z/p smoothed separately, q counts
+    * the elapsed interval) carried as per-type state, with the same
+    * zero-day synthesis as [[HoltProcessor]] (the batch op rides the
+    * zero-filled spine; zero days just grow q). Identical IEEE ops in
+    * identical order → bit-equal rows after HALF_UP round(6)
+    * (StatefulOpsSpec pins it). `cents` carries the 0/1 high-value
+    * flag; the day's demand is their integer sum. */
+  class CrostonProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, DriftEv, CrostonState] {
+    @transient private var st:
+        org.apache.spark.sql.streaming.ValueState[CrostonSt] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[CrostonSt]("cro_st",
+        Encoders.product[CrostonSt],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(
+        tpe: String, rows: Iterator[DriftEv],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[CrostonState] = {
+      def micros(ts: java.sql.Timestamp): Long =
+        Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+      var cur = if (st.exists()) st.get()
+        else CrostonSt(Long.MinValue, 0L, 0L, 0L, 0.0, 0.0, 1.0)
+      def fold(x: Double): Unit =
+        cur = if (x > 0) cur.copy(n = cur.n + 1, nd = cur.nd + 1,
+          z = if (cur.nd == 0) x else 0.25 * x + 0.75 * cur.z,
+          p = if (cur.nd == 0) cur.q else 0.25 * cur.q + 0.75 * cur.p,
+          q = 1.0)
+        else cur.copy(n = cur.n + 1, q = cur.q + 1)
+      def closeUpTo(nextDay: Long): Unit = if (cur.curDay != Long.MinValue) {
+        fold(cur.c.toDouble)
+        var d = cur.curDay + 1
+        while (d < nextDay) { fold(0.0); d += 1 }
+        cur = cur.copy(curDay = Long.MinValue, c = 0L)
+      }
+      def r6(v: Double): Double =
+        BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val out = Vector.newBuilder[CrostonState]
+      for (e <- rows.toVector.sortBy(r => micros(r.ts))) {
+        if (e.cents == Long.MinValue) {
+          closeUpTo(Long.MinValue)
+          out += CrostonState(tpe, cur.n, cur.nd, r6(cur.z), r6(cur.p),
+            if (cur.p > 0) Some(r6(cur.z / cur.p)) else None)
+        } else {
+          val day = Math.floorDiv(micros(e.ts), 86400000000L)
+          require(cur.curDay == Long.MinValue || day >= cur.curDay,
+            s"Croston feed out of order for type '$tpe': event day $day " +
+              s"arrived after open day ${cur.curDay}")
+          if (cur.curDay != Long.MinValue && day != cur.curDay) closeUpTo(day)
+          cur = cur.copy(curDay = day, c = cur.c + e.cents)
+        }
+      }
+      st.update(cur)
+      out.result().iterator
+    }
+  }
+
+  /** `DriftEv` stream (cents = the 0/1 high-value flag) → per-type final
+    * Croston demand size/interval/forecast. Requires RocksDB. */
+  def crostonMonitor(ds: Dataset[DriftEv]): Dataset[CrostonState] = {
+    implicit val enc: Encoder[CrostonState] = Encoders.product[CrostonState]
+    ds.groupByKey(_.event_type)(Encoders.STRING)
+      .transformWithState(new CrostonProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append(),
+        enc)
+  }
+
   /** Streaming input row for the cardinality twin: one event's user;
     * `user_id == Long.MinValue` is the per-type flush sentinel. */
   case class CardEv(event_type: String, user_id: Long)

@@ -75,6 +75,21 @@ class MultimodalSpec extends AnyFunSuite {
     val tampered = Png.write(37, 11, payload).clone()
     tampered(50) = (tampered(50) ^ 1).toByte // inside IDAT data
     assert(Png.parse(tampered).crcOk < 3, "tampering went undetected")
+    // a corrupt chunk LENGTH must fail as "corrupt chunk length", never
+    // as a NegativeArraySizeException / BufferUnderflowException or a
+    // multi-GB allocation
+    val negLen = Png.write(5, 5, payload).clone()
+    negLen(8) = 0xff.toByte // IHDR length 0x0000000d -> 0xff00000d (<0)
+    val e1 = intercept[IllegalArgumentException](Png.parse(negLen))
+    assert(e1.getMessage.contains("corrupt chunk length"))
+    val overLen = Png.write(5, 5, payload).clone()
+    overLen(10) = 0x7f.toByte // IHDR length -> 0x007f000d, way past EOF
+    val e2 = intercept[IllegalArgumentException](Png.parse(overLen))
+    assert(e2.getMessage.contains("corrupt chunk length"))
+    // truncated mid-chunk: the remaining-bytes guard, not underflow
+    val truncated = Png.write(5, 5, payload).take(20)
+    val e3 = intercept[IllegalArgumentException](Png.parse(truncated))
+    assert(e3.getMessage.contains("corrupt chunk length"))
   }
 
   test("mp4 bytes are real ISO BMFF containers: decode demuxes the box tree") {

@@ -837,6 +837,30 @@ class ScaleDesignSpec extends AnyFunSuite {
     assert(graft.operators.Relational3.basketPairs(small).count() == 21)
   }
 
+  test("inv_count equals the brute-force pair count (Knight kernel)") {
+    // ev_kendall_xcorr's S statistic rides this expression; a wrong
+    // inversion count would surface only as an opaque oracle hash
+    // mismatch. Cross-check merge sort against O(n²) brute force on
+    // deterministic adversarial sequences (ties, sorted, reversed,
+    // pseudo-random with duplicates, odd/even lengths).
+    import spark.implicits._
+    graft.plans.ArrayExprs.register(spark)
+    def brute(a: Seq[Long]): Long =
+      (for (i <- a.indices; j <- i + 1 until a.length if a(i) > a(j))
+        yield 1L).sum
+    val cases: Seq[Seq[Long]] = Seq(
+      Seq.empty[Long], Seq(7L), Seq(1L, 2L, 3L, 4L), Seq(4L, 3L, 2L, 1L),
+      Seq(5L, 5L, 5L), Seq(2L, 1L, 2L, 1L, 2L),
+      (0 until 101).map(i => (i * 7919L) % 13),
+      (0 until 64).map(i => (i * 104729L) % 997))
+    for (c <- cases) {
+      val got = Seq(Tuple1(c.toArray)).toDF("a")
+        .select(graft.plans.ArrayExprs.invCount(col("a")).as("q"))
+        .head().getLong(0)
+      assert(got == brute(c), s"inv_count wrong on $c: got $got, want ${brute(c)}")
+    }
+  }
+
   test("partitionBy layout prunes non-matching partitions at the scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString + "/ev"
     val ev = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")

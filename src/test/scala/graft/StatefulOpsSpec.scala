@@ -432,6 +432,112 @@ class StatefulOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming holtMonitor equals the batch ev_holt result exactly") {
+    // The smoothing family's carried-state twin: feed the real sf0.001
+    // events in event-time order across micro-batches, flush, and the
+    // per-type (n_days, level, trend, forecast_7d, sse) must equal the
+    // DuckDB-oracle-checked batch rows EXACTLY — the processor folds
+    // the identical IEEE expression tree, including the synthesized
+    // zero days of the batch calendar spine.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      import org.apache.spark.sql.functions.{col, floor, lit}
+      val dir = "/root/testdata/sf0.001"
+      val evs = graft.Tables.load(spark, dir, "events")
+        .select(col("event_type"), col("ts"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+        .orderBy("ts", "event_type")
+        .as[StatefulOps.DriftEv].collect()
+      val flush = evs.map(_.event_type).distinct.map(t =>
+        StatefulOps.DriftEv(t, new java.sql.Timestamp(0L), Long.MinValue))
+      val mem = MemoryStream[StatefulOps.DriftEv]
+      val q = StatefulOps.holtMonitor(mem.toDS())
+        .writeStream.outputMode("append")
+        .format("memory").queryName("sholt_out").start()
+      try {
+        evs.grouped(math.max(1, evs.length / 5))
+          .foreach { b => mem.addData(b.toSeq); q.processAllAvailable() }
+        mem.addData(flush.toSeq); q.processAllAvailable()
+        val batch = SparkEntry.queries("ev_holt")(spark, dir).collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+            r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSeq.sorted
+        val streamed = spark.table("sholt_out")
+          .as[StatefulOps.HoltState].collect()
+          .map(h => (h.event_type, h.n_days, h.level, h.trend,
+            h.forecast_7d, h.sse)).toSeq.sorted
+        assert(streamed == batch,
+          s"holt rows diverge:\nstream ${streamed.mkString(", ")}\n" +
+            s"batch ${batch.mkString(", ")}")
+      } finally q.stop()
+    }
+  }
+
+  test("streaming crostonMonitor equals the batch ev_croston result exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      import org.apache.spark.sql.functions.col
+      val dir = "/root/testdata/sf0.001"
+      val evs = graft.Tables.load(spark, dir, "events")
+        .select(col("event_type"), col("ts"),
+          (col("value") > 99.5).cast("long").as("cents"))
+        .orderBy("ts", "event_type")
+        .as[StatefulOps.DriftEv].collect()
+      val flush = evs.map(_.event_type).distinct.map(t =>
+        StatefulOps.DriftEv(t, new java.sql.Timestamp(0L), Long.MinValue))
+      val mem = MemoryStream[StatefulOps.DriftEv]
+      val q = StatefulOps.crostonMonitor(mem.toDS())
+        .writeStream.outputMode("append")
+        .format("memory").queryName("scro_out").start()
+      try {
+        evs.grouped(math.max(1, evs.length / 5))
+          .foreach { b => mem.addData(b.toSeq); q.processAllAvailable() }
+        mem.addData(flush.toSeq); q.processAllAvailable()
+        val batch = SparkEntry.queries("ev_croston")(spark, dir).collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            r.getDouble(3), r.getDouble(4),
+            Option(r.get(5)).map(_.asInstanceOf[Double]))).toSeq.sorted
+        val streamed = spark.table("scro_out")
+          .as[StatefulOps.CrostonState].collect()
+          .map(c => (c.event_type, c.n_days, c.n_demand_days, c.demand_size,
+            c.demand_interval, c.croston_forecast)).toSeq.sorted
+        assert(streamed == batch,
+          s"croston rows diverge:\nstream ${streamed.mkString(", ")}\n" +
+            s"batch ${batch.mkString(", ")}")
+      } finally q.stop()
+    }
+  }
+
+  test("out-of-order day across batches fails the drift twin loudly") {
+    // The monotone-day contract: an event whose day PRECEDES the open
+    // day must abort the stream (require), not silently fold as a new
+    // later day and diverge from batch.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val day0 = new java.sql.Timestamp(86400L * 1000L * 100) // day 100
+      val dayBack = new java.sql.Timestamp(86400L * 1000L * 50) // day 50
+      val mem = MemoryStream[StatefulOps.DriftEv]
+      val q = StatefulOps.driftMonitor(mem.toDS())
+        .writeStream.outputMode("append")
+        .format("memory").queryName("sdrift_ooo").start()
+      try {
+        mem.addData(StatefulOps.DriftEv("t", day0, 100L))
+        q.processAllAvailable()
+        mem.addData(StatefulOps.DriftEv("t", dayBack, 100L))
+        val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+          q.processAllAvailable()
+        }
+        def causes(t: Throwable): Seq[Throwable] =
+          if (t == null) Nil else t +: causes(t.getCause)
+        assert(causes(ex).exists(c =>
+          c.getMessage != null && c.getMessage.contains("out of order")),
+          s"expected the monotone-day require, got: $ex")
+      } finally q.stop()
+    }
+  }
+
   test("streaming cardinalitySketch equals the batch prof_hll registers exactly") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

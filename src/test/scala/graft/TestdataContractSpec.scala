@@ -129,6 +129,35 @@ class TestdataContractSpec extends AnyFunSuite {
       s"events.value went negative ($mn) — a16_gini's domain assumption broke")
   }
 
+  test("sketch self-audit: prof_hll / prof_kmv rel_err stays inside the " +
+    "published accuracy envelope") {
+    // The DuckDB oracle proves the sketches compute what the SQL says —
+    // but the oracle matches the SKETCH, not the truth. A future hash or
+    // register-derivation change that silently degrades accuracy would
+    // still pass the hash gate. Pin |rel_err| against the published
+    // standard errors instead: HLL p=12 → σ ≈ 1.04/√4096 ≈ 1.63%, KMV
+    // k=256 → σ ≈ 1/√254 ≈ 6.3%; allow 3σ (these are fixed deterministic
+    // hashes, so the draw never changes — the bound is a tripwire, not a
+    // statistical test).
+    import org.apache.spark.sql.functions._
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val hll = SparkEntry.queries("prof_hll")(spark, d)
+        .select(col("event_type"), abs(col("rel_err")).as("e")).collect()
+      assert(hll.nonEmpty)
+      for (r <- hll)
+        assert(r.getDouble(1) < 3 * 0.0163,
+          s"$d prof_hll ${r.getString(0)}: |rel_err|=${r.getDouble(1)} " +
+            "outside 3σ of the p=12 envelope — the sketch degraded")
+      val kmv = SparkEntry.queries("prof_kmv")(spark, d)
+        .select(col("event_type"), abs(col("rel_err")).as("e")).collect()
+      assert(kmv.nonEmpty)
+      for (r <- kmv)
+        assert(r.getDouble(1) < 3 * 0.063,
+          s"$d prof_kmv ${r.getString(0)}: |rel_err|=${r.getDouble(1)} " +
+            "outside 3σ of the k=256 envelope — the sketch degraded")
+    }
+  }
+
   test("documents.lang domain equals ta_nb_langid's generated class list") {
     // The NB classifier's pivot columns and argmax chain are GENERATED
     // over a fixed class list (the oracle SQL is a static string); a lang

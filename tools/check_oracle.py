@@ -12,6 +12,7 @@ mismatch so it can gate commits.
 import glob
 import json
 import math
+import os
 import sys
 
 import duckdb
@@ -38,8 +39,13 @@ def main():
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
     con = duckdb.connect()
     for t in TABLES:
+        # driver testdata is one file per table; ReplicateSf output is a
+        # Spark directory of part files — glob it in that case
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     failures = []
     # graft.Verify records query-construction/execution failures in a
