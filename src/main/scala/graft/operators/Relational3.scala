@@ -1508,6 +1508,50 @@ object Relational3 {
         .orderBy("pa", "pb")
     }),
 
+    // Directed association rules A→B over the co-purchase counts — the
+    // rule layer on top of rec_item_sim's symmetric scores (Agrawal &
+    // Srikant 1994 support/confidence, Brin et al. 1997 conviction):
+    // each support-pruned unordered pair emits BOTH directions with
+    // support c/N, confidence c/c_A, lift c·N/(c_A·c_B), and conviction
+    // (1 − c_B/N)/(1 − confidence) — NULL when confidence = 1 (an
+    // exceptionless rule has infinite conviction; both engines agree on
+    // the NULL via the same c < c_A guard). All inputs are the exact
+    // integer supports; each metric is one identical double expression,
+    // round(6). Scale shape is rec_cooccur's: the MaxBasket-capped
+    // map-side pair explode, keyed support joins, a one-row broadcast
+    // total; the direction union only doubles the support-pruned frame.
+    "rec_assoc_rules" -> ((s, dir) => {
+      val items = load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val pairs = basketPairs(items)
+        .groupBy(col("pr.pa").as("pa"), col("pr.pb").as("pb"))
+        .agg(count(lit(1)).as("c"))
+        .where(col("c") >= 2)
+      val supp = items.groupBy("l_partkey").agg(count(lit(1)).as("s"))
+      val tot = items.select("l_orderkey").distinct().agg(count(lit(1)).as("n"))
+      val dirs = pairs
+        .select(col("pa").as("ante"), col("pb").as("cons"), col("c"))
+        .unionAll(pairs.select(col("pb").as("ante"), col("pa").as("cons"), col("c")))
+      val cD = col("c").cast("double")
+      val saD = col("sa").cast("double")
+      val sbD = col("sb").cast("double")
+      val nD = col("n").cast("double")
+      dirs
+        .join(supp.select(col("l_partkey").as("ka"), col("s").as("sa")),
+          col("ante") === col("ka"))
+        .join(supp.select(col("l_partkey").as("kb"), col("s").as("sb")),
+          col("cons") === col("kb"))
+        .crossJoin(broadcast(tot))
+        .select(col("ante").as("antecedent"), col("cons").as("consequent"),
+          col("c").as("pair_orders"),
+          round(cD / nD, 6).as("support"),
+          round(cD / saD, 6).as("confidence"),
+          round(cD * nD / (saD * sbD), 6).as("lift"),
+          round(when(col("c") < col("sa"),
+            (lit(1.0) - sbD / nD) / (lit(1.0) - cD / saD)), 6).as("conviction"))
+        .orderBy("antecedent", "consequent")
+    }),
+
     // Winsorized (5%/95%-clamped) robust mean per group, with the order
     // statistics computed the 100 TB way: no per-group sort, no
     // percentile() over data rows. The 2-dp quantity becomes exact
@@ -2526,6 +2570,33 @@ object Relational3 {
         |        JOIN supp sb ON pb = sb.l_partkey
         |        CROSS JOIN tot
         |ORDER BY pa, pb""".stripMargin,
+
+    "rec_assoc_rules" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |ps AS (
+        |  SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS c
+        |  FROM items a JOIN items b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |supp AS (SELECT l_partkey, count(*) AS s FROM items GROUP BY 1),
+        |tot AS (SELECT count(DISTINCT l_orderkey) AS n FROM items),
+        |dirs AS (
+        |  SELECT pa AS ante, pb AS cons, c FROM ps
+        |  UNION ALL SELECT pb AS ante, pa AS cons, c FROM ps)
+        |SELECT ante AS antecedent, cons AS consequent,
+        |  CAST(c AS BIGINT) AS pair_orders,
+        |  round(CAST(c AS DOUBLE) / CAST(n AS DOUBLE), 6) AS support,
+        |  round(CAST(c AS DOUBLE) / CAST(sa.s AS DOUBLE), 6) AS confidence,
+        |  round(CAST(c AS DOUBLE) * CAST(n AS DOUBLE)
+        |        / (CAST(sa.s AS DOUBLE) * CAST(sb.s AS DOUBLE)), 6) AS lift,
+        |  round(CASE WHEN c < sa.s THEN
+        |    (1.0 - CAST(sb.s AS DOUBLE) / CAST(n AS DOUBLE))
+        |    / (1.0 - CAST(c AS DOUBLE) / CAST(sa.s AS DOUBLE)) END, 6)
+        |    AS conviction
+        |FROM dirs JOIN supp sa ON ante = sa.l_partkey
+        |          JOIN supp sb ON cons = sb.l_partkey
+        |          CROSS JOIN tot
+        |ORDER BY antecedent, consequent""".stripMargin,
 
     "a15_quantile_2phase" ->
       """WITH c AS (SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS c
