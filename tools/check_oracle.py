@@ -37,6 +37,10 @@ def canon(v):
 def main():
     out_dir = sys.argv[1]
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+    # Optional 3rd arg: comma-separated query subset (long-run resume after
+    # a crash — e.g. the sf1 battery dying on host memory pressure — or dev
+    # iteration). The full battery remains the default gate.
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
     con = duckdb.connect()
     for t in TABLES:
         # driver testdata is one file per table; ReplicateSf output is a
@@ -58,6 +62,8 @@ def main():
     except FileNotFoundError:
         pass
     for name, sql in sorted(oracle.items()):
+        if only is not None and name not in only:
+            continue
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
             failures.append((name, "no spark output"))
@@ -131,7 +137,8 @@ def main():
         for n, msg in failures:
             print(f"FAIL {n}: {msg}")
         sys.exit(1)
-    print(f"all {len(oracle)} oracle queries match")
+    n = len(oracle) if only is None else len(only & set(oracle))
+    print(f"all {n} oracle queries match")
 
 
 if __name__ == "__main__":
