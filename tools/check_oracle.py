@@ -42,6 +42,13 @@ def main():
     # iteration). The full battery remains the default gate.
     only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
     con = duckdb.connect()
+    # Long-battery robustness (the sf1 run): an unbounded DuckDB aborted the
+    # whole compare twice — once on host memory pressure (Arrow malloc), once
+    # on thread exhaustion (std::system_error EAGAIN). Bound both; override
+    # via env when the defaults are wrong for a host.
+    con.execute(f"SET threads TO {os.environ.get('DUCKDB_THREADS', '16')}")
+    con.execute(
+        f"SET memory_limit = '{os.environ.get('DUCKDB_MEM', '48GB')}'")
     for t in TABLES:
         # driver testdata is one file per table; ReplicateSf output is a
         # Spark directory of part files — glob it in that case
@@ -52,13 +59,19 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     failures = []
+
+    def fail(name, msg):
+        # print immediately AND collect: a mid-battery crash (the sf1 run
+        # died twice on host limits) must not swallow already-found reds
+        print(f"FAIL {name}: {msg}", flush=True)
+        failures.append((name, msg))
     # graft.Verify records query-construction/execution failures in a
     # sidecar (round-8 hardening: failures used to vanish from artifacts
     # entirely). Surface each as an explicit gate failure.
     try:
         for name, sig in sorted(json.load(
                 open(f"{out_dir}/verify_failed.json")).items()):
-            failures.append((name, f"VERIFY failed: {sig.splitlines()[0][:200]}"))
+            fail(name, f"VERIFY failed: {sig.splitlines()[0][:200]}")
     except FileNotFoundError:
         pass
     for name, sql in sorted(oracle.items()):
@@ -66,13 +79,13 @@ def main():
             continue
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
-            failures.append((name, "no spark output"))
+            fail(name, "no spark output")
             continue
         got = pq.read_table(sorted(files)[0])
         try:
             exp = con.execute(sql).fetch_arrow_table()
         except Exception as e:
-            failures.append((name, f"oracle SQL failed: {str(e)[:200]}"))
+            fail(name, f"oracle SQL failed: {str(e)[:200]}")
             continue
         # Output-type discipline (round-12 pin, the round-11 red class): NO
         # result column may be DECIMAL/HUGEINT on EITHER engine. Both sides
@@ -90,17 +103,15 @@ def main():
             [f"duck.{f.name}:{f.type}" for f in exp.schema
              if "decimal" in str(f.type)])
         if dec_cols:
-            failures.append(
-                (name, "DECIMAL output column (driver-hash-unsafe, CAST "
-                       "the final select): " + ", ".join(dec_cols)))
+            fail(name, "DECIMAL output column (driver-hash-unsafe, CAST "
+                       "the final select): " + ", ".join(dec_cols))
             continue
         g_cols, e_cols = sorted(got.column_names), sorted(exp.column_names)
         if g_cols != e_cols:
-            failures.append((name, f"schema: spark={g_cols} duck={e_cols}"))
+            fail(name, f"schema: spark={g_cols} duck={e_cols}")
             continue
         if got.num_rows != exp.num_rows:
-            failures.append(
-                (name, f"rows: spark={got.num_rows} duck={exp.num_rows}"))
+            fail(name, f"rows: spark={got.num_rows} duck={exp.num_rows}")
             continue
         g_rows = [tuple(canon(got.column(c)[i].as_py()) for c in g_cols)
                   for i in range(got.num_rows)]
@@ -119,19 +130,18 @@ def main():
             if str(g_pd[c].dtype) != str(e_pd[c].dtype)
             and {str(g_pd[c].dtype), str(e_pd[c].dtype)} & {"float64"}]
         if dtype_bad:
-            failures.append(
-                (name, "DTYPE asymmetry (driver-pandas path): " + ", ".join(
-                    f"{c}: spark={g_pd[c].dtype} duck={e_pd[c].dtype}"
-                    for c in dtype_bad)))
+            fail(name, "DTYPE asymmetry (driver-pandas path): " + ", ".join(
+                f"{c}: spark={g_pd[c].dtype} duck={e_pd[c].dtype}"
+                for c in dtype_bad))
             continue
         if g_rows == e_rows:
-            print(f"  OK  {name} ({got.num_rows} rows)")
+            print(f"  OK  {name} ({got.num_rows} rows)", flush=True)
         elif sorted(g_rows) == sorted(e_rows):
-            failures.append((name, "values match but ROW ORDER differs"))
+            fail(name, "values match but ROW ORDER differs")
         else:
             diffs = [(i, a, b) for i, (a, b) in
                      enumerate(zip(g_rows, e_rows)) if a != b][:3]
-            failures.append((name, f"VALUE mismatch, first diffs: {diffs}"))
+            fail(name, f"VALUE mismatch, first diffs: {diffs}")
     print()
     if failures:
         for n, msg in failures:
