@@ -13,6 +13,7 @@ import glob
 import json
 import math
 import os
+import re
 import sys
 
 import duckdb
@@ -49,6 +50,10 @@ def main():
     con.execute(f"SET threads TO {os.environ.get('DUCKDB_THREADS', '16')}")
     con.execute(
         f"SET memory_limit = '{os.environ.get('DUCKDB_MEM', '48GB')}'")
+    # Per-process spill dir: two concurrent compares sharing the default
+    # cwd/.tmp delete each other's temp files mid-spill (observed crash:
+    # 'Could not remove file .tmp/duckdb_temp_storage-0.tmp').
+    con.execute(f"SET temp_directory = '/tmp/duckdb_tmp_{os.getpid()}'")
     for t in TABLES:
         # driver testdata is one file per table; ReplicateSf output is a
         # Spark directory of part files — glob it in that case
@@ -74,9 +79,20 @@ def main():
             fail(name, f"VERIFY failed: {sig.splitlines()[0][:200]}")
     except FileNotFoundError:
         pass
+    # DuckDB INLINES every CTE reference: the graph oracles' shared edge
+    # build (a 6M-row self-join) is re-planned per reference, which at sf1
+    # turned a 12 s query into 80+ CPU-minutes and a 65 GB disk spill.
+    # DUCKDB_MATERIALIZE_CTES=1 rewrites `name AS (` → `name AS
+    # MATERIALIZED (` (an optimization fence only — results identical;
+    # WINDOW clauses excluded). Off by default so the gate exercises the
+    # driver's exact SQL at the driver's scale.
+    mat = os.environ.get("DUCKDB_MATERIALIZE_CTES") == "1"
     for name, sql in sorted(oracle.items()):
         if only is not None and name not in only:
             continue
+        if mat:
+            sql = re.sub(r"(?<!WINDOW )(\b\w+ AS) \(", r"\1 MATERIALIZED (",
+                         sql)
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
             fail(name, "no spark output")
