@@ -1559,6 +1559,38 @@ object EventWindows {
         .orderBy("user_id")
     }),
 
+    // Per-type Gini concentration of user activity — "is one bot
+    // account generating all the clicks", the inequality twin of
+    // ev_user_entropy's diversity view. Exact via the a16_gini
+    // tied-block histogram form, one level up: the fact table reduces
+    // to (type, user) counts, those collapse to a (type, count)
+    // HISTOGRAM (≤ |types|·|distinct counts| rows), the cumulative-rank
+    // window runs over histogram-scale rows only, and the tied-block
+    // rank sum Σ c·m·(2·r0 + m − 1) folds in decimal/HUGEINT so any
+    // partitioning agrees bit-for-bit. G = (t2 − (n+1)·s)/(n·s) is the
+    // one final double, round(6). Scale: two keyed aggs + a
+    // metadata-frame window — the a16 shape exactly; no per-user sort.
+    "ev_user_gini" -> ((s, dir) => {
+      val uc = load(s, dir, "events")
+        .groupBy("event_type", "user_id").agg(count(lit(1)).as("c"))
+      val grp = uc.groupBy("event_type", "c").agg(count(lit(1)).as("m"))
+      val wCum = Window.partitionBy("event_type").orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      grp
+        .withColumn("r0", coalesce(sum(col("m")).over(wCum), lit(0L)) + 1)
+        .groupBy("event_type")
+        .agg(sum(col("m")).as("n_users"),
+          sum(col("c").cast("decimal(38,0)") * col("m")).as("s"),
+          sum(col("c").cast("decimal(38,0)") * col("m") *
+            (lit(2) * col("r0") + col("m") - 1)).as("t2"))
+        .select(col("event_type"), col("n_users"),
+          round((col("t2").cast("double") -
+              (col("n_users") + 1).cast("double") * col("s").cast("double")) /
+            (col("n_users").cast("double") * col("s").cast("double")), 6)
+            .as("gini"))
+        .orderBy("event_type")
+    }),
+
     // Poisson bootstrap CI for the per-type mean value (Chamandy et al.
     // 2012, "Estimating Uncertainty for Massive Data Streams" — THE
     // resampling scheme that distributes: instead of drawing n rows with
@@ -1788,6 +1820,28 @@ object EventWindows {
         |SELECT user_id, n_events, n_types,
         |  round(ln(n_events) - s / n_events, 6) AS entropy
         |FROM g ORDER BY user_id""".stripMargin,
+
+    "ev_user_gini" ->
+      """WITH uc AS (
+        |  SELECT event_type, user_id, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |g AS (
+        |  SELECT event_type, c, count(*) AS m FROM uc GROUP BY 1, 2),
+        |r AS (
+        |  SELECT event_type, c, m,
+        |    coalesce(sum(m) OVER (PARTITION BY event_type ORDER BY c
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1 AS r0
+        |  FROM g),
+        |a AS (
+        |  SELECT event_type, CAST(sum(m) AS BIGINT) AS n_users,
+        |    sum(CAST(c AS HUGEINT) * m) AS s,
+        |    sum(CAST(c AS HUGEINT) * m * (2 * r0 + m - 1)) AS t2
+        |  FROM r GROUP BY event_type)
+        |SELECT event_type, n_users,
+        |  round((CAST(t2 AS DOUBLE)
+        |         - CAST(n_users + 1 AS DOUBLE) * CAST(s AS DOUBLE))
+        |        / (CAST(n_users AS DOUBLE) * CAST(s AS DOUBLE)), 6) AS gini
+        |FROM a ORDER BY event_type""".stripMargin,
 
     "ev_mk_trend" ->
       """WITH d AS (

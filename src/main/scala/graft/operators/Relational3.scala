@@ -1676,6 +1676,42 @@ object Relational3 {
           round(m3 / (m2 * sqrt(m2)), 8).as("skewness"),
           round(m4 / (m2 * m2) - lit(3.0), 8).as("kurtosis_excess"))
         .orderBy("l_returnflag")
+    }),
+
+    // Jarque–Bera normality test (Jarque & Bera 1980) per group — the
+    // screen a pipeline runs before trusting z-scores or Gaussian CIs
+    // on a metric: JB = n/6 · (S² + K²/4) from the a13_moments exact
+    // integer power sums (same decimal(38,0)/HUGEINT accumulation, same
+    // identical double moment trees on both engines), and the χ²(2)
+    // p-value has the closed form exp(−JB/2) — no incomplete-gamma
+    // needed at df = 2; exp/ln cross-engine bit-parity is the
+    // ta_entropy precedent. One keyed agg over the fact table; all
+    // arithmetic above it rides the groups frame.
+    "a27_jarque_bera" -> ((s, dir) => {
+      val q = round(col("l_quantity") * 100).cast("long")
+      val mean = col("s1") / col("n")
+      val sn2 = col("s2") / col("n")
+      val sn3 = col("s3") / col("n")
+      val m2 = sn2 - mean * mean
+      val m3 = sn3 - lit(3.0) * mean * sn2 + lit(2.0) * mean * mean * mean
+      val m4 = col("s4") / col("n") - lit(4.0) * mean * sn3 +
+        lit(6.0) * mean * mean * sn2 - lit(3.0) * mean * mean * mean * mean
+      val sk = m3 / (m2 * sqrt(m2))
+      val ku = m4 / (m2 * m2) - lit(3.0)
+      val jb = col("n") / lit(6.0) * (sk * sk + ku * ku / lit(4.0))
+      load(s, dir, "lineitem")
+        .select(col("l_returnflag"), q.as("q"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("q").cast("decimal(38,0)")).cast("double").as("s1"),
+          sum((col("q") * col("q")).cast("decimal(38,0)")).cast("double").as("s2"),
+          sum((col("q") * col("q") * col("q")).cast("decimal(38,0)")).cast("double").as("s3"),
+          sum((col("q") * col("q") * col("q") * col("q")).cast("decimal(38,0)"))
+            .cast("double").as("s4"))
+        .select(col("l_returnflag"), col("n"),
+          round(jb, 6).as("jb_stat"),
+          round(exp(lit(-0.5) * jb), 6).as("p_value"))
+        .orderBy("l_returnflag")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -2442,6 +2478,36 @@ object Relational3 {
         |  round((CAST(t2 AS DOUBLE) - CAST(n + 1 AS DOUBLE) * CAST(s AS DOUBLE))
         |        / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE)), 6) AS gini
         |FROM a ORDER BY event_type""".stripMargin,
+
+    "a27_jarque_bera" ->
+      """WITH q AS (
+        |  SELECT l_returnflag, CAST(round(l_quantity * 100, 0) AS BIGINT) AS q
+        |  FROM lineitem),
+        |s AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    CAST(sum(q) AS DOUBLE) AS s1,
+        |    CAST(sum(q * q) AS DOUBLE) AS s2,
+        |    CAST(sum(q * q * q) AS DOUBLE) AS s3,
+        |    CAST(sum(q * q * q * q) AS DOUBLE) AS s4
+        |  FROM q GROUP BY l_returnflag),
+        |m AS (
+        |  SELECT l_returnflag, n,
+        |    (s3 / n - 3.0 * (s1 / n) * (s2 / n)
+        |     + 2.0 * (s1 / n) * (s1 / n) * (s1 / n))
+        |      / ((s2 / n - (s1 / n) * (s1 / n))
+        |         * sqrt(s2 / n - (s1 / n) * (s1 / n))) AS sk,
+        |    (s4 / n - 4.0 * (s1 / n) * (s3 / n)
+        |     + 6.0 * (s1 / n) * (s1 / n) * (s2 / n)
+        |     - 3.0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+        |      / ((s2 / n - (s1 / n) * (s1 / n))
+        |         * (s2 / n - (s1 / n) * (s1 / n))) - 3.0 AS ku
+        |  FROM s)
+        |SELECT l_returnflag, n,
+        |  round(CAST(n AS DOUBLE) / 6.0 * (sk * sk + ku * ku / 4.0), 6)
+        |    AS jb_stat,
+        |  round(exp(-0.5 * (CAST(n AS DOUBLE) / 6.0
+        |                    * (sk * sk + ku * ku / 4.0))), 6) AS p_value
+        |FROM m ORDER BY l_returnflag""".stripMargin,
 
     "prof_psi_value" ->
       """WITH ev AS (
