@@ -1588,6 +1588,46 @@ object Relational3 {
         .orderBy("l_returnflag")
     }),
 
+    // Median absolute deviation per group — THE robust dispersion
+    // estimator (50% breakdown point vs variance's 0%), with its
+    // normal-consistent σ̂ = 1.4826·MAD. Computed the 100 TB way by
+    // running the a14_winsorize exact-order-statistic machinery TWICE:
+    // the 2-dp quantity becomes integer cents, a (group, value)
+    // HISTOGRAM collapses the fact table, the cumulative-count window
+    // rides histogram-scale rows, and the lower median is the first
+    // value whose cumulative count reaches k = ⌈n/2⌉ (cum·2 ≥ n+1,
+    // pure integers — no interpolation, so both engines agree exactly);
+    // then |q − med| re-histograms and the same selection yields the
+    // MAD. No per-group sort of data rows at any point; the only
+    // doubles are the three final /100 scalings, round(6) on σ̂.
+    "a29_mad" -> ((s, dir) => {
+      val q = round(col("l_quantity") * 100).cast("long")
+      val li = load(s, dir, "lineitem").select(col("l_returnflag"), q.as("q"))
+        .localCheckpoint() // scanned twice: median pass, deviation pass
+      val n = li.groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+      val wQ = Window.partitionBy("l_returnflag").orderBy("q")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val med = li.groupBy("l_returnflag", "q").agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(wQ))
+        .join(broadcast(n), "l_returnflag")
+        .groupBy(col("l_returnflag"), col("n"))
+        .agg(min(when(col("cum") * 2 >= col("n") + 1, col("q"))).as("med"))
+      val wD = Window.partitionBy("l_returnflag").orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      li.join(broadcast(med), "l_returnflag")
+        .select(col("l_returnflag"), col("n"), col("med"),
+          abs(col("q") - col("med")).as("d"))
+        .groupBy("l_returnflag", "n", "med", "d").agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(wD))
+        .groupBy(col("l_returnflag"), col("n"), col("med"))
+        .agg(min(when(col("cum") * 2 >= col("n") + 1, col("d"))).as("mad"))
+        .select(col("l_returnflag"), col("n"),
+          (col("med").cast("double") / 100.0).as("median_qty"),
+          (col("mad").cast("double") / 100.0).as("mad_qty"),
+          round(col("mad").cast("double") / 100.0 * 1.4826, 6).as("sigma_mad"))
+        .orderBy("l_returnflag")
+    }),
+
     // Exact global multi-quantile (p25/p50/p75/p90/p99) the 100 TB way —
     // the WIDE-domain complement of a14_winsorize's full histogram: when
     // the value domain is too wide to histogram per distinct value
@@ -2663,6 +2703,43 @@ object Relational3 {
         |          JOIN supp sb ON cons = sb.l_partkey
         |          CROSS JOIN tot
         |ORDER BY antecedent, consequent""".stripMargin,
+
+    "a29_mad" ->
+      """WITH li AS (
+        |  SELECT l_returnflag, CAST(round(l_quantity * 100, 0) AS BIGINT) AS q
+        |  FROM lineitem),
+        |cnt AS (SELECT l_returnflag, count(*) AS n FROM li GROUP BY 1),
+        |h1 AS (SELECT l_returnflag, q, count(*) AS c FROM li GROUP BY 1, 2),
+        |c1 AS (
+        |  SELECT l_returnflag, q,
+        |    sum(c) OVER (PARTITION BY l_returnflag ORDER BY q
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM h1),
+        |med AS (
+        |  SELECT c1.l_returnflag, cnt.n,
+        |    min(CASE WHEN cum * 2 >= cnt.n + 1 THEN q END) AS med
+        |  FROM c1 JOIN cnt ON c1.l_returnflag = cnt.l_returnflag
+        |  GROUP BY 1, 2),
+        |dev AS (
+        |  SELECT li.l_returnflag, med.n, med.med, abs(q - med.med) AS d
+        |  FROM li JOIN med ON li.l_returnflag = med.l_returnflag),
+        |h2 AS (
+        |  SELECT l_returnflag, n, med, d, count(*) AS c
+        |  FROM dev GROUP BY 1, 2, 3, 4),
+        |c2 AS (
+        |  SELECT l_returnflag, n, med, d,
+        |    sum(c) OVER (PARTITION BY l_returnflag ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM h2),
+        |m AS (
+        |  SELECT l_returnflag, n, med,
+        |    min(CASE WHEN cum * 2 >= n + 1 THEN d END) AS mad
+        |  FROM c2 GROUP BY 1, 2, 3)
+        |SELECT l_returnflag, n,
+        |  CAST(med AS DOUBLE) / 100.0 AS median_qty,
+        |  CAST(mad AS DOUBLE) / 100.0 AS mad_qty,
+        |  round(CAST(mad AS DOUBLE) / 100.0 * 1.4826, 6) AS sigma_mad
+        |FROM m ORDER BY l_returnflag""".stripMargin,
 
     "a15_quantile_2phase" ->
       """WITH c AS (SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS c
