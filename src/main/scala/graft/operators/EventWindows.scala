@@ -1559,6 +1559,44 @@ object EventWindows {
         .orderBy("user_id")
     }),
 
+    // Two-period Poisson rate comparison per event type — "did the
+    // error rate change between the first and second half of the
+    // window", the conditional (binomial) exact-form z-test every
+    // incident review runs: the type's [min, max] day span splits at
+    // mid = (min_d + max_d + 1) div 2 (pure integer day arithmetic, so
+    // both engines cut identically), exposures t1/t2 are day counts,
+    // and under H0 the first-half count n1 ~ Binomial(N, t1/(t1+t2))
+    // conditional on N = n1+n2, giving z = (n1 − N·p0)/√(N·p0·(1−p0)).
+    // Everything is integer until p0 and the one z expression, round(6);
+    // NULL when a type has a single-day span or an empty half (σ = 0).
+    // Scale: ONE keyed agg over the fact table; the split and test ride
+    // the types-sized frame.
+    "ev_rate_test" -> ((s, dir) => {
+      val d0 = load(s, dir, "events")
+        .select(col("event_type"),
+          datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+            .cast("long").as("d"))
+        .localCheckpoint()
+      val rng = d0.groupBy("event_type")
+        .agg(min("d").as("mn"), max("d").as("mx"))
+        .withColumn("mid", expr("(mn + mx + 1) div 2"))
+      val g = d0.join(broadcast(rng), "event_type")
+        .groupBy(col("event_type"), col("mn"), col("mx"), col("mid"))
+        .agg(sum((col("d") < col("mid")).cast("long")).as("n1"),
+          sum((col("d") >= col("mid")).cast("long")).as("n2"))
+      val t1 = (col("mid") - col("mn")).cast("double")
+      val t2 = (col("mx") - col("mid") + 1).cast("double")
+      val nn = (col("n1") + col("n2")).cast("double")
+      val p0 = t1 / (t1 + t2)
+      val z = (col("n1").cast("double") - nn * p0) /
+        sqrt(nn * p0 * (lit(1.0) - p0))
+      g.select(col("event_type"), col("n1"), col("n2"),
+          (col("mid") - col("mn")).as("days_1"),
+          (col("mx") - col("mid") + 1).as("days_2"),
+          round(when(col("mx") > col("mn") && nn > 0, z), 6).as("z"))
+        .orderBy("event_type")
+    }),
+
     // Per-type Gini concentration of user activity — "is one bot
     // account generating all the clicks", the inequality twin of
     // ev_user_entropy's diversity view. Exact via the a16_gini
@@ -1820,6 +1858,36 @@ object EventWindows {
         |SELECT user_id, n_events, n_types,
         |  round(ln(n_events) - s / n_events, 6) AS entropy
         |FROM g ORDER BY user_id""".stripMargin,
+
+    "ev_rate_test" ->
+      """WITH d0 AS (
+        |  SELECT event_type,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d
+        |  FROM events),
+        |rng AS (
+        |  SELECT event_type, min(d) AS mn, max(d) AS mx,
+        |    (min(d) + max(d) + 1) // 2 AS mid
+        |  FROM d0 GROUP BY 1),
+        |g AS (
+        |  SELECT d0.event_type, rng.mn, rng.mx, rng.mid,
+        |    sum(CASE WHEN d < mid THEN 1 ELSE 0 END) AS n1,
+        |    sum(CASE WHEN d >= mid THEN 1 ELSE 0 END) AS n2
+        |  FROM d0 JOIN rng ON d0.event_type = rng.event_type
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT event_type, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+        |  CAST(mid - mn AS BIGINT) AS days_1,
+        |  CAST(mx - mid + 1 AS BIGINT) AS days_2,
+        |  round(CASE WHEN mx > mn AND n1 + n2 > 0 THEN
+        |    (CAST(n1 AS DOUBLE) - CAST(n1 + n2 AS DOUBLE)
+        |       * (CAST(mid - mn AS DOUBLE)
+        |          / (CAST(mid - mn AS DOUBLE) + CAST(mx - mid + 1 AS DOUBLE))))
+        |    / sqrt(CAST(n1 + n2 AS DOUBLE)
+        |       * (CAST(mid - mn AS DOUBLE)
+        |          / (CAST(mid - mn AS DOUBLE) + CAST(mx - mid + 1 AS DOUBLE)))
+        |       * (1.0 - CAST(mid - mn AS DOUBLE)
+        |          / (CAST(mid - mn AS DOUBLE) + CAST(mx - mid + 1 AS DOUBLE))))
+        |  END, 6) AS z
+        |FROM g ORDER BY event_type""".stripMargin,
 
     "ev_user_gini" ->
       """WITH uc AS (
