@@ -532,6 +532,42 @@ object Retrieval {
         .orderBy("rank")
     }),
 
+    // Cohen's κ inter-judge agreement (Cohen 1960) between two
+    // deterministic relevance judges over the corpus: the LENIENT judge
+    // (any query term present — ir_map's qrel rule) vs the STRICT judge
+    // (≥ 2 distinct query terms). The chance-agreement correction is the
+    // point — two judges who both mostly say "irrelevant" agree by luck
+    // alone, so raw accuracy overstates reliability; κ = (p_o − p_e)/
+    // (1 − p_e) discounts the marginal-product expectation. The 2×2
+    // contingency counts come from ONE corpus agg of integer boolean
+    // products (exact); the marginal products go through doubles (n²
+    // would pass int64 only to ~3e9 docs — doubles are exact to 2^53
+    // and the expression tree is identical on both engines), round(6);
+    // NULL when p_e = 1 (both judges constant). One scan, one-row frame.
+    "ir_kappa" -> ((s, dir) => {
+      val hits = QueryTerms
+        .map(t => array_contains(toks(col("text")), t).cast("long"))
+        .reduce(_ + _)
+      val g = load(s, dir, "documents")
+        .select((hits >= 1).cast("long").as("ja"),
+          (hits >= 2).cast("long").as("jb"))
+        .groupBy()
+        .agg(count(lit(1)).as("n"),
+          sum(col("ja") * col("jb")).as("n11"),
+          sum(col("ja") * (lit(1L) - col("jb"))).as("n10"),
+          sum((lit(1L) - col("ja")) * col("jb")).as("n01"),
+          sum((lit(1L) - col("ja")) * (lit(1L) - col("jb"))).as("n00"))
+      val nD = col("n").cast("double")
+      val po = (col("n11") + col("n00")).cast("double") / nD
+      val pe = ((col("n11") + col("n10")).cast("double") *
+        (col("n11") + col("n01")).cast("double") +
+        (col("n01") + col("n00")).cast("double") *
+          (col("n10") + col("n00")).cast("double")) / (nD * nD)
+      g.select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+        round(po, 6).as("po"), round(pe, 6).as("pe"),
+        round(when(pe < 1.0, (po - pe) / (lit(1.0) - pe)), 6).as("kappa"))
+    }),
+
     "ir_map" -> ((s, dir) => {
       graft.plans.ArrayExprs.register(s)
       import graft.plans.ArrayExprs.dotProduct
@@ -914,6 +950,35 @@ object Retrieval {
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
          |    / CAST(r_tot AS DOUBLE), 6) AS bpref_run
          |FROM d ORDER BY rank""".stripMargin
+    },
+
+    "ir_kappa" -> {
+      val hitsExpr = QueryTerms
+        .map(t => s"CAST(list_contains(string_split(lower(text), ' '), '$t') AS BIGINT)")
+        .mkString(" + ")
+      s"""WITH j AS (
+         |  SELECT CAST(($hitsExpr) >= 1 AS BIGINT) AS ja,
+         |    CAST(($hitsExpr) >= 2 AS BIGINT) AS jb
+         |  FROM documents),
+         |g AS (
+         |  SELECT count(*) AS n,
+         |    CAST(sum(ja * jb) AS BIGINT) AS n11,
+         |    CAST(sum(ja * (1 - jb)) AS BIGINT) AS n10,
+         |    CAST(sum((1 - ja) * jb) AS BIGINT) AS n01,
+         |    CAST(sum((1 - ja) * (1 - jb)) AS BIGINT) AS n00
+         |  FROM j),
+         |p AS (
+         |  SELECT n, n11, n10, n01, n00,
+         |    CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+         |    (CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)
+         |     + CAST(n01 + n00 AS DOUBLE) * CAST(n10 + n00 AS DOUBLE))
+         |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS pe
+         |  FROM g)
+         |SELECT n, n11, n10, n01, n00,
+         |  round(po, 6) AS po, round(pe, 6) AS pe,
+         |  round(CASE WHEN pe < 1.0 THEN (po - pe) / (1.0 - pe) END, 6)
+         |    AS kappa
+         |FROM p""".stripMargin
     },
 
     "ir_map" -> {
