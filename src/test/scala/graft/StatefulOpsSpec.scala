@@ -538,6 +538,41 @@ class StatefulOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("out-of-order day across batches fails the Holt and Croston twins loudly") {
+    // Same monotone-day contract as the drift twin: the smoothing
+    // recursions fold closed days in order, so a regressed day must
+    // abort, not silently fold as a later day.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    withRocksDb {
+      val day0 = new java.sql.Timestamp(86400L * 1000L * 100)
+      val dayBack = new java.sql.Timestamp(86400L * 1000L * 50)
+      for ((mk, nm) <- Seq(
+        ((ds: org.apache.spark.sql.Dataset[StatefulOps.DriftEv]) =>
+          StatefulOps.holtMonitor(ds).toDF(), "holt"),
+        ((ds: org.apache.spark.sql.Dataset[StatefulOps.DriftEv]) =>
+          StatefulOps.crostonMonitor(ds).toDF(), "croston"))) {
+        val mem = MemoryStream[StatefulOps.DriftEv]
+        val q = mk(mem.toDS())
+          .writeStream.outputMode("append")
+          .format("memory").queryName(s"s${nm}_ooo").start()
+        try {
+          mem.addData(StatefulOps.DriftEv("t", day0, 100L))
+          q.processAllAvailable()
+          mem.addData(StatefulOps.DriftEv("t", dayBack, 100L))
+          val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+            q.processAllAvailable()
+          }
+          assert(causes(ex).exists(c =>
+            c.getMessage != null && c.getMessage.contains("out of order")),
+            s"$nm: expected the monotone-day require, got: $ex")
+        } finally q.stop()
+      }
+    }
+  }
+
   test("streaming cardinalitySketch equals the batch prof_hll registers exactly") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
