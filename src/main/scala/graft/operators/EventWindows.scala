@@ -1563,8 +1563,9 @@ object EventWindows {
     // error rate change between the first and second half of the
     // window", the conditional (binomial) exact-form z-test every
     // incident review runs: the type's [min, max] day span splits at
-    // mid = (min_d + max_d + 1) div 2 (pure integer day arithmetic, so
-    // both engines cut identically), exposures t1/t2 are day counts,
+    // mid = floor((min_d + max_d + 1) / 2) (pure integer FLOOR division
+    // matching DuckDB's `//`, so both engines cut identically even for
+    // negative pre-epoch days), exposures t1/t2 are day counts,
     // and under H0 the first-half count n1 ~ Binomial(N, t1/(t1+t2))
     // conditional on N = n1+n2, giving z = (n1 − N·p0)/√(N·p0·(1−p0)).
     // Everything is integer until p0 and the one z expression, round(6);
@@ -1579,7 +1580,12 @@ object EventWindows {
         .localCheckpoint()
       val rng = d0.groupBy("event_type")
         .agg(min("d").as("mn"), max("d").as("mx"))
-        .withColumn("mid", expr("(mn + mx + 1) div 2"))
+        // floor division (pmod keeps the remainder non-negative), NOT
+        // `div` (truncates toward zero): the DuckDB oracle's `//` floors,
+        // and for pre-1970 timestamps (negative epoch days) the two would
+        // otherwise pick different midpoints and red the hash gate
+        .withColumn("mid",
+          expr("(mn + mx + 1 - pmod(mn + mx + 1, 2)) div 2"))
       val g = d0.join(broadcast(rng), "event_type")
         .groupBy(col("event_type"), col("mn"), col("mx"), col("mid"))
         .agg(sum((col("d") < col("mid")).cast("long")).as("n1"),

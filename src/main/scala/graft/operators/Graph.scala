@@ -473,9 +473,25 @@ object Graph {
   private val LmHops = 6 // gr_closeness BFS round bound
   private val SpMaxHops = 4 // gr_shortest_path BFS round bound
 
+  /** Capped per-basket item CTE — the oracle twin of
+    * [[Relational3.basketPairs]]'s MaxBasket truncation (the Spark side
+    * keeps each basket's `MaxBasket` SMALLEST part keys, so the oracle
+    * row_number ORDER BY l_partkey reproduces the exact surviving set).
+    * Every oracle pair self-join MUST read from this CTE, never from the
+    * raw distinct items, or the two engines disagree on any dataset with
+    * a >MaxBasket-item basket (the cap never binds on the driver's
+    * testdata, but the semantics must be shared, not coincidental). */
+  private def cappedItemsSql(mat: String = ""): String =
+    s"""items AS$mat (
+       |  SELECT l_orderkey, l_partkey FROM (
+       |    SELECT l_orderkey, l_partkey, row_number()
+       |      OVER (PARTITION BY l_orderkey ORDER BY l_partkey) AS rn
+       |    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem))
+       |  WHERE rn <= ${Relational3.MaxBasket})""".stripMargin
+
   /** The shared DuckDB prologue: co-purchase edges both directions. */
   private val EdgeSql =
-    s"""items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    s"""${cappedItemsSql()},
        |e AS (
        |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
        |  FROM items a JOIN items b
@@ -528,8 +544,7 @@ object Graph {
            |  SELECT g.u, g.v FROM g$i g JOIN k$i a ON g.u = a.u
            |  JOIN k$i b ON g.v = b.u)""".stripMargin
       }.mkString(",\n")
-      s"""WITH items AS MATERIALIZED (
-         |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      s"""WITH ${cappedItemsSql(" MATERIALIZED")},
          |e AS MATERIALIZED (
          |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
          |  FROM items a JOIN items b
@@ -543,8 +558,7 @@ object Graph {
     },
 
     "gr_linkpred" ->
-      s"""WITH items AS MATERIALIZED (
-         |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      s"""WITH ${cappedItemsSql(" MATERIALIZED")},
          |e AS MATERIALIZED (
          |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
          |  FROM items a JOIN items b
@@ -573,7 +587,7 @@ object Graph {
          |ORDER BY pa, pb""".stripMargin,
 
     "gr_triangles" ->
-      s"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      s"""WITH ${cappedItemsSql()},
          |e AS (
          |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
          |  FROM items a JOIN items b
@@ -636,7 +650,7 @@ object Graph {
     },
 
     "gr_clustering" ->
-      s"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      s"""WITH ${cappedItemsSql()},
          |e AS (
          |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
          |  FROM items a JOIN items b

@@ -1594,9 +1594,10 @@ object Relational3 {
     // running the a14_winsorize exact-order-statistic machinery TWICE:
     // the 2-dp quantity becomes integer cents, a (group, value)
     // HISTOGRAM collapses the fact table, the cumulative-count window
-    // rides histogram-scale rows, and the lower median is the first
-    // value whose cumulative count reaches k = ⌈n/2⌉ (cum·2 ≥ n+1,
-    // pure integers — no interpolation, so both engines agree exactly);
+    // rides histogram-scale rows, and the UPPER median is the first
+    // value whose cumulative count reaches k = ⌈(n+1)/2⌉ (cum·2 ≥ n+1:
+    // for even n=4 that is cum ≥ 3, the upper middle element — pure
+    // integers, no interpolation, so both engines agree exactly);
     // then |q − med| re-histograms and the same selection yields the
     // MAD. No per-group sort of data rows at any point; the only
     // doubles are the three final /100 scalings, round(6) on σ̂.
@@ -2644,10 +2645,15 @@ object Relational3 {
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "rec_cooccur" ->
-      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      s"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |citems AS (
+        |  SELECT l_orderkey, l_partkey FROM (
+        |    SELECT l_orderkey, l_partkey, row_number()
+        |      OVER (PARTITION BY l_orderkey ORDER BY l_partkey) AS rn
+        |    FROM items) WHERE rn <= $MaxBasket),
         |ps AS (
         |  SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS pair_orders
-        |  FROM items a JOIN items b
+        |  FROM citems a JOIN citems b
         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
         |  GROUP BY 1, 2 HAVING count(*) >= 2),
         |supp AS (SELECT l_partkey, count(*) AS item_orders FROM items GROUP BY 1)
@@ -2658,10 +2664,15 @@ object Relational3 {
         |ORDER BY pair_orders DESC, pa, pb""".stripMargin,
 
     "rec_item_sim" ->
-      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      s"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |citems AS (
+        |  SELECT l_orderkey, l_partkey FROM (
+        |    SELECT l_orderkey, l_partkey, row_number()
+        |      OVER (PARTITION BY l_orderkey ORDER BY l_partkey) AS rn
+        |    FROM items) WHERE rn <= $MaxBasket),
         |ps AS (
         |  SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS c
-        |  FROM items a JOIN items b
+        |  FROM citems a JOIN citems b
         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
         |  GROUP BY 1, 2 HAVING count(*) >= 2),
         |supp AS (SELECT l_partkey, count(*) AS s FROM items GROUP BY 1),
@@ -2678,10 +2689,15 @@ object Relational3 {
         |ORDER BY pa, pb""".stripMargin,
 
     "rec_assoc_rules" ->
-      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      s"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |citems AS (
+        |  SELECT l_orderkey, l_partkey FROM (
+        |    SELECT l_orderkey, l_partkey, row_number()
+        |      OVER (PARTITION BY l_orderkey ORDER BY l_partkey) AS rn
+        |    FROM items) WHERE rn <= $MaxBasket),
         |ps AS (
         |  SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS c
-        |  FROM items a JOIN items b
+        |  FROM citems a JOIN citems b
         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
         |  GROUP BY 1, 2 HAVING count(*) >= 2),
         |supp AS (SELECT l_partkey, count(*) AS s FROM items GROUP BY 1),

@@ -837,6 +837,41 @@ class ScaleDesignSpec extends AnyFunSuite {
     assert(graft.operators.Relational3.basketPairs(small).count() == 21)
   }
 
+  test("oracle row_number cap formulation reproduces basketPairs exactly " +
+    "on an over-cap basket (shared engine/oracle semantics)") {
+    // The round-13 advisory: the MaxBasket cap lived only on the Spark
+    // side, so an over-cap basket made the engine and its oracle disagree.
+    // The oracle SQLs now pre-filter the pair self-join with
+    // row_number() OVER (PARTITION BY order ORDER BY partkey) <= cap —
+    // this pin proves that formulation keeps the IDENTICAL surviving set
+    // as basketPairs's slice(sort_array(collect_set), 1, cap): both keep
+    // each basket's `cap` smallest keys. Seed one over-cap basket with
+    // SHUFFLED, duplicated keys so the "smallest-k" claim is actually
+    // exercised, run both formulations in Spark, assert set equality.
+    import spark.implicits._
+    val cap = graft.operators.Relational3.MaxBasket
+    val rnd = new scala.util.Random(42)
+    val keys = rnd.shuffle((0 until (2 * cap)).map(_.toLong * 7 + 3).toList)
+    val items = (keys ++ keys.take(50)).map((9L, _)) // dups: DISTINCT path
+      .toDF("l_orderkey", "l_partkey")
+    val engine = graft.operators.Relational3.basketPairs(items.distinct())
+      .select(col("pr.pa"), col("pr.pb"))
+    items.distinct().createOrReplaceTempView("cap_items")
+    val oracle = spark.sql(
+      s"""WITH citems AS (
+         |  SELECT l_orderkey, l_partkey FROM (
+         |    SELECT l_orderkey, l_partkey, row_number()
+         |      OVER (PARTITION BY l_orderkey ORDER BY l_partkey) AS rn
+         |    FROM cap_items) WHERE rn <= $cap)
+         |SELECT a.l_partkey AS pa, b.l_partkey AS pb
+         |FROM citems a JOIN citems b
+         |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |""".stripMargin)
+    assert(engine.exceptAll(oracle).isEmpty && oracle.exceptAll(engine).isEmpty,
+      "row_number-cap oracle formulation diverged from basketPairs")
+    assert(engine.count() == cap.toLong * (cap - 1) / 2)
+  }
+
   test("inv_count equals the brute-force pair count (Knight kernel)") {
     // ev_kendall_xcorr's S statistic rides this expression; a wrong
     // inversion count would surface only as an opaque oracle hash
