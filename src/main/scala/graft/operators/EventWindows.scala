@@ -37,7 +37,8 @@ object EventWindows {
   // exact integer: Σ c_j·2^(n−1−j) ≤ cents_max·2^50 ≈ 3×10²² — inside
   // decimal(38,0)/HUGEINT on both engines (the events cents domain is
   // pinned in TestdataContractSpec).
-  private val EwmaWin = 50
+  private[graft] val EwmaWin = 50 // shared with streaming.StatefulOps.EwmaProcessor
+  private val AcfMaxLag = 7 // ev_acf: autocorrelation lags 1..7 (one week)
   private val EwmaChunk = 1000
 
   /** ev_markov: fixed unrolled power-iteration depth. At the corpus
@@ -185,6 +186,14 @@ object EventWindows {
     // decimal(38,0)/HUGEINT (absent hours contribute 0² = 0, so summing
     // present rows IS the 24-hour sum). One corpus-scale (type, hour)
     // aggregate; the peak argmax window rides the ≤ types×24 frame.
+    //
+    // Streaming-twin adjudication (round-14): no custom twin needed —
+    // the whole op is one ASSOCIATIVE aggregate ((type, hour) counts)
+    // plus types-scale scalar algebra. Structured Streaming's built-in
+    // groupBy().count() in update/complete mode maintains those counts
+    // incrementally with no custom carried state; there is no
+    // sequential recursion to twin (the defining property of the
+    // Holt/Croston/Page–Hinkley family the twin sweep covers).
     "ev_seasonality" -> ((s, dir) => {
       val g = load(s, dir, "events")
         .select(col("event_type"), hour(col("ts")).as("h"))
@@ -217,6 +226,17 @@ object EventWindows {
     // transitioned INTO drop out after step 1 on both sides (join
     // semantics), which is also the right answer: they have stationary
     // mass 0.
+    //
+    // Streaming-twin adjudication (round-14): the carried computation
+    // here is the power iteration over the MODEL-SCALE types² matrix on
+    // the driver, not a per-key fold over the stream — the only
+    // data-scale state is the (from, to) transition-count aggregate,
+    // which Structured Streaming's built-in keyed count maintains
+    // incrementally (plus the per-user previous-type lag, already the
+    // shape of SessionPathProcessor's carried state). A "twin" would be
+    // that built-in count feed with the identical driver solve run per
+    // trigger — nothing bespoke to carry, so the batch form stays the
+    // only consumer of the solve.
     "ev_markov" -> ((s, dir) => {
       import s.implicits._
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -493,6 +513,130 @@ object EventWindows {
         .orderBy("event_type")
     }),
 
+    // Full autocorrelation function at lags 1..AcfMaxLag per type — the
+    // multi-lag generalization of ev_autocorr (the shape analysts read
+    // as a correlogram: weekly seasonality shows as a lag-7 spike).
+    // Formulation: instead of AcfMaxLag window passes, the zero-filled
+    // daily spine self-joins ONCE on (type, day − k) against a broadcast
+    // 7-row lag table — the spine is integer-day keyed so the lag join
+    // is an exact equi-join, and every frame in sight is types×days
+    // metadata scale. Per (type, lag) the Pearson r rides the identical
+    // division-free decimal sums as ev_autocorr (one double per output
+    // row, round(6), degenerate-variance NULL guard).
+    "ev_acf" -> ((s, dir) => {
+      import s.implicits._
+      val dec = (x: org.apache.spark.sql.Column) => x.cast("decimal(38,0)")
+      val d = load(s, dir, "events")
+        .select(col("event_type"), to_date(col("ts")).as("d"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("c"))
+        .groupBy("event_type", "d").agg(sum("c").as("sc"))
+      val spine = d.groupBy("event_type")
+        .agg(min("d").as("mn"), max("d").as("mx"))
+        .select(col("event_type"), explode(sequence(col("mn"), col("mx"))).as("d"))
+      val f = spine.join(d, Seq("event_type", "d"), "left")
+        .na.fill(0L, Seq("sc"))
+        .select(col("event_type"),
+          datediff(col("d"), lit("1970-01-01").cast("date")).as("dd"),
+          col("sc"))
+        .localCheckpoint() // scanned twice: the y side and the lagged x side
+      val lags = (1 to AcfMaxLag).toDF("k")
+      val prev = f.select(col("event_type").as("pt"), col("dd").as("pd"),
+        col("sc").as("x"))
+      val g = f.select(col("event_type"), col("dd"), col("sc").as("y"))
+        .crossJoin(broadcast(lags))
+        .join(prev, col("event_type") === col("pt") &&
+          col("pd") === col("dd") - col("k"))
+        .groupBy("event_type", "k")
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+          sum(dec(col("x")) * col("x")).as("sxx"),
+          sum(dec(col("y")) * col("y")).as("syy"),
+          sum(dec(col("x")) * col("y")).as("sxy"))
+      val dx = col("n") * col("sxx") - col("sx") * col("sx")
+      val dy = col("n") * col("syy") - col("sy") * col("sy")
+      g.select(col("event_type"), col("k").as("lag"), col("n").as("n_pairs"),
+          round(when(dx > 0 && dy > 0,
+            (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              sqrt(dx.cast("double")) / sqrt(dy.cast("double"))), 6)
+            .as("r"))
+        .orderBy("event_type", "lag")
+    }),
+
+    // Poisson dispersion (variance-to-mean) of the per-type daily event
+    // counts — the first question a capacity planner asks of an arrival
+    // process: D ≈ 1 is Poisson, D ≫ 1 is bursty/overdispersed (and
+    // the per-type rate models downstream are invalid). Division-free
+    // until the last step: with S = Σc, Q = Σc² over the zero-filled
+    // n-day spine (all decimal(38,0)/HUGEINT), the sample
+    // variance-to-mean is D = (n·Q − S²)/((n−1)·S) and the classic
+    // dispersion test statistic is χ² = (n−1)·D = (n·Q − S²)/S — two
+    // exact integer ratios, one double division each, round(6); NULL
+    // when S = 0 or n < 2. Scale: ONE corpus (type, day) count agg;
+    // everything else rides the types×days frame.
+    "ev_poisson_disp" -> ((s, dir) => {
+      val d = load(s, dir, "events")
+        .select(col("event_type"), to_date(col("ts")).as("d"))
+        .groupBy("event_type", "d").agg(count(lit(1)).as("c"))
+      val spine = d.groupBy("event_type")
+        .agg(min("d").as("mn"), max("d").as("mx"))
+        .select(col("event_type"), explode(sequence(col("mn"), col("mx"))).as("d"))
+      val f = spine.join(d, Seq("event_type", "d"), "left")
+        .na.fill(0L, Seq("c"))
+      f.groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("c")).as("n_events"),
+          sum(col("c").cast("decimal(38,0)") * col("c")).as("q"))
+        .select(col("event_type"), col("n_days"), col("n_events"),
+          round(col("n_events").cast("double") / col("n_days"), 6)
+            .as("mean_per_day"),
+          round(when(col("n_events") > 0 && col("n_days") > 1,
+            (col("n_days").cast("decimal(38,0)") * col("q") -
+              col("n_events").cast("decimal(38,0)") * col("n_events"))
+              .cast("double") /
+              ((col("n_days") - 1).cast("double") *
+                col("n_events").cast("double"))), 6).as("dispersion"),
+          round(when(col("n_events") > 0,
+            (col("n_days").cast("decimal(38,0)") * col("q") -
+              col("n_events").cast("decimal(38,0)") * col("n_events"))
+              .cast("double") / col("n_events").cast("double")), 6)
+            .as("chi2_disp"))
+        .orderBy("event_type")
+    }),
+
+    // Weekend-vs-weekday odds ratio of high-value events per type — the
+    // 2×2 association measure (with its Katz log-normal 95% CI) behind
+    // "does this event type monetize differently on weekends", and the
+    // epidemiology-standard contingency summary ev_ab_test's z-test
+    // does not give. Cells are exact integer counts from ONE keyed agg
+    // (a = high∧weekend, b = high∧weekday, c = low∧weekend,
+    // d = low∧weekday); OR = (a·d)/(b·c) with the integer products
+    // formed first (exact in int64 at any realistic count), then one
+    // double division; se(ln OR) = √(1/a+1/b+1/c+1/d) left-folded in
+    // the same IEEE order on both engines; CI = exp(ln OR ± 1.96·se).
+    // NULL when any cell is empty (the standard undefined-OR case).
+    // Weekday split: Spark weekday() ∈ {5,6} ≡ DuckDB isodow ∈ {6,7}.
+    "ev_odds_ratio" -> ((s, dir) => {
+      val g = load(s, dir, "events")
+        .select(col("event_type"),
+          (weekday(to_date(col("ts"))) >= 5).cast("long").as("we"),
+          (col("value") > 99.5).cast("long").as("hi"))
+        .groupBy("event_type")
+        .agg(sum(col("we") * col("hi")).as("a"),
+          sum((lit(1) - col("we")) * col("hi")).as("b"),
+          sum(col("we") * (lit(1) - col("hi"))).as("c"),
+          sum((lit(1) - col("we")) * (lit(1) - col("hi"))).as("d"))
+      val or = (col("a") * col("d")).cast("double") /
+        (col("b") * col("c")).cast("double")
+      val se = sqrt(lit(1.0) / col("a") + lit(1.0) / col("b") +
+        lit(1.0) / col("c") + lit(1.0) / col("d"))
+      val ok = col("a") > 0 && col("b") > 0 && col("c") > 0 && col("d") > 0
+      g.select(col("event_type"), col("a"), col("b"), col("c"), col("d"),
+          round(when(ok, or), 6).as("odds_ratio"),
+          round(when(ok, exp(log(or) - lit(1.96) * se)), 6).as("ci_lo"),
+          round(when(ok, exp(log(or) + lit(1.96) * se)), 6).as("ci_hi"))
+        .orderBy("event_type")
+    }),
+
     // CUSUM change-point detection over the per-type daily totals — the
     // sequential monitoring statistic (Page 1954) behind "when did this
     // metric shift". The max(0, C+x−μ) recurrence has the closed form
@@ -506,6 +650,18 @@ object EventWindows {
     // ride the types×days metadata frame; per-type totals join back
     // broadcast. (Named _cp — change point — to keep visual distance
     // from ev_cumsum, the running-total ladder.)
+    //
+    // Streaming-twin adjudication (round-14): this op has NO
+    // transformWithState twin BY CONSTRUCTION — the statistic is
+    // retrospective: every deviation is measured against the
+    // FULL-SERIES totals (n·x_t − S uses the final n and S), so no
+    // causal processor can emit a single row before the stream closes;
+    // "fold it as state" degenerates to buffering the whole series.
+    // The ONLINE form of CUSUM change detection — deviations against
+    // the running mean up to t — IS the Page–Hinkley statistic, and
+    // that already has its carried-state twin
+    // (streaming.StatefulOps.driftMonitor, bit-equal pinned). The batch
+    // form is the only consumer of this exact statistic.
     "ev_cusum_cp" -> ((s, dir) => {
       val d = load(s, dir, "events")
         .select(col("event_type"), to_date(col("ts")).as("d"),
@@ -2054,6 +2210,93 @@ object EventWindows {
         |    THEN CAST(n * sxy - sx * sy AS DOUBLE)
         |         / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
         |         / sqrt(CAST(n * syy - sy * sy AS DOUBLE)) END, 6) AS r_lag1
+        |FROM g ORDER BY event_type""".stripMargin,
+
+    "ev_acf" ->
+      s"""WITH d AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sc
+        |  FROM events GROUP BY 1, 2),
+        |rng AS (SELECT event_type, min(d) AS mn, max(d) AS mx FROM d GROUP BY 1),
+        |spine AS (
+        |  SELECT event_type, CAST(unnest(generate_series(mn, mx,
+        |    INTERVAL 1 DAY)) AS DATE) AS d
+        |  FROM rng),
+        |f AS (
+        |  SELECT s.event_type, datediff('day', DATE '1970-01-01', s.d) AS dd,
+        |    coalesce(d.sc, 0) AS sc
+        |  FROM spine s LEFT JOIN d ON s.event_type = d.event_type AND s.d = d.d),
+        |lags AS (SELECT unnest(generate_series(1, $AcfMaxLag)) AS k),
+        |g AS (
+        |  SELECT y.event_type, l.k, count(*) AS n,
+        |    sum(CAST(x.sc AS HUGEINT)) AS sx, sum(CAST(y.sc AS HUGEINT)) AS sy,
+        |    sum(CAST(x.sc AS HUGEINT) * x.sc) AS sxx,
+        |    sum(CAST(y.sc AS HUGEINT) * y.sc) AS syy,
+        |    sum(CAST(x.sc AS HUGEINT) * y.sc) AS sxy
+        |  FROM f y CROSS JOIN lags l
+        |  JOIN f x ON x.event_type = y.event_type AND x.dd = y.dd - l.k
+        |  GROUP BY 1, 2)
+        |SELECT event_type, CAST(k AS INT) AS lag, CAST(n AS BIGINT) AS n_pairs,
+        |  round(CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+        |    THEN CAST(n * sxy - sx * sy AS DOUBLE)
+        |         / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+        |         / sqrt(CAST(n * syy - sy * sy AS DOUBLE)) END, 6) AS r
+        |FROM g ORDER BY event_type, lag""".stripMargin,
+
+    "ev_poisson_disp" ->
+      """WITH d AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |rng AS (SELECT event_type, min(d) AS mn, max(d) AS mx FROM d GROUP BY 1),
+        |spine AS (
+        |  SELECT event_type, CAST(unnest(generate_series(mn, mx,
+        |    INTERVAL 1 DAY)) AS DATE) AS d
+        |  FROM rng),
+        |f AS (
+        |  SELECT s.event_type, coalesce(d.c, 0) AS c
+        |  FROM spine s LEFT JOIN d ON s.event_type = d.event_type AND s.d = d.d),
+        |g AS (
+        |  SELECT event_type, count(*) AS n, sum(c) AS s,
+        |    sum(CAST(c AS HUGEINT) * c) AS q
+        |  FROM f GROUP BY 1)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_days,
+        |  CAST(s AS BIGINT) AS n_events,
+        |  round(CAST(s AS DOUBLE) / n, 6) AS mean_per_day,
+        |  round(CASE WHEN s > 0 AND n > 1 THEN
+        |    CAST(CAST(n AS HUGEINT) * q - CAST(s AS HUGEINT) * s AS DOUBLE)
+        |    / (CAST(n - 1 AS DOUBLE) * CAST(s AS DOUBLE)) END, 6) AS dispersion,
+        |  round(CASE WHEN s > 0 THEN
+        |    CAST(CAST(n AS HUGEINT) * q - CAST(s AS HUGEINT) * s AS DOUBLE)
+        |    / CAST(s AS DOUBLE) END, 6) AS chi2_disp
+        |FROM g ORDER BY event_type""".stripMargin,
+
+    "ev_odds_ratio" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |    sum(we * hi) AS a, sum((1 - we) * hi) AS b,
+        |    sum(we * (1 - hi)) AS c, sum((1 - we) * (1 - hi)) AS d
+        |  FROM (
+        |    SELECT event_type,
+        |      CASE WHEN isodow(CAST(ts AS DATE)) >= 6 THEN 1 ELSE 0 END AS we,
+        |      CASE WHEN value > 99.5 THEN 1 ELSE 0 END AS hi
+        |    FROM events)
+        |  GROUP BY 1)
+        |SELECT event_type,
+        |  CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+        |  CAST(c AS BIGINT) AS c, CAST(d AS BIGINT) AS d,
+        |  round(CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0
+        |    THEN CAST(a * d AS DOUBLE) / CAST(b * c AS DOUBLE) END, 6)
+        |    AS odds_ratio,
+        |  round(CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0
+        |    THEN exp(ln(CAST(a * d AS DOUBLE) / CAST(b * c AS DOUBLE))
+        |      - 1.96 * sqrt(CAST(1 AS DOUBLE) / a + CAST(1 AS DOUBLE) / b
+        |        + CAST(1 AS DOUBLE) / c + CAST(1 AS DOUBLE) / d)) END, 6)
+        |    AS ci_lo,
+        |  round(CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0
+        |    THEN exp(ln(CAST(a * d AS DOUBLE) / CAST(b * c AS DOUBLE))
+        |      + 1.96 * sqrt(CAST(1 AS DOUBLE) / a + CAST(1 AS DOUBLE) / b
+        |        + CAST(1 AS DOUBLE) / c + CAST(1 AS DOUBLE) / d)) END, 6)
+        |    AS ci_hi
         |FROM g ORDER BY event_type""".stripMargin,
 
     "ev_cusum_cp" ->

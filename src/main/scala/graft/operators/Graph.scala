@@ -60,6 +60,35 @@ object Graph {
     (lab, sym)
   }
 
+  /** The gr_closeness multi-source landmark BFS, factored out so the
+    * round-count bound is a pinned property (ScaleDesignSpec), not an
+    * implicit one. Carries (node, lm, d) triples; per round the frontier
+    * joins the directed edge list `e2(src, dst)` and anti-joins the
+    * settled set. EXITS EARLY when the frontier empties — every further
+    * round would be a join over zero rows, so the early exit is
+    * bit-identical to running the full `maxHops` unroll (and to the
+    * oracle's fixed CTE chain). Returns (settled distances, rounds
+    * actually executed ≤ maxHops). */
+  private[graft] def landmarkBfs(
+      e2: DataFrame, lms: DataFrame, maxHops: Int): (DataFrame, Int) = {
+    var frontier = lms.select(col("node"), col("lm"), lit(0L).as("d"))
+      .localCheckpoint()
+    var dist = frontier
+    var hop = 1
+    var rounds = 0
+    while (hop <= maxHops && !frontier.isEmpty) {
+      frontier = frontier.join(e2, col("node") === col("src"))
+        .select(col("dst").as("node"), col("lm")).distinct()
+        .join(dist, Seq("node", "lm"), "left_anti")
+        .select(col("node"), col("lm"), lit(hop.toLong).as("d"))
+        .localCheckpoint()
+      dist = dist.unionAll(frontier)
+      rounds += 1
+      hop += 1
+    }
+    (dist, rounds)
+  }
+
   /** Undirected co-purchase edges (pa < pb), support >= MinSupport. */
   private def edges(s: SparkSession, dir: String): DataFrame = {
     val items = load(s, dir, "lineitem")
@@ -413,6 +442,22 @@ object Graph {
     // discipline). Distances are pure integers; the one double is the
     // final n_reached/Σd ratio, round(6), guarded for the Σd = 0
     // isolated-landmark case.
+    //
+    // Cost knobs (the battery's steepest scale curve lives here —
+    // 18.6× wall at 100× data, round-13 probe):
+    //  - EARLY EXIT: BFS distances only ever settle, so an empty
+    //    frontier means every remaining round is a no-op join over zero
+    //    rows; the loop breaks there. Semantically identical to the
+    //    fixed unroll (and to the DuckDB oracle's fixed CTE chain —
+    //    empty frontiers contribute zero rows either way); the isEmpty
+    //    probe is ~free on the eagerly-materialized localCheckpoint.
+    //  - LmCount IS the accuracy/cost dial: per Eppstein–Wang 2004
+    //    ("Fast approximation of centrality"), k = Θ(log n / ε²)
+    //    landmarks estimate closeness within ε·Δ (Δ = diameter) w.h.p.;
+    //    each extra landmark adds one more (node, lm) stripe to every
+    //    round's frontier cut — cost is exactly linear in k, so a
+    //    deployment trades ε against wall-clock by k alone, never by
+    //    touching the plan shape.
     "gr_closeness" -> ((s, dir) => {
       val e = edges(s, dir)
       val e2 = e.select(col("pa").as("src"), col("pb").as("dst"))
@@ -421,17 +466,7 @@ object Graph {
       val lms = e2.select(col("src").as("node")).distinct()
         .orderBy("node").limit(LmCount)
         .select(col("node"), col("node").as("lm"))
-      var frontier = lms.select(col("node"), col("lm"), lit(0L).as("d"))
-        .localCheckpoint()
-      var dist = frontier
-      for (hop <- 1 to LmHops) {
-        frontier = frontier.join(e2, col("node") === col("src"))
-          .select(col("dst").as("node"), col("lm")).distinct()
-          .join(dist, Seq("node", "lm"), "left_anti")
-          .select(col("node"), col("lm"), lit(hop.toLong).as("d"))
-          .localCheckpoint()
-        dist = dist.unionAll(frontier)
-      }
+      val (dist, _) = landmarkBfs(e2, lms, LmHops)
       dist.groupBy("node")
         .agg(count(lit(1)).as("n_lm"), sum("d").as("dist_sum"))
         .select(col("node"), col("n_lm"), col("dist_sum"),

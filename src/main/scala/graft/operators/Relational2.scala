@@ -417,6 +417,34 @@ object Relational2 {
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
         .orderBy("event_type")),
 
+    // Class rebalancing — downsample every class (event_type) to EXACTLY
+    // the minority-class size, the standard class-prior equalizer before
+    // training on imbalanced data. Selection is deterministic and
+    // engine-portable: each class keeps its m lowest-hash32 rows
+    // (event_id tiebreak), so any run on any cluster keeps the identical
+    // subset. The per-class rank is NOT a per-type window partition (the
+    // scale-killer this codebase bans): KeyedRank buckets the 32-bit hash
+    // into 2^16 fixed-width stripes — a uniform hash keeps every
+    // (type, stripe) task at ~count/65536 rows — and composes the global
+    // rank from the metadata-scale stripe-offset frame. m itself is one
+    // broadcast min over the per-type counts. Output: per-class kept
+    // count (all equal to m, the pinned contract) + exact value sum of
+    // the survivors, which verifies the SELECTION, not just the size.
+    "samp_class_balance" -> ((s, dir) => {
+      val ev = load(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"),
+          hash32(col("event_id").cast("string")).as("h"))
+      val m = ev.groupBy("event_type").agg(count(lit(1)).as("cnt"))
+        .agg(min("cnt").as("m"))
+      val ranked = graft.plans.KeyedRank.withRank(ev, "event_type",
+        expr("h div 65536"), Seq(col("h"), col("event_id")))
+      ranked.crossJoin(broadcast(m))
+        .where(col("rk") <= col("m"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_kept"), dsum(col("value")).as("sum_value"))
+        .orderBy("event_type")
+    }),
+
     // Weighted source mixing — the domain-reweighting step of a training
     // pipeline: each source gets a deterministic sampling rate (md5-derived
     // here; production supplies a weights table) and rows are kept by
@@ -911,6 +939,20 @@ object Relational2 {
          |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          |FROM events
          |WHERE ${hash32Sql("CAST(event_id AS VARCHAR)")} % 100 < 10
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "samp_class_balance" ->
+      s"""WITH ev AS (
+         |  SELECT event_id, event_type, value,
+         |    ${hash32Sql("CAST(event_id AS VARCHAR)")} AS h
+         |  FROM events),
+         |m AS (SELECT min(cnt) AS m FROM (
+         |  SELECT event_type, count(*) AS cnt FROM ev GROUP BY 1)),
+         |r AS (SELECT event_type, value, row_number() OVER (
+         |    PARTITION BY event_type ORDER BY h, event_id) AS rk FROM ev)
+         |SELECT event_type, count(*) AS n_kept,
+         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         |FROM r CROSS JOIN m WHERE rk <= m
          |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "samp_mix" ->

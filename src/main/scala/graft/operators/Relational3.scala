@@ -687,6 +687,39 @@ object Relational3 {
         .orderBy("event_type")
     }),
 
+    // Band join — the |t_a − t_b| ≤ δ self-join (co-activity: for each
+    // event, the other-user events within ±60 s), the interval cousin of
+    // j7's fixed-bin join. The naive form is an O(n²) theta-join no
+    // engine survives; the scale-correct form BUCKETS time at the band
+    // width so the predicate becomes an equi-join: every match with
+    // |Δt| ≤ δ lies in the same or an adjacent δ-bucket, so the probe
+    // side replicates into exactly 3 bucket keys (map-side, ×3 — the
+    // bounded fan-out) and the band filter runs AFTER the hash join.
+    // Pair volume is n·(arrival rate)·2δ — δ is the documented cost
+    // knob, and no task ever depends on n². Bucket ids use the pmod
+    // floor-division (the ev_rate_test lesson: Spark `div` truncates,
+    // DuckDB `//` floors; identical only via explicit floor). Exact
+    // integer output (counts + min-gap micros), no doubles at all.
+    "j9_band_join" -> ((s, dir) => {
+      val bandUs = 60000000L // δ = 60 s in micros
+      val ev = load(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .localCheckpoint() // scanned twice: probe side and build side
+      val fdiv = expr(s"(us - pmod(us, $bandUs)) div $bandUs")
+      val probe = ev.withColumn("b",
+        explode(array(fdiv - 1, fdiv, fdiv + 1)))
+      val build = ev.select(col("us").as("r_us"), col("user_id").as("r_uid"),
+        expr(s"(us - pmod(us, $bandUs)) div $bandUs").as("b"))
+      probe.join(build, "b")
+        .where(abs(col("us") - col("r_us")) <= bandUs &&
+          col("r_uid") =!= col("user_id"))
+        .groupBy("event_id", "event_type")
+        .agg(count(lit(1)).as("n_near"),
+          min(abs(col("us") - col("r_us"))).as("min_gap_us"))
+        .orderBy("event_id")
+    }),
+
     "j8_temporal_join" -> ((s, dir) => {
       val w0 = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
       val changes = load(s, dir, "events")
@@ -1294,6 +1327,54 @@ object Relational3 {
     // ta_unigram_ppl parity template). Shape: one (type,bin) keyed agg
     // over the corpus; everything after runs on types×10 rows with
     // broadcast joins — the scan dominates at any scale.
+    // Mutual information between two categorical profile dimensions
+    // (event_type × hour-of-day) — the dependency-discovery statistic a
+    // profiler runs before trusting "these columns are independent"
+    // (the continuous cousin of prof_fds' exact functional check):
+    // MI = Σ p(x,y)·ln(p(x,y)/(p(x)p(y))) in nats, plus the entropies
+    // and the √(Hx·Hy)-normalized NMI. Shape: ONE corpus-scale (x, y)
+    // count agg; marginals derive from that ≤ types×24 frame (never a
+    // second corpus scan); every double term folds in (x, y)-sorted
+    // order on BOTH engines (Spark aggregate over array_sort /
+    // DuckDB list_reduce over list(… ORDER BY), with the same 0.0 init
+    // prepended) so the sums are bit-identical, round(6) on the five
+    // outputs. Counts stay integer until each term's two double casts.
+    "prof_mutual_info" -> ((s, dir) => {
+      val cxy = load(s, dir, "events")
+        .select(col("event_type").as("x"), hour(col("ts")).as("y"))
+        .groupBy("x", "y").agg(count(lit(1)).as("cxy"))
+        .localCheckpoint() // marginals + terms both ride this tiny frame
+      val cx = cxy.groupBy("x").agg(sum("cxy").as("cx"))
+      val cy = cxy.groupBy("y").agg(sum("cxy").as("cy"))
+      val nn = cxy.agg(sum("cxy").as("nn"))
+      def foldSorted(df: org.apache.spark.sql.DataFrame,
+                     keys: Seq[org.apache.spark.sql.Column],
+                     term: org.apache.spark.sql.Column) =
+        df.agg(aggregate(
+          transform(array_sort(collect_list(struct(keys :+ term.as("t"): _*))),
+            s => s.getField("t")),
+          lit(0.0), (acc, t) => acc + t))
+      val j = cxy.join(broadcast(cx), "x").join(broadcast(cy), "y")
+        .crossJoin(broadcast(nn))
+      val miTerm = (col("cxy").cast("double") / col("nn").cast("double")) *
+        log(col("nn").cast("double") * col("cxy").cast("double") /
+          (col("cx").cast("double") * col("cy").cast("double")))
+      val mi = foldSorted(j, Seq(col("x"), col("y")), miTerm).first().getDouble(0)
+      def ent(m: org.apache.spark.sql.DataFrame, k: String, c: String) = {
+        val p = col(c).cast("double") / col("nn").cast("double")
+        foldSorted(m.crossJoin(broadcast(nn)), Seq(col(k)),
+          lit(0.0) - p * log(p)).first().getDouble(0)
+      }
+      val (hx, hy) = (ent(cx, "x", "cx"), ent(cy, "y", "cy"))
+      val stats = cxy.agg(sum("cxy").as("n"),
+        countDistinct("x").as("k_x"), countDistinct("y").as("k_y"))
+      stats.select(col("n"), col("k_x"), col("k_y"),
+        round(lit(hx), 6).as("h_x"), round(lit(hy), 6).as("h_y"),
+        round(lit(mi), 6).as("mi"),
+        round(if (hx > 0 && hy > 0) lit(mi / math.sqrt(hx * hy))
+          else lit(null).cast("double"), 6).as("nmi"))
+    }),
+
     "prof_psi_value" -> ((s, dir) => {
       val ev = load(s, dir, "events")
         .select(col("event_type"),
@@ -2138,6 +2219,23 @@ object Relational3 {
          |SELECT f.event_type, n, round(total_value, 2) AS total_value, tcode
          |FROM f JOIN dim USING (event_type) ORDER BY event_type""".stripMargin,
 
+    "j9_band_join" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+        |  FROM events),
+        |probe AS (
+        |  SELECT event_id, user_id, event_type, us,
+        |    us // 60000000 + d.d AS b
+        |  FROM ev CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) d),
+        |build AS (
+        |  SELECT us AS r_us, user_id AS r_uid, us // 60000000 AS b FROM ev)
+        |SELECT p.event_id, p.event_type,
+        |  count(*) AS n_near,
+        |  CAST(min(abs(p.us - b.r_us)) AS BIGINT) AS min_gap_us
+        |FROM probe p JOIN build b ON p.b = b.b
+        |WHERE abs(p.us - b.r_us) <= 60000000 AND b.r_uid <> p.user_id
+        |GROUP BY 1, 2 ORDER BY p.event_id""".stripMargin,
+
     "j8_temporal_join" ->
       """WITH w AS (
         |  SELECT user_id, event_type, ts, event_id,
@@ -2549,6 +2647,44 @@ object Relational3 {
         |  round(exp(-0.5 * (CAST(n AS DOUBLE) / 6.0
         |                    * (sk * sk + ku * ku / 4.0))), 6) AS p_value
         |FROM m ORDER BY l_returnflag""".stripMargin,
+
+    "prof_mutual_info" ->
+      """WITH cxy AS (
+        |  SELECT event_type AS x, CAST(extract(hour FROM ts) AS INT) AS y,
+        |    count(*) AS cxy
+        |  FROM events GROUP BY 1, 2),
+        |cx AS (SELECT x, sum(cxy) AS cx FROM cxy GROUP BY 1),
+        |cy AS (SELECT y, sum(cxy) AS cy FROM cxy GROUP BY 1),
+        |nn AS (SELECT sum(cxy) AS nn FROM cxy),
+        |terms AS (
+        |  SELECT c.x, c.y,
+        |    (CAST(c.cxy AS DOUBLE) / CAST(nn.nn AS DOUBLE)) *
+        |    ln(CAST(nn.nn AS DOUBLE) * CAST(c.cxy AS DOUBLE) /
+        |       (CAST(cx.cx AS DOUBLE) * CAST(cy.cy AS DOUBLE))) AS t
+        |  FROM cxy c JOIN cx USING (x) JOIN cy USING (y) CROSS JOIN nn),
+        |mi AS (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |         list(t ORDER BY x, y)), (a, b) -> a + b) AS mi FROM terms),
+        |hx AS (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |         list(CAST(0 AS DOUBLE)
+        |           - (CAST(cx AS DOUBLE) / CAST(nn.nn AS DOUBLE))
+        |             * ln(CAST(cx AS DOUBLE) / CAST(nn.nn AS DOUBLE))
+        |           ORDER BY x)), (a, b) -> a + b) AS hx
+        |       FROM cx CROSS JOIN nn),
+        |hy AS (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |         list(CAST(0 AS DOUBLE)
+        |           - (CAST(cy AS DOUBLE) / CAST(nn.nn AS DOUBLE))
+        |             * ln(CAST(cy AS DOUBLE) / CAST(nn.nn AS DOUBLE))
+        |           ORDER BY y)), (a, b) -> a + b) AS hy
+        |       FROM cy CROSS JOIN nn),
+        |st AS (SELECT sum(cxy) AS n, count(DISTINCT x) AS k_x,
+        |         count(DISTINCT y) AS k_y FROM cxy)
+        |SELECT CAST(st.n AS BIGINT) AS n,
+        |  CAST(st.k_x AS BIGINT) AS k_x, CAST(st.k_y AS BIGINT) AS k_y,
+        |  round(hx.hx, 6) AS h_x, round(hy.hy, 6) AS h_y,
+        |  round(mi.mi, 6) AS mi,
+        |  round(CASE WHEN hx.hx > 0 AND hy.hy > 0
+        |    THEN mi.mi / sqrt(hx.hx * hy.hy) END, 6) AS nmi
+        |FROM st, mi, hx, hy""".stripMargin,
 
     "prof_psi_value" ->
       """WITH ev AS (

@@ -969,6 +969,92 @@ object StatefulOps {
         enc)
   }
 
+  /** Streaming input row for the EWMA twin: one event's identity and raw
+    * value (cents are derived inside the processor with the batch's exact
+    * floor(value·100 + 0.5) expression). No flush sentinel — the EWMA is
+    * causal, so every input row emits its output row immediately. */
+  case class EwmaEv(event_type: String, ts: java.sql.Timestamp,
+                    event_id: Long, value: Double)
+
+  /** One per-event EWMA output row — the batch `ev_ewma` row shape. */
+  case class EwmaOut(event_id: Long, event_type: String, value: Double,
+                     ewma: Double)
+
+  /** Internal EWMA state: the last processed (micros, event_id) order key
+    * (the monotone-feed guard) plus the trailing window of the most
+    * recent ≤ EwmaWin cents, newest LAST. */
+  case class EwmaSt(lastTs: Long, lastId: Long, recent: Seq[Long])
+
+  /** The STREAMING twin of the batch `ev_ewma` operator — unlike the
+    * flush-emitting Holt/Croston/Page–Hinkley twins, the trailing EWMA is
+    * CAUSAL (each row's smoothed value depends only on rows at or before
+    * it), so the twin emits one output row per input row with no
+    * sentinel: the natural shape for a live monitoring dashboard. Per
+    * type the state is the last ≤ EwmaWin integer cents; each event
+    * appends, trims to the window, and runs the identical Horner fold
+    * the batch `aggregate` expression runs — Σ c_j·2^(n−1−j) as exact
+    * integer arithmetic (BigInt here, decimal(38,0) there; both cast to
+    * double correctly rounded), divided by the 2^n − 1 weight total then
+    * by 100 in the same IEEE order, HALF_UP round(6). StatefulOpsSpec
+    * pins bit-equality against the oracle-checked batch rows. State is
+    * ≤ EwmaWin longs per type regardless of stream length; the monotone
+    * (ts, event_id) require makes out-of-order cross-batch feeds fail
+    * loudly instead of silently diverging (the Holt/Croston guard). */
+  class EwmaProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, EwmaEv, EwmaOut] {
+    @transient private var st:
+        org.apache.spark.sql.streaming.ValueState[EwmaSt] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[EwmaSt]("ewma_st", Encoders.product[EwmaSt],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(
+        tpe: String, rows: Iterator[EwmaEv],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[EwmaOut] = {
+      def micros(ts: java.sql.Timestamp): Long =
+        Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+      def r6(v: Double): Double =
+        BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      var cur = if (st.exists()) st.get()
+        else EwmaSt(Long.MinValue, Long.MinValue, Vector.empty)
+      val out = Vector.newBuilder[EwmaOut]
+      for (e <- rows.toVector.sortBy(r => (micros(r.ts), r.event_id))) {
+        val m = micros(e.ts)
+        require(m > cur.lastTs || (m == cur.lastTs && e.event_id >= cur.lastId),
+          s"EWMA feed out of order for type '$tpe': ($m, ${e.event_id}) " +
+            s"arrived after (${cur.lastTs}, ${cur.lastId})")
+        // the batch cents expression: floor(value·100 + 0.5) cast long
+        val cents = math.floor(e.value * 100 + 0.5).toLong
+        val recent = (cur.recent :+ cents).takeRight(
+          graft.operators.EventWindows.EwmaWin)
+        // Horner over newest-first: newest cents get weight 2^(n−1)
+        var acc = BigInt(0)
+        recent.reverseIterator.foreach(x => acc = acc * 2 + x)
+        val denom = (1L << recent.size) - 1 // 2^n − 1, n ≤ 50: fits long
+        out += EwmaOut(e.event_id, tpe, e.value,
+          r6(acc.toDouble / denom.toDouble / 100.0))
+        cur = EwmaSt(m, e.event_id, recent)
+      }
+      st.update(cur)
+      out.result().iterator
+    }
+  }
+
+  /** `EwmaEv` stream → per-event trailing EWMA rows (the batch `ev_ewma`
+    * shape, emitted live). Requires RocksDB. */
+  def ewmaMonitor(ds: Dataset[EwmaEv]): Dataset[EwmaOut] = {
+    implicit val enc: Encoder[EwmaOut] = Encoders.product[EwmaOut]
+    ds.groupByKey(_.event_type)(Encoders.STRING)
+      .transformWithState(new EwmaProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append(),
+        enc)
+  }
+
   /** Streaming input row for the cardinality twin: one event's user;
     * `user_id == Long.MinValue` is the per-type flush sentinel. */
   case class CardEv(event_type: String, user_id: Long)

@@ -872,6 +872,33 @@ class ScaleDesignSpec extends AnyFunSuite {
     assert(engine.count() == cap.toLong * (cap - 1) / 2)
   }
 
+  test("gr_closeness landmark BFS round count is bounded and exits early " +
+    "on convergence, bit-identical to the full unroll") {
+    // The battery's steepest scale curve (18.6× wall at 100×, round-13
+    // probe) is the fixed LmHops round count × denser per-round
+    // adjacency. The loop now breaks on an empty frontier; this pin
+    // proves (a) the round count never exceeds the budget, (b) a
+    // converged graph exits EARLY, and (c) the early exit changes no
+    // output row vs. the semantically-fixed unroll (an empty frontier
+    // only ever unions zero rows).
+    import spark.implicits._
+    // path 1-2-3-4 plus disconnected edge 10-11: eccentricity from
+    // landmark 1 is 3, so BFS settles at round 3 of a 10-round budget
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("pa", "pb")
+    val e2 = e.select(col("pa").as("src"), col("pb").as("dst"))
+      .unionAll(e.select(col("pb").as("src"), col("pa").as("dst")))
+    val lms = Seq(1L).toDF("node").select(col("node"), col("node").as("lm"))
+    val (dist, rounds) = graft.operators.Graph.landmarkBfs(e2, lms, 10)
+    assert(rounds <= 10, "round budget exceeded")
+    assert(rounds == 4, // rounds 1..3 settle nodes 2,3,4; round 4 empties
+      s"expected early exit after the empty round 4, got $rounds")
+    val got = dist.orderBy("node", "lm").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 1L, 0L), (2L, 1L, 1L), (3L, 1L, 2L), (4L, 1L, 3L)),
+      s"BFS distances wrong: $got")
+  }
+
   test("inv_count equals the brute-force pair count (Knight kernel)") {
     // ev_kendall_xcorr's S statistic rides this expression; a wrong
     // inversion count would surface only as an opaque oracle hash

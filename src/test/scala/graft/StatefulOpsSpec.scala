@@ -538,6 +538,72 @@ class StatefulOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming ewmaMonitor equals the batch ev_ewma rows exactly") {
+    // The trailing-EWMA twin is CAUSAL — one output row per input row,
+    // no flush sentinel — and must reproduce the oracle-checked batch
+    // ev_ewma rows bit-for-bit: the processor's BigInt Horner fold and
+    // the batch's decimal(38,0) aggregate are the same exact integer,
+    // cast to double through the same correctly-rounded path.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      import org.apache.spark.sql.functions.col
+      val dir = "/root/testdata/sf0.001"
+      val evs = graft.Tables.load(spark, dir, "events")
+        .select(col("event_type"), col("ts"), col("event_id"), col("value"))
+        .orderBy("ts", "event_id")
+        .as[StatefulOps.EwmaEv].collect()
+      val mem = MemoryStream[StatefulOps.EwmaEv]
+      val q = StatefulOps.ewmaMonitor(mem.toDS())
+        .writeStream.outputMode("append")
+        .format("memory").queryName("sewma_out").start()
+      try {
+        evs.grouped(math.max(1, evs.length / 5))
+          .foreach { b => mem.addData(b.toSeq); q.processAllAvailable() }
+        val batch = SparkEntry.queries("ev_ewma")(spark, dir).collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+            r.getDouble(3))).toSeq.sorted
+        val streamed = spark.table("sewma_out")
+          .as[StatefulOps.EwmaOut].collect()
+          .map(o => (o.event_id, o.event_type, o.value, o.ewma)).toSeq.sorted
+        assert(streamed.length == batch.length,
+          s"row counts diverge: stream ${streamed.length} batch ${batch.length}")
+        assert(streamed == batch,
+          "ewma rows diverge; first diff: " +
+            streamed.zip(batch).find { case (a, b) => a != b }.toString)
+      } finally q.stop()
+    }
+  }
+
+  test("out-of-order (ts, event_id) across batches fails the EWMA twin loudly") {
+    // Same contract as the day-keyed twins, one grain finer: the EWMA
+    // window order is (ts, event_id), so a cross-batch regression on
+    // that key must abort, not fold the late row as the newest.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    withRocksDb {
+      val mem = MemoryStream[StatefulOps.EwmaEv]
+      val q = StatefulOps.ewmaMonitor(mem.toDS())
+        .writeStream.outputMode("append")
+        .format("memory").queryName("sewma_ooo").start()
+      try {
+        mem.addData(StatefulOps.EwmaEv("t",
+          new java.sql.Timestamp(1000000L), 10L, 1.0))
+        q.processAllAvailable()
+        mem.addData(StatefulOps.EwmaEv("t",
+          new java.sql.Timestamp(999000L), 11L, 1.0))
+        val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+          q.processAllAvailable()
+        }
+        assert(causes(ex).exists(c =>
+          c.getMessage != null && c.getMessage.contains("out of order")),
+          s"expected the monotone require, got: $ex")
+      } finally q.stop()
+    }
+  }
+
   test("out-of-order day across batches fails the Holt and Croston twins loudly") {
     // Same monotone-day contract as the drift twin: the smoothing
     // recursions fold closed days in order, so a regressed day must
