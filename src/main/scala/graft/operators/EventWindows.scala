@@ -41,6 +41,25 @@ object EventWindows {
   private val AcfMaxLag = 7 // ev_acf: autocorrelation lags 1..7 (one week)
   private val EwmaChunk = 1000
 
+  /** ev_hurst: R/S block sizes. The driver's event spine is 30 calendar
+    * days at every SF (ReplicateSf shifts ids, never timestamps), so the
+    * three sizes yield 6/3/2 complete blocks — enough points for the
+    * log-log slope while every block holds ≥ 5 days. */
+  private val HurstWins = Seq(5, 10, 15)
+
+  /** ev_hurst: the log-log regression abscissas are CONSTANTS (ln w for
+    * the fixed block sizes), so the slope is a fixed linear combination
+    * Σ a_w·ln(R/S)_w with a_w = (ln w − mean)/Σ(ln w − mean)² computed
+    * ONCE here on the JVM and interpolated verbatim into the oracle SQL
+    * — both engines then evaluate the identical double literals (the
+    * MarkovIters / AcfMaxLag interpolation discipline). */
+  private val HurstCoef: Map[Int, Double] = {
+    val xs = HurstWins.map(w => math.log(w.toDouble))
+    val xbar = xs.sum / xs.length
+    val den = xs.map(x => (x - xbar) * (x - xbar)).sum
+    HurstWins.zip(xs.map(x => (x - xbar) / den)).toMap
+  }
+
   /** ev_markov: fixed unrolled power-iteration depth. At the corpus
     * eigengap the chain mixes within a handful of steps; the depth is
     * FIXED (not run-to-convergence) so the DuckDB oracle is the identical
@@ -636,6 +655,199 @@ object EventWindows {
           round(when(ok, exp(log(or) + lit(1.96) * se)), 6).as("ci_hi"))
         .orderBy("event_type")
     }),
+
+    // Rescaled-range (R/S) Hurst exponent per event type (Hurst 1951,
+    // Mandelbrot & Wallis 1969) — the long-memory diagnostic behind
+    // "does this metric trend or mean-revert": H ≈ 0.5 is a random walk,
+    // H > 0.5 persistent, H < 0.5 anti-persistent. Per block size
+    // w ∈ HurstWins the zero-filled daily series splits into ⌊n/w⌋
+    // COMPLETE blocks; within a block the cumulative deviations stay
+    // integer by scaling with w: w·Y_j = w·P_j − (j+1)·S (P = prefix sum,
+    // S = block total, all decimal(38,0)/HUGEINT), and
+    // R/S = (max w·Y − min w·Y)/√(w·Q − S²) — the w and the 1/w of the
+    // population σ cancel, so the ONLY doubles are one sqrt-divide per
+    // block. Block means fold in block order, the final slope is the
+    // fixed linear combination Σ a_w·ln(R/S̄_w) (HurstCoef — constants
+    // interpolated into the oracle). NULL when any size lacks a valid
+    // block (degenerate variance blocks are excluded identically on both
+    // engines). Scale: every frame after the one corpus (type, day) agg
+    // is types×days metadata; the per-block windows partition by
+    // (type, w, block) over ≤ 3n rows per type.
+    "ev_hurst" -> ((s, dir) => {
+      val dec = (x: org.apache.spark.sql.Column) => x.cast("decimal(38,0)")
+      val d = load(s, dir, "events")
+        .select(col("event_type"), to_date(col("ts")).as("d"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("c"))
+        .groupBy("event_type", "d").agg(sum("c").as("sc"))
+      val spine = d.groupBy("event_type")
+        .agg(min("d").as("mn"), max("d").as("mx"))
+        .select(col("event_type"), explode(sequence(col("mn"), col("mx"))).as("d"))
+      val f = spine.join(d, Seq("event_type", "d"), "left")
+        .na.fill(0L, Seq("sc"))
+        .withColumn("t", row_number().over(
+          Window.partitionBy("event_type").orderBy("d")).cast("long") - 1)
+        .localCheckpoint() // scanned once per block size
+      import s.implicits._
+      val wins = HurstWins.toDF("w")
+      val rows = f.crossJoin(broadcast(wins))
+        .select(col("event_type"), col("w"), col("sc"),
+          expr("t div w").as("blk"), col("t"))
+        .localCheckpoint() // prefix pass + block-total pass share it
+      val wCum = Window.partitionBy("event_type", "w", "blk").orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val withP = rows
+        .withColumn("p", sum(dec(col("sc"))).over(wCum))
+        .withColumn("j", count(lit(1)).over(wCum)) // 1-based in-block pos
+      val btot = rows.groupBy("event_type", "w", "blk")
+        .agg(count(lit(1)).as("bn"), sum("sc").as("bs"),
+          sum(dec(col("sc")) * col("sc")).as("bq"))
+        .where(col("bn") === col("w")) // complete blocks only
+        .select(col("event_type"), col("w"), col("blk"), col("bs"),
+          (col("bq") * col("w") - dec(col("bs")) * col("bs")).as("vd"))
+      val wy = col("p") * col("w") - dec(col("j")) * col("bs")
+      val rs = withP.join(btot, Seq("event_type", "w", "blk"))
+        .groupBy("event_type", "w", "blk")
+        .agg(max(wy).as("mxy"), min(wy).as("mny"), max("vd").as("vd"))
+        .select(col("event_type"), col("w"), col("blk"),
+          when(col("vd") > 0, (col("mxy") - col("mny")).cast("double") /
+            sqrt(col("vd").cast("double"))).as("rs"))
+        .where(col("rs").isNotNull)
+      val mrs = rs.groupBy("event_type", "w")
+        .agg((aggregate(
+          transform(array_sort(collect_list(struct(col("blk"), col("rs").as("r")))),
+            x => x.getField("r")),
+          lit(0.0), (acc, t) => acc + t) /
+          count(lit(1)).cast("double")).as("mrs"))
+      val piv = mrs.groupBy("event_type")
+        .agg(max(when(col("w") === HurstWins(0), col("mrs"))).as("rs_a"),
+          max(when(col("w") === HurstWins(1), col("mrs"))).as("rs_b"),
+          max(when(col("w") === HurstWins(2), col("mrs"))).as("rs_c"))
+      val nd = f.groupBy("event_type").agg(count(lit(1)).as("n_days"))
+      val ok = col("rs_a").isNotNull && col("rs_b").isNotNull &&
+        col("rs_c").isNotNull &&
+        col("rs_a") > 0 && col("rs_b") > 0 && col("rs_c") > 0
+      nd.join(piv, Seq("event_type"), "left")
+        .select(col("event_type"), col("n_days"),
+          round(col("rs_a"), 6).as("rs_w5"),
+          round(col("rs_b"), 6).as("rs_w10"),
+          round(col("rs_c"), 6).as("rs_w15"),
+          round(when(ok,
+            lit(HurstCoef(HurstWins(0))) * log(col("rs_a")) +
+              lit(HurstCoef(HurstWins(1))) * log(col("rs_b")) +
+              lit(HurstCoef(HurstWins(2))) * log(col("rs_c"))), 6)
+            .as("hurst"))
+        .orderBy("event_type")
+    }),
+
+    // Pairwise lag-1 Granger-causality F test over the per-type daily
+    // totals (Granger 1969) — "does type X's yesterday improve the
+    // prediction of type Y's today beyond Y's own yesterday": restricted
+    // model y_t ~ 1 + y_{t−1}, unrestricted adds x_{t−1};
+    // F = (n−3)·(RSS_r − RSS_u)/RSS_u with 1 and n−3 dfs. Every centered
+    // second moment is the exact integer n·Σab − Σa·Σb in
+    // decimal(38,0)/HUGEINT off ONE (pair, day) frame; the RSS terms use
+    // the closed two-regressor forms (RSS·n cancels in F, so no division
+    // by n ever happens): R_r = Cyy − Cyl²/Cll and
+    // R_u = Cyy − (Cxx·Cyl² − 2·Clx·Cyl·Cyx + Cll·Cyx²)/(Cll·Cxx − Clx²),
+    // evaluated as the identical double expression on both engines
+    // (products of C's exceed 38 digits, so the combination is double by
+    // construction — the gr_assortativity discipline), round(6). NULL
+    // when the lag design is collinear (det ≤ 0, Cll ≤ 0) or RSS_u ≤ 0.
+    // Scale: one corpus (type, day) agg; the GLOBAL day spine zero-fills
+    // every type over the same calendar so all pairs share n; the pair
+    // frame is types²×days metadata joined on the day key.
+    "ev_granger" -> ((s, dir) => {
+      val dec = (x: org.apache.spark.sql.Column) => x.cast("decimal(38,0)")
+      val d = load(s, dir, "events")
+        .select(col("event_type"), to_date(col("ts")).as("d"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("c"))
+        .groupBy("event_type", "d").agg(sum("c").as("sc"))
+      val rng = d.agg(min("d").as("mn"), max("d").as("mx"))
+      val types = d.select("event_type").distinct()
+      val spine = types.crossJoin(broadcast(rng))
+        .select(col("event_type"), explode(sequence(col("mn"), col("mx"))).as("d"))
+      val wLag = Window.partitionBy("event_type").orderBy("d")
+      val f = spine.join(d, Seq("event_type", "d"), "left")
+        .na.fill(0L, Seq("sc"))
+        .withColumn("lagv", lag(col("sc"), 1).over(wLag))
+        .where(col("lagv").isNotNull)
+        .localCheckpoint() // both sides of the pair join read it
+      val xs = f.select(col("event_type").as("type_x"), col("d"),
+        col("lagv").as("x"))
+      val ys = f.select(col("event_type").as("type_y"), col("d"),
+        col("sc").as("y"), col("lagv").as("l"))
+      val g = ys.join(xs, "d")
+        .where(col("type_x") =!= col("type_y"))
+        .groupBy("type_x", "type_y")
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("y"))).as("sy"), sum(dec(col("l"))).as("sl"),
+          sum(dec(col("x"))).as("sx"),
+          sum(dec(col("y")) * col("y")).as("syy"),
+          sum(dec(col("l")) * col("l")).as("sll"),
+          sum(dec(col("x")) * col("x")).as("sxx"),
+          sum(dec(col("y")) * col("l")).as("syl"),
+          sum(dec(col("y")) * col("x")).as("syx"),
+          sum(dec(col("l")) * col("x")).as("slx"))
+      def c2(sab: String, sa: String, sb: String) =
+        (col("n") * col(sab) - col(sa) * col(sb)).cast("double")
+      val (cyy, cll, cxx) = (c2("syy", "sy", "sy"), c2("sll", "sl", "sl"),
+        c2("sxx", "sx", "sx"))
+      val (cyl, cyx, clx) = (c2("syl", "sy", "sl"), c2("syx", "sy", "sx"),
+        c2("slx", "sl", "sx"))
+      val det = cll * cxx - clx * clx
+      val rssR = cyy - cyl * cyl / cll
+      val rssU = cyy -
+        (cxx * cyl * cyl - lit(2.0) * clx * cyl * cyx + cll * cyx * cyx) / det
+      val ok = col("n") > 3 && cll > 0 && det > 0 && rssU > 0
+      g.select(col("type_x"), col("type_y"), col("n"),
+          round(when(ok, (col("n") - 3).cast("double") *
+            (rssR - rssU) / rssU), 6).as("f_stat"),
+          round(when(ok, rssU / rssR), 6).as("rss_ratio"))
+        .orderBy("type_x", "type_y")
+    }),
+
+    // Entropy rate of the event-type Markov chain (Shannon 1948;
+    // Cover & Thomas ch. 4) — the one-number "how predictable is the
+    // next action given the current one" that ev_markov's stationary
+    // distribution and ev_user_entropy's marginal entropy both miss:
+    // H_rate = Σ_f π_f·H(next | f) with π the empirical from-state
+    // frequency and H(next|f) = Σ_t (c_ft/R_f)·ln(R_f/c_ft). Counts stay
+    // integer to each term's two double casts; per-from terms fold in
+    // to-state-sorted order, both engines (the prof_mutual_info
+    // list_reduce parity). Scale: the ev_markov shape — ONE user-keyed
+    // lag window over the corpus + one (from, to) count agg; everything
+    // downstream rides the types² metadata frame.
+    "ev_entropy_rate" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val tr = load(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+        .withColumn("f", lag(col("event_type"), 1).over(w))
+        .where(col("f").isNotNull)
+        .groupBy(col("f"), col("event_type").as("t"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint() // row sums + terms both ride this types² frame
+      val rf = tr.groupBy("f").agg(sum("c").as("rf"))
+      val nn = tr.agg(sum("c").as("nn"))
+      val term = (col("c").cast("double") / col("rf").cast("double")) *
+        log(col("rf").cast("double") / col("c").cast("double"))
+      tr.join(broadcast(rf), "f")
+        .groupBy("f")
+        .agg(max("rf").as("n_out"), countDistinct("t").as("k_next"),
+          aggregate(
+            transform(array_sort(collect_list(struct(col("t"), term.as("tm")))),
+              x => x.getField("tm")),
+            lit(0.0), (acc, t) => acc + t).as("h"))
+        .crossJoin(broadcast(nn))
+        .select(col("f").as("event_type"), col("n_out"), col("k_next"),
+          round(col("n_out").cast("double") / col("nn").cast("double"), 6)
+            .as("pi"),
+          round(col("h"), 6).as("h_cond"),
+          round((col("n_out").cast("double") / col("nn").cast("double")) *
+            col("h"), 6).as("rate_contrib"))
+        .orderBy("event_type")
+    }),
+
+    // CUSUM change-point detection over the per-type daily totals — the
 
     // CUSUM change-point detection over the per-type daily totals — the
     // sequential monitoring statistic (Page 1954) behind "when did this
@@ -2298,6 +2510,154 @@ object EventWindows {
         |        + CAST(1 AS DOUBLE) / c + CAST(1 AS DOUBLE) / d)) END, 6)
         |    AS ci_hi
         |FROM g ORDER BY event_type""".stripMargin,
+
+    "ev_hurst" ->
+      s"""WITH d AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sc
+        |  FROM events GROUP BY 1, 2),
+        |rng AS (SELECT event_type, min(d) AS mn, max(d) AS mx FROM d GROUP BY 1),
+        |spine AS (
+        |  SELECT event_type, CAST(unnest(generate_series(mn, mx,
+        |    INTERVAL 1 DAY)) AS DATE) AS d
+        |  FROM rng),
+        |f AS (
+        |  SELECT s.event_type, coalesce(d.sc, 0) AS sc,
+        |    row_number() OVER (PARTITION BY s.event_type ORDER BY s.d) - 1 AS t
+        |  FROM spine s LEFT JOIN d ON s.event_type = d.event_type AND s.d = d.d),
+        |wins AS (SELECT unnest([${HurstWins.mkString(", ")}]) AS w),
+        |rws AS (
+        |  SELECT event_type, w, sc, t, t // w AS blk FROM f CROSS JOIN wins),
+        |withp AS (
+        |  SELECT event_type, w, blk, sc,
+        |    sum(CAST(sc AS HUGEINT)) OVER (PARTITION BY event_type, w, blk
+        |      ORDER BY t) AS p,
+        |    count(*) OVER (PARTITION BY event_type, w, blk ORDER BY t) AS j
+        |  FROM rws),
+        |btot AS (
+        |  SELECT event_type, w, blk, sum(sc) AS bs,
+        |    sum(CAST(sc AS HUGEINT) * sc) * w
+        |      - CAST(sum(sc) AS HUGEINT) * sum(sc) AS vd
+        |  FROM rws GROUP BY 1, 2, 3 HAVING count(*) = w),
+        |rs AS (
+        |  SELECT event_type, w, blk,
+        |    CASE WHEN vd > 0 THEN
+        |      CAST(max(wy) - min(wy) AS DOUBLE) / sqrt(CAST(vd AS DOUBLE))
+        |    END AS rs
+        |  FROM (
+        |    SELECT wp.event_type, wp.w, wp.blk, bt.vd,
+        |      wp.p * wp.w - CAST(wp.j AS HUGEINT) * bt.bs AS wy
+        |    FROM withp wp JOIN btot bt
+        |      ON wp.event_type = bt.event_type AND wp.w = bt.w
+        |      AND wp.blk = bt.blk)
+        |  GROUP BY event_type, w, blk, vd),
+        |mrs AS (
+        |  SELECT event_type, w,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list(rs ORDER BY blk)), (a, b) -> a + b)
+        |      / CAST(count(*) AS DOUBLE) AS mrs
+        |  FROM rs WHERE rs IS NOT NULL GROUP BY 1, 2),
+        |piv AS (
+        |  SELECT event_type,
+        |    max(CASE WHEN w = ${HurstWins(0)} THEN mrs END) AS rs_a,
+        |    max(CASE WHEN w = ${HurstWins(1)} THEN mrs END) AS rs_b,
+        |    max(CASE WHEN w = ${HurstWins(2)} THEN mrs END) AS rs_c
+        |  FROM mrs GROUP BY 1),
+        |nd AS (SELECT event_type, count(*) AS n_days FROM f GROUP BY 1)
+        |SELECT nd.event_type, CAST(n_days AS BIGINT) AS n_days,
+        |  round(rs_a, 6) AS rs_w5, round(rs_b, 6) AS rs_w10,
+        |  round(rs_c, 6) AS rs_w15,
+        |  round(CASE WHEN rs_a IS NOT NULL AND rs_b IS NOT NULL
+        |      AND rs_c IS NOT NULL AND rs_a > 0 AND rs_b > 0 AND rs_c > 0
+        |    THEN ${HurstCoef(HurstWins(0))} * ln(rs_a)
+        |      + ${HurstCoef(HurstWins(1))} * ln(rs_b)
+        |      + ${HurstCoef(HurstWins(2))} * ln(rs_c) END, 6) AS hurst
+        |FROM nd LEFT JOIN piv ON nd.event_type = piv.event_type
+        |ORDER BY nd.event_type""".stripMargin,
+
+    "ev_granger" ->
+      """WITH d AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sc
+        |  FROM events GROUP BY 1, 2),
+        |rng AS (SELECT min(d) AS mn, max(d) AS mx FROM d),
+        |typs AS (SELECT DISTINCT event_type FROM d),
+        |spine AS (
+        |  SELECT event_type, CAST(unnest(generate_series(mn, mx,
+        |    INTERVAL 1 DAY)) AS DATE) AS d
+        |  FROM typs CROSS JOIN rng),
+        |f0 AS (
+        |  SELECT s.event_type, s.d, coalesce(dd.sc, 0) AS sc
+        |  FROM spine s LEFT JOIN d dd
+        |    ON s.event_type = dd.event_type AND s.d = dd.d),
+        |f AS (
+        |  SELECT event_type, d, sc,
+        |    lag(sc) OVER (PARTITION BY event_type ORDER BY d) AS lagv
+        |  FROM f0),
+        |fl AS (SELECT * FROM f WHERE lagv IS NOT NULL),
+        |g AS (
+        |  SELECT x.event_type AS type_x, y.event_type AS type_y,
+        |    count(*) AS n,
+        |    sum(CAST(y.sc AS HUGEINT)) AS sy,
+        |    sum(CAST(y.lagv AS HUGEINT)) AS sl,
+        |    sum(CAST(x.lagv AS HUGEINT)) AS sx,
+        |    sum(CAST(y.sc AS HUGEINT) * y.sc) AS syy,
+        |    sum(CAST(y.lagv AS HUGEINT) * y.lagv) AS sll,
+        |    sum(CAST(x.lagv AS HUGEINT) * x.lagv) AS sxx,
+        |    sum(CAST(y.sc AS HUGEINT) * y.lagv) AS syl,
+        |    sum(CAST(y.sc AS HUGEINT) * x.lagv) AS syx,
+        |    sum(CAST(y.lagv AS HUGEINT) * x.lagv) AS slx
+        |  FROM fl y JOIN fl x
+        |    ON y.d = x.d AND x.event_type <> y.event_type
+        |  GROUP BY 1, 2),
+        |c AS (
+        |  SELECT type_x, type_y, n,
+        |    CAST(n * syy - sy * sy AS DOUBLE) AS cyy,
+        |    CAST(n * sll - sl * sl AS DOUBLE) AS cll,
+        |    CAST(n * sxx - sx * sx AS DOUBLE) AS cxx,
+        |    CAST(n * syl - sy * sl AS DOUBLE) AS cyl,
+        |    CAST(n * syx - sy * sx AS DOUBLE) AS cyx,
+        |    CAST(n * slx - sl * sx AS DOUBLE) AS clx
+        |  FROM g),
+        |r AS (
+        |  SELECT type_x, type_y, n, cll,
+        |    cll * cxx - clx * clx AS det,
+        |    cyy - cyl * cyl / cll AS rss_r,
+        |    cyy - (cxx * cyl * cyl - 2.0 * clx * cyl * cyx
+        |      + cll * cyx * cyx) / (cll * cxx - clx * clx) AS rss_u
+        |  FROM c)
+        |SELECT type_x, type_y, CAST(n AS BIGINT) AS n,
+        |  round(CASE WHEN n > 3 AND cll > 0 AND det > 0 AND rss_u > 0
+        |    THEN CAST(n - 3 AS DOUBLE) * (rss_r - rss_u) / rss_u END, 6)
+        |    AS f_stat,
+        |  round(CASE WHEN n > 3 AND cll > 0 AND det > 0 AND rss_u > 0
+        |    THEN rss_u / rss_r END, 6) AS rss_ratio
+        |FROM r ORDER BY type_x, type_y""".stripMargin,
+
+    "ev_entropy_rate" ->
+      """WITH tr AS (
+        |  SELECT f, event_type AS t, count(*) AS c FROM (
+        |    SELECT event_type, lag(event_type) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS f
+        |    FROM events)
+        |  WHERE f IS NOT NULL GROUP BY 1, 2),
+        |rf AS (SELECT f, sum(c) AS rf FROM tr GROUP BY 1),
+        |nn AS (SELECT sum(c) AS nn FROM tr),
+        |h AS (
+        |  SELECT tr.f, max(rf.rf) AS n_out, count(DISTINCT tr.t) AS k_next,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list((CAST(c AS DOUBLE) / CAST(rf.rf AS DOUBLE))
+        |        * ln(CAST(rf.rf AS DOUBLE) / CAST(c AS DOUBLE))
+        |        ORDER BY tr.t)),
+        |      (a, b) -> a + b) AS h
+        |  FROM tr JOIN rf ON tr.f = rf.f GROUP BY tr.f)
+        |SELECT h.f AS event_type, CAST(n_out AS BIGINT) AS n_out,
+        |  CAST(k_next AS BIGINT) AS k_next,
+        |  round(CAST(n_out AS DOUBLE) / CAST(nn AS DOUBLE), 6) AS pi,
+        |  round(h, 6) AS h_cond,
+        |  round((CAST(n_out AS DOUBLE) / CAST(nn AS DOUBLE)) * h, 6)
+        |    AS rate_contrib
+        |FROM h CROSS JOIN nn ORDER BY event_type""".stripMargin,
 
     "ev_cusum_cp" ->
       """WITH d AS (

@@ -354,6 +354,51 @@ object Graph {
             den.cast("double")), 6).as("r_assort"))
     }),
 
+    // Degree distribution of the co-purchase graph: the per-degree node
+    // histogram with its CCDF plus the continuous power-law MLE
+    // α = 1 + N / (Σ ln d_i − N·ln(d_min − ½)) (Clauset, Shalizi &
+    // Newman 2009 eq. 3.1 at x_min = d_min) — the first plot and the
+    // first fitted number anyone asks of a large graph, and the scale
+    // DIAGNOSTIC for every other gr_ op (heavy-tail α tells you whether
+    // hub-aware orientation is mandatory). Exactness: degree and
+    // histogram counts are integers; Σ ln d_i = Σ_k c_k·ln k folds over
+    // the SORTED degree histogram on both engines (the prof_mutual_info
+    // list_reduce parity), so the one log-sum is bit-identical. Scale:
+    // one degree agg over the edge list + a DEGREE-DOMAIN histogram —
+    // the CCDF window runs over distinct degrees only (histogram-scale,
+    // the QuantileLadder window class), never over nodes.
+    "gr_degree_dist" -> ((s, dir) => {
+      val e = edges(s, dir)
+      val deg = e.select(col("pa").as("node"))
+        .unionAll(e.select(col("pb").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val wC = org.apache.spark.sql.expressions.Window
+        .orderBy(col("deg").desc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      // ccdf window BEFORE the reuse checkpoint: a checkpoint-then-window
+      // would erase the Aggregate and read as a row-level single-task
+      // window (the a22_levene_bf provenance lesson; the sweep enforces it)
+      val hist = deg.groupBy("deg").agg(count(lit(1)).as("n_nodes"))
+        .withColumn("ge", sum("n_nodes").over(wC))
+        .localCheckpoint() // totals + output both ride this tiny frame
+      val lnTerm = col("n_nodes").cast("double") * log(col("deg").cast("double"))
+      val tot = hist.agg(sum("n_nodes").as("nn"), min("deg").as("dmin"),
+        aggregate(
+          sort_array(collect_list(struct(col("deg"), lnTerm.as("t")))),
+          lit(0.0), (acc, x) => acc + x.getField("t")).as("slnd"))
+      val alpha = lit(1.0) + col("nn").cast("double") /
+        (col("slnd") - col("nn").cast("double") *
+          log(col("dmin").cast("double") - lit(0.5)))
+      hist.crossJoin(broadcast(tot))
+        .select(col("deg"), col("n_nodes"),
+          round(col("n_nodes").cast("double") / col("nn").cast("double"), 6)
+            .as("frac"),
+          round(col("ge").cast("double") / col("nn").cast("double"), 6)
+            .as("ccdf"),
+          round(alpha, 6).as("alpha_mle"))
+        .orderBy("deg")
+    }),
+
     // Synchronous min-label propagation, LabelPropRounds unrolled rounds
     // — the fixed-budget connected-components approximation a
     // 1000-executor cluster actually runs when full convergence is not
@@ -738,6 +783,28 @@ object Graph {
          |    THEN CAST(n * sxy - sx * sx AS DOUBLE)
          |         / CAST(n * sxx - sx * sx AS DOUBLE) END, 6) AS r_assort
          |FROM g""".stripMargin,
+
+    "gr_degree_dist" ->
+      s"""WITH $EdgeSql,
+         |sym AS (SELECT pa AS node FROM e UNION ALL SELECT pb FROM e),
+         |deg AS (SELECT node, count(*) AS deg FROM sym GROUP BY 1),
+         |hist AS (SELECT deg, count(*) AS n_nodes FROM deg GROUP BY 1),
+         |tot AS (
+         |  SELECT sum(n_nodes) AS nn, min(deg) AS dmin,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list(CAST(n_nodes AS DOUBLE) * ln(CAST(deg AS DOUBLE))
+         |        ORDER BY deg)), (a, b) -> a + b) AS slnd
+         |  FROM hist),
+         |c AS (
+         |  SELECT deg, n_nodes, sum(n_nodes) OVER (ORDER BY deg DESC) AS ge
+         |  FROM hist)
+         |SELECT c.deg AS deg, CAST(c.n_nodes AS BIGINT) AS n_nodes,
+         |  round(CAST(c.n_nodes AS DOUBLE) / CAST(nn AS DOUBLE), 6) AS frac,
+         |  round(CAST(ge AS DOUBLE) / CAST(nn AS DOUBLE), 6) AS ccdf,
+         |  round(1.0 + CAST(nn AS DOUBLE)
+         |    / (slnd - CAST(nn AS DOUBLE) * ln(CAST(dmin AS DOUBLE) - 0.5)),
+         |    6) AS alpha_mle
+         |FROM c CROSS JOIN tot ORDER BY deg""".stripMargin,
 
     // Generated: LabelPropRounds unrolled (neighbor-min, least-merge) CTE
     // pairs, MATERIALIZED (the gr_hits planner lesson) — the identical

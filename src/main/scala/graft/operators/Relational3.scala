@@ -1834,6 +1834,97 @@ object Relational3 {
           round(jb, 6).as("jb_stat"),
           round(exp(lit(-0.5) * jb), 6).as("p_value"))
         .orderBy("l_returnflag")
+    }),
+
+    // Bartlett's homogeneity-of-variance test (Bartlett 1937) across the
+    // event types — the parametric sibling of a22_levene_bf (sharper
+    // under normality, which a27_jarque_bera screens for):
+    // T = ((N−k)·ln S_p² − Σ(n_i−1)·ln s_i²) / C with the correction
+    // C = 1 + (Σ 1/(n_i−1) − 1/(N−k)) / (3(k−1)). Per-type n, Σc, Σc²
+    // come off ONE keyed agg in decimal(38,0)/HUGEINT; each s_i² and
+    // (n_i−1)s_i² = (n_i·Q_i − S_i²)/n_i is an exact integer ratio cast
+    // to double once, and the three order-sensitive reductions (Σw_i,
+    // Σ(n_i−1)ln s_i², Σ1/(n_i−1)) fold in sorted type order on both
+    // engines (the a22 list-fold discipline). Types with n < 2 or zero
+    // variance are excluded from the test on both sides (they carry no
+    // variance information). Output is the one-row verdict frame.
+    "a28_bartlett" -> ((s, dir) => {
+      val d38 = (x: org.apache.spark.sql.Column) => x.cast("decimal(38,0)")
+      val g = load(s, dir, "events")
+        .select(col("event_type"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("c"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(d38(col("c"))).as("sc"),
+          sum(d38(col("c")) * col("c")).as("qc"))
+        .where(col("n") > 1 &&
+          col("n") * col("qc") - col("sc") * col("sc") > 0)
+      val css = col("n") * col("qc") - col("sc") * col("sc") // n²·(n−1)·s²/n
+      val v = css.cast("double") /
+        (col("n").cast("double") * (col("n") - 1).cast("double"))
+      val w = css.cast("double") / col("n").cast("double") // (n−1)·s²
+      val tot = g.agg(sum("n").as("nn"), count(lit(1)).as("k"),
+        aggregate(
+          sort_array(collect_list(struct(col("event_type"), w.as("w")))),
+          lit(0.0), (acc, x) => acc + x.getField("w")).as("sw"),
+        aggregate(
+          sort_array(collect_list(struct(col("event_type"),
+            ((col("n") - 1).cast("double") * log(v)).as("t")))),
+          lit(0.0), (acc, x) => acc + x.getField("t")).as("slv"),
+        aggregate(
+          sort_array(collect_list(struct(col("event_type"),
+            (lit(1.0) / (col("n") - 1).cast("double")).as("i")))),
+          lit(0.0), (acc, x) => acc + x.getField("i")).as("sinv"))
+      val df = (col("nn") - col("k")).cast("double")
+      val sp2 = col("sw") / df
+      val t = (df * log(sp2) - col("slv")) /
+        (lit(1.0) + (col("sinv") - lit(1.0) / df) /
+          (lit(3.0) * (col("k") - 1).cast("double")))
+      tot.select(col("k"), col("nn").as("n"),
+        round(sp2, 6).as("pooled_var"),
+        round(t, 6).as("bartlett_t"))
+    }),
+
+    // Tukey's HSD post-hoc pairwise comparison (Tukey 1949) over the
+    // lineitem return-flag groups — the step AFTER a26_anova_f rejects:
+    // WHICH pairs differ. Per ordered pair the studentized-range
+    // statistic q = |x̄_a − x̄_b| / √(MSW/2 · (1/n_a + 1/n_b))
+    // (Tukey–Kramer form for unequal n). Group n, Σq, Σq² come off ONE
+    // keyed agg (integer cents, decimal(38,0)/HUGEINT); MSW's
+    // order-sensitive Σ(n_i·Q_i − S_i²)/n_i folds in sorted flag order
+    // on both engines; the pair frame is the k² groups-scale cross of a
+    // broadcast 3-row frame (the ScaleDesignSpec crossJoin contract).
+    "a30_tukey_hsd" -> ((s, dir) => {
+      val d38 = (x: org.apache.spark.sql.Column) => x.cast("decimal(38,0)")
+      val qv = round(col("l_quantity") * 100).cast("long")
+      val g = load(s, dir, "lineitem")
+        .select(col("l_returnflag").as("flag"), qv.as("q"))
+        .groupBy("flag")
+        .agg(count(lit(1)).as("n"), sum(d38(col("q"))).as("sc"),
+          sum(d38(col("q")) * col("q")).as("qc"))
+        .localCheckpoint() // MSW fold + both sides of the pair frame
+      val wterm = (col("n") * col("qc") - col("sc") * col("sc"))
+        .cast("double") / col("n").cast("double")
+      val tot = g.agg(sum("n").as("nn"), count(lit(1)).as("k"),
+        aggregate(
+          sort_array(collect_list(struct(col("flag"), wterm.as("w")))),
+          lit(0.0), (acc, x) => acc + x.getField("w")).as("sw"))
+      val a = g.select(col("flag").as("flag_a"), col("n").as("n_a"),
+        col("sc").as("s_a"))
+      val b = g.select(col("flag").as("flag_b"), col("n").as("n_b"),
+        col("sc").as("s_b"))
+      val msw = col("sw") / (col("nn") - col("k")).cast("double")
+      val mac = col("s_a").cast("double") / col("n_a").cast("double")
+      val mbc = col("s_b").cast("double") / col("n_b").cast("double")
+      a.crossJoin(broadcast(b)).where(col("flag_a") < col("flag_b"))
+        .crossJoin(broadcast(tot))
+        .select(col("flag_a"), col("flag_b"), col("n_a"), col("n_b"),
+          round(mac / lit(100.0), 6).as("mean_a"),
+          round(mbc / lit(100.0), 6).as("mean_b"),
+          round(abs(mac - mbc) /
+            sqrt(msw / lit(2.0) *
+              (lit(1.0) / col("n_a").cast("double") +
+                lit(1.0) / col("n_b").cast("double"))), 6).as("q_stat"))
+        .orderBy("flag_a", "flag_b")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -2647,6 +2738,69 @@ object Relational3 {
         |  round(exp(-0.5 * (CAST(n AS DOUBLE) / 6.0
         |                    * (sk * sk + ku * ku / 4.0))), 6) AS p_value
         |FROM m ORDER BY l_returnflag""".stripMargin,
+
+    "a28_bartlett" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+        |  FROM events),
+        |g0 AS (
+        |  SELECT event_type, count(*) AS n,
+        |    sum(CAST(c AS HUGEINT)) AS sc, sum(CAST(c AS HUGEINT) * c) AS qc
+        |  FROM ev GROUP BY 1),
+        |g AS (SELECT * FROM g0 WHERE n > 1 AND n * qc - sc * sc > 0),
+        |t AS (
+        |  SELECT event_type, n,
+        |    CAST(n * qc - sc * sc AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) AS v,
+        |    CAST(n * qc - sc * sc AS DOUBLE) / CAST(n AS DOUBLE) AS w
+        |  FROM g),
+        |tot AS (
+        |  SELECT sum(n) AS nn, count(*) AS k,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list(w ORDER BY event_type)), (a, b) -> a + b) AS sw,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list(CAST(n - 1 AS DOUBLE) * ln(v) ORDER BY event_type)),
+        |      (a, b) -> a + b) AS slv,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list(CAST(1 AS DOUBLE) / CAST(n - 1 AS DOUBLE)
+        |        ORDER BY event_type)), (a, b) -> a + b) AS sinv
+        |  FROM t)
+        |SELECT CAST(k AS BIGINT) AS k, CAST(nn AS BIGINT) AS n,
+        |  round(sw / CAST(nn - k AS DOUBLE), 6) AS pooled_var,
+        |  round((CAST(nn - k AS DOUBLE) * ln(sw / CAST(nn - k AS DOUBLE))
+        |      - slv)
+        |    / (1.0 + (sinv - 1.0 / CAST(nn - k AS DOUBLE))
+        |       / (3.0 * CAST(k - 1 AS DOUBLE))), 6) AS bartlett_t
+        |FROM tot""".stripMargin,
+
+    "a30_tukey_hsd" ->
+      """WITH li AS (
+        |  SELECT l_returnflag AS flag,
+        |    CAST(round(l_quantity * 100, 0) AS BIGINT) AS q
+        |  FROM lineitem),
+        |g AS (
+        |  SELECT flag, count(*) AS n, sum(CAST(q AS HUGEINT)) AS sc,
+        |    sum(CAST(q AS HUGEINT) * q) AS qc
+        |  FROM li GROUP BY 1),
+        |tot AS (
+        |  SELECT sum(n) AS nn, count(*) AS k,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list(CAST(n * qc - sc * sc AS DOUBLE) / CAST(n AS DOUBLE)
+        |        ORDER BY flag)), (a, b) -> a + b) AS sw
+        |  FROM g)
+        |SELECT a.flag AS flag_a, b.flag AS flag_b,
+        |  CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+        |  round(CAST(a.sc AS DOUBLE) / CAST(a.n AS DOUBLE) / 100.0, 6)
+        |    AS mean_a,
+        |  round(CAST(b.sc AS DOUBLE) / CAST(b.n AS DOUBLE) / 100.0, 6)
+        |    AS mean_b,
+        |  round(abs(CAST(a.sc AS DOUBLE) / CAST(a.n AS DOUBLE)
+        |      - CAST(b.sc AS DOUBLE) / CAST(b.n AS DOUBLE))
+        |    / sqrt(sw / CAST(nn - k AS DOUBLE) / 2.0
+        |      * (1.0 / CAST(a.n AS DOUBLE) + 1.0 / CAST(b.n AS DOUBLE))), 6)
+        |    AS q_stat
+        |FROM g a JOIN g b ON a.flag < b.flag CROSS JOIN tot
+        |ORDER BY flag_a, flag_b""".stripMargin,
 
     "prof_mutual_info" ->
       """WITH cxy AS (

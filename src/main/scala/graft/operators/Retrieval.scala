@@ -787,6 +787,49 @@ object Retrieval {
           (lexTerm + denseTerm).as("rrf_score"))
         .orderBy(col("rrf_score").desc, col("doc_id"))
         .limit(RrfTopN)
+    }),
+
+    // Borda-count fusion of the same lexical + dense runs ir_rrf fuses
+    // (de Borda 1781; Aslam & Montague 2001 showed it competitive for
+    // metasearch): each run awards TopN+1−rank points to its ranked
+    // docs, absent docs get 0, fused order is the point SUM — the
+    // all-INTEGER fusion rule (no reciprocal, no normalization), which
+    // also makes it the hash-exact member of the fusion family. Scale:
+    // identical to ir_rrf — two top-k cuts (k-bounded) + one k-row
+    // full-outer join; the fusion itself never touches the corpus.
+    "ir_borda" -> ((s, dir) => {
+      graft.plans.ArrayExprs.register(s)
+      import graft.plans.ArrayExprs.dotProduct
+      val lex = bm25Top(s, dir)
+        .withColumn("lex_rank", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+        .select(col("doc_id").as("id"), col("lex_rank"))
+      val e = load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").as("v"))
+        .withColumn("nrm", sqrt(dotProduct(col("v"), col("v"))))
+      val q = e.where(col("vec_id") === 0)
+        .select(col("v").as("qv"), col("nrm").as("qnrm"))
+      val dense = e.crossJoin(broadcast(q))
+        .where(col("vec_id") =!= 0)
+        .select(col("vec_id").as("id"),
+          round(dotProduct(col("qv"), col("v")) / (col("qnrm") * col("nrm")), 6)
+            .as("score"))
+        .orderBy(col("score").desc, col("id"))
+        .limit(TopN)
+        .withColumn("dense_rank", row_number().over(
+          Window.orderBy(col("score").desc, col("id"))).cast("long"))
+        .select(col("id"), col("dense_rank"))
+      val lexPts = when(col("lex_rank").isNotNull,
+        lit(TopN + 1L) - col("lex_rank")).otherwise(lit(0L))
+      val densePts = when(col("dense_rank").isNotNull,
+        lit(TopN + 1L) - col("dense_rank")).otherwise(lit(0L))
+      lex.join(dense, Seq("id"), "full_outer")
+        .select(col("id").as("doc_id"),
+          coalesce(col("lex_rank"), lit(0L)).as("lex_rank"),
+          coalesce(col("dense_rank"), lit(0L)).as("dense_rank"),
+          (lexPts + densePts).as("borda_points"))
+        .orderBy(col("borda_points").desc, col("doc_id"))
+        .limit(RrfTopN)
     }))
 
   private val termList = QueryTerms.map("'" + _ + "'").mkString(", ")
@@ -1257,6 +1300,48 @@ object Retrieval {
          |       AS DOUBLE) AS rrf_score
          |FROM lexr FULL OUTER JOIN dr ON lexr.doc_id = dr.id
          |ORDER BY rrf_score DESC, doc_id LIMIT $RrfTopN""".stripMargin,
+
+    "ir_borda" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+         |  FROM documents),
+         |dlen AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+         |corpus AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+         |                  CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+         |           FROM dlen),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+         |       WHERE term IN ($termList) GROUP BY doc_id, term),
+         |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+         |sc AS (
+         |  SELECT tf.doc_id, tf.term,
+         |    ln((corpus.n - df.df + 0.5) / (df.df + 0.5) + 1.0) *
+         |    (tf.tf * ${K1 + 1.0}) /
+         |    (tf.tf + $K1 * (1.0 - $B + $B * dlen.dl / corpus.avgdl)) AS sc
+         |  FROM tf JOIN df USING (term) JOIN dlen USING (doc_id) CROSS JOIN corpus),
+         |lex AS (SELECT doc_id, round(list_sum(list(sc ORDER BY term)), 6) AS score
+         |        FROM sc GROUP BY doc_id
+         |        ORDER BY score DESC, doc_id LIMIT $TopN),
+         |lexr AS (SELECT doc_id,
+         |                row_number() OVER (ORDER BY score DESC, doc_id) AS lex_rank
+         |         FROM lex),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |dsc AS (SELECT e.vec_id AS id,
+         |               round(list_cosine_similarity(qv, v), 6) AS score
+         |        FROM e, q WHERE e.vec_id <> 0
+         |        ORDER BY score DESC, id LIMIT $TopN),
+         |dr AS (SELECT id, row_number() OVER (ORDER BY score DESC, id) AS dense_rank
+         |       FROM dsc)
+         |SELECT coalesce(lexr.doc_id, dr.id) AS doc_id,
+         |  CAST(coalesce(lex_rank, 0) AS BIGINT) AS lex_rank,
+         |  CAST(coalesce(dense_rank, 0) AS BIGINT) AS dense_rank,
+         |  CAST(CASE WHEN lex_rank IS NOT NULL
+         |            THEN ${TopN + 1} - lex_rank ELSE 0 END +
+         |       CASE WHEN dense_rank IS NOT NULL
+         |            THEN ${TopN + 1} - dense_rank ELSE 0 END
+         |       AS BIGINT) AS borda_points
+         |FROM lexr FULL OUTER JOIN dr ON lexr.doc_id = dr.id
+         |ORDER BY borda_points DESC, doc_id LIMIT $RrfTopN""".stripMargin,
 
     "ir_cossim" ->
       s"""WITH tok AS (

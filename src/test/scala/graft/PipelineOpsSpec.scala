@@ -1290,4 +1290,132 @@ class PipelineOpsSpec extends AnyFunSuite {
       .select(col("event_id"), col("event_type"), col("value"), col("ewma"))
     assert(fast.exceptAll(naive).count() == 0 && naive.exceptAll(fast).count() == 0)
   }
+
+  test("ev_hurst: rs_w5 equals a plain-Scala R/S recompute; hurst in range") {
+    val out = SparkEntry.queries("ev_hurst")(spark, dir).collect()
+    assert(out.nonEmpty)
+    // brute-force R/S at w=5 for every type from the raw events
+    val daily = Tables.load(spark, dir, "events")
+      .select(col("event_type"), to_date(col("ts")).as("d"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("c"))
+      .groupBy("event_type", "d").agg(sum("c").as("sc"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2)))
+    val byType = daily.groupBy(_._1)
+    for (row <- out) {
+      val t = row.getString(0)
+      val days = byType(t).map(x => (x._2, x._3)).sortBy(_._1)
+      val (lo, hi) = (days.head._1, days.last._1)
+      val filled = Iterator.iterate(lo)(_.plusDays(1)).takeWhile(!_.isAfter(hi))
+        .map(d => days.toMap.getOrElse(d, 0L)).toVector
+      val w = 5
+      val rss = filled.grouped(w).filter(_.size == w).flatMap { blk =>
+        val s = blk.map(BigInt(_)).sum
+        val q = blk.map(x => BigInt(x) * x).sum
+        val vd = q * w - s * s
+        if (vd <= 0) None
+        else {
+          val wy = blk.scanLeft(BigInt(0))(_ + _).tail.zipWithIndex
+            .map { case (p, i) => p * w - (BigInt(i) + 1) * s }
+          Some((wy.max - wy.min).toDouble / math.sqrt(vd.toDouble))
+        }
+      }.toVector
+      if (rss.isEmpty) assert(row.isNullAt(2))
+      else {
+        val mean = rss.foldLeft(0.0)(_ + _) / rss.length
+        assert(math.abs(row.getDouble(2) - mean) <= 1e-6,
+          s"$t: rs_w5 ${row.getDouble(2)} vs recomputed $mean")
+      }
+      if (!row.isNullAt(5)) {
+        val h = row.getDouble(5)
+        assert(h > -0.5 && h < 1.5, s"$t: implausible hurst $h")
+      }
+    }
+  }
+
+  test("ev_granger: shared spine n, F nonnegative, rss_ratio in (0, 1]") {
+    val out = SparkEntry.queries("ev_granger")(spark, dir)
+    val k = Tables.load(spark, dir, "events")
+      .select("event_type").distinct().count()
+    assert(out.count() == k * (k - 1)) // every ordered pair
+    assert(out.select(countDistinct("n")).head().getLong(0) == 1,
+      "global spine must give every pair the same n")
+    assert(out.where(col("f_stat") < 0).count() == 0)
+    assert(out.where(col("rss_ratio") <= 0 || col("rss_ratio") > 1 + 1e-9)
+      .count() == 0) // adding a regressor never raises RSS
+  }
+
+  test("ev_entropy_rate: probability identities and the conditional-entropy bound") {
+    val out = SparkEntry.queries("ev_entropy_rate")(spark, dir)
+    // Σπ = 1 over from-states (rounding gives ±k·5e-7 slack)
+    val piSum = out.agg(sum("pi")).head().getDouble(0)
+    assert(math.abs(piSum - 1.0) < 1e-4, s"pi sums to $piSum")
+    // 0 ≤ H(next|f) ≤ ln k_next, contrib = pi·h within rounding
+    assert(out.where(col("h_cond") < 0).count() == 0)
+    assert(out.where(col("h_cond") >
+      log(col("k_next").cast("double")) + lit(1e-9)).count() == 0)
+    assert(out.where(
+      abs(col("rate_contrib") - col("pi") * col("h_cond")) > 2e-6).count() == 0)
+  }
+
+  test("a28_bartlett: one-row verdict, nonnegative statistic, k = live groups") {
+    val out = SparkEntry.queries("a28_bartlett")(spark, dir).collect()
+    assert(out.length == 1)
+    val r = out.head
+    val k = Tables.load(spark, dir, "events")
+      .select("event_type").distinct().count()
+    assert(r.getLong(0) == k) // all types have n≥2 and variance at sf0.001
+    assert(r.getDouble(2) > 0) // pooled variance
+    // T ≥ 0 is Jensen on the concave ln: ln of the pooled (weighted-mean)
+    // variance dominates the weighted mean of the per-group lns
+    assert(r.getDouble(3) >= 0, s"negative Bartlett T ${r.getDouble(3)}")
+  }
+
+  test("a30_tukey_hsd: all pairs once, q nonnegative, means match direct") {
+    val out = SparkEntry.queries("a30_tukey_hsd")(spark, dir)
+    val li = Tables.load(spark, dir, "lineitem")
+    val k = li.select("l_returnflag").distinct().count()
+    assert(out.count() == k * (k - 1) / 2)
+    assert(out.where(col("q_stat") < 0).count() == 0)
+    val direct = li.groupBy(col("l_returnflag").as("flag_a"))
+      .agg(round(avg(round(col("l_quantity") * 100).cast("long")) / 100.0, 4)
+        .as("m"))
+    val j = out.join(direct, "flag_a")
+      .where(abs(round(col("mean_a"), 4) - col("m")) > 1e-9)
+    assert(j.count() == 0, "mean_a disagrees with a direct group average")
+  }
+
+  test("gr_degree_dist: histogram mass = 2m, ccdf monotone, alpha > 1") {
+    val out = SparkEntry.queries("gr_degree_dist")(spark, dir).collect()
+    assert(out.nonEmpty)
+    // Σ deg·n_nodes = 2·edges — recompute the edge count independently
+    val massFromHist = out.map(r => r.getLong(0) * r.getLong(1)).sum
+    val tri = SparkEntry.queries("gr_assortativity")(spark, dir)
+      .head().getLong(0) // n_pairs of the symmetrized edge list = 2m
+    assert(massFromHist == tri,
+      s"degree mass $massFromHist != symmetrized edges $tri")
+    // ccdf non-increasing in deg; first (smallest-deg) row has ccdf 1.0
+    val sorted = out.sortBy(_.getLong(0))
+    assert(sorted.head.getDouble(3) == 1.0)
+    assert(sorted.sliding(2).forall {
+      case Array(a, b) => a.getDouble(3) >= b.getDouble(3); case _ => true })
+    val alpha = out.head.getDouble(4)
+    assert(alpha > 1.0, s"power-law MLE must exceed 1, got $alpha")
+  }
+
+  test("ir_borda: points recompute from the rank columns; k-bounded output") {
+    val out = SparkEntry.queries("ir_borda")(spark, dir).collect()
+    assert(out.nonEmpty && out.length <= 20)
+    val topN = 50L
+    for (r <- out) {
+      val (lex, dense, pts) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      val expect = (if (lex > 0) topN + 1 - lex else 0L) +
+        (if (dense > 0) topN + 1 - dense else 0L)
+      assert(pts == expect, s"doc ${r.getLong(0)}: $pts != $expect")
+    }
+    // emitted in non-increasing point order with doc_id tiebreak
+    assert(out.sliding(2).forall {
+      case Array(a, b) => a.getLong(3) > b.getLong(3) ||
+        (a.getLong(3) == b.getLong(3) && a.getLong(0) < b.getLong(0))
+      case _ => true })
+  }
 }

@@ -631,6 +631,8 @@ class ScaleDesignSpec extends AnyFunSuite {
     //   Relational3:486       q_skyline bucket offsets (b) — bucketed
     //   Relational3:934       a15 $1000-bucket cum (bk) — domain/1000
     //   Relational2:483       source histogram — low-cardinality
+    //   Graph (gr_degree_dist) CCDF over the degree histogram (deg) —
+    //                         ≤ √(4m) distinct degrees (Σdeg = 2m)
     //
     // Round-12 hardening (judge demand + the builder's own round-11
     // self-flag): the allowlist is no longer name-only. Generic names
@@ -662,6 +664,9 @@ class ScaleDesignSpec extends AnyFunSuite {
     "digit",         // a20_benford — 9 values
     "dur",           // ev_kaplan_meier durations — ≤ day-span
     "term",          // IR vocab stats — vocabulary-scale (Heaps-sublinear)
+    "deg",           // gr_degree_dist histogram — Σdeg = 2m bounds the
+                     // DISTINCT degree count by √(4m) (1+2+…+k ≤ 2m), so
+                     // the CCDF window rides a √edges-scale frame
     "source", "event_type", "lang", "l_returnflag") // pinned low-card dims
 
   /** Generic key names admitted ONLY with a bounding derivation visible
