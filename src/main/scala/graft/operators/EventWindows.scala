@@ -673,6 +673,12 @@ object EventWindows {
     // engines). Scale: every frame after the one corpus (type, day) agg
     // is types×days metadata; the per-block windows partition by
     // (type, w, block) over ≤ 3n rows per type.
+    //
+    // Streaming-twin adjudication: retrospective by construction (the
+    // ev_cusum_cp class) — every block's R/S uses the block's FULL
+    // prefix-sum extrema and the slope needs every block closed, so no
+    // causal processor can emit before the series does; the batch form
+    // is the only consumer.
     "ev_hurst" -> ((s, dir) => {
       val dec = (x: org.apache.spark.sql.Column) => x.cast("decimal(38,0)")
       val d = load(s, dir, "events")
@@ -756,6 +762,12 @@ object EventWindows {
     // Scale: one corpus (type, day) agg; the GLOBAL day spine zero-fills
     // every type over the same calendar so all pairs share n; the pair
     // frame is types²×days metadata joined on the day key.
+    //
+    // Streaming-twin adjudication: retrospective (the ev_cusum_cp
+    // class) — the centered moments use the final n and the full-series
+    // sums, so the F statistic is undefined until the window closes;
+    // an online form would be a different operator (recursive least
+    // squares), not a twin of this one.
     "ev_granger" -> ((s, dir) => {
       val dec = (x: org.apache.spark.sql.Column) => x.cast("decimal(38,0)")
       val d = load(s, dir, "events")
@@ -817,6 +829,13 @@ object EventWindows {
     // list_reduce parity). Scale: the ev_markov shape — ONE user-keyed
     // lag window over the corpus + one (from, to) count agg; everything
     // downstream rides the types² metadata frame.
+    //
+    // Streaming-twin adjudication: same verdict as ev_markov — the only
+    // data-scale state is the (from, to) transition count, which
+    // Structured Streaming's built-in keyed count (fed by the
+    // SessionPathProcessor-shaped per-user previous-type lag) maintains
+    // incrementally; the entropy arithmetic runs on the types² frame per
+    // trigger. Nothing bespoke to carry, so no custom processor exists.
     "ev_entropy_rate" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       val tr = load(s, dir, "events")
