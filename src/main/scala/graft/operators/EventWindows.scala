@@ -866,6 +866,103 @@ object EventWindows {
         .orderBy("event_type")
     }),
 
+    // Burstiness coefficient of the per-type arrival process (Goh &
+    // Barabási 2008, EPL 81): B = (σ−μ)/(σ+μ) over inter-event gaps —
+    // the one-number companion to ev_interarrival's histogram (B → −1
+    // periodic, 0 Poisson, → 1 bursty), and the regime gate for every
+    // rate model downstream. Division-free to ONE sqrt: with the
+    // population identity σ = √(n·Σt²−(Σt)²)/n and μ = Σt/n the n's
+    // cancel, so B = (√D − Σt)/(√D + Σt) with D = n·Σt² − (Σt)² an
+    // exact decimal(38,0)/HUGEINT integer (µs gaps; Σt² ≤ n·(day µs)²
+    // holds 38 digits to ~1e13 gaps). Gaps come from the ev_interarrival
+    // KeyedRank chunked lag (win=2) — never a plain per-type window.
+    //
+    // Streaming-twin adjudication: the (n, Σt, Σt²) triple is a plain
+    // associative aggregate over gaps (the ev_seasonality class) —
+    // built-in streaming aggregation maintains it; the only carried
+    // state is the per-type previous-timestamp lag, which is the
+    // EwmaProcessor's ring-of-1 degenerate case. Nothing bespoke.
+    "ev_burstiness" -> ((s, dir) => {
+      val dec = (x: org.apache.spark.sql.Column) => x.cast("decimal(38,0)")
+      val ev = load(s, dir, "events")
+        .select(col("event_type"), col("ts"), col("event_id"),
+          unix_micros(col("ts")).as("us"))
+      val ranked = graft.plans.KeyedRank.withRank(ev, "event_type",
+        graft.plans.KeyedRank.adaptiveTimeBucket(ev, col("ts")),
+        Seq(col("ts"), col("event_id")))
+      val dup = graft.plans.KeyedRank.withTrailingChunks(ranked, 2, 1000)
+      val w = Window.partitionBy("event_type", "g").orderBy("rk")
+      val g = dup
+        .withColumn("pus", lag("us", 1).over(w))
+        .where(col("own") && col("pus").isNotNull)
+        .select(col("event_type"), (col("us") - col("pus")).as("t"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(dec(col("t"))).as("st"),
+          sum(dec(col("t")) * col("t")).as("stt"))
+      val sd = sqrt((col("n") * col("stt") - col("st") * col("st"))
+        .cast("double"))
+      val stD = col("st").cast("double")
+      g.select(col("event_type"), col("n").as("n_gaps"),
+          round(col("st").cast("double") / col("n").cast("double") /
+            lit(1e6), 6).as("mean_gap_s"),
+          round(when(col("n") > 1 && col("st") > 0,
+            (sd - stD) / (sd + stD)), 6).as("b_coef"))
+        .orderBy("event_type")
+    }),
+
+    // Day-of-week seasonal strength per type — the variance-decomposition
+    // answer to "is this metric weekly-seasonal enough to model":
+    // one-way ANOVA of the zero-filled daily totals across the 7
+    // day-of-week groups, reported as the F statistic AND the
+    // STL-style strength = SS_between/SS_total (share of daily variance
+    // the weekday explains). Group sums stay exact decimal/HUGEINT off
+    // the types×days spine; the ONE order-sensitive double reduction
+    // (Σ S_g²/n_g) folds in dow order on both engines (the a22
+    // discipline; Spark weekday() = DuckDB isodow − 1, monotone, so the
+    // fold orders agree); SS identities use the expanded correction-mean
+    // forms so no per-group grand-mean join exists. Scale: one corpus
+    // (type, day) agg; everything after is types×7 metadata.
+    //
+    // Streaming-twin adjudication: per-(type, dow) (n, Σ, Σ²) is a plain
+    // associative aggregate over closed days (the ev_seasonality class);
+    // built-in windowed aggregation maintains it. Nothing bespoke.
+    "ev_seasonal_strength" -> ((s, dir) => {
+      val dec = (x: org.apache.spark.sql.Column) => x.cast("decimal(38,0)")
+      val d = load(s, dir, "events")
+        .select(col("event_type"), to_date(col("ts")).as("d"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("c"))
+        .groupBy("event_type", "d").agg(sum("c").as("sc"))
+      val spine = d.groupBy("event_type")
+        .agg(min("d").as("mn"), max("d").as("mx"))
+        .select(col("event_type"), explode(sequence(col("mn"), col("mx"))).as("d"))
+      val f = spine.join(d, Seq("event_type", "d"), "left")
+        .na.fill(0L, Seq("sc"))
+        .select(col("event_type"), weekday(col("d")).as("dow"), col("sc"))
+      val g = f.groupBy("event_type", "dow")
+        .agg(count(lit(1)).as("ng"), sum(dec(col("sc"))).as("sg"),
+          sum(dec(col("sc")) * col("sc")).as("qg"))
+      val tot = g.groupBy("event_type")
+        .agg(sum("ng").as("n"), sum("sg").as("st"), sum("qg").as("qt"),
+          count(lit(1)).as("k"),
+          aggregate(
+            sort_array(collect_list(struct(col("dow"),
+              (col("sg").cast("double") * col("sg").cast("double") /
+                col("ng").cast("double")).as("t")))),
+            lit(0.0), (acc, x) => acc + x.getField("t")).as("aa"))
+      val cm = col("st").cast("double") * col("st").cast("double") /
+        col("n").cast("double")
+      val ssb = col("aa") - cm
+      val ssw = col("qt").cast("double") - col("aa")
+      val sst = col("qt").cast("double") - cm
+      val okF = col("k") > 1 && col("n") > col("k") && ssw > 0
+      tot.select(col("event_type"), col("n").as("n_days"),
+          col("k").as("k_dow"),
+          round(when(okF, (ssb / (col("k") - 1).cast("double")) /
+            (ssw / (col("n") - col("k")).cast("double"))), 6).as("f_stat"),
+          round(when(sst > 0, ssb / sst), 6).as("seasonal_strength"))
+        .orderBy("event_type")
+    }),
+
     // CUSUM change-point detection over the per-type daily totals — the
 
     // CUSUM change-point detection over the per-type daily totals — the
@@ -2677,6 +2774,66 @@ object EventWindows {
         |  round((CAST(n_out AS DOUBLE) / CAST(nn AS DOUBLE)) * h, 6)
         |    AS rate_contrib
         |FROM h CROSS JOIN nn ORDER BY event_type""".stripMargin,
+
+    "ev_burstiness" ->
+      """WITH e AS (
+        |  SELECT event_type, ts, event_id, epoch_us(ts) AS us FROM events),
+        |g0 AS (
+        |  SELECT event_type,
+        |    us - lag(us, 1) OVER (PARTITION BY event_type
+        |      ORDER BY ts, event_id) AS t
+        |  FROM e),
+        |g AS (
+        |  SELECT event_type, count(*) AS n, sum(CAST(t AS HUGEINT)) AS st,
+        |    sum(CAST(t AS HUGEINT) * t) AS stt
+        |  FROM g0 WHERE t IS NOT NULL GROUP BY 1)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_gaps,
+        |  round(CAST(st AS DOUBLE) / CAST(n AS DOUBLE) / 1e6, 6)
+        |    AS mean_gap_s,
+        |  round(CASE WHEN n > 1 AND st > 0 THEN
+        |    (sqrt(CAST(n * stt - st * st AS DOUBLE)) - CAST(st AS DOUBLE))
+        |    / (sqrt(CAST(n * stt - st * st AS DOUBLE)) + CAST(st AS DOUBLE))
+        |    END, 6) AS b_coef
+        |FROM g ORDER BY event_type""".stripMargin,
+
+    "ev_seasonal_strength" ->
+      """WITH d AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sc
+        |  FROM events GROUP BY 1, 2),
+        |rng AS (SELECT event_type, min(d) AS mn, max(d) AS mx FROM d GROUP BY 1),
+        |spine AS (
+        |  SELECT event_type, CAST(unnest(generate_series(mn, mx,
+        |    INTERVAL 1 DAY)) AS DATE) AS d
+        |  FROM rng),
+        |f AS (
+        |  SELECT s.event_type, isodow(s.d) - 1 AS dow, coalesce(dd.sc, 0) AS sc
+        |  FROM spine s LEFT JOIN d dd
+        |    ON s.event_type = dd.event_type AND s.d = dd.d),
+        |g AS (
+        |  SELECT event_type, dow, count(*) AS ng,
+        |    sum(CAST(sc AS HUGEINT)) AS sg, sum(CAST(sc AS HUGEINT) * sc) AS qg
+        |  FROM f GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT event_type, sum(ng) AS n, sum(sg) AS st, sum(qg) AS qt,
+        |    count(*) AS k,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+        |        / CAST(ng AS DOUBLE) ORDER BY dow)), (a, b) -> a + b) AS aa
+        |  FROM g GROUP BY 1),
+        |r AS (
+        |  SELECT event_type, n, k, aa,
+        |    CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / CAST(n AS DOUBLE) AS cm,
+        |    CAST(qt AS DOUBLE) AS qtd
+        |  FROM tot)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_days,
+        |  CAST(k AS BIGINT) AS k_dow,
+        |  round(CASE WHEN k > 1 AND n > k AND qtd - aa > 0 THEN
+        |    ((aa - cm) / CAST(k - 1 AS DOUBLE))
+        |    / ((qtd - aa) / CAST(n - k AS DOUBLE)) END, 6) AS f_stat,
+        |  round(CASE WHEN qtd - cm > 0 THEN (aa - cm) / (qtd - cm) END, 6)
+        |    AS seasonal_strength
+        |FROM r ORDER BY event_type""".stripMargin,
 
     "ev_cusum_cp" ->
       """WITH d AS (

@@ -1925,6 +1925,51 @@ object Relational3 {
               (lit(1.0) / col("n_a").cast("double") +
                 lit(1.0) / col("n_b").cast("double"))), 6).as("q_stat"))
         .orderBy("flag_a", "flag_b")
+    }),
+
+    // Mood's median test across the event types (Mood 1950) — the
+    // maximally-robust k-group location screen (only ranks relative to
+    // ONE grand median, so it survives outliers even a23_kruskal's rank
+    // sums feel): each type's above-grand-median count vs its expectation
+    // under homogeneity, reported per type with its χ² contribution.
+    // The grand LOWER median (k = (N+1) div 2, the a22 rule) comes off
+    // the shared QuantileLadder exact order statistic — bucket-then-
+    // refine, NO unpartitioned window over the unbounded cents domain —
+    // and broadcasts back as one row; cells are exact integers from one
+    // keyed agg; expected/χ² are identical two-step double trees,
+    // round(6). Scale: two corpus scans (the locate + the cell agg) and
+    // a types-frame rollup.
+    //
+    // Streaming-twin adjudication: retrospective (the ev_cusum_cp
+    // class) — every cell is measured against the FULL-corpus grand
+    // median, so no causal processor can emit before the stream closes.
+    "a31_mood_median" -> ((s, dir) => {
+      val ev = load(s, dir, "events")
+        .select(col("event_type"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("c"))
+        .localCheckpoint() // median locate + cell counts both scan it
+      val tgt = ev.agg(count(lit(1)).as("n"))
+        .select(lit(50L).as("k"), expr("(n + 1) div 2").as("r"))
+      val med = graft.plans.QuantileLadder.orderStats(ev.select(col("c")), "c", tgt)
+        .select(col("value").as("med"))
+      val cells = ev.crossJoin(broadcast(med))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum((col("c") > col("med")).cast("long")).as("a"))
+      val tot = cells.agg(sum("n").as("nn"), sum("a").as("ta"))
+      val e1 = col("n").cast("double") * col("ta").cast("double") /
+        col("nn").cast("double")
+      val e0 = col("n").cast("double") * (col("nn") - col("ta")).cast("double") /
+        col("nn").cast("double")
+      val d1 = col("a").cast("double") - e1
+      val d0 = (col("n") - col("a")).cast("double") - e0
+      cells.crossJoin(broadcast(tot))
+        .select(col("event_type"), col("n"), col("a").as("n_above"),
+          round(col("a").cast("double") / col("n").cast("double"), 6)
+            .as("p_above"),
+          round(when(e1 > 0 && e0 > 0, d1 * d1 / e1 + d0 * d0 / e0), 6)
+            .as("chi2_contrib"))
+        .orderBy("event_type")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -2801,6 +2846,33 @@ object Relational3 {
         |    AS q_stat
         |FROM g a JOIN g b ON a.flag < b.flag CROSS JOIN tot
         |ORDER BY flag_a, flag_b""".stripMargin,
+
+    "a31_mood_median" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+        |  FROM events),
+        |nt AS (SELECT count(*) AS n FROM ev),
+        |h AS (SELECT c, count(*) AS m FROM ev GROUP BY 1),
+        |hc AS (SELECT c, sum(m) OVER (ORDER BY c) AS cum FROM h),
+        |med AS (SELECT min(c) AS med FROM hc, nt WHERE cum >= (n + 1) // 2),
+        |cells AS (
+        |  SELECT event_type, count(*) AS n,
+        |    sum(CASE WHEN c > med THEN 1 ELSE 0 END) AS a
+        |  FROM ev, med GROUP BY 1),
+        |tot AS (SELECT sum(n) AS nn, sum(a) AS ta FROM cells),
+        |j AS (
+        |  SELECT event_type, n, a,
+        |    CAST(n AS DOUBLE) * CAST(ta AS DOUBLE) / CAST(nn AS DOUBLE) AS e1,
+        |    CAST(n AS DOUBLE) * CAST(nn - ta AS DOUBLE) / CAST(nn AS DOUBLE)
+        |      AS e0
+        |  FROM cells CROSS JOIN tot)
+        |SELECT event_type, CAST(n AS BIGINT) AS n, CAST(a AS BIGINT) AS n_above,
+        |  round(CAST(a AS DOUBLE) / CAST(n AS DOUBLE), 6) AS p_above,
+        |  round(CASE WHEN e1 > 0 AND e0 > 0 THEN
+        |    (CAST(a AS DOUBLE) - e1) * (CAST(a AS DOUBLE) - e1) / e1
+        |    + (CAST(n - a AS DOUBLE) - e0) * (CAST(n - a AS DOUBLE) - e0) / e0
+        |    END, 6) AS chi2_contrib
+        |FROM j ORDER BY event_type""".stripMargin,
 
     "prof_mutual_info" ->
       """WITH cxy AS (

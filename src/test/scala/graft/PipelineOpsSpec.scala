@@ -1418,4 +1418,64 @@ class PipelineOpsSpec extends AnyFunSuite {
         (a.getLong(3) == b.getLong(3) && a.getLong(0) < b.getLong(0))
       case _ => true })
   }
+
+  test("ev_burstiness: B equals a plain-Scala recompute and sits in (-1, 1)") {
+    val out = SparkEntry.queries("ev_burstiness")(spark, dir).collect()
+    assert(out.nonEmpty)
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("event_type"), unix_micros(col("ts")).as("us"),
+        col("event_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val byType = ev.groupBy(_._1)
+    for (row <- out) {
+      val t = row.getString(0)
+      val gaps = byType(t).sortBy(x => (x._2, x._3)).map(_._2)
+        .sliding(2).collect { case Array(a, b) => BigInt(b - a) }.toVector
+      assert(row.getLong(1) == gaps.length)
+      val (n, st) = (BigInt(gaps.length), gaps.sum)
+      val stt = gaps.map(g => g * g).sum
+      val d = (n * stt - st * st).toDouble
+      val b = (math.sqrt(d) - st.toDouble) / (math.sqrt(d) + st.toDouble)
+      assert(math.abs(row.getDouble(3) - b) <= 1e-6,
+        s"$t: b_coef ${row.getDouble(3)} vs recomputed $b")
+      assert(row.getDouble(3) > -1 && row.getDouble(3) < 1)
+    }
+  }
+
+  test("ev_seasonal_strength: strength in [0,1], F nonnegative, ANOVA identity") {
+    val out = SparkEntry.queries("ev_seasonal_strength")(spark, dir)
+    assert(out.count() > 0)
+    assert(out.where(col("seasonal_strength") < -1e-9 ||
+      col("seasonal_strength") > 1 + 1e-9).count() == 0)
+    assert(out.where(col("f_stat") < 0).count() == 0)
+    // F and strength describe the same decomposition:
+    // F = (s/(k-1)) / ((1-s)/(n-k)) with s = SS_b/SS_t — cross-check
+    for (r <- out.collect() if !r.isNullAt(3) && !r.isNullAt(4)) {
+      val (n, k) = (r.getLong(1).toDouble, r.getLong(2).toDouble)
+      val (f, s) = (r.getDouble(3), r.getDouble(4))
+      val fFromS = (s / (k - 1)) / ((1 - s) / (n - k))
+      assert(math.abs(f - fFromS) <= 1e-3 * math.max(1.0, f),
+        s"${r.getString(0)}: F $f vs identity $fFromS")
+    }
+  }
+
+  test("a31_mood_median: cells recompute against a directly selected grand median") {
+    val out = SparkEntry.queries("a31_mood_median")(spark, dir).collect()
+    val cents = Tables.load(spark, dir, "events")
+      .select(floor(col("value") * 100 + lit(0.5)).cast("long").as("c"))
+      .collect().map(_.getLong(0)).sorted
+    val med = cents((cents.length + 1) / 2 - 1) // lower median, 1-based k
+    val byType = Tables.load(spark, dir, "events")
+      .select(col("event_type"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).groupBy(_._1)
+    for (row <- out) {
+      val t = row.getString(0)
+      assert(row.getLong(1) == byType(t).length)
+      assert(row.getLong(2) == byType(t).count(_._2 > med),
+        s"$t: n_above ${row.getLong(2)} vs direct count at median $med")
+    }
+    // the chi2 contributions sum to a finite Mood statistic
+    assert(out.forall(r => r.isNullAt(4) || r.getDouble(4) >= 0))
+  }
 }
