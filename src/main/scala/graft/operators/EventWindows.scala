@@ -963,6 +963,69 @@ object EventWindows {
         .orderBy("event_type")
     }),
 
+    // Classical seasonal decomposition of the per-type daily series
+    // (the moving-average decomposition behind statsmodels
+    // seasonal_decompose; Makridakis et al. ch. 3): value = trend +
+    // seasonal + residual with trend the centered 7-day moving average,
+    // seasonal the CENTERED day-of-week means of the detrended series,
+    // residual the remainder. Exactness: the 7-day sum S7 is an exact
+    // decimal window sum, the detrended series stays integer by
+    // 7-scaling (d7 = 7·x − S7 — the ev_hurst w-scaling trick), the
+    // dow means are each ONE double division, and the dow-mean centering
+    // folds its ≤7 terms in dow order on both engines. Trend/residual
+    // are NULL on the 3-day edges (incomplete window), the standard
+    // convention. Scale: one corpus (type, day) agg; the ±3 window and
+    // every later frame ride types×days metadata; seasonal indexes join
+    // back broadcast.
+    //
+    // Streaming-twin adjudication: the centered window needs 3 FUTURE
+    // days, so the operator is non-causal by definition (the trailing
+    // variant a stream would run is ev_ewma's territory, which has its
+    // transformWithState twin); the batch form is the only consumer.
+    "ev_decompose" -> ((s, dir) => {
+      val dec = (x: org.apache.spark.sql.Column) => x.cast("decimal(38,0)")
+      val d = load(s, dir, "events")
+        .select(col("event_type"), to_date(col("ts")).as("d"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("c"))
+        .groupBy("event_type", "d").agg(sum("c").as("sc"))
+        .localCheckpoint()
+      val spine = d.groupBy("event_type")
+        .agg(min("d").as("mn"), max("d").as("mx"))
+        .select(col("event_type"), explode(sequence(col("mn"), col("mx"))).as("d"))
+      val w7 = Window.partitionBy("event_type").orderBy("d")
+        .rowsBetween(-3, 3)
+      val g = spine.join(d, Seq("event_type", "d"), "left")
+        .na.fill(0L, Seq("sc"))
+        .withColumn("s7", sum(dec(col("sc"))).over(w7))
+        .withColumn("n7", count(lit(1)).over(w7))
+        .withColumn("d7", when(col("n7") === 7,
+          dec(col("sc")) * 7 - col("s7")))
+        .withColumn("dow", weekday(col("d")))
+        .localCheckpoint() // seasonal-index agg + final output share it
+      val sidx = g.where(col("d7").isNotNull)
+        .groupBy("event_type", "dow")
+        .agg((sum("d7").cast("double") /
+          (lit(7.0) * count(lit(1)).cast("double"))).as("m"))
+      val cen = sidx.groupBy("event_type")
+        .agg(aggregate(
+          sort_array(collect_list(struct(col("dow"), col("m").as("mm")))),
+          lit(0.0), (acc, x) => acc + x.getField("mm")).as("sm"),
+          count(lit(1)).as("kd"))
+      val sea = sidx.join(broadcast(cen), "event_type")
+        .select(col("event_type"), col("dow"),
+          (col("m") - col("sm") / col("kd").cast("double")).as("seas"))
+      g.join(broadcast(sea), Seq("event_type", "dow"), "left")
+        .select(col("event_type"), col("d").as("day"),
+          round(col("sc").cast("double") / lit(100.0), 6).as("value"),
+          round(when(col("n7") === 7,
+            col("s7").cast("double") / lit(7.0) / lit(100.0)), 6).as("trend"),
+          round(col("seas") / lit(100.0), 6).as("seasonal"),
+          round(when(col("n7") === 7,
+            col("d7").cast("double") / lit(7.0) / lit(100.0) -
+              col("seas") / lit(100.0)), 6).as("residual"))
+        .orderBy("event_type", "day")
+    }),
+
     // CUSUM change-point detection over the per-type daily totals — the
 
     // CUSUM change-point detection over the per-type daily totals — the
@@ -2834,6 +2897,55 @@ object EventWindows {
         |  round(CASE WHEN qtd - cm > 0 THEN (aa - cm) / (qtd - cm) END, 6)
         |    AS seasonal_strength
         |FROM r ORDER BY event_type""".stripMargin,
+
+    "ev_decompose" ->
+      """WITH d AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sc
+        |  FROM events GROUP BY 1, 2),
+        |rng AS (SELECT event_type, min(d) AS mn, max(d) AS mx FROM d GROUP BY 1),
+        |spine AS (
+        |  SELECT event_type, CAST(unnest(generate_series(mn, mx,
+        |    INTERVAL 1 DAY)) AS DATE) AS d
+        |  FROM rng),
+        |f AS (
+        |  SELECT s.event_type, s.d, coalesce(dd.sc, 0) AS sc
+        |  FROM spine s LEFT JOIN d dd
+        |    ON s.event_type = dd.event_type AND s.d = dd.d),
+        |t AS (
+        |  SELECT event_type, d, sc,
+        |    sum(CAST(sc AS HUGEINT)) OVER w AS s7, count(*) OVER w AS n7
+        |  FROM f
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY d
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |g AS (
+        |  SELECT event_type, d, sc, s7, n7,
+        |    CASE WHEN n7 = 7 THEN CAST(sc AS HUGEINT) * 7 - s7 END AS d7,
+        |    isodow(d) - 1 AS dow
+        |  FROM t),
+        |sidx AS (
+        |  SELECT event_type, dow,
+        |    CAST(sum(d7) AS DOUBLE) / (7.0 * CAST(count(*) AS DOUBLE)) AS m
+        |  FROM g WHERE d7 IS NOT NULL GROUP BY 1, 2),
+        |cen AS (
+        |  SELECT event_type,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list(m ORDER BY dow)), (a, b) -> a + b) AS sm,
+        |    count(*) AS kd
+        |  FROM sidx GROUP BY 1),
+        |sea AS (
+        |  SELECT s.event_type, s.dow, s.m - c.sm / CAST(c.kd AS DOUBLE) AS seas
+        |  FROM sidx s JOIN cen c ON s.event_type = c.event_type)
+        |SELECT g.event_type, g.d AS day,
+        |  round(CAST(g.sc AS DOUBLE) / 100.0, 6) AS value,
+        |  round(CASE WHEN n7 = 7 THEN CAST(s7 AS DOUBLE) / 7.0 / 100.0 END, 6)
+        |    AS trend,
+        |  round(seas / 100.0, 6) AS seasonal,
+        |  round(CASE WHEN n7 = 7 THEN CAST(g.d7 AS DOUBLE) / 7.0 / 100.0
+        |    - seas / 100.0 END, 6) AS residual
+        |FROM g LEFT JOIN sea
+        |  ON g.event_type = sea.event_type AND g.dow = sea.dow
+        |ORDER BY g.event_type, day""".stripMargin,
 
     "ev_cusum_cp" ->
       """WITH d AS (

@@ -220,6 +220,49 @@ object Graph {
         .orderBy("pa", "pb")
     }),
 
+    // Adamic–Adar link prediction (Adamic & Adar 2003) — the
+    // frequency-weighted sibling of gr_linkpred's Jaccard: each common
+    // neighbor z contributes 1/ln(deg z), so a rare shared neighbor
+    // says more than a hub. Same scale machinery (hub-pruned wedge
+    // explode from sorted neighbor sets, never a fact self-join;
+    // existing edges leave by one anti-join); the center's weight is
+    // computed ONCE per center and the per-pair sum — the one
+    // order-sensitive double reduction — folds in center-id order on
+    // both engines (the prof_mutual_info list_reduce parity). A wedge
+    // center always has ≥ 2 neighbors, so ln(deg z) ≥ ln 2 > 0 by
+    // construction.
+    "gr_adamic_adar" -> ((s, dir) => {
+      val e = edges(s, dir)
+      val und = e.select(col("pa").as("u"), col("pb").as("v"))
+        .unionAll(e.select(col("pb").as("u"), col("pa").as("v")))
+        .localCheckpoint()
+      val keep = und.groupBy("u").agg(count(lit(1)).as("d"))
+        .where(col("d") <= LpMaxDeg).select("u")
+      val sub = und.join(keep, "u")
+        .join(keep.select(col("u").as("v")), "v")
+        .select("u", "v").localCheckpoint()
+      val wedges = sub.groupBy("u")
+        .agg(sort_array(collect_set(col("v"))).as("ns"))
+        .select(col("u").as("z"),
+          (lit(1.0) / log(size(col("ns")).cast("double"))).as("w"),
+          explode(expr(
+            "flatten(transform(ns, (x, i) -> " +
+              "transform(slice(ns, i + 2, size(ns) - i - 1), " +
+              "y -> struct(x AS a, y AS b))))")).as("p"))
+      val pairs = wedges
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(count(lit(1)).as("n_common"),
+          aggregate(
+            sort_array(collect_list(struct(col("z"), col("w").as("w")))),
+            lit(0.0), (acc, x) => acc + x.getField("w")).as("aa"))
+        .where(col("n_common") >= LpMinCommon)
+      pairs
+        .join(e.select(col("pa").as("a"), col("pb").as("b")), Seq("a", "b"), "left_anti")
+        .select(col("a").as("pa"), col("b").as("pb"), col("n_common"),
+          round(col("aa"), 6).as("adamic_adar"))
+        .orderBy("pa", "pb")
+    }),
+
     // Per-node triangle participation over the co-purchase graph, top
     // nodes first (the shared [[nodeTriangles]] wedge pipeline).
     "gr_triangles" -> ((s, dir) =>
@@ -664,6 +707,35 @@ object Graph {
          |  round(CAST(c.n_common AS DOUBLE) / (da.d + db.d - c.n_common), 6)
          |    AS jaccard
          |FROM cand c JOIN sd da ON c.a = da.u JOIN sd db ON c.b = db.u
+         |ORDER BY pa, pb""".stripMargin,
+
+    "gr_adamic_adar" ->
+      s"""WITH ${cappedItemsSql(" MATERIALIZED")},
+         |e AS MATERIALIZED (
+         |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+         |  FROM items a JOIN items b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |  GROUP BY 1, 2 HAVING count(*) >= $MinSupport),
+         |g0 AS MATERIALIZED (SELECT pa AS u, pb AS v FROM e
+         |       UNION ALL SELECT pb AS u, pa AS v FROM e),
+         |keep AS (SELECT u FROM (SELECT u, count(*) AS d FROM g0 GROUP BY u)
+         |         WHERE d <= $LpMaxDeg),
+         |sub AS MATERIALIZED (
+         |  SELECT g.u, g.v FROM g0 g JOIN keep a ON g.u = a.u
+         |  JOIN keep b ON g.v = b.u),
+         |sd AS (SELECT u, count(*) AS d FROM sub GROUP BY u),
+         |pairs AS (
+         |  SELECT a.v AS a, b.v AS b, count(*) AS n_common,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list(CAST(1 AS DOUBLE) / ln(CAST(sd.d AS DOUBLE))
+         |        ORDER BY a.u)), (x, y) -> x + y) AS aa
+         |  FROM sub a JOIN sub b ON a.u = b.u AND a.v < b.v
+         |  JOIN sd ON a.u = sd.u
+         |  GROUP BY 1, 2 HAVING count(*) >= $LpMinCommon)
+         |SELECT p.a AS pa, p.b AS pb, CAST(p.n_common AS BIGINT) AS n_common,
+         |  round(p.aa, 6) AS adamic_adar
+         |FROM pairs p
+         |LEFT JOIN e ON p.a = e.pa AND p.b = e.pb WHERE e.pa IS NULL
          |ORDER BY pa, pb""".stripMargin,
 
     "gr_triangles" ->

@@ -1478,4 +1478,54 @@ class PipelineOpsSpec extends AnyFunSuite {
     // the chi2 contributions sum to a finite Mood statistic
     assert(out.forall(r => r.isNullAt(4) || r.getDouble(4) >= 0))
   }
+
+  test("ev_decompose: additive identity holds and seasonal indexes center to zero") {
+    val out = SparkEntry.queries("ev_decompose")(spark, dir)
+    // value = trend + seasonal + residual wherever the trend is defined
+    // (each term rounds to 6dp independently → ±2e-6 slack)
+    val broken = out.where(col("trend").isNotNull &&
+      abs(col("value") - col("trend") - col("seasonal") - col("residual"))
+        > 3e-6)
+    assert(broken.count() == 0)
+    // the seasonal component is CENTERED: per type the distinct dow
+    // indexes sum to ~0
+    val seas = out.collect().groupBy(_.getString(0)).map { case (t, rows) =>
+      t -> rows.map(r => (r.getDate(1).toLocalDate.getDayOfWeek,
+        r.getDouble(4))).distinct.map(_._2).sum
+    }
+    for ((t, s) <- seas)
+      assert(math.abs(s) < 1e-4, s"$t: seasonal indexes sum to $s")
+    // 3-day edges carry no trend; interior days all do
+    val perType = out.groupBy("event_type").agg(
+      count(lit(1)).as("n"), count(col("trend")).as("nt"))
+    assert(perType.where(col("nt") =!= col("n") - 6).count() == 0)
+  }
+
+  test("gr_adamic_adar: scores recompute from the pruned subgraph; no existing edges") {
+    val out = SparkEntry.queries("gr_adamic_adar")(spark, dir).collect()
+    assert(out.nonEmpty)
+    // rebuild the hub-pruned undirected subgraph exactly as the op does
+    val items = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val basket = operators.Relational3.basketPairs(items)
+      .groupBy(col("pr.pa").as("pa"), col("pr.pb").as("pb"))
+      .agg(count(lit(1)).as("c")).where(col("c") >= 2)
+      .select("pa", "pb").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nbr0 = (basket.map(p => (p._1, p._2)) ++ basket.map(p => (p._2, p._1)))
+      .groupBy(_._1).map { case (u, vs) => u -> vs.map(_._2).toSet }
+    val keep = nbr0.filter(_._2.size <= 64).keySet
+    val nbr = nbr0.collect { case (u, vs) if keep(u) =>
+      u -> vs.filter(keep) }.toMap
+    val edgeSet = basket.toSet
+    for (r <- out.take(300)) {
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      assert(!edgeSet((a, b)), s"($a,$b) is an existing edge")
+      val cn = (nbr(a) & nbr(b)).toSeq.sorted
+      assert(cn.size == r.getLong(2))
+      val aa = cn.map(z => 1.0 / math.log(nbr(z).size.toDouble))
+        .foldLeft(0.0)(_ + _)
+      assert(math.abs(aa - r.getDouble(3)) <= 1e-6,
+        s"($a,$b): aa ${r.getDouble(3)} vs recomputed $aa")
+    }
+  }
 }
