@@ -572,6 +572,76 @@ object Dedup {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // SimHash near-duplicate CLASSES — the heavy-duplication scale form
+    // of dd_simhash_hamming, with the SAME transitive closure. The
+    // round-14 sf10x run proved pair ENUMERATION is quadratic in the
+    // duplication factor (100× content replicas → ~10,000× the pair
+    // set, adjudicated in CORRECTNESS_SF10X.json); the class form is
+    // duplication-INDEPENDENT: (1) docs sharing an exact signature in a
+    // bucket form a star to the group's min doc (Hamming 0, no verify
+    // needed) — O(members); (2) only the DISTINCT-signature
+    // representatives pairwise-verify within a bucket — reps per bucket
+    // are bounded by the non-band signature space and, crucially, by
+    // distinct CONTENT, so a 100× replica corpus adds ZERO rep pairs.
+    // Closure over (1) ∪ (2) equals the full pairwise closure exactly:
+    // any verified pair (a,b) either shares a signature (same star) or
+    // its reps share the pair's pigeonhole band with the same Hamming
+    // distance (rep edge) and each doc reaches its rep through its
+    // star. Classes via [[connectedComponents]] (the same
+    // schedule-independent min-label fixpoint the recursive-CTE oracle
+    // computes); one output row per class: label, size, keeper — what a
+    // 100 TB dedup actually materializes.
+    "dd_simhash_components" -> ((s, dir) => {
+      val tok = load(s, dir, "documents")
+        .select(col("doc_id"), explode(toks(col("text"))).as("token"))
+        .withColumn("h", hash32(col("token")))
+      val votes = (0 until SimBits).map(j =>
+        sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+          .as(s"v$j"))
+      val sigW = tok.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+      val simhash = (0 until SimBits).map(j =>
+        when(col(s"v$j") > 0, lit(1L << j)).otherwise(0L)).reduce(_ + _)
+      val sig = sigW.select(col("doc_id"), simhash.as("simhash"))
+      val bandMask = (1L << SimBandBits) - 1
+      val banded = sig.select(col("doc_id"), col("simhash"),
+        explode(array((0 until SimBands).map(b => struct(
+          lit(b).as("band"),
+          shiftright(col("simhash"), b * SimBandBits).bitwiseAND(lit(bandMask))
+            .as("key"))): _*)).as("bk"))
+        .select(col("doc_id"), col("simhash"),
+          col("bk.band").as("band"), col("bk.key").as("key"))
+      // (1) exact-signature groups: min-doc stars, Hamming 0 by identity
+      val sgrp = banded.groupBy("band", "key", "simhash")
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .localCheckpoint() // stars + reps both ride this frame
+      val exactStar = sgrp.where(size(col("ids")) > 1)
+        .select(explode(expr(
+          "transform(slice(ids, 2, size(ids)), d -> struct(ids[0] AS a, d AS b))"))
+          .as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b"))
+      // (2) distinct-signature reps pairwise-verified per bucket — the
+      // dd_simhash_hamming explode shape, but over content-distinct reps
+      val repPairs = sgrp
+        .select(col("band"), col("key"),
+          struct(expr("ids[0]").as("rep"), col("simhash")).as("r"))
+        .groupBy("band", "key")
+        .agg(sort_array(collect_list(col("r"))).as("rs"))
+        .where(size(col("rs")) > 1)
+        .select(explode(flatten(transform(col("rs"), (x, i) =>
+          transform(slice(col("rs"), i + 2, size(col("rs"))), y => struct(
+            x.getField("rep").as("a"), y.getField("rep").as("b"),
+            x.getField("simhash").bitwiseXOR(y.getField("simhash")).as("xr"))))))
+          .as("p"))
+        .where(bit_count(col("p.xr")) <= SimMaxHam)
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+      val edges = exactStar.unionByName(repPairs).distinct()
+      connectedComponents(edges)
+        .groupBy("lbl")
+        .agg(count(lit(1)).as("n_members"), min("doc_id").as("keep_id"))
+        .select(col("lbl").as("component"), col("n_members"), col("keep_id"))
+        .orderBy("component")
+    }),
+
     // Shingle CONTAINMENT pairs (Broder's asymmetric resemblance,
     // |A∩B|/|A|): detects near-SUPERSET relations — quotes, excerpts,
     // doc-inside-doc contamination — that symmetric Jaccard dilutes (a
@@ -1086,6 +1156,47 @@ object Dedup {
          |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= $SimMaxHam
          |ORDER BY doc_a, doc_b""".stripMargin
+    },
+
+    "dd_simhash_components" -> {
+      val votes = (0 until SimBits)
+        .map(j => s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS v$j")
+        .mkString(",\n    ")
+      val bits = (0 until SimBits)
+        .map(j => s"CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+      val mask = (1L << SimBandBits) - 1
+      s"""WITH RECURSIVE tok AS (
+         |  SELECT doc_id, ${hash32Sql("token")} AS h FROM (
+         |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents)),
+         |sigv AS (
+         |  SELECT doc_id,
+         |    $votes
+         |  FROM tok GROUP BY doc_id),
+         |sig AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM sigv),
+         |banded AS (
+         |  SELECT doc_id, simhash, band, (simhash >> (band * $SimBandBits)) & $mask AS key
+         |  FROM (SELECT doc_id, simhash, unnest(range($SimBands)) AS band FROM sig)),
+         |sgrp AS (
+         |  SELECT band, key, simhash, list_sort(list(doc_id)) AS ids
+         |  FROM banded GROUP BY 1, 2, 3),
+         |exact_star AS (
+         |  SELECT ids[1] AS a, unnest(ids[2:]) AS b FROM sgrp
+         |  WHERE len(ids) > 1),
+         |rep_pairs AS (
+         |  SELECT a.ids[1] AS a, b.ids[1] AS b
+         |  FROM sgrp a JOIN sgrp b
+         |    ON a.band = b.band AND a.key = b.key AND a.ids[1] < b.ids[1]
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= $SimMaxHam),
+         |star AS (SELECT a, b FROM exact_star UNION SELECT a, b FROM rep_pairs),
+         |edges AS (SELECT a, b FROM star UNION SELECT b, a FROM star),
+         |nodes AS (SELECT DISTINCT a AS doc FROM edges),
+         |reach(src, dst) AS (
+         |  SELECT doc, doc FROM nodes
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+         |comp AS (SELECT src AS doc_id, min(dst) AS lbl FROM reach GROUP BY src)
+         |SELECT lbl AS component, count(*) AS n_members, min(doc_id) AS keep_id
+         |FROM comp GROUP BY lbl ORDER BY component""".stripMargin
     },
 
     "dd_components" ->

@@ -1528,4 +1528,33 @@ class PipelineOpsSpec extends AnyFunSuite {
         s"($a,$b): aa ${r.getDouble(3)} vs recomputed $aa")
     }
   }
+
+  test("dd_simhash_components: classes equal union-find over the pair form exactly") {
+    // The operator's contract is that the duplication-independent
+    // exact-sig-star + rep-pair construction has the SAME transitive
+    // closure as dd_simhash_hamming's full pair enumeration. Prove it:
+    // union-find over the collected pairs must reproduce every
+    // (component, n_members, keep_id) row bit-for-bit.
+    val pairs = SparkEntry.queries("dd_simhash_hamming")(spark, dir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    for ((a, b) <- pairs) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expect = parent.keys.toSeq.groupBy(find)
+      .map { case (_, members) =>
+        (members.min, members.size.toLong, members.min) }
+      .toSet
+    val got = SparkEntry.queries("dd_simhash_components")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expect,
+      s"class sets differ: only-engine=${(got -- expect).take(3)} " +
+        s"only-unionfind=${(expect -- got).take(3)}")
+  }
 }
