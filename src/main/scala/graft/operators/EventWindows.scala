@@ -2119,34 +2119,62 @@ object EventWindows {
     // NULL when a type has a single-day span or an empty half (σ = 0).
     // Scale: ONE keyed agg over the fact table; the split and test ride
     // the types-sized frame.
-    "ev_rate_test" -> ((s, dir) => {
-      val d0 = load(s, dir, "events")
-        .select(col("event_type"),
-          datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
-            .cast("long").as("d"))
-        .localCheckpoint()
-      val rng = d0.groupBy("event_type")
-        .agg(min("d").as("mn"), max("d").as("mx"))
-        // floor division (pmod keeps the remainder non-negative), NOT
-        // `div` (truncates toward zero): the DuckDB oracle's `//` floors,
-        // and for pre-1970 timestamps (negative epoch days) the two would
-        // otherwise pick different midpoints and red the hash gate
-        .withColumn("mid",
-          expr("(mn + mx + 1 - pmod(mn + mx + 1, 2)) div 2"))
-      val g = d0.join(broadcast(rng), "event_type")
-        .groupBy(col("event_type"), col("mn"), col("mx"), col("mid"))
-        .agg(sum((col("d") < col("mid")).cast("long")).as("n1"),
-          sum((col("d") >= col("mid")).cast("long")).as("n2"))
-      val t1 = (col("mid") - col("mn")).cast("double")
-      val t2 = (col("mx") - col("mid") + 1).cast("double")
-      val nn = (col("n1") + col("n2")).cast("double")
-      val p0 = t1 / (t1 + t2)
-      val z = (col("n1").cast("double") - nn * p0) /
-        sqrt(nn * p0 * (lit(1.0) - p0))
-      g.select(col("event_type"), col("n1"), col("n2"),
+    "ev_rate_test" -> ((s, dir) =>
+      rateZ(s, dir)
+        .select(col("event_type"), col("n1"), col("n2"),
           (col("mid") - col("mn")).as("days_1"),
           (col("mx") - col("mid") + 1).as("days_2"),
-          round(when(col("mx") > col("mn") && nn > 0, z), 6).as("z"))
+          round(col("z0"), 6).as("z"))
+        .orderBy("event_type")),
+
+    // Benjamini–Hochberg FDR correction over the per-type rate-test
+    // p-values — the multiple-testing control a pipeline that z-tests
+    // THOUSANDS of metric families per day (every `a*`/`ev_*` test here,
+    // times every segment) cannot ship without: at α=0.05, fifty true
+    // nulls yield ~2.5 false "regressions" per day uncorrected. Two-sided
+    // p = erfc(|z|/√2) via the Abramowitz–Stegun 7.1.26 rational
+    // approximation (|ε| ≤ 1.5·10⁻⁷ — far inside round(6); the SAME
+    // Horner tree evaluates on both engines, the a25_spearman discipline
+    // for transcendental parity). BH: rank p ascending (ties broken by
+    // type so both engines agree), p_bh(i) = min_{j≥i} p(j)·m/j clamped
+    // at 1 — both the rank and the suffix-min run as broadcast self-joins
+    // on the TYPES-scale frame, not windows, so nothing here ever sees an
+    // unpartitioned fact-scale exchange. Types whose span admits no test
+    // (single-day: z NULL) pass through with NULL p/p_bh/reject. Scale:
+    // one corpus-scale keyed agg (inside rateZ); everything after is
+    // types² ≤ a few hundred broadcast-joined rows.
+    "a33_bh_fdr" -> ((s, dir) => {
+      val g = rateZ(s, dir).select(col("event_type"), col("z0"))
+        .localCheckpoint() // reused by scored + the final left join
+      val x = abs(col("z0")) / sqrt(lit(2.0))
+      val t = lit(1.0) / (lit(1.0) + lit(0.3275911) * x)
+      val p = (((((lit(1.061405429) * t + lit(-1.453152027)) * t +
+        lit(1.421413741)) * t + lit(-0.284496736)) * t +
+        lit(0.254829592)) * t) * exp(x * x * lit(-1.0))
+      val scored = g.where(col("z0").isNotNull)
+        .select(col("event_type"), p.as("p"))
+        .localCheckpoint() // ranked via two broadcast self-joins below
+      val m = scored.agg(count(lit(1)).as("m"))
+      val b = scored.select(col("event_type").as("tb"), col("p").as("pb"))
+      val ranked = scored.join(broadcast(b),
+          col("pb") < col("p") ||
+            (col("pb") === col("p") && col("tb") <= col("event_type")))
+        .groupBy("event_type", "p").agg(count(lit(1)).as("r"))
+      val rb = ranked.select(col("event_type").as("tb"), col("p").as("pb"),
+        col("r").as("rb"))
+      val adj = ranked.join(broadcast(rb),
+          col("pb") > col("p") ||
+            (col("pb") === col("p") && col("tb") >= col("event_type")))
+        .crossJoin(broadcast(m))
+        .groupBy("event_type", "p")
+        .agg(min(col("pb") * col("m").cast("double") /
+          col("rb").cast("double")).as("p_raw"))
+        .select(col("event_type"), col("p"),
+          least(col("p_raw"), lit(1.0)).as("p_bh"))
+      g.join(adj, Seq("event_type"), "left")
+        .select(col("event_type"), round(col("z0"), 6).as("z"),
+          round(col("p"), 6).as("p"), round(col("p_bh"), 6).as("p_bh"),
+          when(col("p_bh").isNotNull, col("p_bh") <= lit(0.05)).as("reject"))
         .orderBy("event_type")
     }),
 
@@ -2277,9 +2305,264 @@ object EventWindows {
           round((col("c_a") / na - col("c_b") / nb) /
             sqrt(p * (lit(1.0) - p) *
               (lit(1.0) / na + lit(1.0) / nb)), 6).as("z_score"))
+    }),
+
+    // Exact single-split binary segmentation per event type — the first
+    // level of the classic changepoint recursion (Scott & Knott 1974):
+    // over the calendar zero-filled daily count series, pick the split
+    // that minimizes SSE(left) + SSE(right). Where ev_cusum_cp/
+    // ev_page_hinkley DETECT drift sequentially, this finds the
+    // retrospective least-squares break. O(D) per type, not O(D²): both
+    // segment SSEs come from running prefix sums — SSE(1..k) =
+    // S2_k − S1_k²/k — so each candidate split is one expression over
+    // the cumulative window. Counts and prefix sums stay integer
+    // (Σc² in decimal(38,0)); cost doubles share one expression tree
+    // cross-engine, the argmin tie-breaks on earliest day, round(6).
+    // Scale: one corpus-scale (type, day) agg; the spine, window, and
+    // argmin ride the types×days frame partitioned by type. Types with a
+    // single spine day have no candidate split and emit no row.
+    //
+    // Streaming-twin adjudication: retrospective by definition — every
+    // candidate is scored against the FULL series' suffix sums, so no
+    // causal processor can emit before the stream closes (the
+    // ev_cusum_cp class).
+    "ev_binseg" -> ((s, dir) => {
+      val daily = load(s, dir, "events")
+        .select(col("event_type"), to_date(col("ts")).as("d"))
+        .groupBy("event_type", "d").agg(count(lit(1)).as("c"))
+      val rng = daily.groupBy("event_type")
+        .agg(min("d").as("mn"), max("d").as("mx"))
+      val spine = rng.select(col("event_type"),
+        explode(sequence(col("mn"), col("mx"))).as("d"))
+      val full = spine.join(daily, Seq("event_type", "d"), "left")
+        .select(col("event_type"), col("d"),
+          coalesce(col("c"), lit(0L)).as("c"))
+      val wOrd = Window.partitionBy("event_type").orderBy("d")
+      val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val pre = full
+        .withColumn("k", row_number().over(wOrd).cast("long"))
+        .withColumn("s1", sum("c").over(wCum))
+        .withColumn("s2",
+          sum(col("c").cast("decimal(38,0)") * col("c")).over(wCum))
+      val tot = full.groupBy("event_type")
+        .agg(count(lit(1)).as("dd"), sum("c").as("t1"),
+          sum(col("c").cast("decimal(38,0)") * col("c")).as("t2"))
+      val cost =
+        (col("s2").cast("double") - col("s1").cast("double") *
+          col("s1").cast("double") / col("k").cast("double")) +
+        ((col("t2") - col("s2")).cast("double") -
+          (col("t1") - col("s1")).cast("double") *
+            (col("t1") - col("s1")).cast("double") /
+            (col("dd") - col("k")).cast("double"))
+      val cost0 = col("t2").cast("double") - col("t1").cast("double") *
+        col("t1").cast("double") / col("dd").cast("double")
+      val cand = pre.join(broadcast(tot), "event_type")
+        .where(col("k") < col("dd"))
+        .select(col("event_type"), col("d"), col("k"), col("dd"),
+          cost.as("cost"), cost0.as("cost0"))
+      val wPick = Window.partitionBy("event_type")
+        .orderBy(col("cost"), col("d"))
+      cand.withColumn("rn", row_number().over(wPick))
+        .where(col("rn") === 1)
+        .select(col("event_type"), col("d").as("split_day"),
+          col("k").as("n_left"), (col("dd") - col("k")).as("n_right"),
+          round(col("cost"), 6).as("sse_split"),
+          round(col("cost0") - col("cost"), 6).as("gain"))
+        .orderBy("event_type")
+    }),
+
+    // Wilcoxon signed-rank test per event type on week-over-week paired
+    // daily revenue — "did this week's dollars shift vs the same weekday
+    // last week", the PAIRED nonparametric complement to a17_mwu's
+    // unpaired rank test (pairing by calendar lag-7 removes the weekday
+    // seasonal that would otherwise dominate). Exactness: daily totals
+    // are integer cents on the zero-filled spine, so each pair's diff is
+    // integer; zero diffs drop (the standard Wilcoxon reduction); ranks
+    // of |diff| use midranks kept in HALF units h = 2·rank_min + t − 1
+    // (integer — no .5 doubles until output) via one rank window + one
+    // tie-count window, both partitioned by type. W⁺ = Σh/2 over
+    // positive diffs; z uses the normal approximation with the exact
+    // tie correction Σ(t³−t)/48. The only doubles are the final
+    // W/E/Var/z expressions, shared tree cross-engine, round(6). Scale:
+    // one corpus-scale (type, day) agg; lag, ranks, and tie counts all
+    // ride the types×days frame partitioned by type. Types whose pairs
+    // all tie at zero emit no row.
+    //
+    // Streaming-twin adjudication: retrospective — midranks are over the
+    // FULL window's |diff| distribution, so a causal processor cannot
+    // rank early pairs until the stream closes (the ev_cusum_cp class).
+    "ev_wilcoxon_sr" -> ((s, dir) => {
+      val daily = load(s, dir, "events")
+        .select(col("event_type"), to_date(col("ts")).as("d"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("c"))
+        .groupBy("event_type", "d").agg(sum("c").as("v"))
+      val rng = daily.groupBy("event_type")
+        .agg(min("d").as("mn"), max("d").as("mx"))
+      val spine = rng.select(col("event_type"),
+        explode(sequence(col("mn"), col("mx"))).as("d"))
+      val full = spine.join(daily, Seq("event_type", "d"), "left")
+        .select(col("event_type"), col("d"),
+          coalesce(col("v"), lit(0L)).as("v"))
+      val wLag = Window.partitionBy("event_type").orderBy("d")
+      val diffs = full.withColumn("prev", lag("v", 7).over(wLag))
+        .where(col("prev").isNotNull && col("v") =!= col("prev"))
+        .select(col("event_type"), (col("v") - col("prev")).as("diff"),
+          abs(col("v") - col("prev")).as("adiff"))
+      val wRank = Window.partitionBy("event_type").orderBy("adiff")
+      val wTie = Window.partitionBy("event_type", "adiff")
+      val ranked = diffs
+        .withColumn("rmin", rank().over(wRank).cast("long"))
+        .withColumn("tcnt", count(lit(1)).over(wTie))
+      val st = ranked.groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum(when(col("diff") > 0,
+          lit(2L) * col("rmin") + col("tcnt") - 1).otherwise(lit(0L)))
+          .as("w2"))
+      val ties = diffs.groupBy("event_type", "adiff")
+        .agg(count(lit(1)).as("t"))
+        .groupBy("event_type")
+        .agg(sum(col("t") * col("t") * col("t") - col("t")).as("ts3"))
+      val nD = col("n").cast("double")
+      val varW = nD * (nD + 1) * (lit(2.0) * nD + 1) / lit(24.0) -
+        col("ts3").cast("double") / lit(48.0)
+      st.join(broadcast(ties), "event_type")
+        .select(col("event_type"), col("n").as("n_pairs"),
+          round(col("w2").cast("double") / lit(2.0), 6).as("w_plus"),
+          round(when(varW > 0,
+            (col("w2").cast("double") / lit(2.0) - nD * (nD + 1) / lit(4.0))
+              / sqrt(varW)), 6).as("z"))
+        .orderBy("event_type")
     }))
 
+  /** Shared core of ev_rate_test and a33_bh_fdr: per-type two-period
+    * Poisson rate z on the type's [mn, mx] day span split at the floor
+    * midpoint — columns (event_type, n1, n2, mn, mx, mid, z0) with z0
+    * UNROUNDED (each consumer rounds at its own output). Floor division
+    * (pmod keeps the remainder non-negative), NOT `div` (truncates toward
+    * zero): the DuckDB oracle's `//` floors, and for pre-1970 timestamps
+    * (negative epoch days) the two would otherwise pick different
+    * midpoints and red the hash gate. z0 is NULL for a single-day span or
+    * an empty window (σ = 0). Scale: ONE keyed agg over the fact table;
+    * the split and test ride the types-sized frame. */
+  private def rateZ(s: SparkSession, dir: String): DataFrame = {
+    val d0 = load(s, dir, "events")
+      .select(col("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          .cast("long").as("d"))
+      .localCheckpoint()
+    val rng = d0.groupBy("event_type")
+      .agg(min("d").as("mn"), max("d").as("mx"))
+      .withColumn("mid",
+        expr("(mn + mx + 1 - pmod(mn + mx + 1, 2)) div 2"))
+    val g = d0.join(broadcast(rng), "event_type")
+      .groupBy(col("event_type"), col("mn"), col("mx"), col("mid"))
+      .agg(sum((col("d") < col("mid")).cast("long")).as("n1"),
+        sum((col("d") >= col("mid")).cast("long")).as("n2"))
+    val t1 = (col("mid") - col("mn")).cast("double")
+    val t2 = (col("mx") - col("mid") + 1).cast("double")
+    val nn = (col("n1") + col("n2")).cast("double")
+    val p0 = t1 / (t1 + t2)
+    val z = (col("n1").cast("double") - nn * p0) /
+      sqrt(nn * p0 * (lit(1.0) - p0))
+    g.select(col("event_type"), col("n1"), col("n2"), col("mn"), col("mx"),
+      col("mid"), when(col("mx") > col("mn") && nn > 0, z).as("z0"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "ev_binseg" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |rng AS (SELECT event_type, min(d) AS mn, max(d) AS mx
+        |        FROM daily GROUP BY 1),
+        |spine AS (
+        |  SELECT event_type, CAST(unnest(generate_series(mn, mx,
+        |    INTERVAL 1 DAY)) AS DATE) AS d
+        |  FROM rng),
+        |f AS (
+        |  SELECT s.event_type, s.d, coalesce(daily.c, 0) AS c
+        |  FROM spine s LEFT JOIN daily
+        |    ON s.event_type = daily.event_type AND s.d = daily.d),
+        |pre AS (
+        |  SELECT event_type, d,
+        |    row_number() OVER w AS k,
+        |    sum(c) OVER (PARTITION BY event_type ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s1,
+        |    sum(CAST(c AS HUGEINT) * c) OVER (PARTITION BY event_type
+        |      ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s2
+        |  FROM f WINDOW w AS (PARTITION BY event_type ORDER BY d)),
+        |tot AS (
+        |  SELECT event_type, count(*) AS dd, sum(c) AS t1,
+        |    sum(CAST(c AS HUGEINT) * c) AS t2
+        |  FROM f GROUP BY 1),
+        |cand AS (
+        |  SELECT pre.event_type, d, k, dd,
+        |    (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+        |       / CAST(k AS DOUBLE))
+        |    + (CAST(t2 - s2 AS DOUBLE)
+        |       - CAST(t1 - s1 AS DOUBLE) * CAST(t1 - s1 AS DOUBLE)
+        |         / CAST(dd - k AS DOUBLE)) AS cost,
+        |    CAST(t2 AS DOUBLE) - CAST(t1 AS DOUBLE) * CAST(t1 AS DOUBLE)
+        |      / CAST(dd AS DOUBLE) AS cost0
+        |  FROM pre JOIN tot USING (event_type) WHERE k < dd)
+        |SELECT event_type, d AS split_day, CAST(k AS BIGINT) AS n_left,
+        |  CAST(dd - k AS BIGINT) AS n_right,
+        |  round(cost, 6) AS sse_split, round(cost0 - cost, 6) AS gain
+        |FROM (SELECT *, row_number() OVER (
+        |        PARTITION BY event_type ORDER BY cost, d) AS rn
+        |      FROM cand)
+        |WHERE rn = 1 ORDER BY event_type""".stripMargin,
+
+    "ev_wilcoxon_sr" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d,
+        |    sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS v
+        |  FROM events GROUP BY 1, 2),
+        |rng AS (SELECT event_type, min(d) AS mn, max(d) AS mx
+        |        FROM daily GROUP BY 1),
+        |spine AS (
+        |  SELECT event_type, CAST(unnest(generate_series(mn, mx,
+        |    INTERVAL 1 DAY)) AS DATE) AS d
+        |  FROM rng),
+        |f AS (
+        |  SELECT s.event_type, s.d,
+        |    CAST(coalesce(daily.v, 0) AS BIGINT) AS v
+        |  FROM spine s LEFT JOIN daily
+        |    ON s.event_type = daily.event_type AND s.d = daily.d),
+        |diffs AS (
+        |  SELECT event_type, v - prev AS diff, abs(v - prev) AS adiff
+        |  FROM (SELECT event_type, v, lag(v, 7) OVER (
+        |          PARTITION BY event_type ORDER BY d) AS prev FROM f)
+        |  WHERE prev IS NOT NULL AND v <> prev),
+        |ranked AS (
+        |  SELECT event_type, diff,
+        |    CAST(rank() OVER (PARTITION BY event_type ORDER BY adiff)
+        |      AS BIGINT) AS rmin,
+        |    count(*) OVER (PARTITION BY event_type, adiff) AS tcnt
+        |  FROM diffs),
+        |st AS (
+        |  SELECT event_type, count(*) AS n,
+        |    sum(CASE WHEN diff > 0 THEN 2 * rmin + tcnt - 1 ELSE 0 END) AS w2
+        |  FROM ranked GROUP BY 1),
+        |ties AS (
+        |  SELECT event_type, sum(t * t * t - t) AS ts3
+        |  FROM (SELECT event_type, adiff, count(*) AS t
+        |        FROM diffs GROUP BY 1, 2)
+        |  GROUP BY 1)
+        |SELECT st.event_type, CAST(n AS BIGINT) AS n_pairs,
+        |  round(CAST(w2 AS DOUBLE) / 2.0, 6) AS w_plus,
+        |  round(CASE WHEN CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1)
+        |      * (2.0 * CAST(n AS DOUBLE) + 1) / 24.0
+        |      - CAST(ts3 AS DOUBLE) / 48.0 > 0 THEN
+        |    (CAST(w2 AS DOUBLE) / 2.0
+        |       - CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1) / 4.0)
+        |    / sqrt(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1)
+        |        * (2.0 * CAST(n AS DOUBLE) + 1) / 24.0
+        |        - CAST(ts3 AS DOUBLE) / 48.0) END, 6) AS z
+        |FROM st JOIN ties USING (event_type)
+        |ORDER BY event_type""".stripMargin,
+
     "ev_growth_acct" ->
       """WITH um AS (
         |  SELECT DISTINCT user_id,
@@ -2441,6 +2724,61 @@ object EventWindows {
         |          / (CAST(mid - mn AS DOUBLE) + CAST(mx - mid + 1 AS DOUBLE))))
         |  END, 6) AS z
         |FROM g ORDER BY event_type""".stripMargin,
+
+    "a33_bh_fdr" ->
+      """WITH d0 AS (
+        |  SELECT event_type,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d
+        |  FROM events),
+        |rng AS (
+        |  SELECT event_type, min(d) AS mn, max(d) AS mx,
+        |    (min(d) + max(d) + 1) // 2 AS mid
+        |  FROM d0 GROUP BY 1),
+        |g AS (
+        |  SELECT d0.event_type, rng.mn, rng.mx, rng.mid,
+        |    sum(CASE WHEN d < mid THEN 1 ELSE 0 END) AS n1,
+        |    sum(CASE WHEN d >= mid THEN 1 ELSE 0 END) AS n2
+        |  FROM d0 JOIN rng ON d0.event_type = rng.event_type
+        |  GROUP BY 1, 2, 3, 4),
+        |zs AS (
+        |  SELECT event_type, CASE WHEN mx > mn AND n1 + n2 > 0 THEN
+        |    (CAST(n1 AS DOUBLE) - CAST(n1 + n2 AS DOUBLE)
+        |       * (CAST(mid - mn AS DOUBLE)
+        |          / (CAST(mid - mn AS DOUBLE) + CAST(mx - mid + 1 AS DOUBLE))))
+        |    / sqrt(CAST(n1 + n2 AS DOUBLE)
+        |       * (CAST(mid - mn AS DOUBLE)
+        |          / (CAST(mid - mn AS DOUBLE) + CAST(mx - mid + 1 AS DOUBLE)))
+        |       * (1.0 - CAST(mid - mn AS DOUBLE)
+        |          / (CAST(mid - mn AS DOUBLE) + CAST(mx - mid + 1 AS DOUBLE))))
+        |  END AS z0
+        |  FROM g),
+        |scored AS (
+        |  SELECT event_type,
+        |    (((((1.061405429 * t + -1.453152027) * t + 1.421413741) * t
+        |       + -0.284496736) * t + 0.254829592) * t)
+        |    * exp(x * x * -1.0) AS p
+        |  FROM (SELECT event_type, abs(z0) / sqrt(2.0) AS x,
+        |          1.0 / (1.0 + 0.3275911 * (abs(z0) / sqrt(2.0))) AS t
+        |        FROM zs WHERE z0 IS NOT NULL)),
+        |m AS (SELECT count(*) AS m FROM scored),
+        |ranked AS (
+        |  SELECT a.event_type, a.p, count(*) AS r
+        |  FROM scored a JOIN scored b
+        |    ON b.p < a.p OR (b.p = a.p AND b.event_type <= a.event_type)
+        |  GROUP BY 1, 2),
+        |adj AS (
+        |  SELECT a.event_type, a.p,
+        |    least(min(b.p * CAST(m.m AS DOUBLE) / CAST(b.r AS DOUBLE)),
+        |      1.0) AS p_bh
+        |  FROM ranked a JOIN ranked b
+        |    ON b.p > a.p OR (b.p = a.p AND b.event_type >= a.event_type)
+        |  CROSS JOIN m
+        |  GROUP BY 1, 2)
+        |SELECT zs.event_type, round(z0, 6) AS z, round(adj.p, 6) AS p,
+        |  round(p_bh, 6) AS p_bh,
+        |  CASE WHEN p_bh IS NOT NULL THEN p_bh <= 0.05 END AS reject
+        |FROM zs LEFT JOIN adj USING (event_type)
+        |ORDER BY zs.event_type""".stripMargin,
 
     "ev_user_gini" ->
       """WITH uc AS (

@@ -1970,9 +1970,106 @@ object Relational3 {
           round(when(e1 > 0 && e0 > 0, d1 * d1 / e1 + d0 * d0 / e0), 6)
             .as("chi2_contrib"))
         .orderBy("event_type")
+    }),
+
+    // Brown–Forsythe (median-centered Levene) homogeneity-of-variance
+    // test across event types — the gatekeeper every mean-comparison in
+    // the battery (a21_welch_t, a23_kruskal, a31_mood_median) implicitly
+    // assumes an answer to: do these groups even share a spread?
+    // z_ij = |x_ij − med_j| then the one-way ANOVA F over z. Exactness:
+    // values quantize to integer cents; each type's median comes from the
+    // (type, cents) HISTOGRAM via the two middle order statistics
+    // (positions (n+1)÷2 and n÷2+1 off the cumulative window), kept as
+    // the integer SUM M = m1+m2 so the deviate w = |2c − M| stays
+    // integer (the ×2 scale cancels in F). Per-type Σw, Σw² accumulate in
+    // decimal(38,0); the only doubles are the k per-type S1j²/nj terms
+    // folded in type-sorted order (the prof_mutual_info parity template)
+    // and the final F = ((N−k)/(k−1))·between/within, round(6), NULL
+    // when within = 0 or k < 2. Scale: TWO corpus-scale (type, cents)
+    // aggs (median locate + deviate sums — kept as separate scans so the
+    // cumulative window's aggregated lineage stays visible to the plan
+    // audit; the agg is map-side-combining so each shuffle is
+    // histogram-scale); the windows, median locate, deviate sums, and
+    // fold all ride histogram- and types-scale frames.
+    "a32_levene" -> ((s, dir) => {
+      def h = load(s, dir, "events")
+        .select(col("event_type"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("c"))
+        .groupBy("event_type", "c").agg(count(lit(1)).as("m"))
+      val wCum = Window.partitionBy("event_type").orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy("event_type")
+      val med = h.withColumn("cum", sum("m").over(wCum))
+        .withColumn("n", sum("m").over(wAll))
+        .groupBy("event_type")
+        .agg((min(when(col("cum") >= expr("(n + 1) div 2"), col("c"))) +
+          min(when(col("cum") >= expr("n div 2 + 1"), col("c")))).as("m2"))
+      val w = abs(lit(2) * col("c") - col("m2"))
+      val z = h.join(broadcast(med), "event_type")
+        .select(col("event_type"), col("m"), w.as("w"))
+        .groupBy("event_type")
+        .agg(sum("m").as("nj"),
+          sum(col("w").cast("decimal(38,0)") * col("m")).as("s1"),
+          sum(col("w").cast("decimal(38,0)") * col("w") * col("m")).as("s2"))
+      val termB = col("s1").cast("double") * col("s1").cast("double") /
+        col("nj").cast("double")
+      val st = z.agg(count(lit(1)).as("k"), sum("nj").as("n"),
+        sum("s1").as("t1"), sum("s2").as("s2t"),
+        aggregate(transform(array_sort(collect_list(
+          struct(col("event_type"), termB.as("t")))),
+          x => x.getField("t")), lit(0.0), (a, t) => a + t).as("sb"))
+      val nD = col("n").cast("double")
+      val kD = col("k").cast("double")
+      val between = col("sb") -
+        col("t1").cast("double") * col("t1").cast("double") / nD
+      val within = col("s2t").cast("double") - col("sb")
+      st.select(col("k"), col("n"),
+        round(between, 6).as("ss_between"),
+        round(within, 6).as("ss_within"),
+        round(when(within > 0 && col("k") > 1,
+          (nD - kD) / (kD - 1) * between / within), 6).as("f_bf"))
     }))
 
   val oracle: Map[String, String] = Map(
+    "a32_levene" ->
+      """WITH h AS (
+        |  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS c,
+        |    count(*) AS m
+        |  FROM events GROUP BY 1, 2),
+        |cums AS (
+        |  SELECT event_type, c, m, sum(m) OVER (
+        |    PARTITION BY event_type ORDER BY c
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(m) OVER (PARTITION BY event_type) AS n
+        |  FROM h),
+        |med AS (
+        |  SELECT event_type,
+        |    min(CASE WHEN cum >= (n + 1) // 2 THEN c END)
+        |    + min(CASE WHEN cum >= n // 2 + 1 THEN c END) AS m2
+        |  FROM cums GROUP BY 1),
+        |z AS (
+        |  SELECT h.event_type, sum(m) AS nj,
+        |    sum(CAST(abs(2 * c - m2) AS HUGEINT) * m) AS s1,
+        |    sum(CAST(abs(2 * c - m2) AS HUGEINT) * abs(2 * c - m2) * m) AS s2
+        |  FROM h JOIN med USING (event_type) GROUP BY 1),
+        |st AS (
+        |  SELECT count(*) AS k, sum(nj) AS n, sum(s1) AS t1, sum(s2) AS s2t,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list(CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+        |             / CAST(nj AS DOUBLE)
+        |           ORDER BY event_type)), (a, b) -> a + b) AS sb
+        |  FROM z)
+        |SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+        |  round(sb - CAST(t1 AS DOUBLE) * CAST(t1 AS DOUBLE)
+        |          / CAST(n AS DOUBLE), 6) AS ss_between,
+        |  round(CAST(s2t AS DOUBLE) - sb, 6) AS ss_within,
+        |  round(CASE WHEN CAST(s2t AS DOUBLE) - sb > 0 AND k > 1 THEN
+        |    (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)) / (CAST(k AS DOUBLE) - 1)
+        |    * (sb - CAST(t1 AS DOUBLE) * CAST(t1 AS DOUBLE)
+        |         / CAST(n AS DOUBLE))
+        |    / (CAST(s2t AS DOUBLE) - sb) END, 6) AS f_bf
+        |FROM st""".stripMargin,
+
     "skew_distinct_2phase" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users,
         |  count(*) AS n_events

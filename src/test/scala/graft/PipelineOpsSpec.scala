@@ -1557,4 +1557,124 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"class sets differ: only-engine=${(got -- expect).take(3)} " +
         s"only-unionfind=${(expect -- got).take(3)}")
   }
+
+  test("a32_levene: F matches a direct Brown–Forsythe recompute") {
+    val row = SparkEntry.queries("a32_levene")(spark, dir).collect().head
+    val byType = Tables.load(spark, dir, "events")
+      .select(col("event_type"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).groupBy(_._1)
+      .map { case (t, rs) => t -> rs.map(_._2).sorted }
+    // per-type deviates |2c − (m1+m2)| off the two middle order stats
+    val z = byType.toSeq.sortBy(_._1).map { case (_, cs) =>
+      val n = cs.length
+      val m2 = cs((n + 1) / 2 - 1) + cs(n / 2) // 1-based (n+1)/2 and n/2+1
+      cs.map(c => math.abs(2 * c - m2).toDouble)
+    }
+    val all = z.flatten
+    val (nTot, k) = (all.length.toDouble, z.length.toDouble)
+    val grand = all.sum / nTot
+    val between = z.map(g => g.length * math.pow(g.sum / g.length - grand, 2)).sum
+    val within = z.map(g => { val m = g.sum / g.length
+      g.map(x => (x - m) * (x - m)).sum }).sum
+    val f = (nTot - k) / (k - 1) * between / within
+    assert(row.getLong(0) == z.length && row.getLong(1) == all.length)
+    assert(math.abs(row.getDouble(4) - f) <= 1e-4 * math.max(1.0, f),
+      s"F ${row.getDouble(4)} vs direct $f")
+  }
+
+  test("ev_binseg: split minimizes SSE over an exhaustive scan per type") {
+    val out = SparkEntry.queries("ev_binseg")(spark, dir).collect()
+    val daily = Tables.load(spark, dir, "events")
+      .select(col("event_type"), to_date(col("ts")).as("d"))
+      .groupBy("event_type", "d").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toLocalDate,
+        r.getLong(2))).groupBy(_._1)
+    def sse(xs: Seq[Double]): Double = {
+      val m = xs.sum / xs.length; xs.map(x => (x - m) * (x - m)).sum
+    }
+    for (row <- out) {
+      val t = row.getString(0)
+      val obs = daily(t).map(r => (r._2, r._3)).toMap
+      val (mn, mx) = (daily(t).map(_._2).min, daily(t).map(_._2).max)
+      val series = Iterator.iterate(mn)(_.plusDays(1)).takeWhile(!_.isAfter(mx))
+        .map(d => obs.getOrElse(d, 0L).toDouble).toVector
+      val costs = (1 until series.length).map(kk =>
+        kk -> (sse(series.take(kk)) + sse(series.drop(kk))))
+      val (bestK, bestC) = costs.minBy { case (kk, c) => (c, kk) }
+      assert(row.getLong(2) == bestK,
+        s"$t: n_left ${row.getLong(2)} vs exhaustive argmin $bestK")
+      assert(math.abs(row.getDouble(4) - bestC) <= 1e-4 * math.max(1.0, bestC))
+      assert(row.getDouble(5) >= -1e-9, s"$t: negative gain")
+    }
+  }
+
+  test("ev_wilcoxon_sr: W+ and z match a direct midrank recompute") {
+    val out = SparkEntry.queries("ev_wilcoxon_sr")(spark, dir).collect()
+    val daily = Tables.load(spark, dir, "events")
+      .select(col("event_type"), to_date(col("ts")).as("d"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("c"))
+      .groupBy("event_type", "d").agg(sum("c").as("v"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toLocalDate,
+        r.getLong(2))).groupBy(_._1)
+    for (row <- out) {
+      val t = row.getString(0)
+      val obs = daily(t).map(r => (r._2, r._3)).toMap
+      val (mn, mx) = (daily(t).map(_._2).min, daily(t).map(_._2).max)
+      val series = Iterator.iterate(mn)(_.plusDays(1)).takeWhile(!_.isAfter(mx))
+        .map(d => obs.getOrElse(d, 0L)).toVector
+      val diffs = (7 until series.length).map(i => series(i) - series(i - 7))
+        .filter(_ != 0L)
+      val sorted = diffs.map(math.abs).sorted
+      def midrank(a: Long): Double = {
+        val lo = sorted.indexOf(a); val hi = sorted.lastIndexOf(a)
+        (lo + 1 + hi + 1) / 2.0
+      }
+      val wPlus = diffs.filter(_ > 0).map(d => midrank(math.abs(d))).sum
+      val n = diffs.length.toDouble
+      val tiesAdj = diffs.map(math.abs).groupBy(identity).values
+        .map(g => { val tt = g.length.toDouble; tt * tt * tt - tt }).sum
+      val varW = n * (n + 1) * (2 * n + 1) / 24.0 - tiesAdj / 48.0
+      val zz = (wPlus - n * (n + 1) / 4.0) / math.sqrt(varW)
+      assert(row.getLong(1) == diffs.length)
+      assert(math.abs(row.getDouble(2) - wPlus) <= 1e-6,
+        s"$t: W+ ${row.getDouble(2)} vs direct $wPlus")
+      assert(math.abs(row.getDouble(3) - zz) <= 1e-4,
+        s"$t: z ${row.getDouble(3)} vs direct $zz")
+    }
+  }
+
+  test("a33_bh_fdr: p from erfc, BH adjustment recomputed, z ties rate test") {
+    val out = SparkEntry.queries("a33_bh_fdr")(spark, dir).collect()
+    val rate = SparkEntry.queries("ev_rate_test")(spark, dir).collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(5)) None
+        else Some(r.getDouble(5)))).toMap
+    def erfc(x: Double): Double = { // same A&S 7.1.26 the operator uses
+      val t = 1.0 / (1.0 + 0.3275911 * x)
+      (((((1.061405429 * t - 1.453152027) * t + 1.421413741) * t
+        - 0.284496736) * t + 0.254829592) * t) * math.exp(-x * x)
+    }
+    for (r <- out) assert(rate(r.getString(0)) ==
+      (if (r.isNullAt(1)) None else Some(r.getDouble(1))),
+      s"${r.getString(0)}: z disagrees with ev_rate_test")
+    val scored = out.filter(!_.isNullAt(2))
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getBoolean(4)))
+    for ((t, z, p, _, _) <- scored)
+      assert(math.abs(p - erfc(math.abs(z) / math.sqrt(2.0))) <= 2e-6,
+        s"$t: p $p vs erfc recompute") // z is round(6), p compares through it
+    // BH: sort by p, adj_i = min_{j>=i} p_j*m/j clamped at 1 — recompute
+    val m = scored.length
+    val byP = scored.sortBy(r => (r._3, r._1))
+    val raw = byP.zipWithIndex.map { case (r, i) => r._3 * m / (i + 1) }
+    val adj = raw.scanRight(Double.MaxValue)(math.min).init.map(math.min(_, 1.0))
+    for (((r, a), i) <- byP.zip(adj).zipWithIndex) {
+      assert(math.abs(r._4 - a) <= 2e-6, s"${r._1}: p_bh ${r._4} vs BH $a")
+      assert(r._5 == (r._4 <= 0.05), s"${r._1}: reject flag")
+    }
+    // monotone: p_bh nondecreasing in p, and always >= p up to rounding
+    for (i <- 1 until byP.length)
+      assert(byP(i)._4 >= byP(i - 1)._4 - 1e-9)
+    for (r <- scored) assert(r._4 >= r._3 - 2e-6)
+  }
 }

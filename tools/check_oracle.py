@@ -17,7 +17,17 @@ import re
 import sys
 
 import duckdb
+import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
+
+# Above this row count the per-row tuple compare (O(rows·cols) Python
+# objects — the sf10x w1_window_running compare held ~50 GB for >1 h) is
+# replaced by a columnar pyarrow FAST-ACCEPT: if the columnar pass says
+# equal, the tuple pass would have too (proof in columnar_equal); on any
+# non-accept we fall back to the tuple path for the authoritative verdict,
+# so gate SEMANTICS are unchanged — only the green path got ~10× cheaper.
+COLUMNAR_MIN_ROWS = 200_000
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -33,6 +43,60 @@ def canon(v):
     if isinstance(v, bool):
         return "b:" + str(v)
     return str(v)
+
+
+def columnar_equal(got, exp, cols):
+    """Fast-ACCEPT columnar equivalent of the emitted-order tuple compare.
+
+    Returns True only when every column is canon-equal row-for-row, under
+    exactly the tuple path's semantics:
+      * null == null (canon "NULL"), and null != any value;
+      * floats compare by repr → bit-pattern equality after a lossless cast
+        to float64 (so 0.0 != -0.0, matching repr), EXCEPT NaN == NaN
+        (canon maps every NaN payload to "NaN");
+      * every other type compares by value (canon str() is injective for
+        the int/str/bool/date/timestamp/list outputs the battery emits —
+        distinct values never share a str()).
+    Any uncertainty (unsupported type, compute error) returns False and the
+    caller re-checks with the authoritative tuple path — this function can
+    only turn a slow green into a fast green, never flip a verdict.
+    """
+    try:
+        for c in cols:
+            a = got.column(c).combine_chunks()
+            b = exp.column(c).combine_chunks()
+            na, nb = pc.is_null(a), pc.is_null(b)
+            if not pc.all(pc.equal(na, nb)).as_py():
+                return False
+            if pa.types.is_floating(a.type) or pa.types.is_floating(b.type):
+                if not (pa.types.is_floating(a.type)
+                        and pa.types.is_floating(b.type)):
+                    return False  # float-vs-nonfloat: let the tuple path rule
+                af = a.cast(pa.float64())
+                bf = b.cast(pa.float64())
+                bits_eq = pc.equal(af.view(pa.int64()), bf.view(pa.int64()))
+                both_nan = pc.and_(pc.fill_null(pc.is_nan(af), False),
+                                   pc.fill_null(pc.is_nan(bf), False))
+                ok = pc.or_(pc.fill_null(bits_eq, True), both_nan)
+            else:
+                ok = pc.fill_null(pc.equal(a, b), True)  # masks already equal
+            if not pc.all(ok).as_py():
+                return False
+        return True
+    except Exception:
+        return False
+
+
+def pandas_dtype_probe(tbl):
+    """Per-column pandas dtype the DRIVER's to_pandas() would produce,
+    without materializing the full frame. pandas' dtype choice depends only
+    on the arrow type and whether the column contains any null (int64 with
+    a null → float64), so a 1-row probe preserving null-presence is exact."""
+    probe = pa.table({
+        c: (pa.array([None], type=tbl.column(c).type)
+            if tbl.column(c).null_count else tbl.column(c).slice(0, 1))
+        for c in tbl.column_names})
+    return {c: str(d) for c, d in probe.to_pandas().dtypes.items()}
 
 
 def main():
@@ -129,27 +193,37 @@ def main():
         if got.num_rows != exp.num_rows:
             fail(name, f"rows: spark={got.num_rows} duck={exp.num_rows}")
             continue
-        g_rows = [tuple(canon(got.column(c)[i].as_py()) for c in g_cols)
-                  for i in range(got.num_rows)]
-        e_rows = [tuple(canon(exp.column(c)[i].as_py()) for c in e_cols)
-                  for i in range(exp.num_rows)]
+        large = got.num_rows >= COLUMNAR_MIN_ROWS
         # Dtype audit replicating the DRIVER's comparison path: the driver
         # converts both sides to pandas before hashing, where DuckDB HUGEINT
         # (e.g. sum(BIGINT) → INT128) silently lands as float64 while the
         # Spark parquet stays int64 — values then hash as "5.0" vs "5" even
         # when bitwise-identical (round-6 gr_pagerank/ta_pack incident).
         # Symmetric coercion (nullable int64 → float64 on BOTH sides) is
-        # fine; only asymmetric coercion is a comparator bug.
-        g_pd, e_pd = got.to_pandas(), exp.to_pandas()
+        # fine; only asymmetric coercion is a comparator bug. Above the
+        # columnar threshold the dtypes come from a 1-row null-presence
+        # probe (pandas_dtype_probe) instead of materializing 60M rows.
+        if large:
+            g_dt, e_dt = pandas_dtype_probe(got), pandas_dtype_probe(exp)
+        else:
+            g_pd, e_pd = got.to_pandas(), exp.to_pandas()
+            g_dt = {c: str(g_pd[c].dtype) for c in g_cols}
+            e_dt = {c: str(e_pd[c].dtype) for c in e_cols}
         dtype_bad = [
             c for c in g_cols
-            if str(g_pd[c].dtype) != str(e_pd[c].dtype)
-            and {str(g_pd[c].dtype), str(e_pd[c].dtype)} & {"float64"}]
+            if g_dt[c] != e_dt[c] and {g_dt[c], e_dt[c]} & {"float64"}]
         if dtype_bad:
             fail(name, "DTYPE asymmetry (driver-pandas path): " + ", ".join(
-                f"{c}: spark={g_pd[c].dtype} duck={e_pd[c].dtype}"
-                for c in dtype_bad))
+                f"{c}: spark={g_dt[c]} duck={e_dt[c]}" for c in dtype_bad))
             continue
+        if large and columnar_equal(got, exp, g_cols):
+            print(f"  OK  {name} ({got.num_rows} rows, columnar)",
+                  flush=True)
+            continue
+        g_rows = [tuple(canon(got.column(c)[i].as_py()) for c in g_cols)
+                  for i in range(got.num_rows)]
+        e_rows = [tuple(canon(exp.column(c)[i].as_py()) for c in e_cols)
+                  for i in range(exp.num_rows)]
         if g_rows == e_rows:
             print(f"  OK  {name} ({got.num_rows} rows)", flush=True)
         elif sorted(g_rows) == sorted(e_rows):
