@@ -330,6 +330,59 @@ object Embeddings {
     assign(update(assign(seeds)))
   }
 
+  /** The anchor/query subset shared by emb_knn_label and
+    * emb_triplet_mine: the first KnnNq vectors with their norms. */
+  private def anchors(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.ArrayExprs.register(s)
+    import graft.plans.ArrayExprs.dotProduct
+    load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").as("v"), col("label"))
+      .withColumn("nrm", sqrt(dotProduct(col("v"), col("v"))))
+      .where(col("vec_id") < KnnNq)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"), col("label").as("q_label"))
+  }
+
+  /** Cell-probed labeled candidates shared by emb_knn_label (vote layer)
+    * and emb_triplet_mine (hard pos/neg layer): every vector assigns to
+    * its best of Cells broadcast seed cells, each anchor probes its
+    * NProbe best cells, and candidates are the cell co-residents with
+    * the max round(6) cosine per (anchor, candidate). Broadcast seeds +
+    * cell-keyed joins — never all-pairs; per-anchor windows partition on
+    * the anchor key. Columns: (q_id, q_label, n_id, label, score). */
+  private def knnCandidates(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.ArrayExprs.register(s)
+    import graft.plans.ArrayExprs.dotProduct
+    val e = load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").as("v"), col("label"))
+      .withColumn("nrm", sqrt(dotProduct(col("v"), col("v"))))
+    val seeds = e.where(col("vec_id") < Cells)
+      .select(col("vec_id").as("cell"), col("v").as("cv"), col("nrm").as("cnrm"))
+    def cos(a: String, an: String, b: String, bn: String) =
+      round(dotProduct(col(a), col(b)) / (col(an) * col(bn)), 6)
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("c").desc, col("cell"))
+    val assigned = e.crossJoin(broadcast(seeds))
+      .select(col("vec_id"), col("v"), col("nrm"), col("label"), col("cell"),
+        cos("v", "nrm", "cv", "cnrm").as("c"))
+      .withColumn("rn", row_number().over(wAssign))
+      .where(col("rn") === 1)
+      .select("vec_id", "v", "nrm", "label", "cell")
+    val q = anchors(s, dir)
+    val wProbe = Window.partitionBy("q_id").orderBy(col("c").desc, col("cell"))
+    val probes = q.crossJoin(broadcast(seeds))
+      .select(col("q_id"), col("qv"), col("qnrm"), col("q_label"), col("cell"),
+        cos("qv", "qnrm", "cv", "cnrm").as("c"))
+      .withColumn("rn", row_number().over(wProbe))
+      .where(col("rn") <= NProbe)
+      .select("q_id", "qv", "qnrm", "q_label", "cell")
+    probes.join(assigned, "cell")
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("q_label"), col("vec_id").as("n_id"),
+        col("label"), cos("qv", "qnrm", "v", "nrm").as("score"))
+      .groupBy("q_id", "q_label", "n_id", "label")
+      .agg(max(col("score")).as("score"))
+  }
+
   val queries: Map[String, Q] = Map(
     // Exact per-label centroid, long form (label, dim, mean). Double sums
     // are made order-independent by folding the group's values in sorted
@@ -637,42 +690,13 @@ object Embeddings {
     // Same scale levers as ann_ivf — Cells grows with the corpus so cell
     // occupancy stays bounded; everything is broadcast seeds + cell-keyed
     // joins; votes are integer counts, so prediction is engine-exact.
+    // The cell-probed candidate build is the shared [[knnCandidates]]
+    // (emb_triplet_mine mines the same frame).
     "emb_knn_label" -> ((s, dir) => {
-      graft.plans.ArrayExprs.register(s)
-      import graft.plans.ArrayExprs.dotProduct
-      val e = load(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding").as("v"), col("label"))
-        .withColumn("nrm", sqrt(dotProduct(col("v"), col("v"))))
-      val seeds = e.where(col("vec_id") < Cells)
-        .select(col("vec_id").as("cell"), col("v").as("cv"), col("nrm").as("cnrm"))
-      def cos(a: String, an: String, b: String, bn: String) =
-        round(dotProduct(col(a), col(b)) / (col(an) * col(bn)), 6)
-      val wAssign = Window.partitionBy("vec_id").orderBy(col("c").desc, col("cell"))
-      val assigned = e.crossJoin(broadcast(seeds))
-        .select(col("vec_id"), col("v"), col("nrm"), col("label"), col("cell"),
-          cos("v", "nrm", "cv", "cnrm").as("c"))
-        .withColumn("rn", row_number().over(wAssign))
-        .where(col("rn") === 1)
-        .select("vec_id", "v", "nrm", "label", "cell")
-      val q = e.where(col("vec_id") < KnnNq)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"),
-          col("nrm").as("qnrm"), col("label").as("q_label"))
-      val wProbe = Window.partitionBy("q_id").orderBy(col("c").desc, col("cell"))
-      val probes = q.crossJoin(broadcast(seeds))
-        .select(col("q_id"), col("qv"), col("qnrm"), col("q_label"), col("cell"),
-          cos("qv", "qnrm", "cv", "cnrm").as("c"))
-        .withColumn("rn", row_number().over(wProbe))
-        .where(col("rn") <= NProbe)
-        .select("q_id", "qv", "qnrm", "q_label", "cell")
       val wRank = Window.partitionBy("q_id").orderBy(col("score").desc, col("n_id"))
       val wVote = Window.partitionBy("q_id")
         .orderBy(col("votes").desc, col("label"))
-      probes.join(assigned, "cell")
-        .where(col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("q_label"), col("vec_id").as("n_id"),
-          col("label"), cos("qv", "qnrm", "v", "nrm").as("score"))
-        .groupBy("q_id", "q_label", "n_id", "label")
-        .agg(max(col("score")).as("score"))
+      knnCandidates(s, dir)
         .withColumn("rank", row_number().over(wRank))
         .where(col("rank") <= KnnK)
         .groupBy("q_id", "q_label", "label")
@@ -681,6 +705,48 @@ object Embeddings {
         .where(col("brn") === 1)
         .select(col("q_id").as("vec_id"), col("q_label").as("actual"),
           col("label").as("predicted"), col("votes"))
+        .orderBy("vec_id")
+    }),
+
+    // Hard-triplet mining for contrastive training (the FaceNet
+    // semi-hard protocol, Schroff et al. 2015) — for every anchor, the
+    // HARDEST POSITIVE (same label, lowest cosine: the pair the encoder
+    // most confuses apart) and the HARDEST NEGATIVE (different label,
+    // highest cosine: the impostor it most confuses together) from the
+    // SAME cell-probed candidate set as emb_knn_label (shared
+    // knnCandidates helper — broadcast seeds, cell-keyed joins, never
+    // all-pairs). Emits the triplet with its margin = pos − neg and a
+    // `violating` flag (negative at least as close as the positive —
+    // the examples a triplet-loss epoch actually trains on). Anchors
+    // whose probed cells hold no same-label (or no other-label)
+    // candidate keep NULLs via the left joins. Cosines are round(6)
+    // BEFORE the argmin/argmax windows (the ann parity discipline) with
+    // n_id tie-breaks, so mining is engine-exact. Scale: the
+    // emb_knn_label shape exactly — per-anchor windows partition on the
+    // anchor key; Cells grows with the corpus to bound cell occupancy.
+    "emb_triplet_mine" -> ((s, dir) => {
+      val cand = knnCandidates(s, dir)
+        .localCheckpoint() // pos + neg mine the same candidate frame
+      val wPos = Window.partitionBy("q_id").orderBy(col("score"), col("n_id"))
+      val wNeg = Window.partitionBy("q_id")
+        .orderBy(col("score").desc, col("n_id"))
+      val pos = cand.where(col("label") === col("q_label"))
+        .withColumn("rn", row_number().over(wPos)).where(col("rn") === 1)
+        .select(col("q_id").as("vec_id"), col("n_id").as("pos_id"),
+          col("score").as("pos_cos"))
+      val neg = cand.where(col("label") =!= col("q_label"))
+        .withColumn("rn", row_number().over(wNeg)).where(col("rn") === 1)
+        .select(col("q_id").as("vec_id"), col("n_id").as("neg_id"),
+          col("score").as("neg_cos"))
+      anchors(s, dir)
+        .select(col("q_id").as("vec_id"), col("q_label").as("label"))
+        .join(pos, Seq("vec_id"), "left")
+        .join(neg, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("label"), col("pos_id"), col("pos_cos"),
+          col("neg_id"), col("neg_cos"),
+          round(col("pos_cos") - col("neg_cos"), 6).as("margin"),
+          when(col("pos_cos").isNotNull && col("neg_cos").isNotNull,
+            col("neg_cos") >= col("pos_cos")).as("violating"))
         .orderBy("vec_id")
     }),
 
@@ -1151,6 +1217,44 @@ object Embeddings {
          |SELECT q_id AS vec_id, q_label AS actual, label AS predicted,
          |  CAST(votes AS BIGINT) AS votes
          |FROM b WHERE brn = 1 ORDER BY vec_id""".stripMargin,
+
+    "emb_triplet_mine" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+         |seeds AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < $Cells),
+         |ac AS (
+         |  SELECT e.vec_id, e.v, e.label, cell,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |                       ORDER BY round(list_cosine_similarity(e.v, cv), 6) DESC, cell) AS rn
+         |  FROM e, seeds),
+         |assigned AS (SELECT vec_id, v, label, cell FROM ac WHERE rn = 1),
+         |q AS (SELECT vec_id AS q_id, v AS qv, label AS q_label FROM e
+         |      WHERE vec_id < $KnnNq),
+         |pc AS (
+         |  SELECT q_id, qv, q_label, cell,
+         |    row_number() OVER (PARTITION BY q_id
+         |                       ORDER BY round(list_cosine_similarity(qv, cv), 6) DESC, cell) AS rn
+         |  FROM q, seeds),
+         |probes AS (SELECT q_id, qv, q_label, cell FROM pc WHERE rn <= $NProbe),
+         |cand AS (
+         |  SELECT q_id, q_label, a.vec_id AS n_id, a.label AS label,
+         |    max(round(list_cosine_similarity(qv, a.v), 6)) AS score
+         |  FROM probes p JOIN assigned a ON p.cell = a.cell
+         |  WHERE a.vec_id <> p.q_id
+         |  GROUP BY 1, 2, 3, 4),
+         |pos AS (SELECT q_id, n_id AS pos_id, score AS pos_cos FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY score, n_id) AS rn
+         |  FROM cand WHERE label = q_label) WHERE rn = 1),
+         |neg AS (SELECT q_id, n_id AS neg_id, score AS neg_cos FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY score DESC, n_id) AS rn
+         |  FROM cand WHERE label <> q_label) WHERE rn = 1)
+         |SELECT q_id AS vec_id, q_label AS label, pos_id, pos_cos,
+         |  neg_id, neg_cos, round(pos_cos - neg_cos, 6) AS margin,
+         |  CASE WHEN pos_cos IS NOT NULL AND neg_cos IS NOT NULL
+         |    THEN neg_cos >= pos_cos END AS violating
+         |FROM q LEFT JOIN pos USING (q_id) LEFT JOIN neg USING (q_id)
+         |ORDER BY vec_id""".stripMargin,
 
     "ann_ivf" -> annIvfSql,
 

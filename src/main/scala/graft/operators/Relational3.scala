@@ -103,6 +103,7 @@ object Relational3 {
     ("orders", "o_orderkey", "lineitem", "l_orderkey"),
     ("part", "p_partkey", "lineitem", "l_partkey"))
 
+  private val KRec = 5 // rec_coverage: recommendation-list length
   private val ErWindow = 5 // er_fuzzy_match sorted-neighborhood width
   private val ErMaxDist = 2 // er_fuzzy_match Levenshtein accept threshold
   private val SkyBucketW = 1000L // q_skyline price-bucket width, cents
@@ -2028,6 +2029,110 @@ object Relational3 {
         round(within, 6).as("ss_within"),
         round(when(within > 0 && col("k") > 1,
           (nD - kD) / (kD - 1) * between / within), 6).as("f_bf"))
+    }),
+
+    // Catalog coverage + aggregate diversity of the top-K co-occurrence
+    // recommender — the Fleder & Hosanagar 2009 concentration audit a
+    // recommendation pipeline ships with: how much of the catalog do the
+    // lists ever surface, and how concentrated are the surfaced slots?
+    // Lists: for every item, the top-KRec co-items by (pair support desc,
+    // item asc) over the SAME support-pruned MaxBasket-capped pair frame
+    // as rec_cooccur, both directions of each unordered pair. Coverage =
+    // distinct recommended / catalog. Concentration: exact Gini of the
+    // per-item slot counts via the MEAN-DIFFERENCE identity
+    // G = Σᵢⱼ mᵢmⱼ|fᵢ−fⱼ| / (2nS) over the (slot-count, multiplicity)
+    // histogram — a broadcast self-join on that tiny frame instead of a
+    // global rank window, so nothing unpartitioned enters the plan.
+    // Integer until the two final doubles, round(6). Scale: the shared
+    // capped basketPairs explode + keyed aggs; the top-K window
+    // partitions on the ITEM key (data-scale, not low-card); the gini
+    // self-join rides a ≤|distinct slot-count|² broadcast frame.
+    "rec_coverage" -> ((s, dir) => {
+      val items = load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val pairs = basketPairs(items)
+        .groupBy(col("pr.pa").as("pa"), col("pr.pb").as("pb"))
+        .agg(count(lit(1)).as("c"))
+        .where(col("c") >= 2)
+      val recs = pairs
+        .select(col("pa").as("src"), col("pb").as("dst"), col("c"))
+        .unionAll(pairs
+          .select(col("pb").as("src"), col("pa").as("dst"), col("c")))
+      val wTop = Window.partitionBy("src").orderBy(col("c").desc, col("dst"))
+      val top = recs.withColumn("rn", row_number().over(wTop))
+        .where(col("rn") <= KRec)
+        .localCheckpoint() // slot counts + coverage scalars both ride it
+      val cat = items.agg(countDistinct("l_partkey").as("catalog_n"))
+      val cov = top.agg(countDistinct("src").as("items_with_recs"),
+        countDistinct("dst").as("n_recommended"))
+      val hist = top.groupBy("dst").agg(count(lit(1)).as("f"))
+        .groupBy("f").agg(count(lit(1)).as("m"))
+      val hb = hist.select(col("f").as("fb"), col("m").as("mb"))
+      val sums = hist.agg(sum("m").as("n"),
+        sum(col("f").cast("decimal(38,0)") * col("m")).as("s"))
+      val md = hist.crossJoin(broadcast(hb))
+        .agg(sum(col("m").cast("decimal(38,0)") * col("mb") *
+          abs(col("f") - col("fb"))).as("md"))
+      cat.crossJoin(broadcast(cov)).crossJoin(broadcast(sums))
+        .crossJoin(broadcast(md))
+        .select(col("catalog_n"), col("items_with_recs"),
+          col("n_recommended"),
+          round(col("n_recommended").cast("double") /
+            col("catalog_n").cast("double"), 6).as("coverage"),
+          round(col("md").cast("double") /
+            (lit(2.0) * col("n").cast("double") * col("s").cast("double")),
+            6).as("rec_gini"))
+    }),
+
+    // Friedman rank test across event types blocked by calendar day —
+    // the two-way nonparametric ANOVA ("does any type's daily level
+    // differ, CONTROLLING for the shared day effect") completing the
+    // test family: a23_kruskal is one-way (ignores blocks),
+    // ev_wilcoxon_sr is the paired two-treatment special case. Blocks:
+    // days where ALL k types reported (the classical complete-block
+    // design); response = the day's value sum in integer cents. Midranks
+    // within each block in HALF units h = 2·rank_min + t − 1 (integer),
+    // so the tie-corrected Conover T1 statistic clears denominators:
+    // Q = (k−1)·Σⱼ(R2ⱼ − n(k+1))² / (Σh² − n·k·(k+1)²) — EVERY term an
+    // exact integer (the ×2 rank scale cancels), one double division at
+    // the end, round(6), NULL when the denominator is 0 (all blocks
+    // fully tied). Scale: one corpus-scale (type, day) agg; the rank/tie
+    // windows partition on the DAY key (calendar-scale, not low-card)
+    // over the aggregated types×days frame; everything after is
+    // types-scale with 1-row broadcasts.
+    "a34_friedman" -> ((s, dir) => {
+      val daily = load(s, dir, "events")
+        .select(col("event_type"), to_date(col("ts")).as("d"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("c"))
+        .groupBy("event_type", "d").agg(sum("c").as("v"))
+      val kf = daily.select("event_type").distinct()
+        .agg(count(lit(1)).as("k"))
+      val comp = daily.groupBy("d").agg(count(lit(1)).as("kt"))
+        .crossJoin(broadcast(kf))
+        .where(col("kt") === col("k")).select("d", "k")
+      val wRank = Window.partitionBy("d").orderBy("v")
+      val wTie = Window.partitionBy("d", "v")
+      val blocks = daily.join(broadcast(comp), "d")
+        .withColumn("rmin", rank().over(wRank).cast("long"))
+        .withColumn("t", count(lit(1)).over(wTie))
+        .select(col("event_type"), col("k"),
+          (lit(2L) * col("rmin") + col("t") - 1).as("h"))
+      val st = blocks.groupBy("event_type", "k")
+        .agg(count(lit(1)).as("n"), sum("h").as("r2"))
+      val a2 = blocks
+        .agg(sum(col("h").cast("decimal(38,0)") * col("h")).as("a2"))
+      val nm = st.agg(sum(
+        (col("r2") - col("n") * (col("k") + 1)).cast("decimal(38,0)") *
+          (col("r2") - col("n") * (col("k") + 1))).as("num"))
+      val denD = (col("a2") -
+        col("n") * col("k") * (col("k") + 1) * (col("k") + 1)).cast("double")
+      st.crossJoin(broadcast(a2)).crossJoin(broadcast(nm))
+        .select(col("event_type"), col("n").as("n_days"), col("k"),
+          round(col("r2").cast("double") /
+            (lit(2.0) * col("n").cast("double")), 6).as("mean_rank"),
+          round(when(denD > 0, (col("k") - 1).cast("double") *
+            col("num").cast("double") / denD), 6).as("q"))
+        .orderBy("event_type")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -2069,6 +2174,71 @@ object Relational3 {
         |         / CAST(n AS DOUBLE))
         |    / (CAST(s2t AS DOUBLE) - sb) END, 6) AS f_bf
         |FROM st""".stripMargin,
+
+    "rec_coverage" ->
+      s"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |citems AS (
+        |  SELECT l_orderkey, l_partkey FROM (
+        |    SELECT l_orderkey, l_partkey, row_number()
+        |      OVER (PARTITION BY l_orderkey ORDER BY l_partkey) AS rn
+        |    FROM items) WHERE rn <= $MaxBasket),
+        |ps AS (
+        |  SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS c
+        |  FROM citems a JOIN citems b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |recs AS (SELECT pa AS src, pb AS dst, c FROM ps
+        |         UNION ALL SELECT pb, pa, c FROM ps),
+        |topk AS (SELECT src, dst FROM (
+        |  SELECT src, dst, row_number()
+        |    OVER (PARTITION BY src ORDER BY c DESC, dst) AS rn
+        |  FROM recs) WHERE rn <= $KRec),
+        |cat AS (SELECT count(DISTINCT l_partkey) AS catalog_n FROM items),
+        |cov AS (SELECT count(DISTINCT src) AS items_with_recs,
+        |               count(DISTINCT dst) AS n_recommended FROM topk),
+        |hist AS (SELECT f, count(*) AS m FROM (
+        |  SELECT dst, count(*) AS f FROM topk GROUP BY 1) GROUP BY 1),
+        |sums AS (SELECT sum(m) AS n, sum(CAST(f AS HUGEINT) * m) AS s
+        |         FROM hist),
+        |md AS (SELECT sum(CAST(a.m AS HUGEINT) * b.m * abs(a.f - b.f)) AS md
+        |       FROM hist a CROSS JOIN hist b)
+        |SELECT catalog_n, items_with_recs, n_recommended,
+        |  round(CAST(n_recommended AS DOUBLE) / CAST(catalog_n AS DOUBLE), 6)
+        |    AS coverage,
+        |  round(CAST(md AS DOUBLE)
+        |        / (2.0 * CAST(n AS DOUBLE) * CAST(s AS DOUBLE)), 6)
+        |    AS rec_gini
+        |FROM cat CROSS JOIN cov CROSS JOIN sums CROSS JOIN md""".stripMargin,
+
+    "a34_friedman" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d,
+        |    sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS v
+        |  FROM events GROUP BY 1, 2),
+        |kf AS (SELECT count(DISTINCT event_type) AS k FROM daily),
+        |comp AS (
+        |  SELECT d, k FROM (SELECT d, count(*) AS kt FROM daily GROUP BY 1)
+        |  CROSS JOIN kf WHERE kt = k),
+        |blocks AS (
+        |  SELECT event_type, k,
+        |    2 * CAST(rank() OVER (PARTITION BY daily.d ORDER BY v)
+        |          AS BIGINT)
+        |      + count(*) OVER (PARTITION BY daily.d, v) - 1 AS h
+        |  FROM daily JOIN comp ON daily.d = comp.d),
+        |st AS (SELECT event_type, k, count(*) AS n, sum(h) AS r2
+        |       FROM blocks GROUP BY 1, 2),
+        |a2 AS (SELECT sum(CAST(h AS HUGEINT) * h) AS a2 FROM blocks),
+        |nm AS (SELECT sum(CAST(r2 - n * (k + 1) AS HUGEINT)
+        |              * (r2 - n * (k + 1))) AS num FROM st)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_days,
+        |  CAST(k AS BIGINT) AS k,
+        |  round(CAST(r2 AS DOUBLE) / (2.0 * CAST(n AS DOUBLE)), 6)
+        |    AS mean_rank,
+        |  round(CASE WHEN CAST(a2 - n * k * (k + 1) * (k + 1) AS DOUBLE) > 0
+        |    THEN CAST(k - 1 AS DOUBLE) * CAST(num AS DOUBLE)
+        |      / CAST(a2 - n * k * (k + 1) * (k + 1) AS DOUBLE) END, 6) AS q
+        |FROM st CROSS JOIN a2 CROSS JOIN nm
+        |ORDER BY event_type""".stripMargin,
 
     "skew_distinct_2phase" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users,

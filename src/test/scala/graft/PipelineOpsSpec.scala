@@ -1677,4 +1677,87 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(byP(i)._4 >= byP(i - 1)._4 - 1e-9)
     for (r <- scored) assert(r._4 >= r._3 - 2e-6)
   }
+
+  test("rec_coverage: coverage and gini recompute from the cooccur pair frame") {
+    val row = SparkEntry.queries("rec_coverage")(spark, dir).collect().head
+    val pairs = SparkEntry.queries("rec_cooccur")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val recs = pairs.flatMap { case (pa, pb, c) =>
+      Seq((pa, pb, c), (pb, pa, c)) }
+    val top = recs.groupBy(_._1).values.flatMap(g =>
+      g.sortBy(r => (-r._3, r._2)).take(5)).toSeq
+    val catalog = Tables.load(spark, dir, "lineitem")
+      .select("l_partkey").distinct().count()
+    assert(row.getLong(0) == catalog)
+    assert(row.getLong(1) == top.map(_._1).distinct.size)
+    assert(row.getLong(2) == top.map(_._2).distinct.size)
+    assert(math.abs(row.getDouble(3) -
+      top.map(_._2).distinct.size.toDouble / catalog) <= 1e-6)
+    // gini via the definitional mean-difference over slot counts
+    val f = top.groupBy(_._2).values.map(_.size.toLong).toSeq
+    val md = (for (a <- f; b <- f) yield math.abs(a - b).toDouble).sum
+    val gini = md / (2.0 * f.length * f.sum)
+    assert(math.abs(row.getDouble(4) - gini) <= 1e-6,
+      s"gini ${row.getDouble(4)} vs direct $gini")
+  }
+
+  test("a34_friedman: Q matches a direct complete-block midrank recompute") {
+    val out = SparkEntry.queries("a34_friedman")(spark, dir).collect()
+    val daily = Tables.load(spark, dir, "events")
+      .select(col("event_type"), to_date(col("ts")).as("d"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("c"))
+      .groupBy("event_type", "d").agg(sum("c").as("v"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toLocalDate,
+        r.getLong(2)))
+    val k = daily.map(_._1).distinct.length
+    val byDay = daily.groupBy(_._2).filter(_._2.length == k)
+    val ranks = byDay.values.flatMap { rows =>
+      val sorted = rows.map(_._3).sorted
+      rows.map { case (t, _, v) =>
+        val lo = sorted.indexOf(v) + 1; val hi = sorted.lastIndexOf(v) + 1
+        (t, (lo + hi) / 2.0) } }.toSeq
+    val n = byDay.size
+    val rSum = ranks.groupBy(_._1).map { case (t, rs) => t -> rs.map(_._2).sum }
+    val a2 = ranks.map(r => r._2 * r._2).sum
+    val num = rSum.values.map(rj => math.pow(rj - n * (k + 1) / 2.0, 2)).sum
+    val den = a2 - n * k * (k + 1) * (k + 1) / 4.0
+    val q = (k - 1) * num / den
+    for (r <- out) {
+      assert(r.getLong(1) == n, s"${r.getString(0)}: n_days")
+      assert(r.getLong(2) == k)
+      assert(math.abs(r.getDouble(3) - rSum(r.getString(0)) / n) <= 1e-6,
+        s"${r.getString(0)}: mean_rank")
+      assert(math.abs(r.getDouble(4) - q) <= 1e-4 * math.max(1.0, q),
+        s"${r.getString(0)}: Q ${r.getDouble(4)} vs direct $q")
+    }
+  }
+
+  test("emb_triplet_mine: labels, margin identity, violating flag") {
+    val out = SparkEntry.queries("emb_triplet_mine")(spark, dir).collect()
+    val labels = Tables.load(spark, dir, "embeddings")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val nAnchors = labels.keys.count(_ < 100)
+    assert(out.length == nAnchors, s"${out.length} rows vs $nAnchors anchors")
+    var mined = 0
+    for (r <- out) {
+      val anchor = r.getLong(0); val lab = r.getInt(1)
+      assert(labels(anchor) == lab)
+      if (!r.isNullAt(2)) { // hardest positive shares the label, isn't self
+        assert(labels(r.getLong(2)) == lab && r.getLong(2) != anchor)
+      }
+      if (!r.isNullAt(4)) { // hardest negative differs
+        assert(labels(r.getLong(4)) != lab && r.getLong(4) != anchor)
+      }
+      if (!r.isNullAt(3) && !r.isNullAt(5)) {
+        mined += 1
+        assert(math.abs(r.getDouble(6) -
+          (r.getDouble(3) - r.getDouble(5))) <= 2e-6, s"$anchor: margin")
+        assert(r.getBoolean(7) == (r.getDouble(5) >= r.getDouble(3)),
+          s"$anchor: violating flag")
+        assert(r.getDouble(3) <= 1.0 + 1e-9 && r.getDouble(5) <= 1.0 + 1e-9)
+      } else assert(r.isNullAt(6) && r.isNullAt(7))
+    }
+    assert(mined > 0, "no anchor yielded a full triplet")
+  }
 }
