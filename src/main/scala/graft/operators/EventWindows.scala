@@ -2371,6 +2371,72 @@ object EventWindows {
         .orderBy("event_type")
     }),
 
+    // Causal-impact readout per event type — "did the launch move
+    // revenue, and by how much beyond the noise": the Brodersen-style
+    // counterfactual reduced to its deterministic core. Pre-period =
+    // days before the fixed 2024-01-16 pivot (the prof_drift /
+    // prof_psi_value split); the counterfactual for each post day is the
+    // pre-period SAME-WEEKDAY mean of daily revenue (integer-cents sums
+    // on the zero-filled spine; dow via pmod(epoch-days, 7) so both
+    // engines cut weeks identically); impact = actual − expected over
+    // the post window with a ±1.96·s·√n_post interval from the
+    // pre-period residual variance (df = n_pre − 7, one mean per
+    // weekday). `significant` = the interval excludes 0. Order-dependent
+    // double sums (expected, residual²) fold in day order (the
+    // prof_mutual_info parity template), round(6); CI NULL when
+    // n_pre ≤ 7. Types with no pre-period emit no row. Scale: one
+    // corpus-scale (type, day) agg; the dow-mean frame is types×7
+    // broadcast; folds ride types×days frames.
+    "ev_impact" -> ((s, dir) => {
+      val pivot = lit("2024-01-16").cast("date")
+      val d = load(s, dir, "events")
+        .select(col("event_type"), to_date(col("ts")).as("d"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("c"))
+        .groupBy("event_type", "d").agg(sum("c").as("sc"))
+        .localCheckpoint() // spine + pre-means + both folds ride it
+      val spine = d.groupBy("event_type")
+        .agg(min("d").as("mn"), max("d").as("mx"))
+        .select(col("event_type"),
+          explode(sequence(col("mn"), col("mx"))).as("d"))
+      val f = spine.join(d, Seq("event_type", "d"), "left")
+        .na.fill(0L, Seq("sc"))
+        .withColumn("dow",
+          pmod(datediff(col("d"), lit("1970-01-01").cast("date")), lit(7)))
+      val pre = f.where(col("d") < pivot)
+      val m = pre.groupBy("event_type", "dow")
+        .agg((sum("sc").cast("double") / count(lit(1)).cast("double"))
+          .as("mhat"))
+      def foldD(term: org.apache.spark.sql.Column) =
+        aggregate(transform(array_sort(collect_list(
+          struct(col("d"), term.as("t")))),
+          x => x.getField("t")), lit(0.0), (a, t) => a + t)
+      val preR = pre.join(broadcast(m), Seq("event_type", "dow"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_pre"),
+          foldD((col("sc").cast("double") - col("mhat")) *
+            (col("sc").cast("double") - col("mhat"))).as("rss"))
+      val post = f.where(col("d") >= pivot)
+        .join(broadcast(m), Seq("event_type", "dow"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_post"), sum("sc").as("act"),
+          foldD(col("mhat")).as("exp0"))
+      val diff = col("act").cast("double") - col("exp0")
+      val hw = lit(1.96) * sqrt(col("rss") /
+        (col("n_pre") - 7).cast("double") * col("n_post").cast("double"))
+      preR.join(post, "event_type")
+        .select(col("event_type"), col("n_pre"), col("n_post"),
+          round(col("act").cast("double") / lit(100.0), 6).as("actual_post"),
+          round(col("exp0") / lit(100.0), 6).as("expected_post"),
+          round(diff / lit(100.0), 6).as("impact"),
+          round(when(col("n_pre") > 7, (diff - hw) / lit(100.0)), 6)
+            .as("ci_lo"),
+          round(when(col("n_pre") > 7, (diff + hw) / lit(100.0)), 6)
+            .as("ci_hi"),
+          when(col("n_pre") > 7, (diff - hw > 0) || (diff + hw < 0))
+            .as("significant"))
+        .orderBy("event_type")
+    }),
+
     // Wilcoxon signed-rank test per event type on week-over-week paired
     // daily revenue — "did this week's dollars shift vs the same weekday
     // last week", the PAIRED nonparametric complement to a17_mwu's
@@ -2513,6 +2579,63 @@ object EventWindows {
         |        PARTITION BY event_type ORDER BY cost, d) AS rn
         |      FROM cand)
         |WHERE rn = 1 ORDER BY event_type""".stripMargin,
+
+    "ev_impact" ->
+      """WITH d AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS sc
+        |  FROM events GROUP BY 1, 2),
+        |rng AS (SELECT event_type, min(d) AS mn, max(d) AS mx
+        |        FROM d GROUP BY 1),
+        |spine AS (
+        |  SELECT event_type, CAST(unnest(generate_series(mn, mx,
+        |    INTERVAL 1 DAY)) AS DATE) AS d
+        |  FROM rng),
+        |f AS (
+        |  SELECT s.event_type, s.d, coalesce(d.sc, 0) AS sc,
+        |    CAST(s.d - DATE '1970-01-01' AS BIGINT) % 7 AS dow
+        |  FROM spine s LEFT JOIN d
+        |    ON s.event_type = d.event_type AND s.d = d.d),
+        |pre AS (SELECT * FROM f WHERE d < DATE '2024-01-16'),
+        |m AS (SELECT event_type, dow,
+        |        CAST(sum(sc) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mhat
+        |      FROM pre GROUP BY 1, 2),
+        |prer AS (
+        |  SELECT pre.event_type, count(*) AS n_pre,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list((CAST(sc AS DOUBLE) - mhat) * (CAST(sc AS DOUBLE) - mhat)
+        |           ORDER BY d)), (a, b) -> a + b) AS rss
+        |  FROM pre JOIN m USING (event_type, dow) GROUP BY 1),
+        |post AS (
+        |  SELECT f.event_type, count(*) AS n_post, sum(sc) AS act,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list(mhat ORDER BY d)), (a, b) -> a + b) AS exp0
+        |  FROM f JOIN m USING (event_type, dow)
+        |  WHERE d >= DATE '2024-01-16' GROUP BY 1)
+        |SELECT prer.event_type, CAST(n_pre AS BIGINT) AS n_pre,
+        |  CAST(n_post AS BIGINT) AS n_post,
+        |  round(CAST(act AS DOUBLE) / 100.0, 6) AS actual_post,
+        |  round(exp0 / 100.0, 6) AS expected_post,
+        |  round((CAST(act AS DOUBLE) - exp0) / 100.0, 6) AS impact,
+        |  round(CASE WHEN n_pre > 7 THEN (CAST(act AS DOUBLE) - exp0
+        |    - 1.96 * sqrt(rss / CAST(n_pre - 7 AS DOUBLE)
+        |                  * CAST(n_post AS DOUBLE))) / 100.0 END, 6)
+        |    AS ci_lo,
+        |  round(CASE WHEN n_pre > 7 THEN (CAST(act AS DOUBLE) - exp0
+        |    + 1.96 * sqrt(rss / CAST(n_pre - 7 AS DOUBLE)
+        |                  * CAST(n_post AS DOUBLE))) / 100.0 END, 6)
+        |    AS ci_hi,
+        |  CASE WHEN n_pre > 7 THEN
+        |    (CAST(act AS DOUBLE) - exp0
+        |     - 1.96 * sqrt(rss / CAST(n_pre - 7 AS DOUBLE)
+        |                   * CAST(n_post AS DOUBLE))) > 0
+        |    OR (CAST(act AS DOUBLE) - exp0
+        |     + 1.96 * sqrt(rss / CAST(n_pre - 7 AS DOUBLE)
+        |                   * CAST(n_post AS DOUBLE))) < 0
+        |  END AS significant
+        |FROM prer JOIN post USING (event_type)
+        |ORDER BY prer.event_type""".stripMargin,
 
     "ev_wilcoxon_sr" ->
       """WITH daily AS (

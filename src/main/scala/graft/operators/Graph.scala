@@ -564,6 +564,35 @@ object Graph {
         .orderBy("node")
     }),
 
+    // Landmark diameter lower bound — the "how wide is this graph"
+    // readout sitting on the SAME landmark-BFS machinery as
+    // gr_closeness: each landmark's eccentricity within the LmHops
+    // budget (max settled distance — a LOWER bound on its true
+    // eccentricity when the ball is truncated), and the max over
+    // landmarks, which classically lower-bounds the true diameter (any
+    // node's eccentricity does). n_reached per landmark says how much of
+    // the graph the bound actually saw — the honesty column a truncated
+    // probe owes its reader. Scale: identical to gr_closeness (the
+    // shared landmarkBfs: bounded rounds, early exit, keyed anti-joins);
+    // the ecc/diameter rollups ride the landmarks-scale frame.
+    "gr_diameter" -> ((s, dir) => {
+      val e = edges(s, dir)
+      val e2 = e.select(col("pa").as("src"), col("pb").as("dst"))
+        .unionAll(e.select(col("pb").as("src"), col("pa").as("dst")))
+        .cache()
+      val lms = e2.select(col("src").as("node")).distinct()
+        .orderBy("node").limit(LmCount)
+        .select(col("node"), col("node").as("lm"))
+      val (dist, _) = landmarkBfs(e2, lms, LmHops)
+      val per = dist.groupBy("lm")
+        .agg(count(lit(1)).as("n_reached"), max("d").as("ecc_lb"))
+      val diam = per.agg(max("ecc_lb").as("diameter_lb"))
+      per.crossJoin(broadcast(diam))
+        .select(col("lm").as("landmark"), col("n_reached"), col("ecc_lb"),
+          col("diameter_lb"))
+        .orderBy("landmark")
+    }),
+
     "gr_shortest_path" -> ((s, dir) => {
       val e = edges(s, dir)
       val e2 = e.select(col("pa").as("src"), col("pb").as("dst"))
@@ -946,6 +975,26 @@ object Graph {
          |    CAST(count(*) AS DOUBLE) / CAST(sum(d) AS DOUBLE) END, 6)
          |    AS closeness
          |FROM md GROUP BY node ORDER BY node""".stripMargin,
+
+    "gr_diameter" ->
+      s"""WITH RECURSIVE $EdgeSql,
+         |e2 AS (SELECT pa AS src, pb AS dst FROM e
+         |       UNION ALL SELECT pb AS src, pa AS dst FROM e),
+         |lms AS (SELECT DISTINCT src AS lm FROM e2
+         |        ORDER BY lm LIMIT $LmCount),
+         |walk(node, lm, d) AS (
+         |  SELECT lm AS node, lm, 0 AS d FROM lms
+         |  UNION
+         |  SELECT e2.dst, w.lm, w.d + 1 FROM walk w JOIN e2 ON w.node = e2.src
+         |  WHERE w.d < $LmHops),
+         |md AS (SELECT node, lm, min(d) AS d FROM walk GROUP BY 1, 2),
+         |per AS (SELECT lm, count(*) AS n_reached, max(d) AS ecc
+         |        FROM md GROUP BY 1),
+         |dm AS (SELECT max(ecc) AS diameter_lb FROM per)
+         |SELECT lm AS landmark, CAST(n_reached AS BIGINT) AS n_reached,
+         |  CAST(ecc AS BIGINT) AS ecc_lb,
+         |  CAST(diameter_lb AS BIGINT) AS diameter_lb
+         |FROM per CROSS JOIN dm ORDER BY landmark""".stripMargin,
 
     "gr_shortest_path" ->
       s"""WITH RECURSIVE $EdgeSql,

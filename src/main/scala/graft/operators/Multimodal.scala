@@ -249,6 +249,46 @@ object Multimodal {
     }.toDF("media_id", "sample_rate", "n_channels", "n_frames")
   }
 
+  private val MaxImgHam = 3L // mm_dup_images: pigeonhole bound of 4×16 bands
+
+  /** Shared by mm_ahash and mm_dup_images: per-PNG 8×8 average-hash from
+    * the REAL decoded pixels — grayscale g = (299R + 587G + 114B)/1000 at
+    * the 8×8 grid points, bit idx set iff 64·g(idx) > Σg. Emits both the
+    * idx-ordered bit STRING (the human-readable mm_ahash output the
+    * oracle recomputes from the synthesis spec) and the packed LONG
+    * `sig` with bit idx at position idx (what the banded Hamming join
+    * consumes); PipelineOpsSpec pins that the two encode the same bits.
+    * One ImageReader per partition, reused across rows. */
+  private def ahashFrame(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    synthesize(s, dir).filter(_.format == "png").mapPartitions { it =>
+      val reader = ImageIO.getImageReadersByFormatName("png").next()
+      val out = it.map { r =>
+        val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(r.media))
+        val img = try { reader.setInput(iis); reader.read(0) } finally iis.close()
+        val (w, h) = (img.getWidth, img.getHeight)
+        val g = new Array[Long](64)
+        var j = 0
+        while (j < 8) {
+          var i = 0
+          while (i < 8) {
+            val p = img.getRGB(i * w / 8, j * h / 8)
+            g(j * 8 + i) = (299L * ((p >> 16) & 0xff) +
+              587L * ((p >> 8) & 0xff) + 114L * (p & 0xff)) / 1000L
+            i += 1
+          }
+          j += 1
+        }
+        val tot = g.sum
+        val bits = g.map(v => if (64L * v > tot) '1' else '0').mkString
+        val sig = g.indices.foldLeft(0L)((acc, idx) =>
+          if (64L * g(idx) > tot) acc | (1L << idx) else acc)
+        (r.media_id, w.toLong, h.toLong, bits, sig)
+      }
+      onExhaust(out)(() => reader.dispose())
+    }.toDF("media_id", "width", "height", "ahash", "sig")
+  }
+
   val queries: Map[String, Q] = Map(
     // binary ingest → real JDK WAV encode → real RIFF header decode. A
     // hash match proves the audio round trip recovered the header values
@@ -376,33 +416,51 @@ object Multimodal {
     // and the signature is emitted as a 64-char bit string so the oracle
     // — which recomputes the same grid from the pixel spec — matches
     // bit-for-bit. Map-side except the presentation sort.
-    "mm_ahash" -> ((s, dir) => {
-      import s.implicits._
-      synthesize(s, dir).filter(_.format == "png").mapPartitions { it =>
-        val reader = ImageIO.getImageReadersByFormatName("png").next()
-        val out = it.map { r =>
-          val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(r.media))
-          val img = try { reader.setInput(iis); reader.read(0) } finally iis.close()
-          val (w, h) = (img.getWidth, img.getHeight)
-          val g = new Array[Long](64)
-          var j = 0
-          while (j < 8) {
-            var i = 0
-            while (i < 8) {
-              val p = img.getRGB(i * w / 8, j * h / 8)
-              g(j * 8 + i) = (299L * ((p >> 16) & 0xff) +
-                587L * ((p >> 8) & 0xff) + 114L * (p & 0xff)) / 1000L
-              i += 1
-            }
-            j += 1
-          }
-          val tot = g.sum
-          val bits = g.map(v => if (64L * v > tot) '1' else '0').mkString
-          (r.media_id, w.toLong, h.toLong, bits)
-        }
-        onExhaust(out)(() => reader.dispose())
-      }.toDF("media_id", "width", "height", "ahash")
-        .orderBy("media_id")
+    "mm_ahash" -> ((s, dir) =>
+      ahashFrame(s, dir)
+        .select("media_id", "width", "height", "ahash")
+        .orderBy("media_id")),
+
+    // Image near-duplicate pairs over the perceptual average-hash — the
+    // multimodal leg of the dedup suite: two renders of (near-)identical
+    // content land within a few aHash bits of each other, and a training
+    // pipeline drops one. SAME banded shape as dd_simhash_hamming (the
+    // pigeonhole guarantee transfers: 4 bands × 16 bits catch every pair
+    // at Hamming ≤ 3 exactly — a pair below the threshold must agree on
+    // at least one full band): signatures band into 4 exact-match keys,
+    // buckets group ONE scan chain (no self-join), intra-bucket pairs
+    // verify with bit_count(xor), distinct across bands. The heavy-
+    // duplication caveat and its fix are dd_simhash_components' —
+    // identical-image floods belong in the class form, not the pair
+    // form. Scale: the decode is partition-wise (one reader per
+    // partition); everything after rides the signatures frame (one row
+    // per image), banded buckets bound each task's pair fan-out.
+    "mm_dup_images" -> ((s, dir) => {
+      val bandMask = (1L << 16) - 1
+      val banded = ahashFrame(s, dir)
+        .select(col("media_id"), col("sig"),
+          explode(array((0 until 4).map(b => struct(
+            lit(b).as("band"),
+            shiftright(col("sig"), b * 16).bitwiseAND(lit(bandMask))
+              .as("key"))): _*)).as("bk"))
+        .select(col("media_id"), col("sig"),
+          col("bk.band").as("band"), col("bk.key").as("key"))
+      banded.groupBy("band", "key")
+        .agg(sort_array(collect_list(struct(col("media_id"), col("sig"))))
+          .as("ds"))
+        .where(size(col("ds")) > 1)
+        .select(explode(flatten(transform(col("ds"), (x, i) =>
+          transform(slice(col("ds"), i + 2, size(col("ds"))), y => struct(
+            x.getField("media_id").as("media_a"),
+            y.getField("media_id").as("media_b"),
+            x.getField("sig").bitwiseXOR(y.getField("sig")).as("xr"))))))
+          .as("p"))
+        .select(col("p.media_a").as("media_a"),
+          col("p.media_b").as("media_b"),
+          bit_count(col("p.xr")).cast("long").as("hamming"))
+        .where(col("hamming") <= MaxImgHam)
+        .distinct()
+        .orderBy("media_a", "media_b")
     }),
 
     "mm_resize" -> ((s, dir) => {
@@ -563,6 +621,47 @@ object Multimodal {
         |             ORDER BY idx) AS ahash
         |FROM g JOIN t USING (media_id) GROUP BY g.media_id, w, h
         |ORDER BY media_id""".stripMargin,
+
+    // Same spec-arithmetic ahash CTEs as mm_ahash, then the identical
+    // banded join: band b is the 16 bit-string chars at idx ∈
+    // [16b, 16b+16) (substr is 1-based), pairs verify by string Hamming
+    // — position p of the string is bit idx p−1 of the engine's packed
+    // long, so bit_count(xor) and the char-mismatch count agree exactly.
+    "mm_dup_images" ->
+      """WITH d AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(16 + octet_length(encode(text)) % 97 AS BIGINT) AS w,
+        |    CAST(16 + (octet_length(encode(text)) * 31) % 53 AS BIGINT) AS h
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |px AS (
+        |  SELECT media_id, w, h, j * 8 + i AS idx,
+        |    (i * w) // 8 AS x, (j * h) // 8 AS y
+        |  FROM d, (SELECT unnest(range(8)) AS i), (SELECT unnest(range(8)) AS j)),
+        |g AS (
+        |  SELECT media_id, w, h, idx,
+        |    (299 * ((x * 31 + y * 17 + media_id) % 256)
+        |     + 587 * ((x * 7 + y * 13 + 2 * media_id) % 256)
+        |     + 114 * ((x * 3 + y * 29 + 3 * media_id) % 256)) // 1000 AS gv
+        |  FROM px),
+        |t AS (SELECT media_id, sum(gv) AS tot FROM g GROUP BY 1),
+        |sig AS (
+        |  SELECT g.media_id,
+        |    string_agg(CASE WHEN 64 * gv > tot THEN '1' ELSE '0' END, ''
+        |               ORDER BY idx) AS ahash
+        |  FROM g JOIN t USING (media_id) GROUP BY g.media_id),
+        |banded AS (
+        |  SELECT media_id, ahash, b, substr(ahash, b * 16 + 1, 16) AS key
+        |  FROM sig, (SELECT unnest(range(4)) AS b)),
+        |pairs AS (
+        |  SELECT DISTINCT a.media_id AS media_a, c.media_id AS media_b,
+        |    CAST(length(list_filter(range(1, 65),
+        |      i -> substr(a.ahash, CAST(i AS INT), 1)
+        |           <> substr(c.ahash, CAST(i AS INT), 1))) AS BIGINT)
+        |      AS hamming
+        |  FROM banded a JOIN banded c
+        |    ON a.b = c.b AND a.key = c.key AND a.media_id < c.media_id)
+        |SELECT media_a, media_b, hamming FROM pairs
+        |WHERE hamming <= 3 ORDER BY media_a, media_b""".stripMargin,
 
     "mm_resize" ->
       """WITH d AS (

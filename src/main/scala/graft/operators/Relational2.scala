@@ -71,6 +71,23 @@ object Relational2 {
           |ORDER BY c_custkey, n_orders, top_price""".stripMargin)
     }),
 
+    // PIVOT: event counts per type spread across 4-hour day buckets as
+    // columns — the wide-format report shape BI export jobs want. Spark's
+    // `pivot` with an EXPLICIT value list compiles to ONE Expand + hash
+    // aggregate (single shuffle); omitting the list adds a whole
+    // values-discovery job first, so at scale the list is always passed.
+    // Absent (type, bucket) cells coalesce to 0. Bucket ids are pure
+    // integer hour÷4 on both engines.
+    "q6_pivot" -> ((s, dir) =>
+      load(s, dir, "events")
+        .select(col("event_type"), expr("hour(ts) div 4").as("hb"))
+        .groupBy("event_type")
+        .pivot("hb", (0 to 5).map(Int.box))
+        .agg(count(lit(1)))
+        .select(col("event_type") +: (0 to 5).map(i =>
+          coalesce(col(s"`$i`"), lit(0L)).as(s"hb$i")): _*)
+        .orderBy("event_type")),
+
     // CUBE over (returnflag, linestatus): all 2² grouping combinations in
     // one pass (Spark expands to a single Expand + hash aggregate — one
     // shuffle regardless of the number of grouping sets). NULL group keys
@@ -742,6 +759,13 @@ object Relational2 {
         |  FROM orders o WHERE o.o_custkey = c.c_custkey) t
         |WHERE t.n_orders > 0
         |ORDER BY c_custkey, n_orders, top_price""".stripMargin,
+
+    "q6_pivot" ->
+      ("""SELECT event_type,""" + (0 to 5).map(i =>
+        s"""
+          |  CAST(sum(CASE WHEN CAST(extract(hour FROM ts) AS INT) // 4 = $i
+          |    THEN 1 ELSE 0 END) AS BIGINT) AS hb$i""").mkString(",") + """
+        |FROM events GROUP BY event_type ORDER BY event_type""").stripMargin,
 
     "g3_cube" ->
       """SELECT coalesce(l_returnflag, '') AS rf, coalesce(l_linestatus, '') AS ls,

@@ -891,6 +891,62 @@ object Relational3 {
         .orderBy("type_a", "type_b")
     }),
 
+    // Two-sample Cramér–von Mises criterion between every pair of event
+    // types — the INTEGRATED-squared-CDF-distance companion to a18_ks's
+    // supremum: KS sees only the single worst gap, CvM accumulates every
+    // gap weighted by pooled mass, so a distribution that differs a
+    // little everywhere (but nowhere dramatically) lights up here first.
+    // T = nm/N² · Σ_pooled (F_a − F_b)², histogram form: each distinct
+    // cent value c with pooled mass w = ca + cb contributes
+    // w·(cuma·nb − cumb·na)² / (nm)², so
+    // T = Σ w·(cuma·nb − cumb·na)² / (N²·n·m). The inner difference
+    // stays an exact decimal(38,0)/HUGEINT integer; each term goes to
+    // double BEFORE the (value-domain-scale) c-sorted fold so no
+    // decimal² overflow exists at any corpus size; one final division,
+    // round(6). Scale: the a18_ks shape exactly — one corpus-scale
+    // (type, cents) agg, ×(types−1) broadcast pair explode, histogram-
+    // frame windows.
+    "a35_cvm" -> ((s, dir) => {
+      val h = load(s, dir, "events")
+        .select(col("event_type"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("c"))
+        .groupBy("event_type", "c").agg(count(lit(1)).as("m"))
+      val tys = h.select(col("event_type").as("t2")).distinct()
+      val paired = h.crossJoin(broadcast(tys))
+        .where(col("t2") =!= col("event_type"))
+        .select(least(col("event_type"), col("t2")).as("type_a"),
+          greatest(col("event_type"), col("t2")).as("type_b"),
+          col("event_type").as("own"), col("c"), col("m"))
+        .groupBy("type_a", "type_b", "c")
+        .agg(sum(when(col("own") === col("type_a"), col("m")).otherwise(0L)).as("ca"),
+          sum(when(col("own") === col("type_b"), col("m")).otherwise(0L)).as("cb"))
+      val wCdf = Window.partitionBy("type_a", "type_b").orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wAll = Window.partitionBy("type_a", "type_b")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val dec = (x: org.apache.spark.sql.Column) => x.cast("decimal(38,0)")
+      val dd = (dec(col("cuma")) * col("nb") - dec(col("cumb")) * col("na"))
+        .cast("double")
+      val term = (col("ca") + col("cb")).cast("double") * (dd * dd)
+      val naD = col("na").cast("double")
+      val nbD = col("nb").cast("double")
+      val nD = (col("na") + col("nb")).cast("double")
+      paired
+        .withColumn("cuma", sum(col("ca")).over(wCdf))
+        .withColumn("cumb", sum(col("cb")).over(wCdf))
+        .withColumn("na", sum(col("ca")).over(wAll))
+        .withColumn("nb", sum(col("cb")).over(wAll))
+        .groupBy("type_a", "type_b")
+        .agg(max(col("na")).as("na"), max(col("nb")).as("nb"),
+          aggregate(transform(array_sort(collect_list(
+            struct(col("c"), term.as("t")))),
+            x => x.getField("t")), lit(0.0), (a, t) => a + t).as("f"))
+        .select(col("type_a"), col("type_b"), col("na").as("n_a"),
+          col("nb").as("n_b"),
+          round(col("f") / (nD * nD * naD * nbD), 6).as("t"))
+        .orderBy("type_a", "type_b")
+    }),
+
     // 2-D skyline / Pareto frontier over parts (minimize retail price,
     // maximize size) — the multi-criteria shortlist operator ("no other
     // part is both cheaper and bigger"). NOT the O(n²) dominance join:
@@ -2133,6 +2189,73 @@ object Relational3 {
           round(when(denD > 0, (col("k") - 1).cast("double") *
             col("num").cast("double") / denD), 6).as("q"))
         .orderBy("event_type")
+    }),
+
+    // Importance-reweighting diagnostic for a language-balanced training
+    // mix — "what would the corpus statistic look like under the TARGET
+    // (uniform-over-languages) distribution, and how much sample do the
+    // weights burn": per-doc weight w = N/(L·n_lang) (target share 1/L
+    // over source share n_lang/N); the self-normalized estimate of mean
+    // doc length under the target mix reduces to the mean of per-lang
+    // means, Kish's effective sample size (Σw)²/Σw² reduces to
+    // L²/Σ(1/n_l), and the design effect N/ESS says how many raw docs
+    // one target-distributed doc costs. Per-lang sums are exact
+    // integers; the per-lang double terms fold in lang-sorted order (the
+    // prof_mutual_info parity template); round(6). Scale: ONE (lang)
+    // keyed agg over documents; everything after is langs-scale.
+    "samp_importance" -> ((s, dir) => {
+      val byLang = load(s, dir, "documents")
+        .groupBy("lang").agg(count(lit(1)).as("nl"),
+          sum(col("n_chars")).as("sx"))
+      def fold(term: org.apache.spark.sql.Column) =
+        aggregate(transform(array_sort(collect_list(
+          struct(col("lang"), term.as("t")))),
+          x => x.getField("t")), lit(0.0), (a, t) => a + t)
+      val st = byLang.agg(count(lit(1)).as("l"), sum("nl").as("n"),
+        sum("sx").as("sxt"),
+        fold(col("sx").cast("double") / col("nl").cast("double")).as("sm"),
+        fold(lit(1.0) / col("nl").cast("double")).as("sinv"))
+      val nD = col("n").cast("double")
+      val lD = col("l").cast("double")
+      st.select(col("n").as("n_docs"), col("l").as("n_langs"),
+        round(col("sxt").cast("double") / nD, 6).as("mean_naive"),
+        round(col("sm") / lD, 6).as("mean_weighted"),
+        round(lD * lD / col("sinv"), 6).as("ess"),
+        round(nD * col("sinv") / (lD * lD), 6).as("deff"))
+    }),
+
+    // Hash-uniformity audit of the shared sampling hash — every
+    // hash-keyed operator here (samp_hash's 10% gate, the minhash/LSH
+    // family, KeyedRank's stripes) silently assumes [[graft.Exact.hash32]]
+    // spreads keys uniformly; this op MEASURES it: event ids bucket into
+    // 256 hash buckets (zero-filled spine, so an unhit bucket counts),
+    // χ² = Σ(o − e)²/e against uniform with e = N/256, plus the min/max
+    // occupancy. At 255 df a χ² beyond ~350 means the hash (or the key
+    // population) is biased and every downstream "x% sample" claim
+    // inherits it. Counts exact; the 256 χ² terms fold in bucket order,
+    // round(6). Scale: one corpus-scale agg that map-side-combines to
+    // ≤256 groups; everything after is 256-row math.
+    "prof_hash_quality" -> ((s, dir) => {
+      val b = load(s, dir, "events")
+        .select((graft.Exact.hash32(col("event_id").cast("string")) % 256)
+          .as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("o"))
+      val spine = b.agg(sum("o").as("n"))
+        .select(col("n"), explode(sequence(lit(0L), lit(255L))).as("bucket"))
+      val full = spine.join(b, Seq("bucket"), "left")
+        .select(col("bucket"), col("n"), coalesce(col("o"), lit(0L)).as("o"))
+      val e = col("n").cast("double") / lit(256.0)
+      val chi = aggregate(transform(array_sort(collect_list(
+        struct(col("bucket"),
+          (((col("o").cast("double") - e) * (col("o").cast("double") - e))
+            / e).as("t")))),
+        x => x.getField("t")), lit(0.0), (a, t) => a + t)
+      full.groupBy("n")
+        .agg(min("o").as("min_bucket"), max("o").as("max_bucket"),
+          chi.as("chi2"))
+        .select(col("n").as("n_rows"), lit(255L).as("df"),
+          col("min_bucket"), col("max_bucket"),
+          round(col("chi2"), 6).as("chi2"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -2209,6 +2332,52 @@ object Relational3 {
         |        / (2.0 * CAST(n AS DOUBLE) * CAST(s AS DOUBLE)), 6)
         |    AS rec_gini
         |FROM cat CROSS JOIN cov CROSS JOIN sums CROSS JOIN md""".stripMargin,
+
+    "samp_importance" ->
+      """WITH byl AS (
+        |  SELECT lang, count(*) AS nl, sum(n_chars) AS sx
+        |  FROM documents GROUP BY 1),
+        |st AS (
+        |  SELECT count(*) AS l, sum(nl) AS n, sum(sx) AS sxt,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list(CAST(sx AS DOUBLE) / CAST(nl AS DOUBLE) ORDER BY lang)),
+        |      (a, b) -> a + b) AS sm,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list(1.0 / CAST(nl AS DOUBLE) ORDER BY lang)),
+        |      (a, b) -> a + b) AS sinv
+        |  FROM byl)
+        |SELECT CAST(n AS BIGINT) AS n_docs, CAST(l AS BIGINT) AS n_langs,
+        |  round(CAST(sxt AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_naive,
+        |  round(sm / CAST(l AS DOUBLE), 6) AS mean_weighted,
+        |  round(CAST(l AS DOUBLE) * CAST(l AS DOUBLE) / sinv, 6) AS ess,
+        |  round(CAST(n AS DOUBLE) * sinv
+        |        / (CAST(l AS DOUBLE) * CAST(l AS DOUBLE)), 6) AS deff
+        |FROM st""".stripMargin,
+
+    "prof_hash_quality" ->
+      s"""WITH b AS (
+         |  SELECT ${graft.Exact.hash32Sql("CAST(event_id AS VARCHAR)")}
+         |      % 256 AS bucket,
+         |    count(*) AS o
+         |  FROM events GROUP BY 1),
+         |n AS (SELECT sum(o) AS n FROM b),
+         |f AS (
+         |  SELECT s.bucket, n.n, coalesce(b.o, 0) AS o
+         |  FROM (SELECT unnest(range(256)) AS bucket) s CROSS JOIN n
+         |  LEFT JOIN b USING (bucket)),
+         |st AS (
+         |  SELECT n, min(o) AS min_bucket, max(o) AS max_bucket,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list(((CAST(o AS DOUBLE) - CAST(n AS DOUBLE) / 256.0)
+         |            * (CAST(o AS DOUBLE) - CAST(n AS DOUBLE) / 256.0))
+         |           / (CAST(n AS DOUBLE) / 256.0) ORDER BY bucket)),
+         |      (a, b) -> a + b) AS chi2
+         |  FROM f GROUP BY n)
+         |SELECT CAST(n AS BIGINT) AS n_rows, CAST(255 AS BIGINT) AS df,
+         |  CAST(min_bucket AS BIGINT) AS min_bucket,
+         |  CAST(max_bucket AS BIGINT) AS max_bucket,
+         |  round(chi2, 6) AS chi2
+         |FROM st""".stripMargin,
 
     "a34_friedman" ->
       """WITH daily AS (
@@ -2343,6 +2512,48 @@ object Relational3 {
         |  round(CAST(mx AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) *
         |        sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
         |             / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))), 6) AS lambda
+        |FROM a ORDER BY type_a, type_b""".stripMargin,
+
+    "a35_cvm" ->
+      """WITH h AS (
+        |  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS c,
+        |    count(*) AS m
+        |  FROM events GROUP BY 1, 2),
+        |tys AS (SELECT DISTINCT event_type AS t2 FROM h),
+        |px AS (
+        |  SELECT least(h.event_type, t.t2) AS type_a,
+        |    greatest(h.event_type, t.t2) AS type_b,
+        |    h.event_type AS own, c, m
+        |  FROM h, tys t WHERE t.t2 <> h.event_type),
+        |pc AS (
+        |  SELECT type_a, type_b, c,
+        |    CAST(sum(CASE WHEN own = type_a THEN m ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN own = type_b THEN m ELSE 0 END) AS BIGINT) AS cb
+        |  FROM px GROUP BY 1, 2, 3),
+        |cd AS (
+        |  SELECT type_a, type_b, c, ca, cb,
+        |    CAST(sum(ca) OVER cdf AS BIGINT) AS cuma,
+        |    CAST(sum(cb) OVER cdf AS BIGINT) AS cumb,
+        |    CAST(sum(ca) OVER whole AS BIGINT) AS na,
+        |    CAST(sum(cb) OVER whole AS BIGINT) AS nb
+        |  FROM pc
+        |  WINDOW cdf AS (PARTITION BY type_a, type_b ORDER BY c
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         whole AS (PARTITION BY type_a, type_b
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
+        |a AS (
+        |  SELECT type_a, type_b, max(na) AS na, max(nb) AS nb,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list(CAST(ca + cb AS DOUBLE)
+        |           * (CAST(CAST(cuma AS HUGEINT) * nb
+        |                   - CAST(cumb AS HUGEINT) * na AS DOUBLE)
+        |              * CAST(CAST(cuma AS HUGEINT) * nb
+        |                     - CAST(cumb AS HUGEINT) * na AS DOUBLE))
+        |           ORDER BY c)), (x, y) -> x + y) AS f
+        |  FROM cd GROUP BY 1, 2)
+        |SELECT type_a, type_b, na AS n_a, nb AS n_b,
+        |  round(f / (CAST(na + nb AS DOUBLE) * CAST(na + nb AS DOUBLE)
+        |             * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) AS t
         |FROM a ORDER BY type_a, type_b""".stripMargin,
 
     "prof_freshness" ->

@@ -1732,6 +1732,158 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("mm_dup_images: banded join finds exactly the brute-force pairs") {
+    val got = SparkEntry.queries("mm_dup_images")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val hashes = SparkEntry.queries("mm_ahash")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(3)))
+    // brute force: every unordered pair at string Hamming <= 3. The 4x16
+    // banding is pigeonhole-complete at this threshold, so the sets must
+    // be EQUAL, not just a superset check.
+    val expect = (for {
+      (a, ha) <- hashes; (b, hb) <- hashes if a < b
+      d = ha.zip(hb).count { case (x, y) => x != y } if d <= 3
+    } yield (a, b, d.toLong)).toSet
+    assert(got.toSet == expect,
+      s"pairs differ: only-engine=${(got.toSet -- expect).take(3)} " +
+        s"only-brute=${(expect -- got.toSet).take(3)}")
+  }
+
+  test("samp_importance: reweighted mean and ESS recompute per lang") {
+    val row = SparkEntry.queries("samp_importance")(spark, dir).collect().head
+    val docs = Tables.load(spark, dir, "documents")
+      .select("lang", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val byLang = docs.groupBy(_._1)
+    val (nn, ll) = (docs.length, byLang.size)
+    assert(row.getLong(0) == nn && row.getLong(1) == ll)
+    val naive = docs.map(_._2).sum.toDouble / nn
+    val weighted = byLang.values.map(g =>
+      g.map(_._2).sum.toDouble / g.length).sum / ll
+    val ess = ll.toDouble * ll / byLang.values.map(g => 1.0 / g.length).sum
+    assert(math.abs(row.getDouble(2) - naive) <= 1e-6)
+    assert(math.abs(row.getDouble(3) - weighted) <= 1e-6,
+      s"weighted ${row.getDouble(3)} vs direct $weighted")
+    assert(math.abs(row.getDouble(4) - ess) <= 1e-4 * math.max(1.0, ess))
+    assert(math.abs(row.getDouble(5) - nn / ess) <= 1e-6)
+  }
+
+  test("prof_hash_quality: chi2 recomputes from direct bucket counts") {
+    val row = SparkEntry.queries("prof_hash_quality")(spark, dir)
+      .collect().head
+    val buckets = Tables.load(spark, dir, "events")
+      .select(graft.Exact.hash32(col("event_id").cast("string")).as("h"))
+      .collect().map(r => r.getLong(0) % 256)
+    val counts = (0L until 256L).map(b => buckets.count(_ == b).toLong)
+    val e = buckets.length / 256.0
+    val chi2 = counts.map(o => (o - e) * (o - e) / e).sum
+    assert(row.getLong(0) == buckets.length && row.getLong(1) == 255L)
+    assert(row.getLong(2) == counts.min && row.getLong(3) == counts.max)
+    assert(math.abs(row.getDouble(4) - chi2) <= 1e-4 * math.max(1.0, chi2),
+      s"chi2 ${row.getDouble(4)} vs direct $chi2")
+  }
+
+  test("ev_impact: counterfactual and CI recompute per type") {
+    val out = SparkEntry.queries("ev_impact")(spark, dir).collect()
+    val pivot = java.time.LocalDate.parse("2024-01-16")
+    val daily = Tables.load(spark, dir, "events")
+      .select(col("event_type"), to_date(col("ts")).as("d"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("c"))
+      .groupBy("event_type", "d").agg(sum("c").as("sc"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toLocalDate,
+        r.getLong(2))).groupBy(_._1)
+    for (row <- out) {
+      val t = row.getString(0)
+      val obs = daily(t).map(r => (r._2, r._3)).toMap
+      val (mn, mx) = (daily(t).map(_._2).min, daily(t).map(_._2).max)
+      val series = Iterator.iterate(mn)(_.plusDays(1)).takeWhile(!_.isAfter(mx))
+        .map(day => (day, obs.getOrElse(day, 0L))).toVector
+      val dow = (day: java.time.LocalDate) =>
+        java.time.temporal.ChronoUnit.DAYS.between(
+          java.time.LocalDate.ofEpochDay(0), day) % 7
+      val pre = series.filter(_._1.isBefore(pivot))
+      val post = series.filterNot(_._1.isBefore(pivot))
+      val mhat = pre.groupBy(p => dow(p._1)).map { case (w, g) =>
+        w -> g.map(_._2).sum.toDouble / g.length }
+      assert(row.getLong(1) == pre.length && row.getLong(2) == post.length)
+      val act = post.map(_._2).sum.toDouble
+      val exp0 = post.map(p => mhat(dow(p._1))).sum
+      assert(math.abs(row.getDouble(3) - act / 100.0) <= 1e-6)
+      assert(math.abs(row.getDouble(4) - exp0 / 100.0) <= 1e-4)
+      assert(math.abs(row.getDouble(5) - (act - exp0) / 100.0) <= 1e-4)
+      val rss = pre.map(p => math.pow(p._2 - mhat(dow(p._1)), 2)).sum
+      val hw = 1.96 * math.sqrt(rss / (pre.length - 7) * post.length)
+      assert(math.abs(row.getDouble(6) - (act - exp0 - hw) / 100.0) <= 1e-3,
+        s"$t: ci_lo")
+      assert(math.abs(row.getDouble(7) - (act - exp0 + hw) / 100.0) <= 1e-3)
+      assert(row.getBoolean(8) ==
+        (act - exp0 - hw > 0 || act - exp0 + hw < 0), s"$t: significant")
+    }
+  }
+
+  test("a35_cvm: criterion recomputes from pooled per-pair samples") {
+    val out = SparkEntry.queries("a35_cvm")(spark, dir).collect()
+    val byType = Tables.load(spark, dir, "events")
+      .select(col("event_type"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).groupBy(_._1)
+      .map { case (t, rs) => t -> rs.map(_._2) }
+    for (row <- out) {
+      val (ta, tb) = (row.getString(0), row.getString(1))
+      val (xa, xb) = (byType(ta), byType(tb))
+      val (n, m) = (xa.length, xb.length)
+      assert(row.getLong(2) == n && row.getLong(3) == m)
+      val pooled = (xa ++ xb).sorted
+      def cdf(xs: Seq[Long], v: Long) = xs.count(_ <= v).toDouble / xs.length
+      val t = pooled.map(v => math.pow(cdf(xa, v) - cdf(xb, v), 2)).sum *
+        n.toDouble * m / math.pow(n.toDouble + m, 2)
+      assert(math.abs(row.getDouble(4) - t) <= 1e-4 * math.max(1e-3, t),
+        s"$ta/$tb: T ${row.getDouble(4)} vs direct $t")
+    }
+  }
+
+  test("q6_pivot: wide counts match the long groupBy and cover all events") {
+    val out = SparkEntry.queries("q6_pivot")(spark, dir).collect()
+    val long = Tables.load(spark, dir, "events")
+      .select(col("event_type"), expr("hour(ts) div 4").as("hb"))
+      .groupBy("event_type", "hb").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val total = Tables.load(spark, dir, "events").count()
+    assert(out.map(r => (1 to 6).map(r.getLong).sum).sum == total)
+    for (r <- out; b <- 0L to 5L)
+      assert(r.getLong(b.toInt + 1) == long.getOrElse((r.getString(0), b), 0L),
+        s"${r.getString(0)} hb$b")
+  }
+
+  test("gr_diameter: eccentricities recompute via direct BFS from landmarks") {
+    val out = SparkEntry.queries("gr_diameter")(spark, dir).collect()
+    // the graph is rec_cooccur's support-pruned pair frame (>= 2 shared
+    // baskets, the Graph.MinSupport) — rebuild adjacency and BFS directly
+    val adj = SparkEntry.queries("rec_cooccur")(spark, dir).collect()
+      .flatMap(r => Seq(r.getLong(0) -> r.getLong(1),
+        r.getLong(1) -> r.getLong(0)))
+      .groupBy(_._1).map { case (n, es) => n -> es.map(_._2).toSet }
+    val landmarks = adj.keys.toSeq.sorted.take(4)
+    def bfs(src: Long): Map[Long, Int] = {
+      var dist = Map(src -> 0); var frontier = Set(src); var hop = 0
+      while (frontier.nonEmpty && hop < 6) {
+        hop += 1
+        frontier = frontier.flatMap(adj(_)).diff(dist.keySet)
+        dist ++= frontier.map(_ -> hop)
+      }
+      dist
+    }
+    val eccs = landmarks.map(lm => lm -> bfs(lm))
+    val diam = eccs.map(_._2.values.max).max
+    assert(out.length == landmarks.length)
+    for ((row, (lm, d)) <- out.zip(eccs)) {
+      assert(row.getLong(0) == lm)
+      assert(row.getLong(1) == d.size, s"$lm: n_reached")
+      assert(row.getLong(2) == d.values.max, s"$lm: ecc_lb")
+      assert(row.getLong(3) == diam)
+    }
+  }
+
   test("emb_triplet_mine: labels, margin identity, violating flag") {
     val out = SparkEntry.queries("emb_triplet_mine")(spark, dir).collect()
     val labels = Tables.load(spark, dir, "embeddings")
