@@ -947,6 +947,62 @@ object Relational3 {
         .orderBy("type_a", "type_b")
     }),
 
+    // Two-sample Anderson–Darling statistic between every pair of event
+    // types — the TAIL-WEIGHTED member completing the EDF-test trio
+    // (a18_ks: supremum; a35_cvm: integrated; AD: integrated with
+    // 1/(F(1−F)) weight, so tail divergence — exactly where pricing and
+    // abuse shifts live — dominates). The discrete Pettitt/Scholz–
+    // Stephens form collapses algebraically onto the SAME exact integer
+    // the other two use (with N = na+nb, B = pooled cum count, the
+    // numerator N·Ma − na·B = nb·Ma − na·Mb = D): A² =
+    // Σ_{B<N} l·D²/(B·(N−B)) / (na·nb) with l the pooled mass at the
+    // value. Every per-term factor is an exact decimal/HUGEINT integer;
+    // terms go to double before the c-sorted fold, one final division,
+    // round(6). Scale: the a18_ks histogram shape exactly.
+    "a36_ad2" -> ((s, dir) => {
+      val h = load(s, dir, "events")
+        .select(col("event_type"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("c"))
+        .groupBy("event_type", "c").agg(count(lit(1)).as("m"))
+      val tys = h.select(col("event_type").as("t2")).distinct()
+      val paired = h.crossJoin(broadcast(tys))
+        .where(col("t2") =!= col("event_type"))
+        .select(least(col("event_type"), col("t2")).as("type_a"),
+          greatest(col("event_type"), col("t2")).as("type_b"),
+          col("event_type").as("own"), col("c"), col("m"))
+        .groupBy("type_a", "type_b", "c")
+        .agg(sum(when(col("own") === col("type_a"), col("m")).otherwise(0L)).as("ca"),
+          sum(when(col("own") === col("type_b"), col("m")).otherwise(0L)).as("cb"))
+      val wCdf = Window.partitionBy("type_a", "type_b").orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wAll = Window.partitionBy("type_a", "type_b")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val dec = (x: org.apache.spark.sql.Column) => x.cast("decimal(38,0)")
+      val dd = (dec(col("cuma")) * col("nb") - dec(col("cumb")) * col("na"))
+        .cast("double")
+      val bD = (col("cuma") + col("cumb")).cast("double")
+      val nD = (col("na") + col("nb")).cast("double")
+      val term = when(col("cuma") + col("cumb") < col("na") + col("nb"),
+        (col("ca") + col("cb")).cast("double") * (dd * dd) /
+          (bD * (nD - bD))).otherwise(lit(0.0))
+      val naD = col("na").cast("double")
+      val nbD = col("nb").cast("double")
+      paired
+        .withColumn("cuma", sum(col("ca")).over(wCdf))
+        .withColumn("cumb", sum(col("cb")).over(wCdf))
+        .withColumn("na", sum(col("ca")).over(wAll))
+        .withColumn("nb", sum(col("cb")).over(wAll))
+        .groupBy("type_a", "type_b")
+        .agg(max(col("na")).as("na"), max(col("nb")).as("nb"),
+          aggregate(transform(array_sort(collect_list(
+            struct(col("c"), term.as("t")))),
+            x => x.getField("t")), lit(0.0), (a, t) => a + t).as("f"))
+        .select(col("type_a"), col("type_b"), col("na").as("n_a"),
+          col("nb").as("n_b"),
+          round(col("f") / (naD * nbD), 6).as("a2"))
+        .orderBy("type_a", "type_b")
+    }),
+
     // 2-D skyline / Pareto frontier over parts (minimize retail price,
     // maximize size) — the multi-criteria shortlist operator ("no other
     // part is both cheaper and bigger"). NOT the O(n²) dominance join:
@@ -2554,6 +2610,52 @@ object Relational3 {
         |SELECT type_a, type_b, na AS n_a, nb AS n_b,
         |  round(f / (CAST(na + nb AS DOUBLE) * CAST(na + nb AS DOUBLE)
         |             * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) AS t
+        |FROM a ORDER BY type_a, type_b""".stripMargin,
+
+    "a36_ad2" ->
+      """WITH h AS (
+        |  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS c,
+        |    count(*) AS m
+        |  FROM events GROUP BY 1, 2),
+        |tys AS (SELECT DISTINCT event_type AS t2 FROM h),
+        |px AS (
+        |  SELECT least(h.event_type, t.t2) AS type_a,
+        |    greatest(h.event_type, t.t2) AS type_b,
+        |    h.event_type AS own, c, m
+        |  FROM h, tys t WHERE t.t2 <> h.event_type),
+        |pc AS (
+        |  SELECT type_a, type_b, c,
+        |    CAST(sum(CASE WHEN own = type_a THEN m ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN own = type_b THEN m ELSE 0 END) AS BIGINT) AS cb
+        |  FROM px GROUP BY 1, 2, 3),
+        |cd AS (
+        |  SELECT type_a, type_b, c, ca, cb,
+        |    CAST(sum(ca) OVER cdf AS BIGINT) AS cuma,
+        |    CAST(sum(cb) OVER cdf AS BIGINT) AS cumb,
+        |    CAST(sum(ca) OVER whole AS BIGINT) AS na,
+        |    CAST(sum(cb) OVER whole AS BIGINT) AS nb
+        |  FROM pc
+        |  WINDOW cdf AS (PARTITION BY type_a, type_b ORDER BY c
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         whole AS (PARTITION BY type_a, type_b
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
+        |a AS (
+        |  SELECT type_a, type_b, max(na) AS na, max(nb) AS nb,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list(CASE WHEN cuma + cumb < na + nb THEN
+        |             CAST(ca + cb AS DOUBLE)
+        |             * (CAST(CAST(cuma AS HUGEINT) * nb
+        |                     - CAST(cumb AS HUGEINT) * na AS DOUBLE)
+        |                * CAST(CAST(cuma AS HUGEINT) * nb
+        |                       - CAST(cumb AS HUGEINT) * na AS DOUBLE))
+        |             / (CAST(cuma + cumb AS DOUBLE)
+        |                * (CAST(na + nb AS DOUBLE)
+        |                   - CAST(cuma + cumb AS DOUBLE)))
+        |           ELSE CAST(0 AS DOUBLE) END
+        |           ORDER BY c)), (x, y) -> x + y) AS f
+        |  FROM cd GROUP BY 1, 2)
+        |SELECT type_a, type_b, na AS n_a, nb AS n_b,
+        |  round(f / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) AS a2
         |FROM a ORDER BY type_a, type_b""".stripMargin,
 
     "prof_freshness" ->

@@ -110,6 +110,56 @@ object TextAnalysis {
     s"CAST(CASE WHEN length(text) BETWEEN 100 AND 2000 AND ${sqlHits(Stopwords)} > 0 THEN 1.0 ELSE 0.0 END AS DOUBLE)"
 
   val queries: Map[String, Q] = Map(
+
+    // RAKE keyword extraction (Rose et al. 2010) — the third member of
+    // the keyword family: ta_keywords ranks single terms by TF-IDF
+    // (corpus-relative), ta_textrank ranks terms by co-occurrence
+    // centrality, RAKE ranks multi-word PHRASES: candidate phrases are
+    // the maximal stopword-free token runs, each word scores
+    // deg(w)/freq(w) within the document (deg = Σ lengths of phrases
+    // containing w — favors words living in long collocations), and a
+    // phrase scores the sum of its word scores. Top 3 phrases per doc,
+    // ties → lexicographic. Tokenization is the house `toks` (phrase
+    // boundaries at the Stopwords list + empty tokens), so the oracle
+    // shares the exact split. Word scores are exact-integer ratios; the
+    // per-phrase score folds in position order (phrase-length arrays);
+    // round(6) at output, ranking on the identically-folded double.
+    // Scale: one corpus-scale posexplode; every window (phrase-id
+    // running count, phrase length, per-doc top-k) partitions on the
+    // data-scale doc key — embarrassingly parallel by document.
+    "ta_rake" -> ((s, dir) => {
+      val tok = load(s, dir, "documents")
+        .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("pos", "w")))
+        .withColumn("is_stop",
+          (col("w").isInCollection(Stopwords) || col("w") === "")
+            .cast("long"))
+      val wPid = Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wLen = Window.partitionBy("doc_id", "pid")
+      val phw = tok.withColumn("pid", sum("is_stop").over(wPid))
+        .where(col("is_stop") === 0)
+        .withColumn("plen", count(lit(1)).over(wLen))
+      val ws = phw.groupBy("doc_id", "w")
+        .agg((sum("plen").cast("double") / count(lit(1)).cast("double"))
+          .as("wscore"))
+      val psc = phw.join(ws, Seq("doc_id", "w"))
+        .groupBy("doc_id", "pid")
+        .agg(
+          array_join(transform(array_sort(collect_list(
+            struct(col("pos"), col("w")))), x => x.getField("w")), " ")
+            .as("phrase"),
+          aggregate(transform(array_sort(collect_list(
+            struct(col("pos"), col("wscore").as("t")))),
+            x => x.getField("t")), lit(0.0), (a, t) => a + t).as("score"))
+      val ded = psc.groupBy("doc_id", "phrase").agg(max("score").as("score"))
+      val wTop = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("phrase"))
+      ded.withColumn("rnk", row_number().over(wTop).cast("long"))
+        .where(col("rnk") <= 3)
+        .select(col("doc_id"), col("phrase"), round(col("score"), 6).as("score"),
+          col("rnk"))
+        .orderBy("doc_id", "rnk")
+    }),
     // Token counting: whitespace tokens + BPE-ish regex tokens.
     "ta_token_count" -> ((s, dir) =>
       load(s, dir, "documents")
@@ -1165,6 +1215,45 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+
+    "ta_rake" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+         |tok AS (
+         |  SELECT doc_id, i - 1 AS pos, t[i] AS w
+         |  FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM d)),
+         |fl AS (
+         |  SELECT doc_id, pos, w,
+         |    CASE WHEN w IN (${Stopwords.map(w => s"'$w'").mkString(", ")})
+         |      OR w = '' THEN 1 ELSE 0 END AS is_stop
+         |  FROM tok),
+         |phw AS (
+         |  SELECT doc_id, pid, pos, w,
+         |    count(*) OVER (PARTITION BY doc_id, pid) AS plen
+         |  FROM (SELECT doc_id, pos, w, is_stop,
+         |          sum(is_stop) OVER (PARTITION BY doc_id ORDER BY pos
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pid
+         |        FROM fl)
+         |  WHERE is_stop = 0),
+         |ws AS (
+         |  SELECT doc_id, w,
+         |    CAST(sum(plen) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS wscore
+         |  FROM phw GROUP BY 1, 2),
+         |psc AS (
+         |  SELECT phw.doc_id, pid,
+         |    string_agg(phw.w, ' ' ORDER BY pos) AS phrase,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list(wscore ORDER BY pos)), (a, b) -> a + b) AS score
+         |  FROM phw JOIN ws ON phw.doc_id = ws.doc_id AND phw.w = ws.w
+         |  GROUP BY 1, 2),
+         |ded AS (SELECT doc_id, phrase, max(score) AS score
+         |        FROM psc GROUP BY 1, 2)
+         |SELECT doc_id, phrase, round(score, 6) AS score, rnk
+         |FROM (SELECT doc_id, phrase, score,
+         |        CAST(row_number() OVER (PARTITION BY doc_id
+         |          ORDER BY score DESC, phrase) AS BIGINT) AS rnk
+         |      FROM ded)
+         |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
     "ta_pack" ->
       s"""SELECT doc_id, source, n_tokens,
          |  CAST((cum - n_tokens) // $PackBudget AS BIGINT) AS seq_id

@@ -1842,6 +1842,70 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("a36_ad2: statistic recomputes from the discrete Pettitt form") {
+    val out = SparkEntry.queries("a36_ad2")(spark, dir).collect()
+    val byType = Tables.load(spark, dir, "events")
+      .select(col("event_type"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).groupBy(_._1)
+      .map { case (t, rs) => t -> rs.map(_._2) }
+    for (row <- out) {
+      val (xa, xb) = (byType(row.getString(0)), byType(row.getString(1)))
+      val (n, m) = (xa.length.toLong, xb.length.toLong)
+      val nn = n + m
+      val distinct = (xa ++ xb).distinct.sorted
+      val a2 = distinct.map { v =>
+        val ma = xa.count(_ <= v).toLong; val mb = xb.count(_ <= v).toLong
+        val l = xa.count(_ == v) + xb.count(_ == v)
+        val b = ma + mb
+        if (b < nn) {
+          val dD = (m * ma - n * mb).toDouble
+          l * dD * dD / (b.toDouble * (nn - b))
+        } else 0.0
+      }.sum / (n.toDouble * m)
+      assert(math.abs(row.getDouble(4) - a2) <= 1e-4 * math.max(1e-3, a2),
+        s"${row.getString(0)}/${row.getString(1)}: A2 ${row.getDouble(4)} vs $a2")
+    }
+  }
+
+  test("ta_rake: phrase scores recompute from the deg/freq definition") {
+    val out = SparkEntry.queries("ta_rake")(spark, dir).collect()
+      .groupBy(_.getLong(0))
+    val stop = Set("the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "")
+    val docs = Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    var checked = 0
+    for ((id, text) <- docs.take(50)) {
+      // phrases: maximal stopword-free runs of the house tokenizer
+      val toks = text.toLowerCase.split(" ", -1)
+      val phrases = scala.collection.mutable.Buffer[Vector[String]]()
+      var cur = Vector.empty[String]
+      for (w <- toks) {
+        if (stop(w)) { if (cur.nonEmpty) phrases += cur; cur = Vector.empty }
+        else cur :+= w
+      }
+      if (cur.nonEmpty) phrases += cur
+      if (phrases.nonEmpty) {
+        val occ = phrases.flatMap(p => p.map(w => (w, p.length)))
+        val wscore = occ.groupBy(_._1).map { case (w, os) =>
+          w -> os.map(_._2).sum.toDouble / os.length }
+        val scored = phrases.map(p => (p.mkString(" "), p.map(wscore).sum))
+          .groupBy(_._1).map { case (ph, g) => (ph, g.head._2) }.toSeq
+        val top = scored.sortBy { case (ph, sc) => (-sc, ph) }.take(3)
+        val got = out(id).sortBy(_.getLong(3))
+          .map(r => (r.getString(1), r.getDouble(2)))
+        assert(got.length == top.length, s"doc $id: ${got.length} rows")
+        for (((gp, gs), (ep, es)) <- got.zip(top)) {
+          assert(gp == ep, s"doc $id: phrase '$gp' vs '$ep'")
+          assert(math.abs(gs - es) <= 1e-6, s"doc $id: score $gs vs $es")
+        }
+        checked += 1
+      }
+    }
+    assert(checked > 10, s"only $checked docs had phrases")
+  }
+
   test("q6_pivot: wide counts match the long groupBy and cover all events") {
     val out = SparkEntry.queries("q6_pivot")(spark, dir).collect()
     val long = Tables.load(spark, dir, "events")
