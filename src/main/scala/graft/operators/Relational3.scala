@@ -104,6 +104,39 @@ object Relational3 {
     ("part", "p_partkey", "lineitem", "l_partkey"))
 
   private val KRec = 5 // rec_coverage: recommendation-list length
+  private val TostMarginCents = 50.0 // a37_tost: ±equivalence margin δ
+
+  /** Shared by a21_welch_t and a37_tost: per-type decimal-exact power
+    * sums (n, Σc, Σc² in integer cents) crossed into ordered pairs with
+    * the Welch means and per-mean variances as columns — ma/mb = Σc/n,
+    * va/vb = sample variance / n (the squared-SE building blocks). The
+    * double trees are IDENTICAL to the pre-refactor a21 inline form
+    * (the rateZ discipline: a helper moves code, never bits). */
+  private def welchPairs(s: SparkSession, dir: String): DataFrame = {
+    val dec38 = (x: org.apache.spark.sql.Column) => x.cast("decimal(38,0)")
+    val st = load(s, dir, "events")
+      .select(col("event_type"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("c"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("s1"),
+        sum(dec38(col("c")) * col("c")).as("s2"))
+    val b = st.select(col("event_type").as("type_b"), col("n").as("nb"),
+      col("s1").as("s1b"), col("s2").as("s2b"))
+    def m(n: org.apache.spark.sql.Column, s1: org.apache.spark.sql.Column) =
+      s1.cast("double") / n.cast("double")
+    def v(n: org.apache.spark.sql.Column, s1: org.apache.spark.sql.Column,
+          s2: org.apache.spark.sql.Column) =
+      (dec38(n) * s2 - dec38(s1) * s1).cast("double") /
+        (n.cast("double") * (n.cast("double") - 1))
+    st.crossJoin(broadcast(b))
+      .where(col("event_type") < col("type_b"))
+      .select(col("event_type").as("type_a"), col("type_b"),
+        col("n"), col("nb"),
+        m(col("n"), col("s1")).as("ma"), m(col("nb"), col("s1b")).as("mb"),
+        (v(col("n"), col("s1"), col("s2")) / col("n").cast("double")).as("va"),
+        (v(col("nb"), col("s1b"), col("s2b")) / col("nb").cast("double"))
+          .as("vb"))
+  }
   private val ErWindow = 5 // er_fuzzy_match sorted-neighborhood width
   private val ErMaxDist = 2 // er_fuzzy_match Levenshtein accept threshold
   private val SkyBucketW = 1000L // q_skyline price-bucket width, cents
@@ -1399,32 +1432,51 @@ object Relational3 {
     // round(6). Scale: ONE per-type aggregate; the pair explode runs on
     // the types-scale frame under a broadcast.
     "a21_welch_t" -> ((s, dir) => {
-      val dec38 = (x: org.apache.spark.sql.Column) => x.cast("decimal(38,0)")
-      val st = load(s, dir, "events")
-        .select(col("event_type"),
-          floor(col("value") * 100 + lit(0.5)).cast("long").as("c"))
-        .groupBy("event_type")
-        .agg(count(lit(1)).as("n"), sum(col("c")).as("s1"),
-          sum(dec38(col("c")) * col("c")).as("s2"))
-      val b = st.select(col("event_type").as("type_b"), col("n").as("nb"),
-        col("s1").as("s1b"), col("s2").as("s2b"))
-      def m(n: org.apache.spark.sql.Column, s1: org.apache.spark.sql.Column) =
-        s1.cast("double") / n.cast("double")
-      def v(n: org.apache.spark.sql.Column, s1: org.apache.spark.sql.Column,
-            s2: org.apache.spark.sql.Column) =
-        (dec38(n) * s2 - dec38(s1) * s1).cast("double") /
-          (n.cast("double") * (n.cast("double") - 1))
-      val va = v(col("n"), col("s1"), col("s2")) / col("n").cast("double")
-      val vb = v(col("nb"), col("s1b"), col("s2b")) / col("nb").cast("double")
-      st.crossJoin(broadcast(b))
-        .where(col("event_type") < col("type_b"))
-        .select(col("event_type").as("type_a"), col("type_b"),
+      val va = col("va")
+      val vb = col("vb")
+      welchPairs(s, dir)
+        .select(col("type_a"), col("type_b"),
           col("n").as("n_a"), col("nb").as("n_b"),
-          round((m(col("n"), col("s1")) - m(col("nb"), col("s1b"))) /
-            sqrt(va + vb), 6).as("t"),
+          round((col("ma") - col("mb")) / sqrt(va + vb), 6).as("t"),
           round((va + vb) * (va + vb) /
             (va * va / (col("n").cast("double") - 1) +
               vb * vb / (col("nb").cast("double") - 1)), 6).as("df"))
+        .orderBy("type_a", "type_b")
+    }),
+
+    // Equivalence test (TOST — two one-sided tests, Schuirmann 1987)
+    // between every pair of event types' mean values: where a21_welch_t
+    // asks "are the means DIFFERENT", TOST asks the question a launch
+    // review actually needs — "are they the SAME to within ±50 cents"
+    // (absence of evidence ≠ evidence of absence; a non-significant t is
+    // NOT an equivalence claim). Both one-sided hypotheses H01: Δ ≤ −δ
+    // and H02: Δ ≥ δ must reject: z_i from the shared Welch standard
+    // error (normal approximation — at the corpus sample sizes the
+    // Student correction is < round(6)), one-sided p = Φ(−z) via the
+    // signed extension of the a33 erfc tree (erfc(x) = 2 − erfc(−x) for
+    // the negative branch), p_tost = max(p1, p2), equivalent at
+    // α = 0.05. NULL when the pooled SE is 0 (both types constant).
+    // Scale: the welchPairs shape — one keyed agg, types² broadcast.
+    "a37_tost" -> ((s, dir) => {
+      def pOne(z: org.apache.spark.sql.Column) = {
+        def a(x: org.apache.spark.sql.Column) = {
+          val t = lit(1.0) / (lit(1.0) + lit(0.3275911) * x)
+          (((((lit(1.061405429) * t + lit(-1.453152027)) * t +
+            lit(1.421413741)) * t + lit(-0.284496736)) * t +
+            lit(0.254829592)) * t) * exp(x * x * lit(-1.0))
+        }
+        when(z >= 0, lit(0.5) * a(z / sqrt(lit(2.0))))
+          .otherwise(lit(1.0) - lit(0.5) * a((lit(0.0) - z) / sqrt(lit(2.0))))
+      }
+      val se = sqrt(col("va") + col("vb"))
+      val delta = col("ma") - col("mb")
+      val p1 = pOne((delta + lit(TostMarginCents)) / se)
+      val p2 = pOne((lit(TostMarginCents) - delta) / se)
+      welchPairs(s, dir)
+        .select(col("type_a"), col("type_b"), col("n").as("n_a"),
+          col("nb").as("n_b"), round(delta, 6).as("mean_diff_cents"),
+          round(when(se > 0, greatest(p1, p2)), 6).as("p_tost"),
+          when(se > 0, greatest(p1, p2) < lit(0.05)).as("equivalent"))
         .orderBy("type_a", "type_b")
     }),
 
@@ -2611,6 +2663,57 @@ object Relational3 {
         |  round(f / (CAST(na + nb AS DOUBLE) * CAST(na + nb AS DOUBLE)
         |             * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) AS t
         |FROM a ORDER BY type_a, type_b""".stripMargin,
+
+    "a37_tost" ->
+      """WITH st AS (
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(sum(c) AS BIGINT) AS s1, sum(CAST(c AS HUGEINT) * c) AS s2
+        |  FROM (SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+        |        FROM events)
+        |  GROUP BY 1),
+        |pr AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    a.n AS n_a, b.n AS n_b,
+        |    CAST(a.s1 AS DOUBLE) / CAST(a.n AS DOUBLE) AS ma,
+        |    CAST(b.s1 AS DOUBLE) / CAST(b.n AS DOUBLE) AS mb,
+        |    CAST(CAST(a.n AS HUGEINT) * a.s2
+        |         - CAST(a.s1 AS HUGEINT) * a.s1 AS DOUBLE)
+        |      / (CAST(a.n AS DOUBLE) * (CAST(a.n AS DOUBLE) - 1))
+        |      / CAST(a.n AS DOUBLE) AS va,
+        |    CAST(CAST(b.n AS HUGEINT) * b.s2
+        |         - CAST(b.s1 AS HUGEINT) * b.s1 AS DOUBLE)
+        |      / (CAST(b.n AS DOUBLE) * (CAST(b.n AS DOUBLE) - 1))
+        |      / CAST(b.n AS DOUBLE) AS vb
+        |  FROM st a JOIN st b ON a.event_type < b.event_type),
+        |zx AS (SELECT *, ma - mb AS delta, sqrt(va + vb) AS se FROM pr),
+        |zz AS (SELECT *, (delta + 50.0) / se AS z1,
+        |              (50.0 - delta) / se AS z2 FROM zx),
+        |px AS (SELECT *,
+        |  CASE WHEN z1 >= 0 THEN z1 / sqrt(2.0)
+        |    ELSE (0.0 - z1) / sqrt(2.0) END AS x1,
+        |  CASE WHEN z2 >= 0 THEN z2 / sqrt(2.0)
+        |    ELSE (0.0 - z2) / sqrt(2.0) END AS x2
+        |  FROM zz),
+        |pt AS (SELECT *, 1.0 / (1.0 + 0.3275911 * x1) AS t1,
+        |              1.0 / (1.0 + 0.3275911 * x2) AS t2 FROM px),
+        |pa AS (SELECT *,
+        |  (((((1.061405429 * t1 + -1.453152027) * t1 + 1.421413741) * t1
+        |     + -0.284496736) * t1 + 0.254829592) * t1)
+        |    * exp(x1 * x1 * -1.0) AS a1,
+        |  (((((1.061405429 * t2 + -1.453152027) * t2 + 1.421413741) * t2
+        |     + -0.284496736) * t2 + 0.254829592) * t2)
+        |    * exp(x2 * x2 * -1.0) AS a2
+        |  FROM pt),
+        |pp AS (SELECT *,
+        |  CASE WHEN z1 >= 0 THEN 0.5 * a1 ELSE 1.0 - 0.5 * a1 END AS p1,
+        |  CASE WHEN z2 >= 0 THEN 0.5 * a2 ELSE 1.0 - 0.5 * a2 END AS p2
+        |  FROM pa)
+        |SELECT type_a, type_b, CAST(n_a AS BIGINT) AS n_a,
+        |  CAST(n_b AS BIGINT) AS n_b,
+        |  round(delta, 6) AS mean_diff_cents,
+        |  round(CASE WHEN se > 0 THEN greatest(p1, p2) END, 6) AS p_tost,
+        |  CASE WHEN se > 0 THEN greatest(p1, p2) < 0.05 END AS equivalent
+        |FROM pp ORDER BY type_a, type_b""".stripMargin,
 
     "a36_ad2" ->
       """WITH h AS (

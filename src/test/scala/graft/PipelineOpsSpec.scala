@@ -1842,6 +1842,44 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("a37_tost: one-sided p values recompute from the Welch stats") {
+    val out = SparkEntry.queries("a37_tost")(spark, dir).collect()
+    val byType = Tables.load(spark, dir, "events")
+      .select(col("event_type"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).groupBy(_._1)
+      .map { case (t, rs) => t -> rs.map(_._2.toDouble) }
+    def erfcAS(x: Double): Double = {
+      val t = 1.0 / (1.0 + 0.3275911 * x)
+      (((((1.061405429 * t - 1.453152027) * t + 1.421413741) * t
+        - 0.284496736) * t + 0.254829592) * t) * math.exp(-x * x)
+    }
+    def pOne(z: Double): Double =
+      if (z >= 0) 0.5 * erfcAS(z / math.sqrt(2.0))
+      else 1.0 - 0.5 * erfcAS(-z / math.sqrt(2.0))
+    for (row <- out) {
+      val (xa, xb) = (byType(row.getString(0)), byType(row.getString(1)))
+      def stats(xs: Iterable[Double]) = {
+        val n = xs.size; val m = xs.sum / n
+        (n, m, xs.map(x => (x - m) * (x - m)).sum / (n - 1) / n)
+      }
+      val ((na, ma, va), (nb, mb, vb)) = (stats(xa), stats(xb))
+      assert(row.getLong(2) == na && row.getLong(3) == nb)
+      val delta = ma - mb
+      val se = math.sqrt(va + vb)
+      assert(math.abs(row.getDouble(4) - delta) <= 1e-4)
+      val p = math.max(pOne((delta + 50.0) / se), pOne((50.0 - delta) / se))
+      assert(math.abs(row.getDouble(5) - p) <= 1e-5,
+        s"${row.getString(0)}/${row.getString(1)}: p ${row.getDouble(5)} vs $p")
+      assert(row.getBoolean(6) == (p < 0.05))
+    }
+    // the battery's pairs must exercise BOTH branches of the signed erfc
+    // at least once across all z inputs, or the negative branch is dead
+    // code the oracle never checks
+    val anyEquiv = out.exists(r => !r.isNullAt(6))
+    assert(anyEquiv, "no pair produced a defined TOST verdict")
+  }
+
   test("a36_ad2: statistic recomputes from the discrete Pettitt form") {
     val out = SparkEntry.queries("a36_ad2")(spark, dir).collect()
     val byType = Tables.load(spark, dir, "events")
