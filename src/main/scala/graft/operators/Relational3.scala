@@ -2343,6 +2343,63 @@ object Relational3 {
     // inherits it. Counts exact; the 256 χ² terms fold in bucket order,
     // round(6). Scale: one corpus-scale agg that map-side-combines to
     // ≤256 groups; everything after is 256-row math.
+    // A/B sample-size calculator per event type — the planning companion
+    // to a37_tost/a21_welch_t: from each type's observed value variance,
+    // the per-arm n required to detect a ±50-cent mean shift at α = 0.05
+    // two-sided with 80% power, n = 2(z_{α/2}+z_β)²σ²/δ² (normal
+    // approximation, z constants 1.96/0.8416 spelled as literals so both
+    // engines build the identical tree), plus whether the CURRENT
+    // per-type volume already covers two arms. Variance from the exact
+    // decimal power sums (the welchPairs form); ceil on the shared
+    // double → identical integer cross-engine. NULL when n ≤ 1. Scale:
+    // one keyed agg; math on the types frame.
+    "ev_power" -> ((s, dir) => {
+      val dec38 = (x: org.apache.spark.sql.Column) => x.cast("decimal(38,0)")
+      val st = load(s, dir, "events")
+        .select(col("event_type"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("c"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("s1"),
+          sum(dec38(col("c")) * col("c")).as("s2"))
+      val v = (dec38(col("n")) * col("s2") - dec38(col("s1")) * col("s1"))
+        .cast("double") /
+        (col("n").cast("double") * (col("n").cast("double") - 1))
+      val zz = (lit(1.96) + lit(0.8416)) * (lit(1.96) + lit(0.8416))
+      val nReq = ceil(lit(2.0) * zz * v / lit(2500.0))
+      st.select(col("event_type"), col("n"),
+          round(when(col("n") > 1, sqrt(v)), 6).as("sd_cents"),
+          when(col("n") > 1, nReq).as("n_required"),
+          when(col("n") > 1, col("n") >= lit(2L) * nReq).as("powered"))
+        .orderBy("event_type")
+    }),
+
+    // Group-aware K-fold assignment — the leakage-free split a
+    // user-event corpus REQUIRES: split_assign buckets documents, but
+    // bucketing EVENTS directly would put one user's history in several
+    // folds and leak identity features across train/validation. Here the
+    // USER is the atom: content-stable hash32("u:" + user_id) mod 5, so
+    // every event of a user lands in exactly one fold (by construction —
+    // the spec pins it), reproducible on any cluster with no RNG state.
+    // Reports per-fold user/event/value masses + event share. Scale: one
+    // keyed agg; the fold hash is map-side.
+    "samp_group_split" -> ((s, dir) => {
+      val ev = load(s, dir, "events")
+        .select(col("user_id"), col("value"),
+          (graft.Exact.hash32(concat(lit("u:"),
+            col("user_id").cast("string"))) % 5).as("fold"))
+      val tot = ev.agg(count(lit(1)).as("tot"))
+      ev.groupBy("fold")
+        .agg(countDistinct("user_id").as("n_users"),
+          count(lit(1)).as("n_events"),
+          graft.Exact.dsum(col("value")).as("sum_value"))
+        .crossJoin(broadcast(tot))
+        .select(col("fold"), col("n_users"), col("n_events"),
+          col("sum_value"),
+          round(col("n_events").cast("double") / col("tot").cast("double"),
+            6).as("share"))
+        .orderBy("fold")
+    }),
+
     "prof_hash_quality" -> ((s, dir) => {
       val b = load(s, dir, "events")
         .select((graft.Exact.hash32(col("event_id").cast("string")) % 256)
@@ -2461,6 +2518,42 @@ object Relational3 {
         |  round(CAST(n AS DOUBLE) * sinv
         |        / (CAST(l AS DOUBLE) * CAST(l AS DOUBLE)), 6) AS deff
         |FROM st""".stripMargin,
+
+    "ev_power" ->
+      """WITH st AS (
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(sum(c) AS BIGINT) AS s1, sum(CAST(c AS HUGEINT) * c) AS s2
+        |  FROM (SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+        |        FROM events)
+        |  GROUP BY 1),
+        |v AS (
+        |  SELECT event_type, n,
+        |    CAST(CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)) AS var
+        |  FROM st)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |  round(CASE WHEN n > 1 THEN sqrt(var) END, 6) AS sd_cents,
+        |  CASE WHEN n > 1 THEN CAST(ceil(
+        |    2.0 * ((1.96 + 0.8416) * (1.96 + 0.8416)) * var / 2500.0)
+        |    AS BIGINT) END AS n_required,
+        |  CASE WHEN n > 1 THEN n >= 2 * CAST(ceil(
+        |    2.0 * ((1.96 + 0.8416) * (1.96 + 0.8416)) * var / 2500.0)
+        |    AS BIGINT) END AS powered
+        |FROM v ORDER BY event_type""".stripMargin,
+
+    "samp_group_split" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, value,
+         |    ${graft.Exact.hash32Sql("'u:' || CAST(user_id AS VARCHAR)")}
+         |      % 5 AS fold
+         |  FROM events),
+         |tot AS (SELECT count(*) AS tot FROM ev)
+         |SELECT fold, count(DISTINCT user_id) AS n_users,
+         |  count(*) AS n_events,
+         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+         |  round(CAST(count(*) AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS share
+         |FROM ev CROSS JOIN tot GROUP BY fold, tot
+         |ORDER BY fold""".stripMargin,
 
     "prof_hash_quality" ->
       s"""WITH b AS (

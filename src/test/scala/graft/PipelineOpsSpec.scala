@@ -1842,6 +1842,44 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ev_power: required n recomputes from the sample variance") {
+    val out = SparkEntry.queries("ev_power")(spark, dir).collect()
+    val byType = Tables.load(spark, dir, "events")
+      .select(col("event_type"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1).toDouble)).groupBy(_._1)
+    for (row <- out) {
+      val xs = byType(row.getString(0)).map(_._2)
+      val n = xs.length; val m = xs.sum / n
+      val v = xs.map(x => (x - m) * (x - m)).sum / (n - 1)
+      assert(row.getLong(1) == n)
+      assert(math.abs(row.getDouble(2) - math.sqrt(v)) <= 1e-4)
+      val req = math.ceil(2.0 * math.pow(1.96 + 0.8416, 2) * v / 2500.0).toLong
+      assert(row.getLong(3) == req,
+        s"${row.getString(0)}: n_required ${row.getLong(3)} vs $req")
+      assert(row.getBoolean(4) == (n >= 2 * req))
+    }
+  }
+
+  test("samp_group_split: no user crosses folds and masses recompute") {
+    val out = SparkEntry.queries("samp_group_split")(spark, dir).collect()
+    // leakage pin: fold is a function of user_id alone, so the
+    // (user, fold) pairs must be exactly one fold per user
+    val uf = Tables.load(spark, dir, "events")
+      .select(col("user_id"),
+        (graft.Exact.hash32(concat(lit("u:"), col("user_id").cast("string")))
+          % 5).as("fold"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(uf.map(_._1).distinct.length == uf.length,
+      "a user appears in more than one fold")
+    val events = Tables.load(spark, dir, "events").count()
+    assert(out.map(_.getLong(2)).sum == events)
+    assert(math.abs(out.map(_.getDouble(4)).sum - 1.0) <= 1e-5)
+    val users = uf.groupBy(_._2).map { case (f, g) => f -> g.length.toLong }
+    for (r <- out)
+      assert(r.getLong(1) == users(r.getLong(0)), s"fold ${r.getLong(0)}")
+  }
+
   test("a37_tost: one-sided p values recompute from the Welch stats") {
     val out = SparkEntry.queries("a37_tost")(spark, dir).collect()
     val byType = Tables.load(spark, dir, "events")
