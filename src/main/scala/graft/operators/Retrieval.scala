@@ -607,6 +607,61 @@ object Retrieval {
         .orderBy("rank")
     }),
 
+    // 11-point interpolated precision–recall curve (the classic TREC
+    // presentation) over the dense run — where ir_map collapses ranking
+    // quality to one number, this keeps the SHAPE: at each recall level
+    // r ∈ {0.0, 0.1, …, 1.0}, P_interp(r) = max precision at any cutoff
+    // whose recall reaches r (the standard right-envelope
+    // interpolation). Levels a K-cut run cannot reach stay NULL instead
+    // of a silent 0 — the honesty rule for truncated runs. Recall and
+    // precision are exact-integer ratios (cum_rel/R, cum_rel/rank) so
+    // the level filter compares identical doubles cross-engine. Scale:
+    // the ir_map shape — one scan for labels, one broadcast-query scan
+    // for scores, a K-bounded TakeOrdered run; the 11-level join rides
+    // an 11×K broadcast frame.
+    "ir_pr11" -> ((s, dir) => {
+      graft.plans.ArrayExprs.register(s)
+      import graft.plans.ArrayExprs.dotProduct
+      val rel = load(s, dir, "documents")
+        .select(col("doc_id"),
+          (QueryTerms.map(t => array_contains(toks(col("text")), t).cast("long"))
+            .reduce(_ + _) >= 1).cast("long").as("relevant"))
+        .localCheckpoint()
+      val totRel = rel.groupBy().agg(sum("relevant").as("r"))
+      val e = load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").as("v"))
+        .withColumn("nrm", sqrt(dotProduct(col("v"), col("v"))))
+      val q = e.where(col("vec_id") === 0)
+        .select(col("v").as("qv"), col("nrm").as("qnrm"))
+      val dense = e.crossJoin(broadcast(q))
+        .where(col("vec_id") =!= 0)
+        .select(col("vec_id").as("doc_id"),
+          round(dotProduct(col("qv"), col("v")) / (col("qnrm") * col("nrm")), 6)
+            .as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(NdcgK)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      val wCum = Window.orderBy("rank")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val run = dense.join(rel, "doc_id").crossJoin(broadcast(totRel))
+        .withColumn("cum_rel", sum("relevant").over(wCum))
+        .select(col("rank"),
+          (col("cum_rel").cast("double") / col("rank").cast("double"))
+            .as("prec"),
+          (col("cum_rel").cast("double") / col("r").cast("double"))
+            .as("recall"))
+      val lvl = totRel
+        .select(explode(sequence(lit(0L), lit(10L))).as("lvl"))
+      lvl.join(broadcast(run),
+          col("recall") >= col("lvl").cast("double") / lit(10.0), "left")
+        .groupBy("lvl").agg(max("prec").as("p"))
+        .select(col("lvl"),
+          round(col("lvl").cast("double") / lit(10.0), 6).as("recall_level"),
+          round(col("p"), 6).as("p_interp"))
+        .orderBy("lvl")
+    }),
+
     // Mean reciprocal rank over a multi-query eval sweep — each of the
     // |QueryTerms| terms runs as its own single-term lexical query (rank
     // by term frequency, doc_id tiebreak) and relevance is the PHRASE
@@ -1022,6 +1077,42 @@ object Retrieval {
          |  round(CASE WHEN pe < 1.0 THEN (po - pe) / (1.0 - pe) END, 6)
          |    AS kappa
          |FROM p""".stripMargin
+    },
+
+    "ir_pr11" -> {
+      val relExpr = QueryTerms
+        .map(t => s"CAST(list_contains(string_split(lower(text), ' '), '$t') AS BIGINT)")
+        .mkString(" + ")
+      s"""WITH rel AS (
+         |  SELECT doc_id, CAST(($relExpr) >= 1 AS BIGINT) AS relevant
+         |  FROM documents),
+         |tr AS (SELECT CAST(sum(relevant) AS BIGINT) AS r FROM rel),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |dense AS (
+         |  SELECT e.vec_id AS doc_id,
+         |    round(list_cosine_similarity(qv, v), 6) AS score
+         |  FROM e, q WHERE e.vec_id <> 0
+         |  ORDER BY score DESC, doc_id LIMIT $NdcgK),
+         |rk AS (
+         |  SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+         |    AS BIGINT) AS rank
+         |  FROM dense),
+         |run AS (
+         |  SELECT rank,
+         |    CAST(sum(relevant) OVER w AS DOUBLE) / CAST(rank AS DOUBLE)
+         |      AS prec,
+         |    CAST(sum(relevant) OVER w AS DOUBLE) / CAST(r AS DOUBLE)
+         |      AS recall
+         |  FROM rk JOIN rel ON rk.doc_id = rel.doc_id CROSS JOIN tr
+         |  WINDOW w AS (ORDER BY rank
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |lvl AS (SELECT unnest(range(0, 11)) AS lvl)
+         |SELECT lvl, round(CAST(lvl AS DOUBLE) / 10.0, 6) AS recall_level,
+         |  round(max(prec), 6) AS p_interp
+         |FROM lvl LEFT JOIN run
+         |  ON run.recall >= CAST(lvl AS DOUBLE) / 10.0
+         |GROUP BY lvl ORDER BY lvl""".stripMargin
     },
 
     "ir_map" -> {

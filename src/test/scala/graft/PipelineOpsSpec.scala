@@ -1842,6 +1842,31 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ir_pr11: interpolated envelope recomputes from the ir_map run") {
+    val out = SparkEntry.queries("ir_pr11")(spark, dir).collect()
+    assert(out.length == 11)
+    // (rank, prec_at_k, cum_rel) of the shared dense run
+    val run = SparkEntry.queries("ir_map")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(4), r.getLong(3)))
+    // total relevant via the same any-of-terms rule (QueryTerms)
+    val terms = Set("merge", "spark", "window")
+    val rTot = Tables.load(spark, dir, "documents").select("text").collect()
+      .count(r => r.getString(0).toLowerCase.split(" ")
+        .exists(terms.contains)).toDouble
+    for (row <- out) {
+      val lvl = row.getLong(0) / 10.0
+      assert(math.abs(row.getDouble(1) - lvl) <= 1e-9)
+      val reach = run.filter(_._3 / rTot >= lvl - 1e-12)
+      if (reach.isEmpty) assert(row.isNullAt(2), s"level $lvl should be NULL")
+      else assert(math.abs(row.getDouble(2) - reach.map(_._2).max) <= 1e-6,
+        s"level $lvl: ${row.getDouble(2)} vs ${reach.map(_._2).max}")
+    }
+    // envelope is nonincreasing in recall where defined
+    val defined = out.filter(!_.isNullAt(2)).map(_.getDouble(2))
+    for (i <- 1 until defined.length)
+      assert(defined(i) <= defined(i - 1) + 1e-9)
+  }
+
   test("ev_power: required n recomputes from the sample variance") {
     val out = SparkEntry.queries("ev_power")(spark, dir).collect()
     val byType = Tables.load(spark, dir, "events")
