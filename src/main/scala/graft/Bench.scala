@@ -10,6 +10,19 @@ import org.apache.spark.sql.SparkSession
   * executes the full physical plan and discards rows at the sink, so the
   * numbers measure real operator cost.
   *
+  * COLD PER-QUERY CONTRACT (round-15, closing the round-14 verdict's top
+  * item): `spark.catalog.clearCache()` runs before every timed query, so
+  * each query pays its own full cost. Spark's CacheManager matches
+  * canonicalized plans SESSION-wide — without the clear, a later query
+  * silently rode an earlier sibling's cached subframe (measured:
+  * gr_diameter 2.0 s / 172 KB shuffle in-battery vs 6.2 s / 17.6 MB
+  * standalone), so per-query numbers understated standalone cost. The one
+  * deliberate exception: Analytics' per-(session,dir) MODEL-fit cache is a
+  * plain JVM map, not CacheManager state — the 4 nlp_* queries share one
+  * LDA/TF-IDF fit by design (documented at Analytics.scala), so
+  * nlp_analysis carries the fit cost and its siblings measure their own
+  * transform work.
+  *
   * Noise diagnostics (machine-noise windows have inflated past rounds'
   * numbers up to 13× with zero code change — see SCALING.md §noise):
   *  - a SENTINEL query (`o3_limit`, the cheapest plan in the battery) runs
@@ -19,6 +32,14 @@ import org.apache.spark.sql.SparkSession
   *  - per-query JVM GC milliseconds (`gc_ms`) separate allocation pressure
   *    (GC grows with the query's own work) from external noise (wall time
   *    inflates while GC stays flat).
+  *  - per-query PROCESS CPU milliseconds (`cpu_ms`): the direct,
+  *    per-query contention signature the sentinel cannot see (round-14: a
+  *    mid-battery contended window inflated dd_winnow 24× while both
+  *    sentinel passes sat in quiet slots and the ratio read a healthy
+  *    0.20). cpu/wall collapsing far below the configured parallelism on
+  *    a query whose shuffle bytes match its anchor = the host stole the
+  *    cores, not a plan regression — adjudicable from the JSON alone
+  *    (tools/bench_noise.py applies exactly that rule).
   */
 object Bench {
 
@@ -28,6 +49,17 @@ object Bench {
     java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
       .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
   }
+
+  /** Cumulative process CPU time in ms (-1 if the platform bean is not a
+    * com.sun.management one — never the case on the HotSpot JVMs we run,
+    * but the bench must not crash over a diagnostic). */
+  private def cpuMillis(): Long =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean =>
+        val t = os.getProcessCpuTime
+        if (t < 0) -1L else t / 1000000L
+      case _ => -1L
+    }
 
   /** Running total of shuffle bytes WRITTEN across all completed stages —
     * the direct per-query measure of exchange volume (what the 100 TB
@@ -103,15 +135,17 @@ object Bench {
     // Sentinel pass 2: same trivial plan after the battery; on a healthy
     // host this matches pass 1 within noise. gc stays per-query below.
     val sentinelLast = timeQuery(spark, sfDir, "o3_limit", tally)._1
-    val qs = results.map { case (k, (v, _, _)) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, (v, _, _, _)) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val gcs = results.map { case (k, (_, g, _)) => "\"" + k + "\":" + g }
+    val gcs = results.map { case (k, (_, g, _, _)) => "\"" + k + "\":" + g }
       .mkString("{", ",", "}")
-    val shfl = results.map { case (k, (_, _, s)) => "\"" + k + "\":" + s }
+    val shfl = results.map { case (k, (_, _, s, _)) => "\"" + k + "\":" + s }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, (v, _, _)) if v < 0 => "\"" + k + "\"" }
+    val cpus_ = results.map { case (k, (_, _, _, c)) => "\"" + k + "\":" + c }
+      .mkString("{", ",", "}")
+    val failed = results.collect { case (k, (v, _, _, _)) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, (v, _, _)) if v >= 0 => v }.sum
+    val total = results.collect { case (_, (v, _, _, _)) if v >= 0 => v }.sum
     val sentinel =
       s"""{"query":"o3_limit","first":$sentinelFirst,"last":$sentinelLast,""" +
         s""""ratio":${if (sentinelFirst > 0) sentinelLast / sentinelFirst else -1.0}}"""
@@ -119,7 +153,7 @@ object Bench {
     // full-battery total by downstream tooling — flag it in the JSON.
     val partial = only.fold("")(names =>
       s""","partial":true,"only":${names.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")}""")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"gc_ms":$gcs,"shuffle_bytes":$shfl,"sentinel":$sentinel,"failed":$failed$partial,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"gc_ms":$gcs,"shuffle_bytes":$shfl,"cpu_ms":$cpus_,"sentinel":$sentinel,"failed":$failed$partial,"sf":"$sfDir"}"""
     println(line)
     // The driver captures only a tail of stdout and has truncated the
     // per-query map two rounds running — persist the full line in-repo so
@@ -136,13 +170,19 @@ object Bench {
   }
 
   /** Time one query: (seconds — negative on failure, GC-ms delta,
-    * shuffle bytes written). The bus drain brackets the tally window so
-    * stage metrics land with the query that produced them. */
+    * shuffle bytes written, process-CPU-ms delta). The bus drain brackets
+    * the tally window so stage metrics land with the query that produced
+    * them. The cache clear enforces the cold per-query contract (header
+    * doc): no query may ride a CacheManager entry a sibling left behind. */
   private def timeQuery(spark: SparkSession, sfDir: String,
-                        name: String, tally: ShuffleTally): (Double, Long, Long) = {
+                        name: String, tally: ShuffleTally): (Double, Long, Long, Long) = {
+    try spark.catalog.clearCache()
+    catch { case e: Throwable => System.err.println(
+      s"[bench] clearCache before $name failed: ${e.getMessage}") }
     drainListenerBus(spark)
     val s0 = tally.bytes.get()
     val g0 = gcMillis()
+    val c0 = cpuMillis()
     val t0 = System.nanoTime()
     val ok =
       try { SparkEntry.queries(name)(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
@@ -159,7 +199,8 @@ object Bench {
     // cross-round comparisons.
     val secs = (System.nanoTime() - t0) / 1e9
     drainListenerBus(spark)
-    ((if (ok) secs else -secs), gcMillis() - g0, tally.bytes.get() - s0)
+    val cpu = { val c1 = cpuMillis(); if (c0 < 0 || c1 < 0) -1L else c1 - c0 }
+    ((if (ok) secs else -secs), gcMillis() - g0, tally.bytes.get() - s0, cpu)
   }
 
   private def warmMlPath(spark: SparkSession): Unit = {
@@ -194,7 +235,7 @@ object Bench {
 
   private def runBattery(spark: SparkSession, sfDir: String,
                          only: Option[Set[String]],
-                         tally: ShuffleTally): Seq[(String, (Double, Long, Long))] = {
+                         tally: ShuffleTally): Seq[(String, (Double, Long, Long, Long))] = {
     // Stable ordering: cheap scans first is irrelevant to totals, but a
     // deterministic run order makes cross-round comparisons meaningful.
     SparkEntry.queries.toSeq.sortBy(_._1)

@@ -24,6 +24,7 @@ import org.apache.spark.sql.functions._
   *  - dimension tables copy verbatim (the loaders need them present).
   *
   * Usage: runMain graft.ReplicateSf <srcDir> <dstDir> <mult> [growParts]
+  *        [saltContent] [hotUser] [hotType]
   *
   * With the optional `growParts` flag, l_partkey/p_partkey shift too:
   * the co-purchase graph then grows in NODE count at constant density
@@ -34,7 +35,7 @@ import org.apache.spark.sql.functions._
 object ReplicateSf {
   def main(args: Array[String]): Unit = {
     val (src, dst, mult) = (args(0), args(1), args(2).toInt)
-    val growParts = args.length > 3 && args(3) == "growParts"
+    val growParts = args.contains("growParts")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -80,9 +81,33 @@ object ReplicateSf {
         Some(st)
       } else None
 
+    // saltContent: replica i > 0 interleaves a replica-unique token (qi)
+    // between every adjacent token pair of each document. Rationale
+    // (round-14 verdict item 3): verbatim replication makes every 3-token
+    // shingle's doc frequency mult× the original, so the shingle-family
+    // dedup ops (dd_substring / dd_containment / dd_decontaminate) prune
+    // the ENTIRE candidate set through their df <= MaxShDocs gate and both
+    // engines degenerately agree at 0 rows. Interleaving puts the salt in
+    // EVERY 3-shingle window (one token per 3-gram is enough — a suffix on
+    // a single token would only mutate the 3 shingles covering it), so
+    // shingle df stays at the per-replica level and the sf10x rows compare
+    // non-empty pair sets. Within a replica the mutation is uniform, so
+    // the original near-dup pair structure is preserved per replica
+    // (shared token runs stay shared after salting — both sides interleave
+    // the same token), and the true output grows linearly (mult× the
+    // per-replica pairs), never quadratically.
     val docs = Tables.load(spark, src, "documents")
-    write(rep(docs, Seq("doc_id" -> stride(docs, "doc_id"))),
-      "documents", 8 * mult)
+    val docsOut =
+      if (args.contains("saltContent")) {
+        val st = stride(docs, "doc_id")
+        (0 until mult).map { i =>
+          val shifted = docs.withColumn("doc_id", col("doc_id") + lit(i * st))
+          if (i == 0) shifted
+          else shifted.withColumn("text",
+            regexp_replace(col("text"), " ", s" q$i "))
+        }.reduce(_ unionAll _)
+      } else rep(docs, Seq("doc_id" -> stride(docs, "doc_id")))
+    write(docsOut, "documents", 8 * mult)
 
     val emb = Tables.load(spark, src, "embeddings")
     write(rep(emb, Seq("vec_id" -> stride(emb, "vec_id"))),

@@ -2384,7 +2384,13 @@ object EventWindows {
     // weekday). `significant` = the interval excludes 0. Order-dependent
     // double sums (expected, residual²) fold in day order (the
     // prof_mutual_info parity template), round(6); CI NULL when
-    // n_pre ≤ 7. Types with no pre-period emit no row. Scale: one
+    // n_pre ≤ 7. Post days LEFT-join the pre-means: a type whose
+    // pre-period spans fewer than 7 distinct weekdays keeps its true
+    // n_post/actual_post, and the counterfactual readout (expected/
+    // impact/CI/significant) is NULLed via an explicit missing-dow
+    // count rather than silently dropping those post days (an inner
+    // join here under-counted n_post on short pre-periods — round-14
+    // ADVICE). Types with no pre-period emit no row. Scale: one
     // corpus-scale (type, day) agg; the dow-mean frame is types×7
     // broadcast; folds ride types×days frames.
     "ev_impact" -> ((s, dir) => {
@@ -2416,23 +2422,26 @@ object EventWindows {
           foldD((col("sc").cast("double") - col("mhat")) *
             (col("sc").cast("double") - col("mhat"))).as("rss"))
       val post = f.where(col("d") >= pivot)
-        .join(broadcast(m), Seq("event_type", "dow"))
+        .join(broadcast(m), Seq("event_type", "dow"), "left")
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_post"), sum("sc").as("act"),
-          foldD(col("mhat")).as("exp0"))
+          sum(when(col("mhat").isNull, lit(1L)).otherwise(lit(0L)))
+            .as("n_miss"),
+          foldD(coalesce(col("mhat"), lit(0.0))).as("exp0"))
+      val cov = col("n_miss") === 0
       val diff = col("act").cast("double") - col("exp0")
       val hw = lit(1.96) * sqrt(col("rss") /
         (col("n_pre") - 7).cast("double") * col("n_post").cast("double"))
       preR.join(post, "event_type")
         .select(col("event_type"), col("n_pre"), col("n_post"),
           round(col("act").cast("double") / lit(100.0), 6).as("actual_post"),
-          round(col("exp0") / lit(100.0), 6).as("expected_post"),
-          round(diff / lit(100.0), 6).as("impact"),
-          round(when(col("n_pre") > 7, (diff - hw) / lit(100.0)), 6)
+          round(when(cov, col("exp0") / lit(100.0)), 6).as("expected_post"),
+          round(when(cov, diff / lit(100.0)), 6).as("impact"),
+          round(when(col("n_pre") > 7 && cov, (diff - hw) / lit(100.0)), 6)
             .as("ci_lo"),
-          round(when(col("n_pre") > 7, (diff + hw) / lit(100.0)), 6)
+          round(when(col("n_pre") > 7 && cov, (diff + hw) / lit(100.0)), 6)
             .as("ci_hi"),
-          when(col("n_pre") > 7, (diff - hw > 0) || (diff + hw < 0))
+          when(col("n_pre") > 7 && cov, (diff - hw > 0) || (diff + hw < 0))
             .as("significant"))
         .orderBy("event_type")
     }),
@@ -2609,24 +2618,29 @@ object EventWindows {
         |  FROM pre JOIN m USING (event_type, dow) GROUP BY 1),
         |post AS (
         |  SELECT f.event_type, count(*) AS n_post, sum(sc) AS act,
+        |    sum(CASE WHEN mhat IS NULL THEN 1 ELSE 0 END) AS n_miss,
         |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
-        |      list(mhat ORDER BY d)), (a, b) -> a + b) AS exp0
-        |  FROM f JOIN m USING (event_type, dow)
+        |      list(coalesce(mhat, 0.0) ORDER BY d)), (a, b) -> a + b) AS exp0
+        |  FROM f LEFT JOIN m USING (event_type, dow)
         |  WHERE d >= DATE '2024-01-16' GROUP BY 1)
         |SELECT prer.event_type, CAST(n_pre AS BIGINT) AS n_pre,
         |  CAST(n_post AS BIGINT) AS n_post,
         |  round(CAST(act AS DOUBLE) / 100.0, 6) AS actual_post,
-        |  round(exp0 / 100.0, 6) AS expected_post,
-        |  round((CAST(act AS DOUBLE) - exp0) / 100.0, 6) AS impact,
-        |  round(CASE WHEN n_pre > 7 THEN (CAST(act AS DOUBLE) - exp0
+        |  round(CASE WHEN n_miss = 0 THEN exp0 / 100.0 END, 6)
+        |    AS expected_post,
+        |  round(CASE WHEN n_miss = 0
+        |    THEN (CAST(act AS DOUBLE) - exp0) / 100.0 END, 6) AS impact,
+        |  round(CASE WHEN n_pre > 7 AND n_miss = 0
+        |    THEN (CAST(act AS DOUBLE) - exp0
         |    - 1.96 * sqrt(rss / CAST(n_pre - 7 AS DOUBLE)
         |                  * CAST(n_post AS DOUBLE))) / 100.0 END, 6)
         |    AS ci_lo,
-        |  round(CASE WHEN n_pre > 7 THEN (CAST(act AS DOUBLE) - exp0
+        |  round(CASE WHEN n_pre > 7 AND n_miss = 0
+        |    THEN (CAST(act AS DOUBLE) - exp0
         |    + 1.96 * sqrt(rss / CAST(n_pre - 7 AS DOUBLE)
         |                  * CAST(n_post AS DOUBLE))) / 100.0 END, 6)
         |    AS ci_hi,
-        |  CASE WHEN n_pre > 7 THEN
+        |  CASE WHEN n_pre > 7 AND n_miss = 0 THEN
         |    (CAST(act AS DOUBLE) - exp0
         |     - 1.96 * sqrt(rss / CAST(n_pre - 7 AS DOUBLE)
         |                   * CAST(n_post AS DOUBLE))) > 0

@@ -1455,7 +1455,12 @@ object Relational3 {
     // Student correction is < round(6)), one-sided p = Φ(−z) via the
     // signed extension of the a33 erfc tree (erfc(x) = 2 − erfc(−x) for
     // the negative branch), p_tost = max(p1, p2), equivalent at
-    // α = 0.05. NULL when the pooled SE is 0 (both types constant).
+    // α = 0.05. NULL when the pooled SE is 0 (both types constant) OR
+    // either n ≤ 1 (the n>1 gate is explicit — mirroring ev_power —
+    // because a singleton type's Welch variance is 0/0, which Spark
+    // evaluates to NULL but DuckDB's IEEE division to NaN, and DuckDB
+    // orders NaN above every number, so a bare `se > 0` gate would
+    // diverge cross-engine on such a corpus).
     // Scale: the welchPairs shape — one keyed agg, types² broadcast.
     "a37_tost" -> ((s, dir) => {
       def pOne(z: org.apache.spark.sql.Column) = {
@@ -1472,11 +1477,12 @@ object Relational3 {
       val delta = col("ma") - col("mb")
       val p1 = pOne((delta + lit(TostMarginCents)) / se)
       val p2 = pOne((lit(TostMarginCents) - delta) / se)
+      val ok = col("n") > 1 && col("nb") > 1 && se > 0
       welchPairs(s, dir)
         .select(col("type_a"), col("type_b"), col("n").as("n_a"),
           col("nb").as("n_b"), round(delta, 6).as("mean_diff_cents"),
-          round(when(se > 0, greatest(p1, p2)), 6).as("p_tost"),
-          when(se > 0, greatest(p1, p2) < lit(0.05)).as("equivalent"))
+          round(when(ok, greatest(p1, p2)), 6).as("p_tost"),
+          when(ok, greatest(p1, p2) < lit(0.05)).as("equivalent"))
         .orderBy("type_a", "type_b")
     }),
 
@@ -2332,17 +2338,6 @@ object Relational3 {
         round(nD * col("sinv") / (lD * lD), 6).as("deff"))
     }),
 
-    // Hash-uniformity audit of the shared sampling hash — every
-    // hash-keyed operator here (samp_hash's 10% gate, the minhash/LSH
-    // family, KeyedRank's stripes) silently assumes [[graft.Exact.hash32]]
-    // spreads keys uniformly; this op MEASURES it: event ids bucket into
-    // 256 hash buckets (zero-filled spine, so an unhit bucket counts),
-    // χ² = Σ(o − e)²/e against uniform with e = N/256, plus the min/max
-    // occupancy. At 255 df a χ² beyond ~350 means the hash (or the key
-    // population) is biased and every downstream "x% sample" claim
-    // inherits it. Counts exact; the 256 χ² terms fold in bucket order,
-    // round(6). Scale: one corpus-scale agg that map-side-combines to
-    // ≤256 groups; everything after is 256-row math.
     // A/B sample-size calculator per event type — the planning companion
     // to a37_tost/a21_welch_t: from each type's observed value variance,
     // the per-arm n required to detect a ±50-cent mean shift at α = 0.05
@@ -2400,6 +2395,17 @@ object Relational3 {
         .orderBy("fold")
     }),
 
+    // Hash-uniformity audit of the shared sampling hash — every
+    // hash-keyed operator here (samp_hash's 10% gate, the minhash/LSH
+    // family, KeyedRank's stripes) silently assumes [[graft.Exact.hash32]]
+    // spreads keys uniformly; this op MEASURES it: event ids bucket into
+    // 256 hash buckets (zero-filled spine, so an unhit bucket counts),
+    // χ² = Σ(o − e)²/e against uniform with e = N/256, plus the min/max
+    // occupancy. At 255 df a χ² beyond ~350 means the hash (or the key
+    // population) is biased and every downstream "x% sample" claim
+    // inherits it. Counts exact; the 256 χ² terms fold in bucket order,
+    // round(6). Scale: one corpus-scale agg that map-side-combines to
+    // ≤256 groups; everything after is 256-row math.
     "prof_hash_quality" -> ((s, dir) => {
       val b = load(s, dir, "events")
         .select((graft.Exact.hash32(col("event_id").cast("string")) % 256)
@@ -2804,8 +2810,10 @@ object Relational3 {
         |SELECT type_a, type_b, CAST(n_a AS BIGINT) AS n_a,
         |  CAST(n_b AS BIGINT) AS n_b,
         |  round(delta, 6) AS mean_diff_cents,
-        |  round(CASE WHEN se > 0 THEN greatest(p1, p2) END, 6) AS p_tost,
-        |  CASE WHEN se > 0 THEN greatest(p1, p2) < 0.05 END AS equivalent
+        |  round(CASE WHEN n_a > 1 AND n_b > 1 AND se > 0
+        |        THEN greatest(p1, p2) END, 6) AS p_tost,
+        |  CASE WHEN n_a > 1 AND n_b > 1 AND se > 0
+        |    THEN greatest(p1, p2) < 0.05 END AS equivalent
         |FROM pp ORDER BY type_a, type_b""".stripMargin,
 
     "a36_ad2" ->

@@ -202,6 +202,133 @@ object StatefulOps {
         enc)
   }
 
+  /** A closed per-user session in the exact batch `t6_session_window` row
+    * shape: `sess_end` = last event + gap (Spark `session_window`
+    * semantics), `sum_value` decimal-exact (the `Exact.dsum` contract). */
+  case class UserSession(user_id: Long, sess_start: java.sql.Timestamp,
+      sess_end: java.sql.Timestamp, n_events: Long, sum_value: Double)
+
+  /** The STREAMING twin of the batch `t6_session_window` operator — the
+    * round-14 verdict's one remaining §2.10 stateful shape without a twin.
+    * State = ONE open session per user (n, start-µs, last-µs, value cents):
+    * an event within gap of the open session extends it; an event at
+    * >= last + gap closes it INLINE (emitting the batch-shaped row) and
+    * opens the next — so one micro-batch spanning many sessions emits
+    * them all. The re-armed event-time timer at last + gap covers the one
+    * case inline closing can't see: the session left open when the stream
+    * goes idle or ends — when the WATERMARK passes the timer, the row is
+    * emitted and the state freed. State per user is four longs + one
+    * timer regardless of session length or stream age, keyed-hash
+    * partitioned across executors.
+    *
+    * Parity contract (StatefulOpsSpec pins it against the oracle-checked
+    * batch rows on the real sf0.001 corpus): on an in-order feed —
+    * the established twin ordering discipline (rollingEwma/
+    * SessionPathProcessor) — the single-open-session state IS
+    * `session_window`'s semantics, because a new event either lands within
+    * gap of the open session (extends it) or after the timer would have
+    * fired (new session). Values accumulate as exact integer cents via
+    * BigDecimal.valueOf(v).setScale(2, HALF_UP) — bit-identical to the
+    * batch `Exact.dsum`'s double→DECIMAL(18,2) cast — and surface as one
+    * correctly-rounded double, so sums match the oracle row-for-row.
+    * Session bounds keep full microsecond precision in state (timers are
+    * ms-granular, but ms-truncation only DELAYS a close by <1 ms of
+    * watermark, never changes membership on an in-order feed). */
+  class SessionAggProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, java.sql.Timestamp, Double), UserSession] {
+    @transient private var state:
+        org.apache.spark.sql.streaming.ValueState[(Long, Long, Long, Long)] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[(Long, Long, Long, Long)]("usess",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+          Encoders.scalaLong, Encoders.scalaLong),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    private def micros(ts: java.sql.Timestamp): Long =
+      Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+
+    override def handleInputRows(
+        user: Long, rows: Iterator[(Long, java.sql.Timestamp, Double)],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[UserSession] = {
+      val (n0, start0, last0, cents0) =
+        if (state.exists) state.get() else (0L, Long.MaxValue, Long.MinValue, 0L)
+      var n = n0; var start = start0; var last = last0; var cents = cents0
+      val gapUs = gapMs * 1000L
+      val out = Vector.newBuilder[UserSession]
+      // Deterministic in-batch order (the anomaly/EWMA twins' discipline),
+      // because a single micro-batch can span MANY sessions: an event at
+      // >= last + gap definitively closes the open session on an in-order
+      // feed — `session_window`'s [start, last + gap) is end-exclusive —
+      // so it is emitted inline; the event-time timer only closes the
+      // session left open when the stream goes idle or ends.
+      for ((_, ts, v) <- rows.toVector.sortBy(r => micros(r._2))) {
+        val us = micros(ts)
+        if (n > 0 && us >= last + gapUs) {
+          out += closed(user, n, start, last, cents)
+          n = 0; start = Long.MaxValue; last = Long.MinValue; cents = 0L
+        }
+        n += 1
+        start = math.min(start, us)
+        last = math.max(last, us)
+        cents += java.math.BigDecimal.valueOf(v)
+          .setScale(2, java.math.RoundingMode.HALF_UP)
+          .unscaledValue().longValueExact()
+      }
+      if (last != last0) { // one live timer per user
+        if (n0 > 0) getHandle.deleteTimer(Math.floorDiv(last0, 1000L) + gapMs)
+        getHandle.registerTimer(Math.floorDiv(last, 1000L) + gapMs)
+      }
+      state.update((n, start, last, cents))
+      out.result().iterator
+    }
+
+    private def closed(user: Long, n: Long, start: Long, last: Long,
+                       cents: Long): UserSession =
+      UserSession(user, tsOf(start), tsOf(last + gapMs * 1000L), n,
+        new java.math.BigDecimal(
+          java.math.BigInteger.valueOf(cents), 2).doubleValue())
+
+    private def tsOf(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+      t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+      t
+    }
+
+    override def handleExpiredTimer(
+        user: Long,
+        timers: org.apache.spark.sql.streaming.TimerValues,
+        expired: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[UserSession] = {
+      val out = if (state.exists) {
+        val (n, start, last, cents) = state.get()
+        Iterator.single(closed(user, n, start, last, cents))
+      } else Iterator.empty
+      state.clear()
+      out
+    }
+  }
+
+  /** `(user_id, event_ts, value)` → one [[UserSession]] per closed session
+    * (gap `gapMs` of event time with no new events). Input must be fed
+    * in event-time order; requires RocksDB (transformWithState). */
+  def userSessions(ds: Dataset[(Long, java.sql.Timestamp, Double)],
+                   gapMs: Long): Dataset[UserSession] = {
+    implicit val enc: Encoder[UserSession] = Encoders.product[UserSession]
+    ds.toDF("user_id", "ts", "value").withWatermark("ts", "0 seconds")
+      .as[(Long, java.sql.Timestamp, Double)](
+        Encoders.tuple(Encoders.scalaLong, Encoders.TIMESTAMP,
+          Encoders.scalaDouble))
+      .groupByKey(_._1)(Encoders.scalaLong)
+      .transformWithState(new SessionAggProcessor(gapMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append(),
+        enc)
+  }
+
   /** Last-n-per-key output of [[RecentEventsProcessor]]. */
   case class Recent(key: String, recent: String)
 

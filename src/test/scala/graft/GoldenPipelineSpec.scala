@@ -91,6 +91,34 @@ class GoldenPipelineSpec extends AnyFunSuite {
     assert(h == "9da15b4d080c3a37d1d4b01c2d57d633", s"topic word sets drifted: $h")
   }
 
+  test("golden: nlp_topics top-10 word sets are pinned one decade up (sf0.1)") {
+    // Round-15 (verdict item 6): LDA/TF-IDF behavior is scale-dependent —
+    // CountVectorizer vocabulary pruning and online-VB mini-batching both
+    // change with corpus size — so the sf0.001 pin alone could green while
+    // a vocabulary-pruning regression silently rewrote every larger
+    // corpus' topics. Same seed-42 determinism argument as the sf0.001
+    // pin, one decade up (5,000 docs; sf0.01 shares sf0.001's 500-doc
+    // documents table, so sf0.1 is the first real decade step).
+    val topics = operators.Analytics.queries("nlp_topics")(spark, "/root/testdata/sf0.1")
+    val h = topics.select(md5(concat_ws("|", col("topic"),
+        concat_ws(" ", sort_array(split(col("words"), " "))))).as("h"))
+      .agg(md5(concat_ws(",", sort_array(collect_list(col("h"))))).as("topics_hash"))
+      .collect().head.getString(0)
+    assert(h == "9c4d4471aa667416fa80ff8613278b53", s"sf0.1 topic word sets drifted: $h")
+  }
+
+  test("structural: analysis output contract holds one decade up (sf0.1)") {
+    val df = operators.Analytics.queries("nlp_analysis")(spark, "/root/testdata/sf0.1")
+    val cols = df.columns.toSeq
+    assert(cols.take(4) == Seq("doc_id", "text", "sentiment_score", "sentiment"))
+    assert((1 to 20).forall(i => cols.contains(s"topic_$i")) && cols.contains("batch_id"))
+    val rows = df.selectExpr("doc_id",
+      (1 to 20).map(i => s"topic_$i").mkString("", " + ", " as tsum"))
+    assert(rows.count() == 5000L)
+    rows.orderBy("doc_id").limit(5).collect()
+      .foreach(r => assert(math.abs(r.getAs[Double]("tsum") - 1.0) < 1e-9))
+  }
+
   test("structural: analysis output contract on the sf0.001 pipeline") {
     val df = operators.Analytics.queries("nlp_analysis")(spark, "/root/testdata/sf0.001")
     val cols = df.columns.toSeq

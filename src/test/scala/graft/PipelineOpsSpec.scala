@@ -1821,6 +1821,33 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ev_impact: short pre-period keeps true n_post and NULLs the readout") {
+    // A type whose pre-period spans only 3 distinct weekdays: post days on
+    // the other 4 weekdays have no counterfactual mean. The round-14 advice
+    // caught the old inner join silently dropping those days from
+    // n_post/actual_post; the contract now is a LEFT join — full post
+    // accounting — with expected/impact/CI/significant NULLed via the
+    // explicit missing-dow count.
+    val d = java.nio.file.Files.createTempDirectory("graft_impact").toString
+    import spark.implicits._
+    // pre: Jan 13-15 (Sat/Sun/Mon); post: Jan 16-22 (all 7 weekdays)
+    val rows = (13 to 22).map { day =>
+      (day.toLong, java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00"),
+        1L, "shortpre", 2.0, "{}")
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    val out = SparkEntry.queries("ev_impact")(spark, d).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getLong(1) == 3, "n_pre counts all pre days")
+    assert(r.getLong(2) == 7, "n_post counts ALL post days, unmatched dows included")
+    assert(math.abs(r.getDouble(3) - 7 * 2.0) <= 1e-6, "actual_post is the full post sum")
+    // readout columns NULL: coverage incomplete (4 post dows lack a pre mean)
+    assert(r.isNullAt(4) && r.isNullAt(5) && r.isNullAt(6) &&
+      r.isNullAt(7) && r.isNullAt(8))
+  }
+
   test("a35_cvm: criterion recomputes from pooled per-pair samples") {
     val out = SparkEntry.queries("a35_cvm")(spark, dir).collect()
     val byType = Tables.load(spark, dir, "events")

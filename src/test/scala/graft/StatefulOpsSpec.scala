@@ -348,6 +348,55 @@ class StatefulOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming userSessions equals the batch t6_session_window oracle result") {
+    // The round-14 verdict's stretch item: t6 was the one §2.10 stateful
+    // shape with no transformWithState twin. Feed the real sf0.001 events
+    // in event-time order across micro-batches; a far-future sentinel
+    // event (user −1) then advances the watermark past every open
+    // session's last+gap so the event-time timers close them all. The
+    // emitted rows — user, session bounds, count, decimal-exact value sum
+    // — must equal the DuckDB-oracle-checked batch t6_session_window rows
+    // EXACTLY (sentinel user's own still-open session excluded).
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      import org.apache.spark.sql.functions.col
+      val dir = "/root/testdata/sf0.001"
+      val evs = graft.Tables.load(spark, dir, "events")
+        .select(col("user_id"), col("ts"), col("value"))
+        .orderBy("ts", "user_id")
+        .as[(Long, java.sql.Timestamp, Double)].collect()
+      val maxTs = evs.map(_._2.getTime).max
+      val sentinel = (-1L, new java.sql.Timestamp(maxTs + 3600 * 1000L), 0.0)
+      val mem = MemoryStream[(Long, java.sql.Timestamp, Double)]
+      val q = StatefulOps.userSessions(mem.toDS(), gapMs = 30 * 60 * 1000L)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("usess_out").start()
+      try {
+        evs.grouped(math.max(1, evs.length / 5))
+          .foreach { b => mem.addData(b.toSeq); q.processAllAvailable() }
+        mem.addData(sentinel); q.processAllAvailable()
+        val streamed = spark.table("usess_out")
+          .as[StatefulOps.UserSession].collect()
+          .filter(_.user_id >= 0)
+          .map(s => (s.user_id, s.sess_start.getTime, s.sess_start.getNanos,
+            s.sess_end.getTime, s.sess_end.getNanos, s.n_events, s.sum_value))
+          .toSet
+        val batch = SparkEntry.queries("t6_session_window")(spark, dir)
+          .collect()
+          .map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+            r.getTimestamp(1).getNanos, r.getTimestamp(2).getTime,
+            r.getTimestamp(2).getNanos, r.getLong(3), r.getDouble(4)))
+          .toSet
+        assert(streamed.size == batch.size,
+          s"stream closed ${streamed.size} sessions vs batch ${batch.size}")
+        assert(streamed == batch,
+          s"sessions diverge; stream-only ${(streamed -- batch).take(3)}, " +
+            s"batch-only ${(batch -- streamed).take(3)}")
+      } finally q.stop()
+    }
+  }
+
   test("streaming sessionPatterns equals the batch ev_pattern oracle result") {
     // Round-12: the last funnel/pattern-family pairing (funnelProgress ↔
     // ev_funnel r10, sessionPaths ↔ ev_path r11). Feed the real sf0.001

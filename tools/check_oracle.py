@@ -99,6 +99,23 @@ def pandas_dtype_probe(tbl):
     return {c: str(d) for c, d in probe.to_pandas().dtypes.items()}
 
 
+def pandas_dtypes(tbl, cols, large):
+    """Dtype map for the driver-pandas audit. On the large path try the
+    1-row probe first, but NEVER let a probe failure (an arrow type that
+    errors in to_pandas, a future null-probe edge) crash the whole gate —
+    fall back to the authoritative full to_pandas derivation, mirroring
+    how columnar_equal downgrades to the tuple path on any exception
+    (round-14 ADVICE: the probe ran unguarded)."""
+    if large:
+        try:
+            return pandas_dtype_probe(tbl)
+        except Exception as e:
+            print(f"  .. dtype probe failed ({type(e).__name__}: "
+                  f"{str(e)[:120]}); full to_pandas fallback", flush=True)
+    pd_frame = tbl.to_pandas()
+    return {c: str(pd_frame[c].dtype) for c in cols}
+
+
 def main():
     out_dir = sys.argv[1]
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
@@ -203,12 +220,8 @@ def main():
         # fine; only asymmetric coercion is a comparator bug. Above the
         # columnar threshold the dtypes come from a 1-row null-presence
         # probe (pandas_dtype_probe) instead of materializing 60M rows.
-        if large:
-            g_dt, e_dt = pandas_dtype_probe(got), pandas_dtype_probe(exp)
-        else:
-            g_pd, e_pd = got.to_pandas(), exp.to_pandas()
-            g_dt = {c: str(g_pd[c].dtype) for c in g_cols}
-            e_dt = {c: str(e_pd[c].dtype) for c in e_cols}
+        g_dt = pandas_dtypes(got, g_cols, large)
+        e_dt = pandas_dtypes(exp, e_cols, large)
         dtype_bad = [
             c for c in g_cols
             if g_dt[c] != e_dt[c] and {g_dt[c], e_dt[c]} & {"float64"}]
