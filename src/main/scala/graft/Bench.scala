@@ -40,6 +40,12 @@ import org.apache.spark.sql.SparkSession
   *    a query whose shuffle bytes match its anchor = the host stole the
   *    cores, not a plan regression — adjudicable from the JSON alone
   *    (tools/bench_noise.py applies exactly that rule).
+  *  - per-query machine STEAL milliseconds (`steal_ms`): /proc/stat's
+  *    hypervisor-steal delta over the query's window. The cpu/wall signal
+  *    alone can be fooled on this host class (steal inflates apparent
+  *    process CPU), so a wall inflation accompanied by a steal jump on
+  *    unchanged shuffle bytes is adjudicated as a hypervisor window
+  *    directly from the artifact.
   */
 object Bench {
 
@@ -52,7 +58,11 @@ object Bench {
 
   /** Cumulative process CPU time in ms (-1 if the platform bean is not a
     * com.sun.management one — never the case on the HotSpot JVMs we run,
-    * but the bench must not crash over a diagnostic). */
+    * but the bench must not crash over a diagnostic). Caveat measured on
+    * this host class: under hypervisor steal the guest charges a running
+    * thread wall-CPU even while its vCPU is preempted, so process CPU can
+    * READ inflated during a steal burst — which is why `steal_ms` below is
+    * captured alongside it. */
   private def cpuMillis(): Long =
     java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
       case os: com.sun.management.OperatingSystemMXBean =>
@@ -60,6 +70,23 @@ object Bench {
         if (t < 0) -1L else t / 1000000L
       case _ => -1L
     }
+
+  /** Cumulative machine-wide HYPERVISOR STEAL time in ms (field 9 of the
+    * aggregate cpu line in /proc/stat, USER_HZ=100 jiffies), -1 where
+    * unavailable. This is the direct, per-query-window adjudicator for the
+    * noisy-neighbor class this fleet runs on (round-15 measurement: the
+    * same 12-query battery re-run twice inflated DIFFERENT queries 5-30×
+    * each time — dd_winnow 175 s then 48 s, ev_ewma 6 s then 98 s — with
+    * byte-identical shuffle; /proc/stat showed ~2,900 CPU-seconds stolen
+    * since boot). A query whose wall inflates while the machine's steal
+    * counter jumps is a hypervisor window, full stop — no re-run needed. */
+  private def stealMillis(): Long = try {
+    val src = scala.io.Source.fromFile("/proc/stat")
+    try {
+      val f = src.getLines().next().trim.split("\\s+")
+      if (f.length > 8) f(8).toLong * 10L else -1L
+    } finally src.close()
+  } catch { case _: Throwable => -1L }
 
   /** Running total of shuffle bytes WRITTEN across all completed stages —
     * the direct per-query measure of exchange volume (what the 100 TB
@@ -135,17 +162,19 @@ object Bench {
     // Sentinel pass 2: same trivial plan after the battery; on a healthy
     // host this matches pass 1 within noise. gc stays per-query below.
     val sentinelLast = timeQuery(spark, sfDir, "o3_limit", tally)._1
-    val qs = results.map { case (k, (v, _, _, _)) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, r) => "\"" + k + "\":" + r._1 }
       .mkString("{", ",", "}")
-    val gcs = results.map { case (k, (_, g, _, _)) => "\"" + k + "\":" + g }
+    val gcs = results.map { case (k, r) => "\"" + k + "\":" + r._2 }
       .mkString("{", ",", "}")
-    val shfl = results.map { case (k, (_, _, s, _)) => "\"" + k + "\":" + s }
+    val shfl = results.map { case (k, r) => "\"" + k + "\":" + r._3 }
       .mkString("{", ",", "}")
-    val cpus_ = results.map { case (k, (_, _, _, c)) => "\"" + k + "\":" + c }
+    val cpus_ = results.map { case (k, r) => "\"" + k + "\":" + r._4 }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, (v, _, _, _)) if v < 0 => "\"" + k + "\"" }
+    val steals = results.map { case (k, r) => "\"" + k + "\":" + r._5 }
+      .mkString("{", ",", "}")
+    val failed = results.collect { case (k, r) if r._1 < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, (v, _, _, _)) if v >= 0 => v }.sum
+    val total = results.collect { case (_, r) if r._1 >= 0 => r._1 }.sum
     val sentinel =
       s"""{"query":"o3_limit","first":$sentinelFirst,"last":$sentinelLast,""" +
         s""""ratio":${if (sentinelFirst > 0) sentinelLast / sentinelFirst else -1.0}}"""
@@ -153,7 +182,7 @@ object Bench {
     // full-battery total by downstream tooling — flag it in the JSON.
     val partial = only.fold("")(names =>
       s""","partial":true,"only":${names.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")}""")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"gc_ms":$gcs,"shuffle_bytes":$shfl,"cpu_ms":$cpus_,"sentinel":$sentinel,"failed":$failed$partial,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"gc_ms":$gcs,"shuffle_bytes":$shfl,"cpu_ms":$cpus_,"steal_ms":$steals,"sentinel":$sentinel,"failed":$failed$partial,"sf":"$sfDir"}"""
     println(line)
     // The driver captures only a tail of stdout and has truncated the
     // per-query map two rounds running — persist the full line in-repo so
@@ -175,7 +204,8 @@ object Bench {
     * them. The cache clear enforces the cold per-query contract (header
     * doc): no query may ride a CacheManager entry a sibling left behind. */
   private def timeQuery(spark: SparkSession, sfDir: String,
-                        name: String, tally: ShuffleTally): (Double, Long, Long, Long) = {
+                        name: String, tally: ShuffleTally)
+      : (Double, Long, Long, Long, Long) = {
     try spark.catalog.clearCache()
     catch { case e: Throwable => System.err.println(
       s"[bench] clearCache before $name failed: ${e.getMessage}") }
@@ -183,6 +213,7 @@ object Bench {
     val s0 = tally.bytes.get()
     val g0 = gcMillis()
     val c0 = cpuMillis()
+    val st0 = stealMillis()
     val t0 = System.nanoTime()
     val ok =
       try { SparkEntry.queries(name)(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
@@ -200,7 +231,8 @@ object Bench {
     val secs = (System.nanoTime() - t0) / 1e9
     drainListenerBus(spark)
     val cpu = { val c1 = cpuMillis(); if (c0 < 0 || c1 < 0) -1L else c1 - c0 }
-    ((if (ok) secs else -secs), gcMillis() - g0, tally.bytes.get() - s0, cpu)
+    val steal = { val s1 = stealMillis(); if (st0 < 0 || s1 < 0) -1L else s1 - st0 }
+    ((if (ok) secs else -secs), gcMillis() - g0, tally.bytes.get() - s0, cpu, steal)
   }
 
   private def warmMlPath(spark: SparkSession): Unit = {
@@ -235,7 +267,8 @@ object Bench {
 
   private def runBattery(spark: SparkSession, sfDir: String,
                          only: Option[Set[String]],
-                         tally: ShuffleTally): Seq[(String, (Double, Long, Long, Long))] = {
+                         tally: ShuffleTally)
+      : Seq[(String, (Double, Long, Long, Long, Long))] = {
     // Stable ordering: cheap scans first is irrelevant to totals, but a
     // deterministic run order makes cross-round comparisons meaningful.
     SparkEntry.queries.toSeq.sortBy(_._1)

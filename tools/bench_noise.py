@@ -73,26 +73,40 @@ def main():
     # Such movers are adjudicated CONTENDED from the JSON alone and skip
     # the re-run (a re-run can confirm a regression but proves nothing in
     # a still-contended window anyway).
+    # Two signals, either sufficient on a same-plan (shuffle-matching) mover:
+    #  (a) steal_ms: /proc/stat hypervisor-steal jumped by >= 1 core-second
+    #      per wall-second over the query's window — the host was being
+    #      robbed, directly measured (the authoritative signal on this
+    #      Firecracker host class, where steal also inflates apparent
+    #      process CPU);
+    #  (b) cpu/wall collapsed below half the anchor's utilization — the
+    #      query ran the same plan with most cores idle.
     contended = {}
     f_cpu, r_cpu = fresh.get("cpu_ms") or {}, ref.get("cpu_ms") or {}
+    f_steal = fresh.get("steal_ms") or {}
     f_sh, r_sh = fresh.get("shuffle_bytes") or {}, ref.get("shuffle_bytes") or {}
     for q in movers:
         fw, rw = fresh["queries"][q], ref["queries"][q]
-        if q not in f_cpu or q not in r_cpu or fw <= 0 or rw <= 0:
-            continue
-        fc, rc = f_cpu[q], r_cpu[q]
-        if fc < 0 or rc < 0:
+        if fw <= 0 or rw <= 0 or fw <= 1.5 * rw:
             continue
         sh_f, sh_r = f_sh.get(q), r_sh.get(q)
         same_plan = (sh_f is not None and sh_r is not None
                      and abs(sh_f - sh_r) <= 0.10 * max(sh_r, 1) + 4096)
-        util_f, util_r = fc / 1000.0 / fw, rc / 1000.0 / rw
-        if same_plan and fw > 1.5 * rw and util_f < 0.5 * util_r:
-            contended[q] = (util_r, util_f)
+        if not same_plan:
+            continue
+        st = f_steal.get(q, -1)
+        if st is not None and st >= 1000 * fw:
+            contended[q] = f"steal {st / 1000.0:.1f}s over {fw:.1f}s wall"
+            continue
+        fc, rc = f_cpu.get(q, -1), r_cpu.get(q, -1)
+        if fc >= 0 and rc >= 0:
+            util_f, util_r = fc / 1000.0 / fw, rc / 1000.0 / rw
+            if util_f < 0.5 * util_r:
+                contended[q] = (f"cpu/wall {util_f:.1f}x vs anchor "
+                                f"{util_r:.1f}x")
     if contended:
-        for q, (ur, uf) in contended.items():
-            print(f"  {q}: contended window — shuffle bytes match anchor, "
-                  f"cpu/wall {uf:.1f}x vs anchor {ur:.1f}x")
+        for q, why in contended.items():
+            print(f"  {q}: contended window — shuffle bytes match anchor, {why}")
     rerun_movers = [q for q in movers if q not in contended]
     print(f"movers: {', '.join(movers)}"
           + (f" — contended (no re-run): {', '.join(contended)}" if contended else "")

@@ -23,7 +23,7 @@ def main():
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     res = {}
     for line in open(log_path):
-        m = re.match(r"\s+OK\s+(\S+) \((\d+) rows\)", line)
+        m = re.match(r"\s+OK\s+(\S+) \((\d+) rows(?:, columnar)?\)", line)
         if m:
             res[m.group(1)] = {
                 "rows_match": True, "schema_match": True, "hash_match": True,
