@@ -158,10 +158,39 @@ object Bench {
 
     // Sentinel pass 1: cheapest plan in the battery, timed on a warm JVM.
     val sentinelFirst = timeQuery(spark, sfDir, "o3_limit", tally)._1
-    val results = runBattery(spark, sfDir, only, tally)
+    val firstPass = runBattery(spark, sfDir, only, tally)
     // Sentinel pass 2: same trivial plan after the battery; on a healthy
     // host this matches pass 1 within noise. gc stays per-query below.
     val sentinelLast = timeQuery(spark, sfDir, "o3_limit", tally)._1
+    // SELF-HEALING ANCHOR (round-16, closing the round-15 verdict's item
+    // 2): a row whose own window was steal-contaminated — >= 1 core-second
+    // of /proc/stat hypervisor steal per wall-second, the same mechanical
+    // rule tools/bench_noise.py applies — overstates true cost and would
+    // masquerade as an "improvement" in the next round's comparison
+    // (round-15 committed 13 such rows; worst ann_pq_big 11.9 s wall /
+    // 14.7 core-s steal). Each flagged row re-runs ONCE at battery end and
+    // the reading from the quieter window (lower steal per wall-second)
+    // becomes the primary number; BOTH readings and which was kept are
+    // recorded in the JSON's `healed` map, so nothing is hidden.
+    val stealFlagged = firstPass.collect {
+      case (n, r) if r._1 > 0 && r._5 >= math.round(1000.0 * r._1) => n
+    }.toSet
+    if (stealFlagged.nonEmpty) System.err.println(
+      s"[bench] steal-flagged rows, re-running once: ${stealFlagged.toSeq.sorted.mkString(", ")}")
+    val healedInfo = scala.collection.mutable.LinkedHashMap[String, String]()
+    val results = firstPass.map {
+      case (n, first) if stealFlagged.contains(n) =>
+        val second = timeQuery(spark, sfDir, n, tally)
+        val keepSecond = second._1 > 0 &&
+          second._5.toDouble / second._1 < first._5.toDouble / first._1
+        val kept = if (keepSecond) second else first
+        healedInfo(n) =
+          s"""{"first_secs":${first._1},"first_steal_ms":${first._5},""" +
+            s""""rerun_secs":${second._1},"rerun_steal_ms":${second._5},""" +
+            s""""kept":"${if (keepSecond) "rerun" else "first"}"}"""
+        (n, kept)
+      case kv => kv
+    }
     val qs = results.map { case (k, r) => "\"" + k + "\":" + r._1 }
       .mkString("{", ",", "}")
     val gcs = results.map { case (k, r) => "\"" + k + "\":" + r._2 }
@@ -182,7 +211,9 @@ object Bench {
     // full-battery total by downstream tooling — flag it in the JSON.
     val partial = only.fold("")(names =>
       s""","partial":true,"only":${names.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")}""")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"gc_ms":$gcs,"shuffle_bytes":$shfl,"cpu_ms":$cpus_,"steal_ms":$steals,"sentinel":$sentinel,"failed":$failed$partial,"sf":"$sfDir"}"""
+    val healedJson = healedInfo.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"gc_ms":$gcs,"shuffle_bytes":$shfl,"cpu_ms":$cpus_,"steal_ms":$steals,"sentinel":$sentinel,"failed":$failed,"healed":$healedJson$partial,"sf":"$sfDir"}"""
     println(line)
     // The driver captures only a tail of stdout and has truncated the
     // per-query map two rounds running — persist the full line in-repo so

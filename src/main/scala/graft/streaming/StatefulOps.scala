@@ -231,9 +231,14 @@ object StatefulOps {
     * BigDecimal.valueOf(v).setScale(2, HALF_UP) — bit-identical to the
     * batch `Exact.dsum`'s double→DECIMAL(18,2) cast — and surface as one
     * correctly-rounded double, so sums match the oracle row-for-row.
-    * Session bounds keep full microsecond precision in state (timers are
-    * ms-granular, but ms-truncation only DELAYS a close by <1 ms of
-    * watermark, never changes membership on an in-order feed). */
+    * Session bounds keep full microsecond precision in state; timers are
+    * ms-granular, so the close timer is armed at the CEILING millisecond
+    * of `last` (+gap). Firing up to 1 ms LATE is safe — an event at
+    * >= last+gap still closes the session inline — whereas a
+    * floor-truncated timer could fire up to 1 ms EARLY in event time:
+    * another key's event landing in the sub-ms window (timer_ms,
+    * last+gapUs) would advance the watermark past the timer and close a
+    * session that a later in-gap event should have extended. */
   class SessionAggProcessor(gapMs: Long)
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         Long, (Long, java.sql.Timestamp, Double), UserSession] {
@@ -278,9 +283,9 @@ object StatefulOps {
           .setScale(2, java.math.RoundingMode.HALF_UP)
           .unscaledValue().longValueExact()
       }
-      if (last != last0) { // one live timer per user
-        if (n0 > 0) getHandle.deleteTimer(Math.floorDiv(last0, 1000L) + gapMs)
-        getHandle.registerTimer(Math.floorDiv(last, 1000L) + gapMs)
+      if (last != last0) { // one live timer per user; CEILING ms (class doc)
+        if (n0 > 0) getHandle.deleteTimer(Math.floorDiv(last0 + 999L, 1000L) + gapMs)
+        getHandle.registerTimer(Math.floorDiv(last + 999L, 1000L) + gapMs)
       }
       state.update((n, start, last, cents))
       out.result().iterator
