@@ -74,6 +74,13 @@ class GoldenPipelineSpec extends AnyFunSuite {
     val counts = operators.Analytics.queries("nlp_sentiment_counts")(spark, "/root/testdata/sf0.001")
       .collect().map(r => s"${r.getString(0)}:${r.getLong(1)}").mkString(",")
     assert(counts == "negative:387,neutral:113", s"label distribution drifted: $counts")
+    // sf0.01 is a DIFFERENT 500-doc corpus (measured round-16: text hashes
+    // differ table-wide), and it is the scale the DRIVER gate verifies at —
+    // pin its distribution too, so tools/golden_pins.json's sf0.01 pins
+    // chain to an sbt-pinned value on the exact corpus the gate reads.
+    val counts001 = operators.Analytics.queries("nlp_sentiment_counts")(spark, "/root/testdata/sf0.01")
+      .collect().map(r => s"${r.getString(0)}:${r.getLong(1)}").mkString(",")
+    assert(counts001 == "negative:394,neutral:106", s"sf0.01 label distribution drifted: $counts001")
   }
 
   test("golden: nlp_topics top-10 word sets are pinned on the frozen corpus") {
@@ -97,14 +104,34 @@ class GoldenPipelineSpec extends AnyFunSuite {
     // change with corpus size — so the sf0.001 pin alone could green while
     // a vocabulary-pruning regression silently rewrote every larger
     // corpus' topics. Same seed-42 determinism argument as the sf0.001
-    // pin, one decade up (5,000 docs; sf0.01 shares sf0.001's 500-doc
-    // documents table, so sf0.1 is the first real decade step).
+    // pin, one decade up (5,000 docs; sf0.001 and sf0.01 are both
+    // 500-doc corpora — different content, same size — so sf0.1 is the
+    // first real decade step).
     val topics = operators.Analytics.queries("nlp_topics")(spark, "/root/testdata/sf0.1")
     val h = topics.select(md5(concat_ws("|", col("topic"),
         concat_ws(" ", sort_array(split(col("words"), " "))))).as("h"))
       .agg(md5(concat_ws(",", sort_array(collect_list(col("h"))))).as("topics_hash"))
       .collect().head.getString(0)
     assert(h == "9c4d4471aa667416fa80ff8613278b53", s"sf0.1 topic word sets drifted: $h")
+  }
+
+  test("golden: nlp_topics top-10 word sets are pinned two decades up (sf1)") {
+    // Round-16 (verdict item 7): third decade for the one oracle-less
+    // family. CountVectorizer vocabulary pruning (minDF=2/maxDF=0.95) and
+    // online-VB mini-batch sizing are the scale-dependent behaviors; a
+    // regression in either would green at sf0.001/sf0.1 while rewriting
+    // every larger corpus' topics. The sf1 corpus is the ReplicateSf ×10
+    // replica of sf0.1 (50,000 docs) — not driver testdata — so the test
+    // CANCELS (assume) rather than fails where the replica is absent;
+    // tools/sf10x_verify.sh documents the recipe.
+    assume(new java.io.File("/tmp/sf1/documents.parquet").exists,
+      "/tmp/sf1 replica not present on this host")
+    val topics = operators.Analytics.queries("nlp_topics")(spark, "/tmp/sf1")
+    val h = topics.select(md5(concat_ws("|", col("topic"),
+        concat_ws(" ", sort_array(split(col("words"), " "))))).as("h"))
+      .agg(md5(concat_ws(",", sort_array(collect_list(col("h"))))).as("topics_hash"))
+      .collect().head.getString(0)
+    assert(h == "39e5f4d58468104739176b03a54eb0fc", s"sf1 topic word sets drifted: $h")
   }
 
   test("structural: analysis output contract holds one decade up (sf0.1)") {
