@@ -97,7 +97,25 @@ object Analytics {
     // the LDA fit — persist it across those passes, and pass maxDF in
     // fraction form (< 1.0 = fraction of the doc count, identical pruning)
     // so no eager driver-blocking count() re-runs the chain to size it.
-    val c = corpus(s, dir).persist()
+    // DETERMINISTIC LAYOUT before any fit (round-16): online-VB LDA samples
+    // its mini-batches PER PARTITION (seeded Bernoulli keyed on partition
+    // index), so the fitted topics follow the corpus' partition layout —
+    // measured at sf1: bit-identical across reruns at fixed local[12], but
+    // three different topic sets at local[8] / local[12] / the test
+    // harness. A model that rewrites itself when the cluster is resized is
+    // unusable evidence at 1000 executors, so the corpus is hash-placed on
+    // doc_id into a FIXED number of partitions and sorted within each:
+    // row→partition assignment and in-partition order are then functions
+    // of the data alone (never of input split sizing, parallelism, or
+    // shuffle fetch arrival order), and the fit is reproducible on any
+    // cluster shape. One extra corpus-scale exchange, amortized over the
+    // 4 nlp queries via the fit cache; pins in GoldenPipelineSpec +
+    // tools/golden_pins.json re-anchored under this contract.
+    val FitParts = 64
+    val c = corpus(s, dir)
+      .repartition(FitParts, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .persist()
     try {
       val pipeline = new Pipeline().setStages(Array(
         new Tokenizer().setInputCol("text").setOutputCol("raw_tokens"),

@@ -95,7 +95,10 @@ class GoldenPipelineSpec extends AnyFunSuite {
         concat_ws(" ", sort_array(split(col("words"), " "))))).as("h"))
       .agg(md5(concat_ws(",", sort_array(collect_list(col("h"))))).as("topics_hash"))
       .collect().head.getString(0)
-    assert(h == "9da15b4d080c3a37d1d4b01c2d57d633", s"topic word sets drifted: $h")
+    // Re-pinned round-16 under the deterministic-layout fit contract
+    // (Analytics.fitLdaUncached repartitions on doc_id before any fit, so
+    // the model no longer follows input-split/parallelism layout).
+    assert(h == "b1a534ae18a51e5f49d8aa6e4e365053", s"topic word sets drifted: $h")
   }
 
   test("golden: nlp_topics top-10 word sets are pinned one decade up (sf0.1)") {
@@ -112,7 +115,8 @@ class GoldenPipelineSpec extends AnyFunSuite {
         concat_ws(" ", sort_array(split(col("words"), " "))))).as("h"))
       .agg(md5(concat_ws(",", sort_array(collect_list(col("h"))))).as("topics_hash"))
       .collect().head.getString(0)
-    assert(h == "9c4d4471aa667416fa80ff8613278b53", s"sf0.1 topic word sets drifted: $h")
+    // Re-pinned round-16 under the deterministic-layout fit contract.
+    assert(h == "596eee75fc336fff21e5b34e945a0498", s"sf0.1 topic word sets drifted: $h")
   }
 
   test("golden: nlp_topics top-10 word sets are pinned two decades up (sf1)") {
@@ -131,7 +135,9 @@ class GoldenPipelineSpec extends AnyFunSuite {
         concat_ws(" ", sort_array(split(col("words"), " "))))).as("h"))
       .agg(md5(concat_ws(",", sort_array(collect_list(col("h"))))).as("topics_hash"))
       .collect().head.getString(0)
-    assert(h == "39e5f4d58468104739176b03a54eb0fc", s"sf1 topic word sets drifted: $h")
+    // Pinned under the deterministic-layout fit contract; measured
+    // identical at local[8]/local[12]/local[24] on the same replica.
+    assert(h == "9cb073a792ae0551057f85e27e3eb3e3", s"sf1 topic word sets drifted: $h")
   }
 
   test("structural: analysis output contract holds one decade up (sf0.1)") {
