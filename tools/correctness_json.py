@@ -176,7 +176,7 @@ def main():
     pins = load_pins()
     res = {}
     for line in open(log_path):
-        m = re.match(r"\s+OK\s+(\S+) \((\d+) rows(?:, columnar|, sliced)?\)", line)
+        m = re.match(r"\s+OK\s+(\S+) \((\d+) rows(?:, columnar|, sliced|, fixpoint)?\)", line)
         if m:
             res[m.group(1)] = {
                 "rows_match": True, "schema_match": True, "hash_match": True,
