@@ -30,7 +30,8 @@ object SparkEntry {
       operators.Retrieval.queries ++
       operators.Embeddings.queries ++
       operators.Analytics.queries ++
-      operators.Multimodal.queries
+      operators.Multimodal.queries ++
+      operators.Preference.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
@@ -46,5 +47,6 @@ object SparkEntry {
       operators.Similarity.oracle ++
       operators.Retrieval.oracle ++
       operators.Embeddings.oracle ++
-      operators.Multimodal.oracle
+      operators.Multimodal.oracle ++
+      operators.Preference.oracle
 }
