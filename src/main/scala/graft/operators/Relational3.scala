@@ -1546,6 +1546,39 @@ object Relational3 {
           else lit(null).cast("double"), 6).as("nmi"))
     }),
 
+    // k-anonymity / l-diversity privacy profile (Sweeney 2002; Machanavajjhala
+    // et al. 2007) — the re-identification audit a training corpus needs
+    // before release: quasi-identifier classes are (lang, n_chars div 100),
+    // the sensitive attribute is source. Emits the share of docs living in
+    // classes smaller than k ∈ {2,5,10} (linkable under k-anonymity) and the
+    // share in classes with ≥3 distinct sources (l-diversity ≥ 3). The class
+    // frame is model-scale (langs × length-buckets); ONE keyed agg over the
+    // corpus + a tiny global fold — all counts integer-exact, ratios as
+    // identical double trees.
+    "prof_kanon" -> ((s, dir) => {
+      val cls = load(s, dir, "documents")
+        .groupBy(col("lang"), expr("n_chars div 100").as("bkt"))
+        .agg(count(lit(1)).as("sz"), countDistinct(col("source")).as("ldiv"))
+      cls.agg(
+          sum("sz").as("n_docs"), count(lit(1)).as("n_classes"),
+          sum(when(col("sz") < 2, col("sz")).otherwise(lit(0L))).as("r2"),
+          sum(when(col("sz") < 5, col("sz")).otherwise(lit(0L))).as("r5"),
+          sum(when(col("sz") < 10, col("sz")).otherwise(lit(0L))).as("r10"),
+          min("sz").as("min_class"), max("sz").as("max_class"),
+          min("ldiv").as("min_ldiv"),
+          sum(when(col("ldiv") >= 3, col("sz")).otherwise(lit(0L))).as("l3"))
+        .select(col("n_docs"), col("n_classes"),
+          round(col("r2").cast("double") / col("n_docs").cast("double"), 6)
+            .as("risk_k2"),
+          round(col("r5").cast("double") / col("n_docs").cast("double"), 6)
+            .as("risk_k5"),
+          round(col("r10").cast("double") / col("n_docs").cast("double"), 6)
+            .as("risk_k10"),
+          col("min_class"), col("max_class"), col("min_ldiv"),
+          round(col("l3").cast("double") / col("n_docs").cast("double"), 6)
+            .as("share_ldiv3"))
+    }),
+
     "prof_psi_value" -> ((s, dir) => {
       val ev = load(s, dir, "events")
         .select(col("event_type"),
@@ -3695,6 +3728,30 @@ object Relational3 {
         |  round(CASE WHEN hx.hx > 0 AND hy.hy > 0
         |    THEN mi.mi / sqrt(hx.hx * hy.hy) END, 6) AS nmi
         |FROM st, mi, hx, hy""".stripMargin,
+
+    "prof_kanon" ->
+      """WITH cls AS (
+        |  SELECT lang, n_chars // 100 AS bkt, count(*) AS sz,
+        |    count(DISTINCT source) AS ldiv
+        |  FROM documents GROUP BY 1, 2),
+        |g AS (
+        |  SELECT CAST(sum(sz) AS BIGINT) AS n_docs,
+        |    CAST(count(*) AS BIGINT) AS n_classes,
+        |    CAST(sum(CASE WHEN sz < 2 THEN sz ELSE 0 END) AS BIGINT) AS r2,
+        |    CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT) AS r5,
+        |    CAST(sum(CASE WHEN sz < 10 THEN sz ELSE 0 END) AS BIGINT) AS r10,
+        |    CAST(min(sz) AS BIGINT) AS min_class,
+        |    CAST(max(sz) AS BIGINT) AS max_class,
+        |    CAST(min(ldiv) AS BIGINT) AS min_ldiv,
+        |    CAST(sum(CASE WHEN ldiv >= 3 THEN sz ELSE 0 END) AS BIGINT) AS l3
+        |  FROM cls)
+        |SELECT n_docs, n_classes,
+        |  round(CAST(r2 AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS risk_k2,
+        |  round(CAST(r5 AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS risk_k5,
+        |  round(CAST(r10 AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS risk_k10,
+        |  min_class, max_class, min_ldiv,
+        |  round(CAST(l3 AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS share_ldiv3
+        |FROM g""".stripMargin,
 
     "prof_psi_value" ->
       """WITH ev AS (

@@ -795,6 +795,41 @@ object TextAnalysis {
     // collapses or whose hapax share explodes is boilerplate or junk
     // respectively. Two keyed aggs ((source, term) then source) — linear
     // in corpus tokens, all-integer until the final ratio.
+    // HD-D lexical diversity (McCarthy & Jarvis 2010): the hypergeometric
+    // sampling index — for a random 42-token draw, each type contributes
+    // (1 − P[absent])/42 with P[absent] = Π_{i=0}^{41} (N − tf − i)/(N − i).
+    // Unlike raw TTR it is length-independent, which is what makes it a
+    // usable doc-quality signal on a corpus whose doc lengths span decades.
+    // The 42-term product folds as exp(Σ ln) over an ascending literal
+    // sequence (identical tree both engines; 0 when N − tf < 42 — every ln
+    // argument is then ≥ 1 in the live branch); per-doc type contributions
+    // fold in term order. Docs with ≥ 50 tokens only (the published
+    // validity floor). Shape: one (doc, term) tf agg + a doc-keyed join
+    // that AQE co-partitions + one doc-keyed fold — linear in tokens.
+    "ta_hdd" -> ((s, dir) => {
+      val hddS = 42
+      val tf = load(s, dir, "documents")
+        .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val tot = tf.groupBy("doc_id")
+        .agg(sum("tf").as("n"), count(lit(1)).as("n_types"))
+        .where(col("n") >= 50)
+      val p0 = when(col("n") - col("tf") < hddS, lit(0.0)).otherwise(
+        exp(aggregate(sequence(lit(0), lit(hddS - 1)), lit(0.0),
+          (acc, i) => acc + (log((col("n") - col("tf") - i).cast("double")) -
+            log((col("n") - i).cast("double"))))))
+      tf.join(tot, "doc_id")
+        .select(col("doc_id"), col("n"), col("n_types"), col("term"),
+          ((lit(1.0) - p0) / lit(hddS.toDouble)).as("c"))
+        .groupBy(col("doc_id"), col("n"), col("n_types"))
+        .agg(round(aggregate(
+          transform(array_sort(collect_list(struct(col("term"), col("c")))),
+            x => x.getField("c")),
+          lit(0.0), (a, x) => a + x), 6).as("hdd"))
+        .select(col("doc_id"), col("n").as("n_tokens"), col("n_types"), col("hdd"))
+        .orderBy("doc_id")
+    }),
+
     "ta_vocab_profile" -> ((s, dir) => {
       load(s, dir, "documents")
         .select(col("source"), explode(toks(col("text"))).as("term"))
@@ -1768,6 +1803,28 @@ object TextAnalysis {
         |SELECT doc_id,
         |  round(-list_sum(list(lp ORDER BY bg)) / sum(tf), 6) AS nll
         |FROM contrib GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "ta_hdd" ->
+      """WITH tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        |    FROM documents)
+        |  GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS n_types
+        |  FROM tf GROUP BY 1 HAVING sum(tf) >= 50),
+        |c AS (
+        |  SELECT tf.doc_id, tf.term, tot.n, tot.n_types,
+        |    (1.0 - CASE WHEN tot.n - tf.tf < 42 THEN 0.0
+        |      ELSE exp(list_sum(list_transform(range(0, 42),
+        |        i -> ln(CAST(tot.n - tf.tf - i AS DOUBLE))
+        |           - ln(CAST(tot.n - i AS DOUBLE)))))
+        |      END) / 42.0 AS c
+        |  FROM tf JOIN tot USING (doc_id))
+        |SELECT doc_id, n AS n_tokens, n_types,
+        |  round(list_sum(list(c ORDER BY term)), 6) AS hdd
+        |FROM c GROUP BY doc_id, n, n_types ORDER BY doc_id""".stripMargin,
 
     "ta_vocab_profile" ->
       """WITH tok AS (

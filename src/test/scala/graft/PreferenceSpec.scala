@@ -90,4 +90,35 @@ class PreferenceSpec extends AnyFunSuite {
     assert(selShare > rawShare,
       s"DSIR top-k en-share $selShare must exceed corpus share $rawShare")
   }
+
+  test("prof_kanon: risks monotone in k, shares bounded, counts coherent") {
+    val out = operators.Relational3.queries("prof_kanon")(spark, dir).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    val (nDocs, nClasses) = (r.getLong(0), r.getLong(1))
+    val (k2, k5, k10) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    val (minC, maxC, minL) = (r.getLong(5), r.getLong(6), r.getLong(7))
+    val l3 = r.getDouble(8)
+    assert(nClasses >= 1 && nClasses <= nDocs)
+    assert(k2 <= k5 + 1e-9 && k5 <= k10 + 1e-9, "risk shares monotone in k")
+    assert(Seq(k2, k5, k10, l3).forall(x => x >= 0.0 && x <= 1.0 + 1e-9))
+    assert(minC >= 1 && minC <= maxC && maxC <= nDocs)
+    assert(minL >= 1)
+  }
+
+  test("ta_hdd: bounded in (0,1], only docs above the validity floor") {
+    val out = operators.TextAnalysis.queries("ta_hdd")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    out.foreach { case (id, n, types, hdd) =>
+      assert(n >= 50, s"doc $id below the 50-token floor")
+      assert(types >= 1 && types <= n)
+      assert(hdd > 0.0 && hdd <= 1.0 + 1e-9,
+        s"doc $id: HD-D $hdd outside (0,1]")
+    }
+    // a doc whose every token is distinct would score exactly 1; more
+    // repetition -> lower score, so corpus HD-D must sit strictly below
+    // the all-distinct ceiling on this synthetic (repetitive) text
+    assert(out.map(_._4).max < 1.0)
+  }
 }
