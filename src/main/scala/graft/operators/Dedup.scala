@@ -406,6 +406,28 @@ object Dedup {
         .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_id"))
         .orderBy("content_hash")),
 
+    // Soft deduplication: instead of DROPPING duplicates (dd_exact's keep_id
+    // form), every copy survives with a down-weight the training sampler
+    // consumes — w_inv = 1/copies restores the unique-document distribution
+    // exactly, w_sqrt = 1/√copies keeps a mild frequency prior (the
+    // compromise modern pretraining mixes use, cf. sqrt-scaled source
+    // mixing in samp_epoch_plan). Same normalized-content hash as dd_exact,
+    // one hash-keyed size agg + one hash-keyed join (AQE co-partitioned) —
+    // linear, and at 100× content duplication the output stays one row per
+    // doc while the cluster frame is one row per UNIQUE content.
+    "dd_soft_weight" -> ((s, dir) => {
+      val key = md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")))
+      val docs = load(s, dir, "documents")
+        .select(col("doc_id"), key.as("h"))
+        .localCheckpoint()
+      val sizes = docs.groupBy("h").agg(count(lit(1)).as("copies"))
+      docs.join(sizes, "h")
+        .select(col("doc_id"), col("copies"),
+          round(lit(1.0) / col("copies").cast("double"), 6).as("w_inv"),
+          round(lit(1.0) / sqrt(col("copies").cast("double")), 6).as("w_sqrt"))
+        .orderBy("doc_id")
+    }),
+
     // n-gram (3-shingle) Jaccard near-dups above JaccardTau — the LSH-
     // candidate-verified form. ONE groupBy turns the shingle explode into a
     // per-doc array of 60-bit md5-derived shingle hashes; MinHash bands are
@@ -1053,6 +1075,17 @@ object Dedup {
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_hash,
         |  count(*) AS n_copies, min(doc_id) AS keep_id
         |FROM documents GROUP BY content_hash ORDER BY content_hash""".stripMargin,
+
+    "dd_soft_weight" ->
+      """WITH d AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS h
+        |  FROM documents),
+        |sz AS (SELECT h, CAST(count(*) AS BIGINT) AS copies FROM d GROUP BY 1)
+        |SELECT doc_id, copies,
+        |  round(1.0 / CAST(copies AS DOUBLE), 6) AS w_inv,
+        |  round(1.0 / sqrt(CAST(copies AS DOUBLE)), 6) AS w_sqrt
+        |FROM d JOIN sz USING (h) ORDER BY doc_id""".stripMargin,
 
     "dd_ngram_jaccard" ->
       s"$jaccardPairsSql\nORDER BY doc_a, doc_b",

@@ -81,6 +81,24 @@ object Preference {
       .groupBy("w", "l").agg(count(lit(1)).as("n"))
   }
 
+  /** The shared unit×rater×label grid both agreement ops reduce: units are
+    * event_id % KaUnits buckets, raters are users, each rater's label in a
+    * unit is their modal event_type (ties → lexicographically smallest —
+    * deterministic). Returns per-(unit, label) rating counts,
+    * localCheckpoint-ed so each consumer reads one events scan. */
+  private def labelCounts(s: SparkSession, dir: String): DataFrame = {
+    val r0 = load(s, dir, "events")
+      .groupBy((col("event_id") % KaUnits).as("unit"),
+        col("user_id").as("rater"), col("event_type").as("label"))
+      .agg(count(lit(1)).as("cnt"))
+    val wMode = Window.partitionBy("unit", "rater")
+      .orderBy(col("cnt").desc, col("label"))
+    r0.withColumn("rn", row_number().over(wMode))
+      .where(col("rn") === 1)
+      .groupBy("unit", "label").agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+  }
+
   val queries: Map[String, Q] = Map(
 
     // Bradley–Terry preference aggregation (RLHF reward-data prep): from
@@ -156,6 +174,35 @@ object Preference {
         .orderBy("type_a", "type_b")
     }),
 
+    // Condorcet/Copeland aggregation over the same win matrix — the
+    // social-choice view of the preference data (Copeland 1951): a type
+    // "majority-beats" another when it wins more of their head-to-head
+    // comparisons; the Copeland score is majority wins minus losses, and
+    // the Condorcet winner (if any) majority-beats every opponent. The
+    // pairwise-majority graph is the standard sanity check on BT scores —
+    // a Condorcet cycle means no scalar strength ordering is faithful.
+    // All work after the shared win-matrix agg is on the ≤K²-row frame.
+    "pref_copeland" -> ((s, dir) => {
+      val wm = winMatrix(s, dir).localCheckpoint()
+      val dirW = wm.select(col("w").as("i"), col("l").as("j"), col("n"))
+        .union(wm.select(col("l").as("i"), col("w").as("j"), lit(0L).as("n")))
+        .groupBy("i", "j").agg(sum("n").as("wij"))
+        .localCheckpoint()
+      val rev = dirW.select(col("j").as("i"), col("i").as("j"),
+        col("wij").as("wji"))
+      dirW.join(rev, Seq("i", "j"))
+        .groupBy("i")
+        .agg(sum(when(col("wij") > col("wji"), 1L).otherwise(0L)).as("mw"),
+          sum(when(col("wij") === col("wji"), 1L).otherwise(0L)).as("mt"),
+          sum(when(col("wij") < col("wji"), 1L).otherwise(0L)).as("ml"),
+          count(lit(1)).as("n_opp"))
+        .select(col("i").as("event_type"), col("mw").as("majority_wins"),
+          col("mt").as("majority_ties"), col("ml").as("majority_losses"),
+          (col("mw") - col("ml")).as("copeland"),
+          (col("mw") === col("n_opp")).as("is_condorcet"))
+        .orderBy("event_type")
+    }),
+
     // Krippendorff's alpha, nominal metric (Krippendorff 2004 §11): units
     // are event_id % KaUnits buckets, raters are users, each rater's label
     // in a unit is their modal event_type (ties → lexicographically
@@ -167,16 +214,7 @@ object Preference {
     // (list(ORDER BY unit) in the oracle). Two keyed aggs + one
     // unit-keyed join — no fact-scale window wider than (unit, rater).
     "agree_krippendorff" -> ((s, dir) => {
-      val r0 = load(s, dir, "events")
-        .groupBy((col("event_id") % KaUnits).as("unit"),
-          col("user_id").as("rater"), col("event_type").as("label"))
-        .agg(count(lit(1)).as("cnt"))
-      val wMode = Window.partitionBy("unit", "rater")
-        .orderBy(col("cnt").desc, col("label"))
-      val rat = r0.withColumn("rn", row_number().over(wMode))
-        .where(col("rn") === 1).select("unit", "rater", "label")
-      val nuc = rat.groupBy("unit", "label").agg(count(lit(1)).as("n"))
-        .localCheckpoint()
+      val nuc = labelCounts(s, dir)
       val mu = nuc.groupBy("unit").agg(sum("n").as("m"))
       val du = nuc.join(mu, "unit").where(col("m") >= 2)
         .groupBy("unit", "m")
@@ -204,6 +242,54 @@ object Preference {
           round(col("de"), 6).as("d_e"),
           round(lit(1.0) -
             (col("sdo") / col("np").cast("double")) / col("de"), 6).as("alpha"))
+    }),
+
+    // Gwet's AC1 (Gwet 2008, multi-rater form) on the same unit×rater×label
+    // grid — the agreement coefficient that stays stable under skewed label
+    // prevalence, where kappa/alpha collapse (the "kappa paradox"); the
+    // standard companion metric when auditing preference-label quality.
+    //   P_o  = mean over pairable units of Σ_c n_uc(n_uc−1)/(m_u(m_u−1))
+    //   π_c  = mean over pairable units of n_uc/m_u
+    //   P_e  = Σ_c π_c(1−π_c)/(C−1),   AC1 = (P_o−P_e)/(1−P_e)
+    // Per-unit numerators are exact integer products with one division
+    // each; unit-sorted folds for P_o and each π_c, label-sorted fold for
+    // P_e — the agree_krippendorff parity discipline throughout.
+    "agree_gwet_ac1" -> ((s, dir) => {
+      val nuc = labelCounts(s, dir)
+      val mu = nuc.groupBy("unit").agg(sum("n").as("m"))
+      val pair = nuc.join(mu, "unit").where(col("m") >= 2)
+        .localCheckpoint()
+      val np = pair.select("unit").distinct()
+        .agg(count(lit(1)).as("np"))
+      val pou = pair.groupBy("unit", "m")
+        .agg(sum(dec38(col("n")) * (col("n") - 1)).as("sp"))
+        .select(col("unit"), (col("sp").cast("double") /
+          (col("m") * (col("m") - 1)).cast("double")).as("pou"))
+      val spo = pou.agg(aggregate(
+        transform(array_sort(collect_list(struct(col("unit"), col("pou")))),
+          x => x.getField("pou")),
+        lit(0.0), (a, x) => a + x).as("spo"))
+      val sc = pair.groupBy("label")
+        .agg(aggregate(
+          transform(array_sort(collect_list(struct(col("unit"),
+            (col("n").cast("double") / col("m").cast("double")).as("t")))),
+            x => x.getField("t")),
+          lit(0.0), (a, x) => a + x).as("sc"))
+      val cat = sc.agg(count(lit(1)).as("c"))
+      val pi = col("sc") / col("np").cast("double")
+      val spe = sc.crossJoin(broadcast(np))
+        .select(col("label"), (pi * (lit(1.0) - pi)).as("t"))
+        .agg(aggregate(
+          transform(array_sort(collect_list(struct(col("label"), col("t")))),
+            x => x.getField("t")),
+          lit(0.0), (a, x) => a + x).as("spe"))
+      val po = col("spo") / col("np").cast("double")
+      val pe = col("spe") / (col("c") - 1).cast("double")
+      np.crossJoin(broadcast(cat)).crossJoin(broadcast(spo))
+        .crossJoin(broadcast(spe))
+        .select(col("np").as("n_pairable"), col("c").as("n_categories"),
+          round(po, 6).as("p_o"), round(pe, 6).as("p_e"),
+          round((po - pe) / (lit(1.0) - pe), 6).as("ac1"))
     }),
 
     // DSIR (Xie et al. 2023, "Data Selection for Language Models via
@@ -346,6 +432,74 @@ object Preference {
          |                           * CAST(n_cmp AS DOUBLE)))
          |        / (1.0 + 1.96 * 1.96 / CAST(n_cmp AS DOUBLE)), 6) AS wilson_hi
          |FROM pairs ORDER BY type_a, type_b""".stripMargin,
+
+    "pref_copeland" ->
+      s"""WITH $prefBaseSql,
+         |dirw AS MATERIALIZED (
+         |  SELECT i, j, CAST(sum(n) AS BIGINT) AS wij FROM (
+         |    SELECT w AS i, l AS j, n FROM wmat
+         |    UNION ALL SELECT l AS i, w AS j, 0 AS n FROM wmat)
+         |  GROUP BY 1, 2),
+         |p AS (
+         |  SELECT a.i, a.j, a.wij, b.wij AS wji
+         |  FROM dirw a JOIN dirw b ON a.i = b.j AND a.j = b.i)
+         |SELECT i AS event_type,
+         |  CAST(sum(CASE WHEN wij > wji THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS majority_wins,
+         |  CAST(sum(CASE WHEN wij = wji THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS majority_ties,
+         |  CAST(sum(CASE WHEN wij < wji THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS majority_losses,
+         |  CAST(sum(CASE WHEN wij > wji THEN 1 ELSE 0 END)
+         |     - sum(CASE WHEN wij < wji THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS copeland,
+         |  (sum(CASE WHEN wij > wji THEN 1 ELSE 0 END) = count(*))
+         |    AS is_condorcet
+         |FROM p GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "agree_gwet_ac1" ->
+      s"""WITH r0 AS (
+         |  SELECT event_id % $KaUnits AS unit, user_id AS rater,
+         |    event_type AS label, count(*) AS cnt
+         |  FROM events GROUP BY 1, 2, 3),
+         |r1 AS (
+         |  SELECT unit, rater, label, row_number() OVER (
+         |    PARTITION BY unit, rater ORDER BY cnt DESC, label) AS rn
+         |  FROM r0),
+         |rat AS (SELECT unit, rater, label FROM r1 WHERE rn = 1),
+         |nuc AS MATERIALIZED (
+         |  SELECT unit, label, count(*) AS n FROM rat GROUP BY 1, 2),
+         |mu AS MATERIALIZED (
+         |  SELECT unit, CAST(sum(n) AS BIGINT) AS m FROM nuc GROUP BY 1),
+         |pair AS MATERIALIZED (
+         |  SELECT n.unit, n.label, n.n, u.m
+         |  FROM nuc n JOIN mu u ON n.unit = u.unit WHERE u.m >= 2),
+         |np AS MATERIALIZED (
+         |  SELECT CAST(count(DISTINCT unit) AS BIGINT) AS np FROM pair),
+         |pou AS (
+         |  SELECT unit,
+         |    CAST(sum(CAST(n AS HUGEINT) * (n - 1)) AS DOUBLE)
+         |      / CAST(m * (m - 1) AS DOUBLE) AS pou
+         |  FROM pair GROUP BY unit, m),
+         |spo AS (SELECT list_sum(list(pou ORDER BY unit)) AS spo FROM pou),
+         |sc AS MATERIALIZED (
+         |  SELECT label,
+         |    list_sum(list(CAST(n AS DOUBLE) / CAST(m AS DOUBLE)
+         |      ORDER BY unit)) AS sc
+         |  FROM pair GROUP BY label),
+         |cat AS (SELECT CAST(count(*) AS BIGINT) AS c FROM sc),
+         |spe AS (
+         |  SELECT list_sum(list(
+         |    (sc.sc / CAST(np.np AS DOUBLE))
+         |      * (1.0 - sc.sc / CAST(np.np AS DOUBLE)) ORDER BY label)) AS spe
+         |  FROM sc, np)
+         |SELECT np.np AS n_pairable, cat.c AS n_categories,
+         |  round(spo.spo / CAST(np.np AS DOUBLE), 6) AS p_o,
+         |  round(spe.spe / CAST(cat.c - 1 AS DOUBLE), 6) AS p_e,
+         |  round((spo.spo / CAST(np.np AS DOUBLE)
+         |         - spe.spe / CAST(cat.c - 1 AS DOUBLE))
+         |        / (1.0 - spe.spe / CAST(cat.c - 1 AS DOUBLE)), 6) AS ac1
+         |FROM np, cat, spo, spe""".stripMargin,
 
     "agree_krippendorff" ->
       s"""WITH r0 AS (

@@ -121,4 +121,51 @@ class PreferenceSpec extends AnyFunSuite {
     // the all-distinct ceiling on this synthetic (repetitive) text
     assert(out.map(_._4).max < 1.0)
   }
+
+  test("pref_copeland: tournament accounting closes, at most one Condorcet winner") {
+    val out = operators.Preference.queries("pref_copeland")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5)))
+    val k = out.length
+    assert(k >= 2)
+    out.foreach { case (t, w, ti, l, cope, _) =>
+      assert(w + ti + l == k - 1, s"$t: every opponent accounted once")
+      assert(cope == w - l)
+    }
+    // majority wins across all types = majority losses across all types
+    assert(out.map(_._2).sum == out.map(_._4).sum)
+    assert(out.count(_._6) <= 1, "at most one Condorcet winner")
+    // a Condorcet winner beats all K-1 opponents by definition
+    out.filter(_._6).foreach { case (_, w, _, _, _, _) => assert(w == k - 1) }
+  }
+
+  test("agree_gwet_ac1: probabilities bounded, coefficient below 1") {
+    val out = operators.Preference.queries("agree_gwet_ac1")(spark, dir).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    val (np, c) = (r.getLong(0), r.getLong(1))
+    val (po, pe, ac1) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    assert(np >= 1 && c >= 2)
+    assert(po >= 0.0 && po <= 1.0 + 1e-9)
+    assert(pe > 0.0 && pe < 1.0)
+    assert(ac1 <= 1.0 + 1e-9)
+    // AC1 recomposes from its emitted (rounded) parts
+    assert(math.abs(ac1 - (po - pe) / (1.0 - pe)) < 1e-4)
+  }
+
+  test("dd_soft_weight: one row per doc, weights coherent, inverse mass = cluster count") {
+    val out = operators.Dedup.queries("dd_soft_weight")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val nDocs = Tables.load(spark, dir, "documents").count()
+    assert(out.length == nDocs, "soft dedup keeps every doc")
+    out.foreach { case (id, copies, wInv, wSqrt) =>
+      assert(copies >= 1)
+      assert(wInv <= wSqrt + 1e-9 && wSqrt <= 1.0 + 1e-9, s"doc $id")
+      if (copies == 1) assert(wInv == 1.0 && wSqrt == 1.0)
+    }
+    // sum of 1/copies over docs == number of unique-content clusters
+    val nClusters = operators.Dedup.queries("dd_exact")(spark, dir).count()
+    assert(math.abs(out.map(_._3).sum - nClusters) < 1e-3,
+      "inverse-weight mass must equal the cluster count")
+  }
 }
