@@ -71,6 +71,44 @@ object Tables {
   }
 }
 
+/** Scale-adaptive parallelism helpers (optimization guide §2.5 "input
+  * skew": one huge unsplittable file — fix at the source if you can,
+  * otherwise repartition immediately after the read).
+  *
+  * The driver's parquet inputs are single-file, SINGLE-ROW-GROUP tables
+  * (verified with pyarrow on every sf dir), and a parquet row group is
+  * unsplittable: whatever `maxPartitionBytes`/`openCostInBytes` say, one
+  * scan task reads the whole table and every expensive map-side chain
+  * (shingle md5s, image codecs, vector math) serializes on one core of
+  * `local[32]`. [[spread]] inserts a round-robin repartition to the
+  * cluster's default parallelism ONLY when both of:
+  *  - the optimizer's size estimate says the whole input is small —
+  *    under SpreadBytesPerCore per core slot — so the added exchange
+  *    moves a few MB once, and
+  *  - the physical scan yields fewer partitions than the cluster has
+  *    cores, i.e. the scan cannot fill the machine by itself.
+  * At production scale (TB-scale tables, many files/row groups) the scan
+  * partition count exceeds the core count and this is a NO-OP — no code
+  * path here ever repartitions fact-scale data. The round-robin is
+  * deterministic (sortBeforeRepartition, SPARK-23207) and every
+  * downstream aggregation in this codebase is order-independent by the
+  * decimal-exactness rules in [[Tables]], so results are bit-identical
+  * with and without the spread (oracle-gated per query).
+  */
+object Par {
+  /** Small enough to spread: ≤ 8 MiB per core slot (a few hundred MB on
+    * the 32-core bench host; far under any fact table at scale). */
+  private val SpreadBytesPerCore = 8L * 1024 * 1024
+
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    val small = df.queryExecution.optimizedPlan.stats.sizeInBytes <=
+      BigInt(SpreadBytesPerCore) * target
+    if (small && df.rdd.getNumPartitions < target) df.repartition(target)
+    else df
+  }
+}
+
 object Exact {
   /** Exact 2-dp decimal view of a double column (money, quantities). */
   def dec(c: Column): Column = c.cast("decimal(18,2)")

@@ -89,10 +89,18 @@ object Graph {
     (dist, rounds)
   }
 
-  /** Undirected co-purchase edges (pa < pb), support >= MinSupport. */
+  /** Undirected co-purchase edges (pa < pb), support >= MinSupport.
+    *
+    * Round-16 shuffle cut (guide §2.4 "remove shuffles outright"): the
+    * old `.distinct()` before [[Relational3.basketPairs]] was a full
+    * (l_orderkey, l_partkey) exchange that `collect_set` inside
+    * basketPairs makes redundant — the per-order item SET is identical
+    * with or without it. Dropping it removes one fact-table shuffle
+    * from every gr_ query's edge build (2 exchanges → 1 before the
+    * pair agg; plan diff in plans/r16/gr_triangles_{before,after}.txt). */
   private def edges(s: SparkSession, dir: String): DataFrame = {
     val items = load(s, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .select(col("l_orderkey"), col("l_partkey"))
     // the shared MaxBasket-capped pair explode (rec_* family): one
     // adversarial mega-basket cannot detonate the edge-build task
     Relational3.basketPairs(items)
@@ -123,9 +131,25 @@ object Graph {
       when(col("ka") < col("kb"), col("pa")).otherwise(col("pb")).as("lo"),
       when(col("ka") < col("kb"), col("pb")).otherwise(col("pa")).as("hi"),
       when(col("ka") < col("kb"), col("kb")).otherwise(col("ka")).as("khi"))
-    val wedges = o.as("e1")
-      .join(o.as("e2"), col("e1.lo") === col("e2.lo") && col("e1.khi") < col("e2.khi"))
-      .select(col("e1.lo").as("u"), col("e1.hi").as("v"), col("e2.hi").as("w"))
+    // Round-16 (guide §2.4/§3): wedges used to come from an o ⋈ o
+    // self-join on `lo` with a struct-compare inequality on `khi` — two
+    // sorted exchanges of the oriented edge list plus a per-row struct
+    // comparison inside the join. The apex's out-neighbors sorted by khi
+    // are exactly what the wedge needs, so ONE groupBy(lo) collects them
+    // (khi is unique per node — it embeds the node id — so sort_array
+    // gives a strict order) and the (khi_i < khi_j) pairs explode
+    // map-side, the gr_linkpred shape. Same Σ outdeg² fan-out bound,
+    // identical wedge set, one exchange and no struct-key join; the
+    // closing probe below is unchanged. Plan diff:
+    // plans/r16/gr_triangles_{before,after}.txt.
+    val wedges = o
+      .groupBy("lo")
+      .agg(sort_array(collect_list(struct(col("khi"), col("hi")))).as("ns"))
+      .select(col("lo").as("u"), explode(expr(
+        "flatten(transform(ns, (x, i) -> " +
+          "transform(slice(ns, i + 2, size(ns) - i - 1), " +
+          "y -> struct(x.hi AS v, y.hi AS w))))")).as("p"))
+      .select(col("u"), col("p.v").as("v"), col("p.w").as("w"))
     val tris = wedges
       .join(o.as("e3"), col("v") === col("e3.lo") && col("w") === col("e3.hi"))
       .select(col("u"), col("v"), col("w"))

@@ -3,6 +3,15 @@ package graft.operators
 import java.awt.image.BufferedImage
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import javax.imageio.ImageIO
+// Direct stream construction instead of ImageIO.createImage{Input,Output}
+// Stream: the factory walks the synchronized IIORegistry per CALL and its
+// default stream cache backs every stream with a fresh temp FILE — per-row
+// disk churn single-threaded and a lock convoy once the partitions are
+// spread (measured round 16: cpu 5 → 69 core-s on mm_decode under 32-way
+// spread with the factory; flat with direct construction). The memory-
+// cached stream classes are public API and byte-identical in behavior on
+// in-memory byte arrays.
+import javax.imageio.stream.{MemoryCacheImageInputStream, MemoryCacheImageOutputStream}
 
 import graft.Tables.load
 import graft.functions.{Mp4, Png}
@@ -105,12 +114,16 @@ object Multimodal {
     * across rows. */
   def synthesize(s: SparkSession, dir: String): Dataset[MediaRecord] = {
     import s.implicits._
-    load(s, dir, "documents")
+    // Par.spread: the per-row PNG/JPEG/MP4 encode below is the expensive
+    // part of every mm_ query, and the single-row-group source file would
+    // otherwise pin it to ONE scan task (guide §2.5 input skew). No-op at
+    // scale; see graft.Par.
+    graft.Par.spread(load(s, dir, "documents")
       .select(col("doc_id").as("media_id"),
         when(col("doc_id") % 3 === 0, "png")
           .when(col("doc_id") % 3 === 1, "jpeg")
           .otherwise("mp4").as("format"),
-        encode(col("text"), "UTF-8").as("media"))
+        encode(col("text"), "UTF-8").as("media")))
       .as[MediaRecord]
       .mapPartitions { it =>
         // one encoder per format per PARTITION, reused across rows
@@ -139,7 +152,7 @@ object Multimodal {
             }
             img.setRGB(0, 0, iw, ih, px, 0, iw)
             val buf = new ByteArrayOutputStream()
-            val ios = ImageIO.createImageOutputStream(buf)
+            val ios = new MemoryCacheImageOutputStream(buf)
             try {
               val w = writers(r.format)
               w.setOutput(ios)
@@ -173,7 +186,7 @@ object Multimodal {
         r.format match {
           case "png" | "jpeg" =>
             val reader = readers(r.format)
-            val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(r.media))
+            val iis = new MemoryCacheImageInputStream(new ByteArrayInputStream(r.media))
             val (w, h) =
               try {
                 reader.setInput(iis)
@@ -216,6 +229,13 @@ object Multimodal {
   def synthesizeAudio(s: SparkSession, dir: String): Dataset[MediaRecord] = {
     import s.implicits._
     import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    // Deliberately NOT Par.spread: AudioSystem.write / getAudioFileFormat
+    // walk the sound-provider registry per call behind a global lock, so
+    // 32-way spread turns into a lock convoy (measured round 16: mm_audio
+    // wall 1.5 s serial → 4.4 s spread, cpu 4 → 10 core-s). The serial WAV
+    // path is already cheap; at scale the natural scan parallelism spreads
+    // rows across EXECUTORS (separate JVMs, separate locks), where the
+    // convoy cannot form.
     load(s, dir, "documents")
       .select(col("doc_id").as("media_id"), lit("wav").as("format"),
         encode(col("text"), "UTF-8").as("media"))
@@ -264,7 +284,7 @@ object Multimodal {
     synthesize(s, dir).filter(_.format == "png").mapPartitions { it =>
       val reader = ImageIO.getImageReadersByFormatName("png").next()
       val out = it.map { r =>
-        val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(r.media))
+        val iis = new MemoryCacheImageInputStream(new ByteArrayInputStream(r.media))
         val img = try { reader.setInput(iis); reader.read(0) } finally iis.close()
         val (w, h) = (img.getWidth, img.getHeight)
         val g = new Array[Long](64)
@@ -468,7 +488,7 @@ object Multimodal {
       synthesize(s, dir).filter(_.format == "png").mapPartitions { it =>
         val reader = ImageIO.getImageReadersByFormatName("png").next()
         val out = it.map { r =>
-          val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(r.media))
+          val iis = new MemoryCacheImageInputStream(new ByteArrayInputStream(r.media))
           val img = try { reader.setInput(iis); reader.read(0) } finally iis.close()
           val (w, h) = (img.getWidth, img.getHeight)
           var (sr, sg, sb) = (0L, 0L, 0L)

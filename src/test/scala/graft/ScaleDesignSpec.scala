@@ -270,7 +270,7 @@ class ScaleDesignSpec extends AnyFunSuite {
       "ev_funnel" -> 7, // 3 stage aggs + 2 user_id SMJ joins (AQE broadcasts small stages)
       "a13_moments" -> 2, // one power-sum agg + oracle sort
       "rec_cooccur" -> 5, // distinct + basket agg + pair agg + supp agg (ReuseExchange dedups the shared distinct) + sort
-      "gr_triangles" -> 3, // deg agg + explode agg + sort above the cached edge list (edge-build shuffles live inside the InMemoryRelation)
+      "gr_triangles" -> 4, // deg agg + wedge neighbor-set agg (round 16: replaces the o⋈o self-join — at toy scale that join broadcast and counted 0, at scale it was a sorted SMJ exchange pair; the agg is 1 exchange at EVERY scale) + explode agg + sort above the cached edge list
       "gr_pagerank" -> 6, // 5 contrib aggs + sort — the ONLY exchanges: both per-iteration joins reuse the cached adjacency partitioning (left side) and the contrib agg partitioning (right side); edge/adjacency build shuffles live inside the cache
       "ta_collocations" -> 6, // uni agg + bi agg + 2 count-table joins + totals + sort; corpus scanned twice, never joined
       "ev_ab_test" -> 3, // user agg + corpus-totals agg + global agg; totals ride a one-row broadcast
@@ -331,7 +331,7 @@ class ScaleDesignSpec extends AnyFunSuite {
       "gr_hits" -> 1, // final join+sort only: the per-half-round sum/normalize shuffles run inside the unrolled localCheckpoints (the gr_kcore discipline); totals ride one-row broadcasts
       "ev_path" -> 2, // user-keyed session window/agg chain shares one exchange + path count agg; TakeOrdered cut
       "q_skyline" -> 4, // bucket-max agg + metadata offset window + ONE (bucket) exchange serving both the strictly-cheaper RANGE window and the equal-price RANGE[0,0] window + oracle sort
-      "mm_ahash" -> 1, // oracle sort only: decode + luma grid + threshold are map-side per partition
+      "mm_ahash" -> 2, // Par.spread of the small synth input (round 16; no-op at scale) + oracle sort; decode + luma grid + threshold stay map-side
       "dd_cdc" -> 3, // doc-keyed chunk window + (doc,chunk) rebuild agg + chunk-hash agg; boundary flags map-side off the token array
       "ev_pattern" -> 2, // one user-keyed session/pos window chain (shared exchange) + (user,sess) aggs riding it; match joins broadcast the session-scale frames
       "ev_forecast_sn" -> 2, // spine/lag/rollup ride the types×days frame behind the checkpointed (type,day) agg; + oracle sort
@@ -377,7 +377,7 @@ class ScaleDesignSpec extends AnyFunSuite {
       "ann_hamming" -> 0, // map-side signatures + TakeOrdered — no exchange at all
       "ev_user_entropy" -> 3, // (user,type) agg + user agg + sort — all user-keyed
       "ta_heaps_fit" -> 4, // bucket token agg + first-bucket vocab agg + 21-row cum window + one-row fold
-      "mm_mp4_atoms" -> 1, // per-row parse + oracle sort
+      "mm_mp4_atoms" -> 2, // Par.spread of the small synth input (round 16; no-op at scale) + oracle sort; per-row parse stays map-side
       "ev_did" -> 3, // one (group, period) agg + 4-row pivot; midpoint broadcast
       "ev_ttc_quantiles" -> 5, // funnel pairing window + converter agg behind checkpoint + ladder (bucket agg, bounded cum, refine) + sort
       "prof_fds" -> 12, // 4 probes × (distinct pair agg + keyed count + rollup) over one checkpointed scan
@@ -402,7 +402,7 @@ class ScaleDesignSpec extends AnyFunSuite {
       "ta_nb_langid" -> 8, // (doc,lang,term) tf agg + term-keyed pivot agg + term-keyed contrib join + per-doc fold agg + oracle sort; class/vocab/prior stats ride one-row broadcasts
       "ta_bpe_train" -> 1, // final 6-row sort only: the corpus word histogram + per-round pair argmaxes run inside the driver loop's own collects (vocab-scale frames behind localCheckpoint)
       // round-12 wave (measured AQE-off)
-      "gr_clustering" -> 3, // the degree-oriented triangle pipeline's per-node agg + degree join + oracle sort; wedge fan-out bounded by Σoutdeg²
+      "gr_clustering" -> 4, // the degree-oriented triangle pipeline's per-node agg + degree join + oracle sort + the round-16 wedge neighbor-set agg (see gr_triangles); wedge fan-out bounded by Σoutdeg²
       "gr_modularity" -> 7, // labelLoop's node-keyed rounds ride per-round checkpoints; two label-keyed aggs + community rollup + oracle sort; 1-row m broadcast
       "ir_mrr" -> 4, // per-query tf agg + k-bounded heap cut + rank join + 1-row fold; per-query lists are k-row frames
       "ir_rbo" -> 3, // two top-k cuts + depth-joined overlap counts — everything above the cuts is a k-row metadata frame
