@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Exact.dec
 import graft.Tables.load
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -73,90 +73,137 @@ object Embeddings {
   private val PqBigSubDim = 8
   private val PqBigK = 32
 
-  /** The per-subspace PQ codebook chain shared by emb_pq (encode) and
-    * ann_pq (ADC search): unrolled Lloyd (seed assign → sorted-fold mean
-    * update → re-assign) over the m-th PqSubDim-dim slice, L2 distance via
-    * the dot identity ‖a−b‖² = a·a + b·b − 2a·b (three sequential-fold
-    * dots — bit-identical cross-engine, rule 4 of the parity notes).
-    * Codebooks are broadcast (assignment map-side); the only shuffles are
-    * the per-(cluster, dim) mean updates. Returns (codes = (vec_id,
-    * code_m), centroids = (cluster, cv, cvv)). Parameterized by subspace
-    * width and codebook size so ann_pq (2×32-dim, k=8) and ann_pq_big
-    * (8×8-dim, k=32) share the one chain. */
-  private def pqSub(s: SparkSession, dir: String, m: Int,
-                    subDim: Int = PqSubDim, k: Int = KmK): (DataFrame, DataFrame) =
-    pqSubOn(s,
-      load(s, dir, "embeddings")
-        .select(col("vec_id"),
-          transform(col("embedding"), x => x.cast("double")).as("fv")),
-      m, subDim, k)
-
-  /** [[pqSub]] over an arbitrary `(vec_id, fv: array<double>)` frame — the
-    * residual variant trains its codebooks on cell-relative residuals
-    * instead of raw vectors, everything else identical. */
-  private def pqSubOn(s: SparkSession, base: DataFrame, m: Int,
-                      subDim: Int, k: Int): (DataFrame, DataFrame) = {
+  /** The PQ codebook chain shared by emb_pq (encode), ann_pq / ann_pq_big
+    * (ADC search) and the IVF-PQ variants: unrolled Lloyd (seed assign →
+    * sorted-fold mean update → re-assign) over each subDim-dim slice, L2
+    * distance via the dot identity ‖a−b‖² = a·a + b·b − 2a·b (three
+    * sequential-fold dots — bit-identical cross-engine, rule 4 of the
+    * parity notes).
+    *
+    * Round-16 restructure (guide §2.4: remove shuffles outright): the old
+    * form ran ONE INDEPENDENT CHAIN PER SUBSPACE — each with its own
+    * crossJoin + row_number window + two mean-update aggs — and then
+    * joined the per-m code frames pairwise on vec_id, which planned 50
+    * exchanges for ann_pq_big (8 subspaces; plans/r16/
+    * ann_pq_big_before.txt). All subspaces now travel in ONE keyed frame
+    * (vec_id, m, v): the slice fan-out is a map-side explode, assignment
+    * is a broadcast join on m against ALL codebooks at once, the argmin is
+    * min(struct(d, cluster, …)) — a partially-aggregating
+    * DeclarativeAggregate, so the pre-shuffle stage already shrinks the
+    * k-way fan-out back to one row per (vec_id, m), where the old window
+    * shuffled every candidate row and then sorted — and the mean updates
+    * key on (m, cluster[, dim]). Five exchanges total at ANY subspace
+    * count (plans/r16/ann_pq_big_after.txt). Per-subspace semantics are
+    * unchanged: groups are disjoint in m, min(struct(d, cluster)) is
+    * exactly the old ORDER BY (d, cluster) rn=1 pick (the (d, cluster)
+    * pair is unique per group, so the trailing v/vv fields never enter
+    * the comparison), and every distance/mean expression is the identical
+    * tree — the per-m DuckDB oracles are untouched and still hash-match.
+    *
+    * Returns (codes long-form (vec_id, m, code), centroids (m, cluster,
+    * cv, cvv) — localCheckpoint-ed: model-scale (mCount·k rows), consumed
+    * by both the re-assign and the searchers' distance tables, and the
+    * checkpoint keeps the training chain from executing once per
+    * consumer). */
+  private def pqAllOn(s: SparkSession, base: DataFrame,
+                      mCount: Int, subDim: Int, k: Int): (DataFrame, DataFrame) = {
     graft.plans.ArrayExprs.register(s)
     import graft.plans.ArrayExprs.dotProduct
     val sub = base
-      .select(col("vec_id"), slice(col("fv"), m * subDim + 1, subDim).as("v"))
+      .select(col("vec_id"), explode(expr(
+        s"transform(sequence(0, ${mCount - 1}), mm -> " +
+          s"struct(mm AS m, slice(fv, mm * $subDim + 1, $subDim) AS v))")).as("sv"))
+      .select(col("vec_id"), col("sv.m").as("m"), col("sv.v").as("v"))
       .withColumn("vv", dotProduct(col("v"), col("v")))
     val seeds = sub.where(col("vec_id") < k)
-      .select(col("vec_id").cast("int").as("cluster"), col("v").as("cv"),
-        col("vv").as("cvv"))
-    val wBest = Window.partitionBy("vec_id").orderBy(col("d"), col("cluster"))
+      .select(col("m"), col("vec_id").cast("int").as("cluster"),
+        col("v").as("cv"), col("vv").as("cvv"))
     def assign(cents: DataFrame): DataFrame =
-      sub.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("v"), col("vv"), col("cluster"),
+      sub.join(broadcast(cents), Seq("m"))
+        .select(col("vec_id"), col("m"), col("v"), col("vv"), col("cluster"),
           round(col("vv") + col("cvv") - lit(2.0) * dotProduct(col("v"), col("cv")), 6)
             .as("d"))
-        .withColumn("rn", row_number().over(wBest))
-        .where(col("rn") === 1)
-        .select("vec_id", "v", "vv", "cluster")
+        .groupBy("vec_id", "m")
+        .agg(min(struct(col("d"), col("cluster"), col("v"), col("vv"))).as("b"))
+        .select(col("vec_id"), col("m"), col("b.v").as("v"),
+          col("b.vv").as("vv"), col("b.cluster").as("cluster"))
     val upd = assign(seeds)
-      .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
-      .groupBy("cluster", "dim")
+      .select(col("m"), col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy("m", "cluster", "dim")
       .agg(aggregate(array_sort(collect_list(col("x"))), lit(0.0),
         (acc, x) => acc + x).as("sx"), count(lit(1)).as("n"))
-      .groupBy("cluster")
-      .agg(sort_array(collect_list(struct(col("dim"), (col("sx") / col("n")).as("m"))))
+      .groupBy("m", "cluster")
+      .agg(sort_array(collect_list(struct(col("dim"), (col("sx") / col("n")).as("mu"))))
         .as("dm"))
-      .select(col("cluster"), transform(col("dm"), t => t.getField("m")).as("cv"))
+      .select(col("m"), col("cluster"),
+        transform(col("dm"), t => t.getField("mu")).as("cv"))
       .withColumn("cvv", dotProduct(col("cv"), col("cv")))
-    (assign(upd).select(col("vec_id"), col("cluster").as(s"code$m")), upd)
+      .localCheckpoint()
+    (assign(upd).select(col("vec_id"), col("m"), col("cluster").as("code")), upd)
   }
 
+  /** [[pqAllOn]] over the raw embedding table. */
+  private def pqAll(s: SparkSession, dir: String,
+                    mCount: Int, subDim: Int, k: Int): (DataFrame, DataFrame) =
+    pqAllOn(s,
+      load(s, dir, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("fv")),
+      mCount, subDim, k)
+
+  /** Per-query ADC distance table in long form — (q_id[, extra keys], m,
+    * code, d) for every (query, subspace, centroid): the query side of
+    * the one-keyed-frame PQ shape. `qslices` must carry (q_id, m, qv). */
+  private def qTableAll(qslices: DataFrame, cents: DataFrame): DataFrame = {
+    import graft.plans.ArrayExprs.dotProduct
+    qslices
+      .withColumn("qvv", dotProduct(col("qv"), col("qv")))
+      .join(cents, Seq("m"))
+      .withColumn("d",
+        round(col("qvv") + col("cvv") - lit(2.0) * dotProduct(col("qv"), col("cv")), 6))
+      .withColumn("code", col("cluster"))
+      .drop("qv", "qvv", "cluster", "cv", "cvv")
+  }
+
+  /** Map-side subspace slice fan-out for a query frame `(q_id, fv)` (plus
+    * any extra key columns, which ride along). */
+  private def qSlices(q: DataFrame, mCount: Int, subDim: Int): DataFrame =
+    q.select(col("*"), explode(expr(
+        s"transform(sequence(0, ${mCount - 1}), mm -> " +
+          s"struct(mm AS m, slice(fv, mm * $subDim + 1, $subDim) AS qv))")).as("sq"))
+      .select((q.columns.filter(_ != "fv").map(col) :+
+        col("sq.m").as("m") :+ col("sq.qv").as("qv")): _*)
+
+  /** The m-ordered ADC sum: Σ_m d_m folded in ascending-m order — the
+    * identical left-to-right association the old per-column
+    * d0 + d1 + … reduce used (m is unique per group, so sort_array
+    * fixes the fold order exactly). */
+  private def adcSum: Column =
+    round(aggregate(sort_array(collect_list(struct(col("m"), col("d")))),
+      lit(0.0), (acc, x) => acc + x.getField("d")), 6)
+
   /** ADC top-k search over `mCount` PQ subspaces (see the ann_pq query doc
-    * for the scale argument). Per subspace the query→centroid distance
-    * table (NumQueries × k rows) is broadcast; the code frame is joined on
-    * (code_m, q_id) — lookups, never vector math. */
+    * for the scale argument). The query→centroid distance table
+    * (NumQueries × mCount × k rows, ALL subspaces) is broadcast once; the
+    * long-form code frame joins it on (m, code, q_id) and the per-pair
+    * ADC distance is the m-ordered fold [[adcSum]] — lookups, never
+    * vector math, and one aggregation instead of mCount chained joins
+    * (round-16 restructure; see [[pqAllOn]]). */
   private def annPq(s: SparkSession, dir: String, mCount: Int,
                     subDim: Int, k: Int): DataFrame = {
     graft.plans.ArrayExprs.register(s)
-    import graft.plans.ArrayExprs.dotProduct
-    val subs = (0 until mCount).map(m => pqSub(s, dir, m, subDim, k))
-    val codes = subs.map(_._1).reduce(_.join(_, "vec_id"))
-    val e = load(s, dir, "embeddings")
-      .select(col("vec_id"),
+    val (codesL, cents) = pqAll(s, dir, mCount, subDim, k)
+    val q = load(s, dir, "embeddings")
+      .where(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"),
         transform(col("embedding"), x => x.cast("double")).as("fv"))
-    def qTable(m: Int, cents: DataFrame): DataFrame =
-      e.where(col("vec_id") < NumQueries)
-        .select(col("vec_id").as("q_id"),
-          slice(col("fv"), m * subDim + 1, subDim).as("qv"))
-        .withColumn("qvv", dotProduct(col("qv"), col("qv")))
-        .crossJoin(broadcast(cents))
-        .select(col("q_id"), col("cluster").as(s"code$m"),
-          round(col("qvv") + col("cvv") - lit(2.0) * dotProduct(col("qv"), col("cv")), 6)
-            .as(s"d$m"))
+    val qtab = qTableAll(qSlices(q, mCount, subDim), cents)
     val wRank = Window.partitionBy("q_id").orderBy(col("adist"), col("n_id"))
-    val joined = (1 until mCount).foldLeft(
-      codes.join(broadcast(qTable(0, subs(0)._2)), "code0")) {
-      case (acc, m) => acc.join(broadcast(qTable(m, subs(m)._2)), Seq(s"code$m", "q_id"))
-    }
-    joined
+    codesL.join(broadcast(qtab), Seq("m", "code"))
       .where(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id").as("n_id"),
-        round((0 until mCount).map(m => col(s"d$m")).reduce(_ + _), 6).as("adist"))
+      .groupBy("q_id", "vec_id")
+      .agg(adcSum.as("adist"))
+      .select(col("q_id"), col("vec_id").as("n_id"), col("adist"))
       .withColumn("rank", row_number().over(wRank))
       .where(col("rank") <= TopK)
       .select("q_id", "rank", "n_id", "adist")
@@ -443,10 +490,16 @@ object Embeddings {
     // Product quantization encode (Jégou et al. 2011) — the other standard
     // ANN compression: split each vector into PqM subspaces, k-means a
     // per-subspace codebook, store one byte-sized code per subspace
-    // (64 doubles → 2 codes here). See [[pqSub]] for the chain.
-    "emb_pq" -> ((s, dir) =>
-      (0 until PqM).map(m => pqSub(s, dir, m)._1)
-        .reduce(_.join(_, "vec_id")).orderBy("vec_id")),
+    // (64 doubles → 2 codes here). See [[pqAllOn]] for the chain; the
+    // wide (code0, code1, …) layout is one conditional-min pivot over the
+    // long code frame instead of the old per-m join chain.
+    "emb_pq" -> ((s, dir) => {
+      val codesL = pqAll(s, dir, PqM, PqSubDim, KmK)._1
+      val wide = (0 until PqM).map(m =>
+        min(when(col("m") === m, col("code"))).as(s"code$m"))
+      codesL.groupBy("vec_id").agg(wide.head, wide.tail: _*)
+        .orderBy("vec_id")
+    }),
 
     // ADC search over the PQ codes (the asymmetric-distance half of PQ):
     // per query, the distance to EVERY centroid of every subspace is a tiny
@@ -842,28 +895,21 @@ object Embeddings {
     val cands = probes.join(assigned, "cell")
       .where(col("vec_id") =!= col("q_id"))
       .select("q_id", "vec_id")
-    // PQ ADC leg (same chain as ann_pq), restricted to the candidates.
-    val subs = (0 until PqM).map(m => pqSub(s, dir, m, PqSubDim, KmK))
-    val codes = subs.map(_._1).reduce(_.join(_, "vec_id"))
-    val ef = load(s, dir, "embeddings")
-      .select(col("vec_id"),
+    // PQ ADC leg (same chain as ann_pq), restricted to the candidates —
+    // round-16 long form: one (m, code, q_id) broadcast-join against the
+    // all-subspace distance table + the m-ordered adcSum fold (see
+    // [[pqAllOn]]), instead of PqM chained per-m joins.
+    val (codesL, cents) = pqAll(s, dir, PqM, PqSubDim, KmK)
+    val qf = load(s, dir, "embeddings")
+      .where(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"),
         transform(col("embedding"), x => x.cast("double")).as("fv"))
-    def qTable(m: Int, cents: DataFrame): DataFrame =
-      ef.where(col("vec_id") < NumQueries)
-        .select(col("vec_id").as("q_id"),
-          slice(col("fv"), m * PqSubDim + 1, PqSubDim).as("qv"))
-        .withColumn("qvv", dotProduct(col("qv"), col("qv")))
-        .crossJoin(broadcast(cents))
-        .select(col("q_id"), col("cluster").as(s"code$m"),
-          round(col("qvv") + col("cvv") - lit(2.0) * dotProduct(col("qv"), col("cv")), 6)
-            .as(s"d$m"))
-    val scored = (1 until PqM).foldLeft(
-      cands.join(codes, "vec_id")
-        .join(broadcast(qTable(0, subs(0)._2)), Seq("code0", "q_id"))) {
-      case (acc, m) => acc.join(broadcast(qTable(m, subs(m)._2)), Seq(s"code$m", "q_id"))
-    }
-    scored.select(col("q_id"), col("vec_id").as("n_id"),
-      round((0 until PqM).map(m => col(s"d$m")).reduce(_ + _), 6).as("adist"))
+    val qtab = qTableAll(qSlices(qf, PqM, PqSubDim), cents)
+    cands.join(codesL, "vec_id")
+      .join(broadcast(qtab), Seq("m", "code", "q_id"))
+      .groupBy("q_id", "vec_id")
+      .agg(adcSum.as("adist"))
+      .select(col("q_id"), col("vec_id").as("n_id"), col("adist"))
   }
 
   /** Residual IVF-PQ candidates with ADC distances, PRE top-k cut — see
@@ -903,11 +949,12 @@ object Embeddings {
       val assigned = assignedV.join(broadcast(cellMean), "cell")
         .select(col("vec_id"), col("cell"),
           zip_with(col("v"), col("mu"), (a, b) => a - b).as("rv"))
-      // PQ codebooks trained on the residual frame.
-      val subs = (0 until PqM).map(m =>
-        pqSubOn(s, assigned.select(col("vec_id"), col("rv").as("fv")),
-          m, PqSubDim, KmK))
-      val codes = subs.map(_._1).reduce(_.join(_, "vec_id"))
+      // PQ codebooks trained on the residual frame (round-16 long form —
+      // one keyed pass over all subspaces, see [[pqAllOn]]; the old
+      // per-m chains re-derived the residual lineage 3 passes × PqM
+      // subspaces, now 3 passes total).
+      val (codesL, cents) = pqAllOn(s,
+        assigned.select(col("vec_id"), col("rv").as("fv")), PqM, PqSubDim, KmK)
       // Probe list with the per-cell QUERY residual.
       val q = e.where(col("vec_id") < NumQueries)
         .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"))
@@ -920,27 +967,20 @@ object Embeddings {
         .join(broadcast(cellMean), "cell")
         .select(col("q_id"), col("cell"),
           zip_with(col("qv"), col("mu"), (a, b) => a - b).as("qr"))
-      // Per-(query, cell) ADC tables against the residual codebooks.
-      def qTable(m: Int, cents: DataFrame): DataFrame =
-        probes
-          .select(col("q_id"), col("cell"),
-            slice(col("qr"), m * PqSubDim + 1, PqSubDim).as("qv"))
-          .withColumn("qvv", dotProduct(col("qv"), col("qv")))
-          .crossJoin(broadcast(cents))
-          .select(col("q_id"), col("cell"), col("cluster").as(s"code$m"),
-            round(col("qvv") + col("cvv") - lit(2.0) * dotProduct(col("qv"), col("cv")), 6)
-              .as(s"d$m"))
+      // Per-(query, cell) ADC table against the residual codebooks —
+      // all subspaces in one broadcast frame; `cell` rides through
+      // qSlices/qTableAll as an extra key.
+      val qtab = qTableAll(
+        qSlices(probes.select(col("q_id"), col("cell"), col("qr").as("fv")),
+          PqM, PqSubDim), cents)
       val cands = probes.select("q_id", "cell")
         .join(assigned.select("vec_id", "cell"), "cell")
         .where(col("vec_id") =!= col("q_id"))
-      val scored = (1 until PqM).foldLeft(
-        cands.join(codes, "vec_id")
-          .join(broadcast(qTable(0, subs(0)._2)), Seq("code0", "q_id", "cell"))) {
-        case (acc, m) =>
-          acc.join(broadcast(qTable(m, subs(m)._2)), Seq(s"code$m", "q_id", "cell"))
-      }
-      scored.select(col("q_id"), col("vec_id").as("n_id"),
-        round((0 until PqM).map(m => col(s"d$m")).reduce(_ + _), 6).as("adist"))
+      cands.join(codesL, "vec_id")
+        .join(broadcast(qtab), Seq("m", "code", "q_id", "cell"))
+        .groupBy("q_id", "vec_id")
+        .agg(adcSum.as("adist"))
+        .select(col("q_id"), col("vec_id").as("n_id"), col("adist"))
   }
 
   /** Shared oracle CTE for the k-means assignment (mirrors

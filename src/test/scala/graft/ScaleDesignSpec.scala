@@ -286,8 +286,8 @@ class ScaleDesignSpec extends AnyFunSuite {
       "ta_gopher_rules" -> 1, // pure map-side rules + oracle sort
       "dd_line_filter" -> 4, // chunk-df agg + h-keyed join + doc rebuild agg + sort
       "ir_rrf" -> 1, // both legs end in TakeOrdered cuts; fusion runs on two 50-row frames
-      "ann_ivfpq" -> 19, // ann_pq's 14 codebook-fit/ADC exchanges (fixed count, codebook-sized frames) + the IVF assign/probe windows; candidate scoring itself is broadcast lookups
-      "ann_ivfpq_res" -> 22, // ann_ivfpq + the cell-mean aggregation pair + residual re-key — all fixed-count codebook/cell-sized frames, data never re-shuffles
+      "ann_ivfpq" -> 9, // round 16: the per-subspace PQ chains collapsed into one keyed pass (pqAllOn — was 19); IVF assign/probe windows + candidate scoring broadcast lookups unchanged
+      "ann_ivfpq_res" -> 15, // round 16: pqAllOn keyed pass (was 22) + the cell-mean aggregation pair + residual re-key — all fixed-count codebook/cell-sized frames, data never re-shuffles
       "ta_bigram_ppl" -> 7, // doc-bigram tf + corpus cf + ctx aggs + contrib join + per-doc agg + sort (unigram twin is 5; the extra two are the context-total agg + its join)
       "dd_simhash_hamming" -> 4, // signature agg + band-bucket groupBy + pair distinct + sort; pairs explode map-side from sorted bucket arrays (the ann_lsh shape)
       "samp_temperature" -> 5, // source-count agg + one-row total + threshold join exchanges + final agg + sort — all source-cardinality frames; the keep decision is map-side
