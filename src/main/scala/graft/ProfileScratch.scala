@@ -2,10 +2,9 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Throwaway dev profiler for round-16 optimization experiments: times
-  * labeled sub-jobs of ann_ivfpq so the regression can be localized
+  * labeled sub-jobs of a battery query so regressions can be localized
   * without the UI. Not part of any driver surface. */
 object ProfileScratch {
   def main(args: Array[String]): Unit = {
@@ -20,45 +19,49 @@ object ProfileScratch {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     Tables.All.foreach(t => Tables.load(spark, dir, t).count())
+    def cpuMs(): Long =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+        case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime / 1000000L
+        case _ => -1L
+      }
     def time(label: String)(f: => Unit): Unit = {
-      val t0 = System.nanoTime(); f
-      println(f"[prof] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      val t0 = System.nanoTime(); val c0 = cpuMs(); f
+      println(f"[prof] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s wall, ${(cpuMs() - c0) / 1000.0}%.1f core-s")
     }
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()
 
-    graft.plans.ArrayExprs.register(spark)
-    import graft.plans.ArrayExprs.dotProduct
-    val e = Tables.load(spark, dir, "embeddings")
-      .select(col("vec_id"), col("embedding").as("v"))
-      .withColumn("nrm", sqrt(dotProduct(col("v"), col("v"))))
-    val seeds = e.where(col("vec_id") < 8)
-      .select(col("vec_id").as("cell"), col("v").as("cv"), col("nrm").as("cnrm"))
-    def cos(a: String, an: String, b: String, bn: String) =
-      round(dotProduct(col(a), col(b)) / (col(an) * col(bn)), 6)
-    val wAssign = Window.partitionBy("vec_id").orderBy(col("c").desc, col("cell"))
-    val assigned = e.crossJoin(broadcast(seeds))
-      .select(col("vec_id"), col("cell"), cos("v", "nrm", "cv", "cnrm").as("c"))
-      .withColumn("rn", row_number().over(wAssign))
-      .where(col("rn") === 1)
-      .select("vec_id", "cell")
-    val q = e.where(col("vec_id") < 5)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"))
-    val wProbe = Window.partitionBy("q_id").orderBy(col("c").desc, col("cell"))
-    val probes = q.crossJoin(broadcast(seeds))
-      .select(col("q_id"), col("cell"), cos("qv", "qnrm", "cv", "cnrm").as("c"))
-      .withColumn("rn", row_number().over(wProbe))
-      .where(col("rn") <= 2)
-      .select("q_id", "cell")
-    val cands = probes.join(assigned, "cell")
-      .where(col("vec_id") =!= col("q_id"))
-      .select("q_id", "vec_id")
-    time("ivf-leg cands")(noop(cands))
-    time("ivf-leg cands again")(noop(cands))
-    time("full ann_ivfpq")(noop(SparkEntry.queries("ann_ivfpq")(spark, dir)))
-    time("full ann_pq")(noop(SparkEntry.queries("ann_pq")(spark, dir)))
-    time("full ann_pq_big")(noop(SparkEntry.queries("ann_pq_big")(spark, dir)))
-    time("full ann_ivfpq again")(noop(SparkEntry.queries("ann_ivfpq")(spark, dir)))
+    val raw = Tables.load(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val spreadDf = Par.spread(raw)
+    time("serial md5")(noop(raw.select(md5(col("text")))))
+    time("serial md5 again")(noop(raw.select(md5(col("text")))))
+    time("spread md5")(noop(spreadDf.select(md5(col("text")))))
+    time("spread md5 again")(noop(spreadDf.select(md5(col("text")))))
+    time("spread only")(noop(spreadDf))
+    time("spread hash32")(noop(spreadDf.select(graft.Exact.hash32(col("text")))))
+    def bloomish(docs0: org.apache.spark.sql.DataFrame, chk: Boolean): org.apache.spark.sql.DataFrame = {
+      val ks = (0 to 3).map(i => pmod(col("h1") + lit(i.toLong) * col("h2"), lit(65536L)))
+      val d1 = docs0
+        .select(col("doc_id"), md5(col("text")).as("m5"), graft.Exact.hash32(col("text")).as("h"))
+        .select(col("doc_id"), col("m5"), expr("h div 65536").as("h1"), (expr("h % 32768") * 2 + 1).as("h2"))
+      val docs = if (chk) d1.localCheckpoint() else d1
+      val banned = docs.where(col("doc_id") % 7 === 0)
+      val bits = banned.select(explode(array(ks: _*)).as("pos")).distinct()
+      val probed = docs.select(col("doc_id"), col("m5"), explode(array(ks: _*)).as("pos"))
+      probed.join(broadcast(bits), Seq("pos"), "left_semi")
+        .groupBy("doc_id", "m5").agg(count(lit(1)).as("nm")).where(col("nm") === 4)
+    }
+    time("bloomish serial+chk")(noop(bloomish(raw, true)))
+    time("bloomish serial+chk 2")(noop(bloomish(raw, true)))
+    time("bloomish spread+chk")(noop(bloomish(spreadDf, true)))
+    time("bloomish spread+chk 2")(noop(bloomish(spreadDf, true)))
+    time("bloomish spread nochk")(noop(bloomish(spreadDf, false)))
+    time("bloomish serial nochk")(noop(bloomish(raw, false)))
+    val qual = regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), "\\s+", " ")
+    time("serial regex")(noop(raw.select(qual)))
+    time("spread regex")(noop(spreadDf.select(qual)))
+    time("spread regex again")(noop(spreadDf.select(qual)))
+    time("repart8 regex")(noop(raw.repartition(8).select(qual)))
     spark.stop()
   }
 }

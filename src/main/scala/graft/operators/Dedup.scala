@@ -103,9 +103,26 @@ object Dedup {
 
   private def toks(c: Column): Column = split(lower(c), " ")
 
+  /** The (doc_id, text) scan behind the SHINGLE/POSITION-explode chains
+    * (shingleSet, dd_cdc, dd_winnow, dd_substring), wrapped in
+    * [[graft.Par.spread]] (round 16): the explode + per-shingle md5 work
+    * dominates those queries and the single-row-group bench input would
+    * otherwise pin it to ONE scan task (optimization guide §2.5 input
+    * skew). No-op at scale. Deliberately NOT used by the cheap-map
+    * queries (dd_exact, dd_bloom, dd_simhash*, the quality gates): there
+    * the per-row work is one md5/regex pass and the spread's extra
+    * 32-partition stages cost more than they parallelize — measured
+    * round 16: dd_bloom 0.9 s serial → 3.5 s spread (18 core-s of
+    * per-task overhead on near-empty partitions), vs dd_winnow 4.7 s →
+    * 1.9 s and dd_minhash_lsh 2.4 s → 1.5 s where the shingle explode
+    * dwarfs the task overhead. */
+  private def docsText(s: SparkSession, dir: String): DataFrame =
+    graft.Par.spread(
+      load(s, dir, "documents").select(col("doc_id"), col("text")))
+
   /** Distinct (doc_id, shingle) pairs — the unit set for Jaccard/MinHash. */
   private def shingleSet(s: SparkSession, dir: String): DataFrame =
-    load(s, dir, "documents")
+    docsText(s, dir)
       .select(col("doc_id"),
         explode(array_distinct(VectorFns.shingles3(toks(col("text"))))).as("sh"))
 
@@ -330,7 +347,7 @@ object Dedup {
     // cross-doc duplicates. Expected chunk length = CdcD tokens.
     "dd_cdc" -> ((s, dir) => {
       val t = toks(col("text"))
-      val tok = load(s, dir, "documents")
+      val tok = docsText(s, dir)
         .select(col("doc_id"), posexplode(t).as(Seq("p", "tok")),
           t.as("ts"), size(t).as("n"))
         // Sign-free boundary test: hash32 is md5-derived, non-negative and
@@ -374,7 +391,7 @@ object Dedup {
     // keyed selection windows + ONE fingerprint-hash shuffle.
     "dd_winnow" -> ((s, dir) => {
       val t = toks(col("text"))
-      val grams = load(s, dir, "documents")
+      val grams = docsText(s, dir)
         .select(col("doc_id"), posexplode(t).as(Seq("p0", "tok")),
           t.as("ts"), size(t).as("n"))
         .where(col("p0") <= col("n") - 3)
@@ -751,7 +768,7 @@ object Dedup {
     // positional frame is localCheckpoint-ed so the scan→explode→hash→prune
     // chain runs once across both self-join sides.
     "dd_substring" -> ((s, dir) => {
-      val sh = load(s, dir, "documents")
+      val sh = docsText(s, dir)
         .select(col("doc_id"),
           posexplode(VectorFns.shingles3(toks(col("text")))).as(Seq("pos", "sh")))
         .select(col("doc_id"), col("pos"), (hash32(col("sh")) % MersenneP).as("h"))
@@ -760,11 +777,16 @@ object Dedup {
         .where(col("df") <= DecontamMaxShDocs)
         .select("h")
       val pruned = sh.join(rare, "h").localCheckpoint(true)
+      // No .distinct() on the pair frame (round 16): (doc_id, pos)
+      // determines h — posexplode emits each position once and the md5
+      // chain is a function — so the equi-join's output rows are unique
+      // by construction and the old distinct was a full extra exchange
+      // of the battery's largest shuffle (55.7 MB of 423 total at
+      // sf0.1). plans/r16/dd_substring_{before,after}.txt.
       val pairs = pruned.as("a").join(pruned.as("b"),
           col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
           col("a.pos").as("pa"), col("b.pos").as("pb"))
-        .distinct()
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("doc_a", "doc_b", "diff").orderBy("pa")
       pairs.withColumn("diff", col("pa") - col("pb"))

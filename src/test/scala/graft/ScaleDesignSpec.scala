@@ -241,8 +241,8 @@ class ScaleDesignSpec extends AnyFunSuite {
       "emb_semdedup" -> 3, // cluster assign (checkpointed) + pair shuffle + sort
       "dd_paragraph" -> 3, // chunk-hash groupBy (partial+final) + sort
       "skew_distinct_2phase" -> 3, // two keyed aggs + sort (the design itself)
-      "dd_substring" -> 4, // positional join + islands windows
-      "dd_minhash_lsh" -> 5, // signature agg + band buckets + verify join
+      "dd_substring" -> 3, // round 16: +1 Par.spread, -1 redundant pair distinct (net -1); positional join + islands windows
+      "dd_minhash_lsh" -> 6, // round 16: +1 Par.spread (no-op at scale); // signature agg + band buckets + verify join
       "ta_keywords" -> 6, // tf agg + df agg + join + per-doc rank window
       // round-6 wave (measured AQE-off; AQE shrinks the join sides at runtime)
       "ta_pack" -> 2, // per-source window + oracle sort
@@ -305,14 +305,14 @@ class ScaleDesignSpec extends AnyFunSuite {
       "ev_cumsum" -> 4, // bucket-sum agg + tiny offset window + (type,hour) prefix window + oracle sort; offsets broadcast back
       "a15_quantile_2phase" -> 6, // QuantileLadder (round-11 unification): one-row min/max rollup (adaptive width) + bucket histogram agg + tiny cum window + located-bucket rescan window + count + oracle sort; min/max + target buckets broadcast
       "ta_dup_ngram_chars" -> 3, // (doc,n,gram) agg + doc rollup + oracle sort — both gram sizes in ONE scan/explode
-      "dd_containment" -> 5, // distinct shingle agg + size agg + bucket-pair explode agg + size join + sort (ReuseExchange shares the distinct chain)
+      "dd_containment" -> 7, // round 16: +2 Par.spread exchanges, one per scan leg (no-op at scale); distinct shingle agg + size agg + bucket-pair explode agg + size join + sort
       "ev_retention" -> 4, // one user agg (min day + bounded day set) + cohort/offset agg + broadcast k=0 base + sort
       "ta_code_detect" -> 1, // pure map-side regex counters + oracle sort
       "gr_kcore" -> 2, // final degree agg + sort; the peel rounds run inside the eager localCheckpoints (the gr_shortest_path discipline)
       "ev_ewma" -> 5, // the ev_anomaly template: KeyedRank bucket counts + tiny offset window + (type,hour) rank window + (type,chunk) trailing window over the strip-replicated frame + oracle sort
       "emb_kcenter" -> 0, // NO exchange: each greedy round is a broadcast-center map pass + TakeOrdered(1), unrolled behind localCheckpoints
       "ann_mmr" -> 0, // the emb_kcenter unroll: broadcast-pick map pass + TakeOrdered(1) per round
-      "dd_novelty" -> 3, // distinct (doc,shingle) agg + min-doc join riding the same sh partitioning (ReuseExchange) + per-doc agg + oracle sort share the rest
+      "dd_novelty" -> 4, // round 16: +1 Par.spread (no-op at scale); // distinct (doc,shingle) agg + min-doc join riding the same sh partitioning (ReuseExchange) + per-doc agg + oracle sort share the rest
       "prof_psi_value" -> 4, // per-type range agg + (type,bin) counts agg + type rollups + oracle sort; spine/totals ride broadcasts — every frame after the counts agg is types×10 rows
       "samp_unimax" -> 2, // ONE corpus-scale source-count agg; the waterfill windows + sort run single-partition on the source-cardinality frame (metadata scale)
       "a16_gini" -> 3, // (type,cents) agg + type rollup + oracle sort; the rank-offset window rides the value-domain-scale distinct-cents frame above the first agg
@@ -332,7 +332,7 @@ class ScaleDesignSpec extends AnyFunSuite {
       "ev_path" -> 2, // user-keyed session window/agg chain shares one exchange + path count agg; TakeOrdered cut
       "q_skyline" -> 4, // bucket-max agg + metadata offset window + ONE (bucket) exchange serving both the strictly-cheaper RANGE window and the equal-price RANGE[0,0] window + oracle sort
       "mm_ahash" -> 2, // Par.spread of the small synth input (round 16; no-op at scale) + oracle sort; decode + luma grid + threshold stay map-side
-      "dd_cdc" -> 3, // doc-keyed chunk window + (doc,chunk) rebuild agg + chunk-hash agg; boundary flags map-side off the token array
+      "dd_cdc" -> 4, // Par.spread of the small doc scan (round 16; no-op at scale) + doc-keyed chunk window + (doc,chunk) rebuild agg + chunk-hash agg; boundary flags map-side off the token array
       "ev_pattern" -> 2, // one user-keyed session/pos window chain (shared exchange) + (user,sess) aggs riding it; match joins broadcast the session-scale frames
       "ev_forecast_sn" -> 2, // spine/lag/rollup ride the types×days frame behind the checkpointed (type,day) agg; + oracle sort
       "mm_audio_features" -> 1, // oracle sort only: WAV decode + integer features map-side per partition
@@ -349,7 +349,7 @@ class ScaleDesignSpec extends AnyFunSuite {
       "emb_cos_hist" -> 2, // one-row total + oracle sort; the ann_lsh grouped pair chain + bin agg run inside the localCheckpoint
       "ta_lang_confusion" -> 2, // one-row per-actual totals + oracle sort; the heuristic scorer + langs-squared agg run inside the localCheckpoint
       "prof_freshness" -> 3, // one-row watermark agg + per-type conditional-count agg + oracle sort; trailing predicates map-side under the broadcast watermark
-      "dd_winnow" -> 3, // doc-keyed selection window + distinct + fingerprint-hash agg; gram hashing map-side off the token array
+      "dd_winnow" -> 4, // round 16: +1 Par.spread (no-op at scale); // doc-keyed selection window + distinct + fingerprint-hash agg; gram hashing map-side off the token array
       "ev_streaks" -> 3, // (user,day) dedup agg + user-keyed run windows/rollup + oracle sort
       "ev_growth_acct" -> 4, // (user,week) dedup agg + user-keyed lag + week rollup + oracle sort; churn lag rides the weeks frame above the aggregate
       "ta_feature_hash" -> 5, // (doc,term) tf agg behind localCheckpoint + df rollup + term join + (doc,dim) fold agg + oracle sort; N rides a one-row broadcast
