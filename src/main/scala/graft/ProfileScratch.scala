@@ -10,8 +10,11 @@ object ProfileScratch {
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder().master(s"local[$cpus]")
+    val b0 = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+    val b1 = sys.env.get("PROF_BYPASS").fold(b0)(v => b0.config("spark.shuffle.sort.bypassMergeThreshold", v))
+    val spark = sys.env.get("PROF_LOCALDIR").fold(b1)(v => b1.config("spark.local.dir", v))
+      .config("x.ignore", "1")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
@@ -50,6 +53,9 @@ object ProfileScratch {
       val probed = docs.select(col("doc_id"), col("m5"), explode(array(ks: _*)).as("pos"))
       probed.join(broadcast(bits), Seq("pos"), "left_semi")
         .groupBy("doc_id", "m5").agg(count(lit(1)).as("nm")).where(col("nm") === 4)
+    }
+    if (sys.env.contains("PROF_LOOP")) {
+      for (i <- 1 to 60) time(s"loop$i")(noop(bloomish(spreadDf, true)))
     }
     time("bloomish serial+chk")(noop(bloomish(raw, true)))
     time("bloomish serial+chk 2")(noop(bloomish(raw, true)))

@@ -55,6 +55,17 @@ object TextAnalysis {
   private val ChunkSize = 32
   private val ChunkStride = 24
 
+  /** documents scan wrapped in [[graft.Par.spread]] (round 16) for the
+    * one ta_ chain whose per-row explode dwarfs the spread's task
+    * overhead: ta_dup_ngram_chars (a char-20-gram explode, hundreds of
+    * grams per doc). A blanket spread across the family was measured
+    * NET-NEGATIVE at sf0.1 (+3.8 s over 34 queries: token-level explodes
+    * are too cheap to amortize the extra 32-partition stages — the
+    * dd_bloom lesson in Dedup.docsText); every other ta_ site keeps the
+    * plain scan. No-op at scale; see graft.Par. */
+  private def docsSpread(s: SparkSession, dir: String): DataFrame =
+    graft.Par.spread(load(s, dir, "documents"))
+
   private val Stopwords = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
 
   /** Keywords per doc emitted by ta_keywords. */
@@ -232,7 +243,7 @@ object TextAnalysis {
           .otherwise(array().cast("array<string>"))
       }
       val t = toks(col("text"))
-      val grams = load(s, dir, "documents")
+      val grams = docsSpread(s, dir)
         .select(col("doc_id"), explode(concat(
           transform(graft.functions.VectorFns.shingles3(t),
             x => struct(lit(3).as("n"), x.as("sh"))),
