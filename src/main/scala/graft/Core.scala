@@ -104,8 +104,27 @@ object Par {
     val target = df.sparkSession.sparkContext.defaultParallelism
     val small = df.queryExecution.optimizedPlan.stats.sizeInBytes <=
       BigInt(SpreadBytesPerCore) * target
-    if (small && df.rdd.getNumPartitions < target) df.repartition(target)
+    if (small && scanPartitions(df).exists(_ < target)) df.repartition(target)
     else df
+  }
+
+  /** Partition count of the frame's file scan, read off the physical plan
+    * (round 17: `df.rdd.getNumPartitions` forced an RDD conversion of the
+    * whole plan per call, which under AQE can materialize query stages on
+    * non-trivial inputs). The FileScanRDD's partition array is computed at
+    * planning time from the file listing — no job runs. Frames with no
+    * file scan (never the case at the spread call sites, all direct
+    * parquet loads) report None and are left alone: the input-skew case
+    * spread exists for is specifically an unsplittable file scan. */
+  private def scanPartitions(df: DataFrame): Option[Int] = {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val ns = plan.collect { case s: FileSourceScanExec => s.inputRDD.getNumPartitions }
+    if (ns.isEmpty) None else Some(ns.max)
   }
 }
 

@@ -279,7 +279,16 @@ object Dedup {
     * distinct (duplicate edges don't break correctness, just waste the
     * join). */
   private[graft] def connectedComponents(edges: DataFrame): DataFrame = {
-    val sym = edges.unionByName(edges.select(col("b").as("a"), col("a").as("b")))
+    // Symmetrize MAP-SIDE (explode each edge into both directions) instead
+    // of a self-union: the union consumed the edge-build chain TWICE — once
+    // per side — inside this eager checkpoint, and for dd_canonical that
+    // chain is the full spread-shingle/minhash/verify pipeline (round-17
+    // profile: jaccardPairs alone is ~23 core-s warm at sf0.1/local[32],
+    // and computeComponentLabels ran it twice). Same rows, one execution.
+    val sym = edges.select(explode(array(
+        struct(col("a").as("a"), col("b").as("b")),
+        struct(col("b").as("a"), col("a").as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
       .localCheckpoint(true)
     var labels = sym.select(col("a").as("doc_id")).distinct()
       .withColumn("lbl", col("doc_id"))

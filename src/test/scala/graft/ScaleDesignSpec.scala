@@ -304,7 +304,7 @@ class ScaleDesignSpec extends AnyFunSuite {
       // round-9 additions
       "ev_cumsum" -> 4, // bucket-sum agg + tiny offset window + (type,hour) prefix window + oracle sort; offsets broadcast back
       "a15_quantile_2phase" -> 6, // QuantileLadder (round-11 unification): one-row min/max rollup (adaptive width) + bucket histogram agg + tiny cum window + located-bucket rescan window + count + oracle sort; min/max + target buckets broadcast
-      "ta_dup_ngram_chars" -> 3, // (doc,n,gram) agg + doc rollup + oracle sort — both gram sizes in ONE scan/explode
+      "ta_dup_ngram_chars" -> 4, // round 16: +1 Par.spread of the doc scan (no-op at scale; driver-measured 2.66→1.81 s); (doc,n,gram) agg + doc rollup + oracle sort — both gram sizes in ONE scan/explode
       "dd_containment" -> 7, // round 16: +2 Par.spread exchanges, one per scan leg (no-op at scale); distinct shingle agg + size agg + bucket-pair explode agg + size join + sort
       "ev_retention" -> 4, // one user agg (min day + bounded day set) + cohort/offset agg + broadcast k=0 base + sort
       "ta_code_detect" -> 1, // pure map-side regex counters + oracle sort
