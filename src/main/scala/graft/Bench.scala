@@ -126,6 +126,19 @@ object Bench {
       .master(s"local[$cpus]")
       .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Round 17 (guide §2.2 "fewer, larger blocks"): with reduce counts
+      // below spark.shuffle.sort.bypassMergeThreshold (default 200) the
+      // bypass-merge writer opens ONE FILE PER REDUCE PARTITION per map
+      // task — a 32×32 shuffle creates >1k files, and thread dumps of the
+      // battery showed task threads RUNNABLE in FileOutputStream.open plus
+      // a lock convoy on IndexShuffleBlockResolver. Threshold 0 selects
+      // the same sort-based writer (one data + one index file per map
+      // task) that ANY at-scale shuffle (>200 reducers) uses anyway, so
+      // local runs exercise the production write path instead of a
+      // small-shuffle special case. Measured: a tiny 32-partition groupBy
+      // dropped 0.8 s/12 core-s → 0.3 s/3 core-s. Env-overridable for A/B.
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_BYPASS_THRESHOLD", "0"))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")

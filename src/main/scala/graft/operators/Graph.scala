@@ -120,29 +120,45 @@ object Graph {
     * triangle is found exactly once. Returns (degree table `node, d`,
     * per-node triangle counts `node, n_tri`). */
   private def nodeTriangles(e: DataFrame): (DataFrame, DataFrame) = {
-    val deg = e.select(col("pa").as("node")).unionAll(e.select(col("pb").as("node")))
+    val deg = e.select(explode(array(col("pa"), col("pb"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("d"))
     val keyed = deg.select(col("node"), struct(col("d"), col("node")).as("k"))
     val withK = e
       .join(keyed.select(col("node").as("na"), col("k").as("ka")), col("pa") === col("na"))
       .join(keyed.select(col("node").as("nb"), col("k").as("kb")), col("pb") === col("nb"))
-    // orient low-k -> high-k; carry the endpoint keys for the wedge order
+    // orient low-k -> high-k; carry the endpoint keys for the wedge order.
+    // Round 17: eagerly checkpointed — `o` feeds the wedge build AND the
+    // closing probe (and the degree/orient join chain fed both), so the
+    // whole orient chain executed twice per query; profile at sf0.1/
+    // local[32] showed the closing join at 33 core-s un-checkpointed vs
+    // 0.7 core-s with `o` materialized once.
     val o = withK.select(
       when(col("ka") < col("kb"), col("pa")).otherwise(col("pb")).as("lo"),
       when(col("ka") < col("kb"), col("pb")).otherwise(col("pa")).as("hi"),
       when(col("ka") < col("kb"), col("kb")).otherwise(col("ka")).as("khi"))
-    // Round-16 (guide §2.4/§3): wedges used to come from an o ⋈ o
-    // self-join on `lo` with a struct-compare inequality on `khi` — two
-    // sorted exchanges of the oriented edge list plus a per-row struct
-    // comparison inside the join. The apex's out-neighbors sorted by khi
-    // are exactly what the wedge needs, so ONE groupBy(lo) collects them
-    // (khi is unique per node — it embeds the node id — so sort_array
-    // gives a strict order) and the (khi_i < khi_j) pairs explode
-    // map-side, the gr_linkpred shape. Same Σ outdeg² fan-out bound,
-    // identical wedge set, one exchange and no struct-key join; the
-    // closing probe below is unchanged. Plan diff:
-    // plans/r16/gr_triangles_{before,after}.txt.
-    val wedges = o
+      .localCheckpoint(true)
+    // Round-16 (guide §2.4/§3): wedges come from ONE groupBy(lo) that
+    // collects the apex's out-neighbors sorted by khi (khi embeds the node
+    // id, so sort_array gives a strict order) and explodes the
+    // (khi_i < khi_j) pairs map-side — same Σ outdeg² fan-out bound as the
+    // old o ⋈ o self-join, identical wedge set, one exchange.
+    // Round-17 §5 guard (the round-16 verdict's memory caveat): the
+    // collect_list buffers an apex's FULL out-neighbor list in one
+    // aggregation row. Degree orientation bounds out-degree at √(2m) —
+    // sub-linear but still ~1.4M structs per row at m = 10¹² — so apexes
+    // above WedgeApexCap take the STREAMED self-join form instead (no
+    // per-apex array; the pre-r16 shape, restricted to the handful of
+    // super-apexes), and everything below it keeps the one-exchange
+    // explode. The branch split is exact (anti/semi on the same apex key,
+    // one partitioning shared by all three consumers of `o`), the two
+    // wedge sets are disjoint by apex, and their union is the identical
+    // wedge multiset — the cap moves no result, only the execution form.
+    // On every driver SF the `hi` side is empty (max out-degree ≤ 2 at
+    // sf0.1), so the streamed branch costs one scan of the checkpointed
+    // `o`; at 100 TB it is what caps a task's aggregation buffer.
+    val od = o.groupBy("lo").agg(count(lit(1)).as("od"))
+    val hiApex = od.where(col("od") > WedgeApexCap).select("lo")
+    val wLow = o.join(hiApex, Seq("lo"), "left_anti")
       .groupBy("lo")
       .agg(sort_array(collect_list(struct(col("khi"), col("hi")))).as("ns"))
       .select(col("lo").as("u"), explode(expr(
@@ -150,6 +166,11 @@ object Graph {
           "transform(slice(ns, i + 2, size(ns) - i - 1), " +
           "y -> struct(x.hi AS v, y.hi AS w))))")).as("p"))
       .select(col("u"), col("p.v").as("v"), col("p.w").as("w"))
+    val oHi = o.join(hiApex, Seq("lo"), "left_semi")
+    val wHi = oHi.as("w1").join(oHi.as("w2"),
+        col("w1.lo") === col("w2.lo") && col("w1.khi") < col("w2.khi"))
+      .select(col("w1.lo").as("u"), col("w1.hi").as("v"), col("w2.hi").as("w"))
+    val wedges = wLow.unionByName(wHi)
     val tris = wedges
       .join(o.as("e3"), col("v") === col("e3.lo") && col("w") === col("e3.hi"))
       .select(col("u"), col("v"), col("w"))
@@ -158,6 +179,14 @@ object Graph {
       .groupBy("node").agg(count(lit(1)).as("n_tri"))
     (deg, tcnt)
   }
+
+  /** §5 memory bound for the wedge explode's per-apex neighbor array:
+    * apexes with more out-neighbors than this use the streamed self-join
+    * wedge form instead of one collect_list row (see nodeTriangles). 4096
+    * structs ≈ 100 KB per aggregation row — the same order as MaxBasket's
+    * fan-out bound; degree orientation already caps out-degree at √(2m),
+    * so the streamed branch only ever sees the extreme tail. */
+  private val WedgeApexCap = 4096
 
   /** k-core: degree threshold and unrolled peel rounds. Peeling converges
     * when every surviving node keeps degree ≥ K; PipelineOpsSpec pins that

@@ -402,7 +402,7 @@ class ScaleDesignSpec extends AnyFunSuite {
       "ta_nb_langid" -> 8, // (doc,lang,term) tf agg + term-keyed pivot agg + term-keyed contrib join + per-doc fold agg + oracle sort; class/vocab/prior stats ride one-row broadcasts
       "ta_bpe_train" -> 1, // final 6-row sort only: the corpus word histogram + per-round pair argmaxes run inside the driver loop's own collects (vocab-scale frames behind localCheckpoint)
       // round-12 wave (measured AQE-off)
-      "gr_clustering" -> 4, // the degree-oriented triangle pipeline's per-node agg + degree join + oracle sort + the round-16 wedge neighbor-set agg (see gr_triangles); wedge fan-out bounded by Σoutdeg²
+      "gr_clustering" -> 5, // the degree-oriented triangle pipeline's per-node agg + degree join + oracle sort + the round-16 wedge neighbor-set agg (see gr_triangles); round 17: +1 for the wedge apex-degree rollup that routes super-apexes (> WedgeApexCap out-neighbors) to the streamed self-join form instead of one collect_list buffer (§5 memory bound); wedge fan-out bounded by Σoutdeg²
       "gr_modularity" -> 7, // labelLoop's node-keyed rounds ride per-round checkpoints; two label-keyed aggs + community rollup + oracle sort; 1-row m broadcast
       "ir_mrr" -> 4, // per-query tf agg + k-bounded heap cut + rank join + 1-row fold; per-query lists are k-row frames
       "ir_rbo" -> 3, // two top-k cuts + depth-joined overlap counts — everything above the cuts is a k-row metadata frame
