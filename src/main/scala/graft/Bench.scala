@@ -286,19 +286,34 @@ object Bench {
     import org.apache.spark.sql.functions._
     import spark.implicits._
     graft.plans.VaderExpr.register(spark)
-    val words = Seq("coffee", "espresso", "great", "terrible", "machine", "brew")
-    val docs = (0 until 40).map(i =>
-      (i.toLong, (0 until 6).map(j => words((i * 7 + j * 3) % words.length)).mkString(" ")))
+    // Round 17: the warm-up fit now mirrors the REAL fit's shape (K=20,
+    // maxIter=10, a few hundred docs over a 64-partition layout) instead of
+    // a 2-iteration K=2 toy. With the toy, the timed nlp_analysis was
+    // BIMODAL run-to-run on identical code (measured 1.6 s / 10 core-s vs
+    // 8.4 s / 86 core-s, interleaved A/B): process CPU counts the JIT
+    // compiler threads, and whether the online-VB/breeze/janino compile
+    // storm for the real fit's class set landed inside or outside the
+    // timed window was a coin flip the toy fit did not settle. The corpus
+    // here is STILL a synthetic in-memory frame — NOT the sf dir — so
+    // Analytics' per-(session,dir) model cache stays unfilled and the
+    // timed nlp_analysis pays its full fit, now on a warm code path.
+    val words = Seq("coffee", "espresso", "great", "terrible", "machine",
+      "brew", "roast", "grind", "filter", "crema", "latte", "steam",
+      "bitter", "smooth", "dark", "light", "bean", "cup", "pour", "shot")
+    val docs = (0 until 400).map(i =>
+      (i.toLong, (0 until 12).map(j => words((i * 7 + j * 3) % words.length)).mkString(" ")))
       .toDF("doc_id", "text")
       .withColumn("text", graft.functions.TextClean.clean(col("text")))
       .withColumn("s", graft.plans.VaderExpr.vaderCompound(col("text")))
+      .repartition(64, col("doc_id"))
+      .sortWithinPartitions("doc_id")
     val fm = new Pipeline().setStages(Array(
       new Tokenizer().setInputCol("text").setOutputCol("raw_tokens"),
       new StopWordsRemover().setInputCol("raw_tokens").setOutputCol("tokens"),
       new CountVectorizer().setInputCol("tokens").setOutputCol("tf"),
       new IDF().setInputCol("tf").setOutputCol("features"))).fit(docs)
     val vecs = fm.transform(docs)
-    new LDA().setK(2).setSeed(1L).setOptimizer("online").setMaxIter(2)
+    new LDA().setK(20).setSeed(1L).setOptimizer("online").setMaxIter(10)
       .setFeaturesCol("features").fit(vecs)
       .transform(vecs).write.mode("overwrite").format("noop").save()
     // One ImageIO round-trip registers/initializes the PNG codec plugins.

@@ -552,13 +552,20 @@ object Relational3 {
     // the pair list covers the five real TPC-H FKs plus three reverse
     // probes so both verdicts are exercised.
     "prof_inclusion" -> ((s, dir) => {
+      // Round 17 (§2.4): one LEFT join + ONE aggregate per probe instead of
+      // an anti-join + two one-row aggregates + a crossJoin — n_distinct
+      // and n_missing come out of the same pass (the left join preserves
+      // each distinct child key exactly once because the parent side is
+      // distinct). Identical output; 62 → ~38 stages for the 8-probe union
+      // (the query was driver/stage-latency-bound: 3.2 s wall on 3.8
+      // core-s of task work).
       def probe(ct: String, cc: String, pt: String, pc: String): DataFrame = {
         val c = load(s, dir, ct).select(col(cc).as("k")).distinct()
         val p = load(s, dir, pt).select(col(pc).as("k")).distinct()
-        val miss = c.join(p, Seq("k"), "left_anti")
-          .groupBy().agg(count(lit(1)).as("n_missing"))
-        c.groupBy().agg(count(lit(1)).as("n_distinct"))
-          .crossJoin(broadcast(miss))
+          .withColumn("hit", lit(1L))
+        c.join(p, Seq("k"), "left")
+          .groupBy().agg(count(lit(1)).as("n_distinct"),
+            count(when(col("hit").isNull, lit(1))).as("n_missing"))
           .select(lit(s"$ct.$cc<=$pt.$pc").as("dep"), col("n_distinct"),
             col("n_missing"), (col("n_missing") === 0).cast("long").as("included"))
       }

@@ -406,7 +406,7 @@ class ScaleDesignSpec extends AnyFunSuite {
       "gr_modularity" -> 7, // labelLoop's node-keyed rounds ride per-round checkpoints; two label-keyed aggs + community rollup + oracle sort; 1-row m broadcast
       "ir_mrr" -> 4, // per-query tf agg + k-bounded heap cut + rank join + 1-row fold; per-query lists are k-row frames
       "ir_rbo" -> 3, // two top-k cuts + depth-joined overlap counts — everything above the cuts is a k-row metadata frame
-      "prof_inclusion" -> 40, // 8 FK probes × (per-side DISTINCT aggs + value anti-join + 1-row rollups) — every exchange over key-cardinality frames, never a fact-table row join
+      "prof_inclusion" -> 24, // round 17: 8 FK probes × (per-side DISTINCT aggs + ONE left join + one rollup) — n_distinct and n_missing from one pass (was 40: anti-join + two 1-row rollups + crossJoin per probe); every exchange over key-cardinality frames, never a fact-table row join
       "ta_yule_k" -> 3, // term histogram agg + frequency-of-frequencies agg + 1-row moment fold; vocabulary-scale throughout
       "ev_kendall_xcorr" -> 4, // (type,day) agg + types²×days² pair-join frame + concordance rollup + oracle sort — calendar-bounded metadata after the daily agg
       "ev_peak_detect" -> 2, // daily spine agg + calendar-bounded lag/lead window + oracle sort share an exchange
