@@ -185,8 +185,17 @@ object Bench {
     // the reading from the quieter window (lower steal per wall-second)
     // becomes the primary number; BOTH readings and which was kept are
     // recorded in the JSON's `healed` map, so nothing is hidden.
+    // Round 17: memo-backed queries are EXCLUDED from healing. dd_canonical
+    // fills Dedup's per-(session,dir) component-label memo and nlp_analysis
+    // fills Analytics' model-fit cache during their first timed run; a
+    // battery-end re-run would ride the filled memo and measure a fraction
+    // of the query's standalone cost (observed: dd_canonical 4.7 s first,
+    // 0.5 s re-run). Their first reading stands even when steal-flagged —
+    // overstating under steal is honest, understating via a memo is not.
+    val memoBacked = Set("dd_canonical", "nlp_analysis")
     val stealFlagged = firstPass.collect {
-      case (n, r) if r._1 > 0 && r._5 >= math.round(1000.0 * r._1) => n
+      case (n, r) if r._1 > 0 && r._5 >= math.round(1000.0 * r._1) &&
+        !memoBacked.contains(n) => n
     }.toSet
     if (stealFlagged.nonEmpty) System.err.println(
       s"[bench] steal-flagged rows, re-running once: ${stealFlagged.toSeq.sorted.mkString(", ")}")
